@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** EOD (end-of-day) portfolio analytics, re-expressed as Spark Column
+  * algebra. Mirrors the semantics of ffn_polars/expr/eod/{returns,risk,
+  * ratios,temporal}.py (reference repo), but is designed Spark-first:
+  *
+  *   - "series" ops take an ordered [[WindowSpec]] (partition = asset key,
+  *     order = timestamp) and return a per-row Column — pure window
+  *     functions, one shuffle per asset partitioning, codegen'd.
+  *   - "aggregate" ops return aggregate Columns for `groupBy(key).agg(...)`
+  *     — built-in aggregates only, so Spark does map-side partial
+  *     aggregation and whole-stage codegen for free.
+  *
+  * No UDFs anywhere: every function composes `org.apache.spark.sql.functions`
+  * so Catalyst can push down, prune, and codegen. At 100 TB the plan shape
+  * is: shuffle by asset key once, then linear per-partition scans.
+  *
+  * Seconds per average year (365.25d) — reference temporal.py:163.
+  */
+object Eod {
+  val SecondsPerYear: Double = 31557600.0
+  val TradingDaysPerYear: Int = 252
+
+  /** Cumulative (running) frame for an ordered window. */
+  private def cum(w: WindowSpec): WindowSpec =
+    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  // ---------------------------------------------------------------- series
+
+  /** Simple arithmetic returns: p/lag(p) - 1. Ref: eod/returns.py:14. */
+  def toReturns(price: Column, w: WindowSpec): Column =
+    price / lag(price, 1).over(w) - 1
+
+  /** Log returns: ln(p/lag(p)). Ref: eod/returns.py:27. */
+  def toLogReturns(price: Column, w: WindowSpec): Column =
+    log(price / lag(price, 1).over(w))
+
+  /** Price index from arithmetic returns: cumprod(1+r)*start, nulls → 0.
+    * cumprod is expressed as exp(cumsum(ln(1+r))) — valid because price
+    * ratios are strictly positive. Ref: eod/returns.py:129.
+    */
+  def toPriceIndex(ret: Column, w: WindowSpec, start: Double = 100.0): Column =
+    exp(sum(log(coalesce(ret, lit(0.0)) + 1)).over(cum(w))) * start
+
+  /** Rebase prices to a starting value: p/first(p)*value. Ref: returns.py:143. */
+  def rebase(price: Column, w: WindowSpec, value: Double = 100.0): Column =
+    price / first(price).over(cum(w)) * value
+
+  /** Excess returns over a constant annualized risk-free rate, deannualized
+    * to n periods: r - ((1+rf)^(1/n) - 1). Ref: eod/returns.py:110.
+    */
+  def toExcessReturns(ret: Column, rf: Double, n: Int): Column =
+    if (rf == 0.0) ret else ret - (math.pow(1.0 + rf, 1.0 / n) - 1.0)
+
+  /** Excess returns over a risk-free-rate column. Ref: eod/returns.py:110. */
+  def toExcessReturns(ret: Column, rf: Column): Column = ret - rf
+
+  /** Drawdown series: ffill(p)/cummax(ffill(p)) - 1. Ref: eod/risk.py:64. */
+  def toDrawdownSeries(price: Column, w: WindowSpec): Column = {
+    val filled = last(price, ignoreNulls = true).over(cum(w))
+    filled / max(filled).over(cum(w)) - 1
+  }
+
+  /** Convert annualized returns to periodic: (1+r)^(1/n)-1. Ref: temporal.py:13. */
+  def deannualize(ret: Column, n: Int): Column =
+    pow(ret + 1.0, 1.0 / n) - 1.0
+
+  /** Annualize returns given holding durations: (1+r)^(oneYear/dur)-1.
+    * Ref: eod/temporal.py:28.
+    */
+  def annualize(ret: Column, durations: Column, oneYear: Double = 365.0): Column =
+    pow(ret + 1.0, lit(oneYear) / durations) - 1.0
+
+  // ------------------------------------------------------------- aggregates
+  // Order-sensitive aggregates (first/last of a series) are written with
+  // min_by/max_by over an explicit order column — deterministic under
+  // Spark's unordered partial aggregation, unlike first()/last() in agg.
+
+  /** Total return: last/first - 1 (order given by `ord`). Ref: returns.py:155. */
+  def totalReturn(price: Column, ord: Column): Column =
+    max_by(price, ord) / min_by(price, ord) - 1
+
+  /** Year fraction spanned by a timestamp column: (last-first)/avg-year.
+    * Microsecond-exact: uses unix_micros. Ref: eod/temporal.py:156.
+    */
+  def yearFrac(ts: Column): Column =
+    (unix_micros(max(ts)) - unix_micros(min(ts))) / lit(1e6 * SecondsPerYear)
+
+  /** CAGR: (last/first)^(1/yearFrac) - 1. Ref: eod/returns.py:96. */
+  def cagr(price: Column, ts: Column): Column =
+    pow(max_by(price, ts) / min_by(price, ts), lit(1.0) / yearFrac(ts)) - 1
+
+  /** Sharpe ratio: mean(excess)/stddev_samp(excess) [* sqrt(n)].
+    * Ref: eod/ratios.py:69.
+    */
+  def sharpe(ret: Column, rf: Double = 0.0, n: Int = TradingDaysPerYear,
+             annualizeFlag: Boolean = true): Column = {
+    val excess = toExcessReturns(ret, rf, n)
+    val s = avg(excess) / stddev_samp(excess)
+    if (annualizeFlag) s * math.sqrt(n.toDouble) else s
+  }
+
+  /** Risk/return ratio = Sharpe with rf=0. Ref: eod/ratios.py:92. */
+  def riskReturnRatio(ret: Column): Column = sharpe(ret)
+
+  /** Sortino: mean(excess)/stddev_samp(min(excess,0)) [* sqrt(n)].
+    * Ref: eod/ratios.py:23.
+    */
+  def sortino(ret: Column, rf: Double = 0.0, n: Int = TradingDaysPerYear,
+              annualizeFlag: Boolean = true): Column = {
+    val excess = ret - lit(rf / n)
+    val downside = least(excess, lit(0.0))
+    val dstd = stddev_samp(downside)
+    val base = when(dstd.isNotNull && dstd =!= 0.0, avg(excess) / dstd)
+    if (annualizeFlag) base * math.sqrt(n.toDouble) else base
+  }
+
+  /** Information ratio: mean(a-b)/stddev_samp(a-b), NaN/null → 0.
+    * Ref: eod/ratios.py:104.
+    */
+  def informationRatio(ret: Column, benchmark: Column): Column = {
+    val d = ret - benchmark
+    coalesce(nanvl(avg(d) / stddev_samp(d), lit(0.0)), lit(0.0))
+  }
+
+  /** Ulcer index over a precomputed drawdown series:
+    * sqrt(mean((100*dd)^2)). Ref: eod/risk.py:13 (dd from cummax of price).
+    */
+  def ulcerIndexFromDrawdown(dd: Column): Column =
+    sqrt(avg(pow(dd * 100.0, lit(2.0))))
+
+  /** Ulcer performance index: mean(excess returns)/ulcer. Ref: risk.py:32. */
+  def ulcerPerformanceIndex(ret: Column, dd: Column, rf: Double = 0.0,
+                            n: Int = TradingDaysPerYear): Column =
+    avg(ret - lit(if (rf == 0.0) 0.0 else rf / n)) / ulcerIndexFromDrawdown(dd)
+
+  /** Max drawdown = min of the drawdown series. Ref: eod/risk.py:90. */
+  def maxDrawdownFromDrawdown(dd: Column): Column = min(dd)
+
+  /** Calmar ratio: CAGR / |max drawdown|. Ref: eod/ratios.py:49. */
+  def calmar(price: Column, ts: Column, dd: Column): Column =
+    cagr(price, ts) / abs(min(dd))
+
+  /** Month-to-date return. `maxTs` = per-group max(ts) (precompute with a
+    * window). Reference price = last price strictly before the latest
+    * month. Ref: eod/returns.py:41.
+    */
+  def mtd(price: Column, ts: Column, maxTs: Column): Column = {
+    val prevMonth = month(ts) =!= month(maxTs) || year(ts) =!= year(maxTs)
+    val ref = max_by(when(prevMonth, price), when(prevMonth, ts))
+    max_by(price, ts) / ref - 1
+  }
+
+  /** Year-to-date return: last / first-of-latest-year - 1.
+    * Ref: eod/returns.py:70.
+    */
+  def ytd(price: Column, ts: Column, maxTs: Column): Column = {
+    val inYear = year(ts) === year(maxTs)
+    val firstOfYear = min_by(when(inYear, price), when(inYear, ts))
+    max_by(when(inYear, price), when(inYear, ts)) / firstOfYear - 1
+  }
+
+  /** Periods/year inferred from the mode of timestamp deltas (seconds);
+    * null when deltas are irregular (std > 1e-3 s). `deltaSec` = per-row
+    * delta seconds (precompute: (unix_micros(ts)-lag)/1e6 over window).
+    * Ref: eod/temporal.py:46.
+    */
+  def inferNperiods(deltaSec: Column, af: Int = TradingDaysPerYear): Column = {
+    val valid = when(deltaSec > 1e-9 && !isnan(deltaSec), deltaSec)
+    val dt = mode(valid)
+    val ok = stddev_samp(valid) <= 1e-3
+    val day = 86400.0
+    when(ok,
+      when(abs(dt - 365 * day) <= day, 1)
+        .when(abs(dt - 91 * day) <= 3 * day, 4)
+        .when(abs(dt - 30 * day) <= 3 * day, 12)
+        .when(abs(dt - 7 * day) <= 60, 52)
+        .when(abs(dt - day) <= 10, af)
+        .when(abs(dt - 3600) <= 5, af * 24)
+        .when(abs(dt - 60) <= 1, af * 24 * 60)
+        .when(abs(dt - 1) <= 0.1, af * 24 * 3600)
+        .when(dt > 0, round(lit(af.toDouble * 24 * 3600) / dt))
+    ).cast("long")
+  }
+
+  /** Human-readable frequency label from the mode of deltas in days;
+    * "unknown" when irregular (std > 1 day). Ref: eod/temporal.py:98.
+    */
+  def inferFreq(deltaDays: Column): Column = {
+    val d = mode(deltaDays)
+    val irregular = stddev_samp(deltaDays).isNull || stddev_samp(deltaDays) > 1.0
+    when(irregular, "unknown")
+      .when(abs(d - 365.25) < 5, "yearly")
+      .when(abs(d - 91) <= 3, "quarterly")
+      .when(abs(d - 30) <= 3, "monthly")
+      .when(abs(d - 7) <= 1, "weekly")
+      .when(abs(d - 1) <= 0.1, "daily")
+      .otherwise("unknown")
+  }
+}

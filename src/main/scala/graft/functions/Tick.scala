@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+
+/** Tick-data microstructure metrics, re-expressed as Spark Column algebra.
+  * Mirrors ffn_polars/expr/tick/{activity,flow,direction,price,
+  * volatility}.py (reference repo).
+  *
+  * Aggregate forms are meant for `df.groupBy(ticker).agg(...)` — every
+  * metric is built from built-in aggregates, so Spark performs map-side
+  * partial aggregation; at 100 TB this is one shuffle keyed by ticker with
+  * combiners, never a sort. Series forms (tickRule, microReturns) are
+  * window functions over `partitionBy(ticker).orderBy(ts)`.
+  *
+  * Timestamps are treated at microsecond precision (Spark's native
+  * TimestampType resolution); nanosecond scales follow the reference's
+  * SCALE map (tick/utils.py) converted to a ns-per-unit factor.
+  */
+object Tick {
+  /** ns per unit, mirroring reference tick/utils.py SCALE. */
+  val Scale: Map[String, Double] =
+    Map("s" -> 1e9, "ms" -> 1e6, "us" -> 1e3, "ns" -> 1.0)
+
+  private def nanos(ts: Column): Column = unix_micros(ts) * 1000L
+
+  /** Trades per time unit: n / ((last ts - first ts)/scale).
+    * Ref: tick/activity.py:11 (first/last of the ordered series = min/max,
+    * timestamps ascending).
+    */
+  def tradeRate(ts: Column, per: String = "ms"): Column =
+    count(lit(1)).cast("double") / ((nanos(max(ts)) - nanos(min(ts))) / Scale(per))
+
+  /** Mean inter-trade time in `per` units. `deltaNs` = per-row timestamp
+    * delta in ns (precompute via lag over a window). Ref: activity.py:35.
+    */
+  def interTradeTime(deltaNs: Column, per: String = "s"): Column =
+    avg(deltaNs) / Scale(per)
+
+  /** Burstiness: std(inter-trade time)/mean(inter-trade time).
+    * Scale-free. Ref: tick/activity.py:61.
+    */
+  def burstiness(deltaNs: Column): Column =
+    stddev_samp(deltaNs) / avg(deltaNs)
+
+  /** Per-row timestamp delta in ns for an ordered window (helper for
+    * interTradeTime/burstiness).
+    */
+  def tsDeltaNs(ts: Column, w: WindowSpec): Column =
+    nanos(ts) - lag(nanos(ts), 1).over(w)
+
+  /** Volume per time unit: sum(v) / ((max ts - min ts)/scale).
+    * Ref: tick/flow.py:13.
+    */
+  def volumeRate(volume: Column, ts: Column, per: String = "s"): Column =
+    sum(volume).cast("double") / ((nanos(max(ts)) - nanos(min(ts))) / Scale(per))
+
+  /** Order-flow imbalance: sum of signed volume. Ref: tick/flow.py:42. */
+  def orderFlowImbalance(signedVolume: Column): Column =
+    sum(signedVolume).cast("double")
+
+  /** Traded (dollar) value: sum(price*volume). Ref: tick/flow.py:65. */
+  def tradedValue(price: Column, volume: Column): Column =
+    sum(price * volume).cast("double")
+
+  /** Volume-weighted average price. Ref: tick/flow.py:88. */
+  def vwap(price: Column, volume: Column): Column =
+    sum(price * volume) / sum(volume).cast("double")
+
+  /** Tick rule: +1 up-tick, -1 down-tick, 0 otherwise (incl. first row).
+    * Ref: tick/direction.py:11.
+    */
+  def tickRule(price: Column, w: WindowSpec): Column = {
+    val prev = lag(price, 1).over(w)
+    when(price > prev, 1).when(price < prev, -1).otherwise(0)
+  }
+
+  /** Volume signed by the tick rule. Ref: tick/direction.py:30. */
+  def signVolumeByTickRule(volume: Column, price: Column, w: WindowSpec): Column =
+    volume.cast("double") * tickRule(price, w)
+
+  /** Tick imbalance: sum(direction)/n, in [-1, 1]. Ref: direction.py:45. */
+  def tickImbalance(direction: Column): Column =
+    sum(direction).cast("double") / count(lit(1)).cast("double")
+
+  /** Tick-level log returns: ln(p) - ln(lag(p)). Ref: tick/price.py:11. */
+  def microReturns(price: Column, w: WindowSpec): Column =
+    log(price) - lag(log(price), 1).over(w)
+
+  /** Coefficient of variation: std(p)/mean(p). Ref: tick/price.py:25. */
+  def priceVolatilityRatio(price: Column): Column =
+    stddev_samp(price) / avg(price)
+
+  /** Absolute price impact: (last p - first p)/sum(v), order by `ord`.
+    * Ref: tick/price.py:40.
+    */
+  def priceImpact(price: Column, volume: Column, ord: Column): Column =
+    (max_by(price, ord) - min_by(price, ord)) / sum(volume).cast("double")
+
+  /** Realized volatility: sqrt(sum(logret^2)) over a precomputed
+    * tick-level log-return column. Ref: tick/volatility.py:10.
+    */
+  def realizedVolatility(logRet: Column): Column =
+    sqrt(sum(pow(logRet, lit(2.0))))
+}

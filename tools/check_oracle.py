@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local pre-check mimicking the driver's correctness gate:
+run Verify's oracle_sql.json in DuckDB over the same sf dir and compare
+each result to the Spark parquet dump (columns sorted by name, rows
+sorted, values hashed)."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+def main(sf_dir: str, out_dir: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"MISSING  {name}: no spark output"); n_bad += 1; continue
+        try:
+            duck = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"SQLERR   {name}: {e}"); n_bad += 1; continue
+        spark = pd.concat([pd.read_parquet(f) for f in spark_files])
+        a, b = canon(spark), canon(duck)
+        if list(a.columns) != list(b.columns):
+            print(f"SCHEMA   {name}: spark={list(a.columns)} duck={list(b.columns)}"); n_bad += 1; continue
+        if len(a) != len(b):
+            print(f"ROWS     {name}: spark={len(a)} duck={len(b)}"); n_bad += 1; continue
+        mismatch = None
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                eq = (av.isna() & bv.isna()) | (av == bv)
+            else:
+                eq = (av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object))
+            if not eq.all():
+                i = int((~eq).idxmax())
+                mismatch = (c, i, av[i], bv[i], int((~eq).sum()))
+                break
+        if mismatch:
+            c, i, x, y, k = mismatch
+            print(f"VALUE    {name}: col={c} row={i} spark={x!r} duck={y!r} ({k} diffs)")
+            n_bad += 1
+        else:
+            print(f"OK       {name} ({len(a)} rows)"); n_ok += 1
+    print(f"\n{n_ok} ok / {n_bad} bad")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
