@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Eod, Tick}
+import graft.functions.{Eod, Graft, Text, Tick}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Resample, Similarity}
+import graft.sim.MarketSim
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each query key maps to.
@@ -108,7 +110,12 @@ object SparkEntry {
 
   // ------------------------------------------------------------ queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ pipelineQueries
+
+  def oracleSql: Map[String, String] = coreOracles ++ pipelineOracles
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- EOD series (SURVEY §2 ops 1,2,7,8,12,6,20,21)
     "eod_returns" -> ((s, dir) =>
       events(s, dir).select(col("event_type"), col("event_id"),
@@ -311,7 +318,7 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracles
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracles: Map[String, String] = Map(
     "eod_returns" ->
       """SELECT event_type, event_id,
         |  round(value / lag(value) OVER w - 1, 6) AS ret
@@ -584,4 +591,283 @@ object SparkEntry {
         |FROM ranked WHERE rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin
   )
+
+  // =================================================================
+  // LLM-training-data pipeline ops (SURVEY §2 ops 39-42, 46-57)
+  // =================================================================
+
+  /** Documents corpus with deterministic planted duplicates so dedup
+    * queries have real positives: exact copies (id+2e6, doc_id%97==0)
+    * and near copies with one appended token (id+1e6, doc_id%50==0).
+    * Identical construction in the oracle CTE.
+    */
+  private def docCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" the")).as("text")))
+      .unionAll(d.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+  }
+
+  private val CORPUS_CTE =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' the' FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 97 = 0
+      |)""".stripMargin
+
+  /** Embeddings corpus with planted exact-duplicate vectors. */
+  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.unionAll(e.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
+  private val ECORPUS_CTE =
+    """ecorpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+      |)""".stripMargin
+
+  /** toks CTE over corpus (whitespace tokenization, shared convention). */
+  private val TOKS_CTE =
+    s"""WITH $CORPUS_CTE, t AS (
+      |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus
+      |)""".stripMargin
+
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis (ops 53-56)
+    "text_token_count" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        Text.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))),
+    "text_quality" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        round(Text.qualityScore(col("text")), 6).as("quality"))),
+    "text_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        Text.langId(col("text")).as("lang_pred"))),
+    "text_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fingerprint"))),
+
+    // ---- dedup (ops 46-50)
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docCorpus(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docCorpus(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(docCorpus(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docCorpus(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(embCorpus(s, dir), "vec_id", "embedding", 0.99)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- similarity search (ops 51-52)
+    "ann_topk_bruteforce" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+          "vec_id", "embedding", 3)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    "ann_topk_lsh" -> ((s, dir) => { // rows-only: approximate by design
+      val e = tbl(s, dir, "embeddings")
+      Similarity.lshTopK(
+        e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+        "vec_id", "embedding", 3).orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- resample / as-of / prob_mom (ops 39, 42, 19)
+    "df_resample_returns" -> ((s, dir) =>
+      Resample.resampleMean(
+        withRet(s, dir).where(col("event_type") === "click")
+          .select(col("ret"), col("ts")), "ret", "ts", 50)),
+    "asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val trades = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val quotes = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("quote_id"), col("value").as("quote_value"))
+      AsOfJoin.backward(trades, quotes, "user_id", "ts", Seq("quote_id", "quote_value"))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("trade_value"),
+          col("right_quote_id").as("quote_id"),
+          round(col("right_quote_value"), 6).as("quote_value"))
+        .orderBy(col("event_id"))
+    }),
+    "eod_prob_mom" -> ((s, dir) => { // custom Catalyst expression; no SQL oracle
+      Graft.register(s)
+      val r = withRet(s, dir)
+        .where(col("event_type").isin("click", "view"))
+        .withColumn("rn", row_number().over(wT))
+      val a = r.where(col("event_type") === "click").select(col("rn"), col("ret").as("ra"))
+      val b = r.where(col("event_type") === "view").select(col("rn"), col("ret").as("rb"))
+      a.join(b, "rn").agg(round(expr(Graft.probMomSql), 6).as("prob_mom"))
+    }),
+
+    // ---- simulator (ops 40-41; rows-only)
+    "sim_quotes" -> ((s, dir) =>
+      MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000)),
+    "sim_trades" -> ((s, dir) =>
+      MarketSim.simulateTrades(
+        MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000),
+        targetVolumePerDay = 1000000L)),
+
+    // ---- multimodal plumbing (op 57; rows-only)
+    "mm_decode_stub" -> ((s, dir) =>
+      Multimodal.decodeImageStub(
+        Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
+        "doc_id", "image"))
+  )
+
+  private def pipelineOracles: Map[String, String] = {
+    // DuckDB H = first 8 md5 hex chars as integer (matches Spark's
+    // conv(substr(md5,1,8),16,10)) built from nibbles via strpos.
+    val hexpr = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(_w), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+    ).mkString("(", " + ", ")")
+    val sigMins = (0 until 8).map(i => s"min(md5('$i|' || s)) AS sig_$i").mkString(", ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS bucket FROM sig"
+    ).mkString(" UNION ALL ")
+    val stopCond = Text.Stopwords.map(w => s"x = '$w'").mkString(" OR ")
+    val langScores = Text.LangMarkers.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> ${ws.map(w => s"x = '$w'").mkString(" OR ")})) AS s_$l"
+    }.mkString(", ")
+    val langBest = "greatest(" + Text.LangMarkers.map("s_" + _._1).mkString(", ") + ")"
+    val langCase = Text.LangMarkers.map { case (l, _) =>
+      s"WHEN s_$l > 0 AND s_$l = $langBest THEN '$l'"
+    }.mkString(" ")
+
+    Map(
+      "text_token_count" ->
+        s"""SELECT doc_id,
+          |  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+          |  len(regexp_extract_all(text, '${Text.BpePattern}')) AS bpe_tokens
+          |FROM documents""".stripMargin,
+      "text_quality" ->
+        s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+          |SELECT doc_id, round(
+          |  0.4 * least(length(text) / 200.0, 1.0) +
+          |  0.4 * (len(list_filter(toks, x -> $stopCond)) / greatest(len(toks), 1)) +
+          |  0.2 * (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(len(toks), 1), 1.0)), 6) AS quality
+          |FROM t""".stripMargin,
+      "text_lang_id" ->
+        s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+          |sc AS (SELECT doc_id, $langScores FROM t)
+          |SELECT doc_id, CASE $langCase ELSE 'unknown' END AS lang_pred FROM sc""".stripMargin,
+      "text_fingerprint" ->
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+          |SELECT doc_id, list_min(list_transform(range(1, greatest(len(toks)-4, 1) + 1),
+          |  i -> md5(array_to_string(toks[i:i+4], ' ')))) AS fingerprint
+          |FROM t""".stripMargin,
+      "dedup_exact" ->
+        s"""WITH $CORPUS_CTE
+          |SELECT doc_id,
+          |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+          |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+          |FROM corpus ORDER BY doc_id""".stripMargin,
+      "dedup_minhash_lsh" ->
+        s"""$TOKS_CTE, sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(toks)-2, 1) + 1),
+          |    i -> array_to_string(toks[i:i+2], ' ')))) AS s
+          |  FROM t
+          |), sig AS (SELECT doc_id, $sigMins FROM sh GROUP BY doc_id),
+          |bands AS ($bandSelects)
+          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          |ORDER BY id_a, id_b""".stripMargin,
+      "dedup_simhash" ->
+        s"""$TOKS_CTE, tok AS (
+          |  SELECT doc_id, unnest(toks) AS _w FROM t
+          |), h AS (SELECT doc_id, CAST($hexpr AS BIGINT) AS hv FROM tok),
+          |bits AS (
+          |  SELECT doc_id, r.range AS b,
+          |    CASE WHEN (hv >> CAST(r.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+          |  FROM h CROSS JOIN range(0, 32) r
+          |), sums AS (SELECT doc_id, b, sum(sgn) AS sc FROM bits GROUP BY doc_id, b)
+          |SELECT doc_id,
+          |  sum(CASE WHEN sc > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+          |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "dedup_ngram_jaccard" ->
+        s"""$TOKS_CTE, sh AS (
+          |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(toks)-2, 1) + 1),
+          |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+          |  FROM t
+          |), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          |common AS (
+          |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+          |  GROUP BY a.id, b.id
+          |), j AS (
+          |  SELECT id_a, id_b,
+          |    common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE AS jaccard
+          |  FROM common
+          |  JOIN sizes sa ON sa.id = id_a
+          |  JOIN sizes sb ON sb.id = id_b
+          |)
+          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+          |FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+      "dedup_embedding" ->
+        s"""WITH $ECORPUS_CTE, v AS (
+          |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM ecorpus
+          |), p AS (
+          |  SELECT a.id AS id_a, b.id AS id_b,
+          |    list_dot_product(a.v, b.v) /
+          |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+          |  FROM v a CROSS JOIN v b WHERE a.id < b.id
+          |)
+          |SELECT id_a, id_b, round(cosine, 6) AS cosine
+          |FROM p WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+      "ann_topk_bruteforce" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+          |s AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM q CROSS JOIN c
+          |), r AS (
+          |  SELECT query_id, neighbor_id, cosine,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |  FROM s
+          |)
+          |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
+          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      "df_resample_returns" ->
+        """WITH r AS (
+          |  SELECT value / lag(value) OVER (ORDER BY ts, event_id) - 1 AS ret, ts
+          |  FROM events WHERE event_type = 'click'
+          |), v AS (
+          |  SELECT row_number() OVER (ORDER BY ts) - 1 AS rn,
+          |         CAST(round(ret * 1e6) AS BIGINT) AS q
+          |  FROM r WHERE ret IS NOT NULL
+          |), draws AS (
+          |  SELECT t.range AS trial,
+          |    ((1103515245 * (t.range * 100003 + j.range) + 12345) % 2147483648)
+          |      % (SELECT count(*) FROM v) AS rn
+          |  FROM range(0, 50) t CROSS JOIN range(0, 100000) j
+          |  WHERE j.range < (SELECT count(*) FROM v)
+          |)
+          |SELECT trial, round(sum(q)::DOUBLE / (count(*) * 1e6), 6) AS stat
+          |FROM draws JOIN v USING (rn) GROUP BY trial ORDER BY trial""".stripMargin,
+      "asof_join" ->
+        """WITH t AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+          |q AS (SELECT user_id, ts, event_id AS quote_id, value AS quote_value FROM events WHERE event_type = 'view')
+          |SELECT t.user_id, t.event_id, round(t.value, 6) AS trade_value,
+          |       q.quote_id, round(q.quote_value, 6) AS quote_value
+          |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
+          |ORDER BY t.event_id""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.expressions.StudentTCdf
+
+/** Session-level registration of graft's native Catalyst expressions so
+  * they're callable from SQL / `expr(...)` — e.g. `t_cdf(x, df)`.
+  * Idempotent; call once per session (queries call it defensively).
+  */
+object Graft {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "t_cdf", exprs => StudentTCdf(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Probabilistic momentum (reference ratios.py:121 / src/lib.rs:8):
+    * t.cdf(IR, df = n-1) where IR = mean(a-b)/std(a-b). SQL snippet to
+    * use inside an aggregation over columns `ra`, `rb`.
+    */
+  val probMomSql: String =
+    "t_cdf(avg(ra - rb) / stddev_samp(ra - rb), cast(count(ra - rb) - 1 as double))"
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed backward as-of join (latest right row with ts <= left ts,
+  * per key) — the operator behind trade↔quote alignment in the reference
+  * (ffn_polars/sim/trades.py builds trades off the latest quote; the
+  * tick/latency module is its consumer).
+  *
+  * Spark-first formulation: tag both sides, union, sort within a single
+  * key-partitioned window, forward-fill the right side's payload, keep
+  * left rows. ONE shuffle on the key — no range-join explosion, no
+  * per-key driver loops; this is the formulation that survives 100 TB
+  * (both sides stream through a single sort-merge per key partition).
+  */
+object AsOfJoin {
+
+  /** For each left row: latest right row with right.ts <= left.ts within
+    * the same `key`. Right payload columns come back as `right_<name>`
+    * (null when no prior right row exists — left-join semantics).
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_side", lit(1))
+      .select(Seq(col(key), col(ts), col("_side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"right_$c")): _*)
+    val r = right
+      .withColumn("_side", lit(0))
+      .select(Seq(col(key), col(ts), col("_side")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(c => col(c).as(s"right_$c")): _*)
+    // Right rows sort before left rows at equal ts (_side 0 < 1), so an
+    // exactly-simultaneous quote is visible to the trade — ASOF `>=`.
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"right_$c", last(col(s"right_$c"), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_side") === 1).drop("_side")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines (SURVEY §2 ops
+  * 46-50). Every op is a `DataFrame => DataFrame` transform built from
+  * explode→join→groupBy shapes — the standard shuffle-scalable
+  * formulations (a 100 TB corpus shuffles on shingle/bucket/band keys;
+  * no pairwise all-to-all except inside LSH buckets).
+  *
+  * Engine-neutral hashing: md5 hex strings (lexicographic min = minhash)
+  * — never Spark's murmur `hash()`, which no oracle can reproduce.
+  */
+object Dedup {
+
+  /** Word w-shingles (distinct), as space-joined strings. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = Text.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(w)))))
+  }
+
+  /** Exact dedup: canonical id = min id within an md5(text) group.
+    * One hash-shuffle on the digest; at scale this is the cheapest
+    * possible dedup (no text comparison after the digest).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    df.select(col(idCol), min(col(idCol)).over(w).as("canonical_id"))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+  }
+
+  /** MinHash signatures: k lexicographic-min md5("i|shingle") values per
+    * doc. Returns (id, sig_0..sig_{k-1}). Explode + k min-aggregates:
+    * map-side combinable, one shuffle on id.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, shingleWidth: Int = 3): DataFrame = {
+    val ex = df.select(col(idCol),
+        explode(shingles(col(textCol), shingleWidth)).as("_sh"))
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("_sh")))).as(s"sig_$i"))
+    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding: docs sharing any band bucket become candidate
+    * pairs. bands*rowsPerBand = k. Output: distinct (id_a < id_b) pairs.
+    * The band bucket join bounds candidates — the scale path for near-dup
+    * at 100 TB (vs quadratic all-pairs).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, bands: Int = 4,
+                      shingleWidth: Int = 3): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
+    val bandKeys = (0 until bands).map { b =>
+      val sigCols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
+      sigs.select(col(idCol), lit(b).as("band"),
+        md5(concat(sigCols: _*)).as("bucket"))
+    }.reduce(_ unionAll _)
+    val a = bandKeys.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = bandKeys.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 32-bit SimHash fingerprints from whitespace tokens. Token hash =
+    * first 8 md5 hex chars as an int; fingerprint bit j set iff the
+    * signed bit-j sum over tokens is positive. Explode(tokens×32 bits) →
+    * two hash aggregations — linear, shuffle-friendly.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(Text.tokens(col(textCol))).as("_w"))
+    val h = tok.withColumn("_h", conv(substring(md5(col("_w")), 1, 8), 16, 10).cast("long"))
+    val bits = h.select(col(idCol), col("_h"),
+        explode(sequence(lit(0), lit(31))).as("_b"))
+      .withColumn("_sign",
+        when(expr("shiftright(_h, cast(_b as int)) & 1") === 1, 1).otherwise(-1))
+    bits.groupBy(col(idCol), col("_b"))
+      .agg(sum(col("_sign")).as("_s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("_s") > 0,
+        pow(lit(2.0), col("_b")).cast("long")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs, via the
+    * explode-join-count formulation: |A∩B| from a shingle self-join,
+    * |A∪B| = |A|+|B|-|A∩B|. Shuffles on the shingle key — linear in
+    * total postings, never materializes the full pair matrix.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleWidth: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleWidth)).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding near-duplicates: pairs with cosine >= threshold.
+    * Brute-force O(n²) pairs — correct baseline; LSH bucketing in
+    * [[Similarity]] is the scale path. Dot products fold sequentially
+    * over the array (deterministic order → engine-reproducible).
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bootstrap resampling of a stat over a returns column — the Spark
+  * re-expression of ffn_polars/df/core.py:10 `resample_returns`.
+  *
+  * The reference draws numpy random indices on a single node; that can't
+  * scale (and can't be oracle-checked), so the index stream here is a
+  * deterministic LCG over (trial, draw): idx = ((a*(t*P + j) + c) mod
+  * 2^31) mod n. Fully distributed: trials×draws is a generated relation
+  * joined to row_number()ed data — one shuffle, no driver loops, and an
+  * identical formula runs in ANSI SQL.
+  */
+object Resample {
+  val A = 1103515245L
+  val C = 12345L
+  val M = 2147483648L // 2^31
+  val P = 100003L     // trial stride (prime, decorrelates trials)
+
+  /** Resample `valueCol` (ordered by `ordCol`) `numTrials` times with
+    * replacement; returns (trial, stat) where stat = mean of the sampled
+    * values, computed exactly via 1e-6-quantized integer sums (engine-
+    * order-independent).
+    */
+  def resampleMean(df: DataFrame, valueCol: String, ordCol: String,
+                   numTrials: Int): DataFrame = {
+    val base = df.select(col(valueCol).as("v"), col(ordCol).as("o"))
+      .where(col("v").isNotNull)
+    val n = base.count()
+    val indexed = base
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("o"))) - 1)
+      .withColumn("q", round(col("v") * 1e6).cast("long"))
+      .select("rn", "q")
+    val draws = indexed.sparkSession.range(numTrials.toLong * n)
+      .select((col("id") / n).cast("long").as("trial"),
+        pmod(lit(A) * (((col("id") / n).cast("long") * P) + (col("id") % n)) + C, lit(M))
+          .mod(n).as("rn"))
+    draws.join(indexed, "rn")
+      .groupBy(col("trial"))
+      .agg(round(sum(col("q")).cast("double") / (count(lit(1)) * 1e6), 6).as("stat"))
+      .orderBy(col("trial"))
+  }
+}

@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming analytics over an event stream (SURVEY §2 op
+  * 58). The same Column algebra as the batch operators — windowed,
+  * watermarked, incremental. At scale this runs with state in the
+  * aggregation operator, partitioned by (window, event_type); the
+  * watermark bounds state size.
+  */
+object EventStream {
+  /** Tumbling-window per-type stats with a lateness watermark. */
+  def windowedStats(events: DataFrame, windowLen: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"))
+
+  /** Read the events table shape as a file stream (parquet source). */
+  def readEventStream(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(path)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup finds planted duplicate, canonical = min id") {
+    val df = Seq((1L, "x y z"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").orderBy($"doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.sameElements(Array((1L, 1L, false), (2L, 2L, false), (3L, 1L, true))))
+  }
+
+  test("minhash LSH pairs identical docs, not disjoint ones") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs share fingerprints, disjoint docs differ") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val fp = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp(1L) >= 0 && fp(1L) < (1L << 32))
+  }
+
+  test("ngram jaccard: identical docs score 1.0") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1 && out(0) == ((1L, 2L, 1.0)))
+  }
+
+  test("brute-force top-k ranks an identical vector first with cosine 1") {
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 2)
+      .orderBy($"rank").as[(Long, Int, Long, Double)].collect()
+    assert(out(0)._3 == 10L && out(0)._4 == 1.0)
+    assert(out(1)._3 == 11L)
+  }
+
+  test("as-of join picks latest prior quote per key, null when none") {
+    val trades = Seq((1L, 100L, 10L, 5.0), (1L, 50L, 11L, 6.0), (2L, 10L, 12L, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val quotes = Seq((1L, 90L, 20L, 1.5), (1L, 40L, 21L, 1.2), (2L, 99L, 22L, 9.9))
+      .toDF("user_id", "ts", "quote_id", "quote_value")
+    val out = AsOfJoin.backward(trades, quotes, "user_id", "ts",
+        Seq("quote_id", "quote_value"))
+      .orderBy($"event_id")
+      .select($"event_id", $"right_quote_id")
+      .as[(Long, Option[Long])].collect()
+    assert(out.sameElements(Array(
+      (10L, Some(20L)),   // latest quote at ts<=100 is ts=90
+      (11L, Some(21L)),   // latest quote at ts<=50 is ts=40
+      (12L, None))))      // user 2 has no quote before ts=10
+  }
+
+  test("multimodal stub decode keeps one row per doc and real schema") {
+    val df = Seq((1L, "hello world"), (2L, "foo")).toDF("doc_id", "text")
+    val out = Multimodal.decodeImageStub(
+      Multimodal.withFakeImage(df, "text"), "doc_id", "image")
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height", "mean_byte"))
+    val rows = out.orderBy($"doc_id").collect()
+    assert(rows.length == 2 && rows.forall(_.getInt(1) == 16)) // md5 = 16 bytes
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.streaming.EventStream
+
+/** Structured Streaming op (SURVEY §2 op 58): watermarked windowed
+  * aggregation over an event stream, exercised with a MemoryStream. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val agg = EventStream.windowedStats(events, "1 minute", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("update").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        (new Timestamp(t0), "click", 1.0),
+        (new Timestamp(t0 + 10000), "click", 3.0),
+        (new Timestamp(t0 + 70000), "view", 2.0))
+      q.processAllAvailable()
+      val out = spark.table("win_agg")
+        .select($"event_type", $"n", $"sum_value").orderBy($"event_type")
+        .as[(String, Long, Double)].collect()
+      assert(out.contains(("click", 2L, 4.0)))
+      assert(out.contains(("view", 1L, 2.0)))
+    } finally q.stop()
+  }
+}
