@@ -617,6 +617,9 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 97 = 0
       |)""".stripMargin
 
+  /** Embedding dimensionality of the testdata embeddings table. */
+  private val EmbDim = 64
+
   /** Embeddings corpus with planted exact-duplicate vectors. */
   private def embCorpus(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -681,7 +684,7 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Similarity.lshTopK(
         e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
-        "vec_id", "embedding", 3).orderBy(col("query_id"), col("rank"))
+        "vec_id", "embedding", 3, EmbDim).orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- resample / as-of / prob_mom (ops 39, 42, 19)

@@ -1,0 +1,65 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word w-shingles of a text column as one native expression.
+  *
+  * Semantics identical to the declarative formulation
+  *   array_distinct(transform(sequence(1, greatest(n-w+1, 1)),
+  *     i -> concat_ws(' ', slice(split(trim(text), '\s+'), i, w))))
+  * — but that chain evaluates four interpreted higher-order/collection
+  * ops per row and dominated dedup runtime. Here the whole construction
+  * is a single JVM pass per row (CodegenFallback: one virtual call per
+  * ROW, fine — the win is eliminating per-ELEMENT interpretation).
+  */
+case class WordShingles(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects a string column, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    // limit -1 matches Spark's split() (keeps trailing empties; moot
+    // after trim but keeps parity exact).
+    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
+    val m = math.max(toks.length - width + 1, 1)
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      val end = math.min(i + width, toks.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def apply(text: Column, width: Int): Column =
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), width))
+}

@@ -17,13 +17,12 @@ import graft.functions.Text
   */
 object Dedup {
 
-  /** Word w-shingles (distinct), as space-joined strings. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = Text.tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(w)))))
-  }
+  /** Word w-shingles (distinct), as space-joined strings — native
+    * expression (see [[graft.expressions.WordShingles]]; the HOF chain
+    * was the dedup bottleneck).
+    */
+  def shingles(text: Column, w: Int = 3): Column =
+    graft.expressions.WordShingles(text, w)
 
   /** Exact dedup: canonical id = min id within an md5(text) group.
     * One hash-shuffle on the digest; at scale this is the cheapest
@@ -58,11 +57,15 @@ object Dedup {
                       shingleWidth: Int = 3): DataFrame = {
     val rows = k / bands
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
-    val bandKeys = (0 until bands).map { b =>
+    // Single pass over the signatures: bands as an exploded array of
+    // (band, bucket) structs — NOT a union of per-band selects, which
+    // would recompute the shingle explosion `bands` times.
+    val bandArr = array((0 until bands).map { b =>
       val sigCols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
-      sigs.select(col(idCol), lit(b).as("band"),
-        md5(concat(sigCols: _*)).as("bucket"))
-    }.reduce(_ unionAll _)
+      struct(lit(b).as("band"), md5(concat(sigCols: _*)).as("bucket"))
+    }: _*)
+    val bandKeys = sigs.select(col(idCol), explode(bandArr).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = bandKeys.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = bandKeys.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -99,14 +102,18 @@ object Dedup {
                         shingleWidth: Int = 3, threshold: Double = 0.2): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), shingleWidth)).as("sh"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val common = sh.as("a").join(sh.as("b"),
+    // Set size travels WITH each posting (window over the shingle
+    // explosion, same partitioning) so the candidate-pair table never
+    // re-joins a sizes relation — one shuffle on the shingle key, one
+    // on the pair key, nothing after.
+    val wId = Window.partitionBy(col("id"))
+    val shSz = sh.withColumn("sz", count(lit(1)).over(wId))
+    val common = shSz.as("a").join(shSz.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
     common
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))
@@ -121,12 +128,17 @@ object Dedup {
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {
+    // Norms once per vector (O(n·d)); each of the n²/2 pairs then costs
+    // one native codegen'd dot product (HOF folds are interpreted —
+    // see graft.expressions.DotProduct).
     val v = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val a = v.select(col("id").as("id_a"), col("v").as("va"))
-    val b = v.select(col("id").as("id_b"), col("v").as("vb"))
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", Similarity.normNative(col("v")))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        Similarity.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -4,36 +4,49 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.DotProduct
+
 /** Approximate-nearest-neighbor search over embedding columns (SURVEY §2
   * ops 51-52). Baseline: brute-force cosine top-k (exact, O(Q·N) — fine
   * when the query side is small/broadcastable). Scale path: LSH
   * random-hyperplane bucketing, which shuffles on bucket keys so the
   * candidate set per query is bounded.
+  *
+  * Hot-path note: Spark's higher-order functions (aggregate/zip_with)
+  * are interpreted, not codegen'd — pathological in O(n²) kernels — so
+  * the hot path uses the native [[graft.expressions.DotProduct]]
+  * expression (codegen'd primitive loop, sequential order → results
+  * bit-identical to the interpreted fold and the DuckDB oracle).
   */
 object Similarity {
 
-  /** Sequential-fold dot product over array<double> columns — the fold
-    * order is the array order, so the result is bit-reproducible across
-    * engines (unlike a parallel SUM).
-    */
+  /** Interpreted fold dot product (any dimension; not for hot loops). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Exact top-k cosine neighbors for each query vector. The query side
-    * is expected to be small → Spark broadcasts it; ranking is a window
-    * per query id.
+  /** Native codegen'd dot product (tight loop — see DotProduct). */
+  def dotNative(a: Column, b: Column): Column = DotProduct(a, b)
+
+  def normNative(v: Column): Column = sqrt(DotProduct(v, v))
+
+  /** Exact top-k cosine neighbors for each query vector. Norms are
+    * computed once per side (O(n·d)), so each of the Q·N pairs costs a
+    * single codegen'd dot product. The query side broadcasts.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", normNative(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", normNative(col("cv")))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -42,44 +55,44 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: md5-derived
-    * uniform in [-1, 1) for (plane p, dimension d). Engine-neutral (no
-    * RNG state, no driver-side plane materialization).
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim d): md5-derived uniform in [-1, 1). Computed driver-side once
+    * (plane count × dim values) and inlined as literals — the per-row
+    * projection is then a pure codegen'd expression.
     */
-  private def planeComponent(p: Column, d: Column): Column =
-    conv(substring(md5(concat(p.cast("string"), lit("_"), d.cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit(2147483648.0) - 1.0
+  def planeComponent(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 2147483648.0 - 1.0
+  }
 
   /** Sign bucket of a vector under `planes` md5-derived hyperplanes:
-    * bit p = 1 iff dot(v, plane_p) >= 0. Vectors in the same bucket are
-    * ANN candidates.
-    */
-  def lshBucket(vec: Column, planes: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x * planeComponent(p, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1)).otherwise(lit(0))
-    })
-    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
-      (bit, p) => bit * pow(lit(2.0), p).cast("int")), lit(0), (acc, x) => acc + x)
-  }
+    * plane vectors are driver-computed literals, projections are native
+    * dot products. */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val plane = typedLit((0 until dim).map(d => planeComponent(p, d)))
+      when(dotNative(vec, plane) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** LSH-bucketed ANN: brute-force ranking *within* sign buckets.
     * Recall < 1 (approximate by design); at 100 TB this shuffles on the
     * bucket key instead of broadcasting the whole corpus.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 4): DataFrame = {
+              vecCol: String, k: Int, dim: Int, planes: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
+      .withColumn("bucket", lshBucket(col("qv"), planes, dim))
+      .withColumn("qn", normNative(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dim))
+      .withColumn("cn", normNative(col("cv")))
     val scored = c.join(q, "bucket")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
