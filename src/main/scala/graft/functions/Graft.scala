@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.types.DoubleType
 
 import graft.expressions.StudentTCdf
 
@@ -11,7 +13,9 @@ import graft.expressions.StudentTCdf
 object Graft {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "t_cdf", exprs => StudentTCdf(exprs(0), exprs(1)), "built-in")
+      "t_cdf",
+      exprs => StudentTCdf(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType)),
+      "built-in")
   }
 
   /** Probabilistic momentum (reference ratios.py:121 / src/lib.rs:8):
