@@ -686,6 +686,24 @@ object SparkEntry {
         e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
         "vec_id", "embedding", 3, EmbDim).orderBy(col("query_id"), col("rank"))
     }),
+    "ann_topk_ivf" -> ((s, dir) => { // rows-only: approximate by design
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+        "vec_id", "embedding", 3).orderBy(col("query_id"), col("rank"))
+    }),
+    // Batch twin of streaming/EventStream.windowedStats — tumbling
+    // 1h windows; identical semantics run under readStream + watermark
+    // (StreamingSpec exercises that path).
+    "window_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(30,10)")).cast("double"), 4)
+            .as("sum_value"))
+        .select(unix_micros(col("w.start")).as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type"))),
 
     // ---- resample / as-of / prob_mom (ops 39, 42, 19)
     "df_resample_returns" -> ((s, dir) =>
@@ -847,6 +865,11 @@ object SparkEntry {
           |)
           |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
           |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      "window_agg" ->
+        """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
+          |  count(*) AS n,
+          |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
       "df_resample_returns" ->
         """WITH r AS (
           |  SELECT value / lag(value) OVER (ORDER BY ts, event_id) - 1 AS ret, ts

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bootstrap resampling of a stat over a returns column — the Spark
@@ -19,28 +19,48 @@ object Resample {
   val M = 2147483648L // 2^31
   val P = 100003L     // trial stride (prime, decorrelates trials)
 
-  /** Resample `valueCol` (ordered by `ordCol`) `numTrials` times with
-    * replacement; returns (trial, stat) where stat = mean of the sampled
-    * values, computed exactly via 1e-6-quantized integer sums (engine-
-    * order-independent).
+  /** Deterministic (trial, rn) draw relation joined to the
+    * row_number()ed input — the shared scaffolding for all resampled
+    * stats. The single-partition row_number is fine: a "series" is one
+    * asset's history by construction (thousands of rows), not the whole
+    * corpus.
     */
-  def resampleMean(df: DataFrame, valueCol: String, ordCol: String,
-                   numTrials: Int): DataFrame = {
+  private def drawsAndRows(df: DataFrame, valueCol: String, ordCol: String,
+                           numTrials: Int): DataFrame = {
     val base = df.select(col(valueCol).as("v"), col(ordCol).as("o"))
       .where(col("v").isNotNull)
     val n = base.count()
     val indexed = base
       .withColumn("rn",
         row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("o"))) - 1)
-      .withColumn("q", round(col("v") * 1e6).cast("long"))
-      .select("rn", "q")
+      .select("rn", "v")
     val draws = indexed.sparkSession.range(numTrials.toLong * n)
       .select((col("id") / n).cast("long").as("trial"),
         pmod(lit(A) * (((col("id") / n).cast("long") * P) + (col("id") % n)) + C, lit(M))
           .mod(n).as("rn"))
     draws.join(indexed, "rn")
+  }
+
+  /** Resample `valueCol` (ordered by `ordCol`) `numTrials` times with
+    * replacement; returns (trial, stat) where stat = mean of the sampled
+    * values, computed exactly via 1e-6-quantized integer sums (engine-
+    * order-independent).
+    */
+  def resampleMean(df: DataFrame, valueCol: String, ordCol: String,
+                   numTrials: Int): DataFrame =
+    drawsAndRows(df, valueCol, ordCol, numTrials)
+      .withColumn("q", round(col("v") * 1e6).cast("long"))
       .groupBy(col("trial"))
       .agg(round(sum(col("q")).cast("double") / (count(lit(1)) * 1e6), 6).as("stat"))
       .orderBy(col("trial"))
-  }
+
+  /** Generic form (reference resample_returns takes an arbitrary stat
+    * fn): any aggregate Column over the resampled value column `v`.
+    */
+  def resampleStat(df: DataFrame, valueCol: String, ordCol: String,
+                   numTrials: Int)(stat: Column => Column): DataFrame =
+    drawsAndRows(df, valueCol, ordCol, numTrials)
+      .groupBy(col("trial"))
+      .agg(stat(col("v")).as("stat"))
+      .orderBy(col("trial"))
 }

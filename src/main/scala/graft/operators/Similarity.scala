@@ -76,6 +76,49 @@ object Similarity {
       when(dotNative(vec, plane) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** IVF-style ANN: the corpus is coarse-quantized into `nCells`
+    * inverted lists (deterministic centroids: the lowest-id corpus
+    * vectors), each vector assigned to its max-cosine centroid; a query
+    * probes its `nProbe` closest cells and ranks only those lists.
+    * At 100 TB the inverted lists shuffle on cell_id and the centroid
+    * table broadcasts — no all-pairs scan.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", normNative(col("cv")))
+    val cent = c.orderBy(col("neighbor_id")).limit(nCells)
+      .select(col("neighbor_id").as("cell_id"), col("cv").as("centv"),
+        col("cn").as("centn"))
+    def assign(df: DataFrame, vec: String, norm: String, take: Int,
+               outPrefix: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(cent))
+        .withColumn("_cs",
+          dotNative(col(vec), col("centv")) / (col(norm) * col("centn")))
+      val w = Window.partitionBy(col(s"${outPrefix}_id"))
+        .orderBy(col("_cs").desc, col("cell_id"))
+      scored.withColumn("_r", row_number().over(w)).where(col("_r") <= take)
+        .drop("centv", "centn", "_cs", "_r")
+    }
+    val corpusCells = assign(c, "cv", "cn", 1, "neighbor")
+      .withColumnRenamed("neighbor_id", "nid")
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", normNative(col("qv")))
+    val probes = assign(q, "qv", "qn", nProbe, "query")
+    val scored = corpusCells.join(probes, "cell_id")
+      .withColumn("cosine",
+        dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nid").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** LSH-bucketed ANN: brute-force ranking *within* sign buckets.
     * Recall < 1 (approximate by design); at 100 TB this shuffles on the
     * bucket key instead of broadcasting the whole corpus.

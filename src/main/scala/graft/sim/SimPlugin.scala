@@ -1,0 +1,57 @@
+package graft.sim
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+
+/** Simulator plugin system — the Spark counterpart of the reference's
+  * sim/plugins/{base,registry}.py: named, typed ("quotes" | "trades")
+  * DataFrame transforms applied in configuration order after base
+  * generation. Plugins stay declarative (DataFrame => DataFrame), so
+  * they compose into the same Catalyst plan as the generator itself.
+  */
+trait SimPlugin {
+  def name: String
+  /** Which stream this plugin applies to: "quotes" or "trades". */
+  def pluginType: String
+  def apply(df: DataFrame, params: Map[String, String]): DataFrame
+}
+
+object PluginRegistry {
+  private val registry = TrieMap.empty[String, SimPlugin]
+
+  def register(plugin: SimPlugin): Unit = registry.put(plugin.name, plugin)
+  def get(name: String): Option[SimPlugin] = registry.get(name)
+
+  /** Apply the configured plugins of `pluginType` in order (reference
+    * sim/__init__.py apply_plugins).
+    */
+  def applyAll(df: DataFrame, configs: Seq[(String, Map[String, String])],
+               pluginType: String): DataFrame =
+    configs.foldLeft(df) { case (acc, (name, params)) =>
+      registry.get(name) match {
+        case Some(p) if p.pluginType == pluginType => p(acc, params)
+        case _                                     => acc
+      }
+    }
+}
+
+/** Example plugin: widen quote spreads by a multiplicative factor
+  * inside a [startUs, endUs) event window — the shape of the
+  * reference's market-event injection (sim/market_events.py).
+  */
+object WideSpreadPlugin extends SimPlugin {
+  import org.apache.spark.sql.functions._
+  override val name = "wide_spread"
+  override val pluginType = "quotes"
+  override def apply(df: DataFrame, params: Map[String, String]): DataFrame = {
+    val factor = params.getOrElse("factor", "2.0").toDouble
+    val startUs = params.getOrElse("start_us", "0").toLong
+    val endUs = params.getOrElse("end_us", Long.MaxValue.toString).toLong
+    val inWindow = unix_micros(col("ts")) >= startUs && unix_micros(col("ts")) < endUs
+    val mid = (col("bid") + col("ask")) / 2
+    val half = (col("ask") - col("bid")) / 2 * factor
+    df.withColumn("bid", when(inWindow, round(mid - half, 4)).otherwise(col("bid")))
+      .withColumn("ask", when(inWindow, round(mid + half, 4)).otherwise(col("ask")))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Resample, Similarity}
+import graft.sim.{MarketSim, PluginRegistry, WideSpreadPlugin}
+
+class Operators2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF ANN finds the identical vector with full probing") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where($"vec_id" === 7)
+    val out = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 1,
+        nCells = 8, nProbe = 8)
+      .select($"neighbor_id", $"cosine").as[(Long, Double)].collect()
+    assert(out.length == 1 && out(0)._1 == 7L && out(0)._2 == 1.0)
+  }
+
+  test("IVF with partial probing stays a subset of brute-force candidates") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where($"vec_id" < 3)
+    val ivf = Similarity.ivfTopK(q, e.where($"vec_id" >= 3), "vec_id",
+      "embedding", 3, nCells = 8, nProbe = 2)
+    assert(ivf.count() <= 9) // ≤ k per query; approximate by design
+  }
+
+  test("resampleStat generalizes the bootstrap to any aggregate") {
+    val df = (1 to 100).map(i => (i, i.toDouble)).toDF("o", "v")
+    val out = Resample.resampleStat(df, "v", "o", 5)(v => max(v))
+      .as[(Long, Double)].collect()
+    assert(out.length == 5)
+    assert(out.forall { case (_, mx) => mx >= 1.0 && mx <= 100.0 })
+    // deterministic: same seed → same draws
+    val out2 = Resample.resampleStat(df, "v", "o", 5)(v => max(v))
+      .as[(Long, Double)].collect()
+    assert(out.sameElements(out2))
+  }
+
+  test("sim plugins apply in order by type (wide_spread widens quotes)") {
+    PluginRegistry.register(WideSpreadPlugin)
+    val quotes = MarketSim.simulateQuotes(spark, "T", days = 1, ticksPerDay = 200)
+    val widened = PluginRegistry.applyAll(quotes,
+      Seq("wide_spread" -> Map("factor" -> "3.0")), "quotes")
+    val before = quotes.agg(avg($"ask" - $"bid")).as[Double].head()
+    val after = widened.agg(avg($"ask" - $"bid")).as[Double].head()
+    assert(after > before * 2.0 && after < before * 4.0)
+    // trades-typed config list leaves quotes untouched
+    val same = PluginRegistry.applyAll(quotes,
+      Seq("wide_spread" -> Map("factor" -> "3.0")), "trades")
+    assert(same.agg(avg($"ask" - $"bid")).as[Double].head() == before)
+  }
+}
