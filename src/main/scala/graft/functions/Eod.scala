@@ -100,7 +100,7 @@ object Eod {
   def sharpe(ret: Column, rf: Double = 0.0, n: Int = TradingDaysPerYear,
              annualizeFlag: Boolean = true): Column = {
     val excess = toExcessReturns(ret, rf, n)
-    val s = avg(excess) / stddev_samp(excess)
+    val s = safeDiv(avg(excess), stddev_samp(excess))
     if (annualizeFlag) s * math.sqrt(n.toDouble) else s
   }
 
@@ -124,7 +124,7 @@ object Eod {
     */
   def informationRatio(ret: Column, benchmark: Column): Column = {
     val d = ret - benchmark
-    coalesce(nanvl(avg(d) / stddev_samp(d), lit(0.0)), lit(0.0))
+    coalesce(nanvl(safeDiv(avg(d), stddev_samp(d)), lit(0.0)), lit(0.0))
   }
 
   /** Ulcer index over a precomputed drawdown series:
@@ -136,14 +136,15 @@ object Eod {
   /** Ulcer performance index: mean(excess returns)/ulcer. Ref: risk.py:32. */
   def ulcerPerformanceIndex(ret: Column, dd: Column, rf: Double = 0.0,
                             n: Int = TradingDaysPerYear): Column =
-    avg(ret - lit(if (rf == 0.0) 0.0 else rf / n)) / ulcerIndexFromDrawdown(dd)
+    safeDiv(avg(ret - lit(if (rf == 0.0) 0.0 else rf / n)),
+      ulcerIndexFromDrawdown(dd))
 
   /** Max drawdown = min of the drawdown series. Ref: eod/risk.py:90. */
   def maxDrawdownFromDrawdown(dd: Column): Column = min(dd)
 
   /** Calmar ratio: CAGR / |max drawdown|. Ref: eod/ratios.py:49. */
   def calmar(price: Column, ts: Column, dd: Column): Column =
-    cagr(price, ts) / abs(min(dd))
+    safeDiv(cagr(price, ts), abs(min(dd)))
 
   /** Month-to-date return. `maxTs` = per-group max(ts) (precompute with a
     * window). Reference price = last price strictly before the latest

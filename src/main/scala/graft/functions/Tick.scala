@@ -30,7 +30,8 @@ object Tick {
     * timestamps ascending).
     */
   def tradeRate(ts: Column, per: String = "ms"): Column =
-    count(lit(1)).cast("double") / ((nanos(max(ts)) - nanos(min(ts))) / Scale(per))
+    safeDiv(count(lit(1)).cast("double"),
+      (nanos(max(ts)) - nanos(min(ts))) / Scale(per))
 
   /** Mean inter-trade time in `per` units. `deltaNs` = per-row timestamp
     * delta in ns (precompute via lag over a window). Ref: activity.py:35.
@@ -42,7 +43,7 @@ object Tick {
     * Scale-free. Ref: tick/activity.py:61.
     */
   def burstiness(deltaNs: Column): Column =
-    stddev_samp(deltaNs) / avg(deltaNs)
+    safeDiv(stddev_samp(deltaNs), avg(deltaNs))
 
   /** Per-row timestamp delta in ns for an ordered window (helper for
     * interTradeTime/burstiness).
@@ -54,7 +55,8 @@ object Tick {
     * Ref: tick/flow.py:13.
     */
   def volumeRate(volume: Column, ts: Column, per: String = "s"): Column =
-    sum(volume).cast("double") / ((nanos(max(ts)) - nanos(min(ts))) / Scale(per))
+    safeDiv(sum(volume).cast("double"),
+      (nanos(max(ts)) - nanos(min(ts))) / Scale(per))
 
   /** Order-flow imbalance: sum of signed volume. Ref: tick/flow.py:42. */
   def orderFlowImbalance(signedVolume: Column): Column =
@@ -66,7 +68,7 @@ object Tick {
 
   /** Volume-weighted average price. Ref: tick/flow.py:88. */
   def vwap(price: Column, volume: Column): Column =
-    sum(price * volume) / sum(volume).cast("double")
+    safeDiv(sum(price * volume), sum(volume).cast("double"))
 
   /** Tick rule: +1 up-tick, -1 down-tick, 0 otherwise (incl. first row).
     * Ref: tick/direction.py:11.
@@ -90,13 +92,13 @@ object Tick {
 
   /** Coefficient of variation: std(p)/mean(p). Ref: tick/price.py:25. */
   def priceVolatilityRatio(price: Column): Column =
-    stddev_samp(price) / avg(price)
+    safeDiv(stddev_samp(price), avg(price))
 
   /** Absolute price impact: (last p - first p)/sum(v), order by `ord`.
     * Ref: tick/price.py:40.
     */
   def priceImpact(price: Column, volume: Column, ord: Column): Column =
-    (max_by(price, ord) - min_by(price, ord)) / sum(volume).cast("double")
+    safeDiv(max_by(price, ord) - min_by(price, ord), sum(volume).cast("double"))
 
   /** Realized volatility: sqrt(sum(logret^2)) over a precomputed
     * tick-level log-return column. Ref: tick/volatility.py:10.
