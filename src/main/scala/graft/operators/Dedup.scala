@@ -66,11 +66,19 @@ object Dedup {
     }: _*)
     val bandKeys = sigs.select(col(idCol), explode(bandArr).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = bandKeys.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = bandKeys.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bucket"))
+    // Pairs are generated WITHIN each bucket (groupBy + double explode)
+    // rather than via a bucket self-join: the signature pipeline runs
+    // once instead of twice, and one shuffle replaces two. LSH buckets
+    // are small by construction, so the per-bucket id list is bounded;
+    // a degenerate all-docs-identical bucket is the pathological case
+    // either way (c² candidate pairs is inherent to LSH).
+    bandKeys.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .distinct()
   }
 
   /** 32-bit SimHash fingerprints from whitespace tokens. Token hash =
