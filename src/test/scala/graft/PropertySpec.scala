@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Eod, Tick}
+
+/** Property-based invariants over generated price series — the
+  * mathematical identities the operators must satisfy regardless of
+  * input shape.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val w = Window.partitionBy($"k").orderBy($"t")
+
+  /** Seeded random price series (10 cases per property). */
+  private def forAll(f: List[Double] => Unit): Unit =
+    (0 until 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919 + 13)
+      val n = 5 + rnd.nextInt(36)
+      val ps = List.fill(n)(math.rint((0.5 + rnd.nextDouble() * 499.5) * 100) / 100)
+      f(ps)
+    }
+
+  test("price_index over returns reproduces rebase: 100 * p_t / p_0") {
+    forAll { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => ("a", i, p) }.toDF("k", "t", "p")
+      val both = df.withColumn("ret", Eod.toReturns($"p", w))
+        .withColumn("pi", Eod.toPriceIndex($"ret", w))
+        .withColumn("rb", Eod.rebase($"p", w))
+        .select($"pi", $"rb").as[(Double, Double)].collect()
+      both.foreach { case (pi, rb) =>
+        assert(math.abs(pi - rb) < 1e-6 * math.max(1.0, math.abs(rb)),
+          s"price_index $pi != rebase $rb")
+      }
+    }
+  }
+
+  test("drawdown is in [-1, 0] and hits 0 at each running maximum") {
+    forAll { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => ("a", i, p) }.toDF("k", "t", "p")
+      val dd = df.withColumn("dd", Eod.toDrawdownSeries($"p", w))
+        .orderBy($"t").select($"p", $"dd").as[(Double, Double)].collect()
+      var runMax = Double.MinValue
+      dd.foreach { case (p, d) =>
+        runMax = math.max(runMax, p)
+        assert(d <= 1e-12 && d >= -1.0)
+        if (p == runMax) assert(math.abs(d) < 1e-12)
+      }
+    }
+  }
+
+  test("tick rule is in {-1,0,1} and |signed volume| <= volume") {
+    forAll { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => ("a", i, p, (i % 7 + 1).toDouble) }
+        .toDF("k", "t", "p", "v")
+      val rows = df.select(Tick.tickRule($"p", w).as("d"),
+          Tick.signVolumeByTickRule($"v", $"p", w).as("sv"), $"v")
+        .as[(Int, Double, Double)].collect()
+      rows.foreach { case (d, sv, v) =>
+        assert(Set(-1, 0, 1).contains(d))
+        assert(math.abs(sv) <= v + 1e-12)
+      }
+    }
+  }
+
+  test("total return composes: (1+tr) = prod(1+ret)") {
+    forAll { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => ("a", i, p) }.toDF("k", "t", "p")
+      val tr = df.groupBy($"k").agg(Eod.totalReturn($"p", $"t").as("tr"))
+        .select($"tr").as[Double].head()
+      val rets = ps.sliding(2).map { case List(a, b) => b / a }.product
+      assert(math.abs((1 + tr) - rets) < 1e-9 * math.max(1.0, rets))
+    }
+  }
+}
