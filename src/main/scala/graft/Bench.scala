@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.Graft.register(spark)
     // Warm up JIT/codegen + parquet reader so the first measured query
     // isn't charged Spark's startup cost.
     spark.read.parquet(s"$sfDir/lineitem.parquet")

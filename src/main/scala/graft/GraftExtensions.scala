@@ -18,6 +18,7 @@ import graft.expressions.{DotProduct, StudentTCdf, WordShingles}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.SquareRewriteRule)
     ext.injectFunction((
       FunctionIdentifier("t_cdf"),
       new ExpressionInfo(classOf[StudentTCdf].getName, "t_cdf"),

@@ -25,22 +25,10 @@ object SparkEntry {
 
   // ------------------------------------------------------------ helpers
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong,
-    * so `ts` arrives as Long ns. Normalize to TimestampType via exact
-    * integer division (`div`, not `/` — ns values exceed 2^53 so a
-    * double round-trip would lose precision).
-    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "events")
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Tables.load(s, dir, name)
 
   /** Per-asset ordered window: the one shuffle all series ops share. */
   private val wT = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))

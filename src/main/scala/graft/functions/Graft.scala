@@ -16,6 +16,10 @@ object Graft {
       "t_cdf",
       exprs => StudentTCdf(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType)),
       "built-in")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SquareRewriteRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SquareRewriteRule
+    }
   }
 
   /** Probabilistic momentum (reference ratios.py:121 / src/lib.rs:8):

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Source layer for the star-schema testdata (and any parquet lake with
+  * the same shape). Readers stay plain `spark.read.parquet` so Catalyst
+  * keeps pushdown/pruning; the one normalization this layer owns is the
+  * nanosecond-timestamp fix-up for `events`.
+  */
+object Tables {
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+    * rejects; with spark.sql.legacy.parquet.nanosAsLong the column
+    * arrives as Long ns. Rebuild a µs TimestampType via exact integer
+    * division (`div`, not `/` — ns magnitudes exceed 2^53, a double
+    * round-trip would corrupt low microseconds).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+
+  /** Register all tables as temp views for SQL users. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    All.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Write a table bucketed+sorted by join keys. Two tables bucketed
+    * the same way join WITHOUT a shuffle (see SourcesSpec) — at 100 TB
+    * this is the difference between a co-located merge join and
+    * re-shuffling the fact table on every query.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("square rewrite rule: pow(x,2) becomes a multiply in the plan") {
+    functions.Graft.register(spark)
+    val df = Seq(1.5, 2.5).toDF("x").select(pow($"x", 2.0).as("sq"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("(x#") && optimized.toLowerCase.contains("* x#")
+      || !optimized.contains("POWER"), optimized)
+    assert(df.as[Double].collect().sorted.sameElements(Array(2.25, 6.25)))
+  }
+
+  test("bucketed tables join without a shuffle (co-located merge join)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val o = Tables.load(s2, "/root/testdata/sf0.001", "orders")
+    val l = Tables.load(s2, "/root/testdata/sf0.001", "lineitem")
+    Tables.writeBucketed(o.select($"o_orderkey", $"o_totalprice"),
+      "orders_b", Seq("o_orderkey"), 4)
+    Tables.writeBucketed(l.select($"l_orderkey", $"l_quantity"),
+      "lineitem_b", Seq("l_orderkey"), 4)
+    val joined = s2.table("orders_b").join(s2.table("lineitem_b"),
+      col("o_orderkey") === col("l_orderkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${plan.take(1200)}")
+    assert(joined.count() > 0)
+  }
+
+  test("registerViews exposes every table to SQL") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    assert(spark.sql("SELECT count(*) FROM lineitem").as[Long].head() > 0)
+    assert(spark.sql("SELECT count(*) FROM events").as[Long].head() > 0)
+  }
+}
