@@ -722,6 +722,42 @@ object SparkEntry {
       a.join(b, "rn").agg(round(expr(Graft.probMomSql), 6).as("prob_mom"))
     }),
 
+    // ---- quote analytics + latency (reference quote/latency stubs)
+    "quote_stats" -> ((s, dir) => {
+      // deterministic synthetic book derived from events (same in oracle)
+      val e = events(s, dir)
+        .withColumn("bid", col("value"))
+        .withColumn("ask", col("value") * (lit(1.0) + (col("event_id") % 50 + 1) / 10000.0))
+        .withColumn("bs", (col("event_id") % 100 + 1).cast("double"))
+        .withColumn("as", (col("event_id") % 73 + 1).cast("double"))
+      e.groupBy(col("event_type")).agg(
+          round(sum(graft.functions.Quote.spread(col("bid"), col("ask"))
+            .cast("decimal(30,10)")).cast("double") / count(lit(1)), 6).as("avg_spread"),
+          round(sum(graft.functions.Quote.relativeSpreadBps(col("bid"), col("ask"))
+            .cast("decimal(30,10)")).cast("double") / count(lit(1)), 6).as("avg_rel_spread_bps"),
+          round(sum(graft.functions.Quote.microprice(col("bid"), col("ask"), col("bs"), col("as"))
+            .cast("decimal(30,10)")).cast("double") / count(lit(1)), 6).as("avg_microprice"))
+        .orderBy(col("event_type"))
+    }),
+    "asof_latency" -> ((s, dir) => {
+      val e = events(s, dir)
+      val trades = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val quotes = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("ts").as("quote_ts"))
+      AsOfJoin.backward(trades, quotes, "user_id", "ts", Seq("quote_ts"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_trades"),
+          // Exact integer sum / non-null count, reported in SECONDS:
+          // at µs magnitude (~1e10) a 6-dp round needs >16 significant
+          // digits and the two engines' rounding diverges by 1 ulp.
+          round(sum(graft.functions.Quote.quoteLatencyUs(col("ts"), col("right_quote_ts")))
+              .cast("double") /
+            (count(graft.functions.Quote.quoteLatencyUs(col("ts"), col("right_quote_ts"))) * 1e6), 6)
+            .as("avg_latency_s"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- simulator (ops 40-41; rows-only)
     "sim_quotes" -> ((s, dir) =>
       MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000)),
@@ -875,6 +911,27 @@ object SparkEntry {
           |)
           |SELECT trial, round(sum(q)::DOUBLE / (count(*) * 1e6), 6) AS stat
           |FROM draws JOIN v USING (rn) GROUP BY trial ORDER BY trial""".stripMargin,
+      "quote_stats" ->
+        """WITH e AS (
+          |  SELECT event_type, value AS bid,
+          |    value * (1.0 + (event_id % 50 + 1) / 10000.0) AS ask,
+          |    (event_id % 100 + 1)::DOUBLE AS bs,
+          |    (event_id % 73 + 1)::DOUBLE AS "as"
+          |  FROM events
+          |)
+          |SELECT event_type,
+          |  round(CAST(sum(CAST(ask - bid AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_spread,
+          |  round(CAST(sum(CAST((ask - bid) / ((bid + ask) / 2) * 10000.0 AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_rel_spread_bps,
+          |  round(CAST(sum(CAST((ask * bs + bid * "as") / (bs + "as") AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_microprice
+          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "asof_latency" ->
+        """WITH t AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+          |q AS (SELECT user_id, ts AS qts FROM events WHERE event_type = 'view')
+          |SELECT t.user_id, count(*) AS n_trades,
+          |  round(CAST(sum(epoch_us(t.ts) - epoch_us(q.qts)) AS DOUBLE)
+          |        / (count(epoch_us(t.ts) - epoch_us(q.qts)) * 1e6), 6) AS avg_latency_s
+          |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.qts
+          |GROUP BY t.user_id ORDER BY t.user_id""".stripMargin,
       "asof_join" ->
         """WITH t AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
           |q AS (SELECT user_id, ts, event_id AS quote_id, value AS quote_value FROM events WHERE event_type = 'view')

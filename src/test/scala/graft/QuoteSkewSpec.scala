@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Quote
+import graft.operators.Skew
+
+class QuoteSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quote primitives: spread/mid/relative/microprice") {
+    val df = Seq((99.0, 101.0, 300.0, 100.0)).toDF("bid", "ask", "bs", "as")
+    val r = df.select(
+      Quote.spread($"bid", $"ask"),
+      Quote.midpoint($"bid", $"ask"),
+      Quote.relativeSpreadBps($"bid", $"ask"),
+      Quote.microprice($"bid", $"ask", $"bs", $"as")).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 100.0)
+    assert(math.abs(r.getDouble(2) - 200.0) < 1e-9)
+    // microprice leans toward the heavy bid side: (101*300 + 99*100)/400
+    assert(math.abs(r.getDouble(3) - (101.0 * 300 + 99.0 * 100) / 400) < 1e-12)
+  }
+
+  test("NBBO picks best bid/ask and their venues across exchanges") {
+    val df = Seq(
+      ("A", 1, 99.0, 101.0, 10), ("A", 2, 99.5, 101.5, 11),
+      ("A", 3, 99.2, 100.8, 12)).toDF("ticker", "ts", "bid", "ask", "exchange")
+    val r = Quote.nbbo(df, Seq("ticker")).head()
+    assert(r.getDouble(1) == 99.5 && r.getDouble(2) == 100.8)
+    assert(r.getInt(3) == 11 && r.getInt(4) == 12)
+  }
+
+  test("salted aggregations equal their direct counterparts on skewed data") {
+    // 90% of rows on one hot key
+    val rows = (1 to 2000).map { i =>
+      val k = if (i % 10 == 0) s"k${i % 7}" else "hot"
+      (k, i.toDouble, s"u${i % 37}")
+    }
+    val df = rows.toDF("key", "v", "u")
+    val direct = df.groupBy($"key")
+      .agg(sum($"v"), avg($"v"), countDistinct($"u"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val ss = Skew.saltedSum(df, Seq("key"), "v", "u", 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sa = Skew.saltedAvg(df, Seq("key"), "v", "u", 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sd = Skew.saltedCountDistinct(df, Seq("key"), "u", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    direct.foreach { case (k, (s, a, d)) =>
+      assert(math.abs(ss(k) - s) < 1e-6, s"sum $k")
+      assert(math.abs(sa(k) - a) < 1e-9, s"avg $k")
+      assert(sd(k) == d, s"distinct $k")
+    }
+  }
+}
