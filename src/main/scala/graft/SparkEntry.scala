@@ -722,6 +722,19 @@ object SparkEntry {
       a.join(b, "rn").agg(round(expr(Graft.probMomSql), 6).as("prob_mom"))
     }),
 
+    // ---- OHLCV bars (reference tick/bars.py stub)
+    "tick_time_bars" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("volume", volume)
+      graft.operators.Bars
+        .timeBars(e, "event_type", "ts", "value", "volume", "1 hour")
+        .select(col("event_type"), unix_micros(col("bar_start")).as("bs"),
+          round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+          round(col("volume"), 6).as("volume"),
+          round(col("vwap"), 6).as("vwap"), col("n_ticks"))
+        .orderBy(col("event_type"), col("bs"))
+    }),
+
     // ---- quote analytics + latency (reference quote/latency stubs)
     "quote_stats" -> ((s, dir) => {
       // deterministic synthetic book derived from events (same in oracle)
@@ -911,6 +924,17 @@ object SparkEntry {
           |)
           |SELECT trial, round(sum(q)::DOUBLE / (count(*) * 1e6), 6) AS stat
           |FROM draws JOIN v USING (rn) GROUP BY trial ORDER BY trial""".stripMargin,
+      "tick_time_bars" ->
+        s"""SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bs,
+          |  round(arg_min(value, ts), 6) AS open,
+          |  round(max(value), 6) AS high,
+          |  round(min(value), 6) AS low,
+          |  round(arg_max(value, ts), 6) AS close,
+          |  round(sum($SQL_VOL), 6) AS volume,
+          |  round(CAST(sum(CAST(value * $SQL_VOL AS DECIMAL(30,10))) AS DOUBLE)
+          |        / CAST(sum(CAST($SQL_VOL AS DECIMAL(30,10))) AS DOUBLE), 6) AS vwap,
+          |  count(*) AS n_ticks
+          |FROM events GROUP BY event_type, bs ORDER BY event_type, bs""".stripMargin,
       "quote_stats" ->
         """WITH e AS (
           |  SELECT event_type, value AS bid,
