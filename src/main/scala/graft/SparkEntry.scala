@@ -722,6 +722,23 @@ object SparkEntry {
       a.join(b, "rn").agg(round(expr(Graft.probMomSql), 6).as("prob_mom"))
     }),
 
+    // ---- rolling metrics (north-star "rolling calculations")
+    "eod_rolling" -> ((s, dir) =>
+      withRet(s, dir).select(col("event_type"), col("event_id"),
+        round(Eod.rollingMean(col("ret"), wT, 20), 4).as("roll_mean"),
+        round(Eod.rollingVolatility(col("ret"), wT, 20), 4).as("roll_vol"),
+        round(Eod.rollingSharpe(col("ret"), wT, 20), 4).as("roll_sharpe"))),
+
+    // ---- sessionization (session_window: same expression batch+stream)
+    "sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionize(events(s, dir), "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("n_events")).cast("double") / count(lit(1)), 6).as("avg_events"),
+          round(sum(unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
+            .cast("double") / (count(lit(1)) * 1e6), 6).as("avg_duration_s"))
+        .orderBy(col("user_id"))),
+
     // ---- OHLCV bars (reference tick/bars.py stub)
     "tick_time_bars" -> ((s, dir) => {
       val e = events(s, dir).withColumn("volume", volume)
@@ -924,6 +941,36 @@ object SparkEntry {
           |)
           |SELECT trial, round(sum(q)::DOUBLE / (count(*) * 1e6), 6) AS stat
           |FROM draws JOIN v USING (rn) GROUP BY trial ORDER BY trial""".stripMargin,
+      "eod_rolling" ->
+        s"""$R_CTE
+          |SELECT event_type, event_id,
+          |  round(avg(ret) OVER tw, 4) AS roll_mean,
+          |  round(stddev_samp(ret) OVER tw, 4) AS roll_vol,
+          |  round(avg(ret) OVER tw / stddev_samp(ret) OVER tw * sqrt(252.0), 4) AS roll_sharpe
+          |FROM r
+          |WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+          |              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "sessionize" ->
+        """WITH x AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), s AS (
+          |  SELECT user_id, ts, sum(new_s) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM x
+          |), g AS (
+          |  SELECT user_id, sid, count(*) AS n_events,
+          |    max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+          |  FROM s GROUP BY user_id, sid
+          |)
+          |SELECT user_id, count(*) AS n_sessions,
+          |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+          |  round(CAST(sum(dur_us) AS DOUBLE) / (count(*) * 1e6), 6) AS avg_duration_s
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
       "tick_time_bars" ->
         s"""SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bs,
           |  round(arg_min(value, ts), 6) AS open,

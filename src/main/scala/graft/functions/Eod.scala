@@ -65,6 +65,31 @@ object Eod {
     filled / max(filled).over(cum(w)) - 1
   }
 
+  /** Trailing-n-row frame over an ordered window (rolling metrics). */
+  def trailing(w: WindowSpec, n: Int): WindowSpec =
+    w.rowsBetween(-(n - 1), Window.currentRow)
+
+  /** Rolling mean return over the trailing n rows. */
+  def rollingMean(ret: Column, w: WindowSpec, n: Int): Column =
+    avg(ret).over(trailing(w, n))
+
+  /** Rolling (sample) volatility over the trailing n rows. */
+  def rollingVolatility(ret: Column, w: WindowSpec, n: Int): Column =
+    stddev_samp(ret).over(trailing(w, n))
+
+  /** Rolling Sharpe over the trailing n rows (annualized by `periods`).
+    * Partial leading frames produce partial-sample values, like a
+    * DataFrame-native rolling aggregate.
+    */
+  def rollingSharpe(ret: Column, w: WindowSpec, n: Int,
+                    periods: Int = TradingDaysPerYear): Column =
+    rollingMean(ret, w, n) / rollingVolatility(ret, w, n) *
+      math.sqrt(periods.toDouble)
+
+  /** Rolling max drawdown over the trailing n rows of a drawdown series. */
+  def rollingMaxDrawdown(dd: Column, w: WindowSpec, n: Int): Column =
+    min(dd).over(trailing(w, n))
+
   /** Convert annualized returns to periodic: (1+r)^(1/n)-1. Ref: temporal.py:13. */
   def deannualize(ret: Column, n: Int): Column =
     pow(ret + 1.0, 1.0 / n) - 1.0

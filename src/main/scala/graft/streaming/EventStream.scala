@@ -20,6 +20,20 @@ object EventStream {
         sum(col("value")).as("sum_value"),
         avg(col("value")).as("avg_value"))
 
+  /** Gap-based sessionization via session_window — declarative, so the
+    * SAME expression runs batch (SparkEntry `sessionize` query) and
+    * streaming (with watermark-bounded state). Per-session stats by
+    * (user, session); the session key is the shuffle key at scale.
+    */
+  def sessionize(events: DataFrame, gap: String,
+                 watermark: Option[String] = None): DataFrame = {
+    val base = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
+    base.groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+  }
+
   /** Read the events table shape as a file stream (parquet source). */
   def readEventStream(spark: org.apache.spark.sql.SparkSession,
                       path: String): DataFrame =

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Eod
+
+class RollingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val w = Window.partitionBy($"k").orderBy($"t")
+
+  test("rolling mean/vol over a trailing frame match manual windows") {
+    val rets = Seq(0.01, -0.02, 0.03, 0.0, 0.01, -0.01)
+    val df = rets.zipWithIndex.map { case (r, i) => ("a", i, r) }.toDF("k", "t", "r")
+    val out = df.select($"t",
+        Eod.rollingMean($"r", w, 3).as("m"),
+        Eod.rollingVolatility($"r", w, 3).as("v"))
+      .orderBy($"t").as[(Int, Double, Option[Double])].collect()
+    // t=2: frame {0.01,-0.02,0.03}
+    val f = Seq(0.01, -0.02, 0.03)
+    val mean = f.sum / 3
+    assert(math.abs(out(2)._2 - mean) < 1e-12)
+    val sd = math.sqrt(f.map(x => (x - mean) * (x - mean)).sum / 2)
+    assert(math.abs(out(2)._3.get - sd) < 1e-12)
+    // leading partial frames: t=0 has a single sample → null vol
+    assert(out(0)._2 == 0.01)
+  }
+
+  test("rolling sharpe = rolling mean / rolling vol * sqrt(252)") {
+    val rets = (1 to 30).map(i => math.sin(i.toDouble) / 100)
+    val df = rets.zipWithIndex.map { case (r, i) => ("a", i, r) }.toDF("k", "t", "r")
+    val rows = df.select(
+        Eod.rollingSharpe($"r", w, 10).as("s"),
+        (Eod.rollingMean($"r", w, 10) / Eod.rollingVolatility($"r", w, 10)
+          * math.sqrt(252.0)).as("manual"))
+      .where($"s".isNotNull)
+      .as[(Double, Double)].collect()
+    rows.foreach { case (s, m) => assert(math.abs(s - m) < 1e-12) }
+  }
+}

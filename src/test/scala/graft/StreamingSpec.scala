@@ -33,4 +33,26 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains(("view", 1L, 2.0)))
     } finally q.stop()
   }
+
+  test("streaming sessionization emits closed sessions past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val sessions = EventStream.sessionize(events, "10 minutes", Some("1 minute"))
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // user 7: two events 30s apart (one session); user 8: one event
+      input.addData((new Timestamp(t0), 7L), (new Timestamp(t0 + 30000), 7L),
+        (new Timestamp(t0), 8L))
+      q.processAllAvailable()
+      // far-future event advances the watermark → earlier sessions close
+      input.addData((new Timestamp(t0 + 7200000), 9L))
+      q.processAllAvailable()
+      val out = spark.table("sess")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toSet
+      assert(out.contains((7L, 2L)) && out.contains((8L, 1L)))
+    } finally q.stop()
+  }
 }
