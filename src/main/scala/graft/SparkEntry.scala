@@ -722,6 +722,19 @@ object SparkEntry {
       a.join(b, "rn").agg(round(expr(Graft.probMomSql), 6).as("prob_mom"))
     }),
 
+    // ---- distribution stats
+    "stats_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(round(graft.functions.Stats.quantile(col("value"), 0.5), 6).as("p50"),
+          round(graft.functions.Stats.quantile(col("value"), 0.95), 6).as("p95"),
+          round(graft.functions.Stats.quantile(col("value"), 0.99), 6).as("p99"))
+        .orderBy(col("event_type"))),
+    "stats_histogram" -> ((s, dir) =>
+      graft.functions.Stats.histogram(events(s, dir), Seq("event_type"), "value", 50.0)
+        .select(col("event_type"), col("bucket"), round(col("bucket_lo"), 2).as("bucket_lo"),
+          col("n"))
+        .orderBy(col("event_type"), col("bucket"))),
+
     // ---- rolling metrics (north-star "rolling calculations")
     "eod_rolling" -> ((s, dir) =>
       withRet(s, dir).select(col("event_type"), col("event_id"),
@@ -941,6 +954,17 @@ object SparkEntry {
           |)
           |SELECT trial, round(sum(q)::DOUBLE / (count(*) * 1e6), 6) AS stat
           |FROM draws JOIN v USING (rn) GROUP BY trial ORDER BY trial""".stripMargin,
+      "stats_quantiles" ->
+        """SELECT event_type,
+          |  round(quantile_cont(value, 0.5), 6) AS p50,
+          |  round(quantile_cont(value, 0.95), 6) AS p95,
+          |  round(quantile_cont(value, 0.99), 6) AS p99
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "stats_histogram" ->
+        """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+          |  round(CAST(floor(value / 50.0) AS BIGINT) * 50.0, 2) AS bucket_lo,
+          |  count(*) AS n
+          |FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
       "eod_rolling" ->
         s"""$R_CTE
           |SELECT event_type, event_id,

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over metric columns — exact and approximate
+  * quantiles plus fixed-width histograms. At 100 TB use the approx
+  * variants (t-digest sketches, mergeable map-side); the exact form is
+  * the small-group / oracle-checkable path.
+  */
+object Stats {
+  /** Exact linear-interpolation percentile (Spark `percentile`). */
+  def quantile(value: Column, p: Double): Column = percentile(value, lit(p))
+
+  /** Sketch-based quantile for very large groups (mergeable,
+    * bounded-memory; accuracy ~ 1/acc).
+    */
+  def approxQuantile(value: Column, p: Double, acc: Int = 10000): Column =
+    percentile_approx(value, lit(p), lit(acc))
+
+  /** Fixed-width histogram: bucket index per row (combine with
+    * groupBy(key, bucket).count()).
+    */
+  def bucketOf(value: Column, width: Double): Column =
+    floor(value / width).cast("long")
+
+  /** Per-key histogram DataFrame: (key..., bucket, bucket_lo, n). */
+  def histogram(df: DataFrame, keys: Seq[String], value: String,
+                width: Double): DataFrame =
+    df.withColumn("bucket", bucketOf(col(value), width))
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", col("bucket") * width)
+}
