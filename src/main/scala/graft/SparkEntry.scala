@@ -722,6 +722,27 @@ object SparkEntry {
       a.join(b, "rn").agg(round(expr(Graft.probMomSql), 6).as("prob_mom"))
     }),
 
+    // ---- cross-asset correlation + corpus n-gram stats
+    "eod_corr_matrix" -> ((s, dir) => {
+      val r = withRet(s, dir).withColumn("rn", row_number().over(wT))
+        .select(col("event_type"), col("rn"), col("ret"))
+      r.as("a").join(r.as("b"),
+          col("a.rn") === col("b.rn") && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(round(corr(col("a.ret"), col("b.ret")), 6).as("corr"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+    "text_top_ngrams" -> ((s, dir) => {
+      val g = tbl(s, dir, "documents")
+        .select(col("lang"), explode(Text.ngrams(col("text"), 2)).as("ng"))
+        .groupBy(col("lang"), col("ng")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("ng"))
+      g.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("ng"), col("n"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
     // ---- distribution stats
     "stats_quantiles" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
@@ -954,6 +975,29 @@ object SparkEntry {
           |)
           |SELECT trial, round(sum(q)::DOUBLE / (count(*) * 1e6), 6) AS stat
           |FROM draws JOIN v USING (rn) GROUP BY trial ORDER BY trial""".stripMargin,
+      "eod_corr_matrix" ->
+        """WITH r AS (
+          |  SELECT event_type, value / lag(value) OVER w - 1 AS ret,
+          |         row_number() OVER w AS rn
+          |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+          |)
+          |SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |  round(corr(a.ret, b.ret), 6) AS corr
+          |FROM r a JOIN r b ON a.rn = b.rn AND a.event_type < b.event_type
+          |GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin,
+      "text_top_ngrams" ->
+        """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |g AS (
+          |  SELECT lang, unnest(list_transform(range(1, greatest(len(toks)-1, 1) + 1),
+          |    i -> array_to_string(toks[i:i+1], ' '))) AS ng
+          |  FROM t
+          |), c AS (SELECT lang, ng, count(*) AS n FROM g GROUP BY lang, ng),
+          |r AS (
+          |  SELECT lang, ng, n,
+          |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, ng) AS rnk
+          |  FROM c
+          |)
+          |SELECT lang, rnk, ng, n FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
       "stats_quantiles" ->
         """SELECT event_type,
           |  round(quantile_cont(value, 0.5), 6) AS p50,
