@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * is a single JVM pass per row (CodegenFallback: one virtual call per
   * ROW, fine — the win is eliminating per-ELEMENT interpretation).
   */
-case class WordShingles(child: Expression, width: Int)
+case class WordShingles(child: Expression, width: Int,
+    distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -34,7 +35,8 @@ case class WordShingles(child: Expression, width: Int)
     // after trim but keeps parity exact).
     val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
     val m = math.max(toks.length - width + 1, 1)
-    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val acc = new java.util.LinkedHashSet[String](m * 2)
+    val all = if (distinct) null else new Array[Any](m)
     var i = 0
     while (i < m) {
       val sb = new java.lang.StringBuilder
@@ -45,11 +47,13 @@ case class WordShingles(child: Expression, width: Int)
         sb.append(toks(j))
         j += 1
       }
-      seen.add(sb.toString)
+      if (distinct) acc.add(sb.toString)
+      else all(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
+    if (!distinct) return new GenericArrayData(all)
+    val out = new Array[Any](acc.size)
+    val it = acc.iterator()
     var k = 0
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
@@ -62,4 +66,7 @@ case class WordShingles(child: Expression, width: Int)
 object WordShingles {
   def apply(text: Column, width: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), width))
+  def apply(text: Column, width: Int, distinct: Boolean): Column =
+    GraftSqlBridge.column(
+      WordShingles(GraftSqlBridge.expression(text), width, distinct))
 }

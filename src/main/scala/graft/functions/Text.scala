@@ -21,12 +21,11 @@ object Text {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
-  /** Non-distinct word n-grams (frequency-preserving, for counting). */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-  }
+  /** Non-distinct word n-grams (frequency-preserving, for counting) —
+    * native expression; the HOF chain was measured 5× slower.
+    */
+  def ngrams(text: Column, n: Int): Column =
+    graft.expressions.WordShingles(text, n, distinct = false)
 
   /** Count of tokens found in a marker/stopword list. */
   def markerHits(toks: Column, words: Seq[String]): Column = {
