@@ -697,7 +697,8 @@ object SparkEntry {
     "df_resample_returns" -> ((s, dir) =>
       Resample.resampleMean(
         withRet(s, dir).where(col("event_type") === "click")
-          .select(col("ret"), col("ts")), "ret", "ts", 50)),
+          .select(col("ret"), col("ts"), col("event_id")),
+        "ret", Seq("ts", "event_id"), 50)),
     "asof_join" -> ((s, dir) => {
       val e = events(s, dir)
       val trades = e.where(col("event_type") === "purchase")
@@ -905,7 +906,7 @@ object SparkEntry {
           |  FROM h CROSS JOIN range(0, 32) r
           |), sums AS (SELECT doc_id, b, sum(sgn) AS sc FROM bits GROUP BY doc_id, b)
           |SELECT doc_id,
-          |  sum(CASE WHEN sc > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+          |  CAST(sum(CASE WHEN sc > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
           |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "dedup_ngram_jaccard" ->
         s"""$TOKS_CTE, sh AS (
@@ -960,10 +961,10 @@ object SparkEntry {
           |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
       "df_resample_returns" ->
         """WITH r AS (
-          |  SELECT value / lag(value) OVER (ORDER BY ts, event_id) - 1 AS ret, ts
+          |  SELECT value / lag(value) OVER (ORDER BY ts, event_id) - 1 AS ret, ts, event_id
           |  FROM events WHERE event_type = 'click'
           |), v AS (
-          |  SELECT row_number() OVER (ORDER BY ts) - 1 AS rn,
+          |  SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
           |         CAST(round(ret * 1e6) AS BIGINT) AS q
           |  FROM r WHERE ret IS NOT NULL
           |), draws AS (

@@ -30,10 +30,23 @@ case class WordShingles(child: Expression, width: Int,
     else TypeCheckResult.TypeCheckFailure(
       s"word_shingles expects a string column, got ${child.dataType}")
 
+  /** SQL-trim: strips ONLY ' ' (0x20), exactly like Spark/DuckDB `trim`.
+    * Java String.trim also strips \t\n\r (all chars <= 0x20), which would
+    * tokenize tab/newline-padded text differently from the declarative
+    * split(trim(text),'\s+') chain this expression must mirror.
+    */
+  private def sqlTrim(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     // limit -1 matches Spark's split() (keeps trailing empties; moot
     // after trim but keeps parity exact).
-    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
+    val toks = sqlTrim(input.asInstanceOf[UTF8String].toString).split("\\s+", -1)
     val m = math.max(toks.length - width + 1, 1)
     val acc = new java.util.LinkedHashSet[String](m * 2)
     val all = if (distinct) null else new Array[Any](m)

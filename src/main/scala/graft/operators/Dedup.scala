@@ -55,6 +55,9 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, bands: Int = 4,
                       shingleWidth: Int = 3): DataFrame = {
+    require(k % bands == 0,
+      s"minhash signature length k=$k must be divisible by bands=$bands " +
+        "(trailing signature columns would be silently dropped, weakening LSH recall)")
     val rows = k / bands
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
     // Single pass over the signatures: bands as an exploded array of

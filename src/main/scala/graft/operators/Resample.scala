@@ -24,15 +24,20 @@ object Resample {
     * stats. The single-partition row_number is fine: a "series" is one
     * asset's history by construction (thousands of rows), not the whole
     * corpus.
+    *
+    * `ordCols` must be a deterministic total order (e.g. (ts, event_id),
+    * never ts alone — tied timestamps would make the rn assignment, and
+    * therefore every draw, nondeterministic).
     */
-  private def drawsAndRows(df: DataFrame, valueCol: String, ordCol: String,
+  private def drawsAndRows(df: DataFrame, valueCol: String, ordCols: Seq[String],
                            numTrials: Int): DataFrame = {
-    val base = df.select(col(valueCol).as("v"), col(ordCol).as("o"))
+    val base = df.select((col(valueCol).as("v") +: ordCols.map(col)): _*)
       .where(col("v").isNotNull)
     val n = base.count()
     val indexed = base
       .withColumn("rn",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("o"))) - 1)
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(ordCols.map(col): _*)) - 1)
       .select("rn", "v")
     val draws = indexed.sparkSession.range(numTrials.toLong * n)
       .select((col("id") / n).cast("long").as("trial"),
@@ -41,14 +46,14 @@ object Resample {
     draws.join(indexed, "rn")
   }
 
-  /** Resample `valueCol` (ordered by `ordCol`) `numTrials` times with
-    * replacement; returns (trial, stat) where stat = mean of the sampled
-    * values, computed exactly via 1e-6-quantized integer sums (engine-
-    * order-independent).
+  /** Resample `valueCol` (ordered by `ordCols`, which must be a total
+    * order) `numTrials` times with replacement; returns (trial, stat)
+    * where stat = mean of the sampled values, computed exactly via
+    * 1e-6-quantized integer sums (engine-order-independent).
     */
-  def resampleMean(df: DataFrame, valueCol: String, ordCol: String,
+  def resampleMean(df: DataFrame, valueCol: String, ordCols: Seq[String],
                    numTrials: Int): DataFrame =
-    drawsAndRows(df, valueCol, ordCol, numTrials)
+    drawsAndRows(df, valueCol, ordCols, numTrials)
       .withColumn("q", round(col("v") * 1e6).cast("long"))
       .groupBy(col("trial"))
       .agg(round(sum(col("q")).cast("double") / (count(lit(1)) * 1e6), 6).as("stat"))
@@ -57,9 +62,9 @@ object Resample {
   /** Generic form (reference resample_returns takes an arbitrary stat
     * fn): any aggregate Column over the resampled value column `v`.
     */
-  def resampleStat(df: DataFrame, valueCol: String, ordCol: String,
+  def resampleStat(df: DataFrame, valueCol: String, ordCols: Seq[String],
                    numTrials: Int)(stat: Column => Column): DataFrame =
-    drawsAndRows(df, valueCol, ordCol, numTrials)
+    drawsAndRows(df, valueCol, ordCols, numTrials)
       .groupBy(col("trial"))
       .agg(stat(col("v")).as("stat"))
       .orderBy(col("trial"))

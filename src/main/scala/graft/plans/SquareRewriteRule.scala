@@ -21,6 +21,11 @@ import org.apache.spark.sql.types.DoubleType
 object SquareRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Pow(x, Literal(2.0, DoubleType)) => Multiply(x, x)
+      // Duplicating a non-deterministic child (pow(rand(), 2)) would
+      // evaluate it twice with different values — semantics change, so
+      // only deterministic subtrees are rewritten. The duplicated
+      // deterministic subtree is reclaimed by codegen subexpression
+      // elimination, so the copy costs nothing at runtime.
+      case Pow(x, Literal(2.0, DoubleType)) if x.deterministic => Multiply(x, x)
     }
 }

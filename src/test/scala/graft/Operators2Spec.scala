@@ -27,12 +27,12 @@ class Operators2Spec extends SparkSpec {
 
   test("resampleStat generalizes the bootstrap to any aggregate") {
     val df = (1 to 100).map(i => (i, i.toDouble)).toDF("o", "v")
-    val out = Resample.resampleStat(df, "v", "o", 5)(v => max(v))
+    val out = Resample.resampleStat(df, "v", Seq("o"), 5)(v => max(v))
       .as[(Long, Double)].collect()
     assert(out.length == 5)
     assert(out.forall { case (_, mx) => mx >= 1.0 && mx <= 100.0 })
     // deterministic: same seed → same draws
-    val out2 = Resample.resampleStat(df, "v", "o", 5)(v => max(v))
+    val out2 = Resample.resampleStat(df, "v", Seq("o"), 5)(v => max(v))
       .as[(Long, Double)].collect()
     assert(out.sameElements(out2))
   }
