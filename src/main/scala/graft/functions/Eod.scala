@@ -31,24 +31,37 @@ object Eod {
 
   // ---------------------------------------------------------------- series
 
+  // Per-row divisions are guarded with safeDiv (null instead of ANSI
+  // DIVIDE_BY_ZERO): one zero-priced bad tick in 100 TB must not abort
+  // the whole job, and null matches DuckDB's x/0 → NULL semantics.
+
   /** Simple arithmetic returns: p/lag(p) - 1. Ref: eod/returns.py:14. */
   def toReturns(price: Column, w: WindowSpec): Column =
-    price / lag(price, 1).over(w) - 1
+    safeDiv(price, lag(price, 1).over(w)) - 1
 
-  /** Log returns: ln(p/lag(p)). Ref: eod/returns.py:27. */
+  /** Log returns: ln(p/lag(p)); null for non-positive ratios.
+    * Ref: eod/returns.py:27.
+    */
   def toLogReturns(price: Column, w: WindowSpec): Column =
-    log(price / lag(price, 1).over(w))
+    log(safeDiv(price, lag(price, 1).over(w)))
 
   /** Price index from arithmetic returns: cumprod(1+r)*start, nulls → 0.
     * cumprod is expressed as exp(cumsum(ln(1+r))) — valid because price
     * ratios are strictly positive. Ref: eod/returns.py:129.
     */
-  def toPriceIndex(ret: Column, w: WindowSpec, start: Double = 100.0): Column =
-    exp(sum(log(coalesce(ret, lit(0.0)) + 1)).over(cum(w))) * start
+  def toPriceIndex(ret: Column, w: WindowSpec, start: Double = 100.0): Column = {
+    // ret <= -1 (total loss) → cumprod hits 0 and stays there, like the
+    // reference's cumprod: ln(0) = -inf poisons every later cumsum, so
+    // exp() yields 0 from that row on (Spark's ln would yield null and
+    // silently *drop* the loss from the sum).
+    val growth = coalesce(ret, lit(0.0)) + 1
+    val lnG = when(growth > 0, log(growth)).otherwise(lit(Double.NegativeInfinity))
+    exp(sum(lnG).over(cum(w))) * start
+  }
 
   /** Rebase prices to a starting value: p/first(p)*value. Ref: returns.py:143. */
   def rebase(price: Column, w: WindowSpec, value: Double = 100.0): Column =
-    price / first(price).over(cum(w)) * value
+    safeDiv(price, first(price).over(cum(w))) * value
 
   /** Excess returns over a constant annualized risk-free rate, deannualized
     * to n periods: r - ((1+rf)^(1/n) - 1). Ref: eod/returns.py:110.
@@ -62,7 +75,7 @@ object Eod {
   /** Drawdown series: ffill(p)/cummax(ffill(p)) - 1. Ref: eod/risk.py:64. */
   def toDrawdownSeries(price: Column, w: WindowSpec): Column = {
     val filled = last(price, ignoreNulls = true).over(cum(w))
-    filled / max(filled).over(cum(w)) - 1
+    safeDiv(filled, max(filled).over(cum(w))) - 1
   }
 
   /** Trailing-n-row frame over an ordered window (rolling metrics). */
@@ -83,7 +96,7 @@ object Eod {
     */
   def rollingSharpe(ret: Column, w: WindowSpec, n: Int,
                     periods: Int = TradingDaysPerYear): Column =
-    rollingMean(ret, w, n) / rollingVolatility(ret, w, n) *
+    safeDiv(rollingMean(ret, w, n), rollingVolatility(ret, w, n)) *
       math.sqrt(periods.toDouble)
 
   /** Rolling max drawdown over the trailing n rows of a drawdown series. */
@@ -98,7 +111,7 @@ object Eod {
     * Ref: eod/temporal.py:28.
     */
   def annualize(ret: Column, durations: Column, oneYear: Double = 365.0): Column =
-    pow(ret + 1.0, lit(oneYear) / durations) - 1.0
+    pow(ret + 1.0, safeDiv(lit(oneYear), durations)) - 1.0
 
   // ------------------------------------------------------------- aggregates
   // Order-sensitive aggregates (first/last of a series) are written with
@@ -107,7 +120,7 @@ object Eod {
 
   /** Total return: last/first - 1 (order given by `ord`). Ref: returns.py:155. */
   def totalReturn(price: Column, ord: Column): Column =
-    max_by(price, ord) / min_by(price, ord) - 1
+    safeDiv(max_by(price, ord), min_by(price, ord)) - 1
 
   /** Year fraction spanned by a timestamp column: (last-first)/avg-year.
     * Microsecond-exact: uses unix_micros. Ref: eod/temporal.py:156.
@@ -117,7 +130,8 @@ object Eod {
 
   /** CAGR: (last/first)^(1/yearFrac) - 1. Ref: eod/returns.py:96. */
   def cagr(price: Column, ts: Column): Column =
-    pow(max_by(price, ts) / min_by(price, ts), lit(1.0) / yearFrac(ts)) - 1
+    pow(safeDiv(max_by(price, ts), min_by(price, ts)),
+      safeDiv(lit(1.0), yearFrac(ts))) - 1
 
   /** Sharpe ratio: mean(excess)/stddev_samp(excess) [* sqrt(n)].
     * Ref: eod/ratios.py:69.
@@ -178,7 +192,7 @@ object Eod {
   def mtd(price: Column, ts: Column, maxTs: Column): Column = {
     val prevMonth = month(ts) =!= month(maxTs) || year(ts) =!= year(maxTs)
     val ref = max_by(when(prevMonth, price), when(prevMonth, ts))
-    max_by(price, ts) / ref - 1
+    safeDiv(max_by(price, ts), ref) - 1
   }
 
   /** Year-to-date return: last / first-of-latest-year - 1.
@@ -187,7 +201,7 @@ object Eod {
   def ytd(price: Column, ts: Column, maxTs: Column): Column = {
     val inYear = year(ts) === year(maxTs)
     val firstOfYear = min_by(when(inYear, price), when(inYear, ts))
-    max_by(when(inYear, price), when(inYear, ts)) / firstOfYear - 1
+    safeDiv(max_by(when(inYear, price), when(inYear, ts)), firstOfYear) - 1
   }
 
   /** Periods/year inferred from the mode of timestamp deltas (seconds);
