@@ -831,11 +831,36 @@ object SparkEntry {
         MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000),
         targetVolumePerDay = 1000000L)),
 
-    // ---- multimodal plumbing (op 57; rows-only)
+    // ---- multimodal plumbing (op 57; decode dump rows-only, the
+    // resize/frame/embed stats oracle-backed — the fake payload is
+    // md5(text) bytes, which DuckDB can reconstruct nibble-by-nibble)
     "mm_decode_stub" -> ((s, dir) =>
       Multimodal.decodeImageStub(
         Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
-        "doc_id", "image"))
+        "doc_id", "image")),
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resizeStub(
+          Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
+          "doc_id", "image", w = 8, h = 8)
+        .as[(Long, Int, Int, Array[Byte])]
+        .map { case (id, w, h, px) =>
+          (id, w.toLong, h.toLong,
+            math.round(px.map(_ & 0xff).sum.toDouble / px.length * 1e6) / 1e6)
+        }
+        .toDF("doc_id", "width", "height", "mean_pixel")
+    }),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSampleStub(
+          Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
+          "doc_id", "image", stride = 3)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))),
+    "mm_embed" -> ((s, dir) =>
+      Multimodal.featureExtractStub(
+          Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
+          "doc_id", "image", dim = 64)
+        .select(col("doc_id"),
+          expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_bins")))
   )
 
   private def pipelineOracles: Map[String, String] = {
@@ -1078,7 +1103,35 @@ object SparkEntry {
           |SELECT t.user_id, t.event_id, round(t.value, 6) AS trade_value,
           |       q.quote_id, round(q.quote_value, 6) AS quote_value
           |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
-          |ORDER BY t.event_id""".stripMargin
+          |ORDER BY t.event_id""".stripMargin,
+      // Multimodal stubs: the fake payload is md5(text) (16 bytes), so
+      // DuckDB reconstructs byte i from hex nibbles 2i+1, 2i+2 via strpos.
+      "mm_resize" ->
+        """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+          |v AS (
+          |  SELECT doc_id, list_sum(list_transform(range(0, 16), i ->
+          |    (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+          |    + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1)) AS s
+          |  FROM b
+          |)
+          |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+          |  round(s / 16.0, 6) AS mean_pixel
+          |FROM v ORDER BY doc_id""".stripMargin,
+      "mm_frames" ->
+        """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+          |n AS (
+          |  SELECT doc_id, 1 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          |    + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 32 AS nf
+          |  FROM b
+          |)
+          |SELECT doc_id, CAST((nf + 2) // 3 AS BIGINT) AS n_frames
+          |FROM n ORDER BY doc_id""".stripMargin,
+      "mm_embed" ->
+        """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents)
+          |SELECT doc_id, CAST(len(list_distinct(list_transform(range(0, 16), i ->
+          |  ((strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+          |   + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1) % 64))) AS BIGINT) AS n_bins
+          |FROM b ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -113,18 +113,26 @@ object Dedup {
                         shingleWidth: Int = 3, threshold: Double = 0.2): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), shingleWidth)).as("sh"))
-    // Set size travels WITH each posting (window over the shingle
-    // explosion, same partitioning) so the candidate-pair table never
-    // re-joins a sizes relation — one shuffle on the shingle key, one
-    // on the pair key, nothing after.
-    val wId = Window.partitionBy(col("id"))
-    val shSz = sh.withColumn("sz", count(lit(1)).over(wId))
-    val common = shSz.as("a").join(shSz.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"),
-        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+    // Same single-pass shape as the LSH banding: group postings by
+    // shingle, emit (id_a < id_b) pairs inside each posting list, count
+    // pair hits = |A∩B|. The postings are shuffled ONCE (vs a window
+    // sort + a two-sided self-join reading the explosion twice), and the
+    // pair cardinality is identical to the self-join's by construction.
+    val common = sh.groupBy(col("sh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    // |A| and |B| come from a per-doc aggregate joined onto the (much
+    // smaller) pair table — AQE broadcasts it at small scale; at 100 TB
+    // it's a shuffle join keyed by doc id on the surviving pairs only.
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.Stateful
+import graft.streaming.Stateful.{MarketEvent, Tick}
+
+/** Stateful streaming ops (flatMapGroupsWithState): state must carry
+  * across micro-batches, which is exactly what these specs drive with
+  * two separate addData/processAllAvailable rounds.
+  */
+class StatefulStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1700000000000L
+  private def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+
+  test("runningDrawdown carries the high-water mark across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val q = Stateful.runningDrawdown(input.toDS())
+      .writeStream.format("memory").queryName("run_dd")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Tick("A", ts(0), 100.0), Tick("A", ts(1), 110.0),
+        Tick("A", ts(2), 99.0), Tick("B", ts(0), 50.0))
+      q.processAllAvailable()
+      // batch 2: A's high water (110) must persist in state
+      input.addData(Tick("A", ts(3), 104.5), Tick("B", ts(1), 60.0))
+      q.processAllAvailable()
+      val out = spark.table("run_dd")
+        .select($"symbol", $"ts", $"high_water", $"drawdown")
+        .as[(String, Timestamp, Double, Double)].collect()
+        .map { case (s, t, hw, dd) => (s, t.getTime, hw, math.round(dd * 1e6) / 1e6) }
+        .toSet
+      assert(out.contains(("A", t0 + 1000, 110.0, 0.0)))
+      assert(out.contains(("A", t0 + 2000, 110.0, -0.1)))
+      assert(out.contains(("A", t0 + 3000, 110.0, -0.05)))   // state carried
+      assert(out.contains(("B", t0 + 1000, 60.0, 0.0)))
+      assert(out.size == 6)
+    } finally q.stop()
+  }
+
+  test("asOfEnrich joins trades to the prevailing quote across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MarketEvent]
+    val q = Stateful.asOfEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_st")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        MarketEvent("A", ts(0), "quote", 0, 99.0, 101.0),
+        MarketEvent("A", ts(1), "trade", 100.2, 0, 0),
+        MarketEvent("A", ts(2), "quote", 0, 100.0, 102.0),
+        // trade before any quote for B → dropped
+        MarketEvent("B", ts(1), "trade", 7.0, 0, 0))
+      q.processAllAvailable()
+      // batch 2: trade enriched by the batch-1 quote held in state
+      input.addData(MarketEvent("A", ts(10), "trade", 101.5, 0, 0))
+      q.processAllAvailable()
+      val out = spark.table("asof_st")
+        .select($"symbol", $"price", $"mid", $"latency_ms")
+        .as[(String, Double, Double, Long)].collect().toSet
+      assert(out == Set(
+        ("A", 100.2, 100.0, 1000L),
+        ("A", 101.5, 101.0, 8000L)))
+    } finally q.stop()
+  }
+
+  test("asOfEnrich ignores a stale quote older than the prevailing one") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MarketEvent]
+    val q = Stateful.asOfEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_stale")
+      .outputMode("append").start()
+    try {
+      input.addData(MarketEvent("A", ts(5), "quote", 0, 10.0, 12.0))
+      q.processAllAvailable()
+      // late-arriving older quote must not roll the NBBO backwards
+      input.addData(MarketEvent("A", ts(1), "quote", 0, 1.0, 3.0))
+      q.processAllAvailable()
+      input.addData(MarketEvent("A", ts(6), "trade", 11.0, 0, 0))
+      q.processAllAvailable()
+      val out = spark.table("asof_stale")
+        .select($"mid").as[Double].collect().toSeq
+      assert(out == Seq(11.0))
+    } finally q.stop()
+  }
+}
