@@ -869,9 +869,15 @@ object SparkEntry {
     val hexpr = (1 to 8).map(i =>
       s"(strpos('0123456789abcdef', substr(md5(_w), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
     ).mkString("(", " + ", ")")
-    val sigMins = (0 until 8).map(i => s"min(md5('$i|' || s)) AS sig_$i").mkString(", ")
+    // First/second 32-bit words of md5(s) as integers (nibble-built) —
+    // the affine minhash family h_i = (a + i*b) % 2^32 (Dedup.scala).
+    def md5Word(off: Int) = (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr(h, ${off + j}, 1)) - 1) * ${math.pow(16, 8 - j).toLong}"
+    ).mkString("(", " + ", ")")
+    val sigMins = (0 until 8).map(i =>
+      s"min((a + $i * b) % 4294967296) AS sig_$i").mkString(", ")
     val bandSelects = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS bucket FROM sig"
+      s"SELECT doc_id, $b AS band, sig_${2 * b}::VARCHAR || '|' || sig_${2 * b + 1}::VARCHAR AS bucket FROM sig"
     ).mkString(" UNION ALL ")
     val stopCond = Text.Stopwords.map(w => s"x = '$w'").mkString(" OR ")
     val langScores = Text.LangMarkers.map { case (l, ws) =>
@@ -916,7 +922,10 @@ object SparkEntry {
           |    range(1, greatest(len(toks)-2, 1) + 1),
           |    i -> array_to_string(toks[i:i+2], ' ')))) AS s
           |  FROM t
-          |), sig AS (SELECT doc_id, $sigMins FROM sh GROUP BY doc_id),
+          |), ab AS (
+          |  SELECT doc_id, ${md5Word(0)} AS a, ${md5Word(8)} AS b
+          |  FROM (SELECT doc_id, md5(s) AS h FROM sh)
+          |), sig AS (SELECT doc_id, $sigMins FROM ab GROUP BY doc_id),
           |bands AS ($bandSelects)
           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id

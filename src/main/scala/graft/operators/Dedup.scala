@@ -34,16 +34,27 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
   }
 
-  /** MinHash signatures: k lexicographic-min md5("i|shingle") values per
-    * doc. Returns (id, sig_0..sig_{k-1}). Explode + k min-aggregates:
+  /** Modulus for the affine minhash family (2^32). */
+  private[operators] val MinhashMod = 4294967296L
+
+  /** MinHash signatures: k min values per doc under the affine family
+    * h_i(s) = (a(s) + i·b(s)) mod 2^32, where a,b are the first two
+    * 32-bit words of md5(s) — ONE digest per posting instead of k
+    * (the k-digest variant spent >80% of dedup CPU inside md5), and
+    * integer mins aggregate/shuffle cheaper than 32-char hex strings.
+    * Engine-neutral: any SQL engine reproduces a,b from the md5 hex.
+    * Returns (id, sig_0..sig_{k-1}); explode + k min-aggregates,
     * map-side combinable, one shuffle on id.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, shingleWidth: Int = 3): DataFrame = {
     val ex = df.select(col(idCol),
         explode(shingles(col(textCol), shingleWidth)).as("_sh"))
+      .withColumn("_hex", md5(col("_sh")))
+      .withColumn("_a", conv(substring(col("_hex"), 1, 8), 16, 10).cast("long"))
+      .withColumn("_b", conv(substring(col("_hex"), 9, 8), 16, 10).cast("long"))
     val mins = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("_sh")))).as(s"sig_$i"))
+      min((col("_a") + lit(i.toLong) * col("_b")) % lit(MinhashMod)).as(s"sig_$i"))
     ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
@@ -65,7 +76,9 @@ object Dedup {
     // would recompute the shingle explosion `bands` times.
     val bandArr = array((0 until bands).map { b =>
       val sigCols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
-      struct(lit(b).as("band"), md5(concat(sigCols: _*)).as("bucket"))
+      // '|'-joined integer sigs ARE the bucket key — unambiguous, and
+      // cheaper than hashing them again.
+      struct(lit(b).as("band"), concat_ws("|", sigCols: _*).as("bucket"))
     }: _*)
     val bandKeys = sigs.select(col(idCol), explode(bandArr).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -86,22 +99,25 @@ object Dedup {
 
   /** 32-bit SimHash fingerprints from whitespace tokens. Token hash =
     * first 8 md5 hex chars as an int; fingerprint bit j set iff the
-    * signed bit-j sum over tokens is positive. Explode(tokens×32 bits) →
-    * two hash aggregations — linear, shuffle-friendly.
+    * signed bit-j sum over tokens is positive.
+    *
+    * One groupBy(id) with 32 bit-count sums — NOT an explode(×32) +
+    * double aggregation, which would shuffle 32 rows per token. The
+    * sign-sum identity: sum(±1 for bit j) = 2·ones_j − n, so bit j is
+    * set iff 2·sum(bit_j) > n. All partial-aggregatable built-ins.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
       explode(Text.tokens(col(textCol))).as("_w"))
     val h = tok.withColumn("_h", conv(substring(md5(col("_w")), 1, 8), 16, 10).cast("long"))
-    val bits = h.select(col(idCol), col("_h"),
-        explode(sequence(lit(0), lit(31))).as("_b"))
-      .withColumn("_sign",
-        when(expr("shiftright(_h, cast(_b as int)) & 1") === 1, 1).otherwise(-1))
-    bits.groupBy(col(idCol), col("_b"))
-      .agg(sum(col("_sign")).as("_s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("_s") > 0,
-        pow(lit(2.0), col("_b")).cast("long")).otherwise(0L)).as("simhash"))
+    val bitSums = (0 until 32).map(b =>
+      sum(expr(s"shiftright(_h, $b) & 1")).as(s"_s$b"))
+    val fp = (0 until 32).map(b =>
+      when(col(s"_s$b") * 2 > col("_n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    h.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n"), bitSums: _*)
+      .select(col(idCol), fp.as("simhash"))
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs, via the

@@ -43,7 +43,10 @@ object Resample {
       .select((col("id") / n).cast("long").as("trial"),
         pmod(lit(A) * (((col("id") / n).cast("long") * P) + (col("id") % n)) + C, lit(M))
           .mod(n).as("rn"))
-    draws.join(indexed, "rn")
+    // The indexed series is one asset's history (bounded, thousands of
+    // rows); the draw table is trials×n. Broadcasting the series keeps
+    // the big side shuffle-free regardless of AQE's stats estimate.
+    draws.join(broadcast(indexed), "rn")
   }
 
   /** Resample `valueCol` (ordered by `ordCols`, which must be a total
