@@ -668,17 +668,25 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rnk"))
     }),
-    "ann_topk_lsh" -> ((s, dir) => { // rows-only: approximate by design
+    // Approximate by design but fully deterministic (md5-derived planes
+    // / lowest-id centroids), so DuckDB replays the exact same buckets.
+    "ann_topk_lsh" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       Similarity.lshTopK(
-        e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
-        "vec_id", "embedding", 3, EmbDim).orderBy(col("query_id"), col("rank"))
+          e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+          "vec_id", "embedding", 3, EmbDim)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
     }),
-    "ann_topk_ivf" -> ((s, dir) => { // rows-only: approximate by design
+    "ann_topk_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       Similarity.ivfTopK(
-        e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
-        "vec_id", "embedding", 3).orderBy(col("query_id"), col("rank"))
+          e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+          "vec_id", "embedding", 3)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
     }),
     // Batch twin of streaming/EventStream.windowedStats — tumbling
     // 1h windows; identical semantics run under readStream + watermark
@@ -824,20 +832,32 @@ object SparkEntry {
     }),
 
     // ---- simulator (ops 40-41; rows-only)
+    // Oracle-backed: the sim's randomness is md5-per-row + window
+    // cumsum, so DuckDB replays the identical walk (ts as epoch-µs and
+    // BIGINT casts per the parity conventions).
     "sim_quotes" -> ((s, dir) =>
-      MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000)),
+      MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000)
+        .select(col("ticker"), unix_micros(col("ts")).as("ts_us"),
+          col("bid"), col("ask"), col("bid_size"), col("ask_size"),
+          col("exchange").cast("long").as("exchange"), col("day"))),
     "sim_trades" -> ((s, dir) =>
       MarketSim.simulateTrades(
-        MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000),
-        targetVolumePerDay = 1000000L)),
+          MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000),
+          targetVolumePerDay = 1000000L)
+        .select(col("ticker"), unix_micros(col("ts")).as("ts_us"),
+          col("price"), col("size"), col("side").cast("long").as("side"),
+          col("exchange").cast("long").as("exchange"), col("day"))),
 
-    // ---- multimodal plumbing (op 57; decode dump rows-only, the
-    // resize/frame/embed stats oracle-backed — the fake payload is
-    // md5(text) bytes, which DuckDB can reconstruct nibble-by-nibble)
+    // ---- multimodal plumbing (op 57) — all oracle-backed: the fake
+    // payload is md5(text) bytes, which DuckDB reconstructs nibble-wise
     "mm_decode_stub" -> ((s, dir) =>
       Multimodal.decodeImageStub(
-        Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
-        "doc_id", "image")),
+          Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
+          "doc_id", "image")
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_byte"), 6).as("mean_byte"))),
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
       Multimodal.resizeStub(
@@ -876,6 +896,56 @@ object SparkEntry {
     ).mkString("(", " + ", ")")
     val sigMins = (0 until 8).map(i =>
       s"min((a + $i * b) % 4294967296) AS sig_$i").mkString(", ")
+    // LSH hyperplanes as literal DOUBLE lists (same round-trip literals
+    // Similarity.lshBucket inlines into the Spark plan).
+    def planeLit(p: Int) = (0 until EmbDim)
+      .map(d => java.lang.Double.toString(Similarity.planeComponent(p, d)))
+      .mkString("[", ", ", "]")
+    def lshBucketSql(v: String) = (0 until 4).map(p =>
+      s"(CASE WHEN list_dot_product($v, ${planeLit(p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+    ).mkString(" + ")
+    // First md5 word of hex column `c` as an integer (MarketSim.u).
+    def w8(c: String) = (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr($c, $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}"
+    ).mkString("(", " + ", ")")
+    // DuckDB replay of MarketSim.simulateQuotes("SIM", days=2,
+    // ticksPerDay=5000, seed=42): md5-derived uniforms, per-day
+    // random-walk mid via window cumsum, identical double-op order.
+    val QUOTES_CTE =
+      s"""base AS (
+        |  SELECT t.range AS id, t.range // 5000 AS day, t.range % 5000 AS k
+        |  FROM range(0, 10000) t
+        |), hq AS (
+        |  SELECT id, day, k,
+        |    md5('42_' || id || '_jit') AS h_jit, md5('42_' || id || '_walk') AS h_walk,
+        |    md5('42_' || id || '_spr') AS h_spr, md5('42_' || id || '_bs') AS h_bs,
+        |    md5('42_' || id || '_as') AS h_as, md5('42_' || id || '_ex') AS h_ex
+        |  FROM base
+        |), uq AS (
+        |  SELECT id, day, k,
+        |    ${w8("h_jit")} / 4294967296.0 AS u_jit,
+        |    ${w8("h_walk")} / 4294967296.0 AS u_walk,
+        |    ${w8("h_spr")} / 4294967296.0 AS u_spr,
+        |    ${w8("h_bs")} / 4294967296.0 AS u_bs,
+        |    ${w8("h_as")} / 4294967296.0 AS u_as,
+        |    ${w8("h_ex")} / 4294967296.0 AS u_ex
+        |  FROM hq
+        |), quotes AS (
+        |  SELECT 'SIM' AS ticker,
+        |    1712928600000000 + day * 86400000000
+        |      + CAST(floor((k + u_jit) * 23400000000 / 5000) AS BIGINT) AS ts_us,
+        |    round(100.0 + sum((u_walk - 0.5) * 0.02) OVER w
+        |          - (0.01 + u_spr * 0.04) / 2, 4) AS bid,
+        |    round(100.0 + sum((u_walk - 0.5) * 0.02) OVER w
+        |          + (0.01 + u_spr * 0.04) / 2, 4) AS ask,
+        |    CAST(floor(u_bs * 90 + 10) AS BIGINT) AS bid_size,
+        |    CAST(floor(u_as * 90 + 10) AS BIGINT) AS ask_size,
+        |    CAST([12, 10, 11, 8, 2, 1, 201, 202][CAST(floor(u_ex * 8) AS INT) + 1] AS BIGINT) AS exchange,
+        |    day
+        |  FROM uq
+        |  WINDOW w AS (PARTITION BY day ORDER BY k
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)""".stripMargin
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, sig_${2 * b}::VARCHAR || '|' || sig_${2 * b + 1}::VARCHAR AS bucket FROM sig"
     ).mkString(" UNION ALL ")
@@ -1140,7 +1210,102 @@ object SparkEntry {
           |SELECT doc_id, CAST(len(list_distinct(list_transform(range(0, 16), i ->
           |  ((strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
           |   + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1) % 64))) AS BIGINT) AS n_bins
-          |FROM b ORDER BY doc_id""".stripMargin
+          |FROM b ORDER BY doc_id""".stripMargin,
+      "mm_decode_stub" ->
+        """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+          |v AS (
+          |  SELECT doc_id,
+          |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b0,
+          |    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+          |      + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS b1,
+          |    list_sum(list_transform(range(0, 16), i ->
+          |      (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+          |      + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1)) AS s
+          |  FROM b
+          |)
+          |SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes,
+          |  CAST(1 + b0 % 64 AS BIGINT) AS width,
+          |  CAST(1 + b1 % 64 AS BIGINT) AS height,
+          |  round(s / 16.0, 6) AS mean_byte
+          |FROM v ORDER BY doc_id""".stripMargin,
+      "ann_topk_lsh" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+          |qb AS (SELECT query_id, qv, ${lshBucketSql("qv")} AS bucket FROM q),
+          |cb AS (SELECT neighbor_id, cv, ${lshBucketSql("cv")} AS bucket FROM c),
+          |s AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM cb JOIN qb USING (bucket)
+          |), r AS (
+          |  SELECT query_id, neighbor_id, cosine,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |  FROM s
+          |)
+          |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
+          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      "ann_topk_ivf" ->
+        """WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+          |cent AS (
+          |  SELECT neighbor_id AS cell_id, cv AS centv FROM c ORDER BY neighbor_id LIMIT 16
+          |), ccells AS (
+          |  SELECT neighbor_id, cv, cell_id FROM (
+          |    SELECT c.neighbor_id, c.cv, cent.cell_id,
+          |      row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+          |        list_dot_product(c.cv, cent.centv) /
+          |          (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+          |        cent.cell_id) AS cr
+          |    FROM c CROSS JOIN cent
+          |  ) WHERE cr <= 1
+          |), q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          |probes AS (
+          |  SELECT query_id, qv, cell_id FROM (
+          |    SELECT q.query_id, q.qv, cent.cell_id,
+          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+          |        list_dot_product(q.qv, cent.centv) /
+          |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+          |        cent.cell_id) AS qr
+          |    FROM q CROSS JOIN cent
+          |  ) WHERE qr <= 4
+          |), s AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM ccells JOIN probes USING (cell_id)
+          |), r AS (
+          |  SELECT query_id, neighbor_id, cosine,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |  FROM s
+          |)
+          |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
+          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      "sim_quotes" ->
+        s"""WITH $QUOTES_CTE
+          |SELECT * FROM quotes ORDER BY day, ts_us, bid""".stripMargin,
+      "sim_trades" ->
+        s"""WITH $QUOTES_CTE, th AS (
+          |  SELECT *, md5('42_' || ts_us || '_take') AS h_take,
+          |    md5('42_' || ts_us || '_side') AS h_side,
+          |    md5('42_' || ts_us || '_sz') AS h_sz
+          |  FROM quotes
+          |), tu AS (
+          |  SELECT *,
+          |    ${w8("h_take")} / 4294967296.0 AS u_take,
+          |    ${w8("h_side")} / 4294967296.0 AS u_side,
+          |    ${w8("h_sz")} / 4294967296.0 AS u_sz
+          |  FROM th
+          |), tf AS (SELECT * FROM tu WHERE u_take < 0.1),
+          |tn AS (
+          |  SELECT *, count(*) OVER (PARTITION BY ticker, day) AS npd FROM tf
+          |)
+          |SELECT ticker, ts_us,
+          |  CASE WHEN u_side < 0.5 THEN ask ELSE bid END AS price,
+          |  CAST(floor(1000000 / npd * (0.5 + u_sz)) AS BIGINT) AS size,
+          |  CAST(CASE WHEN u_side < 0.5 THEN 1 ELSE -1 END AS BIGINT) AS side,
+          |  exchange, day
+          |FROM tn ORDER BY day, ts_us, price""".stripMargin
     )
   }
 }

@@ -127,28 +127,27 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleWidth: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleWidth)).as("sh"))
+    // |A| is just size(shingle array), attached to every posting at
+    // explosion time — a sizes relation would either re-explode the
+    // corpus (recomputing the shingles) or cost a third shuffle.
+    val sh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("_arr"))
+      .select(col("id"), size(col("_arr")).as("sz"), explode(col("_arr")).as("sh"))
     // Same single-pass shape as the LSH banding: group postings by
     // shingle, emit (id_a < id_b) pairs inside each posting list, count
     // pair hits = |A∩B|. The postings are shuffled ONCE (vs a window
     // sort + a two-sided self-join reading the explosion twice), and the
     // pair cardinality is identical to the self-join's by construction.
-    val common = sh.groupBy(col("sh"))
-      .agg(collect_list(col("id")).as("ids"))
+    sh.groupBy(col("sh"))
+      .agg(collect_list(struct(col("id"), col("sz"))).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
-    // |A| and |B| come from a per-doc aggregate joined onto the (much
-    // smaller) pair table — AQE broadcasts it at small scale; at 100 TB
-    // it's a shuffle join keyed by doc id on the surviving pairs only.
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"),
+        // min of a per-id constant: deterministic under partial agg
+        min(col("a.sz")).as("sz_a"), min(col("b.sz")).as("sz_b"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))

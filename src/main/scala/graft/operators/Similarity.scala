@@ -102,8 +102,19 @@ object Similarity {
       scored.withColumn("_r", row_number().over(w)).where(col("_r") <= take)
         .drop("centv", "centn", "_cs", "_r")
     }
-    val corpusCells = assign(c, "cv", "cn", 1, "neighbor")
-      .withColumnRenamed("neighbor_id", "nid")
+    // Corpus→cell is argmax (take=1): a max_by hash aggregate with
+    // map-side partials — NOT a window, which would shuffle and sort
+    // corpus×nCells rows by vector id. Tie-break (-cell_id) matches the
+    // window's (cosine DESC, cell_id ASC).
+    val corpusCells = c.crossJoin(broadcast(cent))
+      .withColumn("_cs",
+        dotNative(col("cv"), col("centv")) / (col("cn") * col("centn")))
+      .groupBy(col("neighbor_id").as("nid"))
+      .agg(max_by(
+        struct(col("cell_id"), col("cv"), col("cn")),
+        struct(col("_cs"), -col("cell_id"))).as("_m"))
+      .select(col("nid"), col("_m.cell_id").as("cell_id"),
+        col("_m.cv").as("cv"), col("_m.cn").as("cn"))
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", normNative(col("qv")))

@@ -44,4 +44,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_dot"), "native dot product missing from the plan")
     assert(!p.contains("zip_with"), "interpreted HOF fold leaked into the hot path")
   }
+
+  /** Final-plan section only — AdaptiveSparkPlan.toString also prints
+    * the pre-AQE initial plan, which double-counts operators.
+    */
+  private def finalPlan(name: String): String =
+    plan(name).split("== Initial Plan ==").head
+
+  test("n-gram Jaccard reads the postings once: explosion not recomputed") {
+    // size(arr) rides each posting, so no sizes-relation branch ever
+    // re-evaluates the shingle explosion. The generator appears once
+    // (plus once in the size() projection of the same row pass).
+    val p = finalPlan("dedup_ngram_jaccard")
+    // never re-evaluated inside a Filter (InferFiltersFromGenerate off)
+    val filtered = p.linesIterator
+      .filter(l => l.contains("Filter") && l.contains("word_shingles"))
+    assert(filtered.isEmpty,
+      s"shingle explosion recomputed in a filter:\n${filtered.mkString("\n")}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 2,
+      s"expected 2 shuffles (postings + pairs), saw $shuffles:\n${p.take(1200)}")
+  }
+
+  test("resample broadcasts the indexed series under the draw join") {
+    val p = finalPlan("df_resample_returns")
+    assert(p.contains("BroadcastHashJoin"),
+      "trials×n draw join should broadcast the series side:\n" + p.take(800))
+  }
+
+  test("sim quote generation shuffles only once (the per-day walk window)") {
+    val p = finalPlan("sim_quotes")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 shuffle, saw $shuffles:\n${p.take(1200)}")
+  }
 }
