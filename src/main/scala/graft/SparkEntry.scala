@@ -169,15 +169,16 @@ object SparkEntry {
       withRet(s, dir).groupBy(col("event_type"))
         .agg(round(Eod.sortino(col("ret"), RF, NP), 6).as("sortino"))
         .orderBy(col("event_type"))),
-    "eod_information_ratio" -> ((s, dir) => {
-      val r = withRet(s, dir)
+    "eod_information_ratio" -> ((s, dir) =>
+      // One window pass + rn-pivot (see eod_prob_mom): unpaired rows
+      // null out and avg/stddev drop them, matching the inner join.
+      withRet(s, dir)
         .where(col("event_type").isin("click", "view"))
         .withColumn("rn", row_number().over(wT))
-      val a = r.where(col("event_type") === "click").select(col("rn"), col("ret").as("ra"))
-      val b = r.where(col("event_type") === "view").select(col("rn"), col("ret").as("rb"))
-      a.join(b, "rn")
-        .agg(round(Eod.informationRatio(col("ra"), col("rb")), 6).as("ir"))
-    }),
+        .groupBy(col("rn"))
+        .agg(max(when(col("event_type") === "click", col("ret"))).as("ra"),
+          max(when(col("event_type") === "view", col("ret"))).as("rb"))
+        .agg(round(Eod.informationRatio(col("ra"), col("rb")), 6).as("ir"))),
     "eod_max_drawdown" -> ((s, dir) =>
       withDd(s, dir).groupBy(col("event_type"))
         .agg(round(Eod.maxDrawdownFromDrawdown(col("dd")), 6).as("max_drawdown"))
@@ -723,20 +724,32 @@ object SparkEntry {
     }),
     "eod_prob_mom" -> ((s, dir) => { // custom Catalyst expression; no SQL oracle
       Graft.register(s)
-      val r = withRet(s, dir)
+      // Align series-a row i with series-b row i by pivoting on the
+      // per-type row number: ONE window pass + one groupBy — the
+      // filter/filter/self-join shape would run the window twice and
+      // add a join shuffle. Unpaired rows yield a null side, which
+      // avg/count(ra - rb) drop — identical to the inner join.
+      withRet(s, dir)
         .where(col("event_type").isin("click", "view"))
         .withColumn("rn", row_number().over(wT))
-      val a = r.where(col("event_type") === "click").select(col("rn"), col("ret").as("ra"))
-      val b = r.where(col("event_type") === "view").select(col("rn"), col("ret").as("rb"))
-      a.join(b, "rn").agg(round(expr(Graft.probMomSql), 6).as("prob_mom"))
+        .groupBy(col("rn"))
+        .agg(max(when(col("event_type") === "click", col("ret"))).as("ra"),
+          max(when(col("event_type") === "view", col("ret"))).as("rb"))
+        .agg(round(expr(Graft.probMomSql), 6).as("prob_mom"))
     }),
 
     // ---- cross-asset correlation + corpus n-gram stats
     "eod_corr_matrix" -> ((s, dir) => {
+      // Bucket-pair shape (see Dedup): group the per-rn cross-section
+      // once and emit type pairs inside it — the rn self-join would
+      // run the returns window twice and shuffle both sides.
       val r = withRet(s, dir).withColumn("rn", row_number().over(wT))
         .select(col("event_type"), col("rn"), col("ret"))
-      r.as("a").join(r.as("b"),
-          col("a.rn") === col("b.rn") && col("a.event_type") < col("b.event_type"))
+      r.groupBy(col("rn"))
+        .agg(collect_list(struct(col("event_type"), col("ret"))).as("l"))
+        .select(explode(col("l")).as("a"), col("l"))
+        .select(col("a"), explode(col("l")).as("b"))
+        .where(col("a.event_type") < col("b.event_type"))
         .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
         .agg(round(corr(col("a.ret"), col("b.ret")), 6).as("corr"))
         .orderBy(col("type_a"), col("type_b"))
