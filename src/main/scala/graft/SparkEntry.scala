@@ -860,6 +860,15 @@ object SparkEntry {
         .select(col("ticker"), unix_micros(col("ts")).as("ts_us"),
           col("price"), col("size"), col("side").cast("long").as("side"),
           col("exchange").cast("long").as("exchange"), col("day"))),
+    "sim_event_flags" -> ((s, dir) =>
+      MarketSim.flagEventTicks(
+          MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000),
+          MarketSim.eventWindows(s, days = 2, numEvents = 3,
+            minDurUs = 600000000L, maxDurUs = 3600000000L))
+        .groupBy(col("day"))
+        .agg(sum(col("in_event").cast("long")).as("n_event_ticks"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy(col("day"))),
 
     // ---- multimodal plumbing (op 57) — all oracle-backed: the fake
     // payload is md5(text) bytes, which DuckDB reconstructs nibble-wise
@@ -1318,7 +1327,44 @@ object SparkEntry {
           |  CAST(floor(1000000 / npd * (0.5 + u_sz)) AS BIGINT) AS size,
           |  CAST(CASE WHEN u_side < 0.5 THEN 1 ELSE -1 END AS BIGINT) AS side,
           |  exchange, day
-          |FROM tn ORDER BY day, ts_us, price""".stripMargin
+          |FROM tn ORDER BY day, ts_us, price""".stripMargin,
+      "sim_event_flags" ->
+        s"""WITH $QUOTES_CTE, whd AS (
+          |  SELECT t.range AS day, md5('42_' || t.range || '_p') AS h_p,
+          |    md5('42_' || t.range || '_n') AS h_n
+          |  FROM range(0, 2) t
+          |), wd AS (
+          |  SELECT day,
+          |    CASE WHEN ${w8("h_p")} / 4294967296.0 > 0.5 THEN 0
+          |         ELSE CAST(floor(${w8("h_n")} / 4294967296.0 * 3) AS BIGINT) + 1 END AS total
+          |  FROM whd
+          |), eh AS (
+          |  SELECT day, md5('42_' || (day * 1000 + i.range) || '_d') AS h_d,
+          |    md5('42_' || (day * 1000 + i.range) || '_s') AS h_s
+          |  FROM wd CROSS JOIN range(0, 3) i WHERE i.range < total
+          |), evd AS (
+          |  SELECT day,
+          |    600000000 + CAST(floor(${w8("h_d")} / 4294967296.0 * 3000000000) AS BIGINT) AS dur,
+          |    ${w8("h_s")} / 4294967296.0 AS u_s
+          |  FROM eh
+          |), evw AS (
+          |  SELECT day, start_us, start_us + dur AS end_us FROM (
+          |    SELECT day, dur,
+          |      1712928600000000 + day * 86400000000
+          |        + CAST(floor(u_s * (23400000000 - dur)) AS BIGINT) AS start_us
+          |    FROM evd
+          |  )
+          |)
+          |SELECT day, CAST(sum(CASE WHEN in_ev THEN 1 ELSE 0 END) AS BIGINT) AS n_event_ticks,
+          |  count(*) AS n_ticks
+          |FROM (
+          |  SELECT q.day AS day,
+          |    EXISTS(SELECT 1 FROM evw e
+          |           WHERE e.day = q.day AND q.ts_us >= e.start_us
+          |             AND q.ts_us < e.end_us) AS in_ev
+          |  FROM quotes q
+          |)
+          |GROUP BY day ORDER BY day""".stripMargin
     )
   }
 }

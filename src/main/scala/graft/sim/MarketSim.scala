@@ -59,6 +59,48 @@ object MarketSim {
       col("day"))
   }
 
+  /** Hash-derived volatility event windows, the Spark re-expression of
+    * the reference's market-event injection (sim/market_events.py:
+    * inject_event_windows): per day, with `probability`, 1..numEvents
+    * windows of duration [minDurUs, maxDurUs) placed inside the trading
+    * day. Deterministic per (seed, day, index) — same md5-uniform
+    * scheme as the tick generators, so it scales as a pure range job
+    * and replays in any engine.
+    */
+  def eventWindows(spark: SparkSession, days: Int, numEvents: Int,
+                   minDurUs: Long, maxDurUs: Long,
+                   probability: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val d = spark.range(days).withColumnRenamed("id", "day")
+      .withColumn("total",
+        when(u(seed, col("day"), "p") > probability, 0L)
+          .otherwise((u(seed, col("day"), "n") * numEvents).cast("long") + 1))
+    d.where(col("total") > 0)
+      .select(col("day"), explode(sequence(lit(0L), col("total") - 1)).as("event_idx"))
+      .withColumn("_ek", col("day") * 1000 + col("event_idx"))
+      .withColumn("_dur", lit(minDurUs) +
+        (u(seed, col("_ek"), "d") * (maxDurUs - minDurUs)).cast("long"))
+      .withColumn("start_us", lit(AnchorUs) + col("day") * 86400000000L +
+        (u(seed, col("_ek"), "s") * (lit(DayNs / 1000L) - col("_dur"))).cast("long"))
+      .select(col("day"), col("event_idx"), col("start_us"),
+        (col("start_us") + col("_dur")).as("end_us"))
+  }
+
+  /** Flag ticks that fall inside any event window of their day
+    * (reference market_events.py:is_within_events). Windows per day are
+    * few by construction, so they broadcast as per-day interval lists
+    * and the check is a tiny array scan — no range-join shuffle.
+    */
+  def flagEventTicks(ticks: DataFrame, windows: DataFrame): DataFrame = {
+    val evs = windows.groupBy(col("day"))
+      .agg(collect_list(struct(col("start_us"), col("end_us"))).as("_evs"))
+    ticks.join(broadcast(evs), Seq("day"), "left")
+      .withColumn("in_event",
+        coalesce(exists(col("_evs"), e =>
+          unix_micros(col("ts")) >= e.getField("start_us") &&
+            unix_micros(col("ts")) < e.getField("end_us")), lit(false)))
+      .drop("_evs")
+  }
+
   /** Simulate trades by sampling quote ticks: each sampled quote yields a
     * trade at bid or ask (tick-rule side), sized to approach the target
     * daily volume. Pure column algebra over the quotes frame.

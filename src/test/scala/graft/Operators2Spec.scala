@@ -50,4 +50,39 @@ class Operators2Spec extends SparkSpec {
       Seq("wide_spread" -> Map("factor" -> "3.0")), "trades")
     assert(same.agg(avg($"ask" - $"bid")).as[Double].head() == before)
   }
+
+  test("event windows are deterministic, bounded, and inside the day") {
+    val w = MarketSim.eventWindows(spark, days = 10, numEvents = 3,
+      minDurUs = 600000000L, maxDurUs = 3600000000L)
+    val rows = w.as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    for ((day, idx, start, end) <- rows) {
+      val dayStart = 1712928600000000L + day * 86400000000L
+      assert(idx >= 0 && idx < 3)
+      assert(start >= dayStart && end <= dayStart + 23400000000L)
+      assert(end - start >= 600000000L && end - start < 3600000000L)
+    }
+    val again = MarketSim.eventWindows(spark, days = 10, numEvents = 3,
+      minDurUs = 600000000L, maxDurUs = 3600000000L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).sameElements(again.sortBy(r => (r._1, r._2))))
+  }
+
+  test("flagEventTicks marks exactly the ticks inside their day's windows") {
+    val quotes = MarketSim.simulateQuotes(spark, "T", days = 3, ticksPerDay = 500)
+    val w = MarketSim.eventWindows(spark, days = 3, numEvents = 3,
+      minDurUs = 600000000L, maxDurUs = 3600000000L)
+    val windows = w.as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._3, r._4))).toMap
+    val flagged = MarketSim.flagEventTicks(quotes, w)
+      .select($"day", unix_micros($"ts").as("ts_us"), $"in_event")
+      .as[(Long, Long, Boolean)].collect()
+    assert(flagged.length == 1500)
+    for ((day, ts, in) <- flagged) {
+      val expected = windows.getOrElse(day, Array.empty)
+        .exists { case (s, e) => ts >= s && ts < e }
+      assert(in == expected, s"day=$day ts=$ts")
+    }
+    assert(flagged.exists(_._3), "no tick ever inside an event window")
+  }
 }
