@@ -34,6 +34,30 @@ object PluginRegistry {
         case _                                     => acc
       }
     }
+
+  /** Plugin-effect preview (reference sim/utils/preview.py:
+    * preview_plugin_effect), as DATA rather than console prints: one
+    * row per numeric column with its mean before/after the plugin and
+    * the delta. Built declaratively (stack + join), so previewing a
+    * 100 TB frame is still two aggregate jobs, not a driver loop.
+    */
+  def previewPluginEffect(df: DataFrame, pluginName: String,
+                          params: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.NumericType
+    val plugin = registry.getOrElse(pluginName,
+      throw new IllegalArgumentException(s"plugin '$pluginName' not registered"))
+    val after = plugin(df, params)
+    val numCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    def melt(d: DataFrame, as: String) = {
+      val agg = d.select(numCols.map(c => avg(col(c)).as(c)).toIndexedSeq: _*)
+      val stackArgs = numCols.map(c => s"'$c', `$c`").mkString(", ")
+      agg.selectExpr(s"stack(${numCols.length}, $stackArgs) as (column, $as)")
+    }
+    melt(df, "mean_before").join(melt(after, "mean_after"), "column")
+      .withColumn("delta", col("mean_after") - col("mean_before"))
+  }
 }
 
 /** Example plugin: widen quote spreads by a multiplicative factor

@@ -51,6 +51,17 @@ class Operators2Spec extends SparkSpec {
     assert(same.agg(avg($"ask" - $"bid")).as[Double].head() == before)
   }
 
+  test("previewPluginEffect reports per-column mean deltas as data") {
+    PluginRegistry.register(WideSpreadPlugin)
+    val quotes = MarketSim.simulateQuotes(spark, "T", days = 1, ticksPerDay = 200)
+    val prev = PluginRegistry.previewPluginEffect(quotes, "wide_spread",
+        Map("factor" -> "3.0"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(prev("bid")._4 < 0 && prev("ask")._4 > 0) // spread widened
+    assert(math.abs(prev("day")._4) < 1e-12)         // untouched column
+  }
+
   test("event windows are deterministic, bounded, and inside the day") {
     val w = MarketSim.eventWindows(spark, days = 10, numEvents = 3,
       minDurUs = 600000000L, maxDurUs = 3600000000L)
