@@ -47,4 +47,15 @@ object Tables {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Hive-style partitioned parquet sink. Reads filtered on the
+    * partition columns prune whole directories (PartitionFilters in the
+    * scan — see SourcesSpec): at 100 TB a date/asset-partitioned lake
+    * turns time-range queries into scans of only the touched days.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -40,4 +40,20 @@ class SourcesSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM lineitem").as[Long].head() > 0)
     assert(spark.sql("SELECT count(*) FROM events").as[Long].head() > 0)
   }
+
+  test("partitioned writes prune partitions on filtered reads") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    Tables.writePartitioned(
+      ev.select($"event_id", $"value", $"event_type"), out, Seq("event_type"))
+    val back = spark.read.parquet(out).where($"event_type" === "click")
+    back.collect()
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition pruning in scan:\n${plan.take(1200)}")
+    // pruned scan must not read the other types' directories
+    val n = back.count()
+    val total = spark.read.parquet(out).count()
+    assert(n > 0 && n < total)
+  }
 }
