@@ -2,8 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom-state streaming operators via `flatMapGroupsWithState` —
   * per-key running analytics that declarative streaming aggregation
@@ -89,5 +90,46 @@ object Stateful {
           if (q != null) state.update(q)
           out.iterator
       }
+  }
+
+  // ------------------------------------------- tick rule (transformWithState)
+
+  case class SignedTick(symbol: String, ts: Timestamp, price: Double,
+                        direction: Int)
+
+  /** Streaming twin of [[graft.functions.Tick.tickRule]] (ref: tick/
+    * direction.py:11) on Spark 4's arbitrary-state v2 API
+    * (`transformWithState`): lag(price) is a per-symbol ValueState, so
+    * the up/down/flat classification survives micro-batch boundaries.
+    * State is one double per symbol; batch rows are event-time sorted.
+    */
+  class TickRuleProcessor extends StatefulProcessor[String, Tick, SignedTick] {
+    @transient private var lastPrice: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastPrice = getHandle.getValueState[Double]("lastPrice",
+        Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Tick],
+                                 timerValues: TimerValues): Iterator[SignedTick] = {
+      var prev = if (lastPrice.exists()) lastPrice.get() else Double.NaN
+      val out = rows.toArray.sortBy(_.ts.getTime).map { t =>
+        val dir =
+          if (prev.isNaN || t.price == prev) 0
+          else if (t.price > prev) 1
+          else -1
+        prev = t.price
+        SignedTick(key, t.ts, t.price, dir)
+      }
+      if (!prev.isNaN) lastPrice.update(prev)
+      out.iterator
+    }
+  }
+
+  def tickRule(ticks: Dataset[Tick]): Dataset[SignedTick] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .transformWithState(new TickRuleProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -70,6 +70,37 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState tick rule carries lag(price) across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs the RocksDB store (column families);
+    // the default HDFSBackedStateStoreProvider rejects it.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Tick]
+    val q = Stateful.tickRule(input.toDS())
+      .writeStream.format("memory").queryName("tick_rule_st")
+      .outputMode("append").start()
+    try {
+      input.addData(Tick("A", ts(0), 100.0), Tick("A", ts(1), 101.0),
+        Tick("A", ts(2), 100.5))
+      q.processAllAvailable()
+      // batch 2: direction of the first tick needs batch-1's last price
+      input.addData(Tick("A", ts(3), 102.0), Tick("B", ts(0), 5.0))
+      q.processAllAvailable()
+      val out = spark.table("tick_rule_st")
+        .select($"symbol", $"ts", $"direction")
+        .as[(String, Timestamp, Int)].collect()
+        .map { case (s, t, d) => (s, t.getTime, d) }.toSet
+      assert(out == Set(
+        ("A", t0, 0), ("A", t0 + 1000, 1), ("A", t0 + 2000, -1),
+        ("A", t0 + 3000, 1),  // vs 100.5 held in state
+        ("B", t0, 0)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("asOfEnrich ignores a stale quote older than the prevailing one") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[MarketEvent]
