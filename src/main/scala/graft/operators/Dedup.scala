@@ -65,7 +65,8 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, bands: Int = 4,
-                      shingleWidth: Int = 3): DataFrame = {
+                      shingleWidth: Int = 3,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0,
       s"minhash signature length k=$k must be divisible by bands=$bands " +
         "(trailing signature columns would be silently dropped, weakening LSH recall)")
@@ -88,9 +89,13 @@ object Dedup {
     // are small by construction, so the per-bucket id list is bounded;
     // a degenerate all-docs-identical bucket is the pathological case
     // either way (c² candidate pairs is inherent to LSH).
+    // maxBucket caps the c² pair blowup of a degenerate bucket (every
+    // doc sharing a band signature): such buckets carry no near-dup
+    // signal worth quadratic work, the same way production dedup drops
+    // hot shingles. Default = uncapped (exact).
     bandKeys.groupBy(col("band"), col("bucket"))
       .agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
@@ -126,7 +131,8 @@ object Dedup {
     * total postings, never materializes the full pair matrix.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleWidth: Int = 3, threshold: Double = 0.2): DataFrame = {
+                        shingleWidth: Int = 3, threshold: Double = 0.2,
+                        maxPostings: Int = Int.MaxValue): DataFrame = {
     // |A| is just size(shingle array), attached to every posting at
     // explosion time — a sizes relation would either re-explode the
     // corpus (recomputing the shingles) or cost a third shuffle.
@@ -138,9 +144,14 @@ object Dedup {
     // pair hits = |A∩B|. The postings are shuffled ONCE (vs a window
     // sort + a two-sided self-join reading the explosion twice), and the
     // pair cardinality is identical to the self-join's by construction.
+    // maxPostings drops stop-shingles (present in a large fraction of
+    // the corpus): they contribute c² candidate pairs and near-zero
+    // Jaccard evidence. Capped runs UNDERCOUNT |A∩B| slightly for pairs
+    // sharing a dropped shingle — the standard recall/cost trade at
+    // 100 TB. Default = uncapped (exact).
     sh.groupBy(col("sh"))
       .agg(collect_list(struct(col("id"), col("sz"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxPostings)
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .where(col("a.id") < col("b.id"))

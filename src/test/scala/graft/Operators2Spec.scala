@@ -51,6 +51,23 @@ class Operators2Spec extends SparkSpec {
     assert(same.agg(avg($"ask" - $"bid")).as[Double].head() == before)
   }
 
+  test("hot-bucket caps bound the quadratic pair blowup") {
+    import graft.operators.Dedup
+    // 20 docs all sharing the stop-shingle "the end of day", plus one
+    // genuine near-dup pair.
+    val docs = ((1 to 20).map(i => (i.toLong, s"doc number $i reports the end of day")) ++
+      Seq((100L, "a very unique duplicated text body here"),
+        (101L, "a very unique duplicated text body here"))).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.0,
+      maxPostings = 5)
+    assert(capped.count() < uncapped.count())
+    // the true duplicate pair survives the cap
+    assert(capped.where($"id_a" === 100 && $"id_b" === 101).count() == 1)
+    val lshCapped = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 5)
+    assert(lshCapped.where($"id_a" === 100 && $"id_b" === 101).count() == 1)
+  }
+
   test("previewPluginEffect reports per-column mean deltas as data") {
     PluginRegistry.register(WideSpreadPlugin)
     val quotes = MarketSim.simulateQuotes(spark, "T", days = 1, ticksPerDay = 200)
