@@ -55,4 +55,35 @@ class EodSpec extends SparkSpec {
       .as[Double].collect()
     assert(rb.sameElements(Array(100.0, 120.0, 150.0)))
   }
+
+  test("degenerate series never error: zeros, single row, constants") {
+    // One bad partition (zero price, constant series, single tick) in a
+    // 100 TB job must produce nulls, not DIVIDE_BY_ZERO aborts.
+    val zero = series(100.0, 0.0, 50.0)
+    val rets = zero.select(Eod.toReturns($"p", w).as("r"))
+      .as[Option[Double]].collect()
+    assert(rets.contains(None))                        // 50/0 → null
+    assert(rets.flatten.contains(-1.0))                // 0/100 - 1
+    zero.select(Eod.toLogReturns($"p", w)).collect()   // no error
+    zero.select(Eod.toDrawdownSeries($"p", w)).collect()
+    val single = series(42.0)
+    val cagr = single.groupBy($"k")
+      .agg(Eod.cagr($"p", $"t".cast("timestamp")).as("c"))
+      .select($"c").as[Option[Double]].head()
+    assert(cagr.isEmpty)                               // yearFrac 0 → null
+    val const = series(7.0, 7.0, 7.0)
+    val sharpe = const.withColumn("r", Eod.toReturns($"p", w))
+      .groupBy($"k").agg(Eod.sharpe($"r", 0.0, 252).as("s"))
+      .select($"s").as[Option[Double]].head()
+    assert(sharpe.isEmpty)                             // zero vol → null
+  }
+
+  test("price index hits zero and stays there after a total loss") {
+    val df = Seq(("a", 0, 0.5), ("a", 1, -1.0), ("a", 2, 0.25))
+      .toDF("k", "t", "r")
+    val idx = df.select(Eod.toPriceIndex($"r", w).as("i")).orderBy($"i")
+      .as[Double].collect().sorted
+    // cumprod: 150, then 0 (total loss), then 0 — not a recovery
+    assert(idx.count(_ == 0.0) == 2 && idx.contains(150.0))
+  }
 }
