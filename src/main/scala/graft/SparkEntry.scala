@@ -870,6 +870,21 @@ object SparkEntry {
           count(lit(1)).as("n_ticks"))
         .orderBy(col("day"))),
 
+    // ---- composite pipeline: quality-filter → exact-dedup → per-lang
+    // token accounting — the operators composing end-to-end (op 75)
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val scored = tbl(s, dir, "documents").select(col("doc_id"), col("text"),
+        Text.qualityScore(col("text")).as("q"),
+        Text.langId(col("text")).as("lang"))
+      val kept = scored.where(col("q") >= 0.5)
+      val canon = Dedup.exact(kept, "doc_id", "text")
+      kept.join(canon.where(!col("is_dup")).select(col("doc_id")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- multimodal plumbing (op 57) — all oracle-backed: the fake
     // payload is md5(text) bytes, which DuckDB reconstructs nibble-wise
     "mm_decode_stub" -> ((s, dir) =>
@@ -1233,6 +1248,27 @@ object SparkEntry {
           |  ((strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
           |   + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1) % 64))) AS BIGINT) AS n_bins
           |FROM b ORDER BY doc_id""".stripMargin,
+      "pipeline_clean_corpus" ->
+        s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+          |sc AS (
+          |  SELECT doc_id, text, toks,
+          |    0.4 * least(length(text) / 200.0, 1.0) +
+          |    0.4 * (len(list_filter(toks, x -> $stopCond)) / greatest(len(toks), 1)) +
+          |    0.2 * (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(len(toks), 1), 1.0)) AS q,
+          |    $langScores
+          |  FROM t
+          |),
+          |kept AS (
+          |  SELECT doc_id, text, toks, CASE $langCase ELSE 'unknown' END AS lang
+          |  FROM sc WHERE q >= 0.5
+          |),
+          |canon AS (
+          |  SELECT doc_id, lang, toks,
+          |    min(doc_id) OVER (PARTITION BY md5(text)) AS cid
+          |  FROM kept
+          |)
+          |SELECT lang, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+          |FROM canon WHERE doc_id = cid GROUP BY lang ORDER BY lang""".stripMargin,
       "mm_decode_stub" ->
         """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
           |v AS (
