@@ -17,8 +17,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Graft.register(spark)
-    // Warm up JIT/codegen + parquet reader so the first measured query
-    // isn't charged Spark's startup cost.
+    // Warm up JIT/codegen + the parquet reader on EVERY table so the
+    // first query touching each one isn't charged footer/metadata setup.
+    graft.sources.Tables.All.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
