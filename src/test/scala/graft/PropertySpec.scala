@@ -73,4 +73,47 @@ class PropertySpec extends SparkSpec {
       assert(math.abs((1 + tr) - rets) < 1e-9 * math.max(1.0, rets))
     }
   }
+
+  // ---- dedup kernel invariants: the order-independence that partial
+  // aggregation across executors relies on at scale.
+
+  private val docSet = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"),
+    (3L, "one two three four five six seven"),
+    (4L, "completely different text body here now"))
+
+  test("simhash is invariant to token order and corpus row order") {
+    import graft.operators.Dedup
+    def fp(rows: Seq[(Long, String)]) =
+      Dedup.simhash(rows.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+    val base = fp(docSet)
+    assert(base(1L) == base(2L))
+    assert(base(1L) != base(3L))
+    // multiset of tokens preserved → identical sign sums
+    val permuted = fp(docSet.map { case (id, t) =>
+      (id, t.split(" ").reverse.mkString(" ")) })
+    assert(permuted == base)
+    assert(fp(docSet.reverse) == base)
+  }
+
+  test("minhash signatures are stable under corpus row order") {
+    import graft.operators.Dedup
+    def sigs(rows: Seq[(Long, String)]) =
+      Dedup.minhashSignatures(rows.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(docSet) == sigs(docSet.reverse))
+  }
+
+  test("jaccard pairs: values in (0,1], identical docs score 1") {
+    import graft.operators.Dedup
+    val pairs = Dedup.ngramJaccardPairs(docSet.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, j) =>
+      assert(a < b && j > 0.0 && j <= 1.0)
+    }
+    assert(pairs.collectFirst { case (1L, 2L, j) => j }.contains(1.0))
+  }
 }
