@@ -28,7 +28,13 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // noop sink, NOT count(): a count() lets ColumnPruning discard
+      // every computed column, so the plan being timed degenerates to a
+      // parquet count-scan for pure select/window queries. The noop
+      // writer consumes every output column — nothing can be pruned.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch {
         case e: Throwable =>
           // A swallowed failure must not masquerade as a fast query:
           // record it so the JSON line shows exactly what broke.

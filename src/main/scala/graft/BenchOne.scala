@@ -18,7 +18,10 @@ object BenchOne {
     args(0).split(",").foreach { name =>
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        // noop sink so the measured plan keeps every output column
+        // (count() would let Catalyst prune the computation — see Bench).
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         println(f"$name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
