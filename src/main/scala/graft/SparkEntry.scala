@@ -656,7 +656,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docCorpus(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingCosinePairs(embCorpus(s, dir), "vec_id", "embedding", 0.99)
+      Dedup.embeddingCosinePairs(embCorpus(s, dir), "vec_id", "embedding",
+          0.99, EmbDim)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- similarity search (ops 51-52)
@@ -705,9 +706,40 @@ object SparkEntry {
     // ---- resample / as-of / prob_mom (ops 39, 42, 19)
     "df_resample_returns" -> ((s, dir) =>
       Resample.resampleMean(
-        withRet(s, dir).where(col("event_type") === "click")
-          .select(col("ret"), col("ts"), col("event_id")),
-        "ret", Seq("ts", "event_id"), 50)),
+          withRet(s, dir).where(col("event_type") === "click")
+            .select(col("event_type"), col("ret"), col("ts"), col("event_id")),
+          "ret", Seq("event_type"), Seq("ts", "event_id"), 50)
+        .select(col("trial"), col("stat"))),
+    // Every event_type resampled as its own series in one plan — the
+    // shape that holds for thousands of assets (keyed windows + keyed
+    // draw join; no global sort, no driver count).
+    "df_resample_by_key" -> ((s, dir) =>
+      Resample.resampleMean(
+        withRet(s, dir)
+          .select(col("event_type"), col("ret"), col("ts"), col("event_id")),
+        "ret", Seq("event_type"), Seq("ts", "event_id"), 20)),
+    // Reference resample_returns applies a stat fn returning a row of
+    // named stats per trial (df/core.py:36-44): mean + vol here, both
+    // from exact quantized-integer sums so any engine reproduces them.
+    "df_resample_multistat" -> ((s, dir) =>
+      Resample.resampleStats(
+          withRet(s, dir).where(col("event_type") === "click")
+            .select(col("event_type"), col("ret"), col("ts"), col("event_id")),
+          "ret", Seq("event_type"), Seq("ts", "event_id"), 20)(
+          // 1e4 quantization (not 1e6): q² must stay inside int64 even
+          // for the series' worst ~2e3 return spike (2e7² × n ≪ 2^63).
+          "mean" -> (v => {
+            val q = sum(round(v * 1e4).cast("long")).cast("double")
+            round(q / (count(lit(1)) * 1e4), 6)
+          }),
+          "vol" -> (v => {
+            val q  = round(v * 1e4).cast("long")
+            val n  = count(lit(1)).cast("double")
+            val s1 = sum(q).cast("double")
+            val s2 = sum(q * q).cast("double")
+            round(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))) / 1e4, 6)
+          }))
+        .select(col("trial"), col("mean"), col("vol"))),
     "asof_join" -> ((s, dir) => {
       val e = events(s, dir)
       val trades = e.where(col("event_type") === "purchase")
@@ -938,9 +970,17 @@ object SparkEntry {
     def planeLit(p: Int) = (0 until EmbDim)
       .map(d => java.lang.Double.toString(Similarity.planeComponent(p, d)))
       .mkString("[", ", ", "]")
-    def lshBucketSql(v: String) = (0 until 4).map(p =>
-      s"(CASE WHEN list_dot_product($v, ${planeLit(p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+    def lshBucketSqlAt(v: String, offset: Int, planes: Int) = (0 until planes).map(j =>
+      s"(CASE WHEN list_dot_product($v, ${planeLit(offset + j)}) >= 0 THEN ${1 << j} ELSE 0 END)"
     ).mkString(" + ")
+    def lshBucketSql(v: String) = lshBucketSqlAt(v, 0, 4)
+    // Per-key resample LCG seed as a literal: first md5 word of the key
+    // (Resample.keySeed with a constant key, driver-computed).
+    def keySeedLit(key: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16).toString
+    }
     // First md5 word of hex column `c` as an integer (MarketSim.u).
     def w8(c: String) = (1 to 8).map(j =>
       s"(strpos('0123456789abcdef', substr($c, $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}"
@@ -1069,14 +1109,25 @@ object SparkEntry {
           |)
           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
           |FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+      // Replays the 4-table × 8-plane sign-LSH candidate generation of
+      // Dedup.embeddingCosinePairs exactly (same md5-derived plane
+      // literals), then the same exact-cosine verification — the
+      // approximate operator is still hash-checkable.
       "dedup_embedding" ->
         s"""WITH $ECORPUS_CTE, v AS (
           |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM ecorpus
+          |), keys AS (
+          |${(0 until 4).map(t =>
+             s"  SELECT id, $t AS tbl, ${lshBucketSqlAt("v", t * 8, 8)} AS bucket FROM v")
+             .mkString("\n  UNION ALL\n")}
+          |), cand AS (
+          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          |  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
           |), p AS (
-          |  SELECT a.id AS id_a, b.id AS id_b,
-          |    list_dot_product(a.v, b.v) /
-          |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
-          |  FROM v a CROSS JOIN v b WHERE a.id < b.id
+          |  SELECT id_a, id_b,
+          |    list_dot_product(va.v, vb.v) /
+          |      (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) AS cosine
+          |  FROM cand JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b
           |)
           |SELECT id_a, id_b, round(cosine, 6) AS cosine
           |FROM p WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin,
@@ -1100,8 +1151,11 @@ object SparkEntry {
           |  count(*) AS n,
           |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+      // LCG draws replay with the md5-derived per-key seed inlined as a
+      // literal (single key 'click'); the draw relation is v itself
+      // crossed with the trial range — mirroring Resample.drawsAndRows.
       "df_resample_returns" ->
-        """WITH r AS (
+        s"""WITH r AS (
           |  SELECT value / lag(value) OVER (ORDER BY ts, event_id) - 1 AS ret, ts, event_id
           |  FROM events WHERE event_type = 'click'
           |), v AS (
@@ -1110,13 +1164,56 @@ object SparkEntry {
           |  FROM r WHERE ret IS NOT NULL
           |), draws AS (
           |  SELECT t.range AS trial,
-          |    ((1103515245 * (t.range * 100003 + j.range) + 12345) % 2147483648)
+          |    ((1103515245 * (${keySeedLit("click")} + t.range * 100003 + v.rn) + 12345) % 2147483648)
           |      % (SELECT count(*) FROM v) AS rn
-          |  FROM range(0, 50) t CROSS JOIN range(0, 100000) j
-          |  WHERE j.range < (SELECT count(*) FROM v)
+          |  FROM v CROSS JOIN range(0, 50) t
           |)
           |SELECT trial, round(sum(q)::DOUBLE / (count(*) * 1e6), 6) AS stat
           |FROM draws JOIN v USING (rn) GROUP BY trial ORDER BY trial""".stripMargin,
+      "df_resample_by_key" ->
+        s"""WITH r AS (
+          |  SELECT event_type, value / lag(value) OVER w - 1 AS ret, ts, event_id
+          |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+          |), v AS (
+          |  SELECT event_type,
+          |         row_number() OVER w - 1 AS rn,
+          |         count(*) OVER (PARTITION BY event_type) AS n,
+          |         ${w8("md5(event_type)")} AS ks,
+          |         CAST(round(ret * 1e6) AS BIGINT) AS q
+          |  FROM r WHERE ret IS NOT NULL
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+          |), draws AS (
+          |  SELECT event_type, t.range AS trial,
+          |    ((1103515245 * (ks + t.range * 100003 + rn) + 12345) % 2147483648) % n AS rn2
+          |  FROM v CROSS JOIN range(0, 20) t
+          |)
+          |SELECT d.event_type, d.trial, round(sum(v2.q)::DOUBLE / (count(*) * 1e6), 6) AS stat
+          |FROM draws d JOIN v v2 ON v2.event_type = d.event_type AND v2.rn = d.rn2
+          |GROUP BY d.event_type, d.trial ORDER BY 1, 2""".stripMargin,
+      // Same draw stream as df_resample_returns (20 trials); mean and
+      // vol both from exact integer sums — identical double-op order on
+      // both engines.
+      "df_resample_multistat" ->
+        s"""WITH r AS (
+          |  SELECT value / lag(value) OVER (ORDER BY ts, event_id) - 1 AS ret, ts, event_id
+          |  FROM events WHERE event_type = 'click'
+          |), v AS (
+          |  SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+          |         CAST(round(ret * 1e4) AS BIGINT) AS q
+          |  FROM r WHERE ret IS NOT NULL
+          |), draws AS (
+          |  SELECT t.range AS trial,
+          |    ((1103515245 * (${keySeedLit("click")} + t.range * 100003 + v.rn) + 12345) % 2147483648)
+          |      % (SELECT count(*) FROM v) AS rn
+          |  FROM v CROSS JOIN range(0, 20) t
+          |), s AS (
+          |  SELECT trial, count(*)::DOUBLE AS n,
+          |         sum(q)::DOUBLE AS s1, sum(q * q)::DOUBLE AS s2
+          |  FROM draws JOIN v USING (rn) GROUP BY trial
+          |)
+          |SELECT trial, round(s1 / (n * 1e4), 6) AS mean,
+          |  round(sqrt((s2 - s1 * s1 / n) / (n - 1.0)) / 1e4, 6) AS vol
+          |FROM s ORDER BY trial""".stripMargin,
       "eod_corr_matrix" ->
         """WITH r AS (
           |  SELECT event_type, value / lag(value) OVER w - 1 AS ret,

@@ -37,6 +37,18 @@ object Dedup {
   /** Modulus for the affine minhash family (2^32). */
   private[operators] val MinhashMod = 4294967296L
 
+  /** Default cap on a bucket/posting id list (minhashLshPairs,
+    * ngramJaccardPairs, embeddingCosinePairs). The in-bucket pair
+    * expansion aggregates each bucket's ids into ONE collect_list row,
+    * so an unbounded hot bucket (a stop-shingle in millions of docs, a
+    * degenerate band signature) concentrates O(c) heap on one executor
+    * and c² candidate pairs downstream. 10k ids ≈ 80 KB buffer and
+    * ≤5·10⁷ pairs — safe; and a bucket hotter than that carries no
+    * per-pair signal worth quadratic work (the standard stop-shingle
+    * drop). Pass Int.MaxValue explicitly for exact uncapped runs.
+    */
+  val DefaultMaxBucket = 10000
+
   /** MinHash signatures: k min values per doc under the affine family
     * h_i(s) = (a(s) + i·b(s)) mod 2^32, where a,b are the first two
     * 32-bit words of md5(s) — ONE digest per posting instead of k
@@ -66,7 +78,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, bands: Int = 4,
                       shingleWidth: Int = 3,
-                      maxBucket: Int = Int.MaxValue): DataFrame = {
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(k % bands == 0,
       s"minhash signature length k=$k must be divisible by bands=$bands " +
         "(trailing signature columns would be silently dropped, weakening LSH recall)")
@@ -92,7 +104,7 @@ object Dedup {
     // maxBucket caps the c² pair blowup of a degenerate bucket (every
     // doc sharing a band signature): such buckets carry no near-dup
     // signal worth quadratic work, the same way production dedup drops
-    // hot shingles. Default = uncapped (exact).
+    // hot shingles. See DefaultMaxBucket for the default's rationale.
     bandKeys.groupBy(col("band"), col("bucket"))
       .agg(collect_list(col(idCol)).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
@@ -132,7 +144,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleWidth: Int = 3, threshold: Double = 0.2,
-                        maxPostings: Int = Int.MaxValue): DataFrame = {
+                        maxPostings: Int = DefaultMaxBucket): DataFrame = {
     // |A| is just size(shingle array), attached to every posting at
     // explosion time — a sizes relation would either re-explode the
     // corpus (recomputing the shingles) or cost a third shuffle.
@@ -148,7 +160,7 @@ object Dedup {
     // the corpus): they contribute c² candidate pairs and near-zero
     // Jaccard evidence. Capped runs UNDERCOUNT |A∩B| slightly for pairs
     // sharing a dropped shingle — the standard recall/cost trade at
-    // 100 TB. Default = uncapped (exact).
+    // 100 TB. See DefaultMaxBucket for the default's rationale.
     sh.groupBy(col("sh"))
       .agg(collect_list(struct(col("id"), col("sz"))).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxPostings)
@@ -166,13 +178,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Embedding near-duplicates: pairs with cosine >= threshold.
-    * Brute-force O(n²) pairs — correct baseline; LSH bucketing in
-    * [[Similarity]] is the scale path. Dot products fold sequentially
-    * over the array (deterministic order → engine-reproducible).
+  /** Embedding near-duplicates: pairs with cosine >= threshold, with
+    * candidates generated by sign-LSH bucketing (never all-pairs).
+    *
+    * `tables` independent hash tables of `planes` hyperplanes each
+    * (planes [t·planes, (t+1)·planes) of the md5-derived family in
+    * [[Similarity.lshBucketAt]]); a pair is a candidate if it collides
+    * in ANY table — the standard OR-amplification, so recall on a pair
+    * at angle θ is 1−(1−(1−θ/π)^planes)^tables (≈ 99.1% at cosine 0.99
+    * with 4×8), and exact duplicates are always found. Candidates are
+    * verified with the exact cosine. Deterministic planes → any SQL
+    * engine replays the same buckets, so even this approximate operator
+    * is hash-checkable.
+    *
+    * Scale shape: one shuffle on (table, bucket) for candidates, one
+    * shuffle on id to re-attach vectors — linear in n, never the n²/2
+    * crossJoin (the old baseline survives as
+    * [[embeddingCosinePairsBrute]]).
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double): DataFrame = {
+                           threshold: Double, dim: Int, planes: Int = 8,
+                           tables: Int = 4,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", Similarity.normNative(col("v")))
+    // One row per (table, vector): a single exploded array of structs,
+    // not `tables` unioned selects (which would rescan the corpus).
+    val tb = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        Similarity.lshBucketAt(col("v"), t * planes, planes, dim).as("bucket"))
+    }: _*)
+    val keys = v.select(col("id"), explode(tb).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // Same in-bucket pair expansion as minhashLshPairs; distinct()
+    // because a pair may collide in several tables.
+    val cand = keys.groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    // Exact verification: candidates are a skinny (id_a, id_b) relation;
+    // vectors re-attach via two key joins (shuffle on id — vectors never
+    // ride through the bucket aggregation).
+    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("cosine",
+        Similarity.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Exact all-pairs cosine dedup — the O(n²) brute-force baseline
+    * (recall 1 by construction). Only for small/sampled corpora; the
+    * LSH-bucketed [[embeddingCosinePairs]] is the at-scale default.
+    */
+  def embeddingCosinePairsBrute(df: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double): DataFrame = {
     // Norms once per vector (O(n·d)); each of the n²/2 pairs then costs
     // one native codegen'd dot product (HOF folds are interpreted —
     // see graft.expressions.DotProduct).

@@ -71,9 +71,16 @@ object Similarity {
     * plane vectors are driver-computed literals, projections are native
     * dot products. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
-    (0 until planes).map { p =>
-      val plane = typedLit((0 until dim).map(d => planeComponent(p, d)))
-      when(dotNative(vec, plane) >= 0, lit(1 << p)).otherwise(lit(0))
+    lshBucketAt(vec, 0, planes, dim)
+
+  /** Sign bucket under planes [offset, offset+planes) — lets callers
+    * build several independent hash tables (offset = t·planes) whose
+    * candidate sets are OR'd, the standard LSH recall amplification.
+    */
+  def lshBucketAt(vec: Column, offset: Int, planes: Int, dim: Int): Column =
+    (0 until planes).map { j =>
+      val plane = typedLit((0 until dim).map(d => planeComponent(offset + j, d)))
+      when(dotNative(vec, plane) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** IVF-style ANN: the corpus is coarse-quantized into `nCells`

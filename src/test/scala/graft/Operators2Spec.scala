@@ -26,15 +26,37 @@ class Operators2Spec extends SparkSpec {
   }
 
   test("resampleStat generalizes the bootstrap to any aggregate") {
-    val df = (1 to 100).map(i => (i, i.toDouble)).toDF("o", "v")
-    val out = Resample.resampleStat(df, "v", Seq("o"), 5)(v => max(v))
-      .as[(Long, Double)].collect()
+    val df = (1 to 100).map(i => ("s1", i, i.toDouble)).toDF("k", "o", "v")
+    val out = Resample.resampleStat(df, "v", Seq("k"), Seq("o"), 5)(v => max(v))
+      .as[(String, Long, Double)].collect()
     assert(out.length == 5)
-    assert(out.forall { case (_, mx) => mx >= 1.0 && mx <= 100.0 })
+    assert(out.forall { case (_, _, mx) => mx >= 1.0 && mx <= 100.0 })
     // deterministic: same seed → same draws
-    val out2 = Resample.resampleStat(df, "v", Seq("o"), 5)(v => max(v))
-      .as[(Long, Double)].collect()
+    val out2 = Resample.resampleStat(df, "v", Seq("k"), Seq("o"), 5)(v => max(v))
+      .as[(String, Long, Double)].collect()
     assert(out.sameElements(out2))
+  }
+
+  test("keyed resample: independent series per key, decorrelated draws") {
+    // two keys with IDENTICAL values: per-key md5 seeds must give them
+    // DIFFERENT bootstrap draws (a shared seed would correlate fleets
+    // of assets), while each key's own draws stay deterministic.
+    val df = (1 to 50).flatMap(i =>
+      Seq(("a", i, i.toDouble), ("b", i, i.toDouble))).toDF("k", "o", "v")
+    val out = Resample.resampleMean(df, "v", Seq("k"), Seq("o"), 4)
+      .as[(String, Long, Double)].collect()
+    assert(out.length == 8)
+    val byKey = out.groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+    assert(byKey("a") != byKey("b"), "identical series must draw differently per key")
+  }
+
+  test("resampleStats computes several named stats in one aggregation pass") {
+    val df = (1 to 100).map(i => ("s1", i, i.toDouble)).toDF("k", "o", "v")
+    val out = Resample.resampleStats(df, "v", Seq("k"), Seq("o"), 3)(
+      "lo" -> (v => min(v)), "hi" -> (v => max(v)))
+    assert(out.columns.toSeq == Seq("k", "trial", "lo", "hi"))
+    val rows = out.as[(String, Long, Double, Double)].collect()
+    assert(rows.length == 3 && rows.forall { case (_, _, lo, hi) => lo <= hi })
   }
 
   test("sim plugins apply in order by type (wide_spread widens quotes)") {

@@ -66,10 +66,21 @@ class PlanSpec extends SparkSpec {
       s"expected 2 shuffles (postings + pairs), saw $shuffles:\n${p.take(1200)}")
   }
 
-  test("resample broadcasts the indexed series under the draw join") {
-    val p = finalPlan("df_resample_returns")
-    assert(p.contains("BroadcastHashJoin"),
-      "trials×n draw join should broadcast the series side:\n" + p.take(800))
+  test("embedding dedup is LSH-bucketed: no all-pairs join in the plan") {
+    val p = finalPlan("dedup_embedding")
+    assert(!p.contains("CartesianProduct"),
+      "embedding dedup fell back to an all-pairs cross join:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "embedding dedup fell back to a nested-loop join:\n" + p.take(1200))
+  }
+
+  test("keyed resample never funnels the series through one partition") {
+    // The old shape had a global row_number window (Exchange
+    // SinglePartition) and a driver-side count(); the keyed rewrite must
+    // keep every stage partitioned by the series key.
+    val p = finalPlan("df_resample_by_key")
+    assert(!p.contains("Exchange SinglePartition"),
+      "single-partition stage in keyed resample:\n" + p.take(1500))
   }
 
   test("sim quote generation shuffles only once (the per-day walk window)") {
