@@ -919,14 +919,15 @@ object SparkEntry {
 
     // ---- multimodal plumbing (op 57) — all oracle-backed: the fake
     // payload is md5(text) bytes, which DuckDB reconstructs nibble-wise
-    "mm_decode_stub" -> ((s, dir) =>
-      Multimodal.decodeImageStub(
-          Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
+    // REAL decode: synthetic-but-genuine PNGs round-trip through
+    // ImageIO; the oracle predicts the decoded dims + mean pixel from
+    // the md5-derived pixel formula (grayscale PNG is lossless).
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeImage(
+          Multimodal.withSyntheticPng(tbl(s, dir, "documents"), "doc_id", "text"),
           "doc_id", "image")
-        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          round(col("mean_byte"), 6).as("mean_byte"))),
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_px"), 6).as("mean_px"))),
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
       Multimodal.resizeStub(
@@ -1366,24 +1367,28 @@ object SparkEntry {
           |)
           |SELECT lang, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_tokens
           |FROM canon WHERE doc_id = cid GROUP BY lang ORDER BY lang""".stripMargin,
-      "mm_decode_stub" ->
+      // Predicts the REAL ImageIO decode: digest bytes from md5 nibbles,
+      // dims (1+d0%64, 1+d1%64), pixel(x,y) = d[(x+y)%16]; mean over the
+      // w×h grid via bounded range + filter (DuckDB range() wants
+      // constant args). Lossless PNG → decoded samples = formula.
+      "mm_decode" ->
         """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
-          |v AS (
-          |  SELECT doc_id,
-          |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-          |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b0,
-          |    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-          |      + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS b1,
-          |    list_sum(list_transform(range(0, 16), i ->
-          |      (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
-          |      + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1)) AS s
+          |d AS (
+          |  SELECT doc_id, list_transform(range(0, 16), i ->
+          |    (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+          |    + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1) AS bytes
           |  FROM b
+          |), dim AS (
+          |  SELECT doc_id, 1 + bytes[1] % 64 AS w, 1 + bytes[2] % 64 AS h, bytes
+          |  FROM d
+          |), px AS (
+          |  SELECT doc_id, w, h, bytes[((x.range + y.range) % 16) + 1] AS p
+          |  FROM dim CROSS JOIN range(0, 64) x CROSS JOIN range(0, 64) y
+          |  WHERE x.range < w AND y.range < h
           |)
-          |SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes,
-          |  CAST(1 + b0 % 64 AS BIGINT) AS width,
-          |  CAST(1 + b1 % 64 AS BIGINT) AS height,
-          |  round(s / 16.0, 6) AS mean_byte
-          |FROM v ORDER BY doc_id""".stripMargin,
+          |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          |  round(sum(p)::DOUBLE / (w * h), 6) AS mean_px
+          |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
       "ann_topk_lsh" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),

@@ -99,11 +99,19 @@ object Similarity {
     val cent = c.orderBy(col("neighbor_id")).limit(nCells)
       .select(col("neighbor_id").as("cell_id"), col("cv").as("centv"),
         col("cn").as("centn"))
+    // Cell-assignment score with zero-norm vectors pinned to -Inf: a
+    // degenerate vector still deterministically lands in its lowest-id
+    // cell on every engine, instead of null/NaN ordering silently
+    // dropping it from the argmax (it would stay indexed but unfindable).
+    def cellScore(vec: String, norm: String): Column = {
+      val den = col(norm) * col("centn")
+      when(den =!= 0, dotNative(col(vec), col("centv")) / den)
+        .otherwise(lit(Double.NegativeInfinity))
+    }
     def assign(df: DataFrame, vec: String, norm: String, take: Int,
                outPrefix: String): DataFrame = {
       val scored = df.crossJoin(broadcast(cent))
-        .withColumn("_cs",
-          dotNative(col(vec), col("centv")) / (col(norm) * col("centn")))
+        .withColumn("_cs", cellScore(vec, norm))
       val w = Window.partitionBy(col(s"${outPrefix}_id"))
         .orderBy(col("_cs").desc, col("cell_id"))
       scored.withColumn("_r", row_number().over(w)).where(col("_r") <= take)
@@ -114,8 +122,7 @@ object Similarity {
     // corpus×nCells rows by vector id. Tie-break (-cell_id) matches the
     // window's (cosine DESC, cell_id ASC).
     val corpusCells = c.crossJoin(broadcast(cent))
-      .withColumn("_cs",
-        dotNative(col("cv"), col("centv")) / (col("cn") * col("centn")))
+      .withColumn("_cs", cellScore("cv", "cn"))
       .groupBy(col("neighbor_id").as("nid"))
       .agg(max_by(
         struct(col("cell_id"), col("cv"), col("cn")),

@@ -48,13 +48,30 @@ object PluginRegistry {
     val plugin = registry.getOrElse(pluginName,
       throw new IllegalArgumentException(s"plugin '$pluginName' not registered"))
     val after = plugin(df, params)
-    val numCols = df.schema.fields
-      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    // Per side: only columns that are numeric in THAT frame — a plugin
+    // may drop/rename/retype columns (the reference preview tolerates
+    // per-column failures; here they fall out of the join instead).
+    def numCols(d: DataFrame): Seq[String] = d.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
     def melt(d: DataFrame, as: String) = {
-      val agg = d.select(numCols.map(c => avg(col(c)).as(c)).toIndexedSeq: _*)
-      val stackArgs = numCols.map(c => s"'$c', `$c`").mkString(", ")
-      agg.selectExpr(s"stack(${numCols.length}, $stackArgs) as (column, $as)")
+      val cols = numCols(d)
+      if (cols.isEmpty)
+        // stack(0) is invalid SQL; an empty preview is just no rows
+        d.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("column",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(as,
+              org.apache.spark.sql.types.DoubleType))))
+      else {
+        val agg = d.select(cols.map(c => avg(col(c)).as(c)).toIndexedSeq: _*)
+        val stackArgs = cols.map(c => s"'$c', `$c`").mkString(", ")
+        agg.selectExpr(s"stack(${cols.length}, $stackArgs) as (column, $as)")
+      }
     }
+    // inner join on column name: columns numeric on both sides compare;
+    // dropped/added/retyped ones are absent rather than erroring
     melt(df, "mean_before").join(melt(after, "mean_after"), "column")
       .withColumn("delta", col("mean_after") - col("mean_before"))
   }

@@ -18,6 +18,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * the carried state (monotone high-water mark / last-quote-wins), so
   * modest inter-batch disorder degrades gracefully rather than
   * corrupting state.
+  *
+  * Memory note: the per-key event-time sort buffers ONE KEY'S rows of
+  * the CURRENT micro-batch on the executor (`it.toArray`) — O(hottest
+  * symbol per batch) heap, not O(batch). That is the inherent cost of
+  * in-batch reordering; size micro-batches (trigger interval /
+  * maxOffsetsPerTrigger) so a hot symbol's slice fits comfortably, or
+  * pre-sort the source and drop the buffer entirely.
   */
 object Stateful {
 
@@ -76,7 +83,11 @@ object Stateful {
         (symbol, it, state) =>
           var q = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer[EnrichedTrade]()
-          it.toArray.sortBy(e => (e.ts.getTime, e.kind)).foreach { e =>
+          // Same-timestamp tie-break: quotes BEFORE trades, explicitly
+          // (a trade at t sees a quote stamped t, matching the batch
+          // as-of join's at-or-before semantics) — not an accident of
+          // "quote" < "trade" string order.
+          it.toArray.sortBy(e => (e.ts.getTime, e.kind == "trade")).foreach { e =>
             if (e.kind == "quote") {
               // last-quote-wins only forward in time: a late quote must
               // not roll the prevailing NBBO backwards.

@@ -69,13 +69,30 @@ class OperatorsSpec extends SparkSpec {
       (12L, None))))      // user 2 has no quote before ts=10
   }
 
-  test("multimodal stub decode keeps one row per doc and real schema") {
+  test("multimodal decode round-trips a real PNG through ImageIO") {
     val df = Seq((1L, "hello world"), (2L, "foo")).toDF("doc_id", "text")
-    val out = Multimodal.decodeImageStub(
-      Multimodal.withFakeImage(df, "text"), "doc_id", "image")
-    assert(out.columns.toSeq ==
-      Seq("doc_id", "n_bytes", "width", "height", "mean_byte"))
+    val out = Multimodal.decodeImage(
+      Multimodal.withSyntheticPng(df, "doc_id", "text"), "doc_id", "image")
+    assert(out.columns.toSeq == Seq("doc_id", "width", "height", "mean_px"))
     val rows = out.orderBy($"doc_id").collect()
-    assert(rows.length == 2 && rows.forall(_.getInt(1) == 16)) // md5 = 16 bytes
+    assert(rows.length == 2)
+    // decoded dims must equal the md5-derived formula (lossless codec)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val text = if (r.getLong(0) == 1L) "hello world" else "foo"
+      val d = md.digest(text.getBytes("UTF-8"))
+      assert(r.getLong(1) == 1 + (d(0) & 0xff) % 64)
+      assert(r.getLong(2) == 1 + (d(1) & 0xff) % 64)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 255.0)
+    }
+  }
+
+  test("media ops reject empty payloads with the offending row id") {
+    val df = Seq((7L, Array.emptyByteArray)).toDF("doc_id", "image")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeStub(df, "doc_id", "image", 4, 4).collect()
+    }
+    assert(e.getMessage.contains("empty media payload")
+      || Option(e.getCause).exists(_.getMessage.contains("empty media payload")))
   }
 }

@@ -66,6 +66,16 @@ class PlanSpec extends SparkSpec {
       s"expected 2 shuffles (postings + pairs), saw $shuffles:\n${p.take(1200)}")
   }
 
+  test("WordShingles generates code (no CodegenFallback row detour)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!classOf[CodegenFallback].isAssignableFrom(
+      classOf[graft.expressions.WordShingles]),
+      "WordShingles regressed to CodegenFallback")
+    // and the minhash pipeline it feeds still runs codegen'd stages
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("*("), p.take(800))
+  }
+
   test("embedding dedup is LSH-bucketed: no all-pairs join in the plan") {
     val p = finalPlan("dedup_embedding")
     assert(!p.contains("CartesianProduct"),
