@@ -178,6 +178,12 @@ object Eod {
     safeDiv(avg(ret - lit(if (rf == 0.0) 0.0 else rf / n)),
       ulcerIndexFromDrawdown(dd))
 
+  /** UPI with a per-row risk-free COLUMN (reference risk.py:32 accepts
+    * rf as a column name: excess = ret - rf row-wise).
+    */
+  def ulcerPerformanceIndex(ret: Column, dd: Column, rf: Column): Column =
+    safeDiv(avg(ret - rf), ulcerIndexFromDrawdown(dd))
+
   /** Max drawdown = min of the drawdown series. Ref: eod/risk.py:90. */
   def maxDrawdownFromDrawdown(dd: Column): Column = min(dd)
 

@@ -71,10 +71,10 @@ object Text {
   /** Winnowing-style document fingerprint: lexicographic min of md5 over
     * rolling word 5-grams (rolling-hash fingerprinting; md5 hex keeps the
     * value engine-neutral). Docs shorter than 5 tokens hash what's there.
+    * Native single-pass kernel — the declarative sequence/transform/md5
+    * chain interpreted one lambda per shingle and topped the corpus
+    * bench (see [[graft.expressions.ShingleMinHash]]).
     */
-  def fingerprint(text: Column, k: Int = 5): Column = {
-    val toks = tokens(text)
-    val starts = sequence(lit(1), greatest(size(toks) - (k - 1), lit(1)))
-    array_min(transform(starts, i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
-  }
+  def fingerprint(text: Column, k: Int = 5): Column =
+    graft.expressions.ShingleMinHash(text, k)
 }

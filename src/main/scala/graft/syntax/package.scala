@@ -79,6 +79,13 @@ package object syntax {
       aliased(self, Eod.informationRatio(self, benchmark), "ir")
     def ulcerIndex(): Column =
       aliased(self, Eod.ulcerIndexFromDrawdown(self), "ulcer_index")
+    def ulcerPerformanceIndex(dd: Column, rf: Double = 0.0,
+                              n: Int = Eod.TradingDaysPerYear): Column =
+      aliased(self, Eod.ulcerPerformanceIndex(self, dd, rf, n),
+        "ulcer_performance_index")
+    def ulcerPerformanceIndex(dd: Column, rf: Column): Column =
+      aliased(self, Eod.ulcerPerformanceIndex(self, dd, rf),
+        "ulcer_performance_index")
     def calcMaxDrawdown(): Column =
       aliased(self, Eod.maxDrawdownFromDrawdown(self), "max_drawdown")
     def calcMtd(ts: Column, maxTs: Column): Column =
