@@ -66,8 +66,14 @@ object Resample {
     val byKey = Window.partitionBy(keyCols.map(col): _*)
     val indexed = base
       .withColumn("rn", row_number().over(byKey.orderBy(ordCols.map(col): _*)) - 1)
-      .withColumn("n", count(lit(1)).over(byKey))
-      .select((keyCols.map(col) :+ col("rn") :+ col("n") :+ col("v")): _*)
+      .select((keyCols.map(col) :+ col("rn") :+ col("v")): _*)
+    // Per-key stats as ONE tiny aggregated relation (a row per series:
+    // length + md5 seed), broadcast onto the draw generator — cheaper
+    // than a second unbounded-count window pass over the data and a
+    // digest per draw row, and the same values either way.
+    val keyStats = indexed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ks", keySeed(keyCols))
     val trials = df.sparkSession.range(numTrials.toLong)
       .select(col("id").as("trial"))
     // The draw relation IS the indexed data × broadcast trials (each row
@@ -75,14 +81,17 @@ object Resample {
     // trials × n_k rows per key — no driver count, no giant sequence()
     // array, and it inherits the data's partitioning.
     val draws = indexed
-      .select((keyCols.map(col) :+ col("rn").as("j") :+ col("n")): _*)
-      .withColumn("ks", keySeed(keyCols))
+      .select((keyCols.map(col) :+ col("rn").as("j")): _*)
+      .join(broadcast(keyStats), keyCols)
       .crossJoin(broadcast(trials))
       .withColumn("rn",
         pmod(lit(A) * (col("ks") + col("trial") * P + col("j")) + C, lit(M))
           .mod(col("n")))
       .select((keyCols.map(col) :+ col("trial") :+ col("rn")): _*)
-    draws.join(indexed.drop("n"), keyCols :+ "rn")
+    // hash join, not sort-merge: the draw side is trials× the data and
+    // never worth sorting; the per-partition build side is one key's
+    // series slice.
+    draws.join(indexed.hint("shuffle_hash"), keyCols :+ "rn")
   }
 
   /** Resample `valueCol` per key (ordered by `ordCols`, which must be a
