@@ -646,7 +646,9 @@ object SparkEntry {
 
     // ---- dedup (ops 46-50)
     "dedup_exact" -> ((s, dir) =>
-      Dedup.exact(docCorpus(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+      Dedup.exact(docCorpus(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("canonical_id"), col("is_dup"))
+        .orderBy(col("doc_id"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docCorpus(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
@@ -909,8 +911,10 @@ object SparkEntry {
         Text.qualityScore(col("text")).as("q"),
         Text.langId(col("text")).as("lang"))
       val kept = scored.where(col("q") >= 0.5)
-      val canon = Dedup.exact(kept, "doc_id", "text")
-      kept.join(canon.where(!col("is_dup")).select(col("doc_id")), "doc_id")
+      // exact() keeps all columns, so the dedup verdict filters in place
+      // — no verdict join that would re-run the quality/lang scoring
+      Dedup.exact(kept, "doc_id", "text")
+        .where(!col("is_dup"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"))

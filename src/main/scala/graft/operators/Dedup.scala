@@ -26,11 +26,15 @@ object Dedup {
 
   /** Exact dedup: canonical id = min id within an md5(text) group.
     * One hash-shuffle on the digest; at scale this is the cheapest
-    * possible dedup (no text comparison after the digest).
+    * possible dedup (no text comparison after the digest). All input
+    * columns ride along (appending canonical_id/is_dup), so pipelines
+    * filter in place instead of joining the verdict back — the join
+    * would recompute the whole upstream subtree (Spark reuses only
+    * identical Exchanges, not arbitrary subplans).
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol)))
-    df.select(col(idCol), min(col(idCol)).over(w).as("canonical_id"))
+    df.withColumn("canonical_id", min(col(idCol)).over(w))
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
   }
 

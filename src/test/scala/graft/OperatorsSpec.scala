@@ -10,8 +10,12 @@ class OperatorsSpec extends SparkSpec {
   test("exact dedup finds planted duplicate, canonical = min id") {
     val df = Seq((1L, "x y z"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "doc_id", "text").orderBy($"doc_id")
-      .as[(Long, Long, Boolean)].collect()
-    assert(out.sameElements(Array((1L, 1L, false), (2L, 2L, false), (3L, 1L, true))))
+      .select($"doc_id", $"text", $"canonical_id", $"is_dup")
+      .as[(Long, String, Long, Boolean)].collect()
+    // input columns ride along; verdict columns appended
+    assert(out.sameElements(Array(
+      (1L, "x y z", 1L, false), (2L, "a b c", 2L, false),
+      (3L, "x y z", 1L, true))))
   }
 
   test("minhash LSH pairs identical docs, not disjoint ones") {
