@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Eod, Graft, Text, Tick}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Resample, Similarity}
+import graft.operators.{AsOfJoin, Corpus, Dedup, Multimodal, Resample, Similarity}
 import graft.sim.MarketSim
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -662,6 +662,41 @@ object SparkEntry {
           0.99, EmbDim)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- corpus curation (ops 76-79): repetition quality, stratified
+    // sampling, contamination, packing — all md5-deterministic
+    "text_repetition" -> ((s, dir) =>
+      Corpus.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+    "corpus_sample" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("lang", Text.langId(col("text")))
+      Corpus.stratifiedSample(d, "doc_id", col("lang"),
+          Map("en" -> 0.9, "unknown" -> 0.25), defaultRate = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+    // Benchmark set = the original %97 docs; the corpus' planted
+    // +2000000 copies of exactly those docs are the contamination to
+    // catch (plus any real 8-gram collision).
+    "corpus_contamination" -> ((s, dir) => {
+      val c = docCorpus(s, dir)
+      val isBench = col("doc_id") % 97 === 0 && col("doc_id") < 1000000
+      Corpus.contamination(c.where(!isBench), c.where(isBench),
+          "doc_id", "text", width = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "corpus_pack" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("lang", Text.langId(col("text")))
+      Corpus.packSequences(d, "doc_id", "text", col("lang"),
+          targetTokens = 2048, ordCol = "doc_id")
+        .groupBy(col("stratum"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+        .orderBy(col("stratum"), col("bin"))
+    }),
+
     // ---- similarity search (ops 51-52)
     "ann_topk_bruteforce" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -1062,6 +1097,56 @@ object SparkEntry {
           |SELECT doc_id, list_min(list_transform(range(1, greatest(len(toks)-4, 1) + 1),
           |  i -> md5(array_to_string(toks[i:i+4], ' ')))) AS fingerprint
           |FROM t""".stripMargin,
+      "text_repetition" ->
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |g AS (
+          |  SELECT doc_id, unnest(list_transform(
+          |    range(1, greatest(len(toks)-1, 1) + 1),
+          |    i -> array_to_string(toks[i:i+1], ' '))) AS g
+          |  FROM t
+          |), c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+          |SELECT doc_id,
+          |  round(max(c)::DOUBLE / sum(c), 6) AS top_ngram_frac,
+          |  round(count(*)::DOUBLE / sum(c), 6) AS distinct_frac
+          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "corpus_sample" ->
+        s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+          |sc AS (SELECT doc_id, $langScores FROM t),
+          |l AS (SELECT doc_id, CASE $langCase ELSE 'unknown' END AS lang FROM sc),
+          |u AS (
+          |  SELECT doc_id, lang,
+          |    ${w8("md5(doc_id::VARCHAR)")} / 4294967296.0 AS u,
+          |    CASE WHEN lang = 'en' THEN 0.9
+          |         WHEN lang = 'unknown' THEN 0.25 ELSE 0.5 END AS rate
+          |  FROM l
+          |)
+          |SELECT lang, count(*) AS n_kept FROM u WHERE u < rate
+          |GROUP BY lang ORDER BY lang""".stripMargin,
+      "corpus_contamination" ->
+        s"""WITH $CORPUS_CTE,
+          |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(toks)-7, 1) + 1),
+          |    i -> array_to_string(toks[i:i+7], ' ')))) AS sh
+          |  FROM t
+          |),
+          |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+          |train AS (SELECT doc_id, sh FROM sh WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000))
+          |SELECT doc_id, count(*) AS n_hits
+          |FROM train JOIN bench USING (sh)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "corpus_pack" ->
+        s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+          |sc AS (SELECT doc_id, len(toks) AS ntok, $langScores FROM t),
+          |l AS (SELECT doc_id, ntok, CASE $langCase ELSE 'unknown' END AS stratum FROM sc),
+          |b AS (
+          |  SELECT stratum, doc_id, ntok,
+          |    CAST(floor((sum(ntok) OVER (PARTITION BY stratum ORDER BY doc_id) - ntok) / 2048.0) AS BIGINT) AS bin
+          |  FROM l
+          |)
+          |SELECT stratum, bin, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens
+          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "dedup_exact" ->
         s"""WITH $CORPUS_CTE
           |SELECT doc_id,

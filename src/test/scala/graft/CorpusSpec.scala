@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats flags repeated 2-grams") {
+    val df = Seq((1L, "a b a b a b"), (2L, "w x y z q r")).toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(df, "doc_id", "text")
+      .orderBy($"id").as[(Long, Double, Double)].collect()
+    // doc1 2-grams: (a b)x3, (b a)x2 → top 3/5, distinct 2/5
+    assert(out(0) == ((1L, 0.6, 0.4)))
+    // doc2 all distinct → top 1/5, distinct 5/5
+    assert(out(1) == ((2L, 0.2, 1.0)))
+  }
+
+  test("stratifiedSample: deterministic md5 coin, rates ordered by stratum") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "hi" else "lo"))
+      .toDF("doc_id", "s")
+    def run() = Corpus.stratifiedSample(df, "doc_id", $"s",
+      Map("hi" -> 0.9, "lo" -> 0.1), defaultRate = 0.5)
+    val counts = run().groupBy($"s").count().as[(String, Long)].collect().toMap
+    assert(counts("hi") > 400 && counts("hi") <= 500, counts.toString) // ~0.9 of 500
+    assert(counts("lo") < 100, counts.toString)                        // ~0.1 of 500
+    // same corpus → byte-identical sample, regardless of partitioning
+    assert(run().select($"doc_id").as[Long].collect().sorted.sameElements(
+      run().repartition(7).select($"doc_id").as[Long].collect().sorted))
+  }
+
+  test("contamination counts shared 8-grams with the benchmark set") {
+    val bench = Seq((100L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),  // identical → both 8-grams hit
+      (2L, "zz t2 t3 t4 t5 t6 t7 t8 t9"),  // shares the t2..t9 gram only
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))  // clean → absent from output
+      .toDF("doc_id", "text")
+    val out = Corpus.contamination(train, bench, "doc_id", "text", width = 8)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("packSequences bins by cumulative token count per stratum") {
+    val ten = Seq.fill(10)("w").mkString(" ")
+    val df = (1 to 10).map(i => (i.toLong, ten, "s")).toDF("doc_id", "text", "k")
+    val bins = Corpus.packSequences(df, "doc_id", "text", $"k",
+        targetTokens = 25, ordCol = "doc_id")
+      .orderBy($"doc_id").select($"bin").as[Long].collect().toSeq
+    // tokens-before: 0,10,..,90 → floor(/25): 0,0,0,1,1,2,2,2,3,3
+    assert(bins == Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
+  }
+}
