@@ -42,6 +42,18 @@ class CorpusSpec extends SparkSpec {
     assert(out == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("native expressions callable from SQL after Graft.register") {
+    graft.functions.Graft.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "word_shingles('a b c d', 3) AS ws, " +
+        "shingle_min_hash('a b c d', 3) AS mh, t_cdf(0.0, 5.0) AS c").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(r.getString(2).length == 32)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+  }
+
   test("packSequences bins by cumulative token count per stratum") {
     val ten = Seq.fill(10)("w").mkString(" ")
     val df = (1 to 10).map(i => (i.toLong, ten, "s")).toDF("doc_id", "text", "k")
