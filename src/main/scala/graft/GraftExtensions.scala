@@ -5,14 +5,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
 
-import graft.expressions.{DotProduct, StudentTCdf, WordShingles}
+import graft.expressions.{DotProduct, ShingleMinHash, StudentTCdf, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so pure-SQL users get them too:
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  * SQL surface: t_cdf(t, df), graft_dot(a, b), word_shingles(text, w).
+  * SQL surface: t_cdf(t, df), graft_dot(a, b), word_shingles(text, w),
+  * shingle_min_hash(text, w).
   * (Programmatic callers can instead use graft.functions.Graft.register
   * or the typed Column APIs.)
   */
@@ -32,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) => WordShingles(children(0),
+        children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_min_hash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_min_hash"),
+      (children: Seq[Expression]) => ShingleMinHash(children(0),
         children(1).eval().asInstanceOf[Int])))
   }
 }

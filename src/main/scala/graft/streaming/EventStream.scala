@@ -34,6 +34,28 @@ object EventStream {
         max(col("ts")).as("last_ts"))
   }
 
+  /** Streaming exact dedup — the ingestion-side twin of
+    * [[graft.operators.Dedup.exact]]: drop any document whose md5(text)
+    * was already seen, keeping the FIRST arrival (batch exact-dedup
+    * keeps min id; on a stream, arrival order is the only "min").
+    * Idiomatic Structured Streaming: `dropDuplicates` on the digest
+    * keys state by hash — the same one-shuffle shape as the batch op —
+    * and the event-time watermark bounds the dedup state so a 100 TB/day
+    * ingest doesn't accrete digests forever (docs arriving later than
+    * the watermark may re-admit a duplicate; that's the standard
+    * bounded-state trade).
+    */
+  def dedupExactStream(docs: DataFrame, idCol: String, textCol: String,
+                       tsCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("_digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      // dropDuplicatesWithinWatermark: digest-keyed state that the
+      // watermark purges (plain dropDuplicates on a non-event-time
+      // subset would keep every digest forever)
+      .dropDuplicatesWithinWatermark("_digest")
+      .drop("_digest")
+
   /** Read the events table shape as a file stream (parquet source). */
   def readEventStream(spark: org.apache.spark.sql.SparkSession,
                       path: String): DataFrame =

@@ -34,6 +34,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first arrival per digest") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val deduped = EventStream.dedupExactStream(docs, "doc_id", "text",
+      "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        (1L, new Timestamp(t0), "alpha beta"),
+        (2L, new Timestamp(t0 + 1000), "gamma delta"),
+        (3L, new Timestamp(t0 + 2000), "alpha beta")) // dup of doc 1
+      q.processAllAvailable()
+      // a later micro-batch duplicate within the watermark is dropped too
+      input.addData((4L, new Timestamp(t0 + 3000), "gamma delta"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
