@@ -93,6 +93,21 @@ class PlanSpec extends SparkSpec {
       "single-partition stage in keyed resample:\n" + p.take(1500))
   }
 
+  test("stratified sampling is a pure scan-level filter (one agg shuffle only)") {
+    // the md5-coin filter must not shuffle; the only exchange is the
+    // final per-stratum count (plus the orderBy range partitioning)
+    val p = finalPlan("corpus_sample")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"expected 1 hash shuffle (the groupBy), saw $shuffles:\n${p.take(1200)}")
+  }
+
+  test("contamination joins on the shingle key, never all-pairs") {
+    val p = finalPlan("corpus_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "contamination degenerated to an all-pairs join:\n" + p.take(1200))
+  }
+
   test("sim quote generation shuffles only once (the per-day walk window)") {
     val p = finalPlan("sim_quotes")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
