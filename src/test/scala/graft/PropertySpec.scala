@@ -116,4 +116,35 @@ class PropertySpec extends SparkSpec {
     }
     assert(pairs.collectFirst { case (1L, 2L, j) => j }.contains(1.0))
   }
+
+  test("ShingleMinHash equals min(md5) over the declarative shingle chain") {
+    // the native kernel must be indistinguishable from the formulation
+    // it replaced, on adversarial whitespace included
+    val texts = Seq("a b c d e f", "  padded   text  here ", "one",
+      "x y", "repeat repeat repeat repeat repeat repeat",
+      "tab\tand space", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val both = df.select($"doc_id",
+        graft.expressions.ShingleMinHash($"text", 5).as("native"),
+        array_min(transform(
+          graft.expressions.WordShingles($"text", 5, distinct = false),
+          s => md5(s))).as("declarative"))
+      .as[(Long, String, String)].collect()
+    both.foreach { case (id, n, d) =>
+      assert(n == d, s"doc $id: native $n != declarative $d")
+    }
+  }
+
+  test("stratified samples nest: raising the rate only adds rows") {
+    import graft.operators.Corpus
+    val df = (0L until 500L).map(i => (i, "s")).toDF("doc_id", "k")
+    def kept(rate: Double): Set[Long] =
+      Corpus.stratifiedSample(df, "doc_id", $"k", Map.empty, rate)
+        .select($"doc_id").as[Long].collect().toSet
+    val k2 = kept(0.2); val k5 = kept(0.5); val k8 = kept(0.8)
+    assert(k2.subsetOf(k5) && k5.subsetOf(k8),
+      "md5-coin samples must be nested across rates")
+    assert(k5.size > k2.size && k8.size > k5.size)
+  }
 }
