@@ -312,9 +312,12 @@ object SparkEntry {
       """SELECT event_type, event_id,
         |  round(value / lag(value) OVER w - 1, 6) AS ret
         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""".stripMargin,
+    // ln guarded: Spark log(x<=0) yields NULL, DuckDB ln(0) ERRORS —
+    // sf0.1 contains zero prices, so the oracle must null out like Spark
     "eod_log_returns" ->
       """SELECT event_type, event_id,
-        |  round(ln(value / lag(value) OVER w), 6) AS log_ret
+        |  round(CASE WHEN value / lag(value) OVER w > 0
+        |        THEN ln(value / lag(value) OVER w) END, 6) AS log_ret
         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""".stripMargin,
     "eod_price_index" ->
       s"""SELECT event_type, event_id,
@@ -529,7 +532,8 @@ object SparkEntry {
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "tick_micro_returns" ->
       """SELECT event_type, event_id,
-        |  round(ln(value) - lag(ln(value)) OVER w, 6) AS micro_ret
+        |  round(CASE WHEN value > 0 THEN ln(value) END
+        |        - lag(CASE WHEN value > 0 THEN ln(value) END) OVER w, 6) AS micro_ret
         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""".stripMargin,
     "tick_pvr" ->
       """SELECT event_type, round(stddev_samp(value) / avg(value), 6) AS pvr
@@ -540,7 +544,8 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "tick_realized_vol" ->
       """WITH t AS (
-        |  SELECT event_type, ln(value) - lag(ln(value)) OVER w AS lr
+        |  SELECT event_type, CASE WHEN value > 0 THEN ln(value) END
+        |    - lag(CASE WHEN value > 0 THEN ln(value) END) OVER w AS lr
         |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
         |)
         |SELECT event_type, round(sqrt(sum(pow(lr, 2.0))), 6) AS realized_vol
@@ -860,8 +865,14 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
           round(sum(col("n_events")).cast("double") / count(lit(1)), 6).as("avg_events"),
-          round(sum(unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
-            .cast("double") / (count(lit(1)) * 1e6), 6).as("avg_duration_s"))
+          // integer-µs quantize instead of round(x,6): Spark's round
+          // uses the double's SHORTEST decimal (BigDecimal.valueOf),
+          // DuckDB rounds the true binary value — they disagree by 1 ulp
+          // on half-boundary averages. floor(avg_µs + 0.5)/1e6 is the
+          // same IEEE ops on both engines.
+          (floor(sum(unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
+              .cast("double") / count(lit(1)) + lit(0.5)).cast("long") / 1e6)
+            .as("avg_duration_s"))
         .orderBy(col("user_id"))),
 
     // ---- OHLCV bars (reference tick/bars.py stub)
@@ -903,12 +914,14 @@ object SparkEntry {
       AsOfJoin.backward(trades, quotes, "user_id", "ts", Seq("quote_ts"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_trades"),
-          // Exact integer sum / non-null count, reported in SECONDS:
-          // at µs magnitude (~1e10) a 6-dp round needs >16 significant
-          // digits and the two engines' rounding diverges by 1 ulp.
-          round(sum(graft.functions.Quote.quoteLatencyUs(col("ts"), col("right_quote_ts")))
+          // Exact integer sum / non-null count, quantized to whole µs
+          // BEFORE the 1e6 rescale (round(x,6) on a ~1e10-µs-derived
+          // average hits 1-ulp engine disagreement; floor(avg+0.5) is
+          // the same IEEE ops on both engines).
+          (floor(sum(graft.functions.Quote.quoteLatencyUs(col("ts"), col("right_quote_ts")))
               .cast("double") /
-            (count(graft.functions.Quote.quoteLatencyUs(col("ts"), col("right_quote_ts"))) * 1e6), 6)
+            count(graft.functions.Quote.quoteLatencyUs(col("ts"), col("right_quote_ts")))
+            + lit(0.5)).cast("long") / 1e6)
             .as("avg_latency_s"))
         .orderBy(col("user_id"))
     }),
@@ -1366,7 +1379,7 @@ object SparkEntry {
           |)
           |SELECT user_id, count(*) AS n_sessions,
           |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
-          |  round(CAST(sum(dur_us) AS DOUBLE) / (count(*) * 1e6), 6) AS avg_duration_s
+          |  CAST(floor(CAST(sum(dur_us) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS avg_duration_s
           |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
       "tick_time_bars" ->
         s"""SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bs,
@@ -1396,8 +1409,8 @@ object SparkEntry {
         """WITH t AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
           |q AS (SELECT user_id, ts AS qts FROM events WHERE event_type = 'view')
           |SELECT t.user_id, count(*) AS n_trades,
-          |  round(CAST(sum(epoch_us(t.ts) - epoch_us(q.qts)) AS DOUBLE)
-          |        / (count(epoch_us(t.ts) - epoch_us(q.qts)) * 1e6), 6) AS avg_latency_s
+          |  CAST(floor(CAST(sum(epoch_us(t.ts) - epoch_us(q.qts)) AS DOUBLE)
+          |        / count(epoch_us(t.ts) - epoch_us(q.qts)) + 0.5) AS BIGINT) / 1e6 AS avg_latency_s
           |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.qts
           |GROUP BY t.user_id ORDER BY t.user_id""".stripMargin,
       "asof_join" ->
