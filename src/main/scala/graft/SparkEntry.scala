@@ -659,6 +659,10 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docCorpus(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docCorpus(s, dir), "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docCorpus(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
@@ -790,6 +794,20 @@ object SparkEntry {
         .select(col("user_id"), col("ts"),
           col("event_id").as("quote_id"), col("value").as("quote_value"))
       AsOfJoin.backward(trades, quotes, "user_id", "ts", Seq("quote_id", "quote_value"))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("trade_value"),
+          col("right_quote_id").as("quote_id"),
+          round(col("right_quote_value"), 6).as("quote_value"))
+        .orderBy(col("event_id"))
+    }),
+    "asof_join_forward" -> ((s, dir) => {
+      val e = events(s, dir)
+      val trades = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val quotes = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("quote_id"), col("value").as("quote_value"))
+      AsOfJoin.forward(trades, quotes, "user_id", "ts", Seq("quote_id", "quote_value"))
         .select(col("user_id"), col("event_id"),
           round(col("value"), 6).as("trade_value"),
           col("right_quote_id").as("quote_id"),
@@ -1192,6 +1210,34 @@ object SparkEntry {
           |SELECT doc_id,
           |  CAST(sum(CASE WHEN sc > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
           |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // Pigeonhole banding replayed in SQL: 4×8-bit bands of the same
+      // sign-sum fingerprint, candidates from exact band matches,
+      // bit_count(xor) verification.
+      "dedup_simhash_pairs" ->
+        s"""$TOKS_CTE, tok AS (
+          |  SELECT doc_id, unnest(toks) AS _w FROM t
+          |), h AS (SELECT doc_id, CAST($hexpr AS BIGINT) AS hv FROM tok),
+          |bits AS (
+          |  SELECT doc_id, r.range AS b,
+          |    CASE WHEN (hv >> CAST(r.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+          |  FROM h CROSS JOIN range(0, 32) r
+          |), sums AS (SELECT doc_id, b, sum(sgn) AS sc FROM bits GROUP BY doc_id, b),
+          |fp AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CASE WHEN sc > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+          |  FROM sums GROUP BY doc_id
+          |), bands AS (
+          |  SELECT doc_id, simhash, r.range AS band,
+          |    (simhash >> CAST(8 * r.range AS INT)) & 255 AS bucket
+          |  FROM fp CROSS JOIN range(0, 4) r
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          |)
+          |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+          |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
       "dedup_ngram_jaccard" ->
         s"""$TOKS_CTE, sh AS (
           |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
@@ -1419,6 +1465,13 @@ object SparkEntry {
           |SELECT t.user_id, t.event_id, round(t.value, 6) AS trade_value,
           |       q.quote_id, round(q.quote_value, 6) AS quote_value
           |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
+          |ORDER BY t.event_id""".stripMargin,
+      "asof_join_forward" ->
+        """WITH t AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+          |q AS (SELECT user_id, ts, event_id AS quote_id, value AS quote_value FROM events WHERE event_type = 'view')
+          |SELECT t.user_id, t.event_id, round(t.value, 6) AS trade_value,
+          |       q.quote_id, round(q.quote_value, 6) AS quote_value
+          |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts <= q.ts
           |ORDER BY t.event_id""".stripMargin,
       // Multimodal stubs: the fake payload is md5(text) (16 bytes), so
       // DuckDB reconstructs byte i from hex nibbles 2i+1, 2i+2 via strpos.

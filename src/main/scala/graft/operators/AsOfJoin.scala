@@ -44,4 +44,35 @@ object AsOfJoin {
     }
     filled.where(col("_side") === 1).drop("_side")
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * right.ts >= left.ts within the same key (the mirror strategy —
+    * "next quote after the trade"). Identical single-shuffle shape:
+    * the window just traverses each key partition in DESCENDING time,
+    * so forward-fill of the future right row is the same
+    * last-ignoreNulls.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+              rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_side", lit(1))
+      .select(Seq(col(key), col(ts), col("_side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"right_$c")): _*)
+    val r = right
+      .withColumn("_side", lit(0))
+      .select(Seq(col(key), col(ts), col("_side")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(c => col(c).as(s"right_$c")): _*)
+    // Descending time; right rows (_side 0) still sort before left rows
+    // at equal ts, so an exactly-simultaneous quote matches — `>=`.
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"right_$c", last(col(s"right_$c"), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_side") === 1).drop("_side")
+  }
 }

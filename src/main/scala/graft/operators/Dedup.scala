@@ -141,6 +141,47 @@ object Dedup {
       .select(col(idCol), fp.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: docs whose 32-bit fingerprints differ
+    * in at most `maxHamming` bits. Pigeonhole banding: the fingerprint
+    * splits into maxHamming+1 bit bands, and any pair within the radius
+    * must match EXACTLY on at least one band — so candidates come from a
+    * band-bucket join (the same LSH shape as minhash banding, one
+    * shuffle on (band, bucket)), then bit_count(xor) verifies the true
+    * hamming distance. Fingerprints ride through the bucket aggregation
+    * (id + int), so no re-join against the corpus is needed.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32), got $maxHamming")
+    val bands = maxHamming + 1
+    val fps = simhash(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    // 32 bits cut into `bands` near-equal chunks: band b covers bits
+    // [floor(32b/bands), floor(32(b+1)/bands)).
+    val bandArr = array((0 until bands).map { b =>
+      val lo = 32 * b / bands
+      val hi = 32 * (b + 1) / bands
+      val mask = (1L << (hi - lo)) - 1L
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+    fps.select(col("id"), col("simhash"), explode(bandArr).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs, via the
     * explode-join-count formulation: |A∩B| from a shingle self-join,
     * |A∪B| = |A|+|B|-|A∩B|. Shuffles on the shingle key — linear in

@@ -73,6 +73,31 @@ class OperatorsSpec extends SparkSpec {
       (12L, None))))      // user 2 has no quote before ts=10
   }
 
+  test("forward as-of picks earliest following quote, ties match") {
+    val trades = Seq((1L, 100L, 10L, 5.0), (1L, 50L, 11L, 6.0), (2L, 999L, 12L, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val quotes = Seq((1L, 90L, 20L, 1.5), (1L, 100L, 21L, 1.2), (2L, 99L, 22L, 9.9))
+      .toDF("user_id", "ts", "quote_id", "quote_value")
+    val out = AsOfJoin.forward(trades, quotes, "user_id", "ts",
+        Seq("quote_id", "quote_value"))
+      .orderBy($"event_id")
+      .select($"event_id", $"right_quote_id")
+      .as[(Long, Option[Long])].collect()
+    assert(out.sameElements(Array(
+      (10L, Some(21L)),   // quote AT ts=100 matches (>= includes ties)
+      (11L, Some(20L)),   // earliest quote at ts>=50 is ts=90
+      (12L, None))))      // user 2 has no quote after ts=999
+  }
+
+  test("simhash pairs finds near-identical docs within the hamming radius") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0))) // identical docs collide at hamming 0
+  }
+
   test("multimodal decode round-trips a real PNG through ImageIO") {
     val df = Seq((1L, "hello world"), (2L, "foo")).toDF("doc_id", "text")
     val out = Multimodal.decodeImage(
