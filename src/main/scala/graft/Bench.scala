@@ -42,11 +42,15 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Rounded to 3 decimals and sorted by DESCENDING time: the driver
+    // may keep only the tail of this line, so the biggest (most
+    // informative) numbers must come first and stay short.
+    val qs = results.toSeq.sortBy { case (_, v) => -v }
+      .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = math.round(results.values.sum * 1000) / 1000.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

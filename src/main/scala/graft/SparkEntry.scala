@@ -960,6 +960,39 @@ object SparkEntry {
         .select(col("ticker"), unix_micros(col("ts")).as("ts_us"),
           col("price"), col("size"), col("side").cast("long").as("side"),
           col("exchange").cast("long").as("exchange"), col("day"))),
+    // Whole-universe generation: tickers × days × ticks in ONE plan
+    // (walk window partitioned by (ticker, day)) — the shape the
+    // reference's per-symbol loop (sim/quotes.py:22) can't express.
+    "sim_quotes_universe" -> ((s, dir) =>
+      MarketSim.simulateQuotes(s, Seq("AAA", "BBB", "CCC"), days = 2,
+          ticksPerDay = 2000, seed = 42L)
+        .select(col("ticker"), unix_micros(col("ts")).as("ts_us"),
+          col("bid"), col("ask"), col("bid_size"), col("ask_size"),
+          col("exchange").cast("long").as("exchange"), col("day"))),
+    // Full reference quote schema (sim/quotes.py:72-91): conditions/
+    // indicators/tape + sequence/sip/trf timestamps, all md5-replayable.
+    "sim_quotes_full" -> ((s, dir) =>
+      MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000)
+        .select(col("ticker"), unix_micros(col("ts")).as("ts_us"),
+          col("bid"), col("ask"), col("bid_size"), col("ask_size"),
+          col("exchange").cast("long").as("exchange"), col("day"),
+          col("bid_exchange").cast("long").as("bid_exchange"),
+          col("conditions"), col("indicators"),
+          col("participant_timestamp"), col("sequence_number"),
+          col("sip_timestamp"), col("tape").cast("long").as("tape"),
+          col("trf_timestamp"))),
+    // Full reference trade schema (sim/trades.py:80-98).
+    "sim_trades_full" -> ((s, dir) =>
+      MarketSim.simulateTrades(
+          MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000),
+          targetVolumePerDay = 1000000L)
+        .select(col("ticker"), unix_micros(col("ts")).as("ts_us"),
+          col("price"), col("size"), col("side").cast("long").as("side"),
+          col("exchange").cast("long").as("exchange"), col("day"),
+          col("conditions"), col("correction"), col("id"),
+          col("participant_timestamp"), col("sequence_number"),
+          col("sip_timestamp"), col("tape").cast("long").as("tape"),
+          col("trf_id"), col("trf_timestamp"))),
     "sim_event_flags" -> ((s, dir) =>
       MarketSim.flagEventTicks(
           MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000),
@@ -1056,44 +1089,78 @@ object SparkEntry {
     def w8(c: String) = (1 to 8).map(j =>
       s"(strpos('0123456789abcdef', substr($c, $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}"
     ).mkString("(", " + ", ")")
-    // DuckDB replay of MarketSim.simulateQuotes("SIM", days=2,
-    // ticksPerDay=5000, seed=42): md5-derived uniforms, per-day
-    // random-walk mid via window cumsum, identical double-op order.
-    val QUOTES_CTE =
+    // Weighted exchange draw (MarketSim.weightedExchange): inverse-CDF
+    // over the RAW scanLeft cumulative doubles — Double.toString round-
+    // trips them so both engines run the identical IEEE compares.
+    def exCaseSql(uCol: String): String = {
+      val whens = MarketSim.Exchanges.init.zip(MarketSim.ExchangeCum.init)
+        .map { case (e, c) =>
+          s"WHEN $uCol < ${java.lang.Double.toString(c)} THEN $e"
+        }.mkString(" ")
+      s"(CASE $whens ELSE ${MarketSim.Exchanges.last} END)"
+    }
+    // DuckDB replay of MarketSim.simulateQuotes(tickers, days,
+    // ticksPerDay, seed=42): md5-derived uniforms, per-(ticker, day)
+    // random-walk mid via window cumsum, identical double-op order,
+    // full reference-superset column list (sim/quotes.py:72-91).
+    def quotesCteFor(tickers: Seq[String], days: Int, tpd: Int): String = {
+      val perTicker = days.toLong * tpd
+      val n = tickers.size * perTicker
+      val tickerList = tickers.map(t => s"'$t'").mkString("[", ", ", "]")
+      val tags = Seq("jit", "walk", "spr", "bs", "as", "ex", "bex",
+        "qc", "qcv", "qi", "qiv", "sip", "tape", "trf")
+      val hCols = tags.map(t => s"md5('42_' || id || '_$t') AS h_$t")
+        .mkString(",\n        |    ")
+      val uCols = tags.map(t => s"${w8(s"h_$t")} / 4294967296.0 AS u_$t")
+        .mkString(",\n        |    ")
       s"""base AS (
-        |  SELECT t.range AS id, t.range // 5000 AS day, t.range % 5000 AS k
-        |  FROM range(0, 10000) t
+        |  SELECT t.range AS id, CAST(t.range // $perTicker AS INT) AS tix,
+        |    (t.range % $perTicker) // $tpd AS day, t.range % $tpd AS k
+        |  FROM range(0, $n) t
         |), hq AS (
-        |  SELECT id, day, k,
-        |    md5('42_' || id || '_jit') AS h_jit, md5('42_' || id || '_walk') AS h_walk,
-        |    md5('42_' || id || '_spr') AS h_spr, md5('42_' || id || '_bs') AS h_bs,
-        |    md5('42_' || id || '_as') AS h_as, md5('42_' || id || '_ex') AS h_ex
+        |  SELECT id, tix, day, k,
+        |    $hCols
         |  FROM base
         |), uq AS (
-        |  SELECT id, day, k,
-        |    ${w8("h_jit")} / 4294967296.0 AS u_jit,
-        |    ${w8("h_walk")} / 4294967296.0 AS u_walk,
-        |    ${w8("h_spr")} / 4294967296.0 AS u_spr,
-        |    ${w8("h_bs")} / 4294967296.0 AS u_bs,
-        |    ${w8("h_as")} / 4294967296.0 AS u_as,
-        |    ${w8("h_ex")} / 4294967296.0 AS u_ex
+        |  SELECT id, tix, day, k,
+        |    $uCols
         |  FROM hq
-        |), quotes AS (
-        |  SELECT 'SIM' AS ticker,
+        |), q0 AS (
+        |  SELECT tix, day, k, u_qc, u_qcv, u_qi, u_qiv, u_sip, u_tape, u_trf,
+        |    $tickerList[tix + 1] AS ticker,
         |    1712928600000000 + day * 86400000000
-        |      + CAST(floor((k + u_jit) * 23400000000 / 5000) AS BIGINT) AS ts_us,
+        |      + CAST(floor((k + u_jit) * 23400000000 / $tpd) AS BIGINT) AS ts_us,
         |    round(100.0 + sum((u_walk - 0.5) * 0.02) OVER w
         |          - (0.01 + u_spr * 0.04) / 2, 4) AS bid,
         |    round(100.0 + sum((u_walk - 0.5) * 0.02) OVER w
         |          + (0.01 + u_spr * 0.04) / 2, 4) AS ask,
         |    CAST(floor(u_bs * 90 + 10) AS BIGINT) AS bid_size,
         |    CAST(floor(u_as * 90 + 10) AS BIGINT) AS ask_size,
-        |    CAST([12, 10, 11, 8, 2, 1, 201, 202][CAST(floor(u_ex * 8) AS INT) + 1] AS BIGINT) AS exchange,
-        |    day
+        |    CAST(${exCaseSql("u_ex")} AS BIGINT) AS exchange,
+        |    CAST(${exCaseSql("u_bex")} AS BIGINT) AS bid_exchange
         |  FROM uq
-        |  WINDOW w AS (PARTITION BY day ORDER BY k
+        |  WINDOW w AS (PARTITION BY tix, day ORDER BY k
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), quotes AS (
+        |  SELECT ticker, ts_us, bid, ask, bid_size, ask_size, exchange, day,
+        |    exchange AS ask_exchange, bid_exchange,
+        |    ask AS ask_price, bid AS bid_price,
+        |    CASE WHEN u_qc < 0.8 THEN '19'
+        |         ELSE CAST(CAST(1 + floor(u_qcv * 19) AS BIGINT) AS VARCHAR) END AS conditions,
+        |    CASE WHEN u_qi < 0.9 THEN ''
+        |         ELSE ['4', '12', '13'][CAST(floor(u_qiv * 3) AS INT) + 1] END AS indicators,
+        |    ts_us * 1000 AS participant_timestamp,
+        |    1000 + k AS sequence_number,
+        |    ts_us * 1000 + 5000 + CAST(floor(u_sip * 45000) AS BIGINT) AS sip_timestamp,
+        |    CAST(CASE WHEN exchange IN (10, 11, 1) THEN 1
+        |              WHEN exchange IN (12, 2) THEN 3
+        |              WHEN exchange IN (201, 202) THEN CAST(floor(u_tape * 3) AS INT) + 1
+        |              ELSE 2 END AS BIGINT) AS tape,
+        |    ts_us * 1000 + 10000 + CAST(floor(u_trf * 90000) AS BIGINT) AS trf_timestamp
+        |  FROM q0
         |)""".stripMargin
+    }
+    val QUOTES_CTE = quotesCteFor(Seq("SIM"), 2, 5000)
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, sig_${2 * b}::VARCHAR || '|' || sig_${2 * b + 1}::VARCHAR AS bucket FROM sig"
     ).mkString(" UNION ALL ")
@@ -1598,7 +1665,61 @@ object SparkEntry {
           |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
       "sim_quotes" ->
         s"""WITH $QUOTES_CTE
-          |SELECT * FROM quotes ORDER BY day, ts_us, bid""".stripMargin,
+          |SELECT ticker, ts_us, bid, ask, bid_size, ask_size, exchange, day
+          |FROM quotes ORDER BY day, ts_us, bid""".stripMargin,
+      "sim_quotes_universe" ->
+        s"""WITH ${quotesCteFor(Seq("AAA", "BBB", "CCC"), 2, 2000)}
+          |SELECT ticker, ts_us, bid, ask, bid_size, ask_size, exchange, day
+          |FROM quotes ORDER BY ticker, day, ts_us""".stripMargin,
+      "sim_quotes_full" ->
+        s"""WITH $QUOTES_CTE
+          |SELECT ticker, ts_us, bid, ask, bid_size, ask_size, exchange, day,
+          |  bid_exchange, conditions, indicators, participant_timestamp,
+          |  sequence_number, sip_timestamp, tape, trf_timestamp
+          |FROM quotes ORDER BY day, ts_us, bid""".stripMargin,
+      "sim_trades_full" ->
+        s"""WITH $QUOTES_CTE, th AS (
+          |  SELECT *, md5('42_' || ts_us || '_take') AS h_take,
+          |    md5('42_' || ts_us || '_side') AS h_side,
+          |    md5('42_' || ts_us || '_sz') AS h_sz,
+          |    md5('42_' || ts_us || '_tsip') AS h_tsip,
+          |    md5('42_' || ts_us || '_ttape') AS h_ttape,
+          |    md5('42_' || ts_us || '_trfid') AS h_trfid,
+          |    md5('42_' || ts_us || '_ttrf') AS h_ttrf
+          |  FROM quotes
+          |), tu AS (
+          |  SELECT *,
+          |    ${w8("h_take")} / 4294967296.0 AS u_take,
+          |    ${w8("h_side")} / 4294967296.0 AS u_side,
+          |    ${w8("h_sz")} / 4294967296.0 AS u_sz,
+          |    ${w8("h_tsip")} / 4294967296.0 AS u_tsip,
+          |    ${w8("h_ttape")} / 4294967296.0 AS u_ttape,
+          |    ${w8("h_trfid")} / 4294967296.0 AS u_trfid,
+          |    ${w8("h_ttrf")} / 4294967296.0 AS u_ttrf
+          |  FROM th
+          |), tf AS (SELECT * FROM tu WHERE u_take < 0.1),
+          |tn AS (
+          |  SELECT *, count(*) OVER (PARTITION BY ticker, day) AS npd,
+          |    row_number() OVER (PARTITION BY ticker, day ORDER BY ts_us) AS rn
+          |  FROM tf
+          |)
+          |SELECT ticker, ts_us,
+          |  CASE WHEN u_side < 0.5 THEN ask ELSE bid END AS price,
+          |  CAST(floor(1000000 / npd * (0.5 + u_sz)) AS BIGINT) AS size,
+          |  CAST(CASE WHEN u_side < 0.5 THEN 1 ELSE -1 END AS BIGINT) AS side,
+          |  exchange, day,
+          |  '0' AS conditions, CAST(NULL AS BIGINT) AS correction,
+          |  1000000 + rn - 1 AS id,
+          |  ts_us * 1000 AS participant_timestamp,
+          |  2000000 + rn - 1 AS sequence_number,
+          |  ts_us * 1000 + 5000 + CAST(floor(u_tsip * 195000) AS BIGINT) AS sip_timestamp,
+          |  CAST(CASE WHEN exchange IN (10, 11, 1) THEN 1
+          |            WHEN exchange IN (12, 2) THEN 3
+          |            WHEN exchange IN (201, 202) THEN CAST(floor(u_ttape * 3) AS INT) + 1
+          |            ELSE 2 END AS BIGINT) AS tape,
+          |  CAST(floor(u_trfid * 3) AS BIGINT) AS trf_id,
+          |  ts_us * 1000 + 10000 + CAST(floor(u_ttrf * 390000) AS BIGINT) AS trf_timestamp
+          |FROM tn ORDER BY day, ts_us""".stripMargin,
       "sim_trades" ->
         s"""WITH $QUOTES_CTE, th AS (
           |  SELECT *, md5('42_' || ts_us || '_take') AS h_take,

@@ -101,6 +101,60 @@ class Operators2Spec extends SparkSpec {
     assert(math.abs(prev("day")._4) < 1e-12)         // untouched column
   }
 
+  test("multi-ticker universe: one plan, independent walks per ticker") {
+    val uni = MarketSim.simulateQuotes(spark, Seq("AAA", "BBB"), days = 1,
+      ticksPerDay = 300, seed = 42L)
+    val counts = uni.groupBy($"ticker").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("AAA" -> 300L, "BBB" -> 300L))
+    // different row ids → different md5 draws → decorrelated walks
+    val lastBid = uni.where($"day" === 0).groupBy($"ticker")
+      .agg(max(struct($"ts", $"bid"))("bid").as("b")).as[(String, Double)]
+      .collect().toMap
+    assert(lastBid("AAA") != lastBid("BBB"))
+    // exactly ONE shuffle: the (ticker, day) walk window
+    val nEx = uni.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange "))
+    assert(nEx == 1, s"expected 1 exchange, saw $nEx")
+  }
+
+  test("reference sim schema: conditions/indicators/tape columns") {
+    val q = MarketSim.simulateQuotes(spark, "T", days = 1, ticksPerDay = 2000)
+    // quotes superset the reference column list (sim/quotes.py:72-91)
+    val refQuoteCols = Seq("ticker", "ask_exchange", "ask_price", "ask_size",
+      "bid_exchange", "bid_price", "bid_size", "conditions", "indicators",
+      "participant_timestamp", "sequence_number", "sip_timestamp", "tape",
+      "trf_timestamp")
+    assert(refQuoteCols.forall(q.columns.contains))
+    val rows = q.select($"exchange", $"tape", $"conditions", $"indicators")
+      .as[(Int, Int, String, String)].collect()
+    for ((ex, tape, cond, ind) <- rows) {
+      // assign_tape mapping (sim/common.py:18)
+      ex match {
+        case 10 | 11 | 1 => assert(tape == 1)
+        case 12 | 2      => assert(tape == 3)
+        case 201 | 202   => assert(tape >= 1 && tape <= 3)
+        case _           => assert(tape == 2)
+      }
+      assert(cond.toInt >= 1 && cond.toInt <= 19)
+      assert(ind == "" || Seq("4", "12", "13").contains(ind))
+    }
+    // distribution shape: "19" with p=0.8, "" with p=0.9
+    val n = rows.length.toDouble
+    assert(rows.count(_._3 == "19") / n > 0.7)
+    assert(rows.count(_._4 == "") / n > 0.8)
+    // weighted exchange mix: Nasdaq(12, w=.25) must beat AMEX(1, w=.05)
+    val exCounts = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(exCounts(12) > exCounts(1))
+    // trades superset the reference column list (sim/trades.py:80-98)
+    val t = MarketSim.simulateTrades(q, targetVolumePerDay = 100000L)
+    val refTradeCols = Seq("ticker", "conditions", "correction", "exchange",
+      "id", "participant_timestamp", "price", "sequence_number",
+      "sip_timestamp", "size", "tape", "trf_id", "trf_timestamp")
+    assert(refTradeCols.forall(t.columns.contains))
+    val ids = t.select($"id").as[Long].collect().sorted
+    assert(ids.head == 1000000L && ids.toSeq == (ids.head until ids.head + ids.length).toSeq)
+  }
+
   test("event windows are deterministic, bounded, and inside the day") {
     val w = MarketSim.eventWindows(spark, days = 10, numEvents = 3,
       minDurUs = 600000000L, maxDurUs = 3600000000L)
