@@ -75,6 +75,49 @@ object PluginRegistry {
     melt(df, "mean_before").join(melt(after, "mean_after"), "column")
       .withColumn("delta", col("mean_after") - col("mean_before"))
   }
+
+  /** Shape-change inspector (reference sim/utils/preview.py:39
+    * summary_diff), as DATA: one row with row/column counts before and
+    * after the plugin. Row counts are two distributed count aggregates
+    * joined 1×1 — previewing a 100 TB frame never collects it.
+    */
+  def previewSummaryDiff(df: DataFrame, pluginName: String,
+                         params: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val plugin = registry.getOrElse(pluginName,
+      throw new IllegalArgumentException(s"plugin '$pluginName' not registered"))
+    val after = plugin(df, params)
+    df.agg(count(lit(1)).as("rows_before"))
+      .withColumn("cols_before", lit(df.columns.length))
+      .crossJoin(after.agg(count(lit(1)).as("rows_after"))
+        .withColumn("cols_after", lit(after.columns.length)))
+      .select(col("rows_before"), col("rows_after"),
+        col("cols_before"), col("cols_after"),
+        (col("rows_after") - col("rows_before")).as("rows_delta"),
+        (col("cols_after") - col("cols_before")).as("cols_delta"))
+  }
+
+  /** Column-difference inspector (reference sim/utils/preview.py:59
+    * column_changes), as DATA: one row per added / removed / retyped
+    * column. Pure schema metadata — no job runs at all.
+    */
+  def previewColumnChanges(df: DataFrame, pluginName: String,
+                           params: Map[String, String] = Map.empty): DataFrame = {
+    val plugin = registry.getOrElse(pluginName,
+      throw new IllegalArgumentException(s"plugin '$pluginName' not registered"))
+    val after = plugin(df, params)
+    val before = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val now = after.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      now.keys.filterNot(before.contains).toSeq.sorted
+        .map(c => (c, "added", null: String, now(c))) ++
+      before.keys.filterNot(now.contains).toSeq.sorted
+        .map(c => (c, "removed", before(c), null: String)) ++
+      before.keys.filter(c => now.get(c).exists(_ != before(c))).toSeq.sorted
+        .map(c => (c, "retyped", before(c), now(c)))
+    import df.sparkSession.implicits._
+    rows.toDF("column", "change", "type_before", "type_after")
+  }
 }
 
 /** Example plugin: widen quote spreads by a multiplicative factor

@@ -101,6 +101,35 @@ class Operators2Spec extends SparkSpec {
     assert(math.abs(prev("day")._4) < 1e-12)         // untouched column
   }
 
+  test("preview inspectors: shape diff + column changes as data") {
+    // a plugin that filters rows, drops a column, retypes one, adds one
+    object MutatingPlugin extends graft.sim.SimPlugin {
+      override val name = "mutating"
+      override val pluginType = "quotes"
+      override def apply(df: org.apache.spark.sql.DataFrame,
+                         params: Map[String, String]) =
+        df.where(col("day") === 0).drop("ask")
+          .withColumn("bid", col("bid").cast("float"))
+          .withColumn("extra", lit(1))
+    }
+    PluginRegistry.register(MutatingPlugin)
+    val quotes = MarketSim.simulateQuotes(spark, "T", days = 2, ticksPerDay = 100)
+    val shape = PluginRegistry.previewSummaryDiff(quotes, "mutating")
+      .as[(Long, Long, Int, Int, Long, Int)].head()
+    assert(shape == ((200L, 100L, quotes.columns.length,
+      quotes.columns.length, -100L, 0)))
+    val changes = PluginRegistry.previewColumnChanges(quotes, "mutating")
+      .as[(String, String, String, String)].collect().toSet
+    assert(changes == Set(
+      ("extra", "added", null, "int"),
+      ("ask", "removed", "double", null),
+      ("bid", "retyped", "double", "float")))
+    // the numeric-change inspector tolerates the dropped/retyped columns
+    val prev = PluginRegistry.previewPluginEffect(quotes, "mutating")
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!prev.contains("ask") && prev.contains("bid_size"))
+  }
+
   test("multi-ticker universe: one plan, independent walks per ticker") {
     val uni = MarketSim.simulateQuotes(spark, Seq("AAA", "BBB"), days = 1,
       ticksPerDay = 300, seed = 42L)

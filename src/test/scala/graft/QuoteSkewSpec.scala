@@ -31,6 +31,55 @@ class QuoteSkewSpec extends SparkSpec {
     assert(r.getInt(3) == 11 && r.getInt(4) == 12)
   }
 
+  private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    // conf.get returns null (not an exception) for unset keys whose
+    // default is null — treat those as "unset on restore"
+    val old = pairs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE skew-join splits the hot key at runtime (rel_join_agg shape)") {
+    // rel_join_agg's fact-fact join relies on AQE for the skewed orders
+    // key at scale; pin that behavior: one hot key holding ~99% of the
+    // fact rows, thresholds scaled down to test size.
+    val fact = ((1 to 40000).map(i => ("hot", s"payload_value_$i")) ++
+      (1 to 400).map(i => (s"k${i % 20}", s"p$i"))).toDF("key", "payload")
+    val dim = (Seq("hot") ++ (0 until 20).map("k" + _))
+      .map(k => (k, k.length)).toDF("key", "attr")
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    withSQLConf(confs: _*) {
+      val joined = fact.join(dim, "key")
+      joined.write.format("noop").mode("overwrite").save()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join side:\n$plan")
+      // and the split join is still correct
+      assert(fact.join(dim, "key").count() == 40400L)
+    }
+    // negative control: with skew handling off the marker must vanish,
+    // so this test FAILS if someone disables AQE skew-join handling
+    withSQLConf(confs :+
+      ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
+      val joined = fact.join(dim, "key")
+      joined.write.format("noop").mode("overwrite").save()
+      assert(!joined.queryExecution.executedPlan.toString().contains("skew=true"))
+    }
+  }
+
   test("salted aggregations equal their direct counterparts on skewed data") {
     // 90% of rows on one hot key
     val rows = (1 to 2000).map { i =>
