@@ -63,20 +63,24 @@ class QuoteSkewSpec extends SparkSpec {
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     withSQLConf(confs: _*) {
       val joined = fact.join(dim, "key")
-      joined.write.format("noop").mode("overwrite").save()
+      // collect() drives joined.queryExecution itself, so executedPlan
+      // below is the FINALIZED adaptive plan (a fresh write.save() would
+      // re-plan on its own QueryExecution and leave this one unexecuted)
+      assert(joined.collect().length == 40400)
       val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("isFinalPlan=true"), s"plan never finalized:\n$plan")
       assert(plan.contains("skew=true"),
         s"AQE did not split the skewed join side:\n$plan")
-      // and the split join is still correct
-      assert(fact.join(dim, "key").count() == 40400L)
     }
     // negative control: with skew handling off the marker must vanish,
     // so this test FAILS if someone disables AQE skew-join handling
     withSQLConf(confs :+
       ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
       val joined = fact.join(dim, "key")
-      joined.write.format("noop").mode("overwrite").save()
-      assert(!joined.queryExecution.executedPlan.toString().contains("skew=true"))
+      assert(joined.collect().length == 40400)
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("isFinalPlan=true"), s"plan never finalized:\n$plan")
+      assert(!plan.contains("skew=true"))
     }
   }
 
