@@ -26,21 +26,31 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Each query runs REPS times and records the MIN: a single-shot
+    // timing on a loaded host charges other processes' CPU to whichever
+    // query they landed on (this misrepresented the engine by ~2.5× two
+    // rounds running); min-of-2 keeps the record within noise of a
+    // clean-host run while only doubling bench wall-clock.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, NOT count(): a count() lets ColumnPruning discard
-      // every computed column, so the plan being timed degenerates to a
-      // parquet count-scan for pure select/window queries. The noop
-      // writer consumes every output column — nothing can be pruned.
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch {
-        case e: Throwable =>
-          // A swallowed failure must not masquerade as a fast query:
-          // record it so the JSON line shows exactly what broke.
-          errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop sink, NOT count(): a count() lets ColumnPruning discard
+        // every computed column, so the plan being timed degenerates to a
+        // parquet count-scan for pure select/window queries. The noop
+        // writer consumes every output column — nothing can be pruned.
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            // A swallowed failure must not masquerade as a fast query:
+            // record it so the JSON line shows exactly what broke.
+            errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (times.nonEmpty) times.min else 0.0)
     }
     // Rounded to 3 decimals and sorted by DESCENDING time: the driver
     // may keep only the tail of this line, so the biggest (most

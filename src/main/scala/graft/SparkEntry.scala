@@ -308,6 +308,30 @@ object SparkEntry {
   // ------------------------------------------------------------ oracles
 
   private def coreOracles: Map[String, String] = Map(
+    // prob_mom's t-statistic + df are plain SQL even though its t-CDF
+    // kernel isn't — same rn-pivot as the Spark plan (unpaired rows
+    // yield a null side, which avg/stddev/count drop)
+    "eod_prob_mom_inputs" ->
+      s"""$R_CTE, p AS (
+        |  SELECT rn,
+        |    max(CASE WHEN event_type = 'click' THEN ret END) AS ra,
+        |    max(CASE WHEN event_type = 'view' THEN ret END) AS rb
+        |  FROM (
+        |    SELECT event_type, ret,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |    FROM r WHERE event_type IN ('click', 'view')
+        |  ) GROUP BY rn
+        |)
+        |SELECT round(avg(ra - rb) / stddev_samp(ra - rb), 6) AS t_stat,
+        |  count(ra - rb) - 1 AS t_df
+        |FROM p""".stripMargin,
+    // streaming exact dedup replay: final state = one row per distinct
+    // text digest; text_len is digest-determined so survivor identity
+    // doesn't matter
+    "streaming_dedup" ->
+      """SELECT DISTINCT md5(text) AS digest,
+        |  CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents ORDER BY digest""".stripMargin,
     "eod_returns" ->
       """SELECT event_type, event_id,
         |  round(value / lag(value) OVER w - 1, 6) AS ret
@@ -829,6 +853,21 @@ object SparkEntry {
           max(when(col("event_type") === "view", col("ret"))).as("rb"))
         .agg(round(expr(Graft.probMomSql), 6).as("prob_mom"))
     }),
+    // Companion that pins prob_mom's INPUTS in the oracle: the t-CDF
+    // kernel itself has no SQL form (it stays t-table/reference-pinned
+    // in spec), but the t-statistic and df feeding it are plain SQL —
+    // this shrinks the unverified surface to just the CDF evaluation.
+    "eod_prob_mom_inputs" -> ((s, dir) =>
+      withRet(s, dir)
+        .where(col("event_type").isin("click", "view"))
+        .withColumn("rn", row_number().over(wT))
+        .groupBy(col("rn"))
+        .agg(max(when(col("event_type") === "click", col("ret"))).as("ra"),
+          max(when(col("event_type") === "view", col("ret"))).as("rb"))
+        .agg(
+          round(avg(col("ra") - col("rb")) / stddev_samp(col("ra") - col("rb")), 6)
+            .as("t_stat"),
+          (count(col("ra") - col("rb")) - 1).as("t_df"))),
 
     // ---- cross-asset correlation + corpus n-gram stats
     "eod_corr_matrix" -> ((s, dir) => {
@@ -892,6 +931,41 @@ object SparkEntry {
               .cast("double") / count(lit(1)) + lit(0.5)).cast("long") / 1e6)
             .as("avg_duration_s"))
         .orderBy(col("user_id"))),
+
+    // ---- streaming exact dedup, REPLAYED to batch for the oracle
+    // (op 80): a real Structured Streaming run — file source →
+    // dropDuplicatesWithinWatermark → foreachBatch parquet sink — whose
+    // final state DuckDB then checks. Output columns are all functions
+    // of the digest (not of WHICH duplicate survived the state race),
+    // so the result is deterministic at any parallelism/batching.
+    "streaming_dedup" -> ((s, dir) => {
+      val path = s"$dir/documents.parquet"
+      val out = java.nio.file.Files.createTempDirectory("graft-sdedup-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sdedup-ck").toString
+      // the streaming file source wants a DIRECTORY to watch; stage the
+      // table file into one (a production ingest watches a landing dir)
+      val in = java.nio.file.Files.createTempDirectory("graft-sdedup-in")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("documents.parquet"))
+      val docs = s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(in.toString)
+        // synthetic deterministic event time (documents carry none);
+        // 10-year watermark delay => nothing is ever late in replay,
+        // while a production ingest would use a real bound
+        .withColumn("ts", timestamp_micros(lit(1712928600000000L) + col("doc_id")))
+      val q = graft.streaming.EventStream
+        .dedupExactStream(docs, "doc_id", "text", "ts", "3650 days")
+        .select(md5(col("text")).as("digest"),
+          length(col("text")).cast("long").as("text_len"))
+        .writeStream
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("digest"))
+    }),
 
     // ---- OHLCV bars (reference tick/bars.py stub)
     "tick_time_bars" -> ((s, dir) => {
@@ -1679,13 +1753,13 @@ object SparkEntry {
           |FROM quotes ORDER BY day, ts_us, bid""".stripMargin,
       "sim_trades_full" ->
         s"""WITH $QUOTES_CTE, th AS (
-          |  SELECT *, md5('42_' || ts_us || '_take') AS h_take,
-          |    md5('42_' || ts_us || '_side') AS h_side,
-          |    md5('42_' || ts_us || '_sz') AS h_sz,
-          |    md5('42_' || ts_us || '_tsip') AS h_tsip,
-          |    md5('42_' || ts_us || '_ttape') AS h_ttape,
-          |    md5('42_' || ts_us || '_trfid') AS h_trfid,
-          |    md5('42_' || ts_us || '_ttrf') AS h_ttrf
+          |  SELECT *, md5('42_' || ticker || '_' || ts_us || '_take') AS h_take,
+          |    md5('42_' || ticker || '_' || ts_us || '_side') AS h_side,
+          |    md5('42_' || ticker || '_' || ts_us || '_sz') AS h_sz,
+          |    md5('42_' || ticker || '_' || ts_us || '_tsip') AS h_tsip,
+          |    md5('42_' || ticker || '_' || ts_us || '_ttape') AS h_ttape,
+          |    md5('42_' || ticker || '_' || ts_us || '_trfid') AS h_trfid,
+          |    md5('42_' || ticker || '_' || ts_us || '_ttrf') AS h_ttrf
           |  FROM quotes
           |), tu AS (
           |  SELECT *,
@@ -1722,9 +1796,9 @@ object SparkEntry {
           |FROM tn ORDER BY day, ts_us""".stripMargin,
       "sim_trades" ->
         s"""WITH $QUOTES_CTE, th AS (
-          |  SELECT *, md5('42_' || ts_us || '_take') AS h_take,
-          |    md5('42_' || ts_us || '_side') AS h_side,
-          |    md5('42_' || ts_us || '_sz') AS h_sz
+          |  SELECT *, md5('42_' || ticker || '_' || ts_us || '_take') AS h_take,
+          |    md5('42_' || ticker || '_' || ts_us || '_side') AS h_side,
+          |    md5('42_' || ticker || '_' || ts_us || '_sz') AS h_sz
           |  FROM quotes
           |), tu AS (
           |  SELECT *,

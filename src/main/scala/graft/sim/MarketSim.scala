@@ -196,11 +196,16 @@ object MarketSim {
   def simulateTrades(quotes: DataFrame, targetVolumePerDay: Long,
                      seed: Long = 42L): DataFrame = {
     val sampleRate = 0.1
-    val q = quotes.withColumn("_r", u(seed, unix_micros(col("ts")), "take"))
-      .where(col("_r") < sampleRate)
+    // Draws are keyed on (ticker, ts), not ts alone: in a multi-ticker
+    // universe, cross-ticker µs timestamp collisions would otherwise hand
+    // the colliding rows identical take/side/size draws, correlating
+    // trades across tickers.
     val tsU = unix_micros(col("ts"))
+    val key = concat_ws("_", col("ticker"), tsU)
+    val q = quotes.withColumn("_r", u(seed, key, "take"))
+      .where(col("_r") < sampleRate)
     val tsN = tsU * 1000L
-    val side = when(u(seed, tsU, "side") < 0.5, 1).otherwise(-1)
+    val side = when(u(seed, key, "side") < 0.5, 1).otherwise(-1)
     val byDay = Window.partitionBy(col("ticker"), col("day"))
     val nPerDay = count(lit(1)).over(byDay)
     // Per-(ticker, day) sequential ids (reference np.arange per call);
@@ -210,7 +215,7 @@ object MarketSim {
       col("ticker"), col("ts"),
       when(side === 1, col("ask")).otherwise(col("bid")).as("price"),
       (lit(targetVolumePerDay) / nPerDay *
-        (lit(0.5) + u(seed, tsU, "sz"))).cast("long").as("size"),
+        (lit(0.5) + u(seed, key, "sz"))).cast("long").as("size"),
       side.as("side"),
       col("exchange"), col("day"),
       // --- reference-schema superset (sim/trades.py:80-98) ---
@@ -219,11 +224,11 @@ object MarketSim {
       (lit(1000000L) + rn - 1).as("id"),
       tsN.as("participant_timestamp"),
       (lit(2000000L) + rn - 1).as("sequence_number"),
-      (tsN + 5000L + (u(seed, tsU, "tsip") * 195000).cast("long"))
+      (tsN + 5000L + (u(seed, key, "tsip") * 195000).cast("long"))
         .as("sip_timestamp"),
-      assignTape(col("exchange"), u(seed, tsU, "ttape")).as("tape"),
-      (u(seed, tsU, "trfid") * 3).cast("long").as("trf_id"),
-      (tsN + 10000L + (u(seed, tsU, "ttrf") * 390000).cast("long"))
+      assignTape(col("exchange"), u(seed, key, "ttape")).as("tape"),
+      (u(seed, key, "trfid") * 3).cast("long").as("trf_id"),
+      (tsN + 10000L + (u(seed, key, "ttrf") * 390000).cast("long"))
         .as("trf_timestamp"))
   }
 }

@@ -37,6 +37,28 @@ class SyntaxSpec extends SparkSpec {
     }
   }
 
+  test("guard modes: WARN and SILENT proceed on mismatch, STRICT restores") {
+    // reference guardrails.py:13-30 — WARN warns and continues, SILENT
+    // says nothing, and the mode switch is global with lexical override
+    val df = Seq(("a", 1)).toDF("k", "v")
+    Guardrails.withMode(Guardrails.Warn) {
+      Guardrails.requireDouble(df, "v") // logs, must NOT throw
+      assert(Guardrails.currentMode == Guardrails.Warn)
+    }
+    Guardrails.withMode(Guardrails.Silent) {
+      Guardrails.requireDouble(df, "v")
+    }
+    // withMode restored the global STRICT default
+    assert(Guardrails.currentMode == Guardrails.Strict)
+    intercept[IllegalArgumentException] {
+      Guardrails.requireDouble(df, "v")
+    }
+    // and the global switch itself works
+    Guardrails.setMode(Guardrails.Warn)
+    try Guardrails.requireDouble(df, "v")
+    finally Guardrails.setMode(Guardrails.Strict)
+  }
+
   test("SQL surface via GraftExtensions-style registration") {
     functions.Graft.register(spark)
     val p = spark.sql("SELECT t_cdf(0.0, 10.0) AS p").as[Double].head()
