@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Resample, Similarity}
+
+/** Scale probe: the driver's testdata stops at sf0.1, so this main
+  * self-generates inputs at multiples of the sf0.1 row counts (same
+  * md5-derived determinism as MarketSim) and times the heaviest
+  * operators at each multiple. The point is evidence, not a record:
+  * ~linear wall-time in rows, no OOM, caps/AQE engaging — the
+  * measurements behind "this formulation survives 100 TB".
+  *
+  * Emits one JSON line per measurement:
+  *   {"op":...,"scale":m,"rows":n,"sec":t}
+  * Run: SPARK_GRAFT_SCALES=1,10,50 sbt "runMain graft.Scale"
+  */
+object Scale {
+  private def u(id: Column, tag: String): Column =
+    conv(substring(md5(concat_ws("_", lit("sc"), id, lit(tag))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Synthetic corpus with a known dup structure: every 10th doc is a
+    * one-token mutation of its predecessor (near-dup), every 25th an
+    * exact copy — so dedup operators do real pair work at every scale.
+    */
+  def genDocs(spark: SparkSession, n: Long): DataFrame = {
+    val isExact = col("id") % 25 === 24
+    val isNear = (col("id") % 10 === 9) && !isExact
+    val parent = when(isExact || isNear, col("id") - 1).otherwise(col("id"))
+    val toks = transform(sequence(lit(0), lit(49)), j =>
+      concat(lit("tok"),
+        conv(substring(md5(concat_ws("_", parent, j)), 1, 6), 16, 10)
+          .cast("long") % 5000))
+    val mutated = when(isNear,
+        transform(toks, (t, j) =>
+          when(j === 7, concat(lit("mut"), col("id"))).otherwise(t)))
+      .otherwise(toks)
+    spark.range(n)
+      .select(col("id").as("doc_id"), concat_ws(" ", mutated).as("text"))
+  }
+
+  /** Embedding corpus, same 1-in-10 near-dup structure (parent vector
+    * plus 1% noise → cosine ≈ 0.99998, inside every LSH table's reach).
+    */
+  def genEmbeddings(spark: SparkSession, n: Long, dim: Int): DataFrame = {
+    val isNear = col("id") % 10 === 9
+    val parent = when(isNear, col("id") - 1).otherwise(col("id"))
+    val vec = transform(sequence(lit(0), lit(dim - 1)), d =>
+      (u(concat_ws("#", parent, d), "v") * 2 - 1) +
+        when(isNear, (u(concat_ws("#", col("id"), d), "nz") - 0.5) * 0.02)
+          .otherwise(0.0))
+    spark.range(n).select(col("id").as("vec_id"),
+      vec.cast("array<double>").as("embedding"))
+  }
+
+  /** Per-key return series (events shape) for the keyed resample. */
+  def genSeries(spark: SparkSession, n: Long, keys: Int): DataFrame =
+    spark.range(n).select(
+      (col("id") % keys).as("key"),
+      (col("id") / keys).as("ord"),
+      ((u(col("id"), "r") - 0.5) * 0.02).as("ret"))
+
+  /** Skewed fact: ~90% of rows on one hot key — the rel_join_agg risk
+    * shape whose 100×-scale story is AQE skew-join.
+    */
+  def genSkewFact(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      when(u(col("id"), "k") < 0.9, lit("hot"))
+        .otherwise(concat(lit("k"), (u(col("id"), "k2") * 1000).cast("long")))
+        .as("key"),
+      (col("id") % 1000).cast("double").as("v"))
+
+  def main(args: Array[String]): Unit = {
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,50")
+      .split(",").map(_.trim.toLong)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dim = 64
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.Graft.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-scale").toString
+
+    def timed(op: String, m: Long, rows: Long)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      val sec = math.round((System.nanoTime() - t0) / 1e6) / 1e3
+      println(s"""{"op":"$op","scale":$m,"rows":$rows,"sec":$sec}""")
+    }
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    for (m <- scales) {
+      val nDocs = 5000L * m
+      val nEmb = 2000L * m
+      val nSeries = 100000L * m
+      val nFact = 600000L * m
+      // Materialize inputs first (generation timed apart from the
+      // operators, which then read parquet like any production run).
+      timed("gen", m, nDocs + nEmb + nSeries + nFact) {
+        genDocs(spark, nDocs).write.mode("overwrite").parquet(s"$root/$m/docs")
+        genEmbeddings(spark, nEmb, dim).write.mode("overwrite")
+          .parquet(s"$root/$m/emb")
+        genSeries(spark, nSeries, keys = 100).write.mode("overwrite")
+          .parquet(s"$root/$m/series")
+        genSkewFact(spark, nFact).write.mode("overwrite")
+          .parquet(s"$root/$m/fact")
+      }
+      val docs = spark.read.parquet(s"$root/$m/docs")
+      val emb = spark.read.parquet(s"$root/$m/emb")
+      val series = spark.read.parquet(s"$root/$m/series")
+      val fact = spark.read.parquet(s"$root/$m/fact")
+      val queries = emb.where(col("vec_id") < 256)
+
+      timed("dedup_exact", m, nDocs) {
+        sink(Dedup.exact(docs, "doc_id", "text").where(col("is_dup")))
+      }
+      timed("dedup_minhash_lsh", m, nDocs) {
+        sink(Dedup.minhashLshPairs(docs, "doc_id", "text"))
+      }
+      timed("dedup_simhash_pairs", m, nDocs) {
+        sink(Dedup.simhashPairs(docs, "doc_id", "text"))
+      }
+      timed("dedup_ngram_jaccard", m, nDocs) {
+        sink(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+      }
+      timed("dedup_embedding", m, nEmb) {
+        sink(Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.99, dim))
+      }
+      timed("ann_topk_lsh", m, nEmb) {
+        sink(Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10, dim))
+      }
+      timed("ann_topk_ivf", m, nEmb) {
+        sink(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10))
+      }
+      timed("resample_by_key", m, nSeries) {
+        sink(Resample.resampleMean(series, "ret", Seq("key"), Seq("ord"), 10))
+      }
+      // Skewed shuffle join + agg under AQE; broadcast disabled so the
+      // skew-join path (not a broadcast) is what's being measured.
+      val dimTbl = spark.range(1001)
+        .select(when(col("id") === 1000, lit("hot"))
+          .otherwise(concat(lit("k"), col("id"))).as("key"),
+          col("id").as("attr"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = fact.join(dimTbl, "key")
+          .groupBy(col("key"))
+          .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+        timed("skew_join_agg", m, nFact) {
+          val out = joined.collect()
+          require(out.nonEmpty)
+        }
+        val plan = joined.queryExecution.executedPlan.toString()
+        println(s"""{"op":"skew_join_agg_plan","scale":$m,"skew_split":${plan.contains("skew=true")}}""")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    spark.stop()
+  }
+}
