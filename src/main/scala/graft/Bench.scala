@@ -61,7 +61,11 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = math.round(results.values.sum * 1000) / 1000.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The headline total appears BOTH first (spec position) and last
+    // (duplicated as total_sec): the driver may keep only the tail of
+    // this line, and r5's record lost the leading "value" field to that
+    // truncation — the trailing copy makes the total indestructible.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -91,9 +91,17 @@ object Scale {
 
     def timed(op: String, m: Long, rows: Long)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
-      body
-      val sec = math.round((System.nanoTime() - t0) / 1e6) / 1e3
-      println(s"""{"op":"$op","scale":$m,"rows":$rows,"sec":$sec}""")
+      // A failed op must not kill the probe: record it and move on, so
+      // one regression still yields a full scaling record for the rest.
+      try {
+        body
+        val sec = math.round((System.nanoTime() - t0) / 1e6) / 1e3
+        println(s"""{"op":"$op","scale":$m,"rows":$rows,"sec":$sec}""")
+      } catch {
+        case e: Throwable =>
+          val msg = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+          println(s"""{"op":"$op","scale":$m,"rows":$rows,"err":"$msg"}""")
+      }
     }
     def sink(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -132,8 +140,14 @@ object Scale {
       timed("dedup_ngram_jaccard", m, nDocs) {
         sink(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
       }
+      // Planes sized to the corpus (see embeddingCosinePairs scaladoc):
+      // occupancy² is the candidate cost, so hold occupancy ~64 as n
+      // grows instead of letting fixed-plane buckets fill quadratically.
+      val planes = math.max(8,
+        math.ceil(math.log(nEmb / 64.0) / math.log(2)).toInt)
       timed("dedup_embedding", m, nEmb) {
-        sink(Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.99, dim))
+        sink(Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.99, dim,
+          planes = planes, tables = 4))
       }
       timed("ann_topk_lsh", m, nEmb) {
         sink(Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10, dim))
@@ -162,6 +176,34 @@ object Scale {
         }
         val plan = joined.queryExecution.executedPlan.toString()
         println(s"""{"op":"skew_join_agg_plan","scale":$m,"skew_split":${plan.contains("skew=true")}}""")
+        // skew_split is false above for TWO stacked reasons, both worth
+        // recording: (1) at probe scale the hot partition's compressed
+        // shuffle bytes sit under AQE's 256 MB default threshold — the
+        // production condition is bytes > threshold, so scale the
+        // threshold down since the data can't grow to 100 TB locally;
+        // (2) the join feeds an agg on the SAME key, so AQE's cost rule
+        // skips the split (it would break the join's output partitioning
+        // and cost an extra shuffle) unless forceOptimizeSkewedJoin opts
+        // into that trade. At 100 TB you flip that flag exactly when the
+        // skewed build dominates the extra shuffle — or salt the agg key
+        // instead (graft.operators.Skew).
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        try {
+          val joined2 = fact.join(dimTbl, "key")
+            .groupBy(col("key"))
+            .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+          joined2.collect()
+          val plan2 = joined2.queryExecution.executedPlan.toString()
+          println(s"""{"op":"skew_join_agg_plan_scaled_threshold","scale":$m,"skew_split":${plan2.contains("skew=true")}}""")
+        } finally {
+          spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+          spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+        }
       } finally {
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

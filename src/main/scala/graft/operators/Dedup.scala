@@ -240,6 +240,13 @@ object Dedup {
     * shuffle on id to re-attach vectors — linear in n, never the n²/2
     * crossJoin (the old baseline survives as
     * [[embeddingCosinePairsBrute]]).
+    *
+    * SIZE THE PLANES TO THE CORPUS: bucket occupancy is ~n/2^planes per
+    * table, and candidate pairs grow with occupancy² — fixed planes on
+    * a growing corpus is quadratic creep. Set
+    * `planes ≈ log2(n / targetOccupancy)` (e.g. n=10⁸, occupancy 64 →
+    * 21 planes); recall lost per extra plane is recovered by adding a
+    * table (OR-amplification). The default 8 suits n ≲ 10⁴.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dim: Int, planes: Int = 8,
@@ -268,8 +275,15 @@ object Dedup {
     // Exact verification: candidates are a skinny (id_a, id_b) relation;
     // vectors re-attach via two key joins (shuffle on id — vectors never
     // ride through the bucket aggregation).
+    // shuffle_hash, never broadcast: the vector relation is O(n·dim)
+    // bytes — at corpus scale it cannot fit a broadcast (the Scale probe
+    // caught exactly this: at 100k×64d Spark picked a broadcast build
+    // and died with notEnoughMemoryToBuildAndBroadcast). A hash join on
+    // the id shuffle is the plan that survives any n.
     val a = v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+      .hint("shuffle_hash")
     val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+      .hint("shuffle_hash")
     cand.join(a, "id_a").join(b, "id_b")
       .withColumn("cosine",
         Similarity.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
