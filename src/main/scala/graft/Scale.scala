@@ -149,6 +149,19 @@ object Scale {
         sink(Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.99, dim,
           planes = planes, tables = 4))
       }
+      // Recall against the PLANTED structure: every id ≡ 9 (mod 10) is a
+      // near-dup of id-1 at cosine ≈ 0.99998. Adding planes shrinks
+      // buckets (speed) at a recall cost the OR-amplified tables must
+      // absorb — so the probe records recall alongside wall-time, else
+      // "faster at 50×" could silently mean "found nothing".
+      timed("dedup_embedding_recall_pct", m, nEmb) {
+        val found = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+            0.99, dim, planes = planes, tables = 4)
+          .where(col("id_b") - col("id_a") === 1 && col("id_b") % 10 === 9)
+          .count()
+        val expected = nEmb / 10
+        println(s"""{"op":"dedup_embedding_recall","scale":$m,"planes":$planes,"found":$found,"expected":$expected,"recall":${found.toDouble / expected}}""")
+      }
       timed("ann_topk_lsh", m, nEmb) {
         sink(Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10, dim))
       }

@@ -681,6 +681,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docCorpus(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.minhashLshPairs(docCorpus(s, dir), "doc_id", "text"),
+          "id_a", "id_b")
+        .orderBy(col("id"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docCorpus(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -1242,6 +1246,22 @@ object SparkEntry {
     val langScores = Text.LangMarkers.map { case (l, ws) =>
       s"len(list_filter(toks, x -> ${ws.map(w => s"x = '$w'").mkString(" OR ")})) AS s_$l"
     }.mkString(", ")
+    // Shared between the pairs oracle and the clusters oracle's
+    // recursive closure (nested WITH — DuckDB scopes it to the CTE).
+    val minhashPairsSql =
+      s"""$TOKS_CTE, sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks)-2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS s
+        |  FROM t
+        |), ab AS (
+        |  SELECT doc_id, ${md5Word(0)} AS a, ${md5Word(8)} AS b
+        |  FROM (SELECT doc_id, md5(s) AS h FROM sh)
+        |), sig AS (SELECT doc_id, $sigMins FROM ab GROUP BY doc_id),
+        |bands AS ($bandSelects)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin
     val langBest = "greatest(" + Text.LangMarkers.map("s_" + _._1).mkString(", ") + ")"
     val langCase = Text.LangMarkers.map { case (l, _) =>
       s"WHEN s_$l > 0 AND s_$l = $langBest THEN '$l'"
@@ -1325,20 +1345,25 @@ object SparkEntry {
           |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
           |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
           |FROM corpus ORDER BY doc_id""".stripMargin,
-      "dedup_minhash_lsh" ->
-        s"""$TOKS_CTE, sh AS (
-          |  SELECT doc_id, unnest(list_distinct(list_transform(
-          |    range(1, greatest(len(toks)-2, 1) + 1),
-          |    i -> array_to_string(toks[i:i+2], ' ')))) AS s
-          |  FROM t
-          |), ab AS (
-          |  SELECT doc_id, ${md5Word(0)} AS a, ${md5Word(8)} AS b
-          |  FROM (SELECT doc_id, md5(s) AS h FROM sh)
-          |), sig AS (SELECT doc_id, $sigMins FROM ab GROUP BY doc_id),
-          |bands AS ($bandSelects)
-          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-          |ORDER BY id_a, id_b""".stripMargin,
+      "dedup_minhash_lsh" -> minhashPairsSql,
+      // Transitive closure over the SAME pairs the minhash oracle
+      // emits: DuckDB's recursive CTE computes min-reachable-id per
+      // member — the fixed point the Spark label propagation converges
+      // to, so the two engines must agree exactly.
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE pairs AS (
+          |  $minhashPairsSql
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          |  WHERE e.dst != r.src
+          |)
+          |SELECT src AS id, least(src, min(dst)) AS cluster_id
+          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
       "dedup_simhash" ->
         s"""$TOKS_CTE, tok AS (
           |  SELECT doc_id, unnest(toks) AS _w FROM t

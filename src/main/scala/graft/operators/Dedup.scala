@@ -291,6 +291,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Duplicate-cluster resolution: connected components over a pair
+    * relation (from [[minhashLshPairs]], [[simhashPairs]], …), labeling
+    * every member with the MINIMUM id in its component — the canonical
+    * doc a pipeline keeps. Pairs say "these two match"; a pipeline needs
+    * "these k form one group, keep exactly one", and transitive matches
+    * (A~B, B~C but never A~C) make that a graph problem, not a groupBy.
+    *
+    * Algorithm: distributed min-label propagation. labels start at
+    * min(id, min neighbor); each round every node takes the min of its
+    * label and its neighbors' labels. Converges in O(component diameter)
+    * rounds — for dedup graphs the diameter is small (LSH bands emit
+    * near-cliques), so the driver loop runs ~2-4 rounds of pure
+    * DataFrame joins; each round is fully distributed (this is the same
+    * scheme GraphX/Pregel CC uses, without the RDD detour).
+    * `localCheckpoint` truncates the growing lineage each round — at
+    * cluster scale swap for `checkpoint` with a checkpoint dir.
+    *
+    * Returns (id, cluster_id) for every id that appears in ≥1 pair;
+    * singletons are absent by construction (their cluster is
+    * themselves). Deterministic — min over a fixed edge set — so a SQL
+    * oracle can replay it with a recursive reachability CTE.
+    */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+               maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // reused every round: cut off the pair pipeline
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // Propagate: min label among each node's neighbors, then fold
+      // into the node's own label. Two shuffles per round (join + agg),
+      // both on the id key.
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, "id")
+        .select(col("id"), least(col("cluster_id"), col("nbr_min"))
+          .as("cluster_id"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .where(col("n.cluster_id") < col("o.cluster_id"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Exact all-pairs cosine dedup — the O(n²) brute-force baseline
     * (recall 1 by construction). Only for small/sampled corpora; the
     * LSH-bucketed [[embeddingCosinePairs]] is the at-scale default.

@@ -27,6 +27,22 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("clusters: transitive chain resolves to one component, min id wins") {
+    // 1-2, 2-3, 3-4 chain (1~4 never paired directly) + separate 10-11:
+    // label propagation must walk the chain, not just the direct pairs.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("clusters: empty pairs yields empty labeling") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(pairs, "id_a", "id_b").isEmpty)
+  }
+
   test("simhash: identical docs share fingerprints, disjoint docs differ") {
     val df = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),

@@ -82,6 +82,14 @@ class PlanSpec extends SparkSpec {
       "embedding dedup fell back to an all-pairs cross join:\n" + p.take(1200))
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "embedding dedup fell back to a nested-loop join:\n" + p.take(1200))
+    // The vector re-attach joins must never broadcast: the vector
+    // relation is O(n·dim) bytes, and the Scale probe saw Spark pick a
+    // broadcast build at 100k×64d and die in notEnoughMemoryToBuild...
+    // The shuffle_hash hints in embeddingCosinePairs pin the id-shuffle
+    // hash join; this assertion pins the hints.
+    assert(!p.contains("BroadcastHashJoin"),
+      "embedding vectors were broadcast — O(n·dim) build cannot survive " +
+        "corpus scale:\n" + p.take(1200))
   }
 
   test("keyed resample never funnels the series through one partition") {
