@@ -332,6 +332,18 @@ object SparkEntry {
       """SELECT DISTINCT md5(text) AS digest,
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents ORDER BY digest""".stripMargin,
+    // stateful streaming drawdown replay: the carried high-water state
+    // is exactly a running max over the tie-free event_id order
+    "streaming_drawdown" ->
+      """WITH e AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS value
+        |           FROM events WHERE value > 0)
+        |SELECT event_type AS symbol,
+        |  CAST(1712928600000000 + event_id AS BIGINT) AS ts_us,
+        |  round(value, 6) AS price,
+        |  round(max(value) OVER w, 6) AS high_water,
+        |  round(value / max(value) OVER w - 1, 6) AS drawdown
+        |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+        |ORDER BY symbol, ts_us""".stripMargin,
     "eod_returns" ->
       """SELECT event_type, event_id,
         |  round(value / lag(value) OVER w - 1, 6) AS ret
@@ -969,6 +981,42 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.read.parquet(out).orderBy(col("digest"))
+    }),
+
+    // ---- stateful streaming running drawdown, REPLAYED to batch for
+    // the oracle (op 72): a real flatMapGroupsWithState run over a file
+    // source. Event time is synthesized from event_id (globally unique)
+    // so in-batch ties can't reorder the high-water walk — per-row state
+    // output is deterministic, and DuckDB replays it as a running-max
+    // window. value > 0 filter keeps hw away from 0 (NaN drawdown).
+    "streaming_drawdown" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"$dir/events.parquet"
+      val out = java.nio.file.Files.createTempDirectory("graft-sdd-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sdd-ck").toString
+      val in = java.nio.file.Files.createTempDirectory("graft-sdd-in")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("events.parquet"))
+      val ticks = s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(in.toString)
+        .where(col("value") > 0)
+        .select(col("event_type").as("symbol"),
+          timestamp_micros(lit(1712928600000000L) + col("event_id")).as("ts"),
+          col("value").cast("double").as("price"))
+        .as[graft.streaming.Stateful.Tick]
+      val q = graft.streaming.Stateful.runningDrawdown(ticks)
+        .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
+          round(col("price"), 6).as("price"),
+          round(col("high_water"), 6).as("high_water"),
+          round(col("drawdown"), 6).as("drawdown"))
+        .writeStream
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("symbol"), col("ts_us"))
     }),
 
     // ---- OHLCV bars (reference tick/bars.py stub)
