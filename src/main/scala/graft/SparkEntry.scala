@@ -332,6 +332,45 @@ object SparkEntry {
       """SELECT DISTINCT md5(text) AS digest,
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents ORDER BY digest""".stripMargin,
+    // streaming windowed agg replay: once every window is flushed, the
+    // append-mode stream equals the batch tumbling-window agg
+    "streaming_window_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    // streaming as-of replay: prevailing quote = last quote at-or-before
+    // each trade in the tie-free 1 ms-per-event_id order
+    "streaming_asof" ->
+      """WITH u AS (
+        |  SELECT event_type AS symbol,
+        |    CAST(1712928600000000 + event_id * 1000 AS BIGINT) AS ts_us,
+        |    CAST(value AS DOUBLE) AS value, event_id % 2 = 0 AS is_quote
+        |  FROM events
+        |), c AS (
+        |  SELECT symbol, ts_us, value, is_quote,
+        |    last_value(CASE WHEN is_quote THEN value END IGNORE NULLS) OVER w AS qbid,
+        |    last_value(CASE WHEN is_quote THEN ts_us END IGNORE NULLS) OVER w AS qts
+        |  FROM u WINDOW w AS (PARTITION BY symbol ORDER BY ts_us
+        |                      ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT symbol, ts_us, round(value, 6) AS price,
+        |  round(qbid, 6) AS bid, round(qbid + 1.0, 6) AS ask,
+        |  round((qbid + (qbid + 1.0)) / 2, 6) AS mid,
+        |  CAST((ts_us - qts) // 1000 AS BIGINT) AS latency_ms
+        |FROM c WHERE NOT is_quote AND qbid IS NOT NULL
+        |ORDER BY symbol, ts_us""".stripMargin,
+    // streaming tick rule replay: ValueState lag(price) over the
+    // tie-free event_id order
+    "streaming_tick_rule" ->
+      """SELECT event_type AS symbol,
+        |  CAST(1712928600000000 + event_id AS BIGINT) AS ts_us,
+        |  round(value, 6) AS price,
+        |  CAST(CASE WHEN value > lag(value) OVER w THEN 1
+        |            WHEN value < lag(value) OVER w THEN -1
+        |            ELSE 0 END AS INT) AS direction
+        |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+        |ORDER BY symbol, ts_us""".stripMargin,
     // stateful streaming drawdown replay: the carried high-water state
     // is exactly a running max over the tie-free event_id order
     "streaming_drawdown" ->
@@ -1016,6 +1055,128 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      s.read.parquet(out).orderBy(col("symbol"), col("ts_us"))
+    }),
+
+    // ---- streaming windowed agg, REPLAYED to batch (op 58): the real
+    // readStream → watermark → window agg path in Append mode. A
+    // sentinel row far in the future pushes the final watermark past
+    // every real window so the no-data closing batch flushes them all;
+    // the sentinel's own window is excluded by event_type.
+    "streaming_window_agg" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val out = java.nio.file.Files.createTempDirectory("graft-swa-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-swa-ck").toString
+      val in = java.nio.file.Files.createTempDirectory("graft-swa-in")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("events.parquet"))
+      val raw = s.read.parquet(path)
+      def runOnce(): Unit = {
+        val evs = graft.sources.Tables.normalizeEventTs(
+          s.readStream.schema(raw.schema).parquet(in.toString))
+        val q = graft.streaming.EventStream
+          .windowedStats(evs, "1 hour", "0 seconds")
+          .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+            col("n"), round(col("sum_value"), 4).as("sum_value"))
+          .writeStream
+          // The sentinel is excluded in the SINK, not the streaming
+          // plan: a pre-agg filter on the groupBy key gets pushed below
+          // the EventTimeWatermark node by Catalyst, and a sentinel
+          // filtered there never advances the watermark — the exact
+          // silent-no-flush failure this replay debugging found.
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            batch.where(col("event_type") =!= "zz_sentinel")
+              .write.mode("append").parquet(out))
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // Two AvailableNow runs against one checkpoint: run 1 ingests the
+      // data (watermark commits at max real event time); the sentinel is
+      // added ONLY then, so run 2 deterministically sees it as a new
+      // batch, advances the watermark past every real window, and its
+      // closing no-data batch flushes them. A single run leaves the
+      // data/sentinel batch split to file-listing order — flaky.
+      runOnce()
+      raw.limit(1)
+        .withColumn("ts", lit(7258118400000000000L)) // ~2200-01-01 in ns
+        .withColumn("event_type", lit("zz_sentinel"))
+        .write.mode("append").parquet(in.toString)
+      runOnce()
+      s.read.parquet(out).orderBy(col("ws"), col("event_type"))
+    }),
+
+    // ---- streaming as-of quote enrichment, REPLAYED to batch (op 73):
+    // one interleaved stream (even event_id = quote, odd = trade) keyed
+    // by symbol; state carries the prevailing quote. Event times are
+    // 1 ms apart by event_id, so ordering is tie-free and latencies are
+    // exact integer ms on both engines.
+    "streaming_asof" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"$dir/events.parquet"
+      val out = java.nio.file.Files.createTempDirectory("graft-sao-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sao-ck").toString
+      val in = java.nio.file.Files.createTempDirectory("graft-sao-in")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("events.parquet"))
+      val mkts = s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(in.toString)
+        .select(col("event_type").as("symbol"),
+          timestamp_micros(lit(1712928600000000L) + col("event_id") * 1000L)
+            .as("ts"),
+          when(col("event_id") % 2 === 0, lit("quote")).otherwise(lit("trade"))
+            .as("kind"),
+          col("value").cast("double").as("price"),
+          col("value").cast("double").as("bid"),
+          (col("value") + lit(1.0)).cast("double").as("ask"))
+        .as[graft.streaming.Stateful.MarketEvent]
+      val q = graft.streaming.Stateful.asOfEnrich(mkts)
+        .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
+          round(col("price"), 6).as("price"), round(col("bid"), 6).as("bid"),
+          round(col("ask"), 6).as("ask"), round(col("mid"), 6).as("mid"),
+          col("latency_ms"))
+        .writeStream
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("symbol"), col("ts_us"))
+    }),
+
+    // ---- streaming tick rule via transformWithState, REPLAYED to
+    // batch (op 74): lag(price) as per-symbol RocksDB ValueState;
+    // tie-free synthetic event time as in streaming_drawdown.
+    "streaming_tick_rule" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"$dir/events.parquet"
+      val out = java.nio.file.Files.createTempDirectory("graft-str-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-str-ck").toString
+      val in = java.nio.file.Files.createTempDirectory("graft-str-in")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("events.parquet"))
+      val ticks = s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(in.toString)
+        .select(col("event_type").as("symbol"),
+          timestamp_micros(lit(1712928600000000L) + col("event_id")).as("ts"),
+          col("value").cast("double").as("price"))
+        .as[graft.streaming.Stateful.Tick]
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = graft.streaming.Stateful.tickRule(ticks)
+          .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
+            round(col("price"), 6).as("price"), col("direction"))
+          .writeStream
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out))
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       s.read.parquet(out).orderBy(col("symbol"), col("ts_us"))
     }),
 

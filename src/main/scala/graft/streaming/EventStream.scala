@@ -10,15 +10,23 @@ import org.apache.spark.sql.functions._
   * watermark bounds state size.
   */
 object EventStream {
-  /** Tumbling-window per-type stats with a lateness watermark. */
+  /** Tumbling-window per-type stats with a lateness watermark. The sum
+    * runs in decimal(30,10): double addition is order-sensitive and
+    * shuffle-merge order is not deterministic, so a double sum can
+    * differ in the last bits run to run — decimal makes the result
+    * addition-order independent (same rationale as Bars' VWAP), which
+    * is what lets a batch oracle replay this stream exactly.
+    */
   def windowedStats(events: DataFrame, windowLen: String,
                     watermark: String): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value")).as("sum_value"),
-        avg(col("value")).as("avg_value"))
+        sum(col("value").cast("decimal(30,10)")).as("_sum_dec"))
+      .select(col("window"), col("event_type"), col("n"),
+        col("_sum_dec").cast("double").as("sum_value"),
+        (col("_sum_dec") / col("n")).cast("double").as("avg_value"))
 
   /** Gap-based sessionization via session_window — declarative, so the
     * SAME expression runs batch (SparkEntry `sessionize` query) and
