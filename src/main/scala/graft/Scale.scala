@@ -162,11 +162,18 @@ object Scale {
         val expected = nEmb / 10
         println(s"""{"op":"dedup_embedding_recall","scale":$m,"planes":$planes,"found":$found,"expected":$expected,"recall":${found.toDouble / expected}}""")
       }
+      // ANN index params sized to the corpus (see each op's scaladoc):
+      // LSH planes hold occupancy ~256; IVF cells follow the √n rule.
+      val annPlanes = math.max(4,
+        math.ceil(math.log(nEmb / 256.0) / math.log(2)).toInt)
+      val nCells = math.max(16, math.sqrt(nEmb.toDouble).toInt)
       timed("ann_topk_lsh", m, nEmb) {
-        sink(Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10, dim))
+        sink(Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10, dim,
+          planes = annPlanes))
       }
       timed("ann_topk_ivf", m, nEmb) {
-        sink(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10))
+        sink(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10,
+          nCells = nCells))
       }
       timed("resample_by_key", m, nSeries) {
         sink(Resample.resampleMean(series, "ret", Seq("key"), Seq("ord"), 10))

@@ -89,6 +89,12 @@ object Similarity {
     * probes its `nProbe` closest cells and ranks only those lists.
     * At 100 TB the inverted lists shuffle on cell_id and the centroid
     * table broadcasts — no all-pairs scan.
+    *
+    * SIZE nCells TO THE CORPUS: per-list length is ~n/nCells and query
+    * cost is nProbe·n/nCells, so fixed cells on a growing corpus decays
+    * toward brute force. The classic IVF rule `nCells ≈ √n` balances
+    * the broadcast centroid table (O(nCells·dim)) against list length;
+    * the default 16 suits n ≲ 10⁴.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
@@ -147,6 +153,13 @@ object Similarity {
   /** LSH-bucketed ANN: brute-force ranking *within* sign buckets.
     * Recall < 1 (approximate by design); at 100 TB this shuffles on the
     * bucket key instead of broadcasting the whole corpus.
+    *
+    * SIZE planes TO THE CORPUS (same rule as
+    * [[graft.operators.Dedup.embeddingCosinePairs]]): bucket occupancy
+    * is ~n/2^planes and per-query cost tracks it, so
+    * `planes ≈ log2(n / targetOccupancy)`. Single-table, so each extra
+    * plane costs recall on far neighbours — prefer IVF with probes when
+    * recall matters more than latency. Default 4 suits n ≲ 10⁴.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, planes: Int = 4): DataFrame = {
