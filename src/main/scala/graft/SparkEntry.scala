@@ -332,6 +332,12 @@ object SparkEntry {
       """SELECT DISTINCT md5(text) AS digest,
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents ORDER BY digest""".stripMargin,
+    // salted agg must equal the plain groupBy (salt = execution detail)
+    "skew_salted_agg" ->
+      """SELECT event_type,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value,
+        |  count(DISTINCT event_id % 1000) AS distinct_bucket
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // streaming windowed agg replay: once every window is flushed, the
     // append-mode stream equals the batch tumbling-window agg
     "streaming_window_agg" ->
@@ -818,6 +824,25 @@ object SparkEntry {
     // Batch twin of streaming/EventStream.windowedStats — tumbling
     // 1h windows; identical semantics run under readStream + watermark
     // (StreamingSpec exercises that path).
+    // Salted two-phase aggregation (op 64): results must equal the
+    // plain groupBy — the salt is an internal execution detail. Sum in
+    // decimal so the two-phase re-association can't wiggle low bits;
+    // the distinct count is integer-exact by construction.
+    "skew_salted_agg" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("v", col("value").cast("decimal(30,10)"))
+        .withColumn("bucket", (col("event_id") % 1000).cast("long"))
+      val sums = graft.operators.Skew.saltedSum(
+        e, Seq("event_type"), "v", saltCol = "event_id", salts = 16)
+      val dc = graft.operators.Skew.saltedCountDistinct(
+        e, Seq("event_type"), "bucket", salts = 16)
+      sums.join(dc, "event_type")
+        .select(col("event_type"),
+          round(col("sum_v").cast("double"), 4).as("sum_value"),
+          col("distinct_bucket"))
+        .orderBy(col("event_type"))
+    }),
+
     "window_agg" -> ((s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
