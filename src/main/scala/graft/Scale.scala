@@ -137,6 +137,13 @@ object Scale {
       timed("dedup_simhash_pairs", m, nDocs) {
         sink(Dedup.simhashPairs(docs, "doc_id", "text"))
       }
+      // Iterative connected components over the minhash pairs: measures
+      // that the label-propagation loop converges in few rounds on a
+      // real dup graph at every tier (near-cliques from banding).
+      timed("dedup_clusters", m, nDocs) {
+        sink(Dedup.clusters(
+          Dedup.minhashLshPairs(docs, "doc_id", "text"), "id_a", "id_b"))
+      }
       timed("dedup_ngram_jaccard", m, nDocs) {
         sink(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
       }
