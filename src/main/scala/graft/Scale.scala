@@ -93,12 +93,14 @@ object Scale {
       val t0 = System.nanoTime()
       // A failed op must not kill the probe: record it and move on, so
       // one regression still yields a full scaling record for the rest.
+      // NonFatal only — after an OutOfMemoryError the JVM is degraded
+      // and every later "measurement" would be silent garbage.
       try {
         body
         val sec = math.round((System.nanoTime() - t0) / 1e6) / 1e3
         println(s"""{"op":"$op","scale":$m,"rows":$rows,"sec":$sec}""")
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           val msg = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(160)
           println(s"""{"op":"$op","scale":$m,"rows":$rows,"err":"$msg"}""")
       }
@@ -222,7 +224,7 @@ object Scale {
           val joined2 = fact.join(dimTbl, "key")
             .groupBy(col("key"))
             .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
-          joined2.collect()
+          timed("skew_join_agg_forced", m, nFact) { joined2.collect() }
           val plan2 = joined2.queryExecution.executedPlan.toString()
           println(s"""{"op":"skew_join_agg_plan_scaled_threshold","scale":$m,"skew_split":${plan2.contains("skew=true")}}""")
         } finally {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,6 +27,44 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.load(s, dir, "events")
+
+  /** Streaming-replay harness shared by the streaming_* oracle queries:
+    * stage the table file into a watched landing dir (a production
+    * ingest watches exactly such a dir), run the built transform to a
+    * foreachBatch parquet sink under Trigger.AvailableNow, return the
+    * sink read back for the DuckDB compare. Keep any row filtering in
+    * the SINK or post-replay — a pre-agg filter can be pushed below the
+    * EventTimeWatermark node (see streaming_window_agg's sentinel).
+    */
+  private def streamReplay(s: SparkSession, dir: String, table: String,
+                           tag: String)(build: DataFrame => DataFrame): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val out = java.nio.file.Files.createTempDirectory(s"graft-$tag-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$tag-ck").toString
+    val in = java.nio.file.Files.createTempDirectory(s"graft-$tag-in")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      in.resolve(s"$table.parquet"))
+    val src = s.readStream.schema(s.read.parquet(path).schema)
+      .parquet(in.toString)
+    val q = build(src).writeStream
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  /** Tie-free synthetic event time for streaming replays: 1 ms per
+    * event_id. Stateful operators order by `Timestamp.getTime`, which
+    * truncates to MILLISECONDS — µs spacing would tie ~1000 consecutive
+    * ids per ms and leave their order to partition arrival, diverging
+    * from the oracle's ORDER BY event_id under multi-split reads.
+    */
+  private val ReplayBaseUs = 1712928600000000L
+  private def replayTs(id: Column): Column =
+    timestamp_micros(lit(ReplayBaseUs) + id * 1000L)
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
 
@@ -370,7 +408,7 @@ object SparkEntry {
     // tie-free event_id order
     "streaming_tick_rule" ->
       """SELECT event_type AS symbol,
-        |  CAST(1712928600000000 + event_id AS BIGINT) AS ts_us,
+        |  CAST(1712928600000000 + event_id * 1000 AS BIGINT) AS ts_us,
         |  round(value, 6) AS price,
         |  CAST(CASE WHEN value > lag(value) OVER w THEN 1
         |            WHEN value < lag(value) OVER w THEN -1
@@ -383,7 +421,7 @@ object SparkEntry {
       """WITH e AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS value
         |           FROM events WHERE value > 0)
         |SELECT event_type AS symbol,
-        |  CAST(1712928600000000 + event_id AS BIGINT) AS ts_us,
+        |  CAST(1712928600000000 + event_id * 1000 AS BIGINT) AS ts_us,
         |  round(value, 6) AS price,
         |  round(max(value) OVER w, 6) AS high_water,
         |  round(value / max(value) OVER w - 1, 6) AS drawdown
@@ -1018,34 +1056,17 @@ object SparkEntry {
     // final state DuckDB then checks. Output columns are all functions
     // of the digest (not of WHICH duplicate survived the state race),
     // so the result is deterministic at any parallelism/batching.
-    "streaming_dedup" -> ((s, dir) => {
-      val path = s"$dir/documents.parquet"
-      val out = java.nio.file.Files.createTempDirectory("graft-sdedup-out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sdedup-ck").toString
-      // the streaming file source wants a DIRECTORY to watch; stage the
-      // table file into one (a production ingest watches a landing dir)
-      val in = java.nio.file.Files.createTempDirectory("graft-sdedup-in")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        in.resolve("documents.parquet"))
-      val docs = s.readStream.schema(s.read.parquet(path).schema)
-        .parquet(in.toString)
+    "streaming_dedup" -> ((s, dir) =>
+      streamReplay(s, dir, "documents", "sdedup") { src =>
         // synthetic deterministic event time (documents carry none);
         // 10-year watermark delay => nothing is ever late in replay,
         // while a production ingest would use a real bound
-        .withColumn("ts", timestamp_micros(lit(1712928600000000L) + col("doc_id")))
-      val q = graft.streaming.EventStream
-        .dedupExactStream(docs, "doc_id", "text", "ts", "3650 days")
-        .select(md5(col("text")).as("digest"),
-          length(col("text")).cast("long").as("text_len"))
-        .writeStream
-        .foreachBatch((batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out))
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out).orderBy(col("digest"))
-    }),
+        val docs = src.withColumn("ts", replayTs(col("doc_id")))
+        graft.streaming.EventStream
+          .dedupExactStream(docs, "doc_id", "text", "ts", "3650 days")
+          .select(md5(col("text")).as("digest"),
+            length(col("text")).cast("long").as("text_len"))
+      }.orderBy(col("digest"))),
 
     // ---- stateful streaming running drawdown, REPLAYED to batch for
     // the oracle (op 72): a real flatMapGroupsWithState run over a file
@@ -1055,32 +1076,18 @@ object SparkEntry {
     // window. value > 0 filter keeps hw away from 0 (NaN drawdown).
     "streaming_drawdown" -> ((s, dir) => {
       import s.implicits._
-      val path = s"$dir/events.parquet"
-      val out = java.nio.file.Files.createTempDirectory("graft-sdd-out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sdd-ck").toString
-      val in = java.nio.file.Files.createTempDirectory("graft-sdd-in")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        in.resolve("events.parquet"))
-      val ticks = s.readStream.schema(s.read.parquet(path).schema)
-        .parquet(in.toString)
-        .where(col("value") > 0)
-        .select(col("event_type").as("symbol"),
-          timestamp_micros(lit(1712928600000000L) + col("event_id")).as("ts"),
-          col("value").cast("double").as("price"))
-        .as[graft.streaming.Stateful.Tick]
-      val q = graft.streaming.Stateful.runningDrawdown(ticks)
-        .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
-          round(col("price"), 6).as("price"),
-          round(col("high_water"), 6).as("high_water"),
-          round(col("drawdown"), 6).as("drawdown"))
-        .writeStream
-        .foreachBatch((batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out))
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out).orderBy(col("symbol"), col("ts_us"))
+      streamReplay(s, dir, "events", "sdd") { src =>
+        val ticks = src.where(col("value") > 0)
+          .select(col("event_type").as("symbol"),
+            replayTs(col("event_id")).as("ts"),
+            col("value").cast("double").as("price"))
+          .as[graft.streaming.Stateful.Tick]
+        graft.streaming.Stateful.runningDrawdown(ticks)
+          .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
+            round(col("price"), 6).as("price"),
+            round(col("high_water"), 6).as("high_water"),
+            round(col("drawdown"), 6).as("drawdown"))
+      }.orderBy(col("symbol"), col("ts_us"))
     }),
 
     // ---- streaming windowed agg, REPLAYED to batch (op 58): the real
@@ -1139,36 +1146,21 @@ object SparkEntry {
     // exact integer ms on both engines.
     "streaming_asof" -> ((s, dir) => {
       import s.implicits._
-      val path = s"$dir/events.parquet"
-      val out = java.nio.file.Files.createTempDirectory("graft-sao-out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sao-ck").toString
-      val in = java.nio.file.Files.createTempDirectory("graft-sao-in")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        in.resolve("events.parquet"))
-      val mkts = s.readStream.schema(s.read.parquet(path).schema)
-        .parquet(in.toString)
-        .select(col("event_type").as("symbol"),
-          timestamp_micros(lit(1712928600000000L) + col("event_id") * 1000L)
-            .as("ts"),
-          when(col("event_id") % 2 === 0, lit("quote")).otherwise(lit("trade"))
-            .as("kind"),
-          col("value").cast("double").as("price"),
-          col("value").cast("double").as("bid"),
-          (col("value") + lit(1.0)).cast("double").as("ask"))
-        .as[graft.streaming.Stateful.MarketEvent]
-      val q = graft.streaming.Stateful.asOfEnrich(mkts)
-        .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
-          round(col("price"), 6).as("price"), round(col("bid"), 6).as("bid"),
-          round(col("ask"), 6).as("ask"), round(col("mid"), 6).as("mid"),
-          col("latency_ms"))
-        .writeStream
-        .foreachBatch((batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out))
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out).orderBy(col("symbol"), col("ts_us"))
+      streamReplay(s, dir, "events", "sao") { src =>
+        val mkts = src.select(col("event_type").as("symbol"),
+            replayTs(col("event_id")).as("ts"),
+            when(col("event_id") % 2 === 0, lit("quote")).otherwise(lit("trade"))
+              .as("kind"),
+            col("value").cast("double").as("price"),
+            col("value").cast("double").as("bid"),
+            (col("value") + lit(1.0)).cast("double").as("ask"))
+          .as[graft.streaming.Stateful.MarketEvent]
+        graft.streaming.Stateful.asOfEnrich(mkts)
+          .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
+            round(col("price"), 6).as("price"), round(col("bid"), 6).as("bid"),
+            round(col("ask"), 6).as("ask"), round(col("mid"), 6).as("mid"),
+            col("latency_ms"))
+      }.orderBy(col("symbol"), col("ts_us"))
     }),
 
     // ---- streaming tick rule via transformWithState, REPLAYED to
@@ -1176,33 +1168,19 @@ object SparkEntry {
     // tie-free synthetic event time as in streaming_drawdown.
     "streaming_tick_rule" -> ((s, dir) => {
       import s.implicits._
-      val path = s"$dir/events.parquet"
-      val out = java.nio.file.Files.createTempDirectory("graft-str-out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-str-ck").toString
-      val in = java.nio.file.Files.createTempDirectory("graft-str-in")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        in.resolve("events.parquet"))
-      val ticks = s.readStream.schema(s.read.parquet(path).schema)
-        .parquet(in.toString)
-        .select(col("event_type").as("symbol"),
-          timestamp_micros(lit(1712928600000000L) + col("event_id")).as("ts"),
-          col("value").cast("double").as("price"))
-        .as[graft.streaming.Stateful.Tick]
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val q = graft.streaming.Stateful.tickRule(ticks)
-          .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
-            round(col("price"), 6).as("price"), col("direction"))
-          .writeStream
-          .foreachBatch((batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out))
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        streamReplay(s, dir, "events", "str") { src =>
+          val ticks = src.select(col("event_type").as("symbol"),
+              replayTs(col("event_id")).as("ts"),
+              col("value").cast("double").as("price"))
+            .as[graft.streaming.Stateful.Tick]
+          graft.streaming.Stateful.tickRule(ticks)
+            .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
+              round(col("price"), 6).as("price"), col("direction"))
+        }.orderBy(col("symbol"), col("ts_us"))
       } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      s.read.parquet(out).orderBy(col("symbol"), col("ts_us"))
     }),
 
     // ---- OHLCV bars (reference tick/bars.py stub)

@@ -340,9 +340,16 @@ object Dedup {
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .where(col("n.cluster_id") < col("o.cluster_id"))
         .isEmpty
+      // `next` is eagerly materialized by its own checkpoint, so the
+      // superseded round's blocks can be released — without this, every
+      // round's full label table stays pinned in executor storage until
+      // the session dies. (Dataset.unpersist is a CacheManager no-op
+      // for checkpoints, hence the bridge.)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
       labels = next
       i += 1
     }
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
     labels
   }
 
