@@ -147,4 +147,39 @@ class PropertySpec extends SparkSpec {
       "md5-coin samples must be nested across rates")
     assert(k5.size > k2.size && k8.size > k5.size)
   }
+
+  test("clusters equals driver-side union-find on random graphs") {
+    // The distributed min-label propagation must reach the same fixed
+    // point as a classical union-find, on any edge set — including
+    // chains longer than one round's reach and disconnected islands.
+    (0 until 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 6151 + 29)
+      val nNodes = 10 + rnd.nextInt(60)
+      val nEdges = rnd.nextInt(nNodes * 2)
+      val edges = List.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side oracle: union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val members = edges.flatMap { case (a, b) => List(a, b) }.distinct
+        val expected = members.map(id => id -> find(id)).toMap
+        val got = graft.operators.Dedup
+          .clusters(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected,
+          s"seed $seed: clusters disagreed with union-find\n" +
+            s"only-in-spark: ${(got.toSet -- expected.toSet).take(5)}\n" +
+            s"only-in-oracle: ${(expected.toSet -- got.toSet).take(5)}")
+      }
+    }
+  }
 }
