@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Eod, Graft, Text, Tick}
+import graft.functions.{Eod, Graft, Pii, Text, Tick}
 import graft.operators.{AsOfJoin, Corpus, Dedup, Multimodal, Resample, Similarity}
 import graft.sim.MarketSim
 
@@ -1343,8 +1343,70 @@ object SparkEntry {
           Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
           "doc_id", "image", dim = 64)
         .select(col("doc_id"),
-          expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_bins")))
+          expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_bins"))),
+
+    // ---- PII detection/redaction (op 82) and unigram-LM quality
+    // scoring (op 83)
+    "text_pii_stats" -> ((s, dir) =>
+      contactCards(s, dir).select(col("c_custkey"),
+        Pii.emailCount(col("text")).cast("long").as("n_email"),
+        Pii.phoneCount(col("text")).cast("long").as("n_phone"),
+        Pii.ipv4Count(col("text")).cast("long").as("n_ipv4"),
+        Pii.hasPii(col("text")).as("has_pii"))),
+    "text_pii_redact" -> ((s, dir) =>
+      contactCards(s, dir).select(col("c_custkey"),
+        Pii.redact(col("text")).as("redacted"))),
+    "corpus_lm_score" -> ((s, dir) =>
+      Corpus.lmScore(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("lm_xent"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy(col("doc_id")))
   )
+
+  /** Deterministic PII-bearing contact cards derived from customer —
+    * the synthetic corpus for the PII ops (documents.text is word soup
+    * with no PII shapes, so matches would be vacuous). Identical
+    * construction in the oracle CTE; rows where c_custkey ≡ 0 (mod 3),
+    * 1 (mod 2) and ≢ 0 (mod 5) carry no PII at all (negative class).
+    */
+  private def contactCards(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(col("c_custkey"),
+      concat(
+        lit("Acct "), col("c_name"),
+        when(col("c_custkey") % 3 =!= 0,
+          concat(lit(" <user"), col("c_custkey").cast("string"),
+            lit("@example.com>"))).otherwise(lit("")),
+        when(col("c_custkey") % 2 === 0,
+          concat(lit(" tel 555-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("c_custkey") % 5 === 0,
+          concat(lit(" host 10."), col("c_nationkey").cast("string"),
+            lit(".0."), (col("c_custkey") % 256).cast("string")))
+          .otherwise(lit("")),
+        lit(" segment "), lower(col("c_mktsegment"))).as("text"))
+
+  /** contact-card CTE shared by the PII oracles (mirrors contactCards).
+    * This string is interpolated into oracle SQL that itself calls
+    * .stripMargin, so NO line here may start with `|` after the first
+    * strip (the `||` concat operators stay at line ends).
+    */
+  private val CONTACT_CTE =
+    """contact AS (
+      |  SELECT c_custkey,
+      |    'Acct ' || c_name ||
+      |    CASE WHEN c_custkey % 3 <> 0
+      |         THEN ' <user' || c_custkey::VARCHAR || '@example.com>'
+      |         ELSE '' END ||
+      |    CASE WHEN c_custkey % 2 = 0
+      |         THEN ' tel 555-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+      |         ELSE '' END ||
+      |    CASE WHEN c_custkey % 5 = 0
+      |         THEN ' host 10.' || c_nationkey::VARCHAR || '.0.' || (c_custkey % 256)::VARCHAR
+      |         ELSE '' END ||
+      |    ' segment ' || lower(c_mktsegment) AS text
+      |  FROM customer
+      |)""".stripMargin
 
   private def pipelineOracles: Map[String, String] = {
     // DuckDB H = first 8 md5 hex chars as integer (matches Spark's
@@ -2089,7 +2151,41 @@ object SparkEntry {
           |             AND q.ts_us < e.end_us) AS in_ev
           |  FROM quotes q
           |)
-          |GROUP BY day ORDER BY day""".stripMargin
+          |GROUP BY day ORDER BY day""".stripMargin,
+      "text_pii_stats" ->
+        s"""WITH $CONTACT_CTE
+          |SELECT c_custkey,
+          |  len(regexp_extract_all(text, '${Pii.EmailPattern}')) AS n_email,
+          |  len(regexp_extract_all(text, '${Pii.PhonePattern}')) AS n_phone,
+          |  len(regexp_extract_all(text, '${Pii.Ipv4Pattern}')) AS n_ipv4,
+          |  len(regexp_extract_all(text, '${Pii.EmailPattern}'))
+          |    + len(regexp_extract_all(text, '${Pii.PhonePattern}'))
+          |    + len(regexp_extract_all(text, '${Pii.Ipv4Pattern}')) > 0 AS has_pii
+          |FROM contact""".stripMargin,
+      "text_pii_redact" ->
+        s"""WITH $CONTACT_CTE
+          |SELECT c_custkey,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(text, '${Pii.EmailPattern}', '[EMAIL]', 'g'),
+          |      '${Pii.Ipv4Pattern}', '[IP]', 'g'),
+          |    '${Pii.PhonePattern}', '[PHONE]', 'g') AS redacted
+          |FROM contact""".stripMargin,
+      "corpus_lm_score" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          |  FROM documents
+          |), f AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+          |tot AS (SELECT sum(c)::DOUBLE AS n FROM f),
+          |q AS (
+          |  SELECT doc_id,
+          |    CAST(floor((ln(n) - ln(c::DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q
+          |  FROM t JOIN f USING (tok) CROSS JOIN tot
+          |)
+          |SELECT doc_id,
+          |  floor(sum(q)::DOUBLE / count(*) + 0.5) / 1e6 AS lm_xent,
+          |  count(*) AS n_tokens
+          |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }

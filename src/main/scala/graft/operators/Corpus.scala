@@ -74,6 +74,38 @@ object Corpus {
     tr.join(be, "sh").groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Unigram-LM quality score (the CCNet/CC-Net-style LM filter shape,
+    * Wenzek et al. 2020, with the corpus itself as the language model):
+    * per-doc mean token cross-entropy −avg(ln p(tok)) against the
+    * corpus's own unigram distribution. Low = typical text, high =
+    * gibberish/outlier — the standard quality-filter signal when no
+    * external LM fits the budget.
+    *
+    * Two inherent passes over the tokens: (1) corpus frequencies —
+    * one hash shuffle on token, partial-agg friendly; (2) token→freq
+    * equi-join + per-doc agg. The frequency table is vocab-sized, so
+    * AQE broadcasts it at small scale and shuffle-joins on the token
+    * key at 100 TB; either way no pair expansion, strictly linear in
+    * corpus tokens. Per-token values are quantized to 1e-6 integers
+    * before summing, so the doc aggregate is order-independent and
+    * bit-identical on any engine (SURVEY §6 conventions).
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(Text.tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("n")) // 1 row — broadcast
+    toks.join(freq, "tok").crossJoin(broadcast(total))
+      .select(col("id"),
+        floor((log(col("n").cast("double")) - log(col("c").cast("double"))) *
+          1e6 + 0.5).as("q"))
+      .groupBy(col("id"))
+      .agg(
+        (floor(sum(col("q")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("lm_xent"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Sequence packing for training batches: within each stratum (order
     * = `ordCol`), assign docs to bins of ~`targetTokens` whitespace
     * tokens by cumulative count — bin = floor(tokens-before / target).
