@@ -1360,6 +1360,11 @@ object SparkEntry {
       Corpus.lmScore(tbl(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("lm_xent"),
           col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+    "dedup_chunks" -> ((s, dir) =>
+      Corpus.chunkDedup(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_chunks"),
+          col("n_dup_chunks"), col("clean_text"))
         .orderBy(col("doc_id")))
   )
 
@@ -2185,7 +2190,27 @@ object SparkEntry {
           |SELECT doc_id,
           |  floor(sum(q)::DOUBLE / count(*) + 0.5) / 1e6 AS lm_xent,
           |  count(*) AS n_tokens
-          |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
+          |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "dedup_chunks" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          |  FROM documents
+          |), ch AS (
+          |  SELECT doc_id,
+          |    unnest(range(0, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1))) AS pos,
+          |    unnest(list_transform(
+          |      range(0, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1)),
+          |      i -> array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' '))) AS chunk
+          |  FROM t
+          |), h AS (SELECT doc_id, pos, chunk, md5(chunk) AS hh FROM ch),
+          |f AS (SELECT hh, count(*) AS c FROM h GROUP BY hh)
+          |SELECT doc_id,
+          |  count(*) AS n_chunks,
+          |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+          |  coalesce(array_to_string(
+          |    list(chunk ORDER BY pos) FILTER (WHERE c < 2), ' '), '') AS clean_text
+          |FROM h JOIN f USING (hh)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -106,6 +106,46 @@ object Corpus {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Chunk-level corpus dedup (the C4 "line dedup" shape, Raffel et
+    * al. 2020 §2.2 — C4 drops any three-sentence span occurring more
+    * than once in the corpus; here a chunk is a fixed window of
+    * `chunkTokens` whitespace tokens, since the corpus has no sentence
+    * boundaries). Per doc: chunk count, how many of its chunks are
+    * corpus-duplicated (digest frequency ≥ `minCount` anywhere,
+    * including within the same doc), and the cleaned text with the
+    * duplicated chunks dropped (kept chunks rejoined in position
+    * order; whitespace normalized by tokenization).
+    *
+    * Scale shape: chunking is per-row column algebra (no shuffle);
+    * then ONE hash shuffle on the chunk digest for corpus counts, a
+    * digest equi-join (AQE broadcasts the vocab-sized frequency side
+    * when it is small), and ONE per-doc agg shuffle. Linear in corpus
+    * tokens — the same postings shape as contamination/lmScore, no
+    * pair expansion; a pathologically hot chunk ("" padding, menu
+    * boilerplate) costs one skewed-but-bounded count row, never a
+    * pair blowup.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 10, minCount: Long = 2): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val n = greatest(
+      ceil(size(toks).cast("double") / chunkTokens).cast("int"), lit(1))
+    val chunks = transform(sequence(lit(0), n - 1),
+      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+    val posed = df
+      .select(col(idCol).as("id"), posexplode(chunks).as(Seq("pos", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+    val freq = posed.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    posed.join(freq, "h")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("n_dup_chunks"),
+        array_join(transform(array_sort(collect_list(
+            when(col("c") < minCount, struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+  }
+
   /** Sequence packing for training batches: within each stratum (order
     * = `ordCol`), assign docs to bins of ~`targetTokens` whitespace
     * tokens by cumulative count — bin = floor(tokens-before / target).

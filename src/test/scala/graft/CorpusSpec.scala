@@ -54,6 +54,32 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
   }
 
+  test("chunkDedup flags corpus-duplicated chunks and rebuilds clean text") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")   // one full chunk
+    val u1 = (1 to 10).map(i => s"a$i").mkString(" ")
+    val u2 = (1 to 10).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared $u1"),        // chunk0 shared with doc2 → dropped
+      (2L, s"$shared $u2"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"), // all unique, 2 chunks
+      (4L, s"$shared $shared"))    // within-doc dup → both chunks dropped
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkDedup(df, "doc_id", "text")
+      .orderBy($"id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, u1),
+      (2L, 2L, 1L, u2),
+      (3L, 2L, 0L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"),
+      (4L, 2L, 2L, "")))
+  }
+
+  test("chunkDedup: short doc is one chunk; unique doc text round-trips") {
+    val df = Seq((1L, "  only   three  tokens "), (2L, "lone")).toDF("doc_id", "text")
+    val out = Corpus.chunkDedup(df, "doc_id", "text")
+      .orderBy($"id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 1L, 0L, "only three tokens"), (2L, 1L, 0L, "lone")))
+  }
+
   test("packSequences bins by cumulative token count per stratum") {
     val ten = Seq.fill(10)("w").mkString(" ")
     val df = (1 to 10).map(i => (i.toLong, ten, "s")).toDF("doc_id", "text", "k")
