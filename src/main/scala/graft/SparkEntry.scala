@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Eod, Graft, Pii, Text, Tick}
-import graft.operators.{AsOfJoin, Corpus, Dedup, Multimodal, Resample, Similarity}
+import graft.operators.{AsOfJoin, Cluster, Corpus, Dedup, Multimodal, Resample, Similarity}
 import graft.sim.MarketSim
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -1365,7 +1365,12 @@ object SparkEntry {
       Corpus.chunkDedup(tbl(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_chunks"),
           col("n_dup_chunks"), col("clean_text"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    "embed_kmeans" -> ((s, dir) =>
+      Cluster.kmeans(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy(col("vec_id")))
   )
 
   /** Deterministic PII-bearing contact cards derived from customer —
@@ -2210,7 +2215,30 @@ object SparkEntry {
           |  coalesce(array_to_string(
           |    list(chunk ORDER BY pos) FILTER (WHERE c < 2), ' '), '') AS clean_text
           |FROM h JOIN f USING (hh)
-          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "embed_kmeans" -> {
+        // Replays Cluster.kmeans(k=8, iters=2) CTE-by-CTE: same seeds
+        // (k lowest ids), same argmin score (|c|² − 2·x·c, ties →
+        // lowest cid), same 1e-6-quantized-long centroid means. Built
+        // by plain concatenation — no stripMargin on interpolated SQL.
+        def assign(a: String, c: String) =
+          s"$a AS (SELECT id, cid, v FROM (" +
+            s"SELECT v.id, $c.cid, v.v, row_number() OVER (PARTITION BY v.id " +
+            s"ORDER BY list_dot_product($c.cv, $c.cv) - 2 * list_dot_product(v.v, $c.cv), " +
+            s"$c.cid) AS r FROM v CROSS JOIN $c) WHERE r = 1)"
+        def update(a: String, c: String) =
+          s"$c AS (SELECT cid, list(comp ORDER BY pos) AS cv FROM (" +
+            "SELECT cid, pos, CAST(sum(qv) AS DOUBLE) / count(*) / 1e6 AS comp FROM (" +
+            "SELECT cid, unnest(range(1, len(v) + 1)) AS pos, " +
+            "unnest(list_transform(v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS qv " +
+            s"FROM $a) GROUP BY cid, pos) GROUP BY cid)"
+        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "c0 AS (SELECT id AS cid, v AS cv FROM v ORDER BY id LIMIT 8), " +
+          assign("a1", "c0") + ", " + update("a1", "c1") + ", " +
+          assign("a2", "c1") + ", " + update("a2", "c2") + ", " +
+          assign("a3", "c2") + " " +
+          "SELECT id AS vec_id, cid AS cluster FROM a3 ORDER BY vec_id"
+      }
     )
   }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.expressions.DotProduct
+
+/** Embedding clustering for corpus analysis (SURVEY §2 op 85):
+  * fixed-iteration Lloyd's k-means over an embedding column, the
+  * standard tool for topic bucketing / diversity sampling / semantic
+  * sharding of a training corpus (and the index-training step of IVF,
+  * [[Similarity.ivfTopK]]).
+  *
+  * Deterministic by construction so a SQL oracle replays it exactly:
+  * seeds are the k lowest-id vectors; assignment breaks distance ties
+  * on the lowest centroid id; centroid updates sum 1e-6-quantized
+  * longs (order-independent — a parallel double sum would wiggle low
+  * bits per SURVEY §6), then divide once in double.
+  *
+  * Scale shape: the whole (assign → update)^iters chain is ONE
+  * declarative plan — each iteration is a broadcast of the k·dim
+  * centroid table, one map-side-combinable (cid, pos) aggregation
+  * (the 64× posexplode fan-out collapses to k·dim rows per task
+  * before the shuffle), and a k-row reassembly. iters+1 passes over
+  * the data, exactly Lloyd's cost; no pair expansion, no driver-side
+  * state (MLlib's KMeans collects centroids to the driver every
+  * iteration; here they stay plan-internal, so the job is resumable
+  * and the lineage is auditable). Clusters that lose all members drop
+  * out (standard Lloyd variant); k and iters are small constants, so
+  * plan size is bounded.
+  */
+object Cluster {
+
+  /** (id, cluster) assignment after `iters` Lloyd updates from the
+    * k-lowest-id seeds. `cluster` is the seed vector's id.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int = 8, iters: Int = 2): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // argmin_c |x-c|² = argmin_c (|c|² - 2·x·c); |x|² is constant per x.
+    def assigned(cent: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cent))
+        .withColumn("_s",
+          col("cn2") - lit(2.0) * DotProduct(col("v"), col("cv")))
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("cid"), col("v")),
+          struct(col("_s"), col("cid"))).as("_m"))
+        .select(col("id"), col("_m.cid").as("cid"), col("_m.v").as("v"))
+    def withNorm(cent: DataFrame): DataFrame =
+      cent.withColumn("cn2", DotProduct(col("cv"), col("cv")))
+    val init = withNorm(
+      v.orderBy(col("id")).limit(k)
+        .select(col("id").as("cid"), col("v").as("cv")))
+    val centFinal = (1 to iters).foldLeft(init) { (cent, _) =>
+      withNorm(assigned(cent)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
+        .select(col("cid"), col("pos"),
+          floor(col("val") * 1e6 + 0.5).cast("long").as("qv"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            (col("sq").cast("double") / col("cnt") / 1e6).as("comp")))),
+          s => s.getField("comp")).as("cv")))
+    }
+    assigned(centFinal).select(col("id"), col("cid").as("cluster"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cluster
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans separates two well-separated blobs; cluster = seed id") {
+    // Blob A around (0, 0), blob B around (10, 10); ids interleave so
+    // the two lowest-id seeds (0 → A, 1 → B) start one in each blob.
+    val pts = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      (i, Seq(base + (i % 5) * 0.1, base - (i % 3) * 0.1))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Cluster.kmeans(df, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 20)
+    (0L until 20L).foreach { i =>
+      assert(out(i) == i % 2, s"vec $i assigned ${out(i)}")
+    }
+  }
+
+  test("kmeans is deterministic under repartitioning") {
+    val df = (0L until 100L)
+      .map(i => (i, Seq((i % 7).toDouble, (i % 11).toDouble, (i % 13).toDouble)))
+      .toDF("vec_id", "embedding")
+    val a = Cluster.kmeans(df, "vec_id", "embedding", k = 4, iters = 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = Cluster.kmeans(df.repartition(13), "vec_id", "embedding", k = 4, iters = 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.map(_._2).distinct.size > 1) // non-degenerate clustering
+  }
+
+  test("kmeans ties break to the lowest centroid id") {
+    // Both seeds are the same point, so every vector is equidistant:
+    // everything must land in the lower seed id.
+    val df = Seq(
+      (0L, Seq(1.0, 1.0)), (1L, Seq(1.0, 1.0)),
+      (2L, Seq(5.0, -3.0)), (3L, Seq(-2.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    val out = Cluster.kmeans(df, "vec_id", "embedding", k = 2, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(0L))
+  }
+}
