@@ -1370,7 +1370,11 @@ object SparkEntry {
       Cluster.kmeans(tbl(s, dir, "embeddings"), "vec_id", "embedding",
           k = 8, iters = 2)
         .select(col("id").as("vec_id"), col("cluster"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+    "dedup_semantic" -> ((s, dir) =>
+      Cluster.semanticDedupPairs(embCorpus(s, dir), "vec_id", "embedding",
+          0.99, k = 8, iters = 2)
+        .orderBy(col("id_a"), col("id_b")))
   )
 
   /** Deterministic PII-bearing contact cards derived from customer —
@@ -2216,29 +2220,45 @@ object SparkEntry {
           |    list(chunk ORDER BY pos) FILTER (WHERE c < 2), ' '), '') AS clean_text
           |FROM h JOIN f USING (hh)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-      "embed_kmeans" -> {
-        // Replays Cluster.kmeans(k=8, iters=2) CTE-by-CTE: same seeds
-        // (k lowest ids), same argmin score (|c|² − 2·x·c, ties →
-        // lowest cid), same 1e-6-quantized-long centroid means. Built
-        // by plain concatenation — no stripMargin on interpolated SQL.
-        def assign(a: String, c: String) =
-          s"$a AS (SELECT id, cid, v FROM (" +
-            s"SELECT v.id, $c.cid, v.v, row_number() OVER (PARTITION BY v.id " +
-            s"ORDER BY list_dot_product($c.cv, $c.cv) - 2 * list_dot_product(v.v, $c.cv), " +
-            s"$c.cid) AS r FROM v CROSS JOIN $c) WHERE r = 1)"
-        def update(a: String, c: String) =
-          s"$c AS (SELECT cid, list(comp ORDER BY pos) AS cv FROM (" +
-            "SELECT cid, pos, CAST(sum(qv) AS DOUBLE) / count(*) / 1e6 AS comp FROM (" +
-            "SELECT cid, unnest(range(1, len(v) + 1)) AS pos, " +
-            "unnest(list_transform(v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS qv " +
-            s"FROM $a) GROUP BY cid, pos) GROUP BY cid)"
-        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), " +
-          "c0 AS (SELECT id AS cid, v AS cv FROM v ORDER BY id LIMIT 8), " +
-          assign("a1", "c0") + ", " + update("a1", "c1") + ", " +
-          assign("a2", "c1") + ", " + update("a2", "c2") + ", " +
-          assign("a3", "c2") + " " +
-          "SELECT id AS vec_id, cid AS cluster FROM a3 ORDER BY vec_id"
-      }
+      "embed_kmeans" ->
+        (s"WITH ${kmeansCtes("SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings", 8, 2)} " +
+          "SELECT id AS vec_id, cid AS cluster FROM akm ORDER BY vec_id"),
+      "dedup_semantic" ->
+        (s"WITH $ECORPUS_CTE, " +
+          kmeansCtes("SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM ecorpus", 8, 2) + ", " +
+          "sz AS (SELECT cid FROM akm GROUP BY cid HAVING count(*) > 1 AND count(*) <= 10000), " +
+          "nn AS (SELECT id, cid, v, sqrt(list_dot_product(v, v)) AS nm FROM akm JOIN sz USING (cid)) " +
+          "SELECT a.id AS id_a, b.id AS id_b, " +
+          "round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) AS cosine " +
+          "FROM nn a JOIN nn b ON a.cid = b.cid AND a.id < b.id " +
+          "WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.99 " +
+          "ORDER BY id_a, id_b")
     )
+  }
+
+  /** CTE chain replaying Cluster.kmeans(k, iters) over `vSrc` (a
+    * SELECT yielding (id, v DOUBLE[])): v, c0, a1, c1, …, ending with
+    * the final assignment CTE `akm` (id, cid, v). Same seeds (k lowest
+    * ids), same argmin score (|c|² − 2·x·c, ties → lowest cid), same
+    * 1e-6-quantized-long centroid means. Built by plain concatenation
+    * — no stripMargin on interpolated SQL.
+    */
+  private def kmeansCtes(vSrc: String, k: Int, iters: Int): String = {
+    def assign(a: String, c: String) =
+      s"$a AS (SELECT id, cid, v FROM (" +
+        s"SELECT v.id, $c.cid, v.v, row_number() OVER (PARTITION BY v.id " +
+        s"ORDER BY list_dot_product($c.cv, $c.cv) - 2 * list_dot_product(v.v, $c.cv), " +
+        s"$c.cid) AS r FROM v CROSS JOIN $c) WHERE r = 1)"
+    def update(a: String, c: String) =
+      s"$c AS (SELECT cid, list(comp ORDER BY pos) AS cv FROM (" +
+        "SELECT cid, pos, CAST(sum(qv) AS DOUBLE) / count(*) / 1e6 AS comp FROM (" +
+        "SELECT cid, unnest(range(1, len(v) + 1)) AS pos, " +
+        "unnest(list_transform(v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS qv " +
+        s"FROM $a) GROUP BY cid, pos) GROUP BY cid)"
+    val mid = (1 to iters)
+      .map(t => assign(s"a$t", s"c${t - 1}") + ", " + update(s"a$t", s"c$t"))
+      .mkString(", ")
+    s"v AS ($vSrc), c0 AS (SELECT id AS cid, v AS cv FROM v ORDER BY id LIMIT $k), " +
+      mid + ", " + assign("akm", s"c$iters")
   }
 }

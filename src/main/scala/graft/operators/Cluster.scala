@@ -35,7 +35,16 @@ object Cluster {
     * k-lowest-id seeds. `cluster` is the seed vector's id.
     */
   def kmeans(df: DataFrame, idCol: String, vecCol: String,
-             k: Int = 8, iters: Int = 2): DataFrame = {
+             k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssigned(df, idCol, vecCol, k, iters)
+      .select(col("id"), col("cid").as("cluster"))
+
+  /** Final assignment with the vector riding along: (id, cid, v) —
+    * the building block SemDeDup composes on.
+    */
+  private[operators] def kmeansAssigned(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     // argmin_c |x-c|² = argmin_c (|c|² - 2·x·c); |x|² is constant per x.
@@ -64,6 +73,48 @@ object Cluster {
             (col("sq").cast("double") / col("cnt") / 1e6).as("comp")))),
           s => s.getField("comp")).as("cv")))
     }
-    assigned(centFinal).select(col("id"), col("cid").as("cluster"))
+    assigned(centFinal)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pairs via k-means sharding — cluster the
+    * embeddings, then compare pairs ONLY within a cluster and keep
+    * those with cosine ≥ `threshold`. The published recipe for
+    * web-scale semantic dedup: the k-means shard bounds the pair
+    * expansion the way LSH bands do for MinHash, but with
+    * data-adaptive (centroid) buckets instead of random projections.
+    *
+    * Scale shape: pair cost is Σ_c n_c² — SIZE k TO THE CORPUS
+    * (k ≈ n/targetClusterSize, the same rule as IVF's √n cells), and
+    * `maxCluster` caps a degenerate hot cluster to a bounded recall
+    * trade, not an OOM (see [[Dedup.DefaultMaxBucket]]). Candidate
+    * ids travel skinny through the cluster aggregation; vectors
+    * re-attach via shuffle_hash key joins (O(n·dim) never broadcasts
+    * — same lesson the scale probe taught embeddingCosinePairs).
+    */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, k: Int = 8, iters: Int = 2,
+                         maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val assign = kmeansAssigned(df, idCol, vecCol, k, iters)
+    // Pairs within a cluster: ids only (each id is in exactly one
+    // cluster, so pairs are already unique — no distinct needed).
+    val cand = assign.groupBy(col("cid"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxCluster)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+    val v = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", Similarity.normNative(col("v")))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+      .hint("shuffle_hash")
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+      .hint("shuffle_hash")
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("cosine",
+        Similarity.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 }

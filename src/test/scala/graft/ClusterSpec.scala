@@ -35,6 +35,30 @@ class ClusterSpec extends SparkSpec {
     assert(a.map(_._2).distinct.size > 1) // non-degenerate clustering
   }
 
+  test("semanticDedupPairs finds planted near-dups, only within clusters") {
+    // Blob A near (1, 0): ids 0, 2 identical (cosine 1), id 4 rotated
+    // off-axis (cosine < .99). Blob B near (0, 1): ids 1, 3 identical.
+    // Cross-blob pairs share no cluster and must not be compared.
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (4L, Seq(1.0, 0.2)),
+      (1L, Seq(0.0, 1.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Cluster.semanticDedupPairs(df, "vec_id", "embedding",
+        threshold = 0.99, k = 2, iters = 2)
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 2L, 1.0), (1L, 3L, 1.0)))
+  }
+
+  test("semanticDedupPairs skips clusters above maxCluster") {
+    val df = (0L until 10L).map(i => (i, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val capped = Cluster.semanticDedupPairs(df, "vec_id", "embedding",
+      threshold = 0.9, k = 1, iters = 1, maxCluster = 5)
+    assert(capped.count() == 0)
+    val uncapped = Cluster.semanticDedupPairs(df, "vec_id", "embedding",
+      threshold = 0.9, k = 1, iters = 1)
+    assert(uncapped.count() == 45) // all 10-choose-2 identical pairs
+  }
+
   test("kmeans ties break to the lowest centroid id") {
     // Both seeds are the same point, so every vector is equidistant:
     // everything must land in the lower seed id.
