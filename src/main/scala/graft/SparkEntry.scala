@@ -859,6 +859,23 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // ---- product quantization (op 87): codes + ADC search
+    "embed_pq_codes" -> ((s, dir) =>
+      graft.operators.Pq.encode(
+          tbl(s, dir, "embeddings").where(col("vec_id") >= 5),
+          "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("sub").cast("long").as("sub"),
+          col("code"))
+        .orderBy(col("vec_id"), col("sub"))),
+    "ann_topk_pq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      graft.operators.Pq.adcTopK(
+          e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+          "vec_id", "embedding", 3)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_d2"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // Batch twin of streaming/EventStream.windowedStats — tumbling
     // 1h windows; identical semantics run under readStream + watermark
     // (StreamingSpec exercises that path).
@@ -2223,6 +2240,24 @@ object SparkEntry {
       "embed_kmeans" ->
         (s"WITH ${kmeansCtes("SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings", 8, 2)} " +
           "SELECT id AS vec_id, cid AS cluster FROM akm ORDER BY vec_id"),
+      "embed_pq_codes" ->
+        (s"WITH $PQ_CTES SELECT id AS vec_id, sub, code FROM enc " +
+          "ORDER BY vec_id, sub"),
+      "ann_topk_pq" ->
+        (s"WITH $PQ_CTES, " +
+          "q AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5), " +
+          "dt AS (SELECT qs.id AS query_id, cb.sub, cb.cid, " +
+          "CAST(floor((list_dot_product(qs.sv, qs.sv) - 2 * list_dot_product(qs.sv, cb.cv) " +
+          "+ list_dot_product(cb.cv, cb.cv)) * 1e6 + 0.5) AS BIGINT) AS d2q " +
+          "FROM (SELECT id, s.range AS sub, list_slice(v, s.range*8 + 1, s.range*8 + 8) AS sv " +
+          "FROM q, range(0, 8) s) qs JOIN cb ON qs.sub = cb.sub), " +
+          "adc AS (SELECT dt.query_id, enc.id AS neighbor_id, sum(dt.d2q) AS sq " +
+          "FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.cid " +
+          "GROUP BY dt.query_id, enc.id) " +
+          "SELECT query_id, r AS rnk, neighbor_id, CAST(sq AS DOUBLE) / 1e6 AS adc_d2 FROM (" +
+          "SELECT query_id, neighbor_id, sq, row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY sq, neighbor_id) AS r FROM adc) WHERE r <= 3 " +
+          "ORDER BY query_id, rnk"),
       "dedup_semantic" ->
         (s"WITH $ECORPUS_CTE, " +
           kmeansCtes("SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM ecorpus", 8, 2) + ", " +
@@ -2235,6 +2270,22 @@ object SparkEntry {
           "ORDER BY id_a, id_b")
     )
   }
+
+  /** CTE chain replaying Pq.encode over the ANN corpus (vec_id >= 5,
+    * k=16 codes, m=8 subspaces of 8 dims): v, seed, cb, enc — same
+    * seed rule (k lowest ids), same argmin (|c_s|² − 2·x_s·c_s, ties
+    * → lowest cid). Plain concatenation — no stripMargin.
+    */
+  private val PQ_CTES: String =
+    "v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5), " +
+      "seed AS (SELECT id, v FROM v ORDER BY id LIMIT 16), " +
+      "cb AS (SELECT s.range AS sub, seed.id AS cid, " +
+      "list_slice(seed.v, s.range*8 + 1, s.range*8 + 8) AS cv FROM seed, range(0, 8) s), " +
+      "enc AS (SELECT id, sub, cid AS code FROM (" +
+      "SELECT e.id, cb.sub, cb.cid, row_number() OVER (PARTITION BY e.id, cb.sub " +
+      "ORDER BY list_dot_product(cb.cv, cb.cv) " +
+      "- 2 * list_dot_product(list_slice(e.v, cb.sub*8 + 1, cb.sub*8 + 8), cb.cv), " +
+      "cb.cid) AS r FROM v e CROSS JOIN cb) WHERE r = 1)"
 
   /** CTE chain replaying Cluster.kmeans(k, iters) over `vSrc` (a
     * SELECT yielding (id, v DOUBLE[])): v, c0, a1, c1, …, ending with

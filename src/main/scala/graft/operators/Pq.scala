@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.DotProduct
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — SURVEY §2 op 87. The standard
+  * compression path for embedding stores: split each dim-d vector
+  * into `m` subvectors, quantize each against a per-subspace codebook
+  * of `k` centroids, and store only the m code ids (64 d × 8 B →
+  * m bytes-ish). Search runs over codes via ADC (asymmetric distance
+  * computation): the query builds an m×k table of exact
+  * subspace distances once, and every corpus vector's distance is a
+  * sum of m table lookups — no corpus-side float math at all.
+  *
+  * Deterministic for oracle replay: codebooks are the subvectors of
+  * the k lowest-id corpus vectors (the same seed rule as
+  * [[Similarity.ivfTopK]] cells and [[Cluster.kmeans]] — zero
+  * training passes; swap in Lloyd-refined codebooks via
+  * [[Cluster.kmeans]] per subspace when recall demands); code
+  * assignment breaks distance ties on the lowest centroid id; ADC
+  * sums 1e-6-quantized longs so the m-term reduction is
+  * order-independent (SURVEY §6).
+  *
+  * Scale shape: encoding is one broadcast of the m·k·subDim codebook
+  * and one (id, sub) argmin aggregation — linear in corpus rows, all
+  * map-side combinable. ADC search shuffles NOTHING corpus-sized:
+  * the distance table is |queries|·m·k rows (broadcast), the per-pair
+  * work is a long add, and the top-k window partitions by query.
+  */
+object Pq {
+
+  /** Per-subspace codebook from the k lowest-id vectors:
+    * (sub, cid, cv, cn2). Tiny (m·k rows) — always broadcast.
+    */
+  private def codebook(v: DataFrame, k: Int, m: Int, subDim: Int): DataFrame =
+    v.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("sub"), col("cid"),
+        slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("cv"))
+      .withColumn("cn2", DotProduct(col("cv"), col("cv")))
+
+  private def subvecs(df: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("v"))
+      .select(col("id"), col("sub"),
+        slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("sv"))
+
+  private def idv(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+
+  /** PQ codes, exploded: (id, sub, code) — code is the seed vector id
+    * whose subvector is nearest (argmin |x_s − c_s|², ties → lowest).
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             k: Int = 16, m: Int = 8, dim: Int = 64): DataFrame = {
+    val v = idv(df, idCol, vecCol)
+    val cb = codebook(v, k, m, dim / m)
+    subvecs(v, m, dim / m).join(broadcast(cb), "sub")
+      .withColumn("_s",
+        col("cn2") - lit(2.0) * DotProduct(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("_s"), col("cid"))).as("code"))
+  }
+
+  /** ADC top-k: exact per-subspace distances from each query to every
+    * codebook centroid (an m·k table per query), then each corpus
+    * vector scores as the sum of its m code lookups. Approximate by
+    * construction (corpus vectors are quantized); `adc_d2` is the
+    * squared L2 distance to the quantized corpus vector.
+    */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, topK: Int, k: Int = 16, m: Int = 8,
+              dim: Int = 64): DataFrame = {
+    val cv = idv(corpus, idCol, vecCol)
+    val cb = codebook(cv, k, m, dim / m)
+    val codes = encode(corpus, idCol, vecCol, k, m, dim)
+      .select(col("id").as("neighbor_id"), col("sub"), col("code"))
+    // d2 = |q_s|² − 2·q_s·c_s + |c_s|², quantized to 1e-6 longs so the
+    // m-term sum below is order-independent.
+    val dt = subvecs(idv(queries, idCol, vecCol), m, dim / m)
+      .join(broadcast(cb), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("cid"),
+        floor((DotProduct(col("sv"), col("sv")) -
+          lit(2.0) * DotProduct(col("sv"), col("cv")) + col("cn2")) * 1e6
+          + 0.5).cast("long").as("d2q"))
+    val scored = codes
+      .join(broadcast(dt),
+        codes("sub") === dt("sub") && codes("code") === dt("cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2q")).as("sq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("sq").cast("double") / 1e6).as("adc_d2"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pq
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim vectors, m=2 subspaces of 2 dims, k=2 codes (seeds = ids 0, 1).
+  private val dim = 4
+  private val m = 2
+  private val k = 2
+
+  test("encode: seeds code to themselves; others to the nearest subvector") {
+    val df = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(10.0, 10.0, 10.0, 10.0)),
+      (2L, Seq(0.1, -0.1, 9.8, 10.2)), // sub0 → seed 0, sub1 → seed 1
+      (3L, Seq(9.0, 9.0, 1.0, 1.0)))   // sub0 → seed 1, sub1 → seed 0
+      .toDF("vec_id", "embedding")
+    val codes = Pq.encode(df, "vec_id", "embedding", k, m, dim)
+      .orderBy($"id", $"sub").as[(Long, Int, Long)].collect().toSeq
+    assert(codes == Seq(
+      (0L, 0, 0L), (0L, 1, 0L),
+      (1L, 0, 1L), (1L, 1, 1L),
+      (2L, 0, 0L), (2L, 1, 1L),
+      (3L, 0, 1L), (3L, 1, 0L)))
+  }
+
+  test("adcTopK: a query equal to a corpus vector ranks it first at d2=0") {
+    val corpus = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(10.0, 10.0, 10.0, 10.0)),
+      (2L, Seq(0.0, 0.0, 10.0, 10.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(0.0, 0.0, 10.0, 10.0)))
+      .toDF("vec_id", "embedding")
+    val out = Pq.adcTopK(queries, corpus, "vec_id", "embedding", 3, k, m, dim)
+      .orderBy($"rank").as[(Long, Int, Long, Double)].collect().toSeq
+    // vec 2 quantizes exactly to (seed0-sub0, seed1-sub1), so ADC d2 = 0;
+    // vecs 0 and 1 are each 200 away in one subspace.
+    assert(out == Seq(
+      (100L, 1, 2L, 0.0), (100L, 2, 0L, 200.0), (100L, 3, 1L, 200.0)))
+  }
+
+  test("encode ties break to the lowest seed id") {
+    val df = Seq(
+      (0L, Seq(1.0, 1.0)), (1L, Seq(1.0, 1.0)), (2L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val codes = Pq.encode(df, "vec_id", "embedding", k = 2, m = 1, dim = 2)
+      .select($"code").as[Long].collect().toSeq
+    assert(codes == Seq(0L, 0L, 0L))
+  }
+}
