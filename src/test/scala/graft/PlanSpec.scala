@@ -121,4 +121,55 @@ class PlanSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles == 1, s"expected 1 shuffle, saw $shuffles:\n${p.take(1200)}")
   }
+
+  test("chunk dedup and LM score stay on key-equi joins, never all-pairs") {
+    val pc = finalPlan("dedup_chunks")
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoopJoin"),
+      "dedup_chunks degenerated to an all-pairs join:\n" + pc.take(1200))
+    // lmScore legitimately cross-joins ONE broadcast row (the corpus
+    // token total) — exactly one BroadcastNestedLoopJoin is that join;
+    // the token→frequency join itself must stay a hash equi-join.
+    val pl = finalPlan("corpus_lm_score")
+    assert(!pl.contains("CartesianProduct"),
+      "corpus_lm_score fell back to a cartesian product:\n" + pl.take(1200))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pl).length == 1,
+      "corpus_lm_score: expected exactly the 1-row total cross join:\n" +
+        pl.take(1200))
+    assert(pl.contains("HashJoin"),
+      "corpus_lm_score token join is not a hash equi-join:\n" + pl.take(1200))
+  }
+
+  test("k-means iterates via broadcast centroids; data is never cross-joined") {
+    val p = finalPlan("embed_kmeans")
+    assert(!p.contains("CartesianProduct"),
+      "kmeans assignment fell back to a cartesian product:\n" + p.take(1200))
+    // The centroid table must broadcast (k·dim rows). The assignment
+    // cross-join appears as BroadcastNestedLoopJoin — acceptable ONLY
+    // because the build side is the k-row centroid relation; pin that
+    // a broadcast exchange exists so a plan change that shuffles the
+    // data side against centroids (or vice versa) fails loudly.
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "kmeans centroids were not broadcast:\n" + p.take(1200))
+  }
+
+  test("SemDeDup re-attaches vectors by shuffle-hash join, never broadcast") {
+    val p = finalPlan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      "SemDeDup pair expansion fell back to a cartesian product:\n" + p.take(1200))
+    assert(p.contains("ShuffledHashJoin"),
+      "vector re-attach is not a shuffle-hash join (O(n·dim) must never " +
+        "broadcast):\n" + p.take(1200))
+  }
+
+  test("PQ/ADC search shuffles nothing corpus-sized") {
+    val p = finalPlan("ann_topk_pq")
+    assert(!p.contains("CartesianProduct"),
+      "PQ degenerated to a cartesian product:\n" + p.take(1200))
+    // Codebook and distance-table joins must be broadcasts; the only
+    // hash exchanges are the (id, sub) argmin, the (query, neighbor)
+    // ADC sum, and the top-k window — all on skinny code relations.
+    assert(p.contains("BroadcastExchange"),
+      "PQ codebook/distance-table was not broadcast:\n" + p.take(1200))
+  }
 }
