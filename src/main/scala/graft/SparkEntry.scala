@@ -1391,7 +1391,27 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) =>
       Cluster.semanticDedupPairs(embCorpus(s, dir), "vec_id", "embedding",
           0.99, k = 8, iters = 2)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- embedding-store ops: cluster pruning (op 88), int8 scalar
+    // quantization (op 89), JL random projection (op 90)
+    "embed_prune" -> ((s, dir) =>
+      Cluster.clusterPrune(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          keepFrac = 0.5, k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster"), col("dist2"),
+          col("rnk"), col("keep"))
+        .orderBy(col("vec_id"))),
+    "embed_sq8" -> ((s, dir) =>
+      graft.operators.Embed.scalarQuantizeInt8(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("code_digest"),
+          col("max_abs_err"), col("mean_abs_err"))
+        .orderBy(col("vec_id"))),
+    "embed_rp" -> ((s, dir) =>
+      graft.operators.Embed.randomProject(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          outDim = 16, dim = 64)
+        .select(col("id").as("vec_id"), col("pos"), col("y"))
+        .orderBy(col("vec_id"), col("pos")))
   )
 
   /** Deterministic PII-bearing contact cards derived from customer —
@@ -2267,7 +2287,54 @@ object SparkEntry {
           "round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) AS cosine " +
           "FROM nn a JOIN nn b ON a.cid = b.cid AND a.id < b.id " +
           "WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.99 " +
-          "ORDER BY id_a, id_b")
+          "ORDER BY id_a, id_b"),
+      // Cluster pruning: the kmeans chain's final assignment joined
+      // back to its centroids; d² = |x|² + (|c|² − 2·x·c), same
+      // association and 1e-6 quantization as Cluster.clusterPrune.
+      "embed_prune" ->
+        (s"WITH ${kmeansCtes("SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings", 8, 2)}, " +
+          "d AS (SELECT akm.id, akm.cid, " +
+          "CAST(floor((list_dot_product(akm.v, akm.v) + (list_dot_product(c2.cv, c2.cv) " +
+          "- 2 * list_dot_product(akm.v, c2.cv))) * 1e6 + 0.5) AS BIGINT) AS d2q " +
+          "FROM akm JOIN c2 USING (cid)) " +
+          "SELECT id AS vec_id, cid AS cluster, CAST(d2q AS DOUBLE) / 1e6 AS dist2, " +
+          "rnk, rnk <= ceil(0.5 * cnt) AS keep FROM (" +
+          "SELECT id, cid, d2q, row_number() OVER (PARTITION BY cid " +
+          "ORDER BY d2q DESC, id) AS rnk, " +
+          "count(*) OVER (PARTITION BY cid) AS cnt FROM d) " +
+          "ORDER BY vec_id"),
+      // SQ8: per-dimension corpus [min,max] ranges; code/recon/error
+      // formulas written with identical association to Embed.scala.
+      "embed_sq8" ->
+        ("WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "e AS (SELECT id, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM v), " +
+          "st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY pos), " +
+          "c AS (SELECT id, pos, x, mn, mx, " +
+          "CASE WHEN mx = mn THEN 0 ELSE " +
+          "CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT) END AS code " +
+          "FROM e JOIN st USING (pos)), " +
+          "r AS (SELECT id, pos, code, " +
+          "CAST(floor(abs(x - (mn + CAST(code AS DOUBLE) / 255.0 * (mx - mn))) * 1e6 " +
+          "+ 0.5) AS BIGINT) AS eq FROM c) " +
+          "SELECT id AS vec_id, " +
+          "md5(string_agg(code::VARCHAR, ',' ORDER BY pos)) AS code_digest, " +
+          "CAST(max(eq) AS DOUBLE) / 1e6 AS max_abs_err, " +
+          "sum(eq)::DOUBLE / count(*) / 1e6 AS mean_abs_err " +
+          "FROM r GROUP BY id ORDER BY vec_id"),
+      // JL projection: ±1 signs from md5 nibble parity of "jl_i_j";
+      // per-term 1e-6-quantized longs, /√16 after the exact sum.
+      "embed_rp" ->
+        ("WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "e AS (SELECT id, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM v), " +
+          "m AS (SELECT p.range AS pos, o.range AS opos, " +
+          "1 - 2 * (CAST(strpos('0123456789abcdef', " +
+          "substr(md5('jl_' || p.range || '_' || o.range), 1, 1)) - 1 AS BIGINT) % 2) AS s " +
+          "FROM range(0, 64) p, range(0, 16) o) " +
+          "SELECT id AS vec_id, opos AS pos, " +
+          "floor(sum(s * CAST(floor(x * 1e6 + 0.5) AS BIGINT))::DOUBLE " +
+          "/ sqrt(16.0) + 0.5) / 1e6 AS y " +
+          "FROM e JOIN m USING (pos) " +
+          "GROUP BY id, opos ORDER BY vec_id, pos")
     )
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.DotProduct
@@ -48,14 +49,17 @@ object Cluster {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     // argmin_c |x-c|² = argmin_c (|c|² - 2·x·c); |x|² is constant per x.
+    // The winning score rides along so pruning can recover the true
+    // distance (d² = |x|² + score) without re-scanning the centroids.
     def assigned(cent: DataFrame): DataFrame =
       v.crossJoin(broadcast(cent))
         .withColumn("_s",
           col("cn2") - lit(2.0) * DotProduct(col("v"), col("cv")))
         .groupBy(col("id"))
-        .agg(min_by(struct(col("cid"), col("v")),
+        .agg(min_by(struct(col("cid"), col("v"), col("_s")),
           struct(col("_s"), col("cid"))).as("_m"))
-        .select(col("id"), col("_m.cid").as("cid"), col("_m.v").as("v"))
+        .select(col("id"), col("_m.cid").as("cid"), col("_m.v").as("v"),
+          col("_m._s").as("score"))
     def withNorm(cent: DataFrame): DataFrame =
       cent.withColumn("cn2", DotProduct(col("cv"), col("cv")))
     val init = withNorm(
@@ -74,6 +78,41 @@ object Cluster {
           s => s.getField("comp")).as("cv")))
     }
     assigned(centFinal)
+  }
+
+  /** Cluster-based data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv:2206.14486 — the SSL-prototypes metric; the
+    * density step of D4, Tirumala et al. 2023, arXiv:2308.12284):
+    * rank every vector by its distance to its assigned k-means
+    * centroid and keep the `keepFrac` HARDEST (farthest) examples per
+    * cluster — prototypical (near-centroid) examples are the redundant
+    * ones at scale, so they prune first.
+    *
+    * Deterministic for oracle replay: distance quantizes to 1e-6 longs
+    * before ranking, rank ties break on the lowest id, and the keep
+    * cutoff is `rank <= ceil(keepFrac · clusterSize)` — integer math
+    * after the one quantized compare.
+    *
+    * Scale shape: [[kmeansAssigned]]'s cost (iters+1 linear passes,
+    * broadcast centroids) plus ONE window over the cluster key — no
+    * pair expansion at all, which is exactly why the published recipes
+    * run it at web scale where pairwise dedup can't.
+    */
+  def clusterPrune(df: DataFrame, idCol: String, vecCol: String,
+                   keepFrac: Double, k: Int = 8, iters: Int = 2): DataFrame = {
+    val a = kmeansAssigned(df, idCol, vecCol, k, iters)
+      // d² = |x|² + (|c|² − 2·x·c); same association as the oracle SQL.
+      .withColumn("_d2q",
+        floor((DotProduct(col("v"), col("v")) + col("score")) * 1e6 + 0.5)
+          .cast("long"))
+    val w = Window.partitionBy(col("cid"))
+    a.withColumn("rnk",
+        row_number().over(w.orderBy(col("_d2q").desc, col("id"))).cast("long"))
+      .withColumn("keep",
+        col("rnk") <= ceil(lit(keepFrac) * count(lit(1)).over(w)))
+      .select(col("id"), col("cid").as("cluster"),
+        (col("_d2q").cast("double") / 1e6).as("dist2"),
+        col("rnk"), col("keep"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

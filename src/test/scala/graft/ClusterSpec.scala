@@ -59,6 +59,41 @@ class ClusterSpec extends SparkSpec {
     assert(uncapped.count() == 45) // all 10-choose-2 identical pairs
   }
 
+  test("clusterPrune keeps the keepFrac farthest per cluster") {
+    // Two blobs of 10; keepFrac=0.5 must keep exactly 5 per cluster,
+    // and every kept distance must be >= every dropped distance.
+    val pts = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      (i, Seq(base + (i % 5) * 0.1, base - (i % 3) * 0.1))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Cluster.clusterPrune(df, "vec_id", "embedding",
+        keepFrac = 0.5, k = 2, iters = 2)
+      .select($"id", $"cluster", $"dist2", $"keep")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out.size == 20)
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      val (kept, dropped) = rows.partition(_._4)
+      assert(kept.size == 5, s"cluster $c kept ${kept.size}")
+      assert(kept.map(_._3).min >= dropped.map(_._3).max,
+        s"cluster $c dropped a harder example than it kept")
+    }
+  }
+
+  test("clusterPrune keepFrac=1 keeps everything; deterministic under repartitioning") {
+    val df = (0L until 60L)
+      .map(i => (i, Seq((i % 7).toDouble, (i % 11).toDouble)))
+      .toDF("vec_id", "embedding")
+    val all = Cluster.clusterPrune(df, "vec_id", "embedding", keepFrac = 1.0)
+    assert(all.where(!$"keep").count() == 0)
+    val a = Cluster.clusterPrune(df, "vec_id", "embedding", keepFrac = 0.3)
+      .as[(Long, Long, Double, Long, Boolean)].collect().sorted.toSeq
+    val b = Cluster.clusterPrune(df.repartition(13), "vec_id", "embedding",
+        keepFrac = 0.3)
+      .as[(Long, Long, Double, Long, Boolean)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("kmeans ties break to the lowest centroid id") {
     // Both seeds are the same point, so every vector is equidistant:
     // everything must land in the lower seed id.

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Embed
+
+class EmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Long, dim: Int) =
+    (0L until n).map { i =>
+      (i, (0 until dim).map(d => ((i * 31 + d * 7) % 100).toDouble / 10.0))
+    }.toDF("vec_id", "embedding")
+
+  test("sq8 reconstruction error is bounded by half a code step") {
+    // Per-dim range here is <= 9.9, so a code step is <= 9.9/255 and
+    // the worst rounding error is half that (+1e-6 quantization slack).
+    val out = Embed.scalarQuantizeInt8(corpus(50, 8), "vec_id", "embedding")
+      .select($"id", $"max_abs_err", $"mean_abs_err")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(out.size == 50)
+    val bound = 9.9 / 255 / 2 + 1e-6
+    out.foreach { case (id, mx, mean) =>
+      assert(mx <= bound, s"vec $id max err $mx > $bound")
+      assert(mean <= mx + 1e-9, s"vec $id mean err above max")
+    }
+  }
+
+  test("sq8 codes an identical corpus exactly (zero error, one digest)") {
+    val df = (0L until 10L).map(i => (i, Seq(1.5, -2.25, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Embed.scalarQuantizeInt8(df, "vec_id", "embedding")
+      .select($"code_digest", $"max_abs_err").distinct().collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(1) == 0.0)
+  }
+
+  test("sq8 digests are deterministic under repartitioning") {
+    val df = corpus(40, 6)
+    val a = Embed.scalarQuantizeInt8(df, "vec_id", "embedding")
+      .select($"id", $"code_digest").as[(Long, String)].collect().sorted.toSeq
+    val b = Embed.scalarQuantizeInt8(df.repartition(13), "vec_id", "embedding")
+      .select($"id", $"code_digest").as[(Long, String)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("randomProject emits outDim rows per vector and is linear") {
+    // Inputs are exact 1e-6 multiples, so rp(2x) = 2*rp(x) exactly
+    // (the per-term quantization is exact and the sum is linear).
+    val x = (0 until 8).map(d => d / 4.0)
+    val df = Seq((0L, x), (1L, x.map(_ * 2))).toDF("vec_id", "embedding")
+    val out = Embed.randomProject(df, "vec_id", "embedding",
+        outDim = 4, dim = 8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.size == 8)
+    assert(out.map(_._2).toSet == (0L until 4L).toSet)
+    val y0 = out.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    val y1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    y0.zip(y1).foreach { case (a, b) =>
+      assert(math.abs(b - 2 * a) < 2e-6, s"rp not linear: $a vs $b")
+    }
+  }
+
+  test("randomProject is deterministic under repartitioning and seed-sensitive") {
+    val df = corpus(30, 8)
+    def run(d: org.apache.spark.sql.DataFrame, seed: String) =
+      Embed.randomProject(d, "vec_id", "embedding", outDim = 4, dim = 8,
+          seed = seed)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(run(df, "jl") == run(df.repartition(11), "jl"))
+    assert(run(df, "jl") != run(df, "jl2"))
+  }
+}

@@ -162,6 +162,38 @@ class PlanSpec extends SparkSpec {
         "broadcast):\n" + p.take(1200))
   }
 
+  test("cluster pruning never cross-joins the data side") {
+    val p = finalPlan("embed_prune")
+    assert(!p.contains("CartesianProduct"),
+      "clusterPrune fell back to a cartesian product:\n" + p.take(1200))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "clusterPrune centroids were not broadcast:\n" + p.take(1200))
+  }
+
+  test("sq8 ranges broadcast back; per-dim stats partial-aggregate") {
+    // Pass 1 (per-dim min/max) must be a partial-aggregated shuffle of
+    // 64 groups; the 1-row ranges relation re-attaches as the single
+    // broadcast cross join. Nothing else may join.
+    val p = finalPlan("embed_sq8")
+    assert(!p.contains("CartesianProduct"),
+      "sq8 fell back to a cartesian product:\n" + p.take(1200))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      "sq8: expected exactly the 1-row ranges cross join:\n" + p.take(1200))
+    assert(p.contains("HashAggregate"),
+      "sq8 per-dim stats are not hash-aggregated:\n" + p.take(1200))
+  }
+
+  test("random projection joins the derived sign matrix by broadcast") {
+    val p = finalPlan("embed_rp")
+    assert(!p.contains("CartesianProduct"),
+      "randomProject fell back to a cartesian product:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      "sign matrix is not a broadcast hash join:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "randomProject shuffled the exploded corpus for a tiny matrix:\n" +
+        p.take(1200))
+  }
+
   test("PQ/ADC search shuffles nothing corpus-sized") {
     val p = finalPlan("ann_topk_pq")
     assert(!p.contains("CartesianProduct"),
