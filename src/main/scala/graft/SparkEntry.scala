@@ -1411,7 +1411,33 @@ object SparkEntry {
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
           outDim = 16, dim = 64)
         .select(col("id").as("vec_id"), col("pos"), col("y"))
-        .orderBy(col("vec_id"), col("pos")))
+        .orderBy(col("vec_id"), col("pos"))),
+    // ---- TF-IDF keywords (op 91), DSIR importance weights (op 92),
+    // Bloom-filter decontamination pre-filter (op 93)
+    "text_tfidf" -> ((s, dir) =>
+      Corpus.tfIdfTopTerms(tbl(s, dir, "documents"), "doc_id", "text",
+          topK = 3)
+        .select(col("id").as("doc_id"), col("rnk"), col("term"),
+          col("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))),
+    "corpus_dsir" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Corpus.dsirWeight(d, d.where(col("lang") === "en"), d,
+          "doc_id", "text", buckets = 1024)
+        .select(col("id").as("doc_id"), col("n_feats"), col("log_weight"))
+        .orderBy(col("doc_id"))
+    }),
+    // Same corpus and bench split as corpus_contamination: the bloom
+    // pre-filter must flag (at least) every doc the exact op catches.
+    "corpus_bloom" -> ((s, dir) => {
+      val c = docCorpus(s, dir)
+      val isBench = col("doc_id") % 97 === 0 && col("doc_id") < 1000000
+      Corpus.bloomContamination(c.where(!isBench), c.where(isBench),
+          "doc_id", "text", width = 8, bits = 65536, hashes = 3)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          col("n_bloom_hits"), col("flagged"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Deterministic PII-bearing contact cards derived from customer —
@@ -1469,6 +1495,12 @@ object SparkEntry {
     // the affine minhash family h_i = (a + i*b) % 2^32 (Dedup.scala).
     def md5Word(off: Int) = (1 to 8).map(j =>
       s"(strpos('0123456789abcdef', substr(h, ${off + j}, 1)) - 1) * ${math.pow(16, 8 - j).toLong}"
+    ).mkString("(", " + ", ")")
+    // 32-bit word of md5(<c>) starting at 1-based hex offset
+    // <startExpr> (any SQL expression) — the dynamic-slice variant of
+    // md5Word for the k-slice Bloom positions.
+    def md5IntAt(c: String, startExpr: String) = (0 to 7).map(j =>
+      s"(strpos('0123456789abcdef', substr(md5($c), ($startExpr) + $j, 1)) - 1) * ${math.pow(16, 7 - j).toLong}"
     ).mkString("(", " + ", ")")
     val sigMins = (0 until 8).map(i =>
       s"min((a + $i * b) % 4294967296) AS sig_$i").mkString(", ")
@@ -2334,7 +2366,76 @@ object SparkEntry {
           "floor(sum(s * CAST(floor(x * 1e6 + 0.5) AS BIGINT))::DOUBLE " +
           "/ sqrt(16.0) + 0.5) / 1e6 AS y " +
           "FROM e JOIN m USING (pos) " +
-          "GROUP BY id, opos ORDER BY vec_id, pos")
+          "GROUP BY id, opos ORDER BY vec_id, pos"),
+      // TF-IDF: tf · ln(N/df) quantized to 1e-6 longs BEFORE ranking
+      // (ties → term asc) — same association as Corpus.tfIdfTopTerms.
+      "text_tfidf" ->
+        ("WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), " +
+          "'\\s+')) AS term FROM documents), " +
+          "tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term), " +
+          "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+          "nd AS (SELECT count(*) AS n FROM documents), " +
+          "sc AS (SELECT doc_id, term, CAST(floor(CAST(tf AS DOUBLE) * " +
+          "(ln(n::DOUBLE) - ln(df::DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q " +
+          "FROM tf JOIN dfq USING (term) CROSS JOIN nd) " +
+          "SELECT doc_id, rnk, term, CAST(q AS DOUBLE) / 1e6 AS tfidf FROM (" +
+          "SELECT doc_id, term, q, row_number() OVER (PARTITION BY doc_id " +
+          "ORDER BY q DESC, term) AS rnk FROM sc) WHERE rnk <= 3 " +
+          "ORDER BY doc_id, rnk"),
+      // DSIR: hashed unigram+bigram buckets, add-1-smoothed target/raw
+      // log-ratio per bucket (1e-6-quantized), summed per doc.
+      "corpus_dsir" -> {
+        val bigrams = "list_transform(range(1, greatest(len(toks)-1, 1) + 1), " +
+          "i -> array_to_string(toks[i:i+1], ' '))"
+        val gramsFrom = (src: String, cols: String) =>
+          s"SELECT $cols unnest(list_concat(toks, $bigrams)) AS g " +
+            s"FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src)"
+        s"WITH gt AS (${gramsFrom("documents WHERE lang = 'en'", "")}), " +
+          s"gr AS (${gramsFrom("documents", "")}), " +
+          s"gd AS (${gramsFrom("documents", "doc_id,")}), " +
+          s"tc AS (SELECT ${md5IntAt("g", "1")} % 1024 AS b, count(*) AS ct FROM gt GROUP BY 1), " +
+          s"rc AS (SELECT ${md5IntAt("g", "1")} % 1024 AS b, count(*) AS cr FROM gr GROUP BY 1), " +
+          "tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tc) AS tt, " +
+          "(SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS tr), " +
+          "ratio AS (SELECT sp.range AS b, CAST(floor((" +
+          "ln(coalesce(ct, 0)::DOUBLE + 1.0) - ln(tt::DOUBLE + 1024) " +
+          "- ln(coalesce(cr, 0)::DOUBLE + 1.0) + ln(tr::DOUBLE + 1024)) * 1e6 + 0.5) " +
+          "AS BIGINT) AS lq FROM range(0, 1024) sp " +
+          "LEFT JOIN tc ON sp.range = tc.b LEFT JOIN rc ON sp.range = rc.b " +
+          "CROSS JOIN tot) " +
+          s"SELECT doc_id, count(*) AS n_feats, sum(lq)::DOUBLE / 1e6 AS log_weight " +
+          s"FROM (SELECT doc_id, ${md5IntAt("g", "1")} % 1024 AS b FROM gd) " +
+          "JOIN ratio USING (b) GROUP BY doc_id ORDER BY doc_id"
+      },
+      // Bloom decontamination: 3 positions per distinct bench 8-gram
+      // from disjoint md5 hex slices; 32-bit packed words (sum of
+      // distinct 2^off masks ≡ OR); a train gram hits iff all 3 bits set.
+      "corpus_bloom" ->
+        (s"""WITH $CORPUS_CTE,
+          |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(toks)-7, 1) + 1),
+          |    i -> array_to_string(toks[i:i+7], ' ')))) AS sh
+          |  FROM t
+          |),
+          |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+          |train AS (SELECT doc_id, sh FROM sh WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000)),
+          |""".stripMargin +
+          s"bp AS (SELECT DISTINCT ${md5IntAt("sh", "j.range * 8 + 1")} % 65536 AS p " +
+          "FROM bench CROSS JOIN range(0, 3) j), " +
+          "words AS (SELECT CAST(floor(p / 32.0) AS BIGINT) AS w, " +
+          "CAST(sum(CAST(pow(2.0, p % 32) AS BIGINT)) AS BIGINT) AS word FROM bp GROUP BY 1), " +
+          s"tp AS (SELECT doc_id, sh, ${md5IntAt("sh", "j.range * 8 + 1")} % 65536 AS p " +
+          "FROM train CROSS JOIN range(0, 3) j), " +
+          "hb AS (SELECT tp.doc_id, tp.sh, " +
+          "bool_and(coalesce((words.word & CAST(pow(2.0, tp.p % 32) AS BIGINT)) <> 0, FALSE)) AS hit " +
+          "FROM tp LEFT JOIN words ON CAST(floor(tp.p / 32.0) AS BIGINT) = words.w " +
+          "GROUP BY tp.doc_id, tp.sh) " +
+          "SELECT doc_id, count(*) AS n_grams, " +
+          "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits, " +
+          "sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS flagged " +
+          "FROM hb GROUP BY doc_id ORDER BY doc_id")
     )
   }
 

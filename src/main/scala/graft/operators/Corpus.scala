@@ -106,6 +106,137 @@ object Corpus {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** TF-IDF top terms per doc (Sparck Jones 1972; the keyword-extract
+    * signal curation pipelines use for topic tagging and source
+    * diagnostics): tfidf = tf · ln(N/df), top `topK` terms per doc by
+    * (score desc, term asc). Scores quantize to 1e-6 longs BEFORE
+    * ranking, so ordering (and the SQL oracle) is engine-exact even
+    * though ln is involved — the lmScore convention.
+    *
+    * Scale shape: token explode → (id, tok) tf agg → tok df agg (both
+    * map-side combinable), a tok equi-join (AQE broadcasts a small
+    * vocab, shuffle-joins a 100 TB one — never pair expansion), the
+    * 1-row doc count as a broadcast cross join, one per-doc window.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ndocs = df.agg(count(lit(1)).as("n")) // 1 row — broadcast
+    val w = Window.partitionBy(col("id"))
+    tf.join(dfreq, "term").crossJoin(broadcast(ndocs))
+      .withColumn("q", floor(col("tf").cast("double") *
+        (log(col("n").cast("double")) - log(col("df").cast("double"))) *
+        1e6 + 0.5).cast("long"))
+      .withColumn("rnk",
+        row_number().over(w.orderBy(col("q").desc, col("term"))).cast("long"))
+      .where(col("rnk") <= topK)
+      .select(col("id"), col("rnk"), col("term"),
+        (col("q").cast("double") / 1e6).as("tfidf"))
+  }
+
+  /** DSIR importance weight (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * per-doc log importance weight Σ_g [ln p̂_target(b(g)) −
+    * ln p̂_raw(b(g))] over hashed unigram+bigram features b(g) =
+    * md5(g) mod `buckets`, with add-1 smoothing on both bucket
+    * distributions. High weight = looks like the target domain;
+    * resample the raw corpus by it to shift the mixture.
+    *
+    * Determinism: the per-feature log-ratio quantizes to 1e-6 longs
+    * (one value per bucket), and the per-doc sum of longs is
+    * order-free; md5 bucketing is engine-neutral.
+    *
+    * Scale shape: two bucket-count aggregations (≤ `buckets` groups,
+    * map-side combinable), bucket totals as 1-row broadcasts, the
+    * `buckets`-row ratio table broadcast into the probe explode, one
+    * per-doc agg. Strictly linear in corpus grams; nothing pairwise.
+    */
+  def dsirWeight(df: DataFrame, target: DataFrame, raw: DataFrame,
+                 idCol: String, textCol: String,
+                 buckets: Int = 1024): DataFrame = {
+    def grams(d: DataFrame, extra: Column*): DataFrame =
+      d.select(extra :+ explode(concat(Text.tokens(col(textCol)),
+        Text.ngrams(col(textCol), 2))).as("g"): _*)
+    def bucket(g: Column): Column =
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets
+    def counts(d: DataFrame, cName: String): DataFrame =
+      grams(d).select(bucket(col("g")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as(cName))
+    val tc = counts(target, "ct")
+    val rc = counts(raw, "cr")
+    val totals = tc.agg(sum(col("ct")).as("tt"))
+      .crossJoin(rc.agg(sum(col("cr")).as("tr"))) // 1 row — broadcast
+    // λ(b) = ln(ct+1) − ln(tt+B) − ln(cr+1) + ln(tr+B), 1e-6-quantized;
+    // a range spine covers buckets unseen in either corpus (their
+    // smoothed λ is ln((tr+B)/(tt+B)), not 0).
+    val spine = df.sparkSession.range(buckets).select(col("id").as("b"))
+    val ratio = spine
+      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"), floor(
+        (log(col("ct").cast("double") + 1.0)
+          - log(col("tt").cast("double") + buckets)
+          - log(col("cr").cast("double") + 1.0)
+          + log(col("tr").cast("double") + buckets)) * 1e6 + 0.5)
+        .cast("long").as("lq"))
+    grams(df, col(idCol).as("id"))
+      .select(col("id"), bucket(col("g")).as("b"))
+      .join(broadcast(ratio), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"),
+        (sum(col("lq")).cast("double") / 1e6).as("log_weight"))
+  }
+
+  /** Bloom-filter benchmark decontamination — the at-scale pre-filter
+    * for [[contamination]]: the bench side compresses to a `bits`-wide
+    * Bloom bitmap (`hashes` set bits per distinct width-gram, from
+    * disjoint 8-hex slices of ONE md5 digest), and every train doc
+    * probes its distinct grams against the broadcast bitmap. False
+    * positives at the classic (1−e^(−kn/m))^k rate, zero false
+    * negatives — flagged docs go to the exact check, clean docs skip
+    * the bench join entirely. At 100 TB the bitmap broadcast is KBs
+    * where the exact op's distinct-shingle relation is GBs.
+    *
+    * The bitmap packs 32 bits per long (sum of distinct 2^off masks ≡
+    * OR; offsets stay < 32 so every mask and probe is exact integer
+    * math a SQL engine replays verbatim — no engine-specific bit ops).
+    */
+  def bloomContamination(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, width: Int = 8,
+                         bits: Int = 65536, hashes: Int = 3): DataFrame = {
+    require(bits % 32 == 0, "bits must pack into 32-bit words")
+    require(hashes >= 1 && hashes <= 4, "hashes are 8-hex md5 slices")
+    def positions(g: Column): Column =
+      array((0 until hashes).map(j =>
+        conv(substring(md5(g), j * 8 + 1, 8), 16, 10).cast("long") % bits): _*)
+    val mask = (p: Column) => pow(lit(2.0), (p % 32).cast("double")).cast("long")
+    val bloom = bench
+      .select(explode(Dedup.shingles(col(textCol), width)).as("sh"))
+      .select(explode(positions(col("sh"))).as("p")).distinct()
+      .groupBy((col("p") / 32).cast("long").as("w"))
+      .agg(sum(mask(col("p"))).as("word"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word"))))
+        .as("mp"))
+      .select(transform(sequence(lit(0L), lit(bits / 32 - 1L)), i =>
+        coalesce(element_at(col("mp"), i), lit(0L))).as("bloom"))
+    train.select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), width)).as("sh"))
+      .crossJoin(broadcast(bloom))
+      .withColumn("hit", forall(positions(col("sh")), p =>
+        element_at(col("bloom"), (p / 32).cast("int") + 1)
+          .bitwiseAND(mask(p)) =!= 0L))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+      .withColumn("flagged", col("n_bloom_hits") > 0)
+  }
+
   /** Chunk-level corpus dedup (the C4 "line dedup" shape, Raffel et
     * al. 2020 §2.2 — C4 drops any three-sentence span occurring more
     * than once in the corpus; here a chunk is a fixed window of

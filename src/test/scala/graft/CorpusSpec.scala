@@ -80,6 +80,67 @@ class CorpusSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 0L, "only three tokens"), (2L, 1L, 0L, "lone")))
   }
 
+  test("tfIdfTopTerms ranks distinctive terms above ubiquitous ones") {
+    // "the" appears in every doc → idf = ln(1) = 0 → tfidf 0; each
+    // doc's unique term must outrank it despite lower tf.
+    val df = Seq(
+      (1L, "the the the apple"), (2L, "the banana banana"),
+      (3L, "the cherry"))
+      .toDF("doc_id", "text")
+    val out = Corpus.tfIdfTopTerms(df, "doc_id", "text", topK = 2)
+      .orderBy($"id", $"rnk")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq(
+      (1L, 1L, "apple"), (1L, 2L, "the"),
+      (2L, 1L, "banana"), (2L, 2L, "the"),
+      (3L, 1L, "cherry"), (3L, 2L, "the")))
+    // idf(the) = ln(3/3) = 0; idf(banana) = ln 3, tf 2
+    assert(out.filter(_._3 == "the").forall(_._4 == 0.0))
+    val banana = out.find(_._3 == "banana").get._4
+    assert(math.abs(banana - 2 * math.log(3.0)) < 2e-6)
+  }
+
+  test("dsirWeight scores target-like docs above off-target docs") {
+    val target = Seq((1L, "alpha beta gamma alpha beta"),
+      (2L, "alpha gamma beta gamma")).toDF("doc_id", "text")
+    val raw = target.unionAll(
+      Seq((3L, "zog quux blarp zog"), (4L, "quux blarp")).toDF("doc_id", "text"))
+    val out = Corpus.dsirWeight(raw, target, raw, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out.size == 4)
+    assert(out(1L) > out(3L) && out(2L) > out(4L),
+      s"target-like docs must outscore off-target: $out")
+  }
+
+  test("bloomContamination never misses an exact contamination hit") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val train = Seq(
+      (1L, s"$shared tail1 tail2"), // contaminated
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"), // clean
+      (3L, s"lead1 $shared")) // contaminated
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"$shared b1 b2")).toDF("doc_id", "text")
+    val exact = Corpus.contamination(train, bench, "doc_id", "text")
+      .select($"id").as[Long].collect().toSet
+    val bloom = Corpus.bloomContamination(train, bench, "doc_id", "text")
+      .orderBy($"id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(bloom.map(_._1) == Seq(1L, 2L, 3L))
+    val flagged = bloom.filter(_._4).map(_._1).toSet
+    assert(exact.subsetOf(flagged), s"bloom missed $exact vs $flagged")
+    assert(exact == Set(1L, 3L))
+    // every doc reports its distinct 8-gram count even when clean
+    assert(bloom.find(_._1 == 2L).get._2 == 2L) // 9 tokens → 2 grams
+  }
+
+  test("bloomContamination with an empty bench flags nothing") {
+    val train = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Corpus.bloomContamination(train, bench, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, 0L, false)))
+  }
+
   test("packSequences bins by cumulative token count per stratum") {
     val ten = Seq.fill(10)("w").mkString(" ")
     val df = (1 to 10).map(i => (i.toLong, ten, "s")).toDF("doc_id", "text", "k")

@@ -162,6 +162,36 @@ class PlanSpec extends SparkSpec {
         "broadcast):\n" + p.take(1200))
   }
 
+  test("tf-idf joins are hash joins; only the 1-row doc count cross-joins") {
+    val p = finalPlan("text_tfidf")
+    assert(!p.contains("CartesianProduct"),
+      "tf-idf fell back to a cartesian product:\n" + p.take(1200))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      "text_tfidf: expected exactly the 1-row N cross join:\n" + p.take(1200))
+    assert(p.contains("HashJoin"),
+      "tf-df join is not a hash equi-join:\n" + p.take(1200))
+  }
+
+  test("DSIR probe joins the bucket ratio table by broadcast hash") {
+    val p = finalPlan("corpus_dsir")
+    assert(!p.contains("CartesianProduct"),
+      "DSIR fell back to a cartesian product:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      "DSIR ratio-table probe is not a broadcast hash join:\n" + p.take(1200))
+    // the only nested-loop joins are the two 1-row totals cross joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      "corpus_dsir: a non-1-row relation nested-loop-joined:\n" + p.take(1200))
+  }
+
+  test("bloom bitmap is the only cross join in bloom contamination") {
+    val p = finalPlan("corpus_bloom")
+    assert(!p.contains("CartesianProduct"),
+      "bloomContamination fell back to a cartesian product:\n" + p.take(1200))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      "corpus_bloom: expected exactly the 1-row bitmap cross join:\n" +
+        p.take(1200))
+  }
+
   test("cluster pruning never cross-joins the data side") {
     val p = finalPlan("embed_prune")
     assert(!p.contains("CartesianProduct"),
