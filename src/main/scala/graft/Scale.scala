@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Resample, Similarity}
+import graft.operators.{Cluster, Corpus, Dedup, Embed, Pq, Resample, Similarity}
 
 /** Scale probe: the driver's testdata stops at sf0.1, so this main
   * self-generates inputs at multiples of the sf0.1 row counts (same
@@ -186,6 +186,72 @@ object Scale {
       }
       timed("resample_by_key", m, nSeries) {
         sink(Resample.resampleMean(series, "ret", Seq("key"), Seq("ord"), 10))
+      }
+      // k-means family sized by the √n rule (Cluster scaladoc): k ≈ √n
+      // balances assignment (n·k) against within-cluster pairing
+      // (n·(n/k)) for SemDeDup.
+      val kKm = math.max(8, math.sqrt(nEmb.toDouble).toInt)
+      timed("embed_kmeans", m, nEmb) {
+        sink(Cluster.kmeans(emb, "vec_id", "embedding", k = kKm, iters = 2))
+      }
+      timed("dedup_semantic", m, nEmb) {
+        sink(Cluster.semanticDedupPairs(emb, "vec_id", "embedding", 0.99,
+          k = kKm, iters = 2))
+      }
+      // Recall against the planted 1-in-10 near-dups: a near-identical
+      // pair should land in the same k-means cell at any k — record it
+      // so a sharding change that silently separates pairs fails loudly.
+      timed("dedup_semantic_recall_pct", m, nEmb) {
+        val found = Cluster.semanticDedupPairs(emb, "vec_id", "embedding",
+            0.99, k = kKm, iters = 2)
+          .where(col("id_b") - col("id_a") === 1 && col("id_b") % 10 === 9)
+          .count()
+        val expected = nEmb / 10
+        println(s"""{"op":"dedup_semantic_recall","scale":$m,"k":$kKm,"found":$found,"expected":$expected,"recall":${found.toDouble / expected}}""")
+      }
+      timed("embed_prune", m, nEmb) {
+        sink(Cluster.clusterPrune(emb, "vec_id", "embedding", keepFrac = 0.5,
+          k = kKm, iters = 2))
+      }
+      timed("embed_pq_codes", m, nEmb) {
+        sink(Pq.encode(emb, "vec_id", "embedding"))
+      }
+      timed("ann_topk_pq", m, nEmb) {
+        sink(Pq.adcTopK(queries, emb, "vec_id", "embedding", 10))
+      }
+      // IVF+PQ with the √n cell rule: exhaustive ADC grows linearly in
+      // corpus per query; the inverted lists bound it to nProbe·n/nCells.
+      timed("ann_topk_ivfpq", m, nEmb) {
+        sink(Pq.ivfAdcTopK(queries, emb, "vec_id", "embedding", 10,
+          nCells = nCells, nProbe = 8))
+      }
+      timed("embed_sq8", m, nEmb) {
+        sink(Embed.scalarQuantizeInt8(emb, "vec_id", "embedding"))
+      }
+      timed("embed_rp", m, nEmb) {
+        sink(Embed.randomProject(emb, "vec_id", "embedding"))
+      }
+      timed("dedup_chunks", m, nDocs) {
+        sink(Corpus.chunkDedup(docs, "doc_id", "text"))
+      }
+      timed("text_tfidf", m, nDocs) {
+        sink(Corpus.tfIdfTopTerms(docs, "doc_id", "text"))
+      }
+      timed("corpus_dsir", m, nDocs) {
+        sink(Corpus.dsirWeight(docs,
+          docs.where(col("doc_id") % 3 === 0), docs, "doc_id", "text"))
+      }
+      // Bloom bits sized to the bench side (text.md rule: ~18× expected
+      // distinct bench grams for ~1e-4 per-probe FP); the bitmap stays
+      // a KB-scale broadcast even at the top tier.
+      val benchGrams = (nDocs / 97) * 43
+      val bloomBits = math.min(1L << 22,
+        math.max(65536L, ((18 * benchGrams / 32) + 1) * 32)).toInt
+      timed("corpus_bloom", m, nDocs) {
+        sink(Corpus.bloomContamination(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          "doc_id", "text", bits = bloomBits))
       }
       // Skewed shuffle join + agg under AQE; broadcast disabled so the
       // skew-join path (not a broadcast) is what's being measured.

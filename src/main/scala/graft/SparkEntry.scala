@@ -876,6 +876,15 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_d2"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "ann_topk_ivfpq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      graft.operators.Pq.ivfAdcTopK(
+          e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+          "vec_id", "embedding", 3, nCells = 16, nProbe = 4)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_d2"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // Batch twin of streaming/EventStream.windowedStats — tumbling
     // 1h windows; identical semantics run under readStream + watermark
     // (StreamingSpec exercises that path).
@@ -2310,6 +2319,35 @@ object SparkEntry {
           "SELECT query_id, neighbor_id, sq, row_number() OVER (PARTITION BY query_id " +
           "ORDER BY sq, neighbor_id) AS r FROM adc) WHERE r <= 3 " +
           "ORDER BY query_id, rnk"),
+      // IVF+PQ: same enc/dt as ann_topk_pq, with the ADC join gated by
+      // the corpus cell assignment × the query's nProbe probed cells.
+      "ann_topk_ivfpq" ->
+        (s"WITH $PQ_CTES, " +
+          "cells AS (SELECT id AS cell_id, v AS centv FROM v ORDER BY id LIMIT 16), " +
+          "cc AS (SELECT id, cell_id FROM (" +
+          "SELECT v.id, cells.cell_id, row_number() OVER (PARTITION BY v.id " +
+          "ORDER BY list_dot_product(cells.centv, cells.centv) " +
+          "- 2 * list_dot_product(v.v, cells.centv), cells.cell_id) AS r " +
+          "FROM v CROSS JOIN cells) WHERE r = 1), " +
+          "q AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5), " +
+          "qc AS (SELECT qid, cell_id FROM (" +
+          "SELECT q.id AS qid, cells.cell_id, row_number() OVER (PARTITION BY q.id " +
+          "ORDER BY list_dot_product(cells.centv, cells.centv) " +
+          "- 2 * list_dot_product(q.v, cells.centv), cells.cell_id) AS r " +
+          "FROM q CROSS JOIN cells) WHERE r <= 4), " +
+          "dt AS (SELECT qs.id AS query_id, cb.sub, cb.cid, " +
+          "CAST(floor((list_dot_product(qs.sv, qs.sv) - 2 * list_dot_product(qs.sv, cb.cv) " +
+          "+ list_dot_product(cb.cv, cb.cv)) * 1e6 + 0.5) AS BIGINT) AS d2q " +
+          "FROM (SELECT id, s.range AS sub, list_slice(v, s.range*8 + 1, s.range*8 + 8) AS sv " +
+          "FROM q, range(0, 8) s) qs JOIN cb ON qs.sub = cb.sub), " +
+          "adc AS (SELECT dt.query_id, enc.id AS neighbor_id, sum(dt.d2q) AS sq " +
+          "FROM enc JOIN cc ON enc.id = cc.id JOIN qc ON cc.cell_id = qc.cell_id " +
+          "JOIN dt ON enc.sub = dt.sub AND enc.code = dt.cid AND qc.qid = dt.query_id " +
+          "GROUP BY dt.query_id, enc.id) " +
+          "SELECT query_id, r AS rnk, neighbor_id, CAST(sq AS DOUBLE) / 1e6 AS adc_d2 FROM (" +
+          "SELECT query_id, neighbor_id, sq, row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY sq, neighbor_id) AS r FROM adc) WHERE r <= 3 " +
+          "ORDER BY query_id, rnk"),
       "dedup_semantic" ->
         (s"WITH $ECORPUS_CTE, " +
           kmeansCtes("SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM ecorpus", 8, 2) + ", " +
@@ -2408,8 +2446,9 @@ object SparkEntry {
           "JOIN ratio USING (b) GROUP BY doc_id ORDER BY doc_id"
       },
       // Bloom decontamination: 3 positions per distinct bench 8-gram
-      // from disjoint md5 hex slices; 32-bit packed words (sum of
-      // distinct 2^off masks ≡ OR); a train gram hits iff all 3 bits set.
+      // from disjoint md5 hex slices; the filter is the relation of
+      // set-bit positions; a train gram hits iff all 3 position rows
+      // match (count = 3, duplicate positions each matching).
       "corpus_bloom" ->
         (s"""WITH $CORPUS_CTE,
           |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
@@ -2424,14 +2463,11 @@ object SparkEntry {
           |""".stripMargin +
           s"bp AS (SELECT DISTINCT ${md5IntAt("sh", "j.range * 8 + 1")} % 65536 AS p " +
           "FROM bench CROSS JOIN range(0, 3) j), " +
-          "words AS (SELECT CAST(floor(p / 32.0) AS BIGINT) AS w, " +
-          "CAST(sum(CAST(pow(2.0, p % 32) AS BIGINT)) AS BIGINT) AS word FROM bp GROUP BY 1), " +
-          s"tp AS (SELECT doc_id, sh, ${md5IntAt("sh", "j.range * 8 + 1")} % 65536 AS p " +
+          s"tp AS (SELECT doc_id, md5(sh) AS h, ${md5IntAt("sh", "j.range * 8 + 1")} % 65536 AS p " +
           "FROM train CROSS JOIN range(0, 3) j), " +
-          "hb AS (SELECT tp.doc_id, tp.sh, " +
-          "bool_and(coalesce((words.word & CAST(pow(2.0, tp.p % 32) AS BIGINT)) <> 0, FALSE)) AS hit " +
-          "FROM tp LEFT JOIN words ON CAST(floor(tp.p / 32.0) AS BIGINT) = words.w " +
-          "GROUP BY tp.doc_id, tp.sh) " +
+          "hb AS (SELECT tp.doc_id, tp.h, (count(bp.p) = 3) AS hit " +
+          "FROM tp LEFT JOIN bp ON tp.p = bp.p " +
+          "GROUP BY tp.doc_id, tp.h) " +
           "SELECT doc_id, count(*) AS n_grams, " +
           "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits, " +
           "sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS flagged " +

@@ -193,44 +193,49 @@ object Corpus {
   }
 
   /** Bloom-filter benchmark decontamination — the at-scale pre-filter
-    * for [[contamination]]: the bench side compresses to a `bits`-wide
-    * Bloom bitmap (`hashes` set bits per distinct width-gram, from
-    * disjoint 8-hex slices of ONE md5 digest), and every train doc
-    * probes its distinct grams against the broadcast bitmap. False
-    * positives at the classic (1−e^(−kn/m))^k rate, zero false
-    * negatives — flagged docs go to the exact check, clean docs skip
-    * the bench join entirely. At 100 TB the bitmap broadcast is KBs
-    * where the exact op's distinct-shingle relation is GBs.
+    * for [[contamination]]: the bench side compresses to a Bloom
+    * filter over a `bits`-wide position space (`hashes` set bits per
+    * distinct width-gram, from disjoint 8-hex slices of ONE md5
+    * digest), and every train doc probes its distinct grams against
+    * it. False positives at the classic (1−e^(−kn/m))^k rate, zero
+    * false negatives — flagged docs go to the exact check, clean docs
+    * skip the bench join entirely.
     *
-    * The bitmap packs 32 bits per long (sum of distinct 2^off masks ≡
-    * OR; offsets stay < 32 so every mask and probe is exact integer
-    * math a SQL engine replays verbatim — no engine-specific bit ops).
+    * The filter travels as the RELATION of set-bit positions
+    * (≤ min(k·benchGrams, bits) longs — MBs at worst) probed by a
+    * broadcast hash join: O(1) per probe, no wide payload on any row.
+    * Two rejected shapes, both measured on the 50× scale probe: a
+    * packed-bitmap ARRAY column attached per probe row re-materializes
+    * the full bitmap for every gram (one 500 KB memcpy per row ≈
+    * bits × grams cost — 68 s where this shape takes ~5 s), and
+    * zero-filling that array via `element_at` over a map is O(bits²)
+    * in one task (Spark map lookup is a linear scan — 4.6 min).
+    * A gram hits iff all `hashes` of its position rows match; the
+    * per-gram votes collapse map-side (explode-local), so the only
+    * shuffle is the same skinny postings shape as [[contamination]].
     */
   def bloomContamination(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String, width: Int = 8,
                          bits: Int = 65536, hashes: Int = 3): DataFrame = {
-    require(bits % 32 == 0, "bits must pack into 32-bit words")
     require(hashes >= 1 && hashes <= 4, "hashes are 8-hex md5 slices")
-    def positions(g: Column): Column =
+    // Positions from disjoint slices of ONE digest column (hash each
+    // gram once, not once per slice).
+    def positions(hex: Column): Column =
       array((0 until hashes).map(j =>
-        conv(substring(md5(g), j * 8 + 1, 8), 16, 10).cast("long") % bits): _*)
-    val mask = (p: Column) => pow(lit(2.0), (p % 32).cast("double")).cast("long")
-    val bloom = bench
+        conv(substring(hex, j * 8 + 1, 8), 16, 10).cast("long") % bits): _*)
+    val setBits = bench
       .select(explode(Dedup.shingles(col(textCol), width)).as("sh"))
-      .select(explode(positions(col("sh"))).as("p")).distinct()
-      .groupBy((col("p") / 32).cast("long").as("w"))
-      .agg(sum(mask(col("p"))).as("word"))
-      .groupBy()
-      .agg(map_from_entries(collect_list(struct(col("w"), col("word"))))
-        .as("mp"))
-      .select(transform(sequence(lit(0L), lit(bits / 32 - 1L)), i =>
-        coalesce(element_at(col("mp"), i), lit(0L))).as("bloom"))
+      .select(explode(positions(md5(col("sh")))).as("p")).distinct()
+      .withColumn("_one", lit(1L))
     train.select(col(idCol).as("id"),
         explode(Dedup.shingles(col(textCol), width)).as("sh"))
-      .crossJoin(broadcast(bloom))
-      .withColumn("hit", forall(positions(col("sh")), p =>
-        element_at(col("bloom"), (p / 32).cast("int") + 1)
-          .bitwiseAND(mask(p)) =!= 0L))
+      // grams are distinct per doc, so (id, digest) identifies a gram;
+      // grouping on the digest keeps the gram shuffle skinny.
+      .select(col("id"), md5(col("sh")).as("h"))
+      .select(col("id"), col("h"), explode(positions(col("h"))).as("p"))
+      .join(broadcast(setBits), Seq("p"), "left")
+      .groupBy(col("id"), col("h"))
+      .agg((sum(coalesce(col("_one"), lit(0L))) === hashes).as("hit"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"))

@@ -67,6 +67,72 @@ object Pq {
       .agg(min_by(col("cid"), struct(col("_s"), col("cid"))).as("code"))
   }
 
+  /** IVF+PQ (the combined index of Jégou et al. 2011 §V / the Faiss
+    * "IVFx,PQy" recipe): coarse-quantize the corpus into `nCells`
+    * inverted lists, then run ADC only inside the `nProbe` cells
+    * nearest each query — the per-query candidate set shrinks from n
+    * to ~nProbe·n/nCells, which is what makes PQ search usable when
+    * exhaustive [[adcTopK]] (queries × corpus lookups) stops fitting
+    * the latency budget. Size `nCells ≈ √n` (the IVF rule).
+    *
+    * Determinism: cells seed from the nCells lowest-id corpus vectors;
+    * corpus assignment is argmin (|c|² − 2·x·c, ties → lowest cell);
+    * query probing takes the nProbe best cells by the same score.
+    *
+    * Scale shape: cell table (nCells·dim) and query-probe table
+    * (|queries|·nProbe) broadcast; codes stay distributed and fan out
+    * only to the queries probing their cell; nothing corpus-sized
+    * shuffles or broadcasts — [[adcTopK]]'s shape with the candidate
+    * generation bounded by the inverted lists.
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, topK: Int, nCells: Int = 16,
+                 nProbe: Int = 4, k: Int = 16, m: Int = 8,
+                 dim: Int = 64): DataFrame = {
+    val cv = idv(corpus, idCol, vecCol)
+    val cent = cv.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cell_id"), col("v").as("centv"))
+      .withColumn("centn2", DotProduct(col("centv"), col("centv")))
+    def cellScore = col("centn2") - lit(2.0) * DotProduct(col("v"), col("centv"))
+    val ccells = cv.crossJoin(broadcast(cent))
+      .withColumn("_s", cellScore)
+      .groupBy(col("id"))
+      .agg(min_by(col("cell_id"), struct(col("_s"), col("cell_id")))
+        .as("cell_id"))
+    val codes = encode(corpus, idCol, vecCol, k, m, dim)
+      .join(ccells, "id")
+      .select(col("id").as("neighbor_id"), col("sub"), col("code"),
+        col("cell_id"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("_s"), col("cell_id"))
+    val qcells = idv(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("v"))
+      .crossJoin(broadcast(cent))
+      .withColumn("_s", cellScore)
+      .withColumn("_r", row_number().over(wq)).where(col("_r") <= nProbe)
+      .select(col("qid"), col("cell_id"))
+    val cb = codebook(cv, k, m, dim / m)
+    val dt = subvecs(idv(queries, idCol, vecCol), m, dim / m)
+      .join(broadcast(cb), "sub")
+      .select(col("id").as("qid"), col("sub"), col("cid"),
+        floor((DotProduct(col("sv"), col("sv")) -
+          lit(2.0) * DotProduct(col("sv"), col("cv")) + col("cn2")) * 1e6
+          + 0.5).cast("long").as("d2q"))
+    val scored = codes
+      .join(broadcast(qcells), "cell_id")
+      .join(broadcast(dt),
+        codes("sub") === dt("sub") && codes("code") === dt("cid") &&
+          qcells("qid") === dt("qid"))
+      .groupBy(dt("qid").as("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2q")).as("sq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("sq").cast("double") / 1e6).as("adc_d2"))
+  }
+
   /** ADC top-k: exact per-subspace distances from each query to every
     * codebook centroid (an m·k table per query), then each corpus
     * vector scores as the sum of its m code lookups. Approximate by

@@ -44,6 +44,41 @@ class PqSpec extends SparkSpec {
       (100L, 1, 2L, 0.0), (100L, 2, 0L, 200.0), (100L, 3, 1L, 200.0)))
   }
 
+  test("ivfAdcTopK with full probing equals exhaustive adcTopK") {
+    // nProbe = nCells → every query scans every inverted list, so the
+    // IVF layer must be a pure no-op on the results.
+    val corpus = (0L until 40L)
+      .map(i => (i, Seq((i % 7).toDouble, (i % 5).toDouble,
+        (i % 3).toDouble, (i % 11).toDouble)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(3.0, 2.0, 1.0, 4.0)),
+      (101L, Seq(6.0, 0.0, 2.0, 9.0))).toDF("vec_id", "embedding")
+    val exhaustive = Pq.adcTopK(queries, corpus, "vec_id", "embedding",
+        5, k, m, dim)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val ivf = Pq.ivfAdcTopK(queries, corpus, "vec_id", "embedding",
+        5, nCells = 4, nProbe = 4, k, m, dim)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(ivf == exhaustive)
+  }
+
+  test("ivfAdcTopK probes only nProbe cells") {
+    // Two well-separated cells (seeds 0 and 1); with nProbe=1 a query
+    // at cell 1 must never surface cell-0 members.
+    val corpus = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)), (1L, Seq(10.0, 10.0, 10.0, 10.0)),
+      (2L, Seq(0.2, 0.1, 0.0, 0.1)), (3L, Seq(9.8, 10.1, 10.0, 9.9)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(10.0, 10.0, 10.0, 10.0)))
+      .toDF("vec_id", "embedding")
+    val out = Pq.ivfAdcTopK(queries, corpus, "vec_id", "embedding",
+        4, nCells = 2, nProbe = 1, k, m, dim)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L), s"leaked across unprobed cells: $out")
+  }
+
   test("encode ties break to the lowest seed id") {
     val df = Seq(
       (0L, Seq(1.0, 1.0)), (1L, Seq(1.0, 1.0)), (2L, Seq(1.0, 1.0)))
