@@ -876,6 +876,13 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_d2"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "embed_pq_trained" -> ((s, dir) =>
+      graft.operators.Pq.encode(
+          tbl(s, dir, "embeddings").where(col("vec_id") >= 5),
+          "vec_id", "embedding", iters = 2)
+        .select(col("id").as("vec_id"), col("sub").cast("long").as("sub"),
+          col("code"))
+        .orderBy(col("vec_id"), col("sub"))),
     "ann_topk_ivfpq" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       graft.operators.Pq.ivfAdcTopK(
@@ -2319,6 +2326,9 @@ object SparkEntry {
           "SELECT query_id, neighbor_id, sq, row_number() OVER (PARTITION BY query_id " +
           "ORDER BY sq, neighbor_id) AS r FROM adc) WHERE r <= 3 " +
           "ORDER BY query_id, rnk"),
+      "embed_pq_trained" ->
+        (s"WITH ${pqTrainedCtes(16, 2)} " +
+          "SELECT id AS vec_id, sub, code FROM enc ORDER BY vec_id, sub"),
       // IVF+PQ: same enc/dt as ann_topk_pq, with the ADC join gated by
       // the corpus cell assignment × the query's nProbe probed cells.
       "ann_topk_ivfpq" ->
@@ -2473,6 +2483,37 @@ object SparkEntry {
           "sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS flagged " +
           "FROM hb GROUP BY doc_id ORDER BY doc_id")
     )
+  }
+
+  /** CTE chain replaying Pq.encode(iters = n) — grouped Lloyd over
+    * all m=8 subspaces at once (op 95): v, sv, c0, (a1, c1), …, enc.
+    * Same conventions as kmeansCtes with `sub` in every partition and
+    * group key. Plain concatenation — no stripMargin.
+    */
+  private def pqTrainedCtes(k: Int, iters: Int): String = {
+    def assign(a: String, c: String, out: String) =
+      s"$a AS (SELECT $out FROM (" +
+        s"SELECT sv.id, sv.sub, c.cid, sv.sv, row_number() OVER (PARTITION BY sv.id, sv.sub " +
+        "ORDER BY list_dot_product(c.cv, c.cv) - 2 * list_dot_product(sv.sv, c.cv), " +
+        s"c.cid) AS r FROM sv JOIN $c c ON sv.sub = c.sub) WHERE r = 1)"
+    def update(a: String, c: String) =
+      s"$c AS (SELECT sub, cid, list(comp ORDER BY pos) AS cv FROM (" +
+        "SELECT sub, cid, pos, CAST(sum(qv) AS DOUBLE) / count(*) / 1e6 AS comp FROM (" +
+        "SELECT sub, cid, unnest(range(1, len(sv) + 1)) AS pos, " +
+        "unnest(list_transform(sv, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS qv " +
+        s"FROM $a) GROUP BY sub, cid, pos) GROUP BY sub, cid)"
+    val mid = (1 to iters)
+      .map(t => assign(s"a$t", s"c${t - 1}", "id, sub, cid, sv") + ", " +
+        update(s"a$t", s"c$t"))
+      .mkString(", ")
+    "v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5), " +
+      "sv AS (SELECT id, s.range AS sub, list_slice(v, s.range*8 + 1, s.range*8 + 8) AS sv " +
+      "FROM v, range(0, 8) s), " +
+      s"c0 AS (SELECT s.range AS sub, seed.id AS cid, " +
+      "list_slice(seed.v, s.range*8 + 1, s.range*8 + 8) AS cv " +
+      s"FROM (SELECT id, v FROM v ORDER BY id LIMIT $k) seed, range(0, 8) s), " +
+      mid + ", " +
+      assign("enc", s"c$iters", "id, sub, cid AS code")
   }
 
   /** CTE chain replaying Pq.encode over the ANN corpus (vec_id >= 5,

@@ -16,13 +16,13 @@ import graft.expressions.DotProduct
   * subspace distances once, and every corpus vector's distance is a
   * sum of m table lookups — no corpus-side float math at all.
   *
-  * Deterministic for oracle replay: codebooks are the subvectors of
-  * the k lowest-id corpus vectors (the same seed rule as
-  * [[Similarity.ivfTopK]] cells and [[Cluster.kmeans]] — zero
-  * training passes; swap in Lloyd-refined codebooks via
-  * [[Cluster.kmeans]] per subspace when recall demands); code
-  * assignment breaks distance ties on the lowest centroid id; ADC
-  * sums 1e-6-quantized longs so the m-term reduction is
+  * Deterministic for oracle replay: codebooks seed from the
+  * subvectors of the k lowest-id corpus vectors (the same seed rule
+  * as [[Similarity.ivfTopK]] cells and [[Cluster.kmeans]]), optionally
+  * refined by `iters` grouped-Lloyd passes (op 95 — the "trained"
+  * codebooks of the paper, all m subspace k-means problems in one
+  * plan); code assignment breaks distance ties on the lowest centroid
+  * id; ADC sums 1e-6-quantized longs so the m-term reduction is
   * order-independent (SURVEY §6).
   *
   * Scale shape: encoding is one broadcast of the m·k·subDim codebook
@@ -33,16 +33,48 @@ import graft.expressions.DotProduct
   */
 object Pq {
 
-  /** Per-subspace codebook from the k lowest-id vectors:
-    * (sub, cid, cv, cn2). Tiny (m·k rows) — always broadcast.
+  /** Per-subspace codebook: seeds are the subvectors of the k
+    * lowest-id vectors; `iters` grouped-Lloyd refinements (all m
+    * subspace k-means problems advance together in ONE declarative
+    * plan — the `sub` column rides through every assignment and
+    * update, so the per-iteration cost is exactly [[Cluster.kmeans]]'s
+    * with an equi-join on `sub` instead of a cross join). Returns
+    * (sub, cid, cv, cn2); m·k rows — always broadcast.
+    *
+    * Same determinism conventions as [[Cluster.kmeans]]: argmin ties →
+    * lowest cid, centroid means over 1e-6-quantized longs, clusters
+    * that lose all members drop out.
     */
-  private def codebook(v: DataFrame, k: Int, m: Int, subDim: Int): DataFrame =
-    v.orderBy(col("id")).limit(k)
+  private def codebook(v: DataFrame, k: Int, m: Int, subDim: Int,
+                       iters: Int = 0): DataFrame = {
+    val init = v.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("v"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .select(col("sub"), col("cid"),
         slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("cv"))
-      .withColumn("cn2", DotProduct(col("cv"), col("cv")))
+    def withN(c: DataFrame) = c.withColumn("cn2",
+      DotProduct(col("cv"), col("cv")))
+    val sv = subvecs(v, m, subDim)
+    val fin = (1 to iters).foldLeft(init) { (cent, _) =>
+      sv.join(broadcast(withN(cent)), "sub")
+        .withColumn("_s",
+          col("cn2") - lit(2.0) * DotProduct(col("sv"), col("cv")))
+        .groupBy(col("id"), col("sub"))
+        .agg(min_by(struct(col("cid"), col("sv")),
+          struct(col("_s"), col("cid"))).as("_m"))
+        .select(col("sub"), col("_m.cid").as("cid"),
+          posexplode(col("_m.sv")).as(Seq("pos", "val")))
+        .select(col("sub"), col("cid"), col("pos"),
+          floor(col("val") * 1e6 + 0.5).cast("long").as("qv"))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            (col("sq").cast("double") / col("cnt") / 1e6).as("comp")))),
+          s => s.getField("comp")).as("cv"))
+    }
+    withN(fin)
+  }
 
   private def subvecs(df: DataFrame, m: Int, subDim: Int): DataFrame =
     df.select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
@@ -57,9 +89,10 @@ object Pq {
     * whose subvector is nearest (argmin |x_s − c_s|², ties → lowest).
     */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             k: Int = 16, m: Int = 8, dim: Int = 64): DataFrame = {
+             k: Int = 16, m: Int = 8, dim: Int = 64,
+             iters: Int = 0): DataFrame = {
     val v = idv(df, idCol, vecCol)
-    val cb = codebook(v, k, m, dim / m)
+    val cb = codebook(v, k, m, dim / m, iters)
     subvecs(v, m, dim / m).join(broadcast(cb), "sub")
       .withColumn("_s",
         col("cn2") - lit(2.0) * DotProduct(col("sv"), col("cv")))
@@ -88,7 +121,7 @@ object Pq {
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, topK: Int, nCells: Int = 16,
                  nProbe: Int = 4, k: Int = 16, m: Int = 8,
-                 dim: Int = 64): DataFrame = {
+                 dim: Int = 64, iters: Int = 0): DataFrame = {
     val cv = idv(corpus, idCol, vecCol)
     val cent = cv.orderBy(col("id")).limit(nCells)
       .select(col("id").as("cell_id"), col("v").as("centv"))
@@ -99,7 +132,7 @@ object Pq {
       .groupBy(col("id"))
       .agg(min_by(col("cell_id"), struct(col("_s"), col("cell_id")))
         .as("cell_id"))
-    val codes = encode(corpus, idCol, vecCol, k, m, dim)
+    val codes = encode(corpus, idCol, vecCol, k, m, dim, iters)
       .join(ccells, "id")
       .select(col("id").as("neighbor_id"), col("sub"), col("code"),
         col("cell_id"))
@@ -111,7 +144,7 @@ object Pq {
       .withColumn("_s", cellScore)
       .withColumn("_r", row_number().over(wq)).where(col("_r") <= nProbe)
       .select(col("qid"), col("cell_id"))
-    val cb = codebook(cv, k, m, dim / m)
+    val cb = codebook(cv, k, m, dim / m, iters)
     val dt = subvecs(idv(queries, idCol, vecCol), m, dim / m)
       .join(broadcast(cb), "sub")
       .select(col("id").as("qid"), col("sub"), col("cid"),
@@ -141,10 +174,10 @@ object Pq {
     */
   def adcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, topK: Int, k: Int = 16, m: Int = 8,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64, iters: Int = 0): DataFrame = {
     val cv = idv(corpus, idCol, vecCol)
-    val cb = codebook(cv, k, m, dim / m)
-    val codes = encode(corpus, idCol, vecCol, k, m, dim)
+    val cb = codebook(cv, k, m, dim / m, iters)
+    val codes = encode(corpus, idCol, vecCol, k, m, dim, iters)
       .select(col("id").as("neighbor_id"), col("sub"), col("code"))
     // d2 = |q_s|² − 2·q_s·c_s + |c_s|², quantized to 1e-6 longs so the
     // m-term sum below is order-independent.

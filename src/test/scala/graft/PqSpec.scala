@@ -79,6 +79,42 @@ class PqSpec extends SparkSpec {
     assert(out == Set(1L, 3L), s"leaked across unprobed cells: $out")
   }
 
+  test("trained codebooks reduce total ADC self-distance") {
+    // Corpus = 3 tight blobs per subspace whose means differ from any
+    // raw seed subvector; Lloyd refinement must move the codebooks to
+    // the blob means, shrinking every vector's distance to its own
+    // quantization. Query each corpus vector against itself: adc_d2 of
+    // the self-match is exactly the quantization error.
+    val corpus = (0L until 30L).map { i =>
+      val c = (i % 3).toDouble * 10
+      (i, Seq(c + (i % 5) * 0.1, c - (i % 7) * 0.1,
+        c + (i % 2) * 0.1, c))
+    }.toDF("vec_id", "embedding")
+    def selfErr(iters: Int): Double =
+      Pq.adcTopK(corpus, corpus, "vec_id", "embedding", 30,
+          k = 3, m = 2, dim = 4, iters = iters)
+        .where($"query_id" === $"neighbor_id")
+        .agg(sum($"adc_d2")).as[Double].head()
+    val seeded = selfErr(0)
+    val trained = selfErr(2)
+    assert(trained < seeded,
+      s"training did not reduce quantization error: $trained >= $seeded")
+  }
+
+  test("trained encode is deterministic under repartitioning") {
+    val df = (0L until 60L)
+      .map(i => (i, Seq((i % 7).toDouble, (i % 5).toDouble,
+        (i % 3).toDouble, (i % 11).toDouble)))
+      .toDF("vec_id", "embedding")
+    val a = Pq.encode(df, "vec_id", "embedding", k = 4, m = 2, dim = 4,
+        iters = 2)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val b = Pq.encode(df.repartition(13), "vec_id", "embedding",
+        k = 4, m = 2, dim = 4, iters = 2)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("encode ties break to the lowest seed id") {
     val df = Seq(
       (0L, Seq(1.0, 1.0)), (1L, Seq(1.0, 1.0)), (2L, Seq(1.0, 1.0)))
