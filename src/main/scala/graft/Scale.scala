@@ -234,6 +234,9 @@ object Scale {
       timed("dedup_chunks", m, nDocs) {
         sink(Corpus.chunkDedup(docs, "doc_id", "text"))
       }
+      timed("dedup_windows", m, nDocs) {
+        sink(Corpus.windowDedup(docs, "doc_id", "text"))
+      }
       timed("text_tfidf", m, nDocs) {
         sink(Corpus.tfIdfTopTerms(docs, "doc_id", "text"))
       }

@@ -1399,6 +1399,13 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_chunks"),
           col("n_dup_chunks"), col("clean_text"))
         .orderBy(col("doc_id"))),
+    // Overlapping-window substring dedup (op 96) on the planted-dup
+    // corpus: the +2000000 exact copies must show full-length runs.
+    "dedup_windows" -> ((s, dir) =>
+      Corpus.windowDedup(docCorpus(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_windows"),
+          col("n_dup_windows"), col("max_dup_run"))
+        .orderBy(col("doc_id"))),
     "embed_kmeans" -> ((s, dir) =>
       Cluster.kmeans(tbl(s, dir, "embeddings"), "vec_id", "embedding",
           k = 8, iters = 2)
@@ -2305,6 +2312,28 @@ object SparkEntry {
           |    list(chunk ORDER BY pos) FILTER (WHERE c < 2), ' '), '') AS clean_text
           |FROM h JOIN f USING (hh)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // Overlapping windows with positions; islands trick (pos −
+      // row_number constant within a run) for the longest dup run.
+      "dedup_windows" ->
+        (s"""WITH $CORPUS_CTE,
+          |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
+          |""".stripMargin +
+          "g AS (SELECT doc_id, " +
+          "unnest(list_transform(range(1, greatest(len(toks)-7, 1) + 1), i -> i - 1)) AS pos, " +
+          "unnest(list_transform(range(1, greatest(len(toks)-7, 1) + 1), " +
+          "i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h FROM t), " +
+          "freq AS (SELECT h, count(*) AS c FROM g GROUP BY h), " +
+          "fl AS (SELECT doc_id, pos, (c >= 2) AS dup FROM g JOIN freq USING (h)), " +
+          "tot AS (SELECT doc_id, count(*) AS n_windows, " +
+          "CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows " +
+          "FROM fl GROUP BY doc_id), " +
+          "runs AS (SELECT doc_id, max(rn) AS max_dup_run FROM (" +
+          "SELECT doc_id, grp, count(*) AS rn FROM (" +
+          "SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp " +
+          "FROM fl WHERE dup) GROUP BY doc_id, grp) GROUP BY doc_id) " +
+          "SELECT tot.doc_id, n_windows, n_dup_windows, " +
+          "coalesce(max_dup_run, 0) AS max_dup_run " +
+          "FROM tot LEFT JOIN runs USING (doc_id) ORDER BY doc_id"),
       "embed_kmeans" ->
         (s"WITH ${kmeansCtes("SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings", 8, 2)} " +
           "SELECT id AS vec_id, cid AS cluster FROM akm ORDER BY vec_id"),

@@ -282,6 +282,47 @@ object Corpus {
           s => s.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** Exact-substring duplication stats (Lee et al. 2022,
+    * arXiv:2107.06499, "Deduplicating Training Data Makes Language
+    * Models Better" — ExactSubstr): the paper drops any ≥50-token span
+    * shared between documents; here every OVERLAPPING `width`-token
+    * window is digest-counted corpus-wide (a shared span of L tokens ⟺
+    * a run of L−width+1 consecutive duplicated windows), and each doc
+    * reports its window count, duplicated-window count, and longest
+    * duplicated run — `max_dup_run ≥ L−width+1` is the paper's
+    * criterion, checkable per doc with one filter. The suffix-array
+    * machinery of the paper is a single-machine construction; the
+    * window-digest formulation is its shuffle-native equivalent at
+    * `width`-token granularity.
+    *
+    * Scale shape: one posexplode (n_tokens rows/doc, the same postings
+    * volume as [[contamination]]), ONE digest-count shuffle, a digest
+    * equi-join, a per-doc window for the run lengths (islands trick:
+    * pos − row_number is constant within a consecutive run), and a
+    * per-doc agg. Linear in corpus tokens; a white-hot window (menu
+    * boilerplate) costs one skewed count row, never pair expansion.
+    */
+  def windowDedup(df: DataFrame, idCol: String, textCol: String,
+                  width: Int = 8, minCount: Long = 2): DataFrame = {
+    val posed = df.select(col(idCol).as("id"),
+        posexplode(Text.ngrams(col(textCol), width)).as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), md5(col("g")).as("h"))
+    val freq = posed.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val flagged = posed.join(freq, "h")
+      .select(col("id"), col("pos"), (col("c") >= minCount).as("dup"))
+    val totals = flagged.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val runs = flagged.where(col("dup"))
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("_grp")).agg(count(lit(1)).as("_run"))
+      .groupBy(col("id")).agg(max(col("_run")).as("max_dup_run"))
+    totals.join(runs, Seq("id"), "left")
+      .select(col("id"), col("n_windows"), col("n_dup_windows"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
   /** Sequence packing for training batches: within each stratum (order
     * = `ordCol`), assign docs to bins of ~`targetTokens` whitespace
     * tokens by cumulative count — bin = floor(tokens-before / target).

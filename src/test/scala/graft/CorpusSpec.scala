@@ -141,6 +141,30 @@ class CorpusSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 0L, false)))
   }
 
+  test("windowDedup finds the longest duplicated run across docs") {
+    val span = (1 to 10).map(i => s"s$i").mkString(" ") // 10 shared tokens
+    val df = Seq(
+      (1L, s"$span x1 x2"),  // 12 toks → 5 windows; dup at pos 0..2
+      (2L, s"y1 $span"),     // 11 toks → 4 windows; dup at pos 1..3
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")) // unique → no dups
+      .toDF("doc_id", "text")
+    val out = Corpus.windowDedup(df, "doc_id", "text")
+      .orderBy($"id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 5L, 3L, 3L), (2L, 4L, 3L, 3L), (3L, 2L, 0L, 0L)))
+  }
+
+  test("windowDedup: separated duplicate windows give run length 1") {
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$a u1 $b"),  // 17 toks → 10 windows; dup at pos 0 and 9
+      (2L, s"$a u2 $b"))
+      .toDF("doc_id", "text")
+    val out = Corpus.windowDedup(df, "doc_id", "text")
+      .orderBy($"id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 10L, 2L, 1L), (2L, 10L, 2L, 1L)))
+  }
+
   test("packSequences bins by cumulative token count per stratum") {
     val ten = Seq.fill(10)("w").mkString(" ")
     val df = (1 to 10).map(i => (i.toLong, ten, "s")).toDF("doc_id", "text", "k")

@@ -162,6 +162,16 @@ class PlanSpec extends SparkSpec {
         "broadcast):\n" + p.take(1200))
   }
 
+  test("window dedup is postings-shaped: hash joins only") {
+    val p = finalPlan("dedup_windows")
+    assert(!p.contains("CartesianProduct"),
+      "windowDedup fell back to a cartesian product:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "windowDedup nested-loop-joined a non-1-row relation:\n" + p.take(1200))
+    assert(p.contains("HashJoin"),
+      "windowDedup digest join is not a hash equi-join:\n" + p.take(1200))
+  }
+
   test("tf-idf joins are hash joins; only the 1-row doc count cross-joins") {
     val p = finalPlan("text_tfidf")
     assert(!p.contains("CartesianProduct"),
