@@ -231,6 +231,9 @@ object Scale {
       timed("embed_rp", m, nEmb) {
         sink(Embed.randomProject(emb, "vec_id", "embedding"))
       }
+      timed("ann_topk_hamming", m, nEmb) {
+        sink(Embed.hammingTopK(queries, emb, "vec_id", "embedding", 10))
+      }
       timed("dedup_chunks", m, nDocs) {
         sink(Corpus.chunkDedup(docs, "doc_id", "text"))
       }

@@ -1435,6 +1435,22 @@ object SparkEntry {
           outDim = 16, dim = 64)
         .select(col("id").as("vec_id"), col("pos"), col("y"))
         .orderBy(col("vec_id"), col("pos"))),
+    // Sign quantization + Hamming search over packed codes (op 97)
+    "embed_binary" -> ((s, dir) =>
+      graft.operators.Embed.binarize(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("w"), col("word"))
+        .orderBy(col("vec_id"), col("w"))),
+    "ann_topk_hamming" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      graft.operators.Embed.hammingTopK(
+          e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+          "vec_id", "embedding", 3)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("hamming"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // ---- TF-IDF keywords (op 91), DSIR importance weights (op 92),
     // Bloom-filter decontamination pre-filter (op 93)
     "text_tfidf" -> ((s, dir) =>
@@ -2444,6 +2460,28 @@ object SparkEntry {
           "/ sqrt(16.0) + 0.5) / 1e6 AS y " +
           "FROM e JOIN m USING (pos) " +
           "GROUP BY id, opos ORDER BY vec_id, pos"),
+      // Sign bits packed 32/long (sum of distinct masks ≡ OR); hamming
+      // = Σ_w bit_count(xor), ties → lowest neighbor id.
+      "embed_binary" ->
+        ("WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "e AS (SELECT id, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM v) " +
+          "SELECT id AS vec_id, CAST(floor(pos / 32.0) AS BIGINT) AS w, " +
+          "CAST(sum(CASE WHEN x > 0 THEN CAST(pow(2.0, pos % 32) AS BIGINT) ELSE 0 END) " +
+          "AS BIGINT) AS word FROM e GROUP BY 1, 2 ORDER BY vec_id, w"),
+      "ann_topk_hamming" ->
+        ("WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "e AS (SELECT id, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM v), " +
+          "bw AS (SELECT id, CAST(floor(pos / 32.0) AS BIGINT) AS w, " +
+          "CAST(sum(CASE WHEN x > 0 THEN CAST(pow(2.0, pos % 32) AS BIGINT) ELSE 0 END) " +
+          "AS BIGINT) AS word FROM e GROUP BY 1, 2), " +
+          "hd AS (SELECT q.id AS query_id, n.id AS neighbor_id, " +
+          "CAST(sum(bit_count(xor(q.word, n.word))) AS BIGINT) AS hamming " +
+          "FROM bw q JOIN bw n ON q.w = n.w AND q.id < 5 AND n.id >= 5 " +
+          "GROUP BY q.id, n.id) " +
+          "SELECT query_id, r AS rnk, neighbor_id, hamming FROM (" +
+          "SELECT query_id, neighbor_id, hamming, row_number() OVER (" +
+          "PARTITION BY query_id ORDER BY hamming, neighbor_id) AS r FROM hd) " +
+          "WHERE r <= 3 ORDER BY query_id, rnk"),
       // TF-IDF: tf · ln(N/df) quantized to 1e-6 longs BEFORE ranking
       // (ties → term asc) — same association as Corpus.tfIdfTopTerms.
       "text_tfidf" ->

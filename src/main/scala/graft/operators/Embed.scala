@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-store compression and sketching utilities (SURVEY §2
@@ -65,6 +66,53 @@ object Embed {
       (array_max(col("errs")).cast("double") / 1e6).as("max_abs_err"),
       (aggregate(col("errs"), lit(0L), (acc, e) => acc + e).cast("double")
         / size(col("v")) / 1e6).as("mean_abs_err"))
+  }
+
+  /** 1-bit (sign) quantization — the binary-embedding compression path
+    * (64× smaller than float64; the retrieval recipe behind binary
+    * passage retrieval / faiss `IndexBinaryFlat`): bit i = 1 iff
+    * v[i] > 0, packed 32 bits per long (sum of distinct 2^off masks ≡
+    * OR — exact integer math any SQL engine replays; offsets < 32 keep
+    * every word positive). Output is long-form (id, w, word) with
+    * exactly ceil(dim/32) rows per vector — list-free for the driver
+    * compare, and exactly the join key shape [[hammingTopK]] consumes.
+    *
+    * Scale shape: one posexplode + one (id, w) map-side-combinable
+    * aggregation; no joins, no corpus-sized broadcast.
+    */
+  def binarize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    idv(df, idCol, vecCol)
+      .select(col("id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("id"), (col("pos") / 32).cast("long").as("w"))
+      .agg(sum(when(col("x") > 0,
+          pow(lit(2.0), (col("pos") % 32).cast("double")).cast("long"))
+        .otherwise(lit(0L))).as("word"))
+
+  /** Hamming-distance top-k over sign-quantized codes: distance =
+    * Σ_w bit_count(qword XOR nword) — pure integer ops on the packed
+    * words, 64× less data movement than float cosine. This is the
+    * brute-force BASELINE over compressed codes (cost |queries|·n·W
+    * skinny rows, query side broadcast — the [[Similarity]] brute
+    * baseline's shape); gate it behind [[Dedup.embeddingCosinePairs]]
+    * buckets or [[Similarity.ivfTopK]] cells when |queries| grows.
+    * Ties rank by lowest neighbor id (engine-exact).
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, topK: Int): DataFrame = {
+    val qw = binarize(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("w"), col("word").as("qword"))
+    val nw = binarize(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("w"), col("word").as("nword"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    nw.join(broadcast(qw), "w")
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(bit_count(col("qword").bitwiseXOR(col("nword"))).cast("long"))
+        .as("hamming"))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"))
   }
 
   /** Johnson–Lindenstrauss random projection (Achlioptas 2003,

@@ -44,6 +44,28 @@ class EmbedSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("binarize packs sign bits 32 per word; zero is a 0 bit") {
+    val df = Seq(
+      (0L, Seq(1.0, -1.0, 0.0, 0.5)),  // bits 1,0,0,1 → word 9
+      (1L, (0 until 33).map(i => if (i == 32) 1.0 else -1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Embed.binarize(df, "vec_id", "embedding")
+      .orderBy($"id", $"w").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 9L), (1L, 0L, 0L), (1L, 1L, 1L)))
+  }
+
+  test("hammingTopK ranks by bit distance, ties to lowest id") {
+    val corpus = Seq(
+      (10L, Seq(1.0, 1.0, 1.0, 1.0)), (11L, Seq(1.0, 1.0, 1.0, -1.0)),
+      (12L, Seq(-1.0, -1.0, -1.0, -1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1.0, 1.0, 1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Embed.hammingTopK(queries, corpus, "vec_id", "embedding", 3)
+      .orderBy($"rank").as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1, 10L, 0L), (0L, 2, 11L, 1L), (0L, 3, 12L, 4L)))
+  }
+
   test("randomProject emits outDim rows per vector and is linear") {
     // Inputs are exact 1e-6 multiples, so rp(2x) = 2*rp(x) exactly
     // (the per-term quantization is exact and the sum is linear).
