@@ -90,25 +90,33 @@ object Embed {
 
   /** Hamming-distance top-k over sign-quantized codes: distance =
     * Σ_w bit_count(qword XOR nword) — pure integer ops on the packed
-    * words, 64× less data movement than float cosine. This is the
-    * brute-force BASELINE over compressed codes (cost |queries|·n·W
-    * skinny rows, query side broadcast — the [[Similarity]] brute
-    * baseline's shape); gate it behind [[Dedup.embeddingCosinePairs]]
-    * buckets or [[Similarity.ivfTopK]] cells when |queries| grows.
-    * Ties rank by lowest neighbor id (engine-exact).
+    * words, 64× less data movement than float cosine. Codes pivot
+    * WIDE (a ceil(dim/32)-long array per vector — a few longs, not a
+    * bloom-scale payload) so the per-pair work is one codegen'd
+    * zip_with/bit_count fold on a broadcast of the tiny query side:
+    * nothing corpus-sized shuffles (the long-form join-then-regroup
+    * alternative shuffles |q|·n·W rows into a |q|·n-group aggregate —
+    * measured 2× slower at the 50× probe tier). Still the brute-force
+    * BASELINE over compressed codes; gate it behind
+    * [[Dedup.embeddingCosinePairs]] buckets or [[Similarity.ivfTopK]]
+    * cells when |queries| grows. Ties rank by lowest neighbor id.
     */
   def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                   vecCol: String, topK: Int): DataFrame = {
-    val qw = binarize(queries, idCol, vecCol)
-      .select(col("id").as("query_id"), col("w"), col("word").as("qword"))
-    val nw = binarize(corpus, idCol, vecCol)
-      .select(col("id").as("neighbor_id"), col("w"), col("word").as("nword"))
+    def packed(df: DataFrame, out: String): DataFrame =
+      binarize(df, idCol, vecCol)
+        .groupBy(col("id").as(out))
+        .agg(transform(array_sort(collect_list(struct(col("w"), col("word")))),
+          s => s.getField("word")).as(s"${out}_words"))
+    val q = packed(queries, "query_id")
+    val n = packed(corpus, "neighbor_id")
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("neighbor_id"))
-    nw.join(broadcast(qw), "w")
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(bit_count(col("qword").bitwiseXOR(col("nword"))).cast("long"))
-        .as("hamming"))
+    n.crossJoin(broadcast(q))
+      .withColumn("hamming", aggregate(
+        zip_with(col("query_id_words"), col("neighbor_id_words"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+        lit(0L), (acc, x) => acc + x))
       .withColumn("rank", row_number().over(win))
       .where(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
