@@ -148,6 +148,41 @@ class PropertySpec extends SparkSpec {
     assert(k5.size > k2.size && k8.size > k5.size)
   }
 
+  test("windowDedup equals a driver-side reference on random corpora") {
+    // Tiny vocabulary + random lengths force real cross-doc window
+    // collisions, truncated short-doc windows, and broken runs.
+    (0 until 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 4801 + 17)
+      val width = 8
+      val docs = (0L until (10 + rnd.nextInt(30)).toLong).map { id =>
+        val n = 1 + rnd.nextInt(30)
+        (id, List.fill(n)("w" + rnd.nextInt(4)).mkString(" "))
+      }
+      def windows(text: String): Seq[String] = {
+        val toks = text.trim.split("\\s+").toSeq
+        if (toks.length <= width) Seq(toks.mkString(" "))
+        else toks.sliding(width).map(_.mkString(" ")).toSeq
+      }
+      val counts = docs.flatMap(d => windows(d._2))
+        .groupBy(identity).map { case (g, o) => g -> o.size }
+      val expected = docs.map { case (id, text) =>
+        val dup = windows(text).map(counts(_) >= 2)
+        val runs = dup.foldLeft(List.empty[Int]) {
+          case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+          case (acc, true) => 1 :: acc
+          case (acc, false) => 0 :: acc
+        }
+        (id, dup.size.toLong, dup.count(identity).toLong,
+          (0 :: runs).max.toLong)
+      }.sortBy(_._1)
+      val got = graft.operators.Corpus
+        .windowDedup(docs.toDF("doc_id", "text"), "doc_id", "text", width)
+        .orderBy($"id").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"seed $seed: windowDedup disagreed\n" +
+        s"got:      ${got.take(5)}\nexpected: ${expected.take(5)}")
+    }
+  }
+
   test("clusters equals driver-side union-find on random graphs") {
     // The distributed min-label propagation must reach the same fixed
     // point as a classical union-find, on any edge set — including
