@@ -1399,6 +1399,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_chunks"),
           col("n_dup_chunks"), col("clean_text"))
         .orderBy(col("doc_id"))),
+    // Fixed-size per-source sample (op 98) and temperature-scaled
+    // mixture weights (op 99) over the documents source strata.
+    "corpus_sample_n" -> ((s, dir) =>
+      Corpus.stratifiedSampleN(
+          tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", col("source"), n = 5)
+        .select(col("stratum").as("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))),
+    "corpus_mixture" -> ((s, dir) =>
+      Corpus.mixtureWeights(tbl(s, dir, "documents"), col("source"),
+          "text", alpha = 0.5)
+        .select(col("stratum").as("source"), col("n_docs"),
+          col("n_tokens"), col("share"), col("weight"))
+        .orderBy(col("source"))),
     // Overlapping-window substring dedup (op 96) on the planted-dup
     // corpus: the +2000000 exact copies must show full-length runs.
     "dedup_windows" -> ((s, dir) =>
@@ -2328,6 +2342,34 @@ object SparkEntry {
           |    list(chunk ORDER BY pos) FILTER (WHERE c < 2), ' '), '') AS clean_text
           |FROM h JOIN f USING (hh)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // Two-phase fixed-size sample: Bernoulli pre-filter at
+      // oversample·n/count, exact top-n by (coin, id) over survivors.
+      "corpus_sample_n" ->
+        (s"""WITH d AS (SELECT doc_id, source FROM documents),
+          |c AS (SELECT source, count(*) AS cnt FROM d GROUP BY source),
+          |u AS (SELECT doc_id, source,
+          |  ${w8("md5(doc_id::VARCHAR)")} / 4294967296.0 AS u, cnt
+          |  FROM d JOIN c USING (source)),
+          |f AS (SELECT doc_id, source, u FROM u WHERE u < least(1.0, 20.0 / cnt)),
+          |r AS (SELECT doc_id, source,
+          |  row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rnk FROM f)
+          |SELECT source, doc_id FROM r WHERE rnk <= 5
+          |ORDER BY source, doc_id""".stripMargin),
+      // Temperature-scaled mixture weights: share^alpha quantized to
+      // 1e-6 longs before normalizing; floor-quantized outputs.
+      "corpus_mixture" ->
+        ("""WITH t AS (SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS ntok FROM documents),
+          |per AS (SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per),
+          |sc AS (SELECT source, n_docs, n_tokens,
+          |  CAST(n_tokens AS DOUBLE) / tt AS share,
+          |  CAST(floor(pow(CAST(n_tokens AS DOUBLE) / tt, 0.5) * 1e6 + 0.5) AS BIGINT) AS qs
+          |  FROM per CROSS JOIN tot),
+          |qt AS (SELECT CAST(sum(qs) AS BIGINT) AS qtot FROM sc)
+          |SELECT source, n_docs, n_tokens,
+          |  floor(share * 1e6 + 0.5) / 1e6 AS share,
+          |  floor(CAST(qs AS DOUBLE) / qtot * 1e6 + 0.5) / 1e6 AS weight
+          |FROM sc CROSS JOIN qt ORDER BY source""".stripMargin),
       // Overlapping windows with positions; islands trick (pos −
       // row_number constant within a run) for the longest dup run.
       "dedup_windows" ->

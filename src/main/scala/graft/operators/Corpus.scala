@@ -57,6 +57,71 @@ object Corpus {
     df.where(md5Uniform(col(idCol)) < rate)
   }
 
+  /** Fixed-SIZE deterministic stratified sampling: exactly
+    * min(n, |stratum|) rows per stratum, chosen as the n smallest
+    * md5-coin values (ties → id) — the "give me 10k docs per source"
+    * twin of [[stratifiedSample]]'s Bernoulli rates, equally
+    * deterministic on any engine/partitioning.
+    *
+    * Scale shape: a naive per-stratum window sorts EVERY row of a hot
+    * stratum in one partition — the classic skew trap. Instead: one
+    * stratum-count aggregate (broadcast back), a Bernoulli PRE-FILTER
+    * at `oversample·n/count` that discards ~all of every large
+    * stratum at the scan, then the exact top-n window over the
+    * survivors only. The pre-filter keeps the n smallest coins with
+    * overwhelming probability (chance of losing one ≈ the n-th order
+    * statistic of |stratum| uniforms exceeding oversample·n/|stratum|
+    * — e^-Ω(n) at oversample 4); the SQL oracle replays filter+window
+    * identically, so the gate is exact even in the astronomically
+    * unlikely tail.
+    */
+  def stratifiedSampleN(df: DataFrame, idCol: String, strataCol: Column,
+                        n: Int, oversample: Double = 4.0): DataFrame = {
+    val withU = df.withColumn("_stratum", strataCol)
+      .withColumn("_u", md5Uniform(col(idCol)))
+    val counts = withU.groupBy(col("_stratum"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col("_stratum"))
+      .orderBy(col("_u"), col(idCol))
+    withU.join(broadcast(counts), "_stratum")
+      .where(col("_u") < least(lit(1.0), lit(oversample * n) / col("_cnt")))
+      .withColumn("_rnk", row_number().over(w))
+      .where(col("_rnk") <= n)
+      .drop("_u", "_cnt", "_rnk")
+      .withColumnRenamed("_stratum", "stratum")
+  }
+
+  /** Data-mixture weights with temperature scaling (the multinomial
+    * sampling rule of multilingual/multi-source training — Conneau &
+    * Lample 2019 §3.1, w_s ∝ share_s^α): per-stratum doc/token counts,
+    * corpus share, and the normalized α-scaled sampling weight. α < 1
+    * upsamples the tail, α = 1 is proportional. share^α quantizes to
+    * 1e-6 longs before normalizing so the weights replay exactly
+    * (pow's last ulp can differ across engines; SURVEY §6).
+    *
+    * Scale shape: one stratum aggregate (map-side combinable) + a
+    * 1-row total broadcast — nothing else.
+    */
+  def mixtureWeights(df: DataFrame, strataCol: Column, textCol: String,
+                     alpha: Double = 0.5): DataFrame = {
+    val per = df.groupBy(strataCol.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("_tot")) // 1 row — broadcast
+    val scaled = per.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("_tot"))
+      .withColumn("_qs",
+        floor(pow(col("share"), lit(alpha)) * 1e6 + 0.5).cast("long"))
+    val qtot = scaled.agg(sum(col("_qs")).as("_qtot")) // 1 row — broadcast
+    // floor-quantized (not round): a ratio of longs can land exactly
+    // on the half-up tie grid, where engines split (SURVEY §6).
+    scaled.crossJoin(broadcast(qtot))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        (floor(col("share") * 1e6 + 0.5) / 1e6).as("share"),
+        (floor(col("_qs").cast("double") / col("_qtot") * 1e6 + 0.5) / 1e6)
+          .as("weight"))
+  }
+
   /** Benchmark-contamination detection: for each train doc, the number
     * of its distinct word `width`-grams that appear in ANY benchmark
     * doc (n-gram-overlap decontamination, the GPT-3/C4 convention —

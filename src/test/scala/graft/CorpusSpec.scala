@@ -141,6 +141,41 @@ class CorpusSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 0L, false)))
   }
 
+  test("stratifiedSampleN takes exactly n per stratum, nested across n") {
+    val df = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 103L).map(i => (i, "small")))
+      .toDF("doc_id", "src")
+    def take(n: Int): Map[String, Set[Long]] =
+      Corpus.stratifiedSampleN(df, "doc_id", $"src", n)
+        .select($"stratum", $"doc_id").as[(String, Long)]
+        .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val five = take(5)
+    assert(five("big").size == 5)
+    assert(five("small") == Set(100L, 101L, 102L)) // whole small stratum
+    val three = take(3)
+    assert(three("big").subsetOf(five("big")), "top-n by coin must nest")
+    // deterministic under repartitioning
+    val again = Corpus.stratifiedSampleN(df.repartition(13), "doc_id", $"src", 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == five.values.flatten.toSet)
+  }
+
+  test("mixtureWeights: alpha<1 upsamples the tail, weights sum to ~1") {
+    val ten = Seq.fill(10)("w").mkString(" ")
+    val df = ((0 until 90).map(i => (s"d$i", "big", ten)) ++
+      (0 until 10).map(i => (s"s$i", "small", ten)))
+      .toDF("doc_id", "src", "text")
+    val out = Corpus.mixtureWeights(df, $"src", "text", alpha = 0.5)
+      .select($"stratum", $"share", $"weight")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val (bs, bw) = out("big"); val (ss, sw) = out("small")
+    assert(math.abs(bs - 0.9) < 1e-6 && math.abs(ss - 0.1) < 1e-6)
+    assert(sw / ss > 1.5 && bw / bs < 1.0,
+      s"alpha=0.5 must upweight the tail: $out")
+    assert(math.abs(bw + sw - 1.0) < 1e-5)
+  }
+
   test("windowDedup finds the longest duplicated run across docs") {
     val span = (1 to 10).map(i => s"s$i").mkString(" ") // 10 shared tokens
     val df = Seq(
