@@ -1399,6 +1399,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_chunks"),
           col("n_dup_chunks"), col("clean_text"))
         .orderBy(col("doc_id"))),
+    // Composite curation v2 (op 100): corpus-LM quality filter ×
+    // exact-substring dedup filter × per-language token accounting,
+    // all ONE plan over the planted-dup corpus.
+    "pipeline_curate_v2" -> ((s, dir) => {
+      val c = docCorpus(s, dir)
+      val lm = Corpus.lmScore(c, "doc_id", "text")
+      val wd = Corpus.windowDedup(c, "doc_id", "text")
+      val lang = tbl(s, dir, "documents")
+        .select(col("doc_id").as("orig_id"), col("lang"))
+      lm.select(col("id").as("doc_id"), col("lm_xent"), col("n_tokens"))
+        .join(wd.select(col("id").as("doc_id"), col("max_dup_run")),
+          "doc_id")
+        .join(lang, col("doc_id") % 1000000 === col("orig_id"))
+        .where(col("lm_xent") < 3.43 && col("max_dup_run") <= 2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("lang"))
+    }),
     // Fixed-size per-source sample (op 98) and temperature-scaled
     // mixture weights (op 99) over the documents source strata.
     "corpus_sample_n" -> ((s, dir) =>
@@ -2342,6 +2360,36 @@ object SparkEntry {
           |    list(chunk ORDER BY pos) FILTER (WHERE c < 2), ' '), '') AS clean_text
           |FROM h JOIN f USING (hh)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // Curation v2: the corpus_lm_score and dedup_windows chains over
+      // the SAME corpus, joined, filtered, per-lang accounted.
+      "pipeline_curate_v2" ->
+        (s"""WITH $CORPUS_CTE,
+          |lt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM corpus),
+          |lf AS (SELECT tok, count(*) AS c FROM lt GROUP BY tok),
+          |ltot AS (SELECT sum(c)::DOUBLE AS n FROM lf),
+          |lq AS (SELECT doc_id,
+          |  CAST(floor((ln(n) - ln(c::DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q
+          |  FROM lt JOIN lf USING (tok) CROSS JOIN ltot),
+          |lm AS (SELECT doc_id,
+          |  floor(sum(q)::DOUBLE / count(*) + 0.5) / 1e6 AS lm_xent,
+          |  count(*) AS n_tokens FROM lq GROUP BY doc_id),
+          |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
+          |""".stripMargin +
+          "g AS (SELECT doc_id, " +
+          "unnest(list_transform(range(1, greatest(len(toks)-7, 1) + 1), i -> i - 1)) AS pos, " +
+          "unnest(list_transform(range(1, greatest(len(toks)-7, 1) + 1), " +
+          "i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h FROM t), " +
+          "freq AS (SELECT h, count(*) AS c FROM g GROUP BY h), " +
+          "fl AS (SELECT doc_id, pos, (c >= 2) AS dup FROM g JOIN freq USING (h)), " +
+          "runs AS (SELECT doc_id, max(rn) AS max_dup_run FROM (" +
+          "SELECT doc_id, grp, count(*) AS rn FROM (" +
+          "SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp " +
+          "FROM fl WHERE dup) GROUP BY doc_id, grp) GROUP BY doc_id) " +
+          "SELECT d.lang, count(*) AS n_docs, CAST(sum(lm.n_tokens) AS BIGINT) AS n_tokens " +
+          "FROM lm LEFT JOIN runs ON lm.doc_id = runs.doc_id " +
+          "JOIN documents d ON (lm.doc_id % 1000000) = d.doc_id " +
+          "WHERE lm.lm_xent < 3.43 AND coalesce(runs.max_dup_run, 0) <= 2 " +
+          "GROUP BY d.lang ORDER BY lang"),
       // Two-phase fixed-size sample: Bernoulli pre-filter at
       // oversample·n/count, exact top-n by (coin, id) over survivors.
       "corpus_sample_n" ->
