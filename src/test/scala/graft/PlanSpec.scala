@@ -162,6 +162,15 @@ class PlanSpec extends SparkSpec {
         "broadcast):\n" + p.take(1200))
   }
 
+  test("curation v2 composes lm + windows + lang join without cartesians") {
+    val p = finalPlan("pipeline_curate_v2")
+    assert(!p.contains("CartesianProduct"),
+      "pipeline_curate_v2 fell back to a cartesian product:\n" + p.take(1200))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      "pipeline_curate_v2: only the 1-row LM total may cross-join:\n" +
+        p.take(1200))
+  }
+
   test("window dedup is postings-shaped: hash joins only") {
     val p = finalPlan("dedup_windows")
     assert(!p.contains("CartesianProduct"),
