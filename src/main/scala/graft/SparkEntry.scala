@@ -1447,6 +1447,12 @@ object SparkEntry {
       Cluster.semanticDedupPairs(embCorpus(s, dir), "vec_id", "embedding",
           0.99, k = 8, iters = 2)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_semantic_verdict" -> ((s, dir) =>
+      Cluster.semanticDedupVerdict(embCorpus(s, dir), "vec_id", "embedding",
+          0.99, k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("component"), col("keep"),
+          col("canonical_id"))
+        .orderBy(col("vec_id"))),
     // ---- embedding-store ops: cluster pruning (op 88), int8 scalar
     // quantization (op 89), JL random projection (op 90)
     "embed_prune" -> ((s, dir) =>
@@ -2494,15 +2500,31 @@ object SparkEntry {
           "ORDER BY sq, neighbor_id) AS r FROM adc) WHERE r <= 3 " +
           "ORDER BY query_id, rnk"),
       "dedup_semantic" ->
-        (s"WITH $ECORPUS_CTE, " +
-          kmeansCtes("SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM ecorpus", 8, 2) + ", " +
-          "sz AS (SELECT cid FROM akm GROUP BY cid HAVING count(*) > 1 AND count(*) <= 10000), " +
-          "nn AS (SELECT id, cid, v, sqrt(list_dot_product(v, v)) AS nm FROM akm JOIN sz USING (cid)) " +
-          "SELECT a.id AS id_a, b.id AS id_b, " +
-          "round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) AS cosine " +
-          "FROM nn a JOIN nn b ON a.cid = b.cid AND a.id < b.id " +
-          "WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.99 " +
-          "ORDER BY id_a, id_b"),
+        (s"WITH $SEM_CTES $SEM_PAIRS_SELECT ORDER BY id_a, id_b"),
+      // SemDeDup verdicts: pair graph → recursive closure (the
+      // dedup_clusters pattern) → keep the farthest-from-centroid
+      // member per component (d2q DESC, id ASC), canonical = kept id.
+      "dedup_semantic_verdict" ->
+        (s"WITH RECURSIVE $SEM_CTES, " +
+          s"pairs AS ($SEM_PAIRS_SELECT), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+          "UNION SELECT id_b, id_a FROM pairs), " +
+          "reach AS (SELECT src, dst FROM edges " +
+          "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src " +
+          "WHERE e.dst != r.src), " +
+          "comp AS (SELECT src AS id, least(src, min(dst)) AS component " +
+          "FROM reach GROUP BY src), " +
+          "d AS (SELECT akm.id, " +
+          "CAST(floor((list_dot_product(akm.v, akm.v) + (list_dot_product(c2.cv, c2.cv) " +
+          "- 2 * list_dot_product(akm.v, c2.cv))) * 1e6 + 0.5) AS BIGINT) AS d2q " +
+          "FROM akm JOIN c2 USING (cid)), " +
+          "kept AS (SELECT component, id AS keep_id FROM (" +
+          "SELECT comp.id, comp.component, row_number() OVER (PARTITION BY component " +
+          "ORDER BY d.d2q DESC, comp.id) AS r FROM comp JOIN d ON comp.id = d.id) " +
+          "WHERE r = 1) " +
+          "SELECT comp.id AS vec_id, comp.component, " +
+          "comp.id = kept.keep_id AS keep, kept.keep_id AS canonical_id " +
+          "FROM comp JOIN kept USING (component) ORDER BY vec_id"),
       // Cluster pruning: the kmeans chain's final assignment joined
       // back to its centroids; d² = |x|² + (|c|² − 2·x·c), same
       // association and 1e-6 quantization as Cluster.clusterPrune.
@@ -2641,6 +2663,23 @@ object SparkEntry {
           "FROM hb GROUP BY doc_id ORDER BY doc_id")
     )
   }
+
+  /** Shared CTE prefix for the SemDeDup oracles: planted embedding
+    * corpus, the kmeans chain (…akm, c2 in scope), size-gated cells,
+    * norm-annotated members. Plain concatenation — no stripMargin.
+    */
+  private def SEM_CTES: String =
+    s"$ECORPUS_CTE, " +
+      kmeansCtes("SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM ecorpus", 8, 2) + ", " +
+      "sz AS (SELECT cid FROM akm GROUP BY cid HAVING count(*) > 1 AND count(*) <= 10000), " +
+      "nn AS (SELECT id, cid, v, sqrt(list_dot_product(v, v)) AS nm FROM akm JOIN sz USING (cid))"
+
+  /** Within-cluster ≥τ pair select over SEM_CTES' `nn`. */
+  private val SEM_PAIRS_SELECT: String =
+    "SELECT a.id AS id_a, b.id AS id_b, " +
+      "round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) AS cosine " +
+      "FROM nn a JOIN nn b ON a.cid = b.cid AND a.id < b.id " +
+      "WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.99"
 
   /** CTE chain replaying Pq.encode(iters = n) — grouped Lloyd over
     * all m=8 subspaces at once (op 95): v, sv, c0, (a1, c1), …, enc.

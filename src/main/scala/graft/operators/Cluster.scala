@@ -156,4 +156,37 @@ object Cluster {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** SemDeDup verdicts — [[semanticDedupPairs]] made actionable: the
+    * ≥τ pair graph resolves to connected components
+    * ([[Dedup.clusters]]' min-label propagation), and within each
+    * component ONE member is kept — the farthest from its k-means
+    * centroid (Abbas et al. §3 keep the LEAST prototypical member;
+    * distance ties → lowest id). Output rows cover the dup-component
+    * members only (untouched docs are implicitly kept, the
+    * [[Dedup.clusters]] convention): (id, component, keep,
+    * canonical_id) with canonical_id = the kept member — never null,
+    * the [[Dedup.exact]] canonical-id convention.
+    *
+    * Scale shape: pairs + O(diameter) label-propagation rounds +
+    * [[clusterPrune]]'s distance pass + one per-component argmax —
+    * every piece already bounded; nothing new shuffles corpus-wide.
+    */
+  def semanticDedupVerdict(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, k: Int = 8, iters: Int = 2,
+                           maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val pairs = semanticDedupPairs(df, idCol, vecCol, threshold, k, iters,
+      maxCluster)
+    val comp = Dedup.clusters(pairs, "id_a", "id_b")
+      .select(col("id"), col("cluster_id").as("component"))
+    val dist = clusterPrune(df, idCol, vecCol, keepFrac = 1.0, k, iters)
+      .select(col("id"), col("dist2"))
+    val m = comp.join(dist, "id")
+    val kept = m.groupBy(col("component"))
+      .agg(max_by(col("id"), struct(col("dist2"), -col("id"))).as("keep_id"))
+    m.join(kept, "component")
+      .select(col("id"), col("component"),
+        (col("id") === col("keep_id")).as("keep"),
+        col("keep_id").as("canonical_id"))
+  }
 }

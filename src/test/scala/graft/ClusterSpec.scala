@@ -49,6 +49,23 @@ class ClusterSpec extends SparkSpec {
     assert(out == Seq((0L, 2L, 1.0), (1L, 3L, 1.0)))
   }
 
+  test("semanticDedupVerdict keeps the farthest member per dup component") {
+    // Blob A: ids 0, 2 at (1,0) and id 4 slightly off-center — all
+    // pairwise cosine ≥ .99, so one component; id 4 is farthest from
+    // the centroid and must be the keeper. Blob B: ids 1, 3 identical —
+    // distance tie breaks to the lowest id.
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (4L, Seq(1.0, 0.05)),
+      (1L, Seq(0.0, 1.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Cluster.semanticDedupVerdict(df, "vec_id", "embedding",
+        threshold = 0.99, k = 2, iters = 2)
+      .orderBy($"id").as[(Long, Long, Boolean, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, false, 4L), (1L, 1L, true, 1L), (2L, 0L, false, 4L),
+      (3L, 1L, false, 1L), (4L, 0L, true, 4L)))
+  }
+
   test("semanticDedupPairs skips clusters above maxCluster") {
     val df = (0L until 10L).map(i => (i, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
     val capped = Cluster.semanticDedupPairs(df, "vec_id", "embedding",
