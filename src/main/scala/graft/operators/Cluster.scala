@@ -133,8 +133,14 @@ object Cluster {
     */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, k: Int = 8, iters: Int = 2,
-                         maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val assign = kmeansAssigned(df, idCol, vecCol, k, iters)
+                         maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame =
+    pairsFromAssign(kmeansAssigned(df, idCol, vecCol, k, iters), df,
+      idCol, vecCol, threshold, maxCluster)
+
+  private def pairsFromAssign(assign: DataFrame, df: DataFrame,
+                              idCol: String, vecCol: String,
+                              threshold: Double,
+                              maxCluster: Int): DataFrame = {
     // Pairs within a cluster: ids only (each id is in exactly one
     // cluster, so pairs are already unique — no distinct needed).
     val cand = assign.groupBy(col("cid"))
@@ -175,12 +181,18 @@ object Cluster {
   def semanticDedupVerdict(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, k: Int = 8, iters: Int = 2,
                            maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val pairs = semanticDedupPairs(df, idCol, vecCol, threshold, k, iters,
+    // ONE kmeans chain feeds both the pair sharding and the
+    // centroid-distance ranking (running semanticDedupPairs and
+    // clusterPrune separately would execute the iters+1-pass Lloyd
+    // chain twice — Spark does not dedupe common subplans).
+    val assign = kmeansAssigned(df, idCol, vecCol, k, iters)
+    val pairs = pairsFromAssign(assign, df, idCol, vecCol, threshold,
       maxCluster)
     val comp = Dedup.clusters(pairs, "id_a", "id_b")
       .select(col("id"), col("cluster_id").as("component"))
-    val dist = clusterPrune(df, idCol, vecCol, keepFrac = 1.0, k, iters)
-      .select(col("id"), col("dist2"))
+    val dist = assign.select(col("id"),
+      (floor((DotProduct(col("v"), col("v")) + col("score")) * 1e6 + 0.5)
+        .cast("long").cast("double") / 1e6).as("dist2"))
     val m = comp.join(dist, "id")
     val kept = m.groupBy(col("component"))
       .agg(max_by(col("id"), struct(col("dist2"), -col("id"))).as("keep_id"))
