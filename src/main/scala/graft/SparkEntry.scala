@@ -1101,6 +1101,25 @@ object SparkEntry {
             length(col("text")).cast("long").as("text_len"))
       }.orderBy(col("digest"))),
 
+    // Streaming MinHash near-dup (op 102), REPLAYED to batch: the
+    // planted-dup corpus rebuilt IN-STREAM (copies carry larger ids →
+    // later event time → always the flagged side); dup_of per doc =
+    // min over hit buckets = the earliest sharer overall.
+    "streaming_dedup_minhash" -> ((s, dir) =>
+      streamReplay(s, dir, "documents", "smdedup") { src =>
+        val base = src.select(col("doc_id"), col("text"))
+        val corpus = base
+          .unionAll(base.where(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" the")).as("text")))
+          .unionAll(base.where(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+          .withColumn("ts", replayTs(col("doc_id")))
+        graft.streaming.Stateful
+          .minhashDedupStream(corpus, "doc_id", "text", "ts").toDF
+      }.groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+        .orderBy(col("doc_id"))),
+
     // ---- stateful streaming running drawdown, REPLAYED to batch for
     // the oracle (op 72): a real flatMapGroupsWithState run over a file
     // source. Event time is synthesized from event_id (globally unique)
@@ -1780,6 +1799,26 @@ object SparkEntry {
           |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
           |FROM corpus ORDER BY doc_id""".stripMargin,
       "dedup_minhash_lsh" -> minhashPairsSql,
+      // Streaming replay oracle: the same band buckets over the
+      // planted corpus; event order = doc_id order (replayTs), so
+      // dup_of(i) = min earlier doc sharing any band bucket.
+      "streaming_dedup_minhash" ->
+        (s"""WITH $CORPUS_CTE,
+          |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(toks)-2, 1) + 1),
+          |    i -> array_to_string(toks[i:i+2], ' ')))) AS s
+          |  FROM t
+          |), ab AS (
+          |  SELECT doc_id, ${md5Word(0)} AS a, ${md5Word(8)} AS b
+          |  FROM (SELECT doc_id, md5(s) AS h FROM sh)
+          |), sig AS (SELECT doc_id, $sigMins FROM ab GROUP BY doc_id),
+          |bands AS ($bandSelects)
+          |SELECT b1.doc_id AS doc_id, min(b2.doc_id) AS dup_of
+          |FROM bands b1 JOIN bands b2
+          |  ON b1.band = b2.band AND b1.bucket = b2.bucket AND b2.doc_id < b1.doc_id
+          |GROUP BY b1.doc_id ORDER BY 1""".stripMargin),
       // Transitive closure over the SAME pairs the minhash oracle
       // emits: DuckDB's recursive CTE computes min-reachable-id per
       // member — the fixed point the Spark label propagation converges

@@ -39,7 +39,7 @@ object Dedup {
   }
 
   /** Modulus for the affine minhash family (2^32). */
-  private[operators] val MinhashMod = 4294967296L
+  private[graft] val MinhashMod = 4294967296L
 
   /** Default cap on a bucket/posting id list (minhashLshPairs,
     * ngramJaccardPairs, embeddingCosinePairs). The in-bucket pair

@@ -143,4 +143,79 @@ object Stateful {
       .transformWithState(new TickRuleProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ------------------------------------------- streaming minhash near-dup
+
+  case class BucketEvent(bucket: String, ts: Timestamp, docId: Long)
+  case class BucketMin(minTs: Long, minId: Long)
+  case class DupHit(doc_id: Long, dup_of: Long)
+
+  /** Streaming MinHash-LSH near-dup flagging — the ingestion twin of
+    * [[graft.operators.Dedup.minhashLshPairs]] (op 47), first-seen
+    * kept: an arriving doc is flagged against the EARLIEST previous
+    * member of any band bucket it lands in, emitting one
+    * (doc_id, dup_of) row per hit bucket (aggregate min(dup_of) per
+    * doc downstream for the canonical earliest sharer — the bucket
+    * minimum IS a sharer and bounds every sharer in its bucket, so
+    * the min over hit buckets equals the min over ALL earlier
+    * sharers).
+    *
+    * Signatures compute PER ROW (array HOFs over the shingle array,
+    * same affine md5 family h_i = a + i·b mod 2^32 as the batch op):
+    * the batch explode + k-min aggregation is a streaming aggregation
+    * mid-pipeline, which would stall an append stream behind the
+    * watermark — per-row algebra keeps the stage stateless until the
+    * one keyed state op.
+    *
+    * Scale shape: state is ONE (minTs, minId) record per band bucket
+    * — O(1), no membership lists, no pair expansion (each event emits
+    * at most one row per band); buckets partition across executors by
+    * the group key. Per-batch events sort by (ts, id) within each
+    * bucket, so verdicts are batching-independent in replay.
+    */
+  def minhashDedupStream(docs: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String, tsCol: String,
+                         k: Int = 8, bands: Int = 4,
+                         shingleWidth: Int = 3): Dataset[DupHit] = {
+    import org.apache.spark.sql.functions._
+    import docs.sparkSession.implicits._
+    require(k % bands == 0, "signature length must divide into bands")
+    val rows = k / bands
+    val ab = transform(
+      graft.operators.Dedup.shingles(col(textCol), shingleWidth), s =>
+        struct(
+          conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("a"),
+          conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("b")))
+    def sig(i: Int) = array_min(transform(col("_ab"), p =>
+      (p.getField("a") + lit(i.toLong) * p.getField("b")) %
+        graft.operators.Dedup.MinhashMod))
+    val bandArr = array((0 until bands).map { b =>
+      concat_ws("|", lit(b) +:
+        (b * rows until (b + 1) * rows).map(sig): _*)
+    }: _*)
+    docs.withColumn("_ab", ab)
+      .select(explode(bandArr).as("bucket"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("docId"))
+      .as[BucketEvent]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketMin, DupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          var cur = state.getOption
+          val out = it.toArray.sortBy(e => (e.ts.getTime, e.docId))
+            .flatMap { e =>
+              val hit = cur.collect {
+                case m if m.minTs < e.ts.getTime ||
+                  (m.minTs == e.ts.getTime && m.minId < e.docId) =>
+                  DupHit(e.docId, m.minId)
+              }
+              if (cur.forall(m => e.ts.getTime < m.minTs ||
+                  (e.ts.getTime == m.minTs && e.docId < m.minId)))
+                cur = Some(BucketMin(e.ts.getTime, e.docId))
+              hit
+            }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
 }

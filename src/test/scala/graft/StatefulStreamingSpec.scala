@@ -120,4 +120,32 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(out == Seq(11.0))
     } finally q.stop()
   }
+
+  test("minhashDedupStream flags near-dups against earlier arrivals, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val q = Stateful.minhashDedupStream(
+        input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("sm_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), text),
+        (2L, ts(1), "completely different words about spark engines here"))
+      q.processAllAvailable()
+      // batch 2: an exact copy and a one-token mutation of doc 1 — the
+      // bucket-min state from batch 1 must flag both against id 1.
+      input.addData((3L, ts(2), text),
+        (4L, ts(3), text.replace("fox", "cat")))
+      q.processAllAvailable()
+      val out = spark.table("sm_dedup")
+        .groupBy($"doc_id")
+        .agg(org.apache.spark.sql.functions.min($"dup_of").as("dup_of"))
+        .as[(Long, Long)].collect().toMap
+      assert(out.get(3L).contains(1L), s"exact copy not flagged: $out")
+      assert(out.get(4L).contains(1L), s"near-dup not flagged: $out")
+      assert(!out.contains(1L) && !out.contains(2L),
+        s"first-seen/unique docs must not be flagged: $out")
+    } finally q.stop()
+  }
 }
