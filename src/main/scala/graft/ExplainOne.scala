@@ -1,4 +1,5 @@
-// temporary plan-audit main (not committed)
+// plan-audit main: ExplainOne <query-name> prints the formatted
+// physical plan of one SparkEntry query at sf0.01.
 package graft
 import org.apache.spark.sql.SparkSession
 object ExplainOne {

@@ -182,10 +182,15 @@ object Cluster {
                            threshold: Double, k: Int = 8, iters: Int = 2,
                            maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
     // ONE kmeans chain feeds both the pair sharding and the
-    // centroid-distance ranking (running semanticDedupPairs and
-    // clusterPrune separately would execute the iters+1-pass Lloyd
-    // chain twice — Spark does not dedupe common subplans).
-    val assign = kmeansAssigned(df, idCol, vecCol, k, iters)
+    // centroid-distance ranking. Sharing the DataFrame object is not
+    // enough — Catalyst does not dedupe common subplans, so without
+    // materialization the pairs path (consumed eagerly inside
+    // Dedup.clusters) and the distance path would each re-run the
+    // iters+1-pass Lloyd chain. localCheckpoint pins the (id, cid, v,
+    // score) assignment once — at cluster scale swap for `checkpoint`
+    // with a checkpoint dir, which is the plan you'd want at 100 TB
+    // anyway (the assignment table is the natural restart point).
+    val assign = kmeansAssigned(df, idCol, vecCol, k, iters).localCheckpoint()
     val pairs = pairsFromAssign(assign, df, idCol, vecCol, threshold,
       maxCluster)
     val comp = Dedup.clusters(pairs, "id_a", "id_b")
