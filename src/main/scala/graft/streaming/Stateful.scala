@@ -172,11 +172,24 @@ object Stateful {
     * at most one row per band); buckets partition across executors by
     * the group key. Per-batch events sort by (ts, id) within each
     * bucket, so verdicts are batching-independent in replay.
+    *
+    * State is BOUNDED by `retention`: bucket cardinality grows with
+    * distinct content, so on an unbounded stream NoTimeout state would
+    * grow forever (the batch twin caps hot buckets; the streaming twin
+    * needs a horizon). A watermark of `retention` is applied on
+    * `tsCol` and each bucket's record carries an event-time TTL of
+    * `retention` past its latest arrival — an idle bucket's state is
+    * dropped once the watermark passes that horizon, trading recall
+    * beyond the retention window for O(active buckets) state: a doc
+    * re-arriving later than `retention` after its bucket's last
+    * member is no longer flagged. This is exactly the
+    * `dropDuplicatesWithinWatermark` retention contract op 80 follows.
     */
   def minhashDedupStream(docs: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String, tsCol: String,
                          k: Int = 8, bands: Int = 4,
-                         shingleWidth: Int = 3): Dataset[DupHit] = {
+                         shingleWidth: Int = 3,
+                         retention: String = "3650 days"): Dataset[DupHit] = {
     import org.apache.spark.sql.functions._
     import docs.sparkSession.implicits._
     require(k % bands == 0, "signature length must divide into bands")
@@ -196,26 +209,41 @@ object Stateful {
     docs.withColumn("_ab", ab)
       .select(explode(bandArr).as("bucket"), col(tsCol).as("ts"),
         col(idCol).cast("long").as("docId"))
+      .withWatermark("ts", retention)
       .as[BucketEvent]
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[BucketMin, DupHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, it, state) =>
-          var cur = state.getOption
-          val out = it.toArray.sortBy(e => (e.ts.getTime, e.docId))
-            .flatMap { e =>
-              val hit = cur.collect {
-                case m if m.minTs < e.ts.getTime ||
-                  (m.minTs == e.ts.getTime && m.minId < e.docId) =>
-                  DupHit(e.docId, m.minId)
+          if (state.hasTimedOut) {
+            // idle past the retention horizon: release the bucket record
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption
+            var maxTs = Long.MinValue
+            val out = it.toArray.sortBy(e => (e.ts.getTime, e.docId))
+              .flatMap { e =>
+                maxTs = math.max(maxTs, e.ts.getTime)
+                val hit = cur.collect {
+                  case m if m.minTs < e.ts.getTime ||
+                    (m.minTs == e.ts.getTime && m.minId < e.docId) =>
+                    DupHit(e.docId, m.minId)
+                }
+                if (cur.forall(m => e.ts.getTime < m.minTs ||
+                    (e.ts.getTime == m.minTs && e.docId < m.minId)))
+                  cur = Some(BucketMin(e.ts.getTime, e.docId))
+                hit
               }
-              if (cur.forall(m => e.ts.getTime < m.minTs ||
-                  (e.ts.getTime == m.minTs && e.docId < m.minId)))
-                cur = Some(BucketMin(e.ts.getTime, e.docId))
-              hit
-            }
-          cur.foreach(state.update)
-          out.iterator
+            cur.foreach(state.update)
+            // TTL re-arms on every arrival; the anchor is the bucket's
+            // latest event (not the watermark), so idle time is measured
+            // in event time. max(…, watermark+1ms) keeps the timestamp
+            // legal if this batch's rows were already at the horizon.
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1), retention)
+            out.iterator
+          }
       }
   }
 }

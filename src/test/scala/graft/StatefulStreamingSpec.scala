@@ -148,4 +148,38 @@ class StatefulStreamingSpec extends SparkSpec {
         s"first-seen/unique docs must not be flagged: $out")
     } finally q.stop()
   }
+
+  test("minhashDedupStream drops an idle bucket's state after the retention horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val q = Stateful.minhashDedupStream(
+        input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        retention = "10 seconds")
+      .writeStream.format("memory").queryName("sm_dedup_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), text))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1's TTL (t0+10s): an
+      // unrelated doc at t0+100s moves the watermark to t0+90s, and the
+      // following batch fires the timeout that removes doc 1's buckets.
+      input.addData((2L, ts(100), "completely different words about spark engines"))
+      q.processAllAvailable()
+      // an exact copy of doc 1 arriving beyond the horizon must NOT be
+      // flagged (state dropped) — it becomes the new first-seen…
+      input.addData((3L, ts(101), text))
+      q.processAllAvailable()
+      // …and still flags a subsequent copy inside the fresh window.
+      input.addData((4L, ts(102), text))
+      q.processAllAvailable()
+      val out = spark.table("sm_dedup_ttl")
+        .groupBy($"doc_id")
+        .agg(org.apache.spark.sql.functions.min($"dup_of").as("dup_of"))
+        .as[(Long, Long)].collect().toMap
+      assert(!out.contains(3L),
+        s"doc 3 matched a bucket that should have expired: $out")
+      assert(out.get(4L).contains(3L), s"in-window copy not flagged: $out")
+    } finally q.stop()
+  }
 }
