@@ -1362,11 +1362,13 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
-    // ---- multimodal plumbing (op 57) — all oracle-backed: the fake
-    // payload is md5(text) bytes, which DuckDB reconstructs nibble-wise
-    // REAL decode: synthetic-but-genuine PNGs round-trip through
-    // ImageIO; the oracle predicts the decoded dims + mean pixel from
-    // the md5-derived pixel formula (grayscale PNG is lossless).
+    // ---- multimodal kernels (op 57) — all oracle-backed and all REAL
+    // pixel work: synthetic-but-genuine PNGs round-trip through ImageIO
+    // and every kernel operates on the decoded raster. The oracle
+    // predicts each output from the md5-derived pixel formula
+    // pixel(x,y) = digest[(x+y) mod 16] (grayscale PNG is lossless),
+    // replaying the exact IEEE-double bilinear / integer-tile /
+    // histogram arithmetic.
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeImage(
           Multimodal.withSyntheticPng(tbl(s, dir, "documents"), "doc_id", "text"),
@@ -1375,27 +1377,37 @@ object SparkEntry {
           round(col("mean_px"), 6).as("mean_px"))),
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
-      Multimodal.resizeStub(
-          Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
+      Multimodal.resizeBilinear(
+          Multimodal.withSyntheticPng(tbl(s, dir, "documents"), "doc_id", "text"),
           "doc_id", "image", w = 8, h = 8)
         .as[(Long, Int, Int, Array[Byte])]
         .map { case (id, w, h, px) =>
           (id, w.toLong, h.toLong,
-            math.round(px.map(_ & 0xff).sum.toDouble / px.length * 1e6) / 1e6)
+            math.floor(px.map(_ & 0xff).sum.toDouble / px.length * 1e6 + 0.5) / 1e6)
         }
         .toDF("doc_id", "width", "height", "mean_pixel")
     }),
-    "mm_frames" -> ((s, dir) =>
-      Multimodal.frameSampleStub(
-          Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
-          "doc_id", "image", stride = 3)
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))),
+    "mm_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.frameGrid(
+          Multimodal.withSyntheticPng(tbl(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "image", gx = 2, gy = 2)
+        .as[(Long, Int, Int, Int, Array[Byte])]
+        .map { case (id, f, w, h, px) =>
+          (id, f.toLong, w.toLong, h.toLong,
+            math.floor(px.map(_ & 0xff).sum.toDouble / px.length * 1e6 + 0.5) / 1e6)
+        }
+        .toDF("doc_id", "frame_idx", "width", "height", "mean_px")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
     "mm_embed" -> ((s, dir) =>
-      Multimodal.featureExtractStub(
-          Multimodal.withFakeImage(tbl(s, dir, "documents"), "text"),
+      Multimodal.featureExtract(
+          Multimodal.withSyntheticPng(tbl(s, dir, "documents"), "doc_id", "text"),
           "doc_id", "image", dim = 64)
         .select(col("doc_id"),
-          expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_bins"))),
+          expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_bins"),
+          (expr("array_position(embedding, array_max(embedding))") - 1)
+            .cast("long").as("top_bin"))),
 
     // ---- PII detection/redaction (op 82) and unigram-LM quality
     // scoring (op 83)
@@ -2112,34 +2124,97 @@ object SparkEntry {
           |       q.quote_id, round(q.quote_value, 6) AS quote_value
           |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts <= q.ts
           |ORDER BY t.event_id""".stripMargin,
-      // Multimodal stubs: the fake payload is md5(text) (16 bytes), so
-      // DuckDB reconstructs byte i from hex nibbles 2i+1, 2i+2 via strpos.
+      // Multimodal kernel oracles: the synthetic PNG is lossless, so the
+      // decoded raster is pixel(x,y) = digest[(x+y) mod 16] with digest
+      // byte i rebuilt from md5 hex nibbles 2i+1, 2i+2 via strpos; each
+      // oracle then replays the kernel's arithmetic exactly (IEEE-double
+      // bilinear taps for resize, integer-division gridlines for frames,
+      // mod-dim sample histogram for embed).
       "mm_resize" ->
-        """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
-          |v AS (
-          |  SELECT doc_id, list_sum(list_transform(range(0, 16), i ->
-          |    (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
-          |    + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1)) AS s
+        """WITH b AS (SELECT doc_id, md5(text) AS hx FROM documents),
+          |d AS (
+          |  SELECT doc_id, list_transform(range(0, 16), i ->
+          |    (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
+          |    + strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1) AS bytes
           |  FROM b
+          |), dim AS (
+          |  SELECT doc_id, 1 + bytes[1] % 64 AS w, 1 + bytes[2] % 64 AS h, bytes
+          |  FROM d
+          |), sxy AS (
+          |  SELECT doc_id, w, h, bytes,
+          |    least(greatest((ox.range + 0.5) * w / 8.0 - 0.5, 0), w - 1) AS sx,
+          |    least(greatest((oy.range + 0.5) * h / 8.0 - 0.5, 0), h - 1) AS sy
+          |  FROM dim CROSS JOIN range(0, 8) ox CROSS JOIN range(0, 8) oy
+          |), ip AS (
+          |  SELECT doc_id, bytes,
+          |    CAST(floor(sx) AS BIGINT) AS x0, CAST(floor(sy) AS BIGINT) AS y0,
+          |    least(CAST(floor(sx) AS BIGINT) + 1, w - 1) AS x1,
+          |    least(CAST(floor(sy) AS BIGINT) + 1, h - 1) AS y1,
+          |    sx - floor(sx) AS fx, sy - floor(sy) AS fy
+          |  FROM sxy
+          |), p AS (
+          |  SELECT doc_id,
+          |    floor((1 - fy) * ((1 - fx) * bytes[((x0 + y0) % 16) + 1]
+          |                      + fx * bytes[((x1 + y0) % 16) + 1])
+          |        + fy * ((1 - fx) * bytes[((x0 + y1) % 16) + 1]
+          |                + fx * bytes[((x1 + y1) % 16) + 1]) + 0.5) AS px
+          |  FROM ip
           |)
           |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
-          |  round(s / 16.0, 6) AS mean_pixel
-          |FROM v ORDER BY doc_id""".stripMargin,
+          |  floor(sum(px) / 64.0 * 1e6 + 0.5) / 1e6 AS mean_pixel
+          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "mm_frames" ->
-        """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
-          |n AS (
-          |  SELECT doc_id, 1 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-          |    + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 32 AS nf
+        """WITH b AS (SELECT doc_id, md5(text) AS hx FROM documents),
+          |d AS (
+          |  SELECT doc_id, list_transform(range(0, 16), i ->
+          |    (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
+          |    + strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1) AS bytes
           |  FROM b
+          |), dim AS (
+          |  SELECT doc_id, 1 + bytes[1] % 64 AS w, 1 + bytes[2] % 64 AS h, bytes
+          |  FROM d
+          |), t AS (
+          |  SELECT doc_id, w, h, bytes, ty.range * 2 + tx.range AS frame_idx,
+          |    (tx.range * w) // 2 AS x0, ((tx.range + 1) * w) // 2 AS x1,
+          |    (ty.range * h) // 2 AS y0, ((ty.range + 1) * h) // 2 AS y1
+          |  FROM dim CROSS JOIN range(0, 2) tx CROSS JOIN range(0, 2) ty
+          |), px AS (
+          |  SELECT doc_id, frame_idx, x1 - x0 AS fw, y1 - y0 AS fh,
+          |    bytes[((x.range + y.range) % 16) + 1] AS p
+          |  FROM t CROSS JOIN range(0, 64) x CROSS JOIN range(0, 64) y
+          |  WHERE x1 > x0 AND y1 > y0
+          |    AND x.range >= x0 AND x.range < x1 AND y.range >= y0 AND y.range < y1
           |)
-          |SELECT doc_id, CAST((nf + 2) // 3 AS BIGINT) AS n_frames
-          |FROM n ORDER BY doc_id""".stripMargin,
+          |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          |  CAST(fw AS BIGINT) AS width, CAST(fh AS BIGINT) AS height,
+          |  floor(sum(p)::DOUBLE / (fw * fh) * 1e6 + 0.5) / 1e6 AS mean_px
+          |FROM px GROUP BY doc_id, frame_idx, fw, fh
+          |ORDER BY doc_id, frame_idx""".stripMargin,
       "mm_embed" ->
-        """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents)
-          |SELECT doc_id, CAST(len(list_distinct(list_transform(range(0, 16), i ->
-          |  ((strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
-          |   + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1) % 64))) AS BIGINT) AS n_bins
-          |FROM b ORDER BY doc_id""".stripMargin,
+        """WITH b AS (SELECT doc_id, md5(text) AS hx FROM documents),
+          |d AS (
+          |  SELECT doc_id, list_transform(range(0, 16), i ->
+          |    (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
+          |    + strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1) AS bytes
+          |  FROM b
+          |), dim AS (
+          |  SELECT doc_id, 1 + bytes[1] % 64 AS w, 1 + bytes[2] % 64 AS h, bytes
+          |  FROM d
+          |), px AS (
+          |  SELECT doc_id, bytes[((x.range + y.range) % 16) + 1] % 64 AS bin
+          |  FROM dim CROSS JOIN range(0, 64) x CROSS JOIN range(0, 64) y
+          |  WHERE x.range < w AND y.range < h
+          |), c AS (
+          |  SELECT doc_id, bin, count(*) AS cnt FROM px GROUP BY doc_id, bin
+          |), r AS (
+          |  SELECT doc_id, bin,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bin) AS rn,
+          |    count(*) OVER (PARTITION BY doc_id) AS n_bins
+          |  FROM c
+          |)
+          |SELECT doc_id, CAST(n_bins AS BIGINT) AS n_bins,
+          |  CAST(bin AS BIGINT) AS top_bin
+          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "pipeline_clean_corpus" ->
         s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
           |sc AS (

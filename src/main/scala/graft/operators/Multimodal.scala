@@ -6,21 +6,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (SURVEY §2 op 57): media as opaque
   * `binary` columns with typed metadata, processed per-partition.
   *
-  * Image decode is REAL (JDK-only `javax.imageio` — PNG/BMP/GIF need no
-  * external codec): [[withSyntheticPng]] encodes a deterministic
-  * grayscale PNG per row and [[decodeImage]] decodes any ImageIO-readable
-  * bytes back to true dimensions + mean pixel. The audio/video-flavored
-  * ops (resize-to-buffer, frame sampling, feature extraction) keep
-  * deterministic stub kernels — the container ships no media codecs —
-  * but their Spark plumbing (binary schema, typed Dataset mapPartitions
-  * batching, flatMap fan-out) is the real shape; swap the kernel and
-  * nothing else changes.
+  * The image path is REAL end-to-end on JDK-only `javax.imageio`
+  * (PNG/BMP/GIF need no external codec): [[withSyntheticPng]] encodes a
+  * deterministic grayscale PNG per row; [[decodeImage]],
+  * [[resizeBilinear]], [[frameGrid]] and [[featureExtract]] all decode
+  * the actual bytes and operate on the decoded raster — true dims,
+  * bilinear-resampled pixels, subimage tiles, sample histograms. The
+  * kernels are written as explicit IEEE-double formulas (not
+  * `Graphics2D.drawImage`, whose filter taps are implementation-defined)
+  * so a SQL oracle can replay every output pixel exactly. Video/audio
+  * codecs don't ship in a JDK, so there is no mp4/wav parser here — but
+  * the per-partition batched shape (one decode context per batch, the
+  * Scala analogue of mapInPandas's Arrow batches) is exactly what a
+  * codec-backed kernel drops into.
   */
 object Multimodal {
-
-  /** Attach an opaque binary payload (stand-in for image bytes). */
-  def withFakeImage(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("image", to_binary(md5(col(textCol)), lit("hex")))
 
   /** Attach a REAL grayscale PNG payload, deterministically derived from
     * md5(text): dims (1 + d₀ mod 64) × (1 + d₁ mod 64), pixel (x,y) =
@@ -101,40 +101,78 @@ object Multimodal {
 
   case class ResizedMedia(doc_id: Long, width: Int, height: Int,
                           pixels: Array[Byte])
-  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+  case class GridFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                       frame: Array[Byte])
   case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
 
   /** Batch size for per-partition media processing — the Scala analogue
     * of mapInPandas's Arrow batch shape. A real decoder amortizes model
-    * /codec setup per BATCH, not per row, so the stubs preserve that
+    * /codec setup per BATCH, not per row, so every kernel preserves that
     * structure (grouped iterator, one "decode context" per batch).
     */
   val DefaultBatchSize = 64
 
-  /** "Resize" every image to (w × h): emits a deterministic fake pixel
-    * buffer of exactly w*h bytes (seeded from the payload), preserving
-    * the real op's contract — fixed-size output buffers, batched
-    * per-partition processing, binary-in/binary-out schema.
+  /** Decode any ImageIO-readable payload to its grayscale band-0 raster,
+    * row-major. Shared decode step of the resize/frame/feature kernels.
     */
-  def resizeStub(df: DataFrame, idCol: String, binCol: String,
-                 w: Int, h: Int,
-                 batchSize: Int = DefaultBatchSize): DataFrame = {
+  private def grayRaster(id: Long, bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes != null && bytes.nonEmpty, s"row $id: empty media payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"row $id: undecodable media payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val s = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { s(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, s)
+  }
+
+  /** REAL resize: decode every image and bilinear-resample its raster to
+    * (w × h) — binary-in/binary-out, fixed-size output buffers, batched
+    * per-partition. Standard half-pixel-center sampling (source coord
+    * `(o+0.5)·src/dst − 0.5`, clamped; the align-corners=false
+    * convention of OpenCV/PIL/TF), output samples rounded half-up to
+    * ints. The formula is spelled out (rather than delegated to
+    * `Graphics2D`, whose bilinear taps are implementation-defined) so
+    * results are bit-reproducible across engines — resizing an image to
+    * its own dims is the identity, pinned in MultimodalSpec.
+    */
+  def resizeBilinear(df: DataFrame, idCol: String, binCol: String,
+                     w: Int, h: Int,
+                     batchSize: Int = DefaultBatchSize): DataFrame = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // STUB decode context: real codecs allocate per-batch here.
           batch.map { case (id, bytes) =>
-            // public operator taking arbitrary media bytes: an empty
-            // payload must not surface as a bare mod-zero exception
-            require(bytes != null && bytes.nonEmpty, s"row $id: empty media payload")
+            val (sw, sh, s) = grayRaster(id, bytes)
             val out = new Array[Byte](w * h)
-            var i = 0
-            while (i < out.length) {
-              out(i) = bytes(i % bytes.length)
-              i += 1
+            var oy = 0
+            while (oy < h) {
+              val sy = math.min(math.max((oy + 0.5) * sh / h.toDouble - 0.5, 0.0), sh - 1.0)
+              val y0 = sy.toInt
+              val y1 = math.min(y0 + 1, sh - 1)
+              val fy = sy - y0
+              var ox = 0
+              while (ox < w) {
+                val sx = math.min(math.max((ox + 0.5) * sw / w.toDouble - 0.5, 0.0), sw - 1.0)
+                val x0 = sx.toInt
+                val x1 = math.min(x0 + 1, sw - 1)
+                val fx = sx - x0
+                val v = (1 - fy) * ((1 - fx) * s(y0 * sw + x0) + fx * s(y0 * sw + x1)) +
+                  fy * ((1 - fx) * s(y1 * sw + x0) + fx * s(y1 * sw + x1))
+                out(oy * w + ox) = math.floor(v + 0.5).toInt.toByte
+                ox += 1
+              }
+              oy += 1
             }
             ResizedMedia(id, w, h, out)
           }
@@ -143,16 +181,18 @@ object Multimodal {
       .toDF()
   }
 
-  /** Sample every `stride`-th frame from a "video" payload: one input
-    * row fans out to ceil(nFrames/stride) rows — the row-multiplying
-    * batch shape (flatMap) a real frame sampler has. Frame count derives
-    * deterministically from the payload; each frame is a fixed-size
-    * slice-stub.
+  /** REAL frame sampling via crop-grid: decode every image and split its
+    * raster into a gx × gy grid of subimage tiles, one output row per
+    * non-empty tile — the row-multiplying flatMap shape a video frame
+    * sampler has, with genuine pixel slices. Tile (tx, ty) covers
+    * `[tx·w/gx, (tx+1)·w/gx) × [ty·h/gy, (ty+1)·h/gy)` (integer
+    * division, the `BufferedImage.getSubimage` tiling); images narrower
+    * than the grid yield fewer tiles. frame_idx = ty·gx + tx, row-major.
     */
-  def frameSampleStub(df: DataFrame, idCol: String, binCol: String,
-                      stride: Int, frameBytes: Int = 16,
-                      batchSize: Int = DefaultBatchSize): DataFrame = {
-    require(stride > 0, s"stride must be positive, got $stride")
+  def frameGrid(df: DataFrame, idCol: String, binCol: String,
+                gx: Int = 2, gy: Int = 2,
+                batchSize: Int = DefaultBatchSize): DataFrame = {
+    require(gx > 0 && gy > 0, s"grid dims must be positive, got ${gx}x$gy")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
@@ -160,16 +200,27 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { case (id, bytes) =>
-            require(bytes != null && bytes.nonEmpty, s"row $id: empty media payload")
-            val nFrames = 1 + (bytes(0) & 0xff) % 32
-            (0 until nFrames by stride).iterator.map { f =>
-              val frame = new Array[Byte](frameBytes)
-              var i = 0
-              while (i < frameBytes) {
-                frame(i) = bytes((f + i) % bytes.length)
-                i += 1
+            val (sw, sh, s) = grayRaster(id, bytes)
+            for {
+              ty <- (0 until gy).iterator
+              tx <- 0 until gx
+              x0 = tx * sw / gx; x1 = (tx + 1) * sw / gx
+              y0 = ty * sh / gy; y1 = (ty + 1) * sh / gy
+              if x1 > x0 && y1 > y0
+            } yield {
+              val fw = x1 - x0
+              val fh = y1 - y0
+              val tile = new Array[Byte](fw * fh)
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  tile((y - y0) * fw + (x - x0)) = s(y * sw + x).toByte
+                  x += 1
+                }
+                y += 1
               }
-              Frame(id, f, frame)
+              GridFrame(id, ty * gx + tx, fw, fh, tile)
             }
           }
         }
@@ -177,15 +228,18 @@ object Multimodal {
       .toDF()
   }
 
-  /** "Feature-extract" media bytes into a dense embedding — the bridge
-    * from multimodal payloads into the ANN/dedup operators (the output
-    * column matches the `embeddings` table's `Array[Float]` shape, so
-    * [[Similarity]] consumes it directly). Deterministic stub features:
-    * byte histogram folded to `dim`, L2-normalized.
+  /** REAL feature extraction: decode every image and histogram its
+    * raster samples into `dim` bins (value mod dim), L2-normalized —
+    * the bridge from multimodal payloads into the ANN/dedup operators
+    * (the output column matches the `embeddings` table's `Array[Float]`
+    * shape, so [[Similarity]] consumes it directly). A luminance
+    * histogram is the classic pre-neural image descriptor; a model-based
+    * embedder swaps into the same batched kernel slot.
     */
-  def featureExtractStub(df: DataFrame, idCol: String, binCol: String,
-                         dim: Int = 64,
-                         batchSize: Int = DefaultBatchSize): DataFrame = {
+  def featureExtract(df: DataFrame, idCol: String, binCol: String,
+                     dim: Int = 64,
+                     batchSize: Int = DefaultBatchSize): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
@@ -193,12 +247,10 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
+            val (_, _, s) = grayRaster(id, bytes)
             val acc = new Array[Float](dim)
             var i = 0
-            while (i < bytes.length) {
-              acc((bytes(i) & 0xff) % dim) += 1f
-              i += 1
-            }
+            while (i < s.length) { acc(s(i) % dim) += 1f; i += 1 }
             var norm = 0.0
             var j = 0
             while (j < dim) { norm += acc(j).toDouble * acc(j); j += 1 }

@@ -135,7 +135,7 @@ class OperatorsSpec extends SparkSpec {
   test("media ops reject empty payloads with the offending row id") {
     val df = Seq((7L, Array.emptyByteArray)).toDF("doc_id", "image")
     val e = intercept[org.apache.spark.SparkException] {
-      Multimodal.resizeStub(df, "doc_id", "image", 4, 4).collect()
+      Multimodal.resizeBilinear(df, "doc_id", "image", 4, 4).collect()
     }
     assert(e.getMessage.contains("empty media payload")
       || Option(e.getCause).exists(_.getMessage.contains("empty media payload")))
