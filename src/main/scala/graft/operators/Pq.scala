@@ -92,13 +92,23 @@ object Pq {
              k: Int = 16, m: Int = 8, dim: Int = 64,
              iters: Int = 0): DataFrame = {
     val v = idv(df, idCol, vecCol)
-    val cb = codebook(v, k, m, dim / m, iters)
-    subvecs(v, m, dim / m).join(broadcast(cb), "sub")
+    encodeWith(v, codebook(v, k, m, dim / m, iters), m, dim / m)
+  }
+
+  /** Code assignment against an already-built codebook — the shared
+    * second half of [[encode]], split out so the ADC searches can feed
+    * ONE materialized codebook to both the encoder and the distance
+    * table (Catalyst does not dedupe common subplans; without the split
+    * each search executed the codebook's seed-limit + Lloyd chain
+    * twice).
+    */
+  private def encodeWith(v: DataFrame, cb: DataFrame, m: Int,
+                         subDim: Int): DataFrame =
+    subvecs(v, m, subDim).join(broadcast(cb), "sub")
       .withColumn("_s",
         col("cn2") - lit(2.0) * DotProduct(col("sv"), col("cv")))
       .groupBy(col("id"), col("sub"))
       .agg(min_by(col("cid"), struct(col("_s"), col("cid"))).as("code"))
-  }
 
   /** IVF+PQ (the combined index of Jégou et al. 2011 §V / the Faiss
     * "IVFx,PQy" recipe): coarse-quantize the corpus into `nCells`
@@ -123,16 +133,22 @@ object Pq {
                  nProbe: Int = 4, k: Int = 16, m: Int = 8,
                  dim: Int = 64, iters: Int = 0): DataFrame = {
     val cv = idv(corpus, idCol, vecCol)
+    // cell centroids and codebook are k-row tables consumed by TWO
+    // subplans each (corpus assign + query probe; encoder + distance
+    // table) — materialize once so the seed-limit corpus scans and the
+    // Lloyd chain run once per query, not per consumer.
     val cent = cv.orderBy(col("id")).limit(nCells)
       .select(col("id").as("cell_id"), col("v").as("centv"))
       .withColumn("centn2", DotProduct(col("centv"), col("centv")))
+      .localCheckpoint()
     def cellScore = col("centn2") - lit(2.0) * DotProduct(col("v"), col("centv"))
     val ccells = cv.crossJoin(broadcast(cent))
       .withColumn("_s", cellScore)
       .groupBy(col("id"))
       .agg(min_by(col("cell_id"), struct(col("_s"), col("cell_id")))
         .as("cell_id"))
-    val codes = encode(corpus, idCol, vecCol, k, m, dim, iters)
+    val cb = codebook(cv, k, m, dim / m, iters).localCheckpoint()
+    val codes = encodeWith(cv, cb, m, dim / m)
       .join(ccells, "id")
       .select(col("id").as("neighbor_id"), col("sub"), col("code"),
         col("cell_id"))
@@ -144,7 +160,6 @@ object Pq {
       .withColumn("_s", cellScore)
       .withColumn("_r", row_number().over(wq)).where(col("_r") <= nProbe)
       .select(col("qid"), col("cell_id"))
-    val cb = codebook(cv, k, m, dim / m, iters)
     val dt = subvecs(idv(queries, idCol, vecCol), m, dim / m)
       .join(broadcast(cb), "sub")
       .select(col("id").as("qid"), col("sub"), col("cid"),
@@ -176,8 +191,10 @@ object Pq {
               vecCol: String, topK: Int, k: Int = 16, m: Int = 8,
               dim: Int = 64, iters: Int = 0): DataFrame = {
     val cv = idv(corpus, idCol, vecCol)
-    val cb = codebook(cv, k, m, dim / m, iters)
-    val codes = encode(corpus, idCol, vecCol, k, m, dim, iters)
+    // one materialized codebook for both the encoder and the distance
+    // table (see encodeWith)
+    val cb = codebook(cv, k, m, dim / m, iters).localCheckpoint()
+    val codes = encodeWith(cv, cb, m, dim / m)
       .select(col("id").as("neighbor_id"), col("sub"), col("code"))
     // d2 = |q_s|² − 2·q_s·c_s + |c_s|², quantized to 1e-6 longs so the
     // m-term sum below is order-independent.
