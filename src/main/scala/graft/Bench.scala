@@ -32,8 +32,15 @@ object Bench {
     // rounds running); min-of-2 keeps the record within noise of a
     // clean-host run while only doubling bench wall-clock.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // For streaming_* queries: (harness setup sec, micro-batch exec sec)
+    // of the rep that produced the recorded min — splits replay infra
+    // (tempdir staging + AvailableNow startup/checkpoint) from operator
+    // execution (Σ addBatch), so the record stops charging harness cost
+    // to the engine.
+    val streamSplit = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
+        SparkEntry.replayStats.clear()
         val t0 = System.nanoTime()
         // noop sink, NOT count(): a count() lets ColumnPruning discard
         // every computed column, so the plan being timed degenerates to a
@@ -41,7 +48,12 @@ object Bench {
         // writer consumes every output column — nothing can be pruned.
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          val split = SparkEntry.replayStats.values.foldLeft((0.0, 0.0)) {
+            case ((su, ex), (stage, wall, addBatch)) =>
+              (su + stage + math.max(wall - addBatch, 0.0), ex + addBatch)
+          }
+          Some((dt, split))
         } catch {
           case e: Throwable =>
             // A swallowed failure must not masquerade as a fast query:
@@ -50,7 +62,11 @@ object Bench {
             None
         }
       }
-      name -> (if (times.nonEmpty) times.min else 0.0)
+      if (times.nonEmpty) {
+        val (dt, split) = times.minBy(_._1)
+        if (split != (0.0, 0.0)) streamSplit += name -> split
+        name -> dt
+      } else name -> 0.0
     }
     // Rounded to 3 decimals and sorted by DESCENDING time: the driver
     // may keep only the tail of this line, so the biggest (most
@@ -60,12 +76,17 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    val streaming = streamSplit.map { case (k, (su, ex)) =>
+      s"\"" + k + "\":{\"setup\":" + r3(su) + ",\"exec\":" + r3(ex) + "}"
+    }.mkString("{", ",", "}")
+    val harness = r3(streamSplit.values.map(_._1).sum)
     val total = math.round(results.values.sum * 1000) / 1000.0
     // The headline total appears BOTH first (spec position) and last
     // (duplicated as total_sec): the driver may keep only the tail of
     // this line, and r5's record lost the leading "value" field to that
     // truncation — the trailing copy makes the total indestructible.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total_sec":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streaming,"harness_sec":$harness,"sf":"$sfDir","n_queries":${results.size},"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -36,8 +36,20 @@ object SparkEntry {
     * the SINK or post-replay — a pre-agg filter can be pushed below the
     * EventTimeWatermark node (see streaming_window_agg's sentinel).
     */
+  /** Per-tag replay phase timings (seconds), recorded by [[streamReplay]]
+    * for the bench: `stage` = tempdir + source-file staging, `wall` =
+    * stream start → termination, `addBatch` = Σ micro-batch addBatch
+    * durations from the progress log (the actual operator execution —
+    * wall minus addBatch is AvailableNow startup/checkpoint infra).
+    * Bench clears this before each query and reads it after, so a
+    * streaming query's record can split harness cost from engine cost.
+    */
+  val replayStats =
+    scala.collection.concurrent.TrieMap[String, (Double, Double, Double)]()
+
   private def streamReplay(s: SparkSession, dir: String, table: String,
                            tag: String)(build: DataFrame => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
     val path = s"$dir/$table.parquet"
     val out = java.nio.file.Files.createTempDirectory(s"graft-$tag-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$tag-ck").toString
@@ -46,6 +58,7 @@ object SparkEntry {
       in.resolve(s"$table.parquet"))
     val src = s.readStream.schema(s.read.parquet(path).schema)
       .parquet(in.toString)
+    val t1 = System.nanoTime()
     val q = build(src).writeStream
       .foreachBatch((batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(out))
@@ -53,6 +66,10 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val t2 = System.nanoTime()
+    val addBatch = q.recentProgress.iterator.flatMap(p =>
+      Option(p.durationMs.get("addBatch")).map(_.toDouble / 1e3)).sum
+    replayStats(tag) = ((t1 - t0) / 1e9, (t2 - t1) / 1e9, addBatch)
     s.read.parquet(out)
   }
 
@@ -340,6 +357,34 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("total_price"))
         .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
+    // Bucketed co-located join (op 65), oracle-backed: write both fact
+    // tables bucketed+sorted on the join key, then join AND aggregate on
+    // that key — with broadcast off, the whole plan runs shuffle-free
+    // off the bucketed layout (SourcesSpec pins the no-Exchange plan;
+    // this query pins the RESULT through the write→read→join path). At
+    // 100 TB this is the lake layout that amortizes the fact-fact
+    // shuffle into the write once, instead of paying it per query.
+    "rel_bucketed_join" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.sources.Tables.writeBucketed(
+        graft.sources.Tables.load(s2, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")),
+        "graft_orders_b", Seq("o_orderkey"), 8)
+      graft.sources.Tables.writeBucketed(
+        graft.sources.Tables.load(s2, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity")),
+        "graft_lineitem_b", Seq("l_orderkey"), 8)
+      s2.table("graft_orders_b")
+        .join(s2.table("graft_lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          round(max(col("o_totalprice")), 6).as("total_price"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -702,7 +747,16 @@ object SparkEntry {
         |)
         |SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS total_price
         |FROM ranked WHERE rk <= 3
-        |ORDER BY o_orderpriority, rk""".stripMargin
+        |ORDER BY o_orderpriority, rk""".stripMargin,
+    // rel_bucketed_join routes through the bucketed write, but the
+    // RESULT is layout-independent — a plain join/agg replays it.
+    "rel_bucketed_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  round(sum(l_quantity), 6) AS sum_qty,
+        |  round(max(o_totalprice), 6) AS total_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 
   // =================================================================
@@ -1148,6 +1202,7 @@ object SparkEntry {
     // every real window so the no-data closing batch flushes them all;
     // the sentinel's own window is excluded by event_type.
     "streaming_window_agg" -> ((s, dir) => {
+      val tS0 = System.nanoTime()
       val path = s"$dir/events.parquet"
       val out = java.nio.file.Files.createTempDirectory("graft-swa-out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-swa-ck").toString
@@ -1155,7 +1210,11 @@ object SparkEntry {
       java.nio.file.Files.copy(java.nio.file.Paths.get(path),
         in.resolve("events.parquet"))
       val raw = s.read.parquet(path)
+      val stageSec = (System.nanoTime() - tS0) / 1e9
+      var wallSec = 0.0
+      var addBatchSec = 0.0
       def runOnce(): Unit = {
+        val tR0 = System.nanoTime()
         val evs = graft.sources.Tables.normalizeEventTs(
           s.readStream.schema(raw.schema).parquet(in.toString))
         val q = graft.streaming.EventStream
@@ -1175,6 +1234,9 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        wallSec += (System.nanoTime() - tR0) / 1e9
+        addBatchSec += q.recentProgress.iterator.flatMap(p =>
+          Option(p.durationMs.get("addBatch")).map(_.toDouble / 1e3)).sum
       }
       // Two AvailableNow runs against one checkpoint: run 1 ingests the
       // data (watermark commits at max real event time); the sentinel is
@@ -1188,6 +1250,7 @@ object SparkEntry {
         .withColumn("event_type", lit("zz_sentinel"))
         .write.mode("append").parquet(in.toString)
       runOnce()
+      replayStats("swa") = (stageSec, wallSec, addBatchSec)
       s.read.parquet(out).orderBy(col("ws"), col("event_type"))
     }),
 

@@ -39,14 +39,27 @@ object Tables {
     * the same way join WITHOUT a shuffle (see SourcesSpec) — at 100 TB
     * this is the difference between a co-located merge join and
     * re-shuffling the fact table on every query.
+    *
+    * `saveAsTable(overwrite)` only replaces tables the CURRENT catalog
+    * knows about; a managed-table directory left by a previous JVM
+    * (fresh in-memory catalog, same warehouse) fails the write with
+    * LOCATION_ALREADY_EXISTS — so drop both the entry and the stale
+    * directory first.
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Hive-style partitioned parquet sink. Reads filtered on the
     * partition columns prune whole directories (PartitionFilters in the
