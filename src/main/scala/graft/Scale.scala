@@ -248,8 +248,9 @@ object Scale {
           docs.where(col("doc_id") % 3 === 0), docs, "doc_id", "text"))
       }
       // Bloom bits sized to the bench side (text.md rule: ~18× expected
-      // distinct bench grams for ~1e-4 per-probe FP); the bitmap stays
-      // a KB-scale broadcast even at the top tier.
+      // distinct bench grams → FP ≈ 3.6e-3 at the k=3 default, cheap
+      // for a pre-filter whose hits go to the exact check); the bitmap
+      // stays a KB-scale broadcast even at the top tier.
       val benchGrams = (nDocs / 97) * 43
       val bloomBits = math.min(1L << 22,
         math.max(65536L, ((18 * benchGrams / 32) + 1) * 32)).toInt

@@ -57,11 +57,17 @@ object Corpus {
     df.where(md5Uniform(col(idCol)) < rate)
   }
 
-  /** Fixed-SIZE deterministic stratified sampling: exactly
-    * min(n, |stratum|) rows per stratum, chosen as the n smallest
-    * md5-coin values (ties → id) — the "give me 10k docs per source"
-    * twin of [[stratifiedSample]]'s Bernoulli rates, equally
-    * deterministic on any engine/partitioning.
+  /** Fixed-SIZE deterministic stratified sampling: min(n, |stratum|)
+    * rows per stratum WITH OVERWHELMING PROBABILITY (see the pre-filter
+    * note below — the coin set is deterministic per dataset, so a
+    * stratum whose n smallest coins don't all survive the oversample
+    * cut returns fewer rows for that data, not a re-rollable miss),
+    * chosen as the n smallest md5-coin values (ties → id) — the "give
+    * me 10k docs per source" twin of [[stratifiedSample]]'s Bernoulli
+    * rates, equally deterministic on any engine/partitioning. Callers
+    * that need the exact-n contract unconditionally should raise
+    * `oversample` (failure odds fall as e^-Ω(n·oversample)) or run the
+    * plain window (`oversample = ∞` ⇒ filter passes everything).
     *
     * Scale shape: a naive per-stratum window sorts EVERY row of a hot
     * stratum in one partition — the classic skew trap. Instead: one

@@ -145,7 +145,14 @@ object Embed {
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
                     outDim: Int = 16, dim: Int = 64,
                     seed: String = "jl"): DataFrame = {
+    // The sign-matrix spine covers positions 0..dim-1, so a vector wider
+    // than `dim` would silently project a PREFIX (the equi-join drops
+    // positions >= dim). Fail loudly instead — the check is a per-row
+    // size compare inside a filter, so Catalyst can't prune it away.
     val v = idv(df, idCol, vecCol)
+      .where(assert_true(size(col("v")) === dim,
+        concat(lit(s"randomProject: vector width "), size(col("v")),
+          lit(s" != dim $dim for id "), col("id"))).isNull)
     val spark = df.sparkSession
     // s_ij = 1 − 2·(first md5 nibble of "seed_i_j" mod 2)
     val signs = spark.range(dim.toLong * outDim)

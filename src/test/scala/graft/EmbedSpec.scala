@@ -92,4 +92,17 @@ class EmbedSpec extends SparkSpec {
     assert(run(df, "jl") == run(df.repartition(11), "jl"))
     assert(run(df, "jl") != run(df, "jl2"))
   }
+
+  test("randomProject rejects vectors wider than dim instead of truncating") {
+    // the sign spine covers 0..dim-1; a 10-wide vector against dim=8
+    // would silently sketch a prefix — must fail loudly instead
+    val df = Seq((0L, (0 until 10).map(_ / 4.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Embed.randomProject(df, "vec_id", "embedding", outDim = 4, dim = 8)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("vector width")), e.toString)
+  }
 }
