@@ -267,6 +267,55 @@ object SparkEntry {
         .agg(Eod.inferFreq(col("delta_days")).as("freq"))
         .orderBy(col("event_type"))),
 
+    // ---- EOD risk extensions beyond the reference surface (ops 103-107)
+    // Historical VaR + CVaR: the 5% quantile as a per-asset window
+    // value, then one agg over the same partitioning — two passes over
+    // one shuffle, no re-scan.
+    "eod_var_cvar" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("var5", Eod.valueAtRisk(col("ret"), 0.05).over(wSym))
+        .groupBy(col("event_type"))
+        .agg(round(min(col("var5")), 6).as("var_5"),
+          round(Eod.cvarGivenVar(col("ret"), col("var5")), 6).as("cvar_5"))
+        .orderBy(col("event_type"))
+    }),
+    "eod_omega" -> ((s, dir) =>
+      withRet(s, dir).where(col("ret").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(round(Eod.omegaRatio(col("ret"), rfPeriodic), 6).as("omega"))
+        .orderBy(col("event_type"))),
+    // Two-pass central moments: mean via per-asset window, deviations
+    // aggregated — no raw-moment cancellation (see skewnessFromDev).
+    "eod_skew_kurt" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("d", col("ret") - avg(col("ret")).over(wSym))
+        .groupBy(col("event_type"))
+        .agg(round(Eod.skewnessFromDev(col("d")), 6).as("skew"),
+          round(Eod.excessKurtosisFromDev(col("d")), 6).as("kurt_excess"))
+        .orderBy(col("event_type"))
+    }),
+    "eod_ewma_vol" -> ((s, dir) =>
+      withRet(s, dir).where(col("ret").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          round(Eod.ewmaVolatility(col("ret"), wT, 60), 6).as("ewma_vol"))),
+    // Rolling beta of the 'click' return series on the 'view' series,
+    // rn-paired (the eod_information_ratio pivot), trailing 60 pairs.
+    // The un-partitioned rn window is one LOGICAL series (a pair of
+    // assets); with many pairs, partition by the pair key.
+    "eod_rolling_beta" -> ((s, dir) =>
+      withRet(s, dir)
+        .where(col("event_type").isin("click", "view"))
+        .withColumn("rn", row_number().over(wT))
+        .groupBy(col("rn"))
+        .agg(max(when(col("event_type") === "click", col("ret"))).as("ra"),
+          max(when(col("event_type") === "view", col("ret"))).as("rb"))
+        .where(col("ra").isNotNull && col("rb").isNotNull)
+        .select(col("rn"),
+          round(Eod.rollingBeta(col("ra"), col("rb"),
+            Window.orderBy(col("rn")), 60), 4).as("beta"))),
+
     // ---- Tick (ops 25-38)
     "tick_trade_rate" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
@@ -632,6 +681,64 @@ object SparkEntry {
         |       WHEN abs(mode(delta_days) - 1) <= 0.1 THEN 'daily'
         |       ELSE 'unknown' END AS freq
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "eod_var_cvar" ->
+      s"""$R_CTE, q AS (
+        |  SELECT event_type, quantile_cont(ret, 0.05) AS var5
+        |  FROM r WHERE ret IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT r.event_type,
+        |  round(min(var5), 6) AS var_5,
+        |  round(avg(CASE WHEN ret <= var5 THEN ret END), 6) AS cvar_5
+        |FROM r JOIN q ON r.event_type = q.event_type
+        |WHERE ret IS NOT NULL
+        |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+    "eod_omega" ->
+      s"""$R_CTE
+        |SELECT event_type,
+        |  round(sum(greatest(ret - $RF_LIT, 0)) /
+        |        sum(greatest($RF_LIT - ret, 0)), 6) AS omega
+        |FROM r WHERE ret IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "eod_skew_kurt" ->
+      s"""$R_CTE, d AS (
+        |  SELECT event_type,
+        |    ret - avg(ret) OVER (PARTITION BY event_type) AS d
+        |  FROM r WHERE ret IS NOT NULL
+        |)
+        |SELECT event_type,
+        |  round(avg(pow(d, 3)) / pow(avg(pow(d, 2)), 1.5), 6) AS skew,
+        |  round(avg(pow(d, 4)) / pow(avg(pow(d, 2)), 2) - 3, 6) AS kurt_excess
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // O(60·n) pairwise replay of the truncated-weight EWMA — an oracle
+    // formulation, not a scale shape (the Spark side folds a bounded
+    // trailing array instead).
+    "eod_ewma_vol" ->
+      s"""$R_CTE, x AS (
+        |  SELECT event_type, event_id, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM r WHERE ret IS NOT NULL
+        |)
+        |SELECT a.event_type, a.event_id,
+        |  round(sqrt(sum(pow(0.94, a.rn - b.rn) * b.ret * b.ret)
+        |    * (1 - 0.94) / (1 - pow(0.94, count(*)))), 6) AS ewma_vol
+        |FROM x a JOIN x b
+        |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
+        |GROUP BY a.event_type, a.event_id""".stripMargin,
+    "eod_rolling_beta" ->
+      s"""$R_CTE, p AS (
+        |  SELECT rn,
+        |    max(CASE WHEN event_type = 'click' THEN ret END) AS ra,
+        |    max(CASE WHEN event_type = 'view' THEN ret END) AS rb
+        |  FROM (
+        |    SELECT event_type, ret,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |    FROM r WHERE event_type IN ('click', 'view')
+        |  ) GROUP BY rn
+        |)
+        |SELECT rn, round(covar_samp(ra, rb) OVER tw / var_samp(rb) OVER tw, 4) AS beta
+        |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
+        |WINDOW tw AS (ORDER BY rn ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "tick_trade_rate" ->
       """SELECT event_type,

@@ -233,6 +233,86 @@ object Eod {
     ).cast("long")
   }
 
+  /** Historical Value-at-Risk: the α-quantile of the return
+    * distribution (exact, linearly interpolated — the same R-7 rule as
+    * DuckDB's quantile_cont / numpy's default). Aggregate or window
+    * Column; VaR is conventionally reported as the loss quantile, so
+    * alpha = 0.05 gives the 95% VaR (a negative return).
+    *
+    * Beyond the reference surface (ffn proper ships VaR/CVaR in
+    * calc_stats; ffn-polars does not) — added for parity with what a
+    * portfolio-analytics user expects next.
+    */
+  def valueAtRisk(ret: Column, alpha: Double = 0.05): Column =
+    percentile(ret, lit(alpha))
+
+  /** Conditional VaR (expected shortfall): mean return at or below a
+    * precomputed VaR cut (compute [[valueAtRisk]] over a per-asset
+    * window first, then aggregate — two window/agg passes, no
+    * re-scan). Aggregate Column.
+    */
+  def cvarGivenVar(ret: Column, varCut: Column): Column =
+    avg(when(ret <= varCut, ret))
+
+  /** Omega ratio at a periodic threshold L: Σ max(r−L, 0) / Σ max(L−r, 0)
+    * — probability-weighted gains over losses around L (Keating &
+    * Shadwick 2002). Aggregate Column; null when there are no losses.
+    */
+  def omegaRatio(ret: Column, threshold: Double = 0.0): Column =
+    safeDiv(sum(greatest(ret - threshold, lit(0.0))),
+      sum(greatest(lit(threshold) - ret, lit(0.0))))
+
+  /** Population skewness g1 = m3 / m2^1.5 from PRE-CENTERED deviations
+    * (d = r − mean(r) over the asset window). Two-pass centering keeps
+    * the moment sums catastrophic-cancellation-free — the raw-moment
+    * identity avg(r³)−3μavg(r²)+2μ³ loses most of its bits when μ
+    * dominates the central moments, which is exactly the shape of
+    * return series. Aggregate Column over `d`.
+    */
+  def skewnessFromDev(d: Column): Column =
+    safeDiv(avg(pow(d, lit(3.0))), pow(avg(pow(d, lit(2.0))), lit(1.5)))
+
+  /** Excess kurtosis g2 = m4 / m2² − 3 from pre-centered deviations
+    * (see [[skewnessFromDev]]). Aggregate Column over `d`.
+    */
+  def excessKurtosisFromDev(d: Column): Column =
+    safeDiv(avg(pow(d, lit(4.0))), pow(avg(pow(d, lit(2.0))), lit(2.0))) - 3.0
+
+  /** RiskMetrics EWMA volatility over the trailing n non-null returns:
+    * σ_t = sqrt( Σ_{j<k} λ^j·r²_{t−j} · (1−λ)/(1−λ^k) ), k = rows in
+    * frame (the truncated-series weights renormalized to sum to 1).
+    * Per-row series Column over an ordered per-asset window.
+    *
+    * Spark shape: collect_list over the trailing frame (≤ n doubles —
+    * bounded, executor-local) then one array fold; the frame walk is
+    * the same one shuffle as every other rolling metric. Feed it
+    * null-free returns: collect_list drops nulls, which would silently
+    * shift the weight ladder.
+    */
+  def ewmaVolatility(ret: Column, w: WindowSpec, n: Int,
+                     lambda: Double = 0.94): Column = {
+    // arr(0) = current row's return, arr(j) = j rows back.
+    val arr = reverse(collect_list(ret).over(trailing(w, n)))
+    val weighted = aggregate(
+      zip_with(arr, sequence(lit(0), size(arr) - 1),
+        (r, j) => r * r * pow(lit(lambda), j.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    sqrt(weighted * (1.0 - lambda) /
+      (lit(1.0) - pow(lit(lambda), size(arr).cast("double"))))
+  }
+
+  /** Rolling OLS beta of `ret` on `benchmark` over the trailing n rows:
+    * covar_samp / var_samp on the frame. Null until the frame has ≥2
+    * paired rows (sample moments undefined), null on a flat benchmark
+    * window. Feed it rows where both series are non-null — the sample
+    * counts of cov and var diverge otherwise and the ratio is not a
+    * beta.
+    */
+  def rollingBeta(ret: Column, benchmark: Column, w: WindowSpec,
+                  n: Int): Column =
+    safeDiv(covar_samp(ret, benchmark).over(trailing(w, n)),
+      var_samp(benchmark).over(trailing(w, n)))
+
   /** Human-readable frequency label from the mode of deltas in days;
     * "unknown" when irregular (std > 1 day). Ref: eod/temporal.py:98.
     */

@@ -86,4 +86,78 @@ class EodSpec extends SparkSpec {
     // cumprod: 150, then 0 (total loss), then 0 — not a recovery
     assert(idx.count(_ == 0.0) == 2 && idx.contains(150.0))
   }
+
+  test("VaR is the interpolated 5% quantile; CVaR the tail mean") {
+    // 21 evenly spaced returns -0.10 .. +0.10: the R-7 5% quantile of
+    // n=21 sits exactly on sorted index 1 (0-based): -0.09.
+    val rets = (0 to 20).map(i => ("a", i, -0.10 + i * 0.01))
+    val df = rets.toDF("k", "t", "r")
+    val v = df.groupBy($"k").agg(Eod.valueAtRisk($"r", 0.05).as("v"))
+      .select($"v").as[Double].head()
+    assert(math.abs(v - -0.09) < 1e-12)
+    val cv = df
+      .withColumn("vc", Eod.valueAtRisk($"r", 0.05).over(Window.partitionBy($"k")))
+      .groupBy($"k").agg(Eod.cvarGivenVar($"r", $"vc").as("cv"))
+      .select($"cv").as[Double].head()
+    assert(math.abs(cv - (-0.10 + -0.09) / 2) < 1e-12)  // mean of {-0.10, -0.09}
+  }
+
+  test("omega ratio: gains over losses around the threshold") {
+    val df = Seq(("a", 0, 0.03), ("a", 1, -0.01), ("a", 2, 0.02), ("a", 3, -0.04))
+      .toDF("k", "t", "r")
+    val got = df.groupBy($"k").agg(Eod.omegaRatio($"r", 0.0).as("o"))
+      .select($"o").as[Double].head()
+    assert(math.abs(got - (0.03 + 0.02) / (0.01 + 0.04)) < 1e-12)
+    // all-gain series: zero denominator → null, not an ANSI abort
+    val allUp = Seq(("a", 0, 0.01), ("a", 1, 0.02)).toDF("k", "t", "r")
+    assert(allUp.groupBy($"k").agg(Eod.omegaRatio($"r", 0.0).as("o"))
+      .select($"o").as[Option[Double]].head().isEmpty)
+  }
+
+  test("skewness and excess kurtosis from centered deviations") {
+    // symmetric data → skew 0; {-1,-1,1,1} → m2=1, m4=1 → kurt −2
+    val df = Seq(-1.0, -1.0, 1.0, 1.0).zipWithIndex
+      .map { case (r, i) => ("a", i, r) }.toDF("k", "t", "r")
+    val centered = df.withColumn("d",
+      $"r" - avg($"r").over(Window.partitionBy($"k")))
+    val row = centered.groupBy($"k")
+      .agg(Eod.skewnessFromDev($"d").as("s"),
+        Eod.excessKurtosisFromDev($"d").as("x"))
+      .select($"s", $"x").as[(Double, Double)].head()
+    assert(math.abs(row._1) < 1e-12 && math.abs(row._2 - -2.0) < 1e-12)
+    // asymmetric hand case: {0,0,3} → μ=1, m2=2, m3=(−1−1+8)/3=2
+    val asym = Seq(0.0, 0.0, 3.0).zipWithIndex
+      .map { case (r, i) => ("a", i, r) }.toDF("k", "t", "r")
+    val s = asym.withColumn("d", $"r" - avg($"r").over(Window.partitionBy($"k")))
+      .groupBy($"k").agg(Eod.skewnessFromDev($"d").as("s"))
+      .select($"s").as[Double].head()
+    assert(math.abs(s - 2.0 / math.pow(2.0, 1.5)) < 1e-12)
+  }
+
+  test("EWMA volatility matches the hand-computed truncated fold") {
+    val rets = Seq(0.01, -0.02, 0.015)
+    val df = rets.zipWithIndex.map { case (r, i) => ("a", i, r) }.toDF("k", "t", "r")
+    val got = df.select($"t", Eod.ewmaVolatility($"r", w, 60).as("v"))
+      .orderBy($"t").select($"v").as[Double].collect()
+    val lam = 0.94
+    def ewma(rs: Seq[Double]): Double = {
+      // rs newest-first
+      val s = rs.zipWithIndex.map { case (r, j) => r * r * math.pow(lam, j) }.sum
+      math.sqrt(s * (1 - lam) / (1 - math.pow(lam, rs.size)))
+    }
+    assert(math.abs(got(0) - ewma(Seq(0.01))) < 1e-12)
+    assert(math.abs(got(1) - ewma(Seq(-0.02, 0.01))) < 1e-12)
+    assert(math.abs(got(2) - ewma(Seq(0.015, -0.02, 0.01))) < 1e-12)
+  }
+
+  test("rolling beta recovers an exact linear relationship") {
+    // ra = 2·rb exactly → beta = 2 once the frame has ≥2 rows
+    val rb = Seq(0.01, -0.02, 0.015, 0.005, -0.01)
+    val df = rb.zipWithIndex.map { case (b, i) => ("a", i, 2 * b, b) }
+      .toDF("k", "t", "ra", "rb")
+    val got = df.select($"t", Eod.rollingBeta($"ra", $"rb", w, 3).as("beta"))
+      .orderBy($"t").select($"beta").as[Option[Double]].collect()
+    assert(got(0).isEmpty)                             // 1-row frame: undefined
+    got.drop(1).foreach(b => assert(math.abs(b.get - 2.0) < 1e-9))
+  }
 }
