@@ -928,6 +928,36 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         Text.fingerprint(col("text")).as("fingerprint"))),
+    // Normalization must do real work on the synthetic (already-clean)
+    // docs, so the query first injects deterministic whitespace/control
+    // noise (space → space, C0 0x01, two spaces), then asserts the cleanup via
+    // lengths + digest of the cleaned text.
+    "text_normalize" -> ((s, dir) => {
+      val messy = regexp_replace(col("text"), " ", "   ")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), messy.as("messy"))
+        .select(col("doc_id"),
+          length(col("messy")).cast("long").as("raw_len"),
+          length(Text.normalize(col("messy"))).cast("long").as("clean_len"),
+          md5(Text.normalize(col("messy"))).as("clean_digest"))
+    }),
+    // Gopher/MassiveText quality rule verdicts (op 110).
+    "corpus_gopher" -> ((s, dir) =>
+      Corpus.gopherQualityRules(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    // Sliding-window token chunking (op 111).
+    "corpus_chunk_tokens" -> ((s, dir) =>
+      Corpus.tokenChunks(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    // Incremental MinHash-LSH dedup (op 109): the planted copies are
+    // the "new batch", the original documents the indexed corpus.
+    "dedup_incremental" -> ((s, dir) => {
+      val corpus = docCorpus(s, dir)
+      Dedup.minhashLshIncremental(
+          corpus.where(col("doc_id") >= 1000000),
+          corpus.where(col("doc_id") < 1000000), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- dedup (ops 46-50)
     "dedup_exact" -> ((s, dir) =>
@@ -1883,7 +1913,9 @@ object SparkEntry {
     }.mkString(", ")
     // Shared between the pairs oracle and the clusters oracle's
     // recursive closure (nested WITH — DuckDB scopes it to the CTE).
-    val minhashPairsSql =
+    // Shared CTE chain ending in bands(doc_id, band, bucket) — the
+    // front half of both the all-pairs and the incremental oracles.
+    val minhashBandsCte =
       s"""$TOKS_CTE, sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(toks)-2, 1) + 1),
@@ -1893,7 +1925,9 @@ object SparkEntry {
         |  SELECT doc_id, ${md5Word(0)} AS a, ${md5Word(8)} AS b
         |  FROM (SELECT doc_id, md5(s) AS h FROM sh)
         |), sig AS (SELECT doc_id, $sigMins FROM ab GROUP BY doc_id),
-        |bands AS ($bandSelects)
+        |bands AS ($bandSelects)""".stripMargin
+    val minhashPairsSql =
+      s"""$minhashBandsCte
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin
@@ -1924,6 +1958,46 @@ object SparkEntry {
           |SELECT doc_id, list_min(list_transform(range(1, greatest(len(toks)-4, 1) + 1),
           |  i -> md5(array_to_string(toks[i:i+4], ' ')))) AS fingerprint
           |FROM t""".stripMargin,
+      "text_normalize" ->
+        """WITH m AS (
+          |  SELECT doc_id, regexp_replace(text, ' ', ' ' || chr(1) || '  ', 'g') AS messy
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, messy,
+          |    trim(regexp_replace(regexp_replace(messy, '[\x00-\x1f\x7f]', ' ', 'g'),
+          |                        '\s+', ' ', 'g')) AS clean
+          |  FROM m
+          |)
+          |SELECT doc_id, length(messy)::BIGINT AS raw_len,
+          |  length(clean)::BIGINT AS clean_len, md5(clean) AS clean_digest
+          |FROM c""".stripMargin,
+      "corpus_gopher" ->
+        s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+          |m AS (
+          |  SELECT doc_id, len(toks) AS n,
+          |    round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6) AS mean_word_len,
+          |    round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(toks), 6) AS alpha_frac,
+          |    len(list_filter(toks, x -> ${Corpus.GopherStopwords.map(w => s"x = '$w'").mkString(" OR ")}))::BIGINT AS n_stop,
+          |    round(((length(text) - length(replace(text, '#', ''))) +
+          |           (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE / len(toks), 6) AS symbol_ratio
+          |  FROM t
+          |)
+          |SELECT doc_id, n::BIGINT AS n_words, mean_word_len, alpha_frac, n_stop, symbol_ratio,
+          |  (n BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+          |    AND alpha_frac >= 0.8 AND n_stop >= 2 AND symbol_ratio <= 0.1 AS keep
+          |FROM m ORDER BY doc_id""".stripMargin,
+      "corpus_chunk_tokens" ->
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |c AS (
+          |  SELECT doc_id, toks, unnest(range(0,
+          |    CASE WHEN len(toks) <= 64 THEN 1
+          |         ELSE CAST(ceil((len(toks) - 64) / 32.0) AS BIGINT) + 1 END)) AS chunk_idx
+          |  FROM t
+          |)
+          |SELECT doc_id, chunk_idx,
+          |  least(64, len(toks) - chunk_idx * 32)::BIGINT AS n_tokens,
+          |  md5(array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 64], ' ')) AS chunk_hash
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
       "text_repetition" ->
         """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           |g AS (
@@ -1981,6 +2055,19 @@ object SparkEntry {
           |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
           |FROM corpus ORDER BY doc_id""".stripMargin,
       "dedup_minhash_lsh" -> minhashPairsSql,
+      // Incremental twin: index buckets (min id, count) from the
+      // original docs; planted copies query them. Same bands chain.
+      "dedup_incremental" ->
+        s"""$minhashBandsCte,
+          |idx AS (
+          |  SELECT band, bucket, min(doc_id) AS min_id, count(*) AS c
+          |  FROM bands WHERE doc_id < 1000000 GROUP BY band, bucket
+          |),
+          |q AS (SELECT doc_id, band, bucket FROM bands WHERE doc_id >= 1000000)
+          |SELECT q.doc_id, min(idx.min_id) AS dup_of
+          |FROM q JOIN idx ON q.band = idx.band AND q.bucket = idx.bucket
+          |WHERE idx.c <= 10000
+          |GROUP BY q.doc_id ORDER BY q.doc_id""".stripMargin,
       // Streaming replay oracle: the same band buckets over the
       // planted corpus; event order = doc_id order (replayTs), so
       // dup_of(i) = min earlier doc sharing any band bucket.

@@ -68,6 +68,17 @@ object Text {
     }
   }
 
+  /** Text cleanup for corpus ingestion: control characters (C0 + DEL)
+    * become spaces, whitespace runs collapse to one space, ends
+    * trimmed. Byte-meaningful transforms only (no case folding, no
+    * Unicode normalization — those are policy, this is hygiene). Pure
+    * per-row regex algebra: map-only at any corpus size, and the same
+    * two RE2-safe patterns replay in any engine.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+
   /** Winnowing-style document fingerprint: lexicographic min of md5 over
     * rolling word 5-grams (rolling-hash fingerprinting; md5 hex keeps the
     * value engine-neutral). Docs shorter than 5 tokens hash what's there.

@@ -35,6 +35,86 @@ object Corpus {
         round(col("maxc").cast("double") / col("nt"), 6).as("top_ngram_frac"),
         round(col("nd").cast("double") / col("nt"), 6).as("distinct_frac"))
 
+  /** Gopher stopwords (Rae et al. 2021 §A1.1): a doc should contain at
+    * least two of these to count as natural language.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule verdicts (Rae et al. 2021 §A1.1, the
+    * MassiveText filter): per-doc word count, mean word length,
+    * alphabetic-word fraction, stopword hits, and symbol-to-word
+    * ratio, each against the published thresholds, plus the composite
+    * keep flag. The line-shape rules (bullet/ellipsis line fractions)
+    * are omitted — they need a line structure the whitespace-token
+    * convention (and single-line corpora) don't carry.
+    *
+    * Thresholds: 50 ≤ words ≤ 100k; 3 ≤ mean word length ≤ 10;
+    * ≥80% of words contain an alphabetic char; ≥2 stopword hits;
+    * (#'#' + #'...') / words ≤ 0.1.
+    *
+    * Pure per-row column algebra over the token array — no shuffle at
+    * all; at 100 TB this is a map-only pass that prunes at the scan.
+    */
+  def gopherQualityRules(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val n = size(toks).cast("double")
+    val meanLen = aggregate(toks, lit(0L),
+      (acc, t) => acc + length(t)).cast("double") / n
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]"))) / n
+    val nStop = Text.markerHits(toks, GopherStopwords)
+    val hashes = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))).cast("double")
+    val ellipses = ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3).cast("double")
+    val symbolRatio = (hashes + ellipses) / n
+    df.select(col(idCol),
+        n.cast("long").as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        nStop.cast("long").as("n_stop"),
+        round(symbolRatio, 6).as("symbol_ratio"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stop") >= 2 &&
+          col("symbol_ratio") <= 0.1)
+  }
+
+  /** Sliding-window token chunking for training-sequence construction:
+    * the complement of [[packSequences]] — long docs become overlapping
+    * fixed-size windows (stride < window ⇒ overlap, the standard LM
+    * preprocessing shape). Chunk i covers tokens
+    * [i·stride, i·stride + window); the last chunk may be short; a doc
+    * shorter than one window is one chunk. Output: (id, chunk_idx,
+    * n_tokens, chunk_hash) — the hash stands in for the token slice so
+    * verdicts stay narrow (join back by (id, chunk_idx) for payloads).
+    *
+    * One generate per doc (explode of a computed index range) — linear
+    * output (~n/stride rows per doc), no shuffle; chunking prunes at
+    * the scan at any corpus size.
+    */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  window: Int = 64, stride: Int = 32): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = Text.tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= window, lit(1L))
+      .otherwise(ceil((n - lit(window)).cast("double") / stride).cast("long") + 1L)
+    df.select(col(idCol), toks.as("_toks"), n.as("_n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(window),
+          col("_n") - col("chunk_idx") * stride).cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("_toks"),
+            (col("chunk_idx") * stride + 1).cast("int"), lit(window))))
+          .as("chunk_hash"))
+  }
+
   /** Deterministic uniform in [0,1) from the md5 of a column's string
     * form — the engine-neutral Bernoulli coin for sampling.
     */

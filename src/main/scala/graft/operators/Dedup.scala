@@ -74,6 +74,29 @@ object Dedup {
     ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** (id, band, bucket) LSH band keys for every doc: the shared front
+    * half of [[minhashLshPairs]] and [[minhashLshIncremental]]. Single
+    * pass over the signatures — bands as an exploded array of
+    * (band, bucket) structs, NOT a union of per-band selects, which
+    * would recompute the shingle explosion `bands` times. The
+    * '|'-joined integer sigs ARE the bucket key — unambiguous, and
+    * cheaper than hashing them again.
+    */
+  private def lshBandKeys(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, bands: Int, shingleWidth: Int): DataFrame = {
+    require(k % bands == 0,
+      s"minhash signature length k=$k must be divisible by bands=$bands " +
+        "(trailing signature columns would be silently dropped, weakening LSH recall)")
+    val rows = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
+    val bandArr = array((0 until bands).map { b =>
+      val sigCols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
+      struct(lit(b).as("band"), concat_ws("|", sigCols: _*).as("bucket"))
+    }: _*)
+    sigs.select(col(idCol), explode(bandArr).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * pairs. bands*rowsPerBand = k. Output: distinct (id_a < id_b) pairs.
     * The band bucket join bounds candidates — the scale path for near-dup
@@ -83,22 +106,7 @@ object Dedup {
                       k: Int = 8, bands: Int = 4,
                       shingleWidth: Int = 3,
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(k % bands == 0,
-      s"minhash signature length k=$k must be divisible by bands=$bands " +
-        "(trailing signature columns would be silently dropped, weakening LSH recall)")
-    val rows = k / bands
-    val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
-    // Single pass over the signatures: bands as an exploded array of
-    // (band, bucket) structs — NOT a union of per-band selects, which
-    // would recompute the shingle explosion `bands` times.
-    val bandArr = array((0 until bands).map { b =>
-      val sigCols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
-      // '|'-joined integer sigs ARE the bucket key — unambiguous, and
-      // cheaper than hashing them again.
-      struct(lit(b).as("band"), concat_ws("|", sigCols: _*).as("bucket"))
-    }: _*)
-    val bandKeys = sigs.select(col(idCol), explode(bandArr).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bandKeys = lshBandKeys(df, idCol, textCol, k, bands, shingleWidth)
     // Pairs are generated WITHIN each bucket (groupBy + double explode)
     // rather than via a bucket self-join: the signature pipeline runs
     // once instead of twice, and one shuffle replaces two. LSH buckets
@@ -116,6 +124,44 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()
+  }
+
+  /** Incremental MinHash-LSH dedup: flag NEW docs against an EXISTING
+    * corpus without re-pairing the corpus with itself — the daily-
+    * ingest shape at 100 TB, where re-running all-corpus dedup per
+    * batch would cost O(corpus) instead of O(batch).
+    *
+    * The index side collapses to ONE row per (band, bucket) —
+    * (min id, member count) — before the join: that aggregate IS the
+    * LSH index, is corpus-sized at most (in practice far smaller), can
+    * be precomputed/persisted between batches, and makes the join
+    * build side as small as possible. New docs join their band keys
+    * against it; a hit means some indexed doc shares the band
+    * signature. dup_of = min over hit buckets of the bucket-min id =
+    * the earliest indexed sharer overall (every sharer is bounded by
+    * its own bucket's min — the same convention as the streaming twin,
+    * streaming/Stateful.minhashDedupStream).
+    *
+    * Buckets hotter than maxBucket are dropped from the index (the
+    * stop-shingle rule, as in [[minhashLshPairs]]): a band signature
+    * shared by >10k docs carries no near-dup signal, and dropping it
+    * bounds the join fan-out per new doc to bands·maxBucket.
+    *
+    * Output: one row per flagged new doc — (id, dup_of).
+    */
+  def minhashLshIncremental(newDocs: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 8, bands: Int = 4,
+                            shingleWidth: Int = 3,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val idx = lshBandKeys(index, idCol, textCol, k, bands, shingleWidth)
+      .groupBy(col("band"), col("bucket"))
+      .agg(min(col(idCol)).as("_min_id"), count(lit(1)).as("_c"))
+      .where(col("_c") <= maxBucket)
+    val q = lshBandKeys(newDocs, idCol, textCol, k, bands, shingleWidth)
+    q.join(idx, Seq("band", "bucket"))
+      .groupBy(col(idCol))
+      .agg(min(col("_min_id")).as("dup_of"))
   }
 
   /** 32-bit SimHash fingerprints from whitespace tokens. Token hash =

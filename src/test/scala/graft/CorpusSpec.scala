@@ -209,4 +209,42 @@ class CorpusSpec extends SparkSpec {
     // tokens-before: 0,10,..,90 → floor(/25): 0,0,0,1,1,2,2,2,3,3
     assert(bins == Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
   }
+
+  test("gopherQualityRules: each rule fires on its own violation") {
+    val fifty = (1 to 50).map(i => s"the of word$i").mkString(" ")  // 150 words, stopwords, alpha
+    val df = Seq(
+      (1L, fifty),                                   // passes everything
+      (2L, "the of tiny"),                           // too few words
+      (3L, (1 to 60).map(_ => "11 22").mkString(" ") + " the of"), // alpha_frac low
+      (4L, (1 to 60).map(i => s"w$i x$i").mkString(" "))           // no stopwords
+    ).toDF("doc_id", "text")
+    val out = Corpus.gopherQualityRules(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"keep", $"n_words", $"n_stop", $"alpha_frac")
+      .as[(Long, Boolean, Long, Long, Double)].collect()
+    assert(out(0)._2, out(0).toString)                    // doc1 keeps
+    assert(!out(1)._2 && out(1)._3 < 50)                  // doc2: word count
+    assert(!out(2)._2 && out(2)._5 < 0.8, out(2).toString) // doc3: alpha frac
+    assert(!out(3)._2 && out(3)._4 < 2)                   // doc4: stopwords
+  }
+
+  test("tokenChunks: overlapping windows, short tail, one-chunk short doc") {
+    val words = (0 until 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, words), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Corpus.tokenChunks(df, "doc_id", "text", window = 64, stride = 32)
+      .orderBy($"doc_id", $"chunk_idx")
+      .select($"doc_id", $"chunk_idx", $"n_tokens")
+      .as[(Long, Long, Long)].collect()
+    // 100 tokens: chunks at 0 (64), 32 (64), 64 (36)
+    assert(out.toSeq == Seq((1L, 0L, 64L), (1L, 1L, 64L), (1L, 2L, 36L),
+      (2L, 0L, 3L)))
+    // chunk hash = md5 of the exact token slice
+    val h = Corpus.tokenChunks(df, "doc_id", "text", 64, 32)
+      .where($"doc_id" === 1 && $"chunk_idx" === 2)
+      .select($"chunk_hash").as[String].head()
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest((64 until 100).map(i => s"t$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h == expect)
+  }
 }

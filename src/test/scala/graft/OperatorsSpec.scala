@@ -140,4 +140,34 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty media payload")
       || Option(e.getCause).exists(_.getMessage.contains("empty media payload")))
   }
+
+  test("incremental minhash flags new docs against the index only") {
+    val index = Seq(
+      (1L, "a b c d e f g h"), (5L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "a b c d e f g h"),   // dup of indexed 1 and 5 → dup_of = 1
+      (11L, "m n o p m n o p"))   // novel → absent
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLshIncremental(fresh, index, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 1L)))
+    // new docs are never paired with EACH OTHER (that's the batch op's
+    // job): two identical fresh docs with no indexed twin emit nothing
+    val fresh2 = Seq((20L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (21L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    assert(Dedup.minhashLshIncremental(fresh2, index, "doc_id", "text")
+      .count() == 0)
+  }
+
+  test("normalize collapses whitespace runs and strips control chars") {
+    import graft.functions.Text
+    val df = Seq(
+      (1L, "  a\t\tb  c\r\n d  "),
+      (2L, "already clean")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", Text.normalize($"text").as("t"))
+      .orderBy($"doc_id").as[(Long, String)].collect()
+    assert(out(0)._2 == "a b c d")
+    assert(out(1)._2 == "already clean")
+  }
 }
