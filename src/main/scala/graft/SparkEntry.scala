@@ -315,6 +315,17 @@ object SparkEntry {
         .select(col("rn"),
           round(Eod.rollingBeta(col("ra"), col("rb"),
             Window.orderBy(col("rn")), 60), 4).as("beta"))),
+    "eod_rolling_corr" -> ((s, dir) =>
+      withRet(s, dir)
+        .where(col("event_type").isin("click", "view"))
+        .withColumn("rn", row_number().over(wT))
+        .groupBy(col("rn"))
+        .agg(max(when(col("event_type") === "click", col("ret"))).as("ra"),
+          max(when(col("event_type") === "view", col("ret"))).as("rb"))
+        .where(col("ra").isNotNull && col("rb").isNotNull)
+        .select(col("rn"),
+          round(Eod.rollingCorr(col("ra"), col("rb"),
+            Window.orderBy(col("rn")), 60), 4).as("roll_corr"))),
 
     // ---- Tick (ops 25-38)
     "tick_trade_rate" -> ((s, dir) =>
@@ -725,6 +736,20 @@ object SparkEntry {
         |FROM x a JOIN x b
         |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
         |GROUP BY a.event_type, a.event_id""".stripMargin,
+    "eod_rolling_corr" ->
+      s"""$R_CTE, p AS (
+        |  SELECT rn,
+        |    max(CASE WHEN event_type = 'click' THEN ret END) AS ra,
+        |    max(CASE WHEN event_type = 'view' THEN ret END) AS rb
+        |  FROM (
+        |    SELECT event_type, ret,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |    FROM r WHERE event_type IN ('click', 'view')
+        |  ) GROUP BY rn
+        |)
+        |SELECT rn, round(corr(ra, rb) OVER tw, 4) AS roll_corr
+        |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
+        |WINDOW tw AS (ORDER BY rn ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
     "eod_rolling_beta" ->
       s"""$R_CTE, p AS (
         |  SELECT rn,
@@ -949,6 +974,28 @@ object SparkEntry {
     "corpus_chunk_tokens" -> ((s, dir) =>
       Corpus.tokenChunks(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    // One BPE merge round's pair counts over the corpus (op 112).
+    "corpus_bpe_pairs" -> ((s, dir) =>
+      Corpus.bpePairStats(tbl(s, dir, "documents"), "doc_id", "text")),
+    // Per-source adaptive length trim (op 113): documents carries
+    // n_chars and source natively.
+    "corpus_length_filter" -> ((s, dir) =>
+      Corpus.adaptiveLengthFilter(tbl(s, dir, "documents"), "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("len_lo"), col("len_hi"))
+        .orderBy(col("doc_id"))),
+    // Hard-negative mining over the labeled embeddings (op 114).
+    "ann_hard_negatives" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(
+          e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+          "vec_id", "embedding", "label", 3)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("neighbor_label").cast("long").as("neighbor_label"),
+          col("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // Incremental MinHash-LSH dedup (op 109): the planted copies are
     // the "new batch", the original documents the indexed corpus.
     "dedup_incremental" -> ((s, dir) => {
@@ -1986,6 +2033,39 @@ object SparkEntry {
           |  (n BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
           |    AND alpha_frac >= 0.8 AND n_stop >= 2 AND symbol_ratio <= 0.1 AS keep
           |FROM m ORDER BY doc_id""".stripMargin,
+      "corpus_bpe_pairs" ->
+        """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |w AS (SELECT unnest(toks) AS w FROM t),
+          |p AS (
+          |  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+          |  FROM w WHERE length(w) >= 2
+          |)
+          |SELECT pair, count(*) AS n FROM p
+          |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+      "corpus_length_filter" ->
+        """WITH b AS (
+          |  SELECT source, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+          |  FROM documents GROUP BY source
+          |)
+          |SELECT doc_id, d.source, n_chars, round(lo, 6) AS len_lo, round(hi, 6) AS len_hi
+          |FROM documents d JOIN b ON d.source = b.source
+          |WHERE n_chars >= lo AND n_chars <= hi
+          |ORDER BY doc_id""".stripMargin,
+      "ann_hard_negatives" ->
+        """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS neighbor_id, label AS cl, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+          |s AS (
+          |  SELECT query_id, neighbor_id, cl,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM q CROSS JOIN c WHERE cl != ql
+          |), r AS (
+          |  SELECT query_id, neighbor_id, cl, cosine,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |  FROM s
+          |)
+          |SELECT query_id, rnk, neighbor_id, cl::BIGINT AS neighbor_label, round(cosine, 6) AS cosine
+          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
       "corpus_chunk_tokens" ->
         """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           |c AS (

@@ -313,6 +313,14 @@ object Eod {
     safeDiv(covar_samp(ret, benchmark).over(trailing(w, n)),
       var_samp(benchmark).over(trailing(w, n)))
 
+  /** Rolling Pearson correlation over the trailing n rows — the
+    * diagnostic twin of [[rollingBeta]] (same frame, scale-free).
+    * Null until ≥2 paired rows / on a flat window.
+    */
+  def rollingCorr(ret: Column, benchmark: Column, w: WindowSpec,
+                  n: Int): Column =
+    corr(ret, benchmark).over(trailing(w, n))
+
   /** Human-readable frequency label from the mode of deltas in days;
     * "unknown" when irregular (std > 1 day). Ref: eod/temporal.py:98.
     */

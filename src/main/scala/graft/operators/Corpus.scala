@@ -115,6 +115,50 @@ object Corpus {
           .as("chunk_hash"))
   }
 
+  /** Corpus-wide adjacent-character-pair frequencies — the counting
+    * step of one BPE merge round (Sennrich et al. 2016), which is what
+    * tokenizer training spends its time on at corpus scale: count all
+    * within-word adjacent symbol pairs, pick the most frequent, merge,
+    * repeat. Output: the topK (pair, n) rows, ranked by count then
+    * pair (a total order, so the cut is deterministic).
+    *
+    * Two explodes (words, then pairs) + one count shuffle — the same
+    * postings shape as every other corpus op; the topK cut is a
+    * k-row ORDER BY over the pair-count table (bounded: ≤ alphabet²
+    * rows survive the groupBy, not corpus-sized).
+    */
+  def bpePairStats(df: DataFrame, idCol: String, textCol: String,
+                   topK: Int = 20): DataFrame =
+    df.select(explode(Text.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+
+  /** Per-stratum adaptive length filter: keep rows whose length sits
+    * within the [lo, hi] quantile band of their OWN stratum (the
+    * outlier-trim every curation pipeline applies before quality
+    * scoring — absolute thresholds are wrong across sources with
+    * different length regimes). Quantiles are exact interpolated
+    * (R-7); the band rides a per-stratum aggregate joined back, so the
+    * whole op is one small agg + one broadcast-sized join at any
+    * corpus size (strata counts, not row counts).
+    */
+  def adaptiveLengthFilter(df: DataFrame, strataCol: String,
+                           lenCol: String, lo: Double = 0.05,
+                           hi: Double = 0.95): DataFrame = {
+    val bands = df.groupBy(col(strataCol))
+      .agg(percentile(col(lenCol), lit(lo)).as("_lo"),
+        percentile(col(lenCol), lit(hi)).as("_hi"))
+    df.join(broadcast(bands), strataCol)
+      .where(col(lenCol) >= col("_lo") && col(lenCol) <= col("_hi"))
+      .withColumn("len_lo", round(col("_lo"), 6))
+      .withColumn("len_hi", round(col("_hi"), 6))
+      .drop("_lo", "_hi")
+  }
+
   /** Deterministic uniform in [0,1) from the md5 of a column's string
     * form — the engine-neutral Bernoulli coin for sampling.
     */

@@ -55,6 +55,38 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: exact top-k cosine
+    * neighbors per query among corpus rows with a DIFFERENT label —
+    * the closest wrong-class examples, the ones a contrastive loss
+    * learns most from. Same brute shape as [[bruteForceTopK]] (the
+    * label predicate rides the scored join, so nothing extra
+    * shuffles); at corpus scale swap the cross join for the IVF/LSH
+    * candidate generation exactly as the top-k family does, keeping
+    * the label filter on the candidate set.
+    */
+  def hardNegativesTopK(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("ql"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", normNative(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("cl"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", normNative(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("cl") =!= col("ql"))
+      .withColumn("cosine",
+        dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cl").as("neighbor_label"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim d): md5-derived uniform in [-1, 1). Computed driver-side once
     * (plane count × dim values) and inlined as literals — the per-row

@@ -210,6 +210,28 @@ class CorpusSpec extends SparkSpec {
     assert(bins == Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
   }
 
+  test("bpePairStats counts within-word adjacent char pairs, ranked") {
+    val df = Seq((1L, "abab ab x"), (2L, "bab")).toDF("doc_id", "text")
+    // pairs: abab → ab,ba,ab ; ab → ab ; bab → ba,ab  (x: too short)
+    val out = Corpus.bpePairStats(df, "doc_id", "text", topK = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("ab", 4L), ("ba", 2L)))
+  }
+
+  test("adaptiveLengthFilter trims outside the per-stratum quantile band") {
+    val rows = (1 to 100).map(i => (i.toLong, "a", i.toLong)) ++
+      Seq((200L, "b", 5L), (201L, "b", 6L), (202L, "b", 1000L))
+    val df = rows.toDF("doc_id", "src", "len")
+    val kept = Corpus.adaptiveLengthFilter(df, "src", "len")
+      .select($"doc_id").as[Long].collect().toSet
+    // stratum a: p05 = 5.95, p95 = 95.05 → keeps 6..95
+    assert(!kept.contains(1L) && !kept.contains(100L))
+    assert(kept.contains(50L) && kept.contains(6L) && kept.contains(95L))
+    // stratum b's own band: p05 of {5,6,1000} = 5.1 → 5 trimmed,
+    // p95 = 900.6 → 1000 trimmed, 6 kept — per-stratum, not global
+    assert(kept.contains(201L) && !kept.contains(200L) && !kept.contains(202L))
+  }
+
   test("gopherQualityRules: each rule fires on its own violation") {
     val fifty = (1 to 50).map(i => s"the of word$i").mkString(" ")  // 150 words, stopwords, alpha
     val df = Seq(

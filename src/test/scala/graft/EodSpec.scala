@@ -159,5 +159,9 @@ class EodSpec extends SparkSpec {
       .orderBy($"t").select($"beta").as[Option[Double]].collect()
     assert(got(0).isEmpty)                             // 1-row frame: undefined
     got.drop(1).foreach(b => assert(math.abs(b.get - 2.0) < 1e-9))
+    // rolling corr of a perfect positive linear relationship is 1
+    val corr = df.select(Eod.rollingCorr($"ra", $"rb", w, 3).as("c"))
+      .where($"c".isNotNull).select($"c").as[Double].collect()
+    corr.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
   }
 }

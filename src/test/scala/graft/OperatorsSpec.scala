@@ -141,6 +141,20 @@ class OperatorsSpec extends SparkSpec {
       || Option(e.getCause).exists(_.getMessage.contains("empty media payload")))
   }
 
+  test("hard negatives exclude the query's own label") {
+    import graft.operators.Similarity
+    val mk = (id: Long, l: Int, v: Seq[Double]) => (id, l, v.toArray)
+    val q = Seq(mk(1L, 0, Seq(1.0, 0.0))).toDF("vec_id", "label", "embedding")
+    val c = Seq(
+      mk(10L, 0, Seq(1.0, 0.0)),     // same label, cosine 1 — must be excluded
+      mk(11L, 1, Seq(0.9, 0.1)),     // different label, closest negative
+      mk(12L, 1, Seq(0.0, 1.0)))     // different label, orthogonal
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegativesTopK(q, c, "vec_id", "embedding", "label", 2)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((1, 11L), (2, 12L)))
+  }
+
   test("incremental minhash flags new docs against the index only") {
     val index = Seq(
       (1L, "a b c d e f g h"), (5L, "a b c d e f g h"),
