@@ -1358,6 +1358,24 @@ object SparkEntry {
       }.groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
         .orderBy(col("doc_id"))),
 
+    // Stream-static incremental MinHash dedup (op 115), REPLAYED: the
+    // planted copies arrive AS the stream; the original documents are
+    // the static indexed corpus. Stateless (no watermark, no state
+    // store) — the per-doc min aggregate runs post-replay, mirroring
+    // the batch twin exactly (shared oracle SQL).
+    "streaming_dedup_incremental" -> ((s, dir) =>
+      streamReplay(s, dir, "documents", "sincdedup") { src =>
+        val fresh = src.where(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" the")).as("text"))
+          .unionAll(src.where(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        graft.streaming.Stateful.minhashIncrementalStream(
+          fresh, tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+      }.groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+        .orderBy(col("doc_id"))),
+
     // ---- stateful streaming running drawdown, REPLAYED to batch for
     // the oracle (op 72): a real flatMapGroupsWithState run over a file
     // source. Event time is synthesized from event_id (globally unique)
@@ -1978,6 +1996,20 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin
+    // Shared by the batch op (dedup_incremental) and its stream-static
+    // twin (streaming_dedup_incremental): same index, same new batch,
+    // same verdicts.
+    val minhashIncrementalSql =
+      s"""$minhashBandsCte,
+        |idx AS (
+        |  SELECT band, bucket, min(doc_id) AS min_id, count(*) AS c
+        |  FROM bands WHERE doc_id < 1000000 GROUP BY band, bucket
+        |),
+        |q AS (SELECT doc_id, band, bucket FROM bands WHERE doc_id >= 1000000)
+        |SELECT q.doc_id, min(idx.min_id) AS dup_of
+        |FROM q JOIN idx ON q.band = idx.band AND q.bucket = idx.bucket
+        |WHERE idx.c <= 10000
+        |GROUP BY q.doc_id ORDER BY q.doc_id""".stripMargin
     val langBest = "greatest(" + Text.LangMarkers.map("s_" + _._1).mkString(", ") + ")"
     val langCase = Text.LangMarkers.map { case (l, _) =>
       s"WHEN s_$l > 0 AND s_$l = $langBest THEN '$l'"
@@ -2137,17 +2169,8 @@ object SparkEntry {
       "dedup_minhash_lsh" -> minhashPairsSql,
       // Incremental twin: index buckets (min id, count) from the
       // original docs; planted copies query them. Same bands chain.
-      "dedup_incremental" ->
-        s"""$minhashBandsCte,
-          |idx AS (
-          |  SELECT band, bucket, min(doc_id) AS min_id, count(*) AS c
-          |  FROM bands WHERE doc_id < 1000000 GROUP BY band, bucket
-          |),
-          |q AS (SELECT doc_id, band, bucket FROM bands WHERE doc_id >= 1000000)
-          |SELECT q.doc_id, min(idx.min_id) AS dup_of
-          |FROM q JOIN idx ON q.band = idx.band AND q.bucket = idx.bucket
-          |WHERE idx.c <= 10000
-          |GROUP BY q.doc_id ORDER BY q.doc_id""".stripMargin,
+      "dedup_incremental" -> minhashIncrementalSql,
+      "streaming_dedup_incremental" -> minhashIncrementalSql,
       // Streaming replay oracle: the same band buckets over the
       // planted corpus; event order = doc_id order (replayTs), so
       // dup_of(i) = min earlier doc sharing any band bucket.

@@ -185,13 +185,20 @@ object Stateful {
     * member is no longer flagged. This is exactly the
     * `dropDuplicatesWithinWatermark` retention contract op 80 follows.
     */
-  def minhashDedupStream(docs: org.apache.spark.sql.DataFrame,
-                         idCol: String, textCol: String, tsCol: String,
-                         k: Int = 8, bands: Int = 4,
-                         shingleWidth: Int = 3,
-                         retention: String = "3650 days"): Dataset[DupHit] = {
+  /** Stage the per-row '|'-joined band bucket keys (band index
+    * prefixed) as a `_bands` array column — the STATELESS signature
+    * math shared by [[minhashDedupStream]] and
+    * [[minhashIncrementalStream]]. Same affine md5 family
+    * h_i = a + i·b mod 2^32 as the batch ops, computed with array
+    * HOFs per row: the batch explode + k-min aggregation is a
+    * streaming aggregation mid-pipeline, which would stall an append
+    * stream behind the watermark. The `_ab` staging column keeps the
+    * md5 per shingle computed once, not once per signature.
+    */
+  private def withBandBuckets(df: org.apache.spark.sql.DataFrame,
+                              textCol: String, k: Int, bands: Int,
+                              shingleWidth: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    import docs.sparkSession.implicits._
     require(k % bands == 0, "signature length must divide into bands")
     val rows = k / bands
     val ab = transform(
@@ -206,8 +213,61 @@ object Stateful {
       concat_ws("|", lit(b) +:
         (b * rows until (b + 1) * rows).map(sig): _*)
     }: _*)
-    docs.withColumn("_ab", ab)
-      .select(explode(bandArr).as("bucket"), col(tsCol).as("ts"),
+    df.withColumn("_ab", ab).withColumn("_bands", bandArr).drop("_ab")
+  }
+
+  /** Stream-static incremental MinHash-LSH dedup: the streaming twin
+    * of [[graft.operators.Dedup.minhashLshIncremental]] (op 109) —
+    * arriving docs are flagged against a STATIC indexed corpus, not
+    * against each other. Fully STATELESS: per-row band keys joined to
+    * the index's (bucket → min id, count) relation is a stream-static
+    * inner join, legal in Append mode with no watermark and no state
+    * store — the cheapest possible streaming dedup when the reference
+    * corpus is fixed between batch refreshes.
+    *
+    * Emits one (doc_id, dup_of=bucket min) row per hit bucket;
+    * aggregate min(dup_of) per doc downstream (post-replay or with a
+    * watermarked agg in production) for the earliest indexed sharer —
+    * the op 102 convention.
+    *
+    * The static side is recomputed per micro-batch as written; at
+    * scale, precompute the index relation to parquet once per corpus
+    * refresh (it IS the LSH index — see the batch twin's scaladoc)
+    * and read that here instead. Hot buckets beyond maxBucket are
+    * dropped from the index (stop-shingle rule), bounding fan-out per
+    * arriving doc to bands·maxBucket.
+    */
+  def minhashIncrementalStream(docs: org.apache.spark.sql.DataFrame,
+                               index: org.apache.spark.sql.DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 8, bands: Int = 4,
+                               shingleWidth: Int = 3,
+                               maxBucket: Int =
+                                 graft.operators.Dedup.DefaultMaxBucket)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idx = withBandBuckets(index, textCol, k, bands, shingleWidth)
+      .select(col(idCol).cast("long").as("_iid"),
+        explode(col("_bands")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(min(col("_iid")).as("_min_id"), count(lit(1)).as("_c"))
+      .where(col("_c") <= maxBucket)
+    withBandBuckets(docs, textCol, k, bands, shingleWidth)
+      .select(col(idCol).cast("long").as(idCol),
+        explode(col("_bands")).as("bucket"))
+      .join(idx, "bucket")
+      .select(col(idCol), col("_min_id").as("dup_of"))
+  }
+
+  def minhashDedupStream(docs: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String, tsCol: String,
+                         k: Int = 8, bands: Int = 4,
+                         shingleWidth: Int = 3,
+                         retention: String = "3650 days"): Dataset[DupHit] = {
+    import org.apache.spark.sql.functions._
+    import docs.sparkSession.implicits._
+    withBandBuckets(docs, textCol, k, bands, shingleWidth)
+      .select(explode(col("_bands")).as("bucket"), col(tsCol).as("ts"),
         col(idCol).cast("long").as("docId"))
       .withWatermark("ts", retention)
       .as[BucketEvent]

@@ -182,4 +182,32 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(out.get(4L).contains(3L), s"in-window copy not flagged: $out")
     } finally q.stop()
   }
+
+  test("minhashIncrementalStream flags arrivals against the static index only") {
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val index = Seq((10L, text),
+      (11L, "some indexed reference corpus entry entirely unlike it"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = Stateful.minhashIncrementalStream(
+        input.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+      .writeStream.format("memory").queryName("sm_inc")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, text),                         // dup of indexed 10
+        (2L, "novel arrival with fresh content nobody indexed before"),
+        (3L, "novel arrival with fresh content nobody indexed before"))
+      q.processAllAvailable()
+      // a later copy of doc 2 must ALSO pass: stateless op never pairs
+      // arrivals with each other, only with the index
+      input.addData((4L, "novel arrival with fresh content nobody indexed before"))
+      q.processAllAvailable()
+      val out = spark.table("sm_inc")
+        .groupBy($"doc_id")
+        .agg(org.apache.spark.sql.functions.min($"dup_of").as("dup_of"))
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 10L), s"unexpected verdicts: $out")
+    } finally q.stop()
+  }
 }
