@@ -156,6 +156,15 @@ object Scale {
       timed("dedup_ngram_jaccard", m, nDocs) {
         sink(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
       }
+      // Incremental dedup: a 10%-of-corpus arrival batch (every 10th
+      // doc re-sent verbatim under a new id) against the full corpus
+      // as the index — the daily-ingest shape. Cost should track
+      // index-build (linear in corpus) + batch join, never pairs².
+      timed("dedup_incremental", m, nDocs) {
+        val fresh = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        sink(Dedup.minhashLshIncremental(fresh, docs, "doc_id", "text"))
+      }
       // Planes sized to the corpus (see embeddingCosinePairs scaladoc):
       // occupancy² is the candidate cost, so hold occupancy ~64 as n
       // grows instead of letting fixed-plane buckets fill quadratically.

@@ -217,4 +217,50 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("normalize is idempotent and never longer than its input") {
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "ab c\t\n  z."
+    val cases = (0 until 50).map(_ =>
+      List.fill(3 + rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString) :+ "" :+ "   " :+ "\t\t"
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val out = df.select($"text",
+        graft.functions.Text.normalize($"text").as("c1"),
+        graft.functions.Text.normalize(
+          graft.functions.Text.normalize($"text")).as("c2"))
+      .as[(String, String, String)].collect()
+    out.foreach { case (raw, c1, c2) =>
+      assert(c1 == c2, s"not idempotent on ${raw.map(_.toInt)}")
+      assert(c1.length <= raw.length)
+      assert(!c1.exists(_.isControl) && !c1.contains("  ") && c1 == c1.trim,
+        s"residual mess in '${c1.map(_.toInt)}'")
+    }
+  }
+
+  test("tokenChunks tiles every token and respects the window bound") {
+    (0 until 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 31 + 7)
+      val n = 1 + rnd.nextInt(200)
+      val text = (0 until n).map(i => s"w$i").mkString(" ")
+      val (window, stride) = (8, 1 + rnd.nextInt(8))
+      val chunks = graft.operators.Corpus.tokenChunks(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+          window, stride)
+        .orderBy($"chunk_idx")
+        .select($"chunk_idx", $"n_tokens").as[(Long, Long)].collect()
+      // every chunk within the window bound, none empty
+      chunks.foreach { case (_, nt) =>
+        assert(nt >= 1 && nt <= window, s"seed $seed: bad chunk size $nt")
+      }
+      // tiling: consecutive starts are stride apart; coverage reaches
+      // the last token exactly (last start + last size == n)
+      val lastStart = chunks.last._1 * stride
+      assert(lastStart + chunks.last._2 == n,
+        s"seed $seed: tail not covered (n=$n window=$window stride=$stride)")
+      // no chunk fully contained in the next (starts strictly increase)
+      assert(chunks.map(_._1).distinct.length == chunks.length)
+    }
+  }
 }
