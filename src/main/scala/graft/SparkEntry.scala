@@ -115,6 +115,21 @@ object SparkEntry {
       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
       |)""".stripMargin
 
+  /** rn-paired click/view return CTE (the oracle twin of
+    * [[pairedClickViewReturns]]) shared by the rolling beta/corr pair.
+    */
+  private val PAIRED_CTE =
+    s"""$R_CTE, p AS (
+      |  SELECT rn,
+      |    max(CASE WHEN event_type = 'click' THEN ret END) AS ra,
+      |    max(CASE WHEN event_type = 'view' THEN ret END) AS rb
+      |  FROM (
+      |    SELECT event_type, ret,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      |    FROM r WHERE event_type IN ('click', 'view')
+      |  ) GROUP BY rn
+      |)""".stripMargin
+
   /** drawdown CTE (prices have no nulls in testdata; ffill is identity). */
   private val DD_CTE =
     """WITH d AS (
@@ -126,6 +141,19 @@ object SparkEntry {
 
   private def withRet(s: SparkSession, dir: String): DataFrame =
     events(s, dir).withColumn("ret", Eod.toReturns(col("value"), wT))
+
+  /** The click/view return series rn-paired into (rn, ra, rb) — one
+    * window pass + pivot, shared by information ratio and the rolling
+    * beta/corr pair. Unpaired rows keep nulls; callers that need both
+    * sides filter them.
+    */
+  private def pairedClickViewReturns(s: SparkSession, dir: String): DataFrame =
+    withRet(s, dir)
+      .where(col("event_type").isin("click", "view"))
+      .withColumn("rn", row_number().over(wT))
+      .groupBy(col("rn"))
+      .agg(max(when(col("event_type") === "click", col("ret"))).as("ra"),
+        max(when(col("event_type") === "view", col("ret"))).as("rb"))
 
   private def withDd(s: SparkSession, dir: String): DataFrame =
     events(s, dir).withColumn("dd", Eod.toDrawdownSeries(col("value"), wT))
@@ -227,12 +255,7 @@ object SparkEntry {
     "eod_information_ratio" -> ((s, dir) =>
       // One window pass + rn-pivot (see eod_prob_mom): unpaired rows
       // null out and avg/stddev drop them, matching the inner join.
-      withRet(s, dir)
-        .where(col("event_type").isin("click", "view"))
-        .withColumn("rn", row_number().over(wT))
-        .groupBy(col("rn"))
-        .agg(max(when(col("event_type") === "click", col("ret"))).as("ra"),
-          max(when(col("event_type") === "view", col("ret"))).as("rb"))
+      pairedClickViewReturns(s, dir)
         .agg(round(Eod.informationRatio(col("ra"), col("rb")), 6).as("ir"))),
     "eod_max_drawdown" -> ((s, dir) =>
       withDd(s, dir).groupBy(col("event_type"))
@@ -305,23 +328,13 @@ object SparkEntry {
     // The un-partitioned rn window is one LOGICAL series (a pair of
     // assets); with many pairs, partition by the pair key.
     "eod_rolling_beta" -> ((s, dir) =>
-      withRet(s, dir)
-        .where(col("event_type").isin("click", "view"))
-        .withColumn("rn", row_number().over(wT))
-        .groupBy(col("rn"))
-        .agg(max(when(col("event_type") === "click", col("ret"))).as("ra"),
-          max(when(col("event_type") === "view", col("ret"))).as("rb"))
+      pairedClickViewReturns(s, dir)
         .where(col("ra").isNotNull && col("rb").isNotNull)
         .select(col("rn"),
           round(Eod.rollingBeta(col("ra"), col("rb"),
             Window.orderBy(col("rn")), 60), 4).as("beta"))),
     "eod_rolling_corr" -> ((s, dir) =>
-      withRet(s, dir)
-        .where(col("event_type").isin("click", "view"))
-        .withColumn("rn", row_number().over(wT))
-        .groupBy(col("rn"))
-        .agg(max(when(col("event_type") === "click", col("ret"))).as("ra"),
-          max(when(col("event_type") === "view", col("ret"))).as("rb"))
+      pairedClickViewReturns(s, dir)
         .where(col("ra").isNotNull && col("rb").isNotNull)
         .select(col("rn"),
           round(Eod.rollingCorr(col("ra"), col("rb"),
@@ -705,10 +718,13 @@ object SparkEntry {
         |WHERE ret IS NOT NULL
         |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
     "eod_omega" ->
+      // nullif mirrors safeDiv: a loss-free asset is NULL on both
+      // sides, not +inf on one (the gate reads NULL and NaN as NA but
+      // inf as a value).
       s"""$R_CTE
         |SELECT event_type,
         |  round(sum(greatest(ret - $RF_LIT, 0)) /
-        |        sum(greatest($RF_LIT - ret, 0)), 6) AS omega
+        |        nullif(sum(greatest($RF_LIT - ret, 0)), 0), 6) AS omega
         |FROM r WHERE ret IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "eod_skew_kurt" ->
@@ -737,30 +753,12 @@ object SparkEntry {
         |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
         |GROUP BY a.event_type, a.event_id""".stripMargin,
     "eod_rolling_corr" ->
-      s"""$R_CTE, p AS (
-        |  SELECT rn,
-        |    max(CASE WHEN event_type = 'click' THEN ret END) AS ra,
-        |    max(CASE WHEN event_type = 'view' THEN ret END) AS rb
-        |  FROM (
-        |    SELECT event_type, ret,
-        |      row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
-        |    FROM r WHERE event_type IN ('click', 'view')
-        |  ) GROUP BY rn
-        |)
+      s"""$PAIRED_CTE
         |SELECT rn, round(corr(ra, rb) OVER tw, 4) AS roll_corr
         |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
         |WINDOW tw AS (ORDER BY rn ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
     "eod_rolling_beta" ->
-      s"""$R_CTE, p AS (
-        |  SELECT rn,
-        |    max(CASE WHEN event_type = 'click' THEN ret END) AS ra,
-        |    max(CASE WHEN event_type = 'view' THEN ret END) AS rb
-        |  FROM (
-        |    SELECT event_type, ret,
-        |      row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
-        |    FROM r WHERE event_type IN ('click', 'view')
-        |  ) GROUP BY rn
-        |)
+      s"""$PAIRED_CTE
         |SELECT rn, round(covar_samp(ra, rb) OVER tw / var_samp(rb) OVER tw, 4) AS beta
         |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
         |WINDOW tw AS (ORDER BY rn ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,

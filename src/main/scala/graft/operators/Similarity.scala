@@ -37,22 +37,36 @@ object Similarity {
     * single codegen'd dot product. The query side broadcasts.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", normNative(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", normNative(col("cv")))
-    val scored = c.crossJoin(broadcast(q))
+                     vecCol: String, k: Int): DataFrame =
+    bruteTopK(queries, corpus, idCol, vecCol, k, labelCol = None)
+
+  /** Shared broadcast-crossJoin + rank pipeline behind
+    * [[bruteForceTopK]] and [[hardNegativesTopK]]: one norm per side,
+    * one codegen'd dot per pair, row_number ≤ k per query. With
+    * `labelCol`, both sides carry the label, same-label pairs are
+    * filtered before ranking, and the neighbor's label is emitted.
+    */
+  private def bruteTopK(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        labelCol: Option[String]): DataFrame = {
+    def side(df: DataFrame, id: String, v: String, l: String) = {
+      val base = df.select(col(idCol).as(id) +: labelCol.toSeq.map(c => col(c).as(l)) :+
+        col(vecCol).cast("array<double>").as(v): _*)
+      base.withColumn(v + "n", normNative(col(v)))
+    }
+    val q = side(queries, "query_id", "qv", "ql")
+    val c = side(corpus, "neighbor_id", "cv", "cl")
+    val paired = c.crossJoin(broadcast(q))
+    val scored = labelCol.fold(paired)(_ => paired.where(col("cl") =!= col("ql")))
       .withColumn("cosine",
-        dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        dotNative(col("qv"), col("cv")) / (col("qvn") * col("cvn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    val ranked = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+    ranked.select(Seq(col("query_id"), col("rank"), col("neighbor_id")) ++
+      labelCol.map(_ => col("cl").as("neighbor_label")) :+
+      round(col("cosine"), 6).as("cosine"): _*)
   }
 
   /** Hard-negative mining for contrastive training: exact top-k cosine
@@ -66,26 +80,8 @@ object Similarity {
     */
   def hardNegativesTopK(queries: DataFrame, corpus: DataFrame,
                         idCol: String, vecCol: String, labelCol: String,
-                        k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-        col(labelCol).as("ql"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", normNative(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(labelCol).as("cl"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", normNative(col("cv")))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("cl") =!= col("ql"))
-      .withColumn("cosine",
-        dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cl").as("neighbor_label"), round(col("cosine"), 6).as("cosine"))
-  }
+                        k: Int): DataFrame =
+    bruteTopK(queries, corpus, idCol, vecCol, k, labelCol = Some(labelCol))
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim d): md5-derived uniform in [-1, 1). Computed driver-side once
