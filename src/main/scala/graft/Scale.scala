@@ -267,6 +267,22 @@ object Scale {
       timed("text_tfidf", m, nDocs) {
         sink(Corpus.tfIdfTopTerms(docs, "doc_id", "text"))
       }
+      // Round-8 curation newcomers: gopher + normalize are map-only
+      // (linearity is the claim to verify), chunking is a bounded
+      // generate, BPE pairs one count shuffle over a bounded key space.
+      timed("corpus_gopher", m, nDocs) {
+        sink(Corpus.gopherQualityRules(docs, "doc_id", "text"))
+      }
+      timed("corpus_chunk_tokens", m, nDocs) {
+        sink(Corpus.tokenChunks(docs, "doc_id", "text"))
+      }
+      timed("corpus_bpe_pairs", m, nDocs) {
+        sink(Corpus.bpePairStats(docs, "doc_id", "text"))
+      }
+      timed("text_normalize", m, nDocs) {
+        sink(docs.select(col("doc_id"),
+          graft.functions.Text.normalize(col("text")).as("clean")))
+      }
       timed("corpus_dsir", m, nDocs) {
         sink(Corpus.dsirWeight(docs,
           docs.where(col("doc_id") % 3 === 0), docs, "doc_id", "text"))

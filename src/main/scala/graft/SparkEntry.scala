@@ -994,6 +994,18 @@ object SparkEntry {
           col("cosine"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // The IVF scale path of op 114: same mining through probed cells.
+    "ann_hard_negatives_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.hardNegativesIvfTopK(
+          e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+          "vec_id", "embedding", "label", 3)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("neighbor_label").cast("long").as("neighbor_label"),
+          col("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // Incremental MinHash-LSH dedup (op 109): the planted copies are
     // the "new batch", the original documents the indexed corpus.
     "dedup_incremental" -> ((s, dir) => {
@@ -2089,6 +2101,44 @@ object SparkEntry {
           |    list_dot_product(qv, cv) /
           |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
           |  FROM q CROSS JOIN c WHERE cl != ql
+          |), r AS (
+          |  SELECT query_id, neighbor_id, cl, cosine,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |  FROM s
+          |)
+          |SELECT query_id, rnk, neighbor_id, cl::BIGINT AS neighbor_label, round(cosine, 6) AS cosine
+          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      // ann_topk_ivf's CTE chain with labels carried through the cell
+      // assignment and the same-label exclusion on the candidate join.
+      "ann_hard_negatives_ivf" ->
+        """WITH c AS (SELECT vec_id AS neighbor_id, label AS cl, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+          |cent AS (
+          |  SELECT neighbor_id AS cell_id, cv AS centv FROM c ORDER BY neighbor_id LIMIT 16
+          |), ccells AS (
+          |  SELECT neighbor_id, cl, cv, cell_id FROM (
+          |    SELECT c.neighbor_id, c.cl, c.cv, cent.cell_id,
+          |      row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+          |        list_dot_product(c.cv, cent.centv) /
+          |          (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+          |        cent.cell_id) AS cr
+          |    FROM c CROSS JOIN cent
+          |  ) WHERE cr <= 1
+          |), q AS (SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          |probes AS (
+          |  SELECT query_id, ql, qv, cell_id FROM (
+          |    SELECT q.query_id, q.ql, q.qv, cent.cell_id,
+          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+          |        list_dot_product(q.qv, cent.centv) /
+          |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+          |        cent.cell_id) AS qr
+          |    FROM q CROSS JOIN cent
+          |  ) WHERE qr <= 4
+          |), s AS (
+          |  SELECT query_id, neighbor_id, cl,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM ccells JOIN probes USING (cell_id)
+          |  WHERE cl != ql
           |), r AS (
           |  SELECT query_id, neighbor_id, cl, cosine,
           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk

@@ -126,9 +126,32 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
-              nProbe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
+              nProbe: Int = 4): DataFrame =
+    ivfTopKImpl(queries, corpus, idCol, vecCol, k, nCells, nProbe,
+      labelCol = None)
+
+  /** Hard-negative mining through the IVF index — the scale path of
+    * [[hardNegativesTopK]]: candidates come from the query's nProbe
+    * nearest cells (nProbe·n/nCells of the corpus, not all of it) and
+    * the same-label exclusion rides the candidate join. Approximate
+    * exactly as [[ivfTopK]] is (a negative outside the probed cells is
+    * missed), deterministic for the same reasons (lowest-id centroids,
+    * total-order tie-breaks) — so an oracle replays it bit-for-bit.
+    */
+  def hardNegativesIvfTopK(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, labelCol: String,
+                           k: Int, nCells: Int = 16,
+                           nProbe: Int = 4): DataFrame =
+    ivfTopKImpl(queries, corpus, idCol, vecCol, k, nCells, nProbe,
+      labelCol = Some(labelCol))
+
+  private def ivfTopKImpl(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          nCells: Int, nProbe: Int,
+                          labelCol: Option[String]): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id") +:
+        labelCol.toSeq.map(l => col(l).as("cl")) :+
+        col(vecCol).cast("array<double>").as("cv"): _*)
       .withColumn("cn", normNative(col("cv")))
     val cent = c.orderBy(col("neighbor_id")).limit(nCells)
       .select(col("neighbor_id").as("cell_id"), col("cv").as("centv"),
@@ -159,23 +182,30 @@ object Similarity {
       .withColumn("_cs", cellScore("cv", "cn"))
       .groupBy(col("neighbor_id").as("nid"))
       .agg(max_by(
-        struct(col("cell_id"), col("cv"), col("cn")),
+        struct(Seq(col("cell_id"), col("cv"), col("cn")) ++
+          labelCol.map(_ => col("cl")): _*),
         struct(col("_cs"), -col("cell_id"))).as("_m"))
-      .select(col("nid"), col("_m.cell_id").as("cell_id"),
-        col("_m.cv").as("cv"), col("_m.cn").as("cn"))
-    val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
+      .select(Seq(col("nid"), col("_m.cell_id").as("cell_id"),
+        col("_m.cv").as("cv"), col("_m.cn").as("cn")) ++
+        labelCol.map(_ => col("_m.cl").as("cl")): _*)
+    val q = queries.select(col(idCol).as("query_id") +:
+        labelCol.toSeq.map(l => col(l).as("ql")) :+
+        col(vecCol).cast("array<double>").as("qv"): _*)
       .withColumn("qn", normNative(col("qv")))
     val probes = assign(q, "qv", "qn", nProbe, "query")
-    val scored = corpusCells.join(probes, "cell_id")
+    val candidates = corpusCells.join(probes, "cell_id")
+    val scored = labelCol.fold(candidates)(_ =>
+        candidates.where(col("cl") =!= col("ql")))
       .withColumn("cosine",
         dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nid").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(Seq(col("query_id"), col("rank"),
+        col("nid").as("neighbor_id")) ++
+        labelCol.map(_ => col("cl").as("neighbor_label")) :+
+        round(col("cosine"), 6).as("cosine"): _*)
   }
 
   /** LSH-bucketed ANN: brute-force ranking *within* sign buckets.

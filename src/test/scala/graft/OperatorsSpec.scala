@@ -155,6 +155,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1, 11L), (2, 12L)))
   }
 
+  test("IVF hard negatives equal the brute variant when every cell is probed") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(99)
+    val mk = (id: Long) => (id, (id % 3).toInt,
+      Array.fill(8)(rnd.nextDouble() * 2 - 1))
+    val q = (0L until 3L).map(mk).toDF("vec_id", "label", "embedding")
+    val c = (10L until 40L).map(mk).toDF("vec_id", "label", "embedding")
+    val brute = Similarity.hardNegativesTopK(q, c, "vec_id", "embedding", "label", 5)
+      .collect().map(_.toSeq).toSet
+    val ivf = Similarity.hardNegativesIvfTopK(q, c, "vec_id", "embedding",
+        "label", 5, nCells = 4, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(ivf == brute)
+  }
+
   test("incremental minhash flags new docs against the index only") {
     val index = Seq(
       (1L, "a b c d e f g h"), (5L, "a b c d e f g h"),
