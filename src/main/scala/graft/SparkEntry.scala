@@ -1307,6 +1307,31 @@ object SparkEntry {
         .select(col("event_type"), col("bucket"), round(col("bucket_lo"), 2).as("bucket_lo"),
           col("n"))
         .orderBy(col("event_type"), col("bucket"))),
+    // Robust per-group stats (op 116): median / MAD / winsorized mean —
+    // quantile bands via per-group window, one agg pass over the same
+    // partitioning.
+    "stats_robust" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      events(s, dir)
+        .withColumn("med", graft.functions.Stats.quantile(col("value"), 0.5).over(wSym))
+        .withColumn("lo", graft.functions.Stats.quantile(col("value"), 0.05).over(wSym))
+        .withColumn("hi", graft.functions.Stats.quantile(col("value"), 0.95).over(wSym))
+        .groupBy(col("event_type"))
+        .agg(round(min(col("med")), 6).as("median"),
+          round(graft.functions.Stats.madFromMedian(col("value"), col("med")), 6).as("mad"),
+          round(graft.functions.Stats.winsorizedMean(
+            col("value"), col("lo"), col("hi")), 6).as("winsor_mean"))
+        .orderBy(col("event_type"))
+    }),
+    // Kyle's lambda price impact (op 117).
+    "tick_kyle_lambda" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("dp", col("value") - lag(col("value"), 1).over(wT))
+        .withColumn("sv", Tick.signVolumeByTickRule(volume, col("value"), wT))
+        .where(col("dp").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(round(Tick.kyleLambda(col("dp"), col("sv")), 6).as("kyle_lambda"))
+        .orderBy(col("event_type"))),
 
     // ---- rolling metrics (north-star "rolling calculations")
     "eod_rolling" -> ((s, dir) =>
@@ -2456,6 +2481,28 @@ object SparkEntry {
           |  round(CAST(floor(value / 50.0) AS BIGINT) * 50.0, 2) AS bucket_lo,
           |  count(*) AS n
           |FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+      "stats_robust" ->
+        """WITH b AS (
+          |  SELECT event_type, quantile_cont(value, 0.5) AS med,
+          |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+          |  FROM events GROUP BY event_type
+          |)
+          |SELECT e.event_type, round(min(med), 6) AS median,
+          |  round(quantile_cont(abs(value - med), 0.5), 6) AS mad,
+          |  round(avg(greatest(lo, least(hi, value))), 6) AS winsor_mean
+          |FROM events e JOIN b ON e.event_type = b.event_type
+          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+      "tick_kyle_lambda" ->
+        s"""WITH d AS (
+          |  SELECT event_type,
+          |    value - lag(value) OVER w AS dp,
+          |    $SQL_VOL * (CASE WHEN value > lag(value) OVER w THEN 1
+          |                     WHEN value < lag(value) OVER w THEN -1 ELSE 0 END) AS sv
+          |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+          |)
+          |SELECT event_type, round(covar_samp(dp, sv) / var_samp(sv), 6) AS kyle_lambda
+          |FROM d WHERE dp IS NOT NULL
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       "eod_rolling" ->
         s"""$R_CTE
           |SELECT event_type, event_id,

@@ -18,6 +18,22 @@ object Stats {
   def approxQuantile(value: Column, p: Double, acc: Int = 10000): Column =
     percentile_approx(value, lit(p), lit(acc))
 
+  /** Median absolute deviation given a PRECOMPUTED per-group median
+    * (compute the median over a per-group window first, then
+    * aggregate): median(|x − med|) — the robust dispersion measure
+    * outlier-heavy metric columns need where stddev is dominated by
+    * the tail. Two quantile passes over one group shuffle.
+    */
+  def madFromMedian(x: Column, med: Column): Column =
+    percentile(abs(x - med), lit(0.5))
+
+  /** Winsorized mean: clamp into a precomputed [lo, hi] quantile band,
+    * then average — outlier-robust location without dropping rows
+    * (the trim-vs-clamp distinction: sample size is preserved).
+    */
+  def winsorizedMean(x: Column, lo: Column, hi: Column): Column =
+    avg(greatest(lo, least(hi, x)))
+
   /** Fixed-width histogram: bucket index per row (combine with
     * groupBy(key, bucket).count()).
     */

@@ -105,4 +105,14 @@ object Tick {
     */
   def realizedVolatility(logRet: Column): Column =
     sqrt(sum(pow(logRet, lit(2.0))))
+
+  /** Kyle's lambda (Kyle 1985): the OLS slope of price change on
+    * signed volume, cov(Δp, sv)/var(sv) — the canonical price-impact
+    * coefficient, the regression twin of the ratio-form
+    * [[priceImpact]]. Aggregate over precomputed per-row Δp and
+    * signed volume; null on a flat-flow group (var 0). Beyond the
+    * reference surface.
+    */
+  def kyleLambda(dp: Column, sv: Column): Column =
+    safeDiv(covar_samp(dp, sv), var_samp(sv))
 }

@@ -259,4 +259,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"),
       "PQ codebook/distance-table was not broadcast:\n" + p.take(1200))
   }
+
+  test("gopher rules and normalization are map-only: no exchange at all") {
+    // Both ops claim "prunes at the scan" — that claim is only true if
+    // the plan has zero shuffles (the orderBy in the gopher QUERY is
+    // display-only; the operator itself must not exchange).
+    for (name <- Seq("text_normalize", "corpus_gopher")) {
+      val df = name match {
+        case "text_normalize" =>
+          graft.sources.Tables.load(spark, dir, "documents")
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              graft.functions.Text.normalize(
+                org.apache.spark.sql.functions.col("text")).as("clean"))
+        case _ =>
+          graft.operators.Corpus.gopherQualityRules(
+            graft.sources.Tables.load(spark, dir, "documents"),
+            "doc_id", "text")
+      }
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"$name shuffled — the map-only claim is false:\n" + p.take(1200))
+    }
+  }
+
+  test("adaptive length filter attaches quantile bands by broadcast") {
+    val p = finalPlan("corpus_length_filter")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "per-stratum band table was not broadcast:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"),
+      "length filter degenerated to a cartesian product:\n" + p.take(1200))
+  }
 }

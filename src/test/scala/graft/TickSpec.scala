@@ -33,4 +33,38 @@ class TickSpec extends SparkSpec {
     val lr1 = math.log(101.0 / 100.0); val lr2 = math.log(99.5 / 101.0)
     assert(math.abs(got - math.sqrt(lr1 * lr1 + lr2 * lr2)) < 1e-12)
   }
+
+  test("Kyle's lambda recovers an exact linear impact, null on flat flow") {
+    // dp = 0.5·sv exactly → λ = 0.5
+    val sv = Seq(100.0, -200.0, 300.0, -50.0)
+    val df = sv.zipWithIndex.map { case (v, i) => ("a", i, 0.5 * v, v) }
+      .toDF("k", "t", "dp", "sv")
+    val got = df.groupBy($"k").agg(Tick.kyleLambda($"dp", $"sv").as("l"))
+      .select($"l").as[Double].head()
+    assert(math.abs(got - 0.5) < 1e-12)
+    val flat = Seq(("a", 0.1, 7.0), ("a", -0.2, 7.0)).toDF("k", "dp", "sv")
+    assert(flat.groupBy($"k").agg(Tick.kyleLambda($"dp", $"sv").as("l"))
+      .select($"l").as[Option[Double]].head().isEmpty)
+  }
+
+  test("MAD and winsorized mean on a hand case with one outlier") {
+    import org.apache.spark.sql.functions.{col => c}
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 1000.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("a", i, x) }.toDF("k", "t", "x")
+    val wk = Window.partitionBy($"k")
+    val row = df
+      .withColumn("med", graft.functions.Stats.quantile($"x", 0.5).over(wk))
+      .withColumn("lo", graft.functions.Stats.quantile($"x", 0.05).over(wk))
+      .withColumn("hi", graft.functions.Stats.quantile($"x", 0.95).over(wk))
+      .groupBy($"k")
+      .agg(graft.functions.Stats.madFromMedian($"x", $"med").as("mad"),
+        graft.functions.Stats.winsorizedMean($"x", $"lo", $"hi").as("wm"))
+      .select($"mad", $"wm").as[(Double, Double)].head()
+    // med=3; |x-3| = {2,1,0,1,997} → median 1
+    assert(math.abs(row._1 - 1.0) < 1e-12)
+    // p05 = 1.2, p95 = 800.8 (R-7) → clamped {1.2,2,3,4,800.8}
+    val lo = 1.0 + 0.2 * 1.0; val hi = 4.0 + 0.8 * 996.0
+    val wm = (lo + 2 + 3 + 4 + hi) / 5
+    assert(math.abs(row._2 - wm) < 1e-9, s"got ${row._2}, want $wm")
+  }
 }
