@@ -2013,6 +2013,48 @@ object SparkEntry {
     }.mkString(", ")
     // Shared between the pairs oracle and the clusters oracle's
     // recursive closure (nested WITH — DuckDB scopes it to the CTE).
+    // ann_topk_ivf and its labeled hard-negative twin share this one
+    // CTE chain (the SQL mirror of ivfTopKImpl's labelCol threading):
+    // `labeled` adds the label columns through cells/probes, the
+    // same-label exclusion on the candidate join, and the label output.
+    def ivfOracle(labeled: Boolean): String = {
+      def l(s: String) = if (labeled) s else ""
+      s"""WITH c AS (SELECT vec_id AS neighbor_id${l(", label AS cl")}, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+        |cent AS (
+        |  SELECT neighbor_id AS cell_id, cv AS centv FROM c ORDER BY neighbor_id LIMIT 16
+        |), ccells AS (
+        |  SELECT neighbor_id,${l(" cl,")} cv, cell_id FROM (
+        |    SELECT c.neighbor_id,${l(" c.cl,")} c.cv, cent.cell_id,
+        |      row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+        |        list_dot_product(c.cv, cent.centv) /
+        |          (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+        |        cent.cell_id) AS cr
+        |    FROM c CROSS JOIN cent
+        |  ) WHERE cr <= 1
+        |), q AS (SELECT vec_id AS query_id,${l(" label AS ql,")} embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT query_id,${l(" ql,")} qv, cell_id FROM (
+        |    SELECT q.query_id,${l(" q.ql,")} q.qv, cent.cell_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_dot_product(q.qv, cent.centv) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+        |        cent.cell_id) AS qr
+        |    FROM q CROSS JOIN cent
+        |  ) WHERE qr <= 4
+        |), s AS (
+        |  SELECT query_id, neighbor_id,${l(" cl,")}
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM ccells JOIN probes USING (cell_id)${l("\n  WHERE cl != ql")}
+        |), r AS (
+        |  SELECT query_id, neighbor_id,${l(" cl,")} cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT query_id, rnk, neighbor_id,${l(" cl::BIGINT AS neighbor_label,")} round(cosine, 6) AS cosine
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    }
+
     // Shared CTE chain ending in bands(doc_id, band, bucket) — the
     // front half of both the all-pairs and the incremental oracles.
     val minhashBandsCte =
@@ -2133,44 +2175,7 @@ object SparkEntry {
           |)
           |SELECT query_id, rnk, neighbor_id, cl::BIGINT AS neighbor_label, round(cosine, 6) AS cosine
           |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
-      // ann_topk_ivf's CTE chain with labels carried through the cell
-      // assignment and the same-label exclusion on the candidate join.
-      "ann_hard_negatives_ivf" ->
-        """WITH c AS (SELECT vec_id AS neighbor_id, label AS cl, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
-          |cent AS (
-          |  SELECT neighbor_id AS cell_id, cv AS centv FROM c ORDER BY neighbor_id LIMIT 16
-          |), ccells AS (
-          |  SELECT neighbor_id, cl, cv, cell_id FROM (
-          |    SELECT c.neighbor_id, c.cl, c.cv, cent.cell_id,
-          |      row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
-          |        list_dot_product(c.cv, cent.centv) /
-          |          (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
-          |        cent.cell_id) AS cr
-          |    FROM c CROSS JOIN cent
-          |  ) WHERE cr <= 1
-          |), q AS (SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-          |probes AS (
-          |  SELECT query_id, ql, qv, cell_id FROM (
-          |    SELECT q.query_id, q.ql, q.qv, cent.cell_id,
-          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-          |        list_dot_product(q.qv, cent.centv) /
-          |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
-          |        cent.cell_id) AS qr
-          |    FROM q CROSS JOIN cent
-          |  ) WHERE qr <= 4
-          |), s AS (
-          |  SELECT query_id, neighbor_id, cl,
-          |    list_dot_product(qv, cv) /
-          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
-          |  FROM ccells JOIN probes USING (cell_id)
-          |  WHERE cl != ql
-          |), r AS (
-          |  SELECT query_id, neighbor_id, cl, cosine,
-          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-          |  FROM s
-          |)
-          |SELECT query_id, rnk, neighbor_id, cl::BIGINT AS neighbor_label, round(cosine, 6) AS cosine
-          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      "ann_hard_negatives_ivf" -> ivfOracle(labeled = true),
       "corpus_chunk_tokens" ->
         """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           |c AS (
@@ -2489,7 +2494,8 @@ object SparkEntry {
           |)
           |SELECT e.event_type, round(min(med), 6) AS median,
           |  round(quantile_cont(abs(value - med), 0.5), 6) AS mad,
-          |  round(avg(greatest(lo, least(hi, value))), 6) AS winsor_mean
+          |  round(avg(CASE WHEN value IS NOT NULL
+          |                 THEN greatest(lo, least(hi, value)) END), 6) AS winsor_mean
           |FROM events e JOIN b ON e.event_type = b.event_type
           |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
       "tick_kyle_lambda" ->
@@ -2730,41 +2736,7 @@ object SparkEntry {
           |)
           |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
           |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
-      "ann_topk_ivf" ->
-        """WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
-          |cent AS (
-          |  SELECT neighbor_id AS cell_id, cv AS centv FROM c ORDER BY neighbor_id LIMIT 16
-          |), ccells AS (
-          |  SELECT neighbor_id, cv, cell_id FROM (
-          |    SELECT c.neighbor_id, c.cv, cent.cell_id,
-          |      row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
-          |        list_dot_product(c.cv, cent.centv) /
-          |          (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
-          |        cent.cell_id) AS cr
-          |    FROM c CROSS JOIN cent
-          |  ) WHERE cr <= 1
-          |), q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-          |probes AS (
-          |  SELECT query_id, qv, cell_id FROM (
-          |    SELECT q.query_id, q.qv, cent.cell_id,
-          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-          |        list_dot_product(q.qv, cent.centv) /
-          |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
-          |        cent.cell_id) AS qr
-          |    FROM q CROSS JOIN cent
-          |  ) WHERE qr <= 4
-          |), s AS (
-          |  SELECT query_id, neighbor_id,
-          |    list_dot_product(qv, cv) /
-          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
-          |  FROM ccells JOIN probes USING (cell_id)
-          |), r AS (
-          |  SELECT query_id, neighbor_id, cosine,
-          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-          |  FROM s
-          |)
-          |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
-          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      "ann_topk_ivf" -> ivfOracle(labeled = false),
       "sim_quotes" ->
         s"""WITH $QUOTES_CTE
           |SELECT ticker, ts_us, bid, ask, bid_size, ask_size, exchange, day

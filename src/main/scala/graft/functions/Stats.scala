@@ -29,10 +29,14 @@ object Stats {
 
   /** Winsorized mean: clamp into a precomputed [lo, hi] quantile band,
     * then average — outlier-robust location without dropping rows
-    * (the trim-vs-clamp distinction: sample size is preserved).
+    * (the trim-vs-clamp distinction: sample size is preserved). The
+    * isNotNull gate matters: Spark's least/greatest SKIP null
+    * arguments, so an unguarded clamp would silently turn every null
+    * sample into `hi` instead of dropping it like every other
+    * aggregate in this family does.
     */
   def winsorizedMean(x: Column, lo: Column, hi: Column): Column =
-    avg(greatest(lo, least(hi, x)))
+    avg(when(x.isNotNull, greatest(lo, least(hi, x))))
 
   /** Fixed-width histogram: bucket index per row (combine with
     * groupBy(key, bucket).count()).

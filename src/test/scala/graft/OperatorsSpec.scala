@@ -142,7 +142,6 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("hard negatives exclude the query's own label") {
-    import graft.operators.Similarity
     val mk = (id: Long, l: Int, v: Seq[Double]) => (id, l, v.toArray)
     val q = Seq(mk(1L, 0, Seq(1.0, 0.0))).toDF("vec_id", "label", "embedding")
     val c = Seq(
@@ -156,7 +155,6 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("IVF hard negatives equal the brute variant when every cell is probed") {
-    import graft.operators.Similarity
     val rnd = new scala.util.Random(99)
     val mk = (id: Long) => (id, (id % 3).toInt,
       Array.fill(8)(rnd.nextDouble() * 2 - 1))

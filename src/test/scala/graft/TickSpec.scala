@@ -48,7 +48,6 @@ class TickSpec extends SparkSpec {
   }
 
   test("MAD and winsorized mean on a hand case with one outlier") {
-    import org.apache.spark.sql.functions.{col => c}
     val xs = Seq(1.0, 2.0, 3.0, 4.0, 1000.0)
     val df = xs.zipWithIndex.map { case (x, i) => ("a", i, x) }.toDF("k", "t", "x")
     val wk = Window.partitionBy($"k")
