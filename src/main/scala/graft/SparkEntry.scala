@@ -115,19 +115,19 @@ object SparkEntry {
       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
       |)""".stripMargin
 
-  /** rn-paired click/view return CTE (the oracle twin of
-    * [[pairedClickViewReturns]]) shared by the rolling beta/corr pair.
+  /** rn-paired (pair_id, ra, rb) CTE — every non-'view' return series
+    * joined to the 'view' benchmark on rn (the oracle twin of
+    * [[pairedReturnsVsView]]), shared by the rolling beta/corr pair.
     */
   private val PAIRED_CTE =
-    s"""$R_CTE, p AS (
-      |  SELECT rn,
-      |    max(CASE WHEN event_type = 'click' THEN ret END) AS ra,
-      |    max(CASE WHEN event_type = 'view' THEN ret END) AS rb
-      |  FROM (
-      |    SELECT event_type, ret,
-      |      row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
-      |    FROM r WHERE event_type IN ('click', 'view')
-      |  ) GROUP BY rn
+    s"""$R_CTE, s AS (
+      |  SELECT event_type, ret,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      |  FROM r
+      |), p AS (
+      |  SELECT a.event_type AS pair_id, a.rn, a.ret AS ra, b.ret AS rb
+      |  FROM s a JOIN s b USING (rn)
+      |  WHERE a.event_type <> 'view' AND b.event_type = 'view'
       |)""".stripMargin
 
   /** drawdown CTE (prices have no nulls in testdata; ffill is identity). */
@@ -154,6 +154,22 @@ object SparkEntry {
       .groupBy(col("rn"))
       .agg(max(when(col("event_type") === "click", col("ret"))).as("ra"),
         max(when(col("event_type") === "view", col("ret"))).as("rb"))
+
+  /** Every non-'view' return series rn-paired against the 'view'
+    * benchmark: (pair_id, rn, ra, rb). One per-asset window pass for
+    * rn, then an equi-join on rn against the benchmark slice. The join
+    * shuffles on rn; the rolling windows downstream re-partition by
+    * pair_id — four real pairs here, N pairs at scale, so the rolling
+    * WindowExec is genuinely partitioned (never single-partition).
+    */
+  private def pairedReturnsVsView(s: SparkSession, dir: String): DataFrame = {
+    val r = withRet(s, dir).withColumn("rn", row_number().over(wT))
+    val bench = r.where(col("event_type") === "view")
+      .select(col("rn"), col("ret").as("rb"))
+    r.where(col("event_type") =!= "view")
+      .select(col("event_type").as("pair_id"), col("rn"), col("ret").as("ra"))
+      .join(bench, "rn")
+  }
 
   private def withDd(s: SparkSession, dir: String): DataFrame =
     events(s, dir).withColumn("dd", Eod.toDrawdownSeries(col("value"), wT))
@@ -306,7 +322,8 @@ object SparkEntry {
     "eod_omega" -> ((s, dir) =>
       withRet(s, dir).where(col("ret").isNotNull)
         .groupBy(col("event_type"))
-        .agg(round(Eod.omegaRatio(col("ret"), rfPeriodic), 6).as("omega"))
+        .agg((round(Eod.omegaRatio(col("ret"), rfPeriodic), 6) + lit(0.0))
+          .as("omega"))
         .orderBy(col("event_type"))),
     // Two-pass central moments: mean via per-asset window, deviations
     // aggregated — no raw-moment cancellation (see skewnessFromDev).
@@ -323,22 +340,28 @@ object SparkEntry {
       withRet(s, dir).where(col("ret").isNotNull)
         .select(col("event_type"), col("event_id"),
           round(Eod.ewmaVolatility(col("ret"), wT, 60), 6).as("ewma_vol"))),
-    // Rolling beta of the 'click' return series on the 'view' series,
-    // rn-paired (the eod_information_ratio pivot), trailing 60 pairs.
-    // The un-partitioned rn window is one LOGICAL series (a pair of
-    // assets); with many pairs, partition by the pair key.
-    "eod_rolling_beta" -> ((s, dir) =>
-      pairedClickViewReturns(s, dir)
+    // Rolling beta of each non-benchmark return series on the 'view'
+    // benchmark series, rn-paired, trailing 60 pairs. The window is
+    // partitioned by the pair key — four real pairs here, N pairs at
+    // scale — so no single-partition WindowExec anywhere in the suite.
+    // `+ 0.0` squashes IEEE −0.0 out of round() (Spark and DuckDB can
+    // disagree on the sign of a rounded zero, which flips the hash).
+    "eod_rolling_beta" -> ((s, dir) => {
+      val w = Window.partitionBy(col("pair_id")).orderBy(col("rn"))
+      pairedReturnsVsView(s, dir)
         .where(col("ra").isNotNull && col("rb").isNotNull)
-        .select(col("rn"),
-          round(Eod.rollingBeta(col("ra"), col("rb"),
-            Window.orderBy(col("rn")), 60), 4).as("beta"))),
-    "eod_rolling_corr" -> ((s, dir) =>
-      pairedClickViewReturns(s, dir)
+        .select(col("pair_id"), col("rn"),
+          (round(Eod.rollingBeta(col("ra"), col("rb"), w, 60), 4) + lit(0.0))
+            .as("beta"))
+    }),
+    "eod_rolling_corr" -> ((s, dir) => {
+      val w = Window.partitionBy(col("pair_id")).orderBy(col("rn"))
+      pairedReturnsVsView(s, dir)
         .where(col("ra").isNotNull && col("rb").isNotNull)
-        .select(col("rn"),
-          round(Eod.rollingCorr(col("ra"), col("rb"),
-            Window.orderBy(col("rn")), 60), 4).as("roll_corr"))),
+        .select(col("pair_id"), col("rn"),
+          (round(Eod.rollingCorr(col("ra"), col("rb"), w, 60), 4) + lit(0.0))
+            .as("roll_corr"))
+    }),
 
     // ---- Tick (ops 25-38)
     "tick_trade_rate" -> ((s, dir) =>
@@ -385,7 +408,8 @@ object SparkEntry {
     "tick_imbalance" -> ((s, dir) =>
       events(s, dir).withColumn("dir", Tick.tickRule(col("value"), wT))
         .groupBy(col("event_type"))
-        .agg(round(Tick.tickImbalance(col("dir")), 6).as("tick_imbalance"))
+        .agg((round(Tick.tickImbalance(col("dir")), 6) + lit(0.0))
+          .as("tick_imbalance"))
         .orderBy(col("event_type"))),
     "tick_micro_returns" -> ((s, dir) =>
       events(s, dir).select(col("event_type"), col("event_id"),
@@ -724,7 +748,7 @@ object SparkEntry {
       s"""$R_CTE
         |SELECT event_type,
         |  round(sum(greatest(ret - $RF_LIT, 0)) /
-        |        nullif(sum(greatest($RF_LIT - ret, 0)), 0), 6) AS omega
+        |        nullif(sum(greatest($RF_LIT - ret, 0)), 0), 6) + 0.0 AS omega
         |FROM r WHERE ret IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "eod_skew_kurt" ->
@@ -754,14 +778,17 @@ object SparkEntry {
         |GROUP BY a.event_type, a.event_id""".stripMargin,
     "eod_rolling_corr" ->
       s"""$PAIRED_CTE
-        |SELECT rn, round(corr(ra, rb) OVER tw, 4) AS roll_corr
+        |SELECT pair_id, rn, round(corr(ra, rb) OVER tw, 4) + 0.0 AS roll_corr
         |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
-        |WINDOW tw AS (ORDER BY rn ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
+        |WINDOW tw AS (PARTITION BY pair_id ORDER BY rn
+        |              ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
     "eod_rolling_beta" ->
       s"""$PAIRED_CTE
-        |SELECT rn, round(covar_samp(ra, rb) OVER tw / var_samp(rb) OVER tw, 4) AS beta
+        |SELECT pair_id, rn,
+        |  round(covar_samp(ra, rb) OVER tw / var_samp(rb) OVER tw, 4) + 0.0 AS beta
         |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
-        |WINDOW tw AS (ORDER BY rn ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
+        |WINDOW tw AS (PARTITION BY pair_id ORDER BY rn
+        |              ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "tick_trade_rate" ->
       """SELECT event_type,
@@ -822,7 +849,7 @@ object SparkEntry {
         |         WHEN value < lag(value) OVER w THEN -1 ELSE 0 END AS dir
         |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
         |)
-        |SELECT event_type, round(sum(dir)::DOUBLE / count(*)::DOUBLE, 6) AS tick_imbalance
+        |SELECT event_type, round(sum(dir)::DOUBLE / count(*)::DOUBLE, 6) + 0.0 AS tick_imbalance
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "tick_micro_returns" ->
       """SELECT event_type, event_id,

@@ -4,6 +4,7 @@ import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
 import org.apache.spark.sql.types.{DataType, DoubleType, TimestampType}
 
 /** Input-dtype guards — the Spark counterpart of the reference's
@@ -54,4 +55,20 @@ object Guardrails extends Logging {
 
   def requireTimestamp(df: DataFrame, cols: String*): Unit =
     cols.foreach(require(df, _, TimestampType))
+
+  /** Plan-shape guard: flags any Window operator with an empty
+    * partitionSpec. Spark evaluates such a window by moving EVERY row
+    * to one partition (WindowExec logs "No Partition Defined … Moving
+    * all data to a single partition") — correct on a toy frame,
+    * serialized through a single task at scale. Run on a frame before
+    * shipping the query; WindowGuardSpec runs it over the whole suite.
+    */
+  def requirePartitionedWindows(df: DataFrame): Unit = {
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+    if (global.nonEmpty)
+      emit(s"plan contains ${global.size} un-partitioned Window operator(s)" +
+        " — single-partition sort at scale; partition the window by a key")
+  }
 }

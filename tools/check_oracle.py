@@ -40,7 +40,11 @@ def main(sf_dir: str, out_dir: str) -> None:
         for c in a.columns:
             av, bv = a[c], b[c]
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
-                eq = (av.isna() & bv.isna()) | (av == bv)
+                # Bit-exact, like the driver's value hash: -0.0 != +0.0.
+                ab = av.astype('float64').to_numpy().view('int64')
+                bb = bv.astype('float64').to_numpy().view('int64')
+                eq = pd.Series((av.isna() & bv.isna()).to_numpy() | (ab == bb),
+                               index=av.index)
             else:
                 eq = (av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object))
             if not eq.all():
