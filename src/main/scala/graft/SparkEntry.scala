@@ -2072,7 +2072,7 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,${l(" cl,")}
         |    list_dot_product(qv, cv) /
         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
-        |  FROM ccells JOIN probes USING (cell_id)${l("\n  WHERE cl != ql")}
+        |  FROM ccells JOIN probes USING (cell_id)${l("\n  WHERE cl IS DISTINCT FROM ql")}
         |), r AS (
         |  SELECT query_id, neighbor_id,${l(" cl,")} cosine,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
@@ -2194,7 +2194,7 @@ object SparkEntry {
           |  SELECT query_id, neighbor_id, cl,
           |    list_dot_product(qv, cv) /
           |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
-          |  FROM q CROSS JOIN c WHERE cl != ql
+          |  FROM q CROSS JOIN c WHERE cl IS DISTINCT FROM ql
           |), r AS (
           |  SELECT query_id, neighbor_id, cl, cosine,
           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk

@@ -57,7 +57,11 @@ object Similarity {
     val q = side(queries, "query_id", "qv", "ql")
     val c = side(corpus, "neighbor_id", "cv", "cl")
     val paired = c.crossJoin(broadcast(q))
-    val scored = labelCol.fold(paired)(_ => paired.where(col("cl") =!= col("ql")))
+    // Null-safe exclusion: a NULL label is its own class (NULL vs NULL
+    // is same-label, NULL vs 'x' is a valid negative) — the naive =!=
+    // would NULL out the predicate and silently drop every pair that
+    // touches a NULL label.
+    val scored = labelCol.fold(paired)(_ => paired.where(!(col("cl") <=> col("ql"))))
       .withColumn("cosine",
         dotNative(col("qv"), col("cv")) / (col("qvn") * col("cvn")))
     val w = Window.partitionBy(col("query_id"))
@@ -194,8 +198,10 @@ object Similarity {
       .withColumn("qn", normNative(col("qv")))
     val probes = assign(q, "qv", "qn", nProbe, "query")
     val candidates = corpusCells.join(probes, "cell_id")
+    // Null-safe, like bruteTopK: NULL labels form their own class
+    // instead of nulling the predicate and vanishing from the mine.
     val scored = labelCol.fold(candidates)(_ =>
-        candidates.where(col("cl") =!= col("ql")))
+        candidates.where(!(col("cl") <=> col("ql"))))
       .withColumn("cosine",
         dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))

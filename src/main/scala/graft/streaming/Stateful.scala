@@ -150,41 +150,6 @@ object Stateful {
   case class BucketMin(minTs: Long, minId: Long)
   case class DupHit(doc_id: Long, dup_of: Long)
 
-  /** Streaming MinHash-LSH near-dup flagging — the ingestion twin of
-    * [[graft.operators.Dedup.minhashLshPairs]] (op 47), first-seen
-    * kept: an arriving doc is flagged against the EARLIEST previous
-    * member of any band bucket it lands in, emitting one
-    * (doc_id, dup_of) row per hit bucket (aggregate min(dup_of) per
-    * doc downstream for the canonical earliest sharer — the bucket
-    * minimum IS a sharer and bounds every sharer in its bucket, so
-    * the min over hit buckets equals the min over ALL earlier
-    * sharers).
-    *
-    * Signatures compute PER ROW (array HOFs over the shingle array,
-    * same affine md5 family h_i = a + i·b mod 2^32 as the batch op):
-    * the batch explode + k-min aggregation is a streaming aggregation
-    * mid-pipeline, which would stall an append stream behind the
-    * watermark — per-row algebra keeps the stage stateless until the
-    * one keyed state op.
-    *
-    * Scale shape: state is ONE (minTs, minId) record per band bucket
-    * — O(1), no membership lists, no pair expansion (each event emits
-    * at most one row per band); buckets partition across executors by
-    * the group key. Per-batch events sort by (ts, id) within each
-    * bucket, so verdicts are batching-independent in replay.
-    *
-    * State is BOUNDED by `retention`: bucket cardinality grows with
-    * distinct content, so on an unbounded stream NoTimeout state would
-    * grow forever (the batch twin caps hot buckets; the streaming twin
-    * needs a horizon). A watermark of `retention` is applied on
-    * `tsCol` and each bucket's record carries an event-time TTL of
-    * `retention` past its latest arrival — an idle bucket's state is
-    * dropped once the watermark passes that horizon, trading recall
-    * beyond the retention window for O(active buckets) state: a doc
-    * re-arriving later than `retention` after its bucket's last
-    * member is no longer flagged. This is exactly the
-    * `dropDuplicatesWithinWatermark` retention contract op 80 follows.
-    */
   /** Stage the per-row '|'-joined band bucket keys (band index
     * prefixed) as a `_bands` array column — the STATELESS signature
     * math shared by [[minhashDedupStream]] and
@@ -259,6 +224,41 @@ object Stateful {
       .select(col(idCol), col("_min_id").as("dup_of"))
   }
 
+  /** Streaming MinHash-LSH near-dup flagging — the ingestion twin of
+    * [[graft.operators.Dedup.minhashLshPairs]] (op 47), first-seen
+    * kept: an arriving doc is flagged against the EARLIEST previous
+    * member of any band bucket it lands in, emitting one
+    * (doc_id, dup_of) row per hit bucket (aggregate min(dup_of) per
+    * doc downstream for the canonical earliest sharer — the bucket
+    * minimum IS a sharer and bounds every sharer in its bucket, so
+    * the min over hit buckets equals the min over ALL earlier
+    * sharers).
+    *
+    * Signatures compute PER ROW (array HOFs over the shingle array,
+    * same affine md5 family h_i = a + i·b mod 2^32 as the batch op):
+    * the batch explode + k-min aggregation is a streaming aggregation
+    * mid-pipeline, which would stall an append stream behind the
+    * watermark — per-row algebra keeps the stage stateless until the
+    * one keyed state op.
+    *
+    * Scale shape: state is ONE (minTs, minId) record per band bucket
+    * — O(1), no membership lists, no pair expansion (each event emits
+    * at most one row per band); buckets partition across executors by
+    * the group key. Per-batch events sort by (ts, id) within each
+    * bucket, so verdicts are batching-independent in replay.
+    *
+    * State is BOUNDED by `retention`: bucket cardinality grows with
+    * distinct content, so on an unbounded stream NoTimeout state would
+    * grow forever (the batch twin caps hot buckets; the streaming twin
+    * needs a horizon). A watermark of `retention` is applied on
+    * `tsCol` and each bucket's record carries an event-time TTL of
+    * `retention` past its latest arrival — an idle bucket's state is
+    * dropped once the watermark passes that horizon, trading recall
+    * beyond the retention window for O(active buckets) state: a doc
+    * re-arriving later than `retention` after its bucket's last
+    * member is no longer flagged. This is exactly the
+    * `dropDuplicatesWithinWatermark` retention contract op 80 follows.
+    */
   def minhashDedupStream(docs: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String, tsCol: String,
                          k: Int = 8, bands: Int = 4,

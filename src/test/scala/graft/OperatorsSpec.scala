@@ -154,6 +154,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1, 11L), (2, 12L)))
   }
 
+  test("hard negatives treat a NULL label as its own class, not a sinkhole") {
+    val mk = (id: Long, l: Option[Int], v: Seq[Double]) => (id, l, v.toArray)
+    val c = Seq(
+      mk(10L, Some(0), Seq(1.0, 0.0)),
+      mk(11L, None, Seq(0.9, 0.1)),
+      mk(12L, Some(1), Seq(0.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    // Labeled query: the NULL-label corpus row IS a valid negative.
+    val q0 = Seq(mk(1L, Some(0), Seq(1.0, 0.0))).toDF("vec_id", "label", "embedding")
+    val got0 = Similarity.hardNegativesTopK(q0, c, "vec_id", "embedding", "label", 3)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(got0 == Set(11L, 12L))
+    // NULL-label query: other NULL-label rows are same-class, the
+    // labeled rows are negatives — not the zero-candidate blackout a
+    // null-hostile =!= filter would produce.
+    val qn = Seq(mk(2L, None, Seq(1.0, 0.0))).toDF("vec_id", "label", "embedding")
+    val gotN = Similarity.hardNegativesTopK(qn, c, "vec_id", "embedding", "label", 3)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(gotN == Set(10L, 12L))
+  }
+
   test("IVF hard negatives equal the brute variant when every cell is probed") {
     val rnd = new scala.util.Random(99)
     val mk = (id: Long) => (id, (id % 3).toInt,
