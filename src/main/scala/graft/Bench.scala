@@ -38,9 +38,15 @@ object Bench {
     // execution (Σ addBatch), so the record stops charging harness cost
     // to the engine.
     val streamSplit = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // For queries with build-time setup (the bucketed CTAS writes):
+    // (setup sec, main sec = recorded − setup) of the min rep — the
+    // layout write happens once per lake refresh at scale, so charging
+    // it to the per-query join cost misreads the operator.
+    val setupSplit = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         SparkEntry.replayStats.clear()
+        SparkEntry.setupStats.clear()
         val t0 = System.nanoTime()
         // noop sink, NOT count(): a count() lets ColumnPruning discard
         // every computed column, so the plan being timed degenerates to a
@@ -53,7 +59,7 @@ object Bench {
             case ((su, ex), (stage, wall, addBatch)) =>
               (su + stage + math.max(wall - addBatch, 0.0), ex + addBatch)
           }
-          Some((dt, split))
+          Some((dt, split, SparkEntry.setupStats.get(name)))
         } catch {
           case e: Throwable =>
             // A swallowed failure must not masquerade as a fast query:
@@ -63,8 +69,9 @@ object Bench {
         }
       }
       if (times.nonEmpty) {
-        val (dt, split) = times.minBy(_._1)
+        val (dt, split, setup) = times.minBy(_._1)
         if (split != (0.0, 0.0)) streamSplit += name -> split
+        setup.foreach(su => setupSplit += name -> (su, math.max(dt - su, 0.0)))
         name -> dt
       } else name -> 0.0
     }
@@ -80,13 +87,16 @@ object Bench {
     val streaming = streamSplit.map { case (k, (su, ex)) =>
       s"\"" + k + "\":{\"setup\":" + r3(su) + ",\"exec\":" + r3(ex) + "}"
     }.mkString("{", ",", "}")
+    val setups = setupSplit.map { case (k, (su, mn)) =>
+      s"\"" + k + "\":{\"setup\":" + r3(su) + ",\"main\":" + r3(mn) + "}"
+    }.mkString("{", ",", "}")
     val harness = r3(streamSplit.values.map(_._1).sum)
     val total = math.round(results.values.sum * 1000) / 1000.0
     // The headline total appears BOTH first (spec position) and last
     // (duplicated as total_sec): the driver may keep only the tail of
     // this line, and r5's record lost the leading "value" field to that
     // truncation — the trailing copy makes the total indestructible.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streaming,"harness_sec":$harness,"sf":"$sfDir","n_queries":${results.size},"total_sec":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streaming,"setup_split":$setups,"harness_sec":$harness,"sf":"$sfDir","n_queries":${results.size},"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -47,6 +47,14 @@ object SparkEntry {
   val replayStats =
     scala.collection.concurrent.TrieMap[String, (Double, Double, Double)]()
 
+  /** Non-streaming setup cost (sec) a query pays at build time before
+    * its timed plan runs — today the bucketed CTAS writes of
+    * rel_bucketed_join (at scale that layout is written ONCE per lake
+    * refresh; the join is what runs per query). Bench clears and reads
+    * this per rep so the record splits setup from the operator cost.
+    */
+  val setupStats = scala.collection.concurrent.TrieMap[String, Double]()
+
   private def streamReplay(s: SparkSession, dir: String, table: String,
                            tag: String)(build: DataFrame => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
@@ -466,6 +474,7 @@ object SparkEntry {
     "rel_bucketed_join" -> ((s, dir) => {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val tw0 = System.nanoTime()
       graft.sources.Tables.writeBucketed(
         graft.sources.Tables.load(s2, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice")),
@@ -474,6 +483,7 @@ object SparkEntry {
         graft.sources.Tables.load(s2, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity")),
         "graft_lineitem_b", Seq("l_orderkey"), 8)
+      setupStats("rel_bucketed_join") = (System.nanoTime() - tw0) / 1e9
       s2.table("graft_orders_b")
         .join(s2.table("graft_lineitem_b"),
           col("o_orderkey") === col("l_orderkey"))

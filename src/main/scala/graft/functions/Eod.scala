@@ -284,22 +284,16 @@ object Eod {
     * Per-row series Column over an ordered per-asset window.
     *
     * Spark shape: collect_list over the trailing frame (≤ n doubles —
-    * bounded, executor-local) then one array fold; the frame walk is
-    * the same one shuffle as every other rolling metric. Feed it
-    * null-free returns: collect_list drops nulls, which would silently
-    * shift the weight ladder.
+    * bounded, executor-local) then ONE codegen'd fold over the array
+    * (expressions/EwmaVol — the interpreted reverse/zip_with/aggregate
+    * HOF chain it replaces was the suite's slowest per-row kernel);
+    * the frame walk is the same one shuffle as every other rolling
+    * metric. Feed it null-free returns: collect_list drops nulls,
+    * which would silently shift the weight ladder.
     */
   def ewmaVolatility(ret: Column, w: WindowSpec, n: Int,
-                     lambda: Double = 0.94): Column = {
-    // arr(0) = current row's return, arr(j) = j rows back.
-    val arr = reverse(collect_list(ret).over(trailing(w, n)))
-    val weighted = aggregate(
-      zip_with(arr, sequence(lit(0), size(arr) - 1),
-        (r, j) => r * r * pow(lit(lambda), j.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
-    sqrt(weighted * (1.0 - lambda) /
-      (lit(1.0) - pow(lit(lambda), size(arr).cast("double"))))
-  }
+                     lambda: Double = 0.94): Column =
+    graft.expressions.EwmaVol(collect_list(ret).over(trailing(w, n)), lambda)
 
   /** Rolling OLS beta of `ret` on `benchmark` over the trailing n rows:
     * covar_samp / var_samp on the frame. Null until the frame has ≥2

@@ -38,6 +38,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), p.take(800))
   }
 
+  test("EWMA vol folds natively (graft_ewma_vol), no interpreted HOFs") {
+    val p = plan("eod_ewma_vol")
+    assert(p.contains("graft_ewma_vol"), "native EWMA fold missing from the plan")
+    assert(!p.contains("zip_with"), "interpreted HOF fold leaked back into op 106")
+  }
+
   test("ANN kernel stays codegen'd (native DotProduct, no HOFs)") {
     val p = plan("ann_topk_bruteforce")
     assert(p.contains("*("), p.take(800))
