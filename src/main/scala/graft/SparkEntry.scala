@@ -1432,21 +1432,35 @@ object SparkEntry {
 
     // Stream-static incremental MinHash dedup (op 115), REPLAYED: the
     // planted copies arrive AS the stream; the original documents are
-    // the static indexed corpus. Stateless (no watermark, no state
-    // store) — the per-doc min aggregate runs post-replay, mirroring
-    // the batch twin exactly (shared oracle SQL).
-    "streaming_dedup_incremental" -> ((s, dir) =>
+    // the static indexed corpus. The (bucket → min id) index relation
+    // is MATERIALIZED to parquet before the stream starts and the
+    // stream joins the read-back table — the production flow (index
+    // written once per corpus refresh, zero signature math per
+    // micro-batch on the static side). Index build+write time lands in
+    // setupStats, like the bucketed CTAS. Stateless (no watermark, no
+    // state store) — the per-doc min aggregate runs post-replay,
+    // mirroring the batch twin exactly (shared oracle SQL).
+    "streaming_dedup_incremental" -> ((s, dir) => {
+      val t0 = System.nanoTime()
+      val ixPath =
+        java.nio.file.Files.createTempDirectory("graft-sinc-ix").toString
+      graft.streaming.Stateful.minhashIndexRelation(
+          tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .write.mode("overwrite").parquet(ixPath)
+      setupStats("streaming_dedup_incremental") = (System.nanoTime() - t0) / 1e9
+      val ix = s.read.parquet(ixPath)
       streamReplay(s, dir, "documents", "sincdedup") { src =>
         val fresh = src.where(col("doc_id") % 50 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"),
             concat(col("text"), lit(" the")).as("text"))
           .unionAll(src.where(col("doc_id") % 97 === 0)
             .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-        graft.streaming.Stateful.minhashIncrementalStream(
-          fresh, tbl(s, dir, "documents").select(col("doc_id"), col("text")),
-          "doc_id", "text")
+        graft.streaming.Stateful.minhashIncrementalStreamIndexed(
+          fresh, ix, "doc_id", "text")
       }.groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- stateful streaming running drawdown, REPLAYED to batch for
     // the oracle (op 72): a real flatMapGroupsWithState run over a file

@@ -195,12 +195,15 @@ object Stateful {
     * watermarked agg in production) for the earliest indexed sharer —
     * the op 102 convention.
     *
-    * The static side is recomputed per micro-batch as written; at
-    * scale, precompute the index relation to parquet once per corpus
-    * refresh (it IS the LSH index — see the batch twin's scaladoc)
-    * and read that here instead. Hot buckets beyond maxBucket are
-    * dropped from the index (stop-shingle rule), bounding fan-out per
-    * arriving doc to bands·maxBucket.
+    * This overload derives the index relation from the raw corpus —
+    * convenient, but the derivation re-plans per micro-batch. At scale
+    * use [[minhashIndexRelation]] to materialize the relation to
+    * parquet once per corpus refresh and pass the read-back table to
+    * [[minhashIncrementalStreamIndexed]] (which this delegates to):
+    * the stream's plan then contains a plain parquet scan, zero
+    * signature math on the static side. Hot buckets beyond maxBucket
+    * are dropped from the index (stop-shingle rule), bounding fan-out
+    * per arriving doc to bands·maxBucket.
     */
   def minhashIncrementalStream(docs: org.apache.spark.sql.DataFrame,
                                index: org.apache.spark.sql.DataFrame,
@@ -209,14 +212,50 @@ object Stateful {
                                shingleWidth: Int = 3,
                                maxBucket: Int =
                                  graft.operators.Dedup.DefaultMaxBucket)
+      : org.apache.spark.sql.DataFrame =
+    minhashIncrementalStreamIndexed(docs,
+      minhashIndexRelation(index, idCol, textCol, k, bands, shingleWidth,
+        maxBucket),
+      idCol, textCol, k, bands, shingleWidth)
+
+  /** The precomputable LSH index relation behind op 115: one
+    * (bucket, _min_id) row per surviving band bucket of the corpus —
+    * min doc id per bucket, hot buckets beyond `maxBucket` dropped
+    * (stop-shingle rule). This IS the thing to write to parquet on
+    * every corpus refresh; its size is O(active buckets), independent
+    * of stream volume, and the streaming join against it needs no
+    * state store.
+    */
+  def minhashIndexRelation(corpus: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int = 8, bands: Int = 4,
+                           shingleWidth: Int = 3,
+                           maxBucket: Int =
+                             graft.operators.Dedup.DefaultMaxBucket)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val idx = withBandBuckets(index, textCol, k, bands, shingleWidth)
+    withBandBuckets(corpus, textCol, k, bands, shingleWidth)
       .select(col(idCol).cast("long").as("_iid"),
         explode(col("_bands")).as("bucket"))
       .groupBy(col("bucket"))
       .agg(min(col("_iid")).as("_min_id"), count(lit(1)).as("_c"))
       .where(col("_c") <= maxBucket)
+      .select(col("bucket"), col("_min_id"))
+  }
+
+  /** Stream-static join against a PREBUILT index relation (columns
+    * `bucket`, `_min_id` — [[minhashIndexRelation]], typically read
+    * back from parquet): per-row band keys of arriving docs exploded
+    * and inner-joined to the index, one (doc_id, dup_of) row per hit
+    * bucket. Stateless and watermark-free.
+    */
+  def minhashIncrementalStreamIndexed(docs: org.apache.spark.sql.DataFrame,
+                                      idx: org.apache.spark.sql.DataFrame,
+                                      idCol: String, textCol: String,
+                                      k: Int = 8, bands: Int = 4,
+                                      shingleWidth: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
     withBandBuckets(docs, textCol, k, bands, shingleWidth)
       .select(col(idCol).cast("long").as(idCol),
         explode(col("_bands")).as("bucket"))

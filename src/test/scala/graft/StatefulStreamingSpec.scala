@@ -210,4 +210,33 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(out == Map(1L -> 10L), s"unexpected verdicts: $out")
     } finally q.stop()
   }
+
+  test("indexed variant over a parquet round-trip matches the derived index") {
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val index = Seq((10L, text),
+      (11L, "some indexed reference corpus entry entirely unlike it"))
+      .toDF("doc_id", "text")
+    // The production flow: materialize the index relation to parquet
+    // once, stream-join the read-back table.
+    val ixPath = java.nio.file.Files.createTempDirectory("graft-ix").toString
+    Stateful.minhashIndexRelation(index, "doc_id", "text")
+      .write.mode("overwrite").parquet(ixPath)
+    val input = MemoryStream[(Long, String)]
+    val q = Stateful.minhashIncrementalStreamIndexed(
+        input.toDF().toDF("doc_id", "text"), spark.read.parquet(ixPath),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("sm_inc_ix")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, text),
+        (2L, "novel arrival with fresh content nobody indexed before"))
+      q.processAllAvailable()
+      val out = spark.table("sm_inc_ix")
+        .groupBy($"doc_id")
+        .agg(org.apache.spark.sql.functions.min($"dup_of").as("dup_of"))
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 10L), s"unexpected verdicts: $out")
+    } finally q.stop()
+  }
 }
