@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Cluster, Corpus, Dedup, Embed, Pq, Resample, Similarity}
@@ -300,6 +301,68 @@ object Scale {
           docs.where(col("doc_id") % 97 === 0),
           "doc_id", "text", bits = bloomBits))
       }
+      // Round-9 probes. Hard-negative mining: brute is the O(Q·N)
+      // broadcast baseline; IVF bounds candidates to nProbe·n/nCells
+      // per query. Recall is measured against brute's exact answer —
+      // sublinear time only counts if the probed cells still hold the
+      // true closest wrong-label neighbors.
+      val labeled = emb.withColumn("label", col("vec_id") % 5)
+      val labeledQ = labeled.where(col("vec_id") < 256)
+      timed("ann_hard_negatives", m, nEmb) {
+        sink(Similarity.hardNegativesTopK(labeledQ, labeled, "vec_id",
+          "embedding", "label", 10))
+      }
+      timed("ann_hard_negatives_ivf", m, nEmb) {
+        sink(Similarity.hardNegativesIvfTopK(labeledQ, labeled, "vec_id",
+          "embedding", "label", 10, nCells = nCells, nProbe = 8))
+      }
+      if (wanted("ann_hard_negatives_recall_pct")) {
+        def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+        val brute = pairs(Similarity.hardNegativesTopK(labeledQ, labeled,
+          "vec_id", "embedding", "label", 10))
+        val ivf = pairs(Similarity.hardNegativesIvfTopK(labeledQ, labeled,
+          "vec_id", "embedding", "label", 10, nCells = nCells, nProbe = 8))
+        val expected = brute.count()
+        val hit = ivf.intersect(brute).count()
+        println(s"""{"op":"ann_hard_negatives_recall","scale":$m,"n_cells":$nCells,"hit":$hit,"expected":$expected,"recall":${hit.toDouble / expected}}""")
+      }
+      // Robust group stats (op 116): two window quantile passes + one
+      // agg over the SAME per-key shuffle — the claim is linear rows
+      // per key, no extra exchange.
+      timed("stats_robust", m, nSeries) {
+        val wK = Window.partitionBy(col("key"))
+        sink(series
+          .withColumn("med",
+            graft.functions.Stats.quantile(col("ret"), 0.5).over(wK))
+          .withColumn("lo",
+            graft.functions.Stats.quantile(col("ret"), 0.05).over(wK))
+          .withColumn("hi",
+            graft.functions.Stats.quantile(col("ret"), 0.95).over(wK))
+          .groupBy(col("key"))
+          .agg(min(col("med")).as("median"),
+            graft.functions.Stats.madFromMedian(col("ret"), col("med"))
+              .as("mad"),
+            graft.functions.Stats.winsorizedMean(col("ret"), col("lo"),
+              col("hi")).as("winsor_mean")))
+      }
+      // Rolling beta/corr over MANY pairs (the op-107 r9 re-shape):
+      // every non-benchmark key vs key 0, window partitioned by the
+      // pair key — per-pair frame work is constant, so wall-time must
+      // track rows, and no single-partition WindowExec can appear.
+      timed("rolling_beta_corr", m, nSeries) {
+        val bench = series.where(col("key") === 0)
+          .select(col("ord"), col("ret").as("rb"))
+        val paired = series.where(col("key") =!= 0)
+          .select(col("key").as("pair_id"), col("ord"), col("ret").as("ra"))
+          .join(bench, "ord")
+        val w = Window.partitionBy(col("pair_id")).orderBy(col("ord"))
+        sink(paired.select(col("pair_id"), col("ord"),
+          graft.functions.Eod.rollingBeta(col("ra"), col("rb"), w, 60)
+            .as("beta"),
+          graft.functions.Eod.rollingCorr(col("ra"), col("rb"), w, 60)
+            .as("corr")))
+      }
+
       // Skewed shuffle join + agg under AQE; broadcast disabled so the
       // skew-join path (not a broadcast) is what's being measured.
       if (wanted("skew_join_agg")) {
