@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cluster, Corpus, Dedup, Embed, Pq, Resample, Similarity}
+import graft.operators.{Cluster, Corpus, Dedup, Embed, Pq, Resample, Similarity, Sketch}
 
 /** Scale probe: the driver's testdata stops at sf0.1, so this main
   * self-generates inputs at multiples of the sf0.1 row counts (same
@@ -361,6 +361,40 @@ object Scale {
             .as("beta"),
           graft.functions.Eod.rollingCorr(col("ra"), col("rb"), w, 60)
             .as("corr")))
+      }
+      // Sketches (ops 118-119): the claim is fixed-size mergeable
+      // state — wall-time linear in rows, state rows CONSTANT across
+      // scales (≤ m per group for HLL, ≤ depth·width for CMS). The
+      // state-rows line is the evidence the 100 TB rollup story rides
+      // on: partial aggregation collapses every partition to KBs.
+      val sketchToks = docs.select((col("doc_id") % 16).as("src"),
+        explode(split(col("text"), " ")).as("tok"))
+      timed("sketch_hll", m, nDocs) {
+        val regs = Sketch.hllRegisters(sketchToks, Seq("src"), "tok")
+        sink(Sketch.hllEstimate(regs, Seq("src")))
+      }
+      timed("sketch_cms_topk", m, nDocs) {
+        sink(Sketch.cmsTopK(sketchToks, "tok", depth = 4, width = 1024,
+          topK = 20))
+      }
+      if (wanted("sketch_state_rows")) {
+        val hllRows = Sketch.hllRegisters(sketchToks, Seq("src"), "tok").count()
+        val cmsRows = Sketch.cmsCounters(sketchToks, "tok", 4, 1024).count()
+        println(s"""{"op":"sketch_state_rows","scale":$m,"rows":$nDocs,"hll_regs":$hllRows,"cms_cells":$cmsRows}""")
+      }
+      // Weighted sampler (op 120): one per-stratum window, linear scan.
+      timed("corpus_sample_weighted", m, nDocs) {
+        sink(Corpus.weightedSampleN(
+          docs.withColumn("w", length(col("text")).cast("long")),
+          "doc_id", col("doc_id") % 16, col("w"), n = 100))
+      }
+      // C4 line filters (op 121): map-only HOF pipeline — must track
+      // rows with zero shuffle (probe text gets a '.\n' every 6 tokens
+      // so the line rules do real work).
+      timed("corpus_c4_filters", m, nDocs) {
+        val lined = docs.withColumn("text", regexp_replace(col("text"),
+          "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1.\n"))
+        sink(Corpus.c4LineFilters(lined, "doc_id", "text"))
       }
 
       // Skewed shuffle join + agg under AQE; broadcast disabled so the

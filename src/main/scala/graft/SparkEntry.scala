@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Eod, Graft, Pii, Text, Tick}
-import graft.operators.{AsOfJoin, Cluster, Corpus, Dedup, Multimodal, Resample, Similarity}
+import graft.operators.{AsOfJoin, Cluster, Corpus, Dedup, Multimodal, Resample, Similarity, Sketch}
 import graft.sim.MarketSim
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -1274,6 +1274,26 @@ object SparkEntry {
           round(col("right_quote_value"), 6).as("quote_value"))
         .orderBy(col("event_id"))
     }),
+    // Tolerance-bounded as-of (SURVEY §2 op 122): same trade↔quote
+    // alignment, but a quote older than 1 day is no match — the
+    // stale-quote guard. Mixed outcome by construction (median age in
+    // the testdata is ~1.4 days, p10 ~6 h).
+    "asof_join_tolerance" -> ((s, dir) => {
+      val e = events(s, dir)
+      val trades = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val quotes = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("quote_id"), col("value").as("quote_value"))
+      AsOfJoin.backwardWithin(trades, quotes, "user_id", "ts",
+          Seq("quote_id", "quote_value"), maxAgeUs = 86400L * 1000000L)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("trade_value"),
+          col("right_quote_id").as("quote_id"),
+          round(col("right_quote_value"), 6).as("quote_value"),
+          col("right_age_us").as("age_us"))
+        .orderBy(col("event_id"))
+    }),
     "eod_prob_mom" -> ((s, dir) => { // custom Catalyst expression; no SQL oracle
       Graft.register(s)
       // Align series-a row i with series-b row i by pivoting on the
@@ -1895,6 +1915,75 @@ object SparkEntry {
           "doc_id", "text", width = 8, bits = 65536, hashes = 3)
         .select(col("id").as("doc_id"), col("n_grams"),
           col("n_bloom_hits"), col("flagged"))
+        .orderBy(col("doc_id"))
+    }),
+    // HLL distinct-token sketch per source + the max-merged __ALL__ row
+    // (SURVEY §2 op 118) — the mergeability demo: the global row comes
+    // from the per-source register tables, NOT from rescanning tokens.
+    // exact_distinct rides along for the error story.
+    "sketch_hll" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      val regs = Sketch.hllRegisters(toks, Seq("source"), "tok", m = 256)
+      val perSource = Sketch.hllEstimate(regs, Seq("source"), m = 256)
+      val global = Sketch.hllEstimate(
+        regs.groupBy(col("reg")).agg(max(col("max_rank")).as("max_rank"))
+          .withColumn("source", lit("__ALL__")),
+        Seq("source"), m = 256)
+      val exact = toks.groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("exact_distinct"))
+        .unionByName(toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+          .withColumn("source", lit("__ALL__")))
+      perSource.unionByName(global).join(exact, "source")
+        .orderBy(col("source"))
+    }),
+    // Count-Min heavy hitters over the document tokens (op 119):
+    // fixed 4×1024 counter table, estimate = min over hash rows,
+    // global top-20 via TakeOrdered (no single-partition window).
+    "sketch_cms_topk" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      Sketch.cmsTopK(toks, "tok", depth = 4, width = 1024, topK = 20)
+        .select(col("v").as("token"), col("est_cnt"), col("exact_cnt"))
+        .orderBy(col("est_cnt").desc, col("token"))
+    }),
+    // Efraimidis-Spirakis weighted sample: 20 docs per lang,
+    // P(doc) ∝ n_chars, deterministic md5 draw (op 120).
+    "corpus_sample_weighted" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Corpus.weightedSampleN(d, "doc_id", col("lang"), col("n_chars"), n = 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_key"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+    // C4 line filters (op 121) over a deterministic multi-line corpus
+    // derived from documents (the raw text is single-line word soup, so
+    // line rules on it would be vacuous — the PII-corpus convention):
+    // 10-token lines; line i of doc d is a bullet when (d+i)%7=0, gets
+    // "lorem ipsum" when %41=0, a brace when %43=0, and terminal
+    // punctuation unless %3=0. The oracle replays construction AND
+    // filter list-for-list (kept_digest is hash-gated).
+    "corpus_c4_filters" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = Text.tokens(col("text"))
+      val nLines = greatest(ceil(size(toks) / lit(10.0)).cast("int"), lit(1))
+      val lines = transform(sequence(lit(0), nLines - 1), i => {
+        val k = col("doc_id") + i
+        val base = concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))
+        val withLorem = when(k % 41 === 0,
+          concat(base, lit(" and lorem ipsum filler text here"))).otherwise(base)
+        val withBrace = when(k % 43 === 0,
+          concat(withLorem, lit(" {"))).otherwise(withLorem)
+        val punct = when(k % 3 =!= 0,
+          concat(withBrace, lit("."))).otherwise(withBrace)
+        when(k % 7 === 0, concat(lit("- "), punct)).otherwise(punct)
+      })
+      Corpus.c4LineFilters(
+          d.withColumn("text", array_join(lines, "\n")), "doc_id", "text",
+          minWordsPerLine = 5, minKeptLines = 3)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept_lines"),
+          col("n_words_kept"), col("has_lorem"), col("has_brace"),
+          col("kept_digest"), col("keep_doc"))
         .orderBy(col("doc_id"))
     })
   )
@@ -2636,6 +2725,19 @@ object SparkEntry {
           |       q.quote_id, round(q.quote_value, 6) AS quote_value
           |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts <= q.ts
           |ORDER BY t.event_id""".stripMargin,
+      // Tolerance-bounded as-of: ASOF match, then a stale (> 1 day)
+      // match reverts to the null outcome — mirrors backwardWithin.
+      "asof_join_tolerance" ->
+        """WITH t AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+          |q AS (SELECT user_id, ts, event_id AS quote_id, value AS quote_value FROM events WHERE event_type = 'view'),
+          |j AS (SELECT t.user_id, t.event_id, t.value, q.quote_id, q.quote_value,
+          |      epoch_us(t.ts) - epoch_us(q.ts) AS age_us
+          |      FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts)
+          |SELECT user_id, event_id, round(value, 6) AS trade_value,
+          |  CASE WHEN age_us <= 86400000000 THEN quote_id END AS quote_id,
+          |  CASE WHEN age_us <= 86400000000 THEN round(quote_value, 6) END AS quote_value,
+          |  CASE WHEN age_us <= 86400000000 THEN age_us END AS age_us
+          |FROM j ORDER BY event_id""".stripMargin,
       // Multimodal kernel oracles: the synthetic PNG is lossless, so the
       // decoded raster is pixel(x,y) = digest[(x+y) mod 16] with digest
       // byte i rebuilt from md5 hex nibbles 2i+1, 2i+2 via strpos; each
@@ -3252,7 +3354,77 @@ object SparkEntry {
           "SELECT doc_id, count(*) AS n_grams, " +
           "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits, " +
           "sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS flagged " +
-          "FROM hb GROUP BY doc_id ORDER BY doc_id")
+          "FROM hb GROUP BY doc_id ORDER BY doc_id"),
+      // HLL registers replayed exactly: reg = first md5 word mod 256,
+      // rank = 1 + leading zeros of the second word (via bin length);
+      // the __ALL__ row max-merges the per-source register tables.
+      "sketch_hll" ->
+        (s"""WITH tk AS (
+          |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          |  FROM documents
+          |),
+          |""".stripMargin +
+          s"r0 AS (SELECT source, ${md5IntAt("tok", "1")} % 256 AS reg, " +
+          s"CASE WHEN ${md5IntAt("tok", "9")} = 0 THEN 33 ELSE 33 - length(bin(${md5IntAt("tok", "9")})) END AS rank FROM tk), " +
+          "regs AS (SELECT source, reg, max(rank) AS max_rank FROM r0 GROUP BY source, reg), " +
+          "allregs AS (SELECT '__ALL__' AS source, reg, max(max_rank) AS max_rank FROM regs GROUP BY reg), " +
+          "u AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs), " +
+          "agg AS (SELECT source, count(*) AS n_regs, " +
+          "sum(1.0 / CAST(1::BIGINT << max_rank AS DOUBLE)) AS sum_inv FROM u GROUP BY source), " +
+          s"est AS (SELECT source, n_regs, floor((CASE WHEN raw <= 640.0 AND v > 0 " +
+          "THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE raw END) * 1e6 + 0.5) / 1e6 AS est_distinct " +
+          s"FROM (SELECT source, n_regs, 256 - n_regs AS v, " +
+          s"${java.lang.Double.toString(Sketch.hllAlphaM2(256))} / (sum_inv + CAST(256 - n_regs AS DOUBLE)) AS raw FROM agg)), " +
+          "ex AS (SELECT source, count(DISTINCT tok) AS exact_distinct FROM tk GROUP BY source " +
+          "UNION ALL SELECT '__ALL__', count(DISTINCT tok) FROM tk) " +
+          "SELECT source, n_regs, est_distinct, exact_distinct " +
+          "FROM est JOIN ex USING (source) ORDER BY source"),
+      // Count-Min probe: counter = count at (j, h_j(tok)), estimate =
+      // min over the 4 hash rows, global top-20 (est desc, token).
+      "sketch_cms_topk" ->
+        ("WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents), " +
+          "ex AS (SELECT tok, count(*) AS exact_cnt FROM tk GROUP BY tok), " +
+          s"cnts AS (SELECT j.range AS j, ${md5IntAt("(j.range || ':' || tok)", "1")} % 1024 AS pos, " +
+          "count(*) AS cnt FROM tk CROSS JOIN range(0, 4) j GROUP BY 1, 2), " +
+          s"pr AS (SELECT tok, exact_cnt, j.range AS j, ${md5IntAt("(j.range || ':' || tok)", "1")} % 1024 AS pos " +
+          "FROM ex CROSS JOIN range(0, 4) j), " +
+          "est AS (SELECT tok, exact_cnt, min(cnt) AS est_cnt FROM pr JOIN cnts USING (j, pos) GROUP BY tok, exact_cnt) " +
+          "SELECT tok AS token, est_cnt, exact_cnt FROM est ORDER BY est_cnt DESC, token LIMIT 20"),
+      // Efraimidis-Spirakis keys replayed: ln((H + 0.5) / 2^32) / w,
+      // quantized to 1e-6 longs, top-20 per lang (key desc, id).
+      "corpus_sample_weighted" ->
+        (s"WITH w AS (SELECT doc_id, lang, n_chars, " +
+          s"CAST(floor(ln((${md5IntAt("doc_id::VARCHAR", "1")} + 0.5) / 4294967296.0) " +
+          "/ CAST(n_chars AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS sample_key " +
+          "FROM documents WHERE n_chars > 0), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS rn FROM w) " +
+          "SELECT doc_id, lang, n_chars, sample_key FROM r WHERE rn <= 20 ORDER BY lang, doc_id"),
+      // C4 line filters: construction (10-token lines, modular bullet/
+      // lorem/brace/punct decorations) and the line filter replayed
+      // list-for-list; kept_digest gates the exact kept-line set.
+      "corpus_c4_filters" ->
+        ("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |l AS (SELECT doc_id, list_transform(range(0, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1)), i ->
+          |  (CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END) ||
+          |  array_to_string(toks[i*10+1 : i*10+10], ' ') ||
+          |  (CASE WHEN (doc_id + i) % 41 = 0 THEN ' and lorem ipsum filler text here' ELSE '' END) ||
+          |  (CASE WHEN (doc_id + i) % 43 = 0 THEN ' {' ELSE '' END) ||
+          |  (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)) AS lines FROM t),
+          |m AS (SELECT doc_id, lines,
+          |  list_filter(lines, x -> right(rtrim(x), 1) IN ('.', '!', '?', '"') AND
+          |    (CASE WHEN length(trim(x)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(x), '\s+')) END) >= 5) AS kept,
+          |  array_to_string(lines, chr(10)) AS text2 FROM l)
+          |SELECT doc_id,
+          |  CAST(len(lines) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+          |  CAST(COALESCE(list_aggregate(list_transform(kept, x ->
+          |    CASE WHEN length(trim(x)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(x), '\s+')) END), 'sum'), 0) AS BIGINT) AS n_words_kept,
+          |  contains(lower(text2), 'lorem ipsum') AS has_lorem,
+          |  contains(text2, '{') AS has_brace,
+          |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_digest,
+          |  (len(kept) >= 3 AND NOT contains(lower(text2), 'lorem ipsum')
+          |    AND NOT contains(text2, '{')) AS keep_doc
+          |FROM m ORDER BY doc_id""".stripMargin)
     )
   }
 

@@ -45,6 +45,27 @@ object AsOfJoin {
     filled.where(col("_side") === 1).drop("_side")
   }
 
+  /** Tolerance-bounded backward as-of (the `tolerance=` variant of
+    * every as-of API, and the stale-quote guard real trade↔quote
+    * alignment needs): the latest right row with ts <= left ts AND
+    * age ≤ `maxAgeUs` microseconds. A match older than the tolerance
+    * reverts to the no-match (null payload) outcome; `right_age_us`
+    * reports the matched age. Same single key-shuffle plan as
+    * [[backward]] — the tolerance is a post-fill predicate, never a
+    * range-join explosion.
+    */
+  def backwardWithin(left: DataFrame, right: DataFrame, key: String,
+                     ts: String, rightPayload: Seq[String],
+                     maxAgeUs: Long): DataFrame = {
+    val j = backward(left, right, key, ts, rightPayload :+ ts)
+    val age = unix_micros(col(ts)) - unix_micros(col(s"right_$ts"))
+    val within = col(s"right_$ts").isNotNull && age <= maxAgeUs
+    rightPayload.foldLeft(j) { (df, c) =>
+      df.withColumn(s"right_$c", when(within, col(s"right_$c")))
+    }.withColumn("right_age_us", when(within, age))
+      .drop(s"right_$ts")
+  }
+
   /** Forward as-of: for each left row, the EARLIEST right row with
     * right.ts >= left.ts within the same key (the mirror strategy —
     * "next quote after the trade"). Identical single-shuffle shape:

@@ -83,6 +83,46 @@ object Corpus {
           col("symbol_ratio") <= 0.1)
   }
 
+  /** C4-style line-level filters (Raffel et al. 2020 §2.2, the
+    * heuristics FineWeb/RefinedWeb descend from): keep a line iff it
+    * ends in a terminal punctuation mark AND has ≥ `minWordsPerLine`
+    * words; drop the whole doc if fewer than `minKeptLines` lines
+    * survive, or it mentions "lorem ipsum", or it contains a curly
+    * brace (the code-leak heuristic). Output per doc: line counts,
+    * the flags, the kept word total, an md5 digest of the cleaned
+    * (kept-lines-only) text, and the final keep verdict.
+    *
+    * Scale shape: everything is per-row array algebra (split + HOF
+    * filter/aggregate) — NO explode, NO shuffle, prunes at the scan;
+    * the cheapest possible formulation of a line filter at 100 TB.
+    * The DuckDB oracle replays the same list pipeline, so the digest
+    * (and thus the exact kept-line set) is hash-gated, not just the
+    * counts.
+    */
+  def c4LineFilters(df: DataFrame, idCol: String, textCol: String,
+                    minWordsPerLine: Int = 5,
+                    minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def nWords(l: Column): Column =
+      when(length(trim(l)) === 0, lit(0))
+        .otherwise(size(split(trim(l), "\\s+")))
+    def endsPunct(l: Column): Column =
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"")
+    val kept = filter(lines,
+      l => endsPunct(l) && nWords(l) >= minWordsPerLine)
+    df.select(col(idCol).as("id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        aggregate(kept, lit(0L), (acc, l) => acc + nWords(l))
+          .as("n_words_kept"),
+        lower(col(textCol)).contains("lorem ipsum").as("has_lorem"),
+        col(textCol).contains("{").as("has_brace"),
+        md5(array_join(kept, "\n")).as("kept_digest"))
+      .withColumn("keep_doc",
+        col("n_kept_lines") >= minKeptLines &&
+          !col("has_lorem") && !col("has_brace"))
+  }
+
   /** Sliding-window token chunking for training-sequence construction:
     * the complement of [[packSequences]] — long docs become overlapping
     * fixed-size windows (stride < window ⇒ overlap, the standard LM
@@ -218,6 +258,42 @@ object Corpus {
       .withColumn("_rnk", row_number().over(w))
       .where(col("_rnk") <= n)
       .drop("_u", "_cnt", "_rnk")
+      .withColumnRenamed("_stratum", "stratum")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006
+    * A-Res): each row draws key = ln(u)/w (u = md5-uniform, w > 0 its
+    * weight), and the n LARGEST keys per stratum are the sample —
+    * exactly the distribution of sequentially drawing n rows with
+    * probability ∝ weight, but embarrassingly parallel (the key needs
+    * only the row itself). The curation use: "n docs per source,
+    * longer docs proportionally more likely" without a sequential
+    * sampler. Keys quantize to 1e-6 longs (ties → id) so the ranking
+    * is engine-exact (SURVEY §6 ln convention).
+    *
+    * Scale shape: map-only key computation, ONE per-stratum window.
+    * Weight-aware pre-filtering (the [[stratifiedSampleN]] trick)
+    * needs the key distribution, not just counts, so a hot stratum
+    * sorts its own rows here; bound it upstream with a cheap coarse
+    * filter (e.g. drop keys below ln(u)/w_max of a prior run's n-th
+    * key) when a stratum outgrows a partition.
+    */
+  def weightedSampleN(df: DataFrame, idCol: String, strataCol: Column,
+                      weightCol: Column, n: Int): DataFrame = {
+    val key = floor(
+      log(md5Uniform(col(idCol)) + lit(0.5) / 4294967296.0) /
+        weightCol.cast("double") * 1e6 + 0.5).cast("long")
+    val w = Window.partitionBy(col("_stratum"))
+      .orderBy(col("_key").desc, col(idCol))
+    // weight ≤ 0 ⇒ sampling probability 0 (and an ANSI divide hazard):
+    // filter, don't compute.
+    df.where(weightCol > 0)
+      .withColumn("_stratum", strataCol)
+      .withColumn("_key", key)
+      .withColumn("_rnk", row_number().over(w))
+      .where(col("_rnk") <= n)
+      .withColumn("sample_key", col("_key"))
+      .drop("_key", "_rnk")
       .withColumnRenamed("_stratum", "stratum")
   }
 

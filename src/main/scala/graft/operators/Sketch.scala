@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches (SURVEY §2 ops 118-119).
+  *
+  * Why sketches are first-class at 100 TB: `count(DISTINCT x)` and
+  * exact heavy-hitters both shuffle EVERY distinct value — on a
+  * 100 TB corpus the distinct-token set alone is larger than most
+  * clusters' aggregate memory. A sketch replaces that with a
+  * fixed-size, commutative, map-side-combinable state: registers
+  * (HyperLogLog, Flajolet et al. 2007) or counters (Count-Min,
+  * Cormode & Muthukrishnan 2005). Partial aggregation collapses each
+  * input partition to KBs before the exchange, the merge is max/sum
+  * per cell, and sketches from different days / sources / partitions
+  * union without rescanning data — the property the whole lakehouse
+  * rollup pattern rides on.
+  *
+  * Engine-neutral construction (SURVEY §6): all hashing is md5 hex
+  * slices (`conv(substr(md5(v),…),16,10)`), the register rank is
+  * derived from `length(bin(x))` (identical in DuckDB), and the only
+  * transcendental (the low-range `ln` correction) is quantized to
+  * 1e-6 before comparison — so the DuckDB oracle replays the sketch
+  * bit-for-bit, registers included.
+  */
+object Sketch {
+
+  /** md5-derived 32-bit uniform hash of a column (hex chars [from, from+8)). */
+  private def h32(v: Column, from: Int): Column =
+    conv(substring(md5(v.cast("string")), from, 8), 16, 10).cast("long")
+
+  /** alpha_m · m² of the HLL estimator (large-m alpha). Public so the
+    * SQL oracle inlines the bit-identical double literal.
+    */
+  def hllAlphaM2(m: Int): Double = 0.7213 / (1.0 + 1.079 / m) * m * m
+
+  /** HyperLogLog register table: one row per (group, register) with the
+    * max rank observed. Register index = first 32 hash bits mod m;
+    * rank = 1 + leading zeros of the NEXT 32 bits (1..33, 33 for the
+    * all-zero pattern). `max` is duplicate- and order-insensitive, so
+    * no distinct pass is needed anywhere, the agg is map-side
+    * combinable, and register tables from disjoint corpora merge by
+    * another max — the mergeability that makes the sketch worth it.
+    *
+    * m must be a power of two ≥ 128 (the alpha constant below assumes
+    * the large-m regime).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   m: Int = 256): DataFrame = {
+    require(m >= 128 && (m & (m - 1)) == 0, s"m must be a power of two >= 128, got $m")
+    val v = col(valueCol)
+    val x = h32(v, 9) // rank source: second 32-bit slice
+    // leading zeros of a 32-bit pattern via bit length: bin(x) has no
+    // leading zeros, so lz = 32 - length(bin(x)); x = 0 => rank 33.
+    val rank = when(x === 0, lit(33))
+      .otherwise(lit(33) - length(bin(x)))
+    df.select(groupCols.map(col) ++ Seq(
+        (h32(v, 1) % m).as("reg"), rank.as("rank")): _*)
+      .groupBy(groupCols.map(col) :+ col("reg"): _*)
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Estimate per group from a register table (standard HLL with the
+    * small-range linear-counting correction; no sparse mode — the
+    * register table IS the sparse representation). The harmonic sum
+    * uses exact binary fractions (`1 / (1L << rank)`), absent
+    * registers contribute 2^0 = 1 each, so everything up to the final
+    * quantized division/ln is integer-exact and engine-neutral.
+    *
+    * Output: group cols, `n_regs` (registers set), `est_distinct`
+    * (quantized to 1e-6).
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  m: Int = 256): DataFrame = {
+    require(m >= 128 && (m & (m - 1)) == 0, s"m must be a power of two >= 128, got $m")
+    // Σ 2^-rank over set registers; ranks ≤ 33 so each term and the
+    // partial sums are exact doubles (53-bit window is never exceeded).
+    val sumInv =
+      sum(lit(1.0) / expr("shiftleft(1L, CAST(max_rank AS INT))").cast("double"))
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_regs"), sumInv.as("sum_inv"))
+      .withColumn("v_zero", lit(m) - col("n_regs"))
+      .withColumn("raw_est",
+        lit(hllAlphaM2(m)) / (col("sum_inv") + col("v_zero").cast("double")))
+      .withColumn("est_distinct",
+        floor(when(col("raw_est") <= lit(2.5 * m) && col("v_zero") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+          .otherwise(col("raw_est")) * 1e6 + 0.5) / 1e6)
+      .select(groupCols.map(col) :+ col("n_regs") :+ col("est_distinct"): _*)
+  }
+
+  /** Count-Min counter table over the exploded values of `valueCol`:
+    * `depth` hash rows × `width` columns, counter = Σ occurrences at
+    * (row j, position h_j(v)). Fixed depth·width size regardless of
+    * corpus size, sum-mergeable, map-side combinable — the frequency
+    * twin of the HLL register table. Each hash row uses a disjoint
+    * salted md5 ("j:value"), so rows are independent as the CM
+    * guarantee requires.
+    */
+  def cmsCounters(df: DataFrame, valueCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val rows = df.select(col(valueCol).as("v"),
+      explode(sequence(lit(0), lit(depth - 1))).as("j"))
+    rows
+      .select(col("j"),
+        (h32(concat(col("j").cast("string"), lit(":"), col("v")), 1) % width)
+          .as("pos"))
+      .groupBy(col("j"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters via Count-Min probe: estimate(v) = min over hash
+    * rows of the counter at h_j(v) (an overestimate, never under),
+    * ranked (estimate desc, value asc), top `topK` by a global
+    * TakeOrdered — a limit, not a single-partition window. The probe
+    * set is the distinct values; the counter table (depth·width rows)
+    * broadcasts, so the probe is a map-side hash join plus one
+    * per-value min — nothing corpus-sized shuffles twice. The exact
+    * count rides along for the error story (est ≥ exact always).
+    */
+  def cmsTopK(df: DataFrame, valueCol: String, depth: Int = 4,
+              width: Int = 1024, topK: Int = 10): DataFrame = {
+    val counters = cmsCounters(df, valueCol, depth, width)
+    val exact = df.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact.select(col("v"), col("exact_cnt"),
+      explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("pos",
+        h32(concat(col("j").cast("string"), lit(":"), col("v")), 1) % width)
+    probes.join(broadcast(counters), Seq("j", "pos"))
+      .groupBy(col("v"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .orderBy(col("est_cnt").desc, col("v"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Corpus, Sketch}
+
+/** Sketch family (SURVEY §2 ops 118-119), the weighted sampler (120),
+  * C4 line filters (121), and the tolerance as-of (122).
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL estimate is within the expected error band") {
+    // 10k distinct values, m=256 → relative std error 1.04/16 ≈ 6.5%.
+    val df = (0 until 10000).map(i => s"val_$i").toDF("v")
+    val regs = Sketch.hllRegisters(df.withColumn("g", lit("x")), Seq("g"), "v")
+    val est = Sketch.hllEstimate(regs, Seq("g"))
+      .select($"est_distinct").as[Double].head()
+    assert(math.abs(est - 10000) / 10000 < 0.2, s"estimate $est")
+  }
+
+  test("HLL is duplicate-insensitive and registers max-merge") {
+    val base = (0 until 2000).map(i => s"tok_$i")
+    val dups = base ++ base ++ base.take(500)
+    val half1 = base.take(1200).toDF("v").withColumn("g", lit("a"))
+    val half2 = base.drop(800).toDF("v").withColumn("g", lit("b")) // overlap 800..1199
+    val whole = dups.toDF("v").withColumn("g", lit("w"))
+
+    val estWhole = Sketch.hllEstimate(
+      Sketch.hllRegisters(whole, Seq("g"), "v"), Seq("g"))
+      .select($"est_distinct").as[Double].head()
+    // Merge the two halves' register tables by max — must equal the
+    // single-pass estimate over their union (= base = whole distinct).
+    val merged = Sketch.hllRegisters(half1.unionByName(half2), Seq("g"), "v")
+      .groupBy($"reg").agg(max($"max_rank").as("max_rank"))
+      .withColumn("g", lit("m"))
+    val estMerged = Sketch.hllEstimate(merged, Seq("g"))
+      .select($"est_distinct").as[Double].head()
+    assert(estWhole == estMerged, s"$estWhole != $estMerged")
+  }
+
+  test("CMS never underestimates and ranks the true heavy hitter first") {
+    val toks = Seq.fill(500)("heavy") ++ (0 until 300).map(i => s"light_$i")
+    val df = toks.toDF("tok")
+    val out = Sketch.cmsTopK(df, "tok", depth = 4, width = 1024, topK = 5)
+      .select($"v", $"est_cnt", $"exact_cnt")
+      .as[(String, Long, Long)].collect()
+    assert(out.head._1 == "heavy" && out.head._3 == 500L)
+    out.foreach { case (_, est, exact) => assert(est >= exact) }
+    // Counter table is fixed-size regardless of input.
+    assert(Sketch.cmsCounters(df, "tok", 4, 1024).count() <= 4 * 1024)
+  }
+
+  test("weightedSampleN: exact n per stratum, weight-biased, zero-weight excluded") {
+    val rows = (0L until 50L).map(i => (i, "s", 10000L)) ++
+      (50L until 1050L).map(i => (i, "s", 1L)) ++
+      Seq((9999L, "s", 0L)) // weight 0 — must never appear
+    val df = rows.toDF("id", "src", "w")
+    val out = Corpus.weightedSampleN(df, "id", $"src", $"w", n = 20)
+      .select($"id").as[Long].collect()
+    assert(out.length == 20)
+    assert(!out.contains(9999L))
+    // P(heavy) is ~10000× light per draw; the deterministic md5 draw
+    // must reflect the bias overwhelmingly.
+    assert(out.count(_ < 50) >= 15, s"heavy picks: ${out.count(_ < 50)}")
+    // Deterministic: same input → same sample.
+    val again = Corpus.weightedSampleN(df, "id", $"src", $"w", n = 20)
+      .select($"id").as[Long].collect()
+    assert(out.sorted.sameElements(again.sorted))
+  }
+
+  test("c4LineFilters applies the line and doc rules") {
+    val good = "one two three four five six.\nseven eight nine ten eleven!\n" +
+      "this line has six words too.\nshort one." // last line < 5 words → dropped
+    val noPunct = "one two three four five six\nseven eight nine ten eleven\nmore words no punct here now"
+    val lorem = good + "\nand Lorem Ipsum dolor sit amet."
+    val brace = good + "\nvar x = function() {."
+    val df = Seq((1L, good), (2L, noPunct), (3L, lorem), (4L, brace))
+      .toDF("doc_id", "text")
+    val out = Corpus.c4LineFilters(df, "doc_id", "text")
+      .orderBy($"id")
+      .select($"n_lines", $"n_kept_lines", $"has_lorem", $"has_brace", $"keep_doc")
+      .as[(Long, Long, Boolean, Boolean, Boolean)].collect()
+    assert(out(0) == ((4L, 3L, false, false, true)))   // 3 kept lines → keep
+    assert(out(1) == ((3L, 0L, false, false, false)))  // no terminal punct
+    assert(out(2) == ((5L, 4L, true, false, false)))   // lorem kills the doc
+    assert(out(3) == ((5L, 4L, false, true, false)))   // brace kills the doc
+  }
+
+  test("backwardWithin nulls matches older than the tolerance") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val trades = Seq((1L, ts(100), 10L), (1L, ts(500), 11L), (2L, ts(50), 12L))
+      .toDF("k", "ts", "tid")
+    val quotes = Seq((1L, ts(90), 7.0), (1L, ts(120), 8.0))
+      .toDF("k", "ts", "px")
+    val out = AsOfJoin.backwardWithin(trades, quotes, "k", "ts",
+        Seq("px"), maxAgeUs = 60L * 1000000L)
+      .orderBy($"tid")
+      .select($"tid", $"right_px", $"right_age_us")
+      .as[(Long, Option[Double], Option[Long])].collect()
+    assert(out(0) == ((10L, Some(7.0), Some(10000000L)))) // 10s old — kept
+    assert(out(1) == ((11L, None, None))) // best match 380s old — too stale
+    assert(out(2) == ((12L, None, None))) // no quote at all for key 2
+  }
+}
