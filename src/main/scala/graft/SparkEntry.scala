@@ -56,7 +56,8 @@ object SparkEntry {
   val setupStats = scala.collection.concurrent.TrieMap[String, Double]()
 
   private def streamReplay(s: SparkSession, dir: String, table: String,
-                           tag: String)(build: DataFrame => DataFrame): DataFrame = {
+                           tag: String, mode: String = "append")
+                          (build: DataFrame => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
     val path = s"$dir/$table.parquet"
     val out = java.nio.file.Files.createTempDirectory(s"graft-$tag-out").toString
@@ -68,6 +69,7 @@ object SparkEntry {
       .parquet(in.toString)
     val t1 = System.nanoTime()
     val q = build(src).writeStream
+      .outputMode(mode)
       .foreachBatch((batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(out))
       .option("checkpointLocation", ckpt)
@@ -208,7 +210,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ pipelineQueries
 
-  def oracleSql: Map[String, String] = coreOracles ++ pipelineOracles
+  def oracleSql: Map[String, String] = {
+    val p = coreOracles ++ pipelineOracles
+    // op 123: the streamed register table equals the batch one (max is
+    // replay-insensitive), so the streaming query shares op 118's oracle.
+    p + ("streaming_hll" -> p("sketch_hll"))
+  }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- EOD series (SURVEY §2 ops 1,2,7,8,12,6,20,21)
@@ -1924,18 +1931,25 @@ object SparkEntry {
     "sketch_hll" -> ((s, dir) => {
       val toks = tbl(s, dir, "documents")
         .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
-      val regs = Sketch.hllRegisters(toks, Seq("source"), "tok", m = 256)
-      val perSource = Sketch.hllEstimate(regs, Seq("source"), m = 256)
-      val global = Sketch.hllEstimate(
-        regs.groupBy(col("reg")).agg(max(col("max_rank")).as("max_rank"))
-          .withColumn("source", lit("__ALL__")),
-        Seq("source"), m = 256)
-      val exact = toks.groupBy(col("source"))
-        .agg(countDistinct(col("tok")).as("exact_distinct"))
-        .unionByName(toks.agg(countDistinct(col("tok")).as("exact_distinct"))
-          .withColumn("source", lit("__ALL__")))
-      perSource.unionByName(global).join(exact, "source")
-        .orderBy(col("source"))
+      hllReport(s, dir, Sketch.hllRegisters(toks, Seq("source"), "tok", m = 256))
+    }),
+    // Streaming twin (op 123): the stream maintains the register table
+    // (Update-mode agg, state = m rows/group BY CONSTRUCTION, no
+    // watermark needed); estimates are a batch read over the sink.
+    // max is replay/duplicate-insensitive, so the streamed registers —
+    // and therefore every estimate — equal the batch op bit-for-bit
+    // (oracle shared with sketch_hll).
+    "streaming_hll" -> ((s, dir) => {
+      val sunk = streamReplay(s, dir, "documents", "streaming_hll",
+        mode = "update") { src =>
+        graft.streaming.EventStream.hllRegisterStream(
+          src.select(col("source"), explode(Text.tokens(col("text"))).as("tok")),
+          "source", "tok", m = 256)
+      }
+      // Re-merge: Update mode may emit a register several times across
+      // micro-batches; max-merge makes the read idempotent.
+      hllReport(s, dir, sunk.groupBy(col("source"), col("reg"))
+        .agg(max(col("max_rank")).as("max_rank")))
     }),
     // Count-Min heavy hitters over the document tokens (op 119):
     // fixed 4×1024 counter table, estimate = min over hash rows,
@@ -1987,6 +2001,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** Shared tail of the HLL queries (ops 118/123): per-source + merged
+    * __ALL__ estimates from a register table, exact distincts joined
+    * in for the error story.
+    */
+  private def hllReport(s: SparkSession, dir: String,
+                        regs: DataFrame): DataFrame = {
+    val perSource = Sketch.hllEstimate(regs, Seq("source"), m = 256)
+    val global = Sketch.hllEstimate(
+      regs.groupBy(col("reg")).agg(max(col("max_rank")).as("max_rank"))
+        .withColumn("source", lit("__ALL__")),
+      Seq("source"), m = 256)
+    val toks = tbl(s, dir, "documents")
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+      .unionByName(toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+        .withColumn("source", lit("__ALL__")))
+    perSource.unionByName(global).join(exact, "source")
+      .orderBy(col("source"))
+  }
 
   /** Deterministic PII-bearing contact cards derived from customer —
     * the synthetic corpus for the PII ops (documents.text is word soup

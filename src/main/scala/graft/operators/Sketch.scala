@@ -122,13 +122,18 @@ object Sketch {
     */
   def cmsTopK(df: DataFrame, valueCol: String, depth: Int = 4,
               width: Int = 1024, topK: Int = 10): DataFrame = {
-    val counters = cmsCounters(df, valueCol, depth, width)
+    // One token shuffle total: counters derive from the SAME distinct
+    // count aggregate the probe needs (counter cell = Σ exact counts
+    // hashing there — identical to hashing every occurrence, at
+    // depth·|distinct| hashed rows instead of depth·|tokens|).
     val exact = df.groupBy(col(valueCol).as("v"))
       .agg(count(lit(1)).as("exact_cnt"))
     val probes = exact.select(col("v"), col("exact_cnt"),
       explode(sequence(lit(0), lit(depth - 1))).as("j"))
       .withColumn("pos",
         h32(concat(col("j").cast("string"), lit(":"), col("v")), 1) % width)
+    val counters = probes.groupBy(col("j"), col("pos"))
+      .agg(sum(col("exact_cnt")).as("cnt"))
     probes.join(broadcast(counters), Seq("j", "pos"))
       .groupBy(col("v"), col("exact_cnt"))
       .agg(min(col("cnt")).as("est_cnt"))

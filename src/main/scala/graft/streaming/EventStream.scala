@@ -64,6 +64,24 @@ object EventStream {
       .dropDuplicatesWithinWatermark("_digest")
       .drop("_digest")
 
+  /** Streaming HLL distinct-cardinality registers (SURVEY §2 op 123)
+    * — the ingestion twin of [[graft.operators.Sketch.hllRegisters]],
+    * and literally the same declarative plan run as an Update-mode
+    * streaming aggregation: per-row (register, rank) then
+    * `groupBy(group, reg).max(rank)`. The rare stateful op where NO
+    * watermark is the right call: state is bounded BY CONSTRUCTION at
+    * m rows per group (the register table), never by retention — a
+    * forever-running 100 TB/day ingest holds the same few KBs per
+    * group. `max` is order/duplicate/replay-insensitive, so the
+    * streamed register table equals the batch one exactly, and
+    * estimates are a batch read over the continuously-maintained sink
+    * (the production rollup architecture: the stream maintains the
+    * sketch, dashboards query it).
+    */
+  def hllRegisterStream(rows: DataFrame, groupCol: String, valueCol: String,
+                        m: Int = 256): DataFrame =
+    graft.operators.Sketch.hllRegisters(rows, Seq(groupCol), valueCol, m)
+
   /** Read the events table shape as a file stream (parquet source). */
   def readEventStream(spark: org.apache.spark.sql.SparkSession,
                       path: String): DataFrame =

@@ -79,4 +79,28 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains((7L, 2L)) && out.contains((8L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming HLL registers equal the batch registers across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val rows = input.toDF().toDF("source", "tok")
+    val regs = EventStream.hllRegisterStream(rows, "source", "tok")
+    val q = regs.writeStream.format("memory").queryName("hll_regs")
+      .outputMode("update").start()
+    try {
+      val batch1 = (0 until 400).map(i => ("a", s"tok_$i"))
+      val batch2 = (200 until 600).map(i => ("a", s"tok_$i")) // overlap
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // Update mode re-emits changed registers: max-merge the sink,
+      // then compare against the one-shot batch register table.
+      val streamed = spark.table("hll_regs")
+        .groupBy($"source", $"reg").agg(max($"max_rank").as("max_rank"))
+      val batch = graft.operators.Sketch.hllRegisters(
+        (batch1 ++ batch2).toDF("source", "tok"), Seq("source"), "tok")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
 }
