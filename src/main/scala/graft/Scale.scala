@@ -316,6 +316,23 @@ object Scale {
         sink(Similarity.hardNegativesIvfTopK(labeledQ, labeled, "vec_id",
           "embedding", "label", 10, nCells = nCells, nProbe = 8))
       }
+      // Build/search split: the N·√n assignment pass is the index
+      // BUILD, paid once per corpus refresh (ivf_build); searches
+      // against the materialized index see only nProbe·n/nCells
+      // candidates per query (ivf_search) — the number that must beat
+      // brute, and the amortization argument when Q is small.
+      timed("ann_hard_negatives_ivf_build", m, nEmb) {
+        val (cent, cells) = Similarity.ivfCorpusIndex(labeled, "vec_id",
+          "embedding", nCells, labelCol = Some("label"))
+        cent.write.mode("overwrite").parquet(s"$root/$m/ivf_cent")
+        cells.write.mode("overwrite").parquet(s"$root/$m/ivf_cells")
+      }
+      timed("ann_hard_negatives_ivf_search", m, nEmb) {
+        sink(Similarity.ivfSearchIndexed(labeledQ, "vec_id", "embedding",
+          10, 8, spark.read.parquet(s"$root/$m/ivf_cent"),
+          spark.read.parquet(s"$root/$m/ivf_cells"),
+          labelCol = Some("label")))
+      }
       if (wanted("ann_hard_negatives_recall_pct")) {
         def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
         val brute = pairs(Similarity.hardNegativesTopK(labeledQ, labeled,

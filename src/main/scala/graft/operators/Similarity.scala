@@ -149,10 +149,29 @@ object Similarity {
     ivfTopKImpl(queries, corpus, idCol, vecCol, k, nCells, nProbe,
       labelCol = Some(labelCol))
 
-  private def ivfTopKImpl(queries: DataFrame, corpus: DataFrame,
-                          idCol: String, vecCol: String, k: Int,
-                          nCells: Int, nProbe: Int,
-                          labelCol: Option[String]): DataFrame = {
+  /** Cell-assignment score with zero-norm vectors pinned to -Inf: a
+    * degenerate vector still deterministically lands in its lowest-id
+    * cell on every engine, instead of null/NaN ordering silently
+    * dropping it from the argmax (it would stay indexed but unfindable).
+    */
+  private def cellScore(vec: String, norm: String): Column = {
+    val den = col(norm) * col("centn")
+    when(den =!= 0, dotNative(col(vec), col("centv")) / den)
+      .otherwise(lit(Double.NegativeInfinity))
+  }
+
+  /** IVF index build: (centroid table, cell-assigned corpus). This is
+    * the expensive half — ONE corpus×nCells assignment pass (N·√n
+    * distance comps at the √n cell rule), paid once per corpus refresh
+    * and amortized over every later search batch. At small Q the build
+    * dominates end-to-end IVF (the Scale probe measures the split), so
+    * production mining materializes both relations to parquet — the
+    * [[graft.operators.Dedup.minhashIndexRelation]] convention — and
+    * streams query batches against them via [[ivfSearchIndexed]].
+    */
+  def ivfCorpusIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, labelCol: Option[String] = None)
+      : (DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("neighbor_id") +:
         labelCol.toSeq.map(l => col(l).as("cl")) :+
         col(vecCol).cast("array<double>").as("cv"): _*)
@@ -160,28 +179,10 @@ object Similarity {
     val cent = c.orderBy(col("neighbor_id")).limit(nCells)
       .select(col("neighbor_id").as("cell_id"), col("cv").as("centv"),
         col("cn").as("centn"))
-    // Cell-assignment score with zero-norm vectors pinned to -Inf: a
-    // degenerate vector still deterministically lands in its lowest-id
-    // cell on every engine, instead of null/NaN ordering silently
-    // dropping it from the argmax (it would stay indexed but unfindable).
-    def cellScore(vec: String, norm: String): Column = {
-      val den = col(norm) * col("centn")
-      when(den =!= 0, dotNative(col(vec), col("centv")) / den)
-        .otherwise(lit(Double.NegativeInfinity))
-    }
-    def assign(df: DataFrame, vec: String, norm: String, take: Int,
-               outPrefix: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(cent))
-        .withColumn("_cs", cellScore(vec, norm))
-      val w = Window.partitionBy(col(s"${outPrefix}_id"))
-        .orderBy(col("_cs").desc, col("cell_id"))
-      scored.withColumn("_r", row_number().over(w)).where(col("_r") <= take)
-        .drop("centv", "centn", "_cs", "_r")
-    }
     // Corpus→cell is argmax (take=1): a max_by hash aggregate with
     // map-side partials — NOT a window, which would shuffle and sort
     // corpus×nCells rows by vector id. Tie-break (-cell_id) matches the
-    // window's (cosine DESC, cell_id ASC).
+    // probe window's (cosine DESC, cell_id ASC).
     val corpusCells = c.crossJoin(broadcast(cent))
       .withColumn("_cs", cellScore("cv", "cn"))
       .groupBy(col("neighbor_id").as("nid"))
@@ -192,11 +193,29 @@ object Similarity {
       .select(Seq(col("nid"), col("_m.cell_id").as("cell_id"),
         col("_m.cv").as("cv"), col("_m.cn").as("cn")) ++
         labelCol.map(_ => col("_m.cl").as("cl")): _*)
+    (cent, corpusCells)
+  }
+
+  /** Search a prebuilt IVF index (see [[ivfCorpusIndex]]): probe the
+    * query's nProbe nearest cells, exact-rank the candidates. Per-query
+    * cost is nProbe·n/nCells candidate scores + the broadcast centroid
+    * probe — independent of how the index was produced (in-plan or
+    * read back from parquet).
+    */
+  def ivfSearchIndexed(queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int, cent: DataFrame,
+                       corpusCells: DataFrame,
+                       labelCol: Option[String] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id") +:
         labelCol.toSeq.map(l => col(l).as("ql")) :+
         col(vecCol).cast("array<double>").as("qv"): _*)
       .withColumn("qn", normNative(col("qv")))
-    val probes = assign(q, "qv", "qn", nProbe, "query")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cs").desc, col("cell_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("_cs", cellScore("qv", "qn"))
+      .withColumn("_r", row_number().over(w)).where(col("_r") <= nProbe)
+      .drop("centv", "centn", "_cs", "_r")
     val candidates = corpusCells.join(probes, "cell_id")
     // Null-safe, like bruteTopK: NULL labels form their own class
     // instead of nulling the predicate and vanishing from the mine.
@@ -204,14 +223,24 @@ object Similarity {
         candidates.where(!(col("cl") <=> col("ql"))))
       .withColumn("cosine",
         dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
+    val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
       .select(Seq(col("query_id"), col("rank"),
         col("nid").as("neighbor_id")) ++
         labelCol.map(_ => col("cl").as("neighbor_label")) :+
         round(col("cosine"), 6).as("cosine"): _*)
+  }
+
+  private def ivfTopKImpl(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          nCells: Int, nProbe: Int,
+                          labelCol: Option[String]): DataFrame = {
+    val (cent, corpusCells) =
+      ivfCorpusIndex(corpus, idCol, vecCol, nCells, labelCol)
+    ivfSearchIndexed(queries, idCol, vecCol, k, nProbe, cent, corpusCells,
+      labelCol)
   }
 
   /** LSH-bucketed ANN: brute-force ranking *within* sign buckets.
