@@ -212,9 +212,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val p = coreOracles ++ pipelineOracles
-    // op 123: the streamed register table equals the batch one (max is
-    // replay-insensitive), so the streaming query shares op 118's oracle.
-    p + ("streaming_hll" -> p("sketch_hll"))
+    // ops 123/124: the streamed sketch state equals the batch state
+    // (HLL registers max-merge; CMS counters only grow, so the sink
+    // max-merge is the final cumulative table) — the streaming queries
+    // share the batch ops' oracles.
+    p + ("streaming_hll" -> p("sketch_hll")) +
+      ("streaming_cms" -> p("sketch_cms_topk"))
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1958,6 +1961,27 @@ object SparkEntry {
       val toks = tbl(s, dir, "documents")
         .select(explode(Text.tokens(col("text"))).as("tok"))
       Sketch.cmsTopK(toks, "tok", depth = 4, width = 1024, topK = 20)
+        .select(col("v").as("token"), col("est_cnt"), col("exact_cnt"))
+        .orderBy(col("est_cnt").desc, col("token"))
+    }),
+    // Streaming Count-Min (op 124): the stream maintains the fixed
+    // depth×width counter table (Update-mode agg, construction-bounded
+    // state); counters only grow, so max-merging the sink reconstructs
+    // the batch table exactly and the heavy-hitter probe runs batch
+    // over it (oracle shared with sketch_cms_topk).
+    "streaming_cms" -> ((s, dir) => {
+      val sunk = streamReplay(s, dir, "documents", "streaming_cms",
+        mode = "update") { src =>
+        graft.streaming.EventStream.cmsCounterStream(
+          src.select(explode(Text.tokens(col("text"))).as("tok")),
+          "tok", depth = 4, width = 1024)
+      }
+      val counters = sunk.groupBy(col("j"), col("pos"))
+        .agg(max(col("cnt")).cast("long").as("cnt"))
+      val toks = tbl(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      Sketch.cmsProbeTopK(toks, "tok", counters, depth = 4, width = 1024,
+          topK = 20)
         .select(col("v").as("token"), col("est_cnt"), col("exact_cnt"))
         .orderBy(col("est_cnt").desc, col("token"))
     }),

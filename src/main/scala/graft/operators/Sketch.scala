@@ -128,16 +128,36 @@ object Sketch {
     // depth·|distinct| hashed rows instead of depth·|tokens|).
     val exact = df.groupBy(col(valueCol).as("v"))
       .agg(count(lit(1)).as("exact_cnt"))
-    val probes = exact.select(col("v"), col("exact_cnt"),
-      explode(sequence(lit(0), lit(depth - 1))).as("j"))
+    val probes = probePositions(exact, depth, width)
+    val counters = probes.groupBy(col("j"), col("pos"))
+      .agg(sum(col("exact_cnt")).cast("long").as("cnt"))
+    rankProbes(probes, counters, topK)
+  }
+
+  /** Heavy-hitter probe against a PREBUILT counter table (e.g. the
+    * max-merged sink of a streaming [[cmsCounters]] run) — same probe
+    * join and ranking as [[cmsTopK]], counter provenance independent.
+    */
+  def cmsProbeTopK(df: DataFrame, valueCol: String, counters: DataFrame,
+                   depth: Int = 4, width: Int = 1024,
+                   topK: Int = 10): DataFrame = {
+    val exact = df.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    rankProbes(probePositions(exact, depth, width), counters, topK)
+  }
+
+  private def probePositions(exact: DataFrame, depth: Int,
+                             width: Int): DataFrame =
+    exact.select(col("v"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
       .withColumn("pos",
         h32(concat(col("j").cast("string"), lit(":"), col("v")), 1) % width)
-    val counters = probes.groupBy(col("j"), col("pos"))
-      .agg(sum(col("exact_cnt")).as("cnt"))
+
+  private def rankProbes(probes: DataFrame, counters: DataFrame,
+                         topK: Int): DataFrame =
     probes.join(broadcast(counters), Seq("j", "pos"))
       .groupBy(col("v"), col("exact_cnt"))
       .agg(min(col("cnt")).as("est_cnt"))
       .orderBy(col("est_cnt").desc, col("v"))
       .limit(topK)
-  }
 }

@@ -82,6 +82,20 @@ object EventStream {
                         m: Int = 256): DataFrame =
     graft.operators.Sketch.hllRegisters(rows, Seq(groupCol), valueCol, m)
 
+  /** Streaming Count-Min counter maintenance (SURVEY §2 op 124) — the
+    * frequency twin of [[hllRegisterStream]]: the fixed depth×width
+    * counter table as an Update-mode streaming aggregation, state
+    * bounded BY CONSTRUCTION (≤ depth·width rows, no watermark).
+    * Counters only grow, so each Update re-emission carries the new
+    * cumulative count and a max-merge over the sink reconstructs the
+    * exact batch counter table — heavy-hitter probes then run batch
+    * over the continuously-maintained sink, sharing the batch op's
+    * oracle.
+    */
+  def cmsCounterStream(rows: DataFrame, valueCol: String,
+                       depth: Int = 4, width: Int = 1024): DataFrame =
+    graft.operators.Sketch.cmsCounters(rows, valueCol, depth, width)
+
   /** Read the events table shape as a file stream (parquet source). */
   def readEventStream(spark: org.apache.spark.sql.SparkSession,
                       path: String): DataFrame =

@@ -296,4 +296,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "length filter degenerated to a cartesian product:\n" + p.take(1200))
   }
+
+  test("C4 line filters are map-only: no hash shuffle before the sort") {
+    // the operator is pure HOF array algebra; the only exchange the
+    // query plan may contain is the final orderBy's range partitioning
+    val p = finalPlan("corpus_c4_filters")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "C4 filters shuffled — the zero-shuffle claim is false:\n" + p.take(1200))
+  }
+
+  test("CMS top-k probes a broadcast counter table and takes k ordered") {
+    val p = finalPlan("sketch_cms_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "counter table was not broadcast to the probe:\n" + p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k is not a TakeOrdered (a full sort would not scale):\n" +
+        p.take(1200))
+    assert(!p.contains("CartesianProduct"),
+      "CMS probe degenerated to a cartesian product:\n" + p.take(1200))
+  }
+
+  test("HLL estimate never joins corpus-sized relations by nested loop") {
+    val p = finalPlan("sketch_hll")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "HLL report degenerated to an all-pairs join:\n" + p.take(1200))
+  }
 }

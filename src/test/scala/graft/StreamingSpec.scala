@@ -103,4 +103,29 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     } finally q.stop()
   }
+
+  test("streaming CMS counters max-merge to the batch counter table") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val rows = input.toDF().toDF("tok")
+    val counters = EventStream.cmsCounterStream(rows, "tok", depth = 2,
+      width = 64)
+    val q = counters.writeStream.format("memory").queryName("cms_cnt")
+      .outputMode("update").start()
+    try {
+      val batch1 = Seq.fill(30)("heavy") ++ (0 until 50).map(i => s"t$i")
+      val batch2 = Seq.fill(20)("heavy") ++ (25 until 75).map(i => s"t$i")
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // Counters only grow: max per cell across Update re-emissions is
+      // the final cumulative count — i.e. the one-shot batch table.
+      val streamed = spark.table("cms_cnt")
+        .groupBy($"j", $"pos").agg(max($"cnt").as("cnt"))
+      val batch = graft.operators.Sketch.cmsCounters(
+        (batch1 ++ batch2).toDF("tok"), "tok", depth = 2, width = 64)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
 }
