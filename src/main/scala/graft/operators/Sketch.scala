@@ -55,7 +55,10 @@ object Sketch {
     // leading zeros, so lz = 32 - length(bin(x)); x = 0 => rank 33.
     val rank = when(x === 0, lit(33))
       .otherwise(lit(33) - length(bin(x)))
-    df.select(groupCols.map(col) ++ Seq(
+    // A NULL value carries no cardinality; un-filtered it would form a
+    // null register row and corrupt v_zero = m - n_regs downstream.
+    df.where(v.isNotNull)
+      .select(groupCols.map(col) ++ Seq(
         (h32(v, 1) % m).as("reg"), rank.as("rank")): _*)
       .groupBy(groupCols.map(col) :+ col("reg"): _*)
       .agg(max(col("rank")).as("max_rank"))
@@ -101,8 +104,10 @@ object Sketch {
     */
   def cmsCounters(df: DataFrame, valueCol: String,
                   depth: Int = 4, width: Int = 1024): DataFrame = {
-    val rows = df.select(col(valueCol).as("v"),
-      explode(sequence(lit(0), lit(depth - 1))).as("j"))
+    // NULL values carry no frequency (and would hash to a null cell).
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).as("v"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
     rows
       .select(col("j"),
         (h32(concat(col("j").cast("string"), lit(":"), col("v")), 1) % width)
@@ -148,7 +153,8 @@ object Sketch {
 
   private def probePositions(exact: DataFrame, depth: Int,
                              width: Int): DataFrame =
-    exact.select(col("v"), col("exact_cnt"),
+    exact.where(col("v").isNotNull) // null probes can't match a cell
+      .select(col("v"), col("exact_cnt"),
         explode(sequence(lit(0), lit(depth - 1))).as("j"))
       .withColumn("pos",
         h32(concat(col("j").cast("string"), lit(":"), col("v")), 1) % width)

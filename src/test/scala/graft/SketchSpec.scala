@@ -39,6 +39,17 @@ class SketchSpec extends SparkSpec {
     assert(estWhole == estMerged, s"$estWhole != $estMerged")
   }
 
+  test("NULL values carry no cardinality or frequency") {
+    val clean = (0 until 500).map(i => Option(s"v_$i"))
+    val noisy = clean ++ Seq.fill(50)(Option.empty[String])
+    def est(xs: Seq[Option[String]]) = Sketch.hllEstimate(
+      Sketch.hllRegisters(xs.toDF("v").withColumn("g", lit(1)), Seq("g"), "v"),
+      Seq("g")).select($"est_distinct").as[Double].head()
+    assert(est(clean) == est(noisy))
+    assert(Sketch.cmsCounters(noisy.toDF("v"), "v").agg(sum($"cnt"))
+      .as[Long].head() == 4 * 500L)
+  }
+
   test("CMS never underestimates and ranks the true heavy hitter first") {
     val toks = Seq.fill(500)("heavy") ++ (0 until 300).map(i => s"light_$i")
     val df = toks.toDF("tok")
