@@ -1405,7 +1405,11 @@ object SparkEntry {
       withRet(s, dir).select(col("event_type"), col("event_id"),
         round(Eod.rollingMean(col("ret"), wT, 20), 4).as("roll_mean"),
         round(Eod.rollingVolatility(col("ret"), wT, 20), 4).as("roll_vol"),
-        round(Eod.rollingSharpe(col("ret"), wT, 20), 4).as("roll_sharpe"))),
+        round(Eod.rollingSharpe(col("ret"), wT, 20), 4).as("roll_sharpe"),
+        round(Eod.rollingDownsideDev(col("ret"), wT, 20), 4).as("roll_downside"),
+        // sortino crosses zero → −0.0 guard (SURVEY §6 round()+0.0)
+        (round(Eod.rollingSortino(col("ret"), wT, 20), 4) + lit(0.0))
+          .as("roll_sortino"))),
 
     // ---- sessionization (session_window: same expression batch+stream)
     "sessionize" -> ((s, dir) =>
@@ -2713,7 +2717,10 @@ object SparkEntry {
           |SELECT event_type, event_id,
           |  round(avg(ret) OVER tw, 4) AS roll_mean,
           |  round(stddev_samp(ret) OVER tw, 4) AS roll_vol,
-          |  round(avg(ret) OVER tw / stddev_samp(ret) OVER tw * sqrt(252.0), 4) AS roll_sharpe
+          |  round(avg(ret) OVER tw / stddev_samp(ret) OVER tw * sqrt(252.0), 4) AS roll_sharpe,
+          |  round(sqrt(avg(CASE WHEN ret IS NULL THEN NULL ELSE least(ret, 0) * least(ret, 0) END) OVER tw), 4) AS roll_downside,
+          |  round(CASE WHEN sqrt(avg(CASE WHEN ret IS NULL THEN NULL ELSE least(ret, 0) * least(ret, 0) END) OVER tw) <> 0
+          |        THEN avg(ret) OVER tw / sqrt(avg(CASE WHEN ret IS NULL THEN NULL ELSE least(ret, 0) * least(ret, 0) END) OVER tw) * sqrt(252.0) END, 4) + 0.0 AS roll_sortino
           |FROM r
           |WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
           |              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,

@@ -103,6 +103,29 @@ object Eod {
   def rollingMaxDrawdown(dd: Column, w: WindowSpec, n: Int): Column =
     min(dd).over(trailing(w, n))
 
+  /** Rolling downside deviation over the trailing n rows: RMS of the
+    * loss part, sqrt(mean(min(r,0)²)) — Sortino's denominator
+    * (ref ratios.py:23 uses the same loss-only std over the full
+    * series). Explicit x*x (not pow) so the kernel never depends on
+    * the pow² rewrite rule being registered.
+    */
+  def rollingDownsideDev(ret: Column, w: WindowSpec, n: Int): Column = {
+    // least() SKIPS nulls on both engines (least(null, 0) = 0), which
+    // would count a null return as a zero loss — mask explicitly so a
+    // null contributes nothing, like every other aggregate here.
+    val loss = when(ret.isNotNull, least(ret, lit(0.0)))
+    sqrt(avg(loss * loss).over(trailing(w, n)))
+  }
+
+  /** Rolling Sortino over the trailing n rows (annualized by
+    * `periods`); null when the frame has no losses — the omega/sortino
+    * loss-free convention, and an ANSI divide guard.
+    */
+  def rollingSortino(ret: Column, w: WindowSpec, n: Int,
+                     periods: Int = TradingDaysPerYear): Column =
+    safeDiv(rollingMean(ret, w, n), rollingDownsideDev(ret, w, n)) *
+      math.sqrt(periods.toDouble)
+
   /** Convert annualized returns to periodic: (1+r)^(1/n)-1. Ref: temporal.py:13. */
   def deannualize(ret: Column, n: Int): Column =
     pow(ret + 1.0, 1.0 / n) - 1.0

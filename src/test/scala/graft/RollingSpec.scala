@@ -38,4 +38,20 @@ class RollingSpec extends SparkSpec {
       .as[(Double, Double)].collect()
     rows.foreach { case (s, m) => assert(math.abs(s - m) < 1e-12) }
   }
+
+  test("rolling sortino: loss-only RMS denominator, null when no losses") {
+    val rets = Seq(0.02, -0.01, 0.03, -0.02, 0.01)
+    val df = rets.zipWithIndex.map { case (r, i) => ("a", i, r) }.toDF("k", "t", "r")
+    val out = df.select($"t",
+        Eod.rollingDownsideDev($"r", w, 3).as("dd"),
+        Eod.rollingSortino($"r", w, 3).as("so"))
+      .orderBy($"t").as[(Int, Double, Option[Double])].collect()
+    // t=3: frame {-0.01, 0.03, -0.02} → RMS of {-0.01, 0, -0.02}
+    val dd = math.sqrt((0.01 * 0.01 + 0.0 + 0.02 * 0.02) / 3)
+    assert(math.abs(out(3)._2 - dd) < 1e-12)
+    val mean = (-0.01 + 0.03 - 0.02) / 3
+    assert(math.abs(out(3)._3.get - mean / dd * math.sqrt(252.0)) < 1e-12)
+    // t=0: the only frame row is a gain → zero downside → null sortino
+    assert(out(0)._2 == 0.0 && out(0)._3.isEmpty)
+  }
 }
