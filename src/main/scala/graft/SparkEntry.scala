@@ -1632,6 +1632,33 @@ object SparkEntry {
           round(col("vwap"), 6).as("vwap"), col("n_ticks"))
         .orderBy(col("event_type"), col("bs"))
     }),
+    // Volume / dollar bars (op 59 extensions, López de Prado's
+    // information-driven bars): equal-activity bars via exclusive
+    // prefix sums — integral volume (and cent-quantized dollars) keep
+    // the cumsum engine-exact, so bar EDGES replay bit-for-bit.
+    "tick_volume_bars" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("volume", volume)
+      graft.operators.Bars
+        .volumeBars(e, "event_type", "ts", "value", "volume", threshold = 5000L)
+        .select(col("event_type"), col("bar"),
+          round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+          round(col("volume"), 6).as("volume"),
+          round(col("vwap"), 6).as("vwap"), col("n_ticks"))
+        .orderBy(col("event_type"), col("bar"))
+    }),
+    "tick_dollar_bars" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("volume", volume)
+      graft.operators.Bars
+        .dollarBars(e, "event_type", "ts", "value", "volume",
+          thresholdCents = 50000000L)
+        .select(col("event_type"), col("bar"),
+          round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+          round(col("volume"), 6).as("volume"),
+          round(col("vwap"), 6).as("vwap"), col("n_ticks"))
+        .orderBy(col("event_type"), col("bar"))
+    }),
 
     // ---- quote analytics + latency (reference quote/latency stubs)
     "quote_stats" -> ((s, dir) => {
@@ -2756,6 +2783,39 @@ object SparkEntry {
           |        / CAST(sum(CAST($SQL_VOL AS DECIMAL(30,10))) AS DOUBLE), 6) AS vwap,
           |  count(*) AS n_ticks
           |FROM events GROUP BY event_type, bs ORDER BY event_type, bs""".stripMargin,
+      "tick_volume_bars" ->
+        s"""WITH c AS (
+          |  SELECT event_type, ts, value, $SQL_VOL AS vol,
+          |    COALESCE(sum($SQL_VOL) OVER (PARTITION BY event_type ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          |  FROM events)
+          |SELECT event_type, CAST(floor(pre / 5000) AS BIGINT) AS bar,
+          |  round(arg_min(value, ts), 6) AS open,
+          |  round(max(value), 6) AS high,
+          |  round(min(value), 6) AS low,
+          |  round(arg_max(value, ts), 6) AS close,
+          |  round(sum(vol), 6) AS volume,
+          |  round(CAST(sum(CAST(value * vol AS DECIMAL(30,10))) AS DOUBLE)
+          |        / CAST(sum(CAST(vol AS DECIMAL(30,10))) AS DOUBLE), 6) AS vwap,
+          |  count(*) AS n_ticks
+          |FROM c GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin,
+      "tick_dollar_bars" ->
+        s"""WITH c AS (
+          |  SELECT event_type, ts, value, $SQL_VOL AS vol,
+          |    COALESCE(sum(CAST(floor(value * $SQL_VOL * 100 + 0.5) AS BIGINT))
+          |      OVER (PARTITION BY event_type ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          |  FROM events)
+          |SELECT event_type, CAST(floor(CAST(pre AS DOUBLE) / 50000000) AS BIGINT) AS bar,
+          |  round(arg_min(value, ts), 6) AS open,
+          |  round(max(value), 6) AS high,
+          |  round(min(value), 6) AS low,
+          |  round(arg_max(value, ts), 6) AS close,
+          |  round(sum(vol), 6) AS volume,
+          |  round(CAST(sum(CAST(value * vol AS DECIMAL(30,10))) AS DOUBLE)
+          |        / CAST(sum(CAST(vol AS DECIMAL(30,10))) AS DOUBLE), 6) AS vwap,
+          |  count(*) AS n_ticks
+          |FROM c GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin,
       "quote_stats" ->
         """WITH e AS (
           |  SELECT event_type, value AS bid,

@@ -32,6 +32,63 @@ object Bars {
         col("high"), col("low"), col("close"), col("volume"),
         col("vwap"), col("n_ticks"))
 
+  /** Volume bars (the information-driven bar family of López de Prado
+    * 2018 §2.3.1.2 — canonical extensions of the reference's empty
+    * bars module): a bar closes each `threshold` units of traded
+    * volume, so bars carry equal activity instead of equal time. Bar
+    * id = floor(exclusive-prefix volume / threshold) — the crossing
+    * tick CLOSES its bar. Volume must be integral (it rides in as
+    * double): integer-valued prefix sums are exact doubles under ANY
+    * summation order, so bar edges are engine- and
+    * partitioning-reproducible. One per-key window + one (key, bar)
+    * hash agg — two shuffles, both on the series key family.
+    */
+  def volumeBars(df: DataFrame, key: String, ts: String, price: String,
+                 volume: String, threshold: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    barsByBucket(df.withColumn("_bar",
+        floor(coalesce(sum(col(volume)).over(w), lit(0.0)) / threshold)
+          .cast("long")),
+      key, ts, price, volume)
+  }
+
+  /** Dollar bars: a bar closes each `thresholdCents` of traded value.
+    * Per-tick value quantizes to integer CENTS before the prefix sum
+    * (floor(p·v·100 + 0.5)) — a float prefix sum's association varies
+    * by engine/partitioning and a last-ulp drift at a bar edge would
+    * move a tick across bars; integer cents make the cumsum exact.
+    */
+  def dollarBars(df: DataFrame, key: String, ts: String, price: String,
+                 volume: String, thresholdCents: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cents = floor(col(price) * col(volume) * 100 + 0.5).cast("long")
+    barsByBucket(df.withColumn("_cents", cents)
+        .withColumn("_bar",
+          floor(coalesce(sum(col("_cents")).over(w), lit(0L))
+            .cast("double") / thresholdCents).cast("long"))
+        .drop("_cents"),
+      key, ts, price, volume)
+  }
+
+  /** Shared OHLCV aggregation over a precomputed `_bar` bucket. */
+  private def barsByBucket(df: DataFrame, key: String, ts: String,
+                           price: String, volume: String): DataFrame =
+    df.groupBy(col(key), col("_bar"))
+      .agg(
+        min_by(col(price), col(ts)).as("open"),
+        max(col(price)).as("high"),
+        min(col(price)).as("low"),
+        max_by(col(price), col(ts)).as("close"),
+        sum(col(volume)).as("volume"),
+        (sum((col(price) * col(volume)).cast("decimal(30,10)")).cast("double") /
+          sum(col(volume).cast("decimal(30,10)")).cast("double")).as("vwap"),
+        count(lit(1)).as("n_ticks"))
+      .withColumnRenamed("_bar", "bar")
+
   /** Tick bars: one bar per `every` ticks (reference-adjacent concept;
     * needs a per-key ordered index → window then aggregate).
     */
