@@ -1995,6 +1995,28 @@ object SparkEntry {
         .select(col("v").as("token"), col("est_cnt"), col("exact_cnt"))
         .orderBy(col("est_cnt").desc, col("token"))
     }),
+    // HLL set algebra (op 125): pairwise source-overlap estimates by
+    // register algebra alone — |A∪B| from max-merged registers (no
+    // rescan), |A∩B| by inclusion-exclusion. Exact intersections ride
+    // along for the error story.
+    "sketch_hll_overlap" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      val regs = Sketch.hllRegisters(toks, Seq("source"), "tok", m = 256)
+        .withColumnRenamed("source", "g")
+      val dt = toks.distinct()
+      val exact = dt.select(col("source").as("ga"), col("tok"))
+        .join(dt.select(col("source").as("gb"), col("tok")), "tok")
+        .where(col("ga") < col("gb"))
+        .groupBy(col("ga"), col("gb"))
+        .agg(countDistinct(col("tok")).as("exact_intersect"))
+      Sketch.hllOverlap(regs, m = 256)
+        .join(exact, Seq("ga", "gb"), "left")
+        .select(col("ga").as("source_a"), col("gb").as("source_b"),
+          col("est_a"), col("est_b"), col("est_union"), col("est_intersect"),
+          coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
     // Streaming Count-Min (op 124): the stream maintains the fixed
     // depth×width counter table (Update-mode agg, construction-bounded
     // state); counters only grow, so max-merging the sink reconstructs
@@ -3505,6 +3527,43 @@ object SparkEntry {
           "UNION ALL SELECT '__ALL__', count(DISTINCT tok) FROM tk) " +
           "SELECT source, n_regs, est_distinct, exact_distinct " +
           "FROM est JOIN ex USING (source) ORDER BY source"),
+      // HLL overlap: same register CTEs; per-pair union registers by
+      // max-merge, inclusion-exclusion for the intersect estimate.
+      "sketch_hll_overlap" -> {
+        // estimate from a (…, n_regs, sum_inv) relation, keyed by $keys
+        def est(src: String, keys: String, out: String) =
+          s"SELECT $keys, floor((CASE WHEN raw <= 640.0 AND v > 0 " +
+            s"THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE raw END) * 1e6 + 0.5) / 1e6 AS $out " +
+            s"FROM (SELECT $keys, 256 - n_regs AS v, " +
+            s"${java.lang.Double.toString(Sketch.hllAlphaM2(256))} / (sum_inv + CAST(256 - n_regs AS DOUBLE)) AS raw FROM $src)"
+        s"""WITH tk AS (
+          |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          |  FROM documents
+          |),
+          |""".stripMargin +
+          s"r0 AS (SELECT source, ${md5IntAt("tok", "1")} % 256 AS reg, " +
+          s"CASE WHEN ${md5IntAt("tok", "9")} = 0 THEN 33 ELSE 33 - length(bin(${md5IntAt("tok", "9")})) END AS rank FROM tk), " +
+          "regs AS (SELECT source, reg, max(rank) AS max_rank FROM r0 GROUP BY source, reg), " +
+          "g AS (SELECT DISTINCT source FROM regs), " +
+          "pairs AS (SELECT a.source AS ga, b.source AS gb FROM g a, g b WHERE a.source < b.source), " +
+          "contrib AS (SELECT p.ga, p.gb, r.reg, r.max_rank FROM regs r JOIN pairs p ON r.source = p.ga " +
+          "UNION ALL SELECT p.ga, p.gb, r.reg, r.max_rank FROM regs r JOIN pairs p ON r.source = p.gb), " +
+          "mg AS (SELECT ga, gb, reg, max(max_rank) AS max_rank FROM contrib GROUP BY ga, gb, reg), " +
+          "agg1 AS (SELECT source, count(*) AS n_regs, sum(1.0 / CAST(1::BIGINT << max_rank AS DOUBLE)) AS sum_inv FROM regs GROUP BY source), " +
+          "aggu AS (SELECT ga, gb, count(*) AS n_regs, sum(1.0 / CAST(1::BIGINT << max_rank AS DOUBLE)) AS sum_inv FROM mg GROUP BY ga, gb), " +
+          s"e1 AS (${est("agg1", "source", "est_d")}), " +
+          s"eu AS (${est("aggu", "ga, gb", "est_union")}), " +
+          "dt AS (SELECT DISTINCT source, tok FROM tk), " +
+          "ex AS (SELECT a.source AS ga, b.source AS gb, count(DISTINCT a.tok) AS exact_intersect " +
+          "FROM dt a JOIN dt b USING (tok) WHERE a.source < b.source GROUP BY a.source, b.source) " +
+          "SELECT eu.ga AS source_a, eu.gb AS source_b, " +
+          "ea.est_d AS est_a, eb.est_d AS est_b, eu.est_union, " +
+          "ea.est_d + eb.est_d - eu.est_union AS est_intersect, " +
+          "COALESCE(ex.exact_intersect, 0) AS exact_intersect " +
+          "FROM eu JOIN e1 ea ON ea.source = eu.ga JOIN e1 eb ON eb.source = eu.gb " +
+          "LEFT JOIN ex ON ex.ga = eu.ga AND ex.gb = eu.gb " +
+          "ORDER BY source_a, source_b"
+      },
       // Count-Min probe: counter = count at (j, h_j(tok)), estimate =
       // min over the 4 hash rows, global top-20 (est desc, token).
       "sketch_cms_topk" ->

@@ -94,6 +94,47 @@ object Sketch {
       .select(groupCols.map(col) :+ col("n_regs") :+ col("est_distinct"): _*)
   }
 
+  /** Pairwise distinct-overlap estimates between groups, by register
+    * algebra alone: |A∪B| comes from max-merging the two groups'
+    * register tables (no rescan of either corpus), and
+    * |A∩B| = |A| + |B| − |A∪B| by inclusion-exclusion. The intersect
+    * estimate inherits ~3× the union's error (three estimates
+    * subtract), the classic HLL-intersection caveat — fine for "how
+    * much do these sources overlap" triage, which is the curation
+    * question (shared boilerplate / mirrored content across crawls).
+    *
+    * Input is a register table from [[hllRegisters]] with ONE group
+    * column named `g`. Output: (ga, gb, est_a, est_b, est_union,
+    * est_intersect) for each unordered pair ga < gb. Register tables
+    * are m rows per group, so the pair join is trivially small —
+    * everything here is sketch-sized, nothing corpus-sized.
+    */
+  def hllOverlap(registers: DataFrame, m: Int = 256): DataFrame = {
+    val groups = registers.select(col("g")).distinct()
+    // Every unordered pair (tiny: |groups|² rows), each side's
+    // registers replicated into its pairs, then one max-merge — the
+    // union sketch per pair without touching any corpus row.
+    val pairs = groups.select(col("g").as("ga"))
+      .crossJoin(groups.select(col("g").as("gb")))
+      .where(col("ga") < col("gb"))
+    val contrib = registers.select(col("g").as("ga"), col("reg"), col("max_rank"))
+        .join(pairs, "ga")
+      .unionByName(
+        registers.select(col("g").as("gb"), col("reg"), col("max_rank"))
+          .join(pairs, "gb"))
+    val merged = contrib.groupBy(col("ga"), col("gb"), col("reg"))
+      .agg(max(col("max_rank")).as("max_rank"))
+    val estU = hllEstimate(merged, Seq("ga", "gb"), m)
+      .withColumnRenamed("est_distinct", "est_union").drop("n_regs")
+    val estSingle = hllEstimate(registers, Seq("g"), m).drop("n_regs")
+    estU
+      .join(estSingle.select(col("g").as("ga"), col("est_distinct").as("est_a")), "ga")
+      .join(estSingle.select(col("g").as("gb"), col("est_distinct").as("est_b")), "gb")
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+  }
+
   /** Count-Min counter table over the exploded values of `valueCol`:
     * `depth` hash rows × `width` columns, counter = Σ occurrences at
     * (row j, position h_j(v)). Fixed depth·width size regardless of

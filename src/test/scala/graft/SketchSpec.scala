@@ -50,6 +50,25 @@ class SketchSpec extends SparkSpec {
       .as[Long].head() == 4 * 500L)
   }
 
+  test("HLL overlap: identical groups intersect fully, disjoint near zero") {
+    val xs = (0 until 3000).map(i => s"t$i")
+    val ys = (0 until 3000).map(i => s"u$i") // disjoint from xs
+    val df = (xs.map(("a", _)) ++ xs.map(("b", _)) ++ ys.map(("c", _)))
+      .toDF("g", "v")
+    val ov = graft.operators.Sketch.hllOverlap(
+        graft.operators.Sketch.hllRegisters(df, Seq("g"), "v"))
+      .orderBy($"ga", $"gb")
+      .select($"ga", $"gb", $"est_a", $"est_b", $"est_union", $"est_intersect")
+      .as[(String, String, Double, Double, Double, Double)].collect()
+    val ab = ov.find(r => r._1 == "a" && r._2 == "b").get
+    // identical sets: union registers == single registers, so the
+    // intersect estimate is EXACTLY the single estimate
+    assert(ab._5 == ab._3 && ab._6 == ab._3)
+    val ac = ov.find(r => r._1 == "a" && r._2 == "c").get
+    // disjoint sets: intersect ≈ 0 within the ~3x-compounded HLL error
+    assert(math.abs(ac._6) < 0.3 * ac._5, s"disjoint intersect ${ac._6}")
+  }
+
   test("CMS never underestimates and ranks the true heavy hitter first") {
     val toks = Seq.fill(500)("heavy") ++ (0 until 300).map(i => s"light_$i")
     val df = toks.toDF("tok")
