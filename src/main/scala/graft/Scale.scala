@@ -327,6 +327,15 @@ object Scale {
         cent.write.mode("overwrite").parquet(s"$root/$m/ivf_cent")
         cells.write.mode("overwrite").parquet(s"$root/$m/ivf_cells")
       }
+      // The search probe reads the build's parquet: when run alone via
+      // SPARK_GRAFT_ONLY, materialize the index first (untimed).
+      if (wanted("ann_hard_negatives_ivf_search") &&
+          !new java.io.File(s"$root/$m/ivf_cent").exists()) {
+        val (cent, cells) = Similarity.ivfCorpusIndex(labeled, "vec_id",
+          "embedding", nCells, labelCol = Some("label"))
+        cent.write.mode("overwrite").parquet(s"$root/$m/ivf_cent")
+        cells.write.mode("overwrite").parquet(s"$root/$m/ivf_cells")
+      }
       timed("ann_hard_negatives_ivf_search", m, nEmb) {
         sink(Similarity.ivfSearchIndexed(labeledQ, "vec_id", "embedding",
           10, 8, spark.read.parquet(s"$root/$m/ivf_cent"),

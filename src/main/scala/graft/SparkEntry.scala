@@ -1624,7 +1624,8 @@ object SparkEntry {
     "tick_time_bars" -> ((s, dir) => {
       val e = events(s, dir).withColumn("volume", volume)
       graft.operators.Bars
-        .timeBars(e, "event_type", "ts", "value", "volume", "1 hour")
+        .timeBars(e, "event_type", "ts", "value", "volume", "1 hour",
+          tiebreak = Some("event_id"))
         .select(col("event_type"), unix_micros(col("bar_start")).as("bs"),
           round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
           round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
@@ -1639,7 +1640,8 @@ object SparkEntry {
     "tick_volume_bars" -> ((s, dir) => {
       val e = events(s, dir).withColumn("volume", volume)
       graft.operators.Bars
-        .volumeBars(e, "event_type", "ts", "value", "volume", threshold = 5000L)
+        .volumeBars(e, "event_type", "ts", "value", "volume", threshold = 5000L,
+          tiebreak = Some("event_id"))
         .select(col("event_type"), col("bar"),
           round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
           round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
@@ -1651,7 +1653,7 @@ object SparkEntry {
       val e = events(s, dir).withColumn("volume", volume)
       graft.operators.Bars
         .dollarBars(e, "event_type", "ts", "value", "volume",
-          thresholdCents = 50000000L)
+          thresholdCents = 50000000L, tiebreak = Some("event_id"))
         .select(col("event_type"), col("bar"),
           round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
           round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),

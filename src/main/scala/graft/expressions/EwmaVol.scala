@@ -36,12 +36,21 @@ case class EwmaVol(child: Expression, lambda: Double)
       TypeCheckResult.TypeCheckFailure(s"graft_ewma_vol expects array<double>, got $t")
   }
 
+  // A null element poisons the fold to a null RESULT — the semantics
+  // of the HOF chain this replaces (and of every Spark arithmetic
+  // aggregate). getDouble on a null slot would silently read 0.0 and
+  // produce a finite-but-wrong volatility. Unreachable through
+  // ewmaVolatility's collect_list (which drops nulls), but the
+  // expression is public API over any array<double>.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val k = x.numElements()
     var acc = 0.0
     var j = 0
     while (j < k) {
+      if (x.isNullAt(k - 1 - j)) return null
       val r = x.getDouble(k - 1 - j)
       acc += r * r * math.pow(lambda, j.toDouble)
       j += 1
@@ -55,15 +64,22 @@ case class EwmaVol(child: Expression, lambda: Double)
       val k = ctx.freshName("k")
       val r = ctx.freshName("r")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("sawNull")
       s"""
          |int $k = $a.numElements();
          |double $acc = 0.0;
+         |boolean $bad = false;
          |for (int $j = 0; $j < $k; $j++) {
+         |  if ($a.isNullAt($k - 1 - $j)) { $bad = true; break; }
          |  double $r = $a.getDouble($k - 1 - $j);
          |  $acc += $r * $r * java.lang.Math.pow($lambda, (double) $j);
          |}
-         |${ev.value} = java.lang.Math.sqrt(
-         |  $acc * (1.0 - $lambda) / (1.0 - java.lang.Math.pow($lambda, (double) $k)));
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = java.lang.Math.sqrt(
+         |    $acc * (1.0 - $lambda) / (1.0 - java.lang.Math.pow($lambda, (double) $k)));
+         |}
        """.stripMargin
     })
 

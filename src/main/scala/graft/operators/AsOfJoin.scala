@@ -22,28 +22,8 @@ object AsOfJoin {
     * (null when no prior right row exists — left-join semantics).
     */
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightPayload: Seq[String]): DataFrame = {
-    val leftCols = left.columns
-    val l = left
-      .withColumn("_side", lit(1))
-      .select(Seq(col(key), col(ts), col("_side")) ++
-        leftCols.filterNot(c => c == key || c == ts).map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"right_$c")): _*)
-    val r = right
-      .withColumn("_side", lit(0))
-      .select(Seq(col(key), col(ts), col("_side")) ++
-        leftCols.filterNot(c => c == key || c == ts)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"right_$c")): _*)
-    // Right rows sort before left rows at equal ts (_side 0 < 1), so an
-    // exactly-simultaneous quote is visible to the trade — ASOF `>=`.
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"right_$c", last(col(s"right_$c"), ignoreNulls = true).over(w))
-    }
-    filled.where(col("_side") === 1).drop("_side")
-  }
+               rightPayload: Seq[String]): DataFrame =
+    fillAsOf(left, right, key, ts, rightPayload, descending = false)
 
   /** Tolerance-bounded backward as-of (the `tolerance=` variant of
     * every as-of API, and the stale-quote guard real trade↔quote
@@ -74,26 +54,50 @@ object AsOfJoin {
     * last-ignoreNulls.
     */
   def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
-              rightPayload: Seq[String]): DataFrame = {
+              rightPayload: Seq[String]): DataFrame =
+    fillAsOf(left, right, key, ts, rightPayload, descending = true)
+
+  /** Shared fill: union the tagged sides, forward-fill the matched
+    * right row as ONE struct, unpack to `right_<name>` columns.
+    *
+    * The struct fill is what makes the match ROW-ATOMIC: per-column
+    * `last(ignoreNulls)` would let a NULL payload field fall through
+    * to an OLDER right row than the one the match (and any age
+    * predicate) reflects — a stale value sneaking past a tolerance
+    * gate, and a divergence from ASOF JOIN semantics, which match
+    * whole rows. The struct is non-null for every right row even when
+    * all its fields are null, so the fill always carries the latest
+    * matched row exactly as an ASOF JOIN would.
+    */
+  private def fillAsOf(left: DataFrame, right: DataFrame, key: String,
+                       ts: String, rightPayload: Seq[String],
+                       descending: Boolean): DataFrame = {
     val leftCols = left.columns
+    val payStruct = struct(rightPayload.map(c => col(c).as(c)): _*)
+    val payType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("_side", lit(1))
       .select(Seq(col(key), col(ts), col("_side")) ++
-        leftCols.filterNot(c => c == key || c == ts).map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"right_$c")): _*)
+        leftCols.filterNot(c => c == key || c == ts).map(col) :+
+        lit(null).cast(payType).as("_rpay"): _*)
     val r = right
       .withColumn("_side", lit(0))
       .select(Seq(col(key), col(ts), col("_side")) ++
         leftCols.filterNot(c => c == key || c == ts)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"right_$c")): _*)
-    // Descending time; right rows (_side 0) still sort before left rows
-    // at equal ts, so an exactly-simultaneous quote matches — `>=`.
-    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col("_side"))
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payStruct.as("_rpay"): _*)
+    // Right rows sort before left rows at equal ts (_side 0 < 1), so an
+    // exactly-simultaneous quote is visible to the trade — ASOF `>=`.
+    // Forward mode just traverses each key partition in DESCENDING time.
+    val ord = if (descending) col(ts).desc else col(ts)
+    val w = Window.partitionBy(col(key)).orderBy(ord, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"right_$c", last(col(s"right_$c"), ignoreNulls = true).over(w))
-    }
-    filled.where(col("_side") === 1).drop("_side")
+    val filled = l.unionByName(r)
+      .withColumn("_rpay", last(col("_rpay"), ignoreNulls = true).over(w))
+    rightPayload.foldLeft(filled) { (df, c) =>
+        df.withColumn(s"right_$c", col(s"_rpay.$c"))
+      }
+      .where(col("_side") === 1).drop("_side", "_rpay")
   }
 }

@@ -15,13 +15,14 @@ object Bars {
     * "price", "volume", "5 minutes")`.
     */
   def timeBars(df: DataFrame, key: String, ts: String, price: String,
-               volume: String, barLength: String): DataFrame =
+               volume: String, barLength: String,
+               tiebreak: Option[String] = None): DataFrame =
     df.groupBy(col(key), window(col(ts), barLength).as("w"))
       .agg(
-        min_by(col(price), col(ts)).as("open"),
+        min_by(col(price), ordKey(ts, tiebreak)).as("open"),
         max(col(price)).as("high"),
         min(col(price)).as("low"),
-        max_by(col(price), col(ts)).as("close"),
+        max_by(col(price), ordKey(ts, tiebreak)).as("close"),
         sum(col(volume)).as("volume"),
         // decimal sums: order-independent → bar VWAPs are identical
         // across retries/partitionings (and engine-reproducible)
@@ -44,14 +45,15 @@ object Bars {
     * hash agg — two shuffles, both on the series key family.
     */
   def volumeBars(df: DataFrame, key: String, ts: String, price: String,
-                 volume: String, threshold: Long): DataFrame = {
+                 volume: String, threshold: Long,
+                 tiebreak: Option[String] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(col(ts))
+      .partitionBy(col(key)).orderBy(orderCols(ts, tiebreak): _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     barsByBucket(df.withColumn("_bar",
         floor(coalesce(sum(col(volume)).over(w), lit(0.0)) / threshold)
           .cast("long")),
-      key, ts, price, volume)
+      key, ts, price, volume, tiebreak)
   }
 
   /** Dollar bars: a bar closes each `thresholdCents` of traded value.
@@ -61,9 +63,10 @@ object Bars {
     * move a tick across bars; integer cents make the cumsum exact.
     */
   def dollarBars(df: DataFrame, key: String, ts: String, price: String,
-                 volume: String, thresholdCents: Long): DataFrame = {
+                 volume: String, thresholdCents: Long,
+                 tiebreak: Option[String] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(col(ts))
+      .partitionBy(col(key)).orderBy(orderCols(ts, tiebreak): _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val cents = floor(col(price) * col(volume) * 100 + 0.5).cast("long")
     barsByBucket(df.withColumn("_cents", cents)
@@ -71,18 +74,30 @@ object Bars {
           floor(coalesce(sum(col("_cents")).over(w), lit(0L))
             .cast("double") / thresholdCents).cast("long"))
         .drop("_cents"),
-      key, ts, price, volume)
+      key, ts, price, volume, tiebreak)
   }
+
+  /** Open/close ordering key: (ts, tiebreak) when a tiebreak column is
+    * given — REQUIRED for deterministic bar contents whenever a key can
+    * carry duplicate timestamps (struct ordering is lexicographic on
+    * both engines; the suite convention is (ts, event_id)).
+    */
+  private def ordKey(ts: String, tiebreak: Option[String]) =
+    tiebreak.map(t => struct(col(ts), col(t))).getOrElse(col(ts))
+
+  private def orderCols(ts: String, tiebreak: Option[String]) =
+    col(ts) +: tiebreak.map(col).toSeq
 
   /** Shared OHLCV aggregation over a precomputed `_bar` bucket. */
   private def barsByBucket(df: DataFrame, key: String, ts: String,
-                           price: String, volume: String): DataFrame =
+                           price: String, volume: String,
+                           tiebreak: Option[String]): DataFrame =
     df.groupBy(col(key), col("_bar"))
       .agg(
-        min_by(col(price), col(ts)).as("open"),
+        min_by(col(price), ordKey(ts, tiebreak)).as("open"),
         max(col(price)).as("high"),
         min(col(price)).as("low"),
-        max_by(col(price), col(ts)).as("close"),
+        max_by(col(price), ordKey(ts, tiebreak)).as("close"),
         sum(col(volume)).as("volume"),
         (sum((col(price) * col(volume)).cast("decimal(30,10)")).cast("double") /
           sum(col(volume).cast("decimal(30,10)")).cast("double")).as("vwap"),
@@ -93,16 +108,17 @@ object Bars {
     * needs a per-key ordered index → window then aggregate).
     */
   def tickBars(df: DataFrame, key: String, ts: String, price: String,
-               volume: String, every: Int): DataFrame = {
+               volume: String, every: Int,
+               tiebreak: Option[String] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(col(ts))
+      .partitionBy(col(key)).orderBy(orderCols(ts, tiebreak): _*)
     df.withColumn("_bar", ((row_number().over(w) - 1) / every).cast("long"))
       .groupBy(col(key), col("_bar"))
       .agg(
-        min_by(col(price), col(ts)).as("open"),
+        min_by(col(price), ordKey(ts, tiebreak)).as("open"),
         max(col(price)).as("high"),
         min(col(price)).as("low"),
-        max_by(col(price), col(ts)).as("close"),
+        max_by(col(price), ordKey(ts, tiebreak)).as("close"),
         sum(col(volume)).as("volume"),
         count(lit(1)).as("n_ticks"))
       .withColumnRenamed("_bar", "bar")

@@ -117,6 +117,24 @@ class SketchSpec extends SparkSpec {
     assert(out(3) == ((5L, 4L, false, true, false)))   // brace kills the doc
   }
 
+  test("as-of match is row-atomic: a NULL payload field never falls back to an older row") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val trades = Seq((1L, ts(110), 10L)).toDF("k", "ts", "tid")
+    // newer quote has a NULL px — the match must carry THAT row's null,
+    // not resurrect px=7.0 from the older quote
+    val quotes = Seq((1L, ts(90), Some(7.0)), (1L, ts(100), Option.empty[Double]))
+      .toDF("k", "ts", "px")
+    val plain = AsOfJoin.backward(trades, quotes, "k", "ts", Seq("px"))
+      .select($"tid", $"right_px").as[(Long, Option[Double])].head()
+    assert(plain == ((10L, None)))
+    // and the tolerance gate can't be passed by the stale value either
+    val tol = AsOfJoin.backwardWithin(trades, quotes, "k", "ts", Seq("px"),
+        maxAgeUs = 15L * 1000000L)
+      .select($"tid", $"right_px", $"right_age_us")
+      .as[(Long, Option[Double], Option[Long])].head()
+    assert(tol == ((10L, None, Some(10000000L))))
+  }
+
   test("backwardWithin nulls matches older than the tolerance") {
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
     val trades = Seq((1L, ts(100), 10L), (1L, ts(500), 11L), (2L, ts(50), 12L))

@@ -13,15 +13,21 @@ class WindowGuardSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("no SparkEntry query plan contains an un-partitioned Window") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
+    // streaming_* queries run a full replay harness (staged stream to a
+    // parquet sink) and the DataFrame they return is the trivial
+    // post-replay batch read — minutes of wall-clock with no Window to
+    // inspect. Their streaming transforms are guarded where they're
+    // built; scan only the batch queries here.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("streaming_"))
+      .flatMap { case (name, fn) =>
         try {
           Guardrails.requirePartitionedWindows(fn(spark, dir))
           None
         } catch {
           case e: IllegalArgumentException => Some(s"$name: ${e.getMessage}")
         }
-    }
+      }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 }
