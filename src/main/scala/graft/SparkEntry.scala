@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Eod, Graft, Pii, Text, Tick}
-import graft.operators.{AsOfJoin, Cluster, Corpus, Dedup, Multimodal, Resample, Similarity, Sketch}
+import graft.operators.{AsOfJoin, Cluster, Corpus, Dedup, Drawdown, Multimodal, Resample, Similarity, Sketch}
 import graft.sim.MarketSim
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -379,6 +379,57 @@ object SparkEntry {
         .select(col("pair_id"), col("rn"),
           (round(Eod.rollingCorr(col("ra"), col("rb"), w, 60), 4) + lit(0.0))
             .as("roll_corr"))
+    }),
+    // Drawdown episode report (op 126, ffn's drawdown_details): the
+    // query surfaces the event-id row identities (ns-timestamp
+    // convention, header note); the operator also carries the real
+    // start/trough/end timestamps for human use.
+    "eod_drawdown_details" -> ((s, dir) =>
+      Drawdown.details(events(s, dir), "event_type", "ts", "event_id", "value")
+        .select(col("event_type"), col("episode"), col("start_id"),
+          col("trough_id"), col("end_id"), col("n_obs"), col("depth"),
+          col("recovered"))
+        .orderBy(col("event_type"), col("episode"))),
+    // Return autocorrelation at lags 1..5 (op 127): one window pass
+    // builds all five lagged columns, one hash agg computes the five
+    // correlations, stack() unpivots to (lag_k, acf) rows. corr
+    // skips null pairs identically in both engines; `+ 0.0` squashes
+    // a rounded −0.0 (a near-zero ACF is the common case).
+    "eod_acf" -> ((s, dir) => {
+      val lagged = withRet(s, dir).select(
+        Seq(col("event_type"), col("ret")) ++
+          (1 to 5).map(kk => lag(col("ret"), kk).over(wT).as(s"l$kk")): _*)
+      val aggs = (1 to 5).map(kk =>
+        (round(corr(col("ret"), col(s"l$kk")), 6) + lit(0.0)).as(s"a$kk"))
+      lagged.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+        .selectExpr("event_type",
+          "stack(5, 1, a1, 2, a2, 3, a3, 4, a4, 5, a5) AS (lag_k, acf)")
+        .orderBy(col("event_type"), col("lag_k"))
+    }),
+    // Lo–MacKinlay variance ratio (op 128): VR(q) = Var(q-period log
+    // return)/(q·Var(1-period)) over non-overlapping complete blocks.
+    // Log returns quantize to 1e-6 longs BEFORE the block sums so the
+    // sums are order-independent (repo convention); explode×{2,4,8}
+    // keeps it ONE window pass + one agg chain instead of three scans.
+    "eod_variance_ratio" -> ((s, dir) => {
+      val base = events(s, dir)
+        .withColumn("lr", ln(col("value")) - ln(lag(col("value"), 1).over(wT)))
+        .where(col("lr").isNotNull)
+        .withColumn("lrq", floor(col("lr") * 1e6 + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(wT))
+      val denom = base.groupBy(col("event_type"))
+        .agg(var_samp(col("lrq") / 1e6).as("v1"))
+      base.withColumn("q", explode(array(lit(2), lit(4), lit(8))))
+        .groupBy(col("event_type"), col("q"),
+          floor((col("rn") - 1) / col("q")).as("bucket"))
+        .agg(sum(col("lrq")).as("sq"), count(lit(1)).as("c"))
+        .where(col("c") === col("q"))
+        .groupBy(col("event_type"), col("q"))
+        .agg(var_samp(col("sq") / 1e6).as("vq"))
+        .join(denom, "event_type")
+        .select(col("event_type"), col("q"),
+          (round(col("vq") / (col("q") * col("v1")), 6) + lit(0.0)).as("vr"))
+        .orderBy(col("event_type"), col("q"))
     }),
 
     // ---- Tick (ops 25-38)
@@ -809,6 +860,79 @@ object SparkEntry {
         |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
         |WINDOW tw AS (PARTITION BY pair_id ORDER BY rn
         |              ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // Episode ids: running count of at-high rows (dd >= 0) — every
+    // underwater run keeps the id of the high that preceded it.
+    // Ordered-aggregate first/last mirror Spark's min_by/max_by over
+    // the same lexicographic keys.
+    "eod_drawdown_details" ->
+      """WITH d AS (
+        |  SELECT event_type, event_id, ts,
+        |    round(value / max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS dd,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_series
+        |  FROM events
+        |), g AS (
+        |  SELECT *, CAST(sum(CASE WHEN dd >= 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS episode
+        |  FROM d
+        |)
+        |SELECT event_type, episode,
+        |  first(event_id ORDER BY ts, event_id) AS start_id,
+        |  first(event_id ORDER BY dd, ts, event_id) AS trough_id,
+        |  last(event_id ORDER BY ts, event_id) AS end_id,
+        |  count(*) AS n_obs,
+        |  min(dd) AS depth,
+        |  max(rn) < max(n_series) AS recovered
+        |FROM g WHERE dd < 0
+        |GROUP BY event_type, episode
+        |ORDER BY event_type, episode""".stripMargin,
+    "eod_acf" ->
+      (s"""$R_CTE, l AS (
+        |  SELECT event_type, ret,
+        |""".stripMargin +
+        (1 to 5).map(k => s"    lag(ret, $k) OVER w AS l$k").mkString(",\n") +
+        """
+        |  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), a AS (
+        |  SELECT event_type,
+        |""".stripMargin +
+        (1 to 5).map(k => s"    round(corr(ret, l$k), 6) + 0.0 AS a$k").mkString(",\n") +
+        """
+        |  FROM l GROUP BY event_type
+        |)
+        |SELECT event_type, lag_k, acf FROM (
+        |  SELECT event_type, 1 AS lag_k, a1 AS acf FROM a
+        |""".stripMargin +
+        (2 to 5).map(k => s"  UNION ALL SELECT event_type, $k, a$k FROM a").mkString("\n") +
+        "\n) ORDER BY event_type, lag_k"),
+    "eod_variance_ratio" ->
+      """WITH lr0 AS (
+        |  SELECT event_type, ts, event_id,
+        |    CASE WHEN value > 0 THEN ln(value) END
+        |      - lag(CASE WHEN value > 0 THEN ln(value) END)
+        |        OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lr
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |    CAST(floor(lr * 1e6 + 0.5) AS BIGINT) AS lrq,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM lr0 WHERE lr IS NOT NULL
+        |), d AS (
+        |  SELECT event_type, var_samp(lrq / 1e6) AS v1 FROM b GROUP BY event_type
+        |), blocks AS (
+        |  SELECT event_type, q, floor((rn - 1) / q) AS bucket,
+        |         sum(lrq) AS sq, count(*) AS c
+        |  FROM b, (SELECT unnest([2, 4, 8]) AS q)
+        |  GROUP BY event_type, q, bucket
+        |), v AS (
+        |  SELECT event_type, q, var_samp(sq / 1e6) AS vq
+        |  FROM blocks WHERE c = q GROUP BY event_type, q
+        |)
+        |SELECT v.event_type, q, round(vq / (q * v1), 6) + 0.0 AS vr
+        |FROM v JOIN d ON v.event_type = d.event_type
+        |ORDER BY v.event_type, q""".stripMargin,
 
     "tick_trade_rate" ->
       """SELECT event_type,
@@ -2017,6 +2141,58 @@ object SparkEntry {
         .select(col("ga").as("source_a"), col("gb").as("source_b"),
           col("est_a"), col("est_b"), col("est_union"), col("est_intersect"),
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+    // KMV bottom-k distinct sketch (op 129): per-source estimates
+    // plus the lossless __ALL__ merge — the bottom-k of the union of
+    // SKETCHES (KBs), never a corpus rescan. Exact distincts ride
+    // along for the error story, as in sketch_hll.
+    "sketch_kmv" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      val sk = Sketch.kmvSketch(toks, Seq("source"), "tok", k = 64)
+      // Bottom-k of the union of sketches (sketch-sized input): a
+      // TakeOrdered, no window — rank is not needed downstream.
+      val merged = sk.select(lit("__ALL__").as("source"), col("h")).distinct()
+        .orderBy(col("h")).limit(64)
+      val dt = toks.distinct()
+      val exact = dt.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_distinct"))
+        .unionByName(
+          dt.select(col("tok")).distinct()
+            .agg(count(lit(1)).as("exact_distinct"))
+            .select(lit("__ALL__").as("source"), col("exact_distinct")))
+      Sketch.kmvEstimate(sk.select(col("source"), col("h")).unionByName(merged),
+          Seq("source"), k = 64)
+        .join(exact, "source")
+        .select(col("source"), col("n_kept"), col("est_distinct"),
+          col("exact_distinct"))
+        .orderBy(col("source"))
+    }),
+    // KMV Jaccard (op 130): pairwise source similarity from the
+    // sketches ALONE — the bottom-k of two sketches' union is a
+    // uniform sample of A∪B, so the both-present fraction estimates
+    // |A∩B|/|A∪B| directly (what HLL needs inclusion-exclusion and
+    // 3× the error for). Exact Jaccard rides along.
+    "sketch_kmv_jaccard" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      val sk = Sketch.kmvSketch(toks, Seq("source"), "tok", k = 64)
+      val dt = toks.distinct()
+      val sizes = dt.groupBy(col("source")).agg(count(lit(1)).as("d"))
+      val inter = dt.select(col("source").as("ga"), col("tok"))
+        .join(dt.select(col("source").as("gb"), col("tok")), Seq("tok"))
+        .where(col("ga") < col("gb"))
+        .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_inter"))
+      Sketch.kmvJaccard(sk, "source", k = 64)
+        .join(inter, Seq("ga", "gb"), "left")
+        .join(sizes.select(col("source").as("ga"), col("d").as("da")), "ga")
+        .join(sizes.select(col("source").as("gb"), col("d").as("db")), "gb")
+        .select(col("ga").as("source_a"), col("gb").as("source_b"),
+          col("n_union_kept"), col("n_both"), col("jaccard_est"),
+          (round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("da") + col("db") - coalesce(col("n_inter"), lit(0L))), 6)
+            + lit(0.0)).as("jaccard_exact"))
         .orderBy(col("source_a"), col("source_b"))
     }),
     // Streaming Count-Min (op 124): the stream maintains the fixed
@@ -3566,6 +3742,57 @@ object SparkEntry {
           "LEFT JOIN ex ON ex.ga = eu.ga AND ex.gb = eu.gb " +
           "ORDER BY source_a, source_b"
       },
+      // KMV bottom-k replayed exactly: the k smallest distinct md5
+      // words per source; one global window here equals the engine's
+      // lossless two-level (bucket, then group) cut. __ALL__ =
+      // bottom-k of the union of sketches.
+      "sketch_kmv" ->
+        (s"""WITH tk AS (
+          |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          |  FROM documents
+          |),
+          |""".stripMargin +
+          s"dh AS (SELECT DISTINCT source, ${md5IntAt("tok", "1")} AS h FROM tk), " +
+          "sk AS (SELECT source, h FROM (SELECT source, h, row_number() OVER " +
+          "(PARTITION BY source ORDER BY h) AS r FROM dh) WHERE r <= 64), " +
+          "mg AS (SELECT '__ALL__' AS source, h FROM (SELECT h, row_number() OVER " +
+          "(ORDER BY h) AS r FROM (SELECT DISTINCT h FROM sk)) WHERE r <= 64), " +
+          "u AS (SELECT * FROM sk UNION ALL SELECT * FROM mg), " +
+          "agg AS (SELECT source, count(*) AS n_kept, max(h) AS kth FROM u GROUP BY source), " +
+          "est AS (SELECT source, n_kept, CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE) " +
+          "ELSE floor(63.0 * 4294967296.0 / CAST(kth AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS est_distinct FROM agg), " +
+          "ex AS (SELECT source, count(DISTINCT tok) AS exact_distinct FROM tk GROUP BY source " +
+          "UNION ALL SELECT '__ALL__', count(DISTINCT tok) FROM tk) " +
+          "SELECT source, n_kept, est_distinct, exact_distinct " +
+          "FROM est JOIN ex USING (source) ORDER BY source"),
+      // KMV Jaccard: bottom-k of each pair's sketch-hash union with
+      // per-side presence flags; estimate = both-present fraction.
+      "sketch_kmv_jaccard" ->
+        (s"""WITH tk AS (
+          |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          |  FROM documents
+          |),
+          |""".stripMargin +
+          s"dh AS (SELECT DISTINCT source, ${md5IntAt("tok", "1")} AS h FROM tk), " +
+          "sk AS (SELECT source, h FROM (SELECT source, h, row_number() OVER " +
+          "(PARTITION BY source ORDER BY h) AS r FROM dh) WHERE r <= 64), " +
+          "g AS (SELECT DISTINCT source FROM sk), " +
+          "pairs AS (SELECT a.source AS ga, b.source AS gb FROM g a, g b WHERE a.source < b.source), " +
+          "contrib AS (SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b FROM sk s JOIN pairs p ON s.source = p.ga " +
+          "UNION ALL SELECT p.ga, p.gb, s.h, 0, 1 FROM sk s JOIN pairs p ON s.source = p.gb), " +
+          "m AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM contrib GROUP BY ga, gb, h), " +
+          "bk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r FROM m) WHERE r <= 64), " +
+          "j AS (SELECT ga, gb, count(*) AS n_union_kept, CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM bk GROUP BY ga, gb), " +
+          "dt AS (SELECT DISTINCT source, tok FROM tk), " +
+          "sz AS (SELECT source, count(*) AS d FROM dt GROUP BY source), " +
+          "iv AS (SELECT a.source AS ga, b.source AS gb, count(*) AS n_inter " +
+          "FROM dt a JOIN dt b USING (tok) WHERE a.source < b.source GROUP BY a.source, b.source) " +
+          "SELECT j.ga AS source_a, j.gb AS source_b, n_union_kept, n_both, " +
+          "floor(CAST(n_both AS DOUBLE) / CAST(n_union_kept AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard_est, " +
+          "round(CAST(COALESCE(iv.n_inter, 0) AS DOUBLE) / (sa.d + sb.d - COALESCE(iv.n_inter, 0)), 6) + 0.0 AS jaccard_exact " +
+          "FROM j LEFT JOIN iv ON iv.ga = j.ga AND iv.gb = j.gb " +
+          "JOIN sz sa ON sa.source = j.ga JOIN sz sb ON sb.source = j.gb " +
+          "ORDER BY source_a, source_b"),
       // Count-Min probe: counter = count at (j, h_j(tok)), estimate =
       // min over the 4 hash rows, global top-20 (est desc, token).
       "sketch_cms_topk" ->

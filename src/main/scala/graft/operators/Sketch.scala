@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality / frequency sketches (SURVEY §2 ops 118-119).
@@ -207,4 +208,97 @@ object Sketch {
       .agg(min(col("cnt")).as("est_cnt"))
       .orderBy(col("est_cnt").desc, col("v"))
       .limit(topK)
+
+  // ------------------------------------------------------------ KMV
+
+  /** KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; the
+    * basis of the DataSketches theta family): per group, keep the k
+    * smallest DISTINCT 32-bit hash values. Where HLL answers only
+    * "how many distinct", a KMV sketch is a uniform SAMPLE of the
+    * distinct set — so merged sketches also answer set-overlap
+    * questions (Jaccard, see [[kmvJaccard]]) that HLL's
+    * inclusion-exclusion can only approximate at compounded error.
+    *
+    * Scale shape: dedupe is a (group, h) hash agg (map-side
+    * combinable — duplicates of a value collapse per partition before
+    * the exchange). The bottom-k is TWO bounded windows, never one
+    * giant sort: first within (group, h mod buckets) — each bucket
+    * partition holds ~1/buckets of the group's distinct hashes — then
+    * within group over the surviving ≤ buckets·k rows. Any global
+    * bottom-k element is necessarily in its bucket's bottom-k, so the
+    * two-level cut is lossless. Output: group cols, `h`, `rank`
+    * (1..k by ascending h).
+    *
+    * Mergeability (same losslessness): a hash among the k smallest of
+    * a union is among the k smallest of its own source, so the union
+    * sketch is exactly the bottom-k of the UNION OF SKETCHES — KB of
+    * input, no corpus rescan.
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Int = 64, buckets: Int = 32): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val v = col(valueCol)
+    val g = groupCols.map(col)
+    val hashed = df.where(v.isNotNull)
+      .select(g :+ h32(v, 1).as("h"): _*)
+      .distinct()
+    val wBucket = Window.partitionBy(g :+ (col("h") % buckets): _*)
+      .orderBy(col("h"))
+    val wGroup = Window.partitionBy(g: _*).orderBy(col("h"))
+    hashed
+      .withColumn("r1", row_number().over(wBucket))
+      .where(col("r1") <= k).drop("r1")
+      .withColumn("rank", row_number().over(wGroup))
+      .where(col("rank") <= k)
+  }
+
+  /** Distinct estimate from a KMV sketch: (k−1) / R_k where R_k is
+    * the k-th smallest hash normalized to (0,1]. A group with fewer
+    * than k distinct hashes IS its own sketch — the count is exact.
+    * Estimates quantize to 1e-6 (engine-neutral). Output: group cols,
+    * `n_kept`, `est_distinct`.
+    */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String],
+                  k: Int = 64): DataFrame =
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(4294967296.0) /
+            col("kth").cast("double") * 1e6 + 0.5) / 1e6))
+      .drop("kth")
+
+  /** Pairwise Jaccard estimates from per-group KMV sketches alone:
+    * for each group pair, bottom-k of the two sketches' hash union is
+    * a uniform sample of A∪B, and the fraction of it present in BOTH
+    * sketches estimates |A∩B|/|A∪B| (the bottom-k MinHash estimator,
+    * Broder 1997 §3). Everything joined is sketch-sized; the pair
+    * window holds ≤ 2k rows. Output: ga, gb, n_union_kept, n_both,
+    * jaccard_est (1e-6-quantized).
+    */
+  def kmvJaccard(sketch: DataFrame, groupCol: String,
+                 k: Int = 64): DataFrame = {
+    val s = sketch.select(col(groupCol).as("g"), col("h"))
+    val gs = s.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("ga"))
+      .join(gs.select(col("g").as("gb")), col("ga") < col("gb"))
+    val aSide = pairs.join(s, col("ga") === col("g"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val bSide = pairs.join(s, col("gb") === col("g"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val wPair = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    aSide.union(bSide)
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("r", row_number().over(wPair))
+      .where(col("r") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_union_kept"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .withColumn("jaccard_est",
+        floor(col("n_both").cast("double") /
+          col("n_union_kept").cast("double") * 1e6 + 0.5) / 1e6)
+  }
 }
