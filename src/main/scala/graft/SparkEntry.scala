@@ -431,6 +431,37 @@ object SparkEntry {
           (round(col("vq") / (col("q") * col("v1")), 6) + lit(0.0)).as("vr"))
         .orderBy(col("event_type"), col("q"))
     }),
+    // ffn's calc_stats / GroupStats headline (op 131): the full
+    // per-series performance summary as ONE composed plan — a single
+    // ordered-window pass computes returns and both drawdown series,
+    // one partition-frame window adds the centered deviations, one
+    // hash agg emits all twelve metrics. Each metric reuses the
+    // kernel (and rounding) of its standalone oracle-green query.
+    "eod_perf_summary" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      events(s, dir)
+        .withColumn("p", stablePrice)
+        .withColumn("ret", Eod.toReturns(col("value"), wT))
+        .withColumn("dd", Eod.toDrawdownSeries(col("value"), wT))
+        .withColumn("ddp", Eod.toDrawdownSeries(col("p"), wT))
+        .withColumn("dev", when(col("ret").isNotNull,
+          col("ret") - avg(col("ret")).over(wSym)))
+        .groupBy(col("event_type"))
+        .agg(
+          round(Eod.totalReturn(col("value"), col("ts")), 6).as("total_return"),
+          round(Eod.cagr(col("p"), col("ts")), 6).as("cagr"),
+          round(Eod.sharpe(col("ret"), RF, NP), 6).as("sharpe"),
+          round(Eod.sortino(col("ret"), RF, NP), 6).as("sortino"),
+          round(Eod.maxDrawdownFromDrawdown(col("dd")), 6).as("max_drawdown"),
+          round(Eod.calmar(col("p"), col("ts"), col("ddp")), 6).as("calmar"),
+          round(Eod.ulcerIndexFromDrawdown(col("dd")), 6).as("ulcer_index"),
+          round(Eod.ulcerPerformanceIndex(col("ret"), col("dd")), 6).as("upi"),
+          round(Eod.skewnessFromDev(col("dev")), 6).as("skew"),
+          round(Eod.excessKurtosisFromDev(col("dev")), 6).as("kurt_excess"),
+          round(Eod.yearFrac(col("ts")), 6).as("year_frac"),
+          count(lit(1)).as("n_obs"))
+        .orderBy(col("event_type"))
+    }),
 
     // ---- Tick (ops 25-38)
     "tick_trade_rate" -> ((s, dir) =>
@@ -933,6 +964,44 @@ object SparkEntry {
         |SELECT v.event_type, q, round(vq / (q * v1), 6) + 0.0 AS vr
         |FROM v JOIN d ON v.event_type = d.event_type
         |ORDER BY v.event_type, q""".stripMargin,
+    // Each metric below is the verbatim aggregate of its standalone
+    // green oracle (total_return/cagr/sharpe/sortino/max_drawdown/
+    // calmar/ulcer/upi/skew_kurt/year_frac), composed over one base CTE.
+    "eod_perf_summary" ->
+      s"""WITH b AS (
+        |  SELECT event_type, event_id, ts, value, $SQL_STABLE AS p,
+        |    value / lag(value) OVER w - 1 AS ret,
+        |    value / max(value) OVER wc - 1 AS dd,
+        |    $SQL_STABLE / max($SQL_STABLE) OVER wc - 1 AS ddp
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+        |         wc AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), b2 AS (
+        |  SELECT *, CASE WHEN ret IS NOT NULL
+        |    THEN ret - avg(ret) OVER (PARTITION BY event_type) END AS dev
+        |  FROM b
+        |)
+        |SELECT event_type,
+        |  round(arg_max(value, ts) / arg_min(value, ts) - 1, 6) AS total_return,
+        |  round(pow(arg_max(p, ts) / arg_min(p, ts),
+        |    1.0 / ((epoch_us(max(ts)) - epoch_us(min(ts))) / (1e6 * 31557600.0))) - 1, 6) AS cagr,
+        |  round(avg(ret - $RF_LIT) / stddev_samp(ret - $RF_LIT) * sqrt(252.0), 6) AS sharpe,
+        |  round(CASE WHEN stddev_samp(least(ret - ${java.lang.Double.toString(RF / NP)}, 0.0)) != 0.0
+        |    THEN avg(ret - ${java.lang.Double.toString(RF / NP)})
+        |         / stddev_samp(least(ret - ${java.lang.Double.toString(RF / NP)}, 0.0)) * sqrt(252.0)
+        |    END, 6) AS sortino,
+        |  round(min(dd), 6) AS max_drawdown,
+        |  round((pow(arg_max(p, ts) / arg_min(p, ts),
+        |    1.0 / ((epoch_us(max(ts)) - epoch_us(min(ts))) / (1e6 * 31557600.0))) - 1)
+        |    / abs(min(ddp)), 6) AS calmar,
+        |  round(sqrt(avg(pow(dd * 100.0, 2.0))), 6) AS ulcer_index,
+        |  round(avg(ret) / sqrt(avg(pow(dd * 100.0, 2.0))), 6) AS upi,
+        |  round(avg(pow(dev, 3)) / pow(avg(pow(dev, 2)), 1.5), 6) AS skew,
+        |  round(avg(pow(dev, 4)) / pow(avg(pow(dev, 2)), 2) - 3, 6) AS kurt_excess,
+        |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / (1e6 * 31557600.0), 6) AS year_frac,
+        |  count(*) AS n_obs
+        |FROM b2 GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "tick_trade_rate" ->
       """SELECT event_type,
