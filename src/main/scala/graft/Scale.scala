@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cluster, Corpus, Dedup, Embed, Pq, Resample, Similarity, Sketch}
+import graft.operators.{Cluster, Corpus, Dedup, Drawdown, Embed, Pq, Resample, Similarity, Sketch}
 
 /** Scale probe: the driver's testdata stops at sf0.1, so this main
   * self-generates inputs at multiples of the sf0.1 row counts (same
@@ -403,10 +403,29 @@ object Scale {
         sink(Sketch.cmsTopK(sketchToks, "tok", depth = 4, width = 1024,
           topK = 20))
       }
+      // KMV (ops 129-130): the sketch is the k smallest distinct
+      // hashes — estimate + pairwise Jaccard read KBs of state; the
+      // linear part is the dedupe agg over the token stream.
+      timed("sketch_kmv", m, nDocs) {
+        val sk = Sketch.kmvSketch(sketchToks, Seq("src"), "tok", k = 256)
+        sink(Sketch.kmvEstimate(sk, Seq("src"), k = 256))
+      }
+      timed("sketch_kmv_jaccard", m, nDocs) {
+        val sk = Sketch.kmvSketch(sketchToks, Seq("src"), "tok", k = 256)
+        sink(Sketch.kmvJaccard(sk, "src", k = 256))
+      }
       if (wanted("sketch_state_rows")) {
         val hllRows = Sketch.hllRegisters(sketchToks, Seq("src"), "tok").count()
         val cmsRows = Sketch.cmsCounters(sketchToks, "tok", 4, 1024).count()
-        println(s"""{"op":"sketch_state_rows","scale":$m,"rows":$nDocs,"hll_regs":$hllRows,"cms_cells":$cmsRows}""")
+        val kmvRows = Sketch.kmvSketch(sketchToks, Seq("src"), "tok", k = 256).count()
+        println(s"""{"op":"sketch_state_rows","scale":$m,"rows":$nDocs,"hll_regs":$hllRows,"cms_cells":$cmsRows,"kmv_rows":$kmvRows}""")
+      }
+      // Drawdown episode report (op 126): two same-key window passes
+      // + one (key, episode) agg — must stay linear per key.
+      timed("drawdown_details", m, nSeries) {
+        val priced = series.select(col("key"), col("ord"),
+          (lit(100.0) + col("ret") * 1000).as("p"))
+        sink(Drawdown.details(priced, "key", "ord", "ord", "p"))
       }
       // Weighted sampler (op 120): one per-stratum window, linear scan.
       timed("corpus_sample_weighted", m, nDocs) {
