@@ -217,7 +217,8 @@ object SparkEntry {
     // max-merge is the final cumulative table) — the streaming queries
     // share the batch ops' oracles.
     p + ("streaming_hll" -> p("sketch_hll")) +
-      ("streaming_cms" -> p("sketch_cms_topk"))
+      ("streaming_cms" -> p("sketch_cms_topk")) +
+      ("streaming_kmv" -> p("sketch_kmv"))
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2219,24 +2220,33 @@ object SparkEntry {
     "sketch_kmv" -> ((s, dir) => {
       val toks = tbl(s, dir, "documents")
         .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
-      val sk = Sketch.kmvSketch(toks, Seq("source"), "tok", k = 64)
-      // Bottom-k of the union of sketches (sketch-sized input): a
-      // TakeOrdered, no window — rank is not needed downstream.
-      val merged = sk.select(lit("__ALL__").as("source"), col("h")).distinct()
-        .orderBy(col("h")).limit(64)
-      val dt = toks.distinct()
-      val exact = dt.groupBy(col("source"))
-        .agg(count(lit(1)).as("exact_distinct"))
-        .unionByName(
-          dt.select(col("tok")).distinct()
-            .agg(count(lit(1)).as("exact_distinct"))
-            .select(lit("__ALL__").as("source"), col("exact_distinct")))
-      Sketch.kmvEstimate(sk.select(col("source"), col("h")).unionByName(merged),
-          Seq("source"), k = 64)
-        .join(exact, "source")
-        .select(col("source"), col("n_kept"), col("est_distinct"),
-          col("exact_distinct"))
-        .orderBy(col("source"))
+      kmvReport(s, dir,
+        Sketch.kmvSketch(toks, Seq("source"), "tok", k = 64))
+    }),
+    // Streaming twin (op 132): flatMapGroupsWithState maintains the
+    // per-source bottom-k distinct-hash array (construction-bounded
+    // state — k longs/group, the KMV analogue of op 123's register
+    // rows); the hash is staged with the batch op's own expression.
+    // Bottom-k of a union = bottom-k of the union of bottom-ks, and
+    // Update-mode re-emissions only repeat historical sketch subsets,
+    // so distinct + per-group bottom-k over the sink reconstructs the
+    // batch sketch bit-for-bit (oracle shared with sketch_kmv).
+    "streaming_kmv" -> ((s, dir) => {
+      import s.implicits._
+      val sunk = streamReplay(s, dir, "documents", "streaming_kmv",
+        mode = "update") { src =>
+        graft.streaming.Stateful.kmvSketchStream(
+          src.select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+            .where(col("tok").isNotNull)
+            .select(col("source").as("g"), Sketch.kmvHash(col("tok")).as("h"))
+            .as[graft.streaming.Stateful.KmvIn],
+          k = 64).toDF()
+      }
+      val wG = Window.partitionBy(col("source")).orderBy(col("h"))
+      val sk = sunk.select(col("g").as("source"), col("h")).distinct()
+        .withColumn("rank", row_number().over(wG))
+        .where(col("rank") <= 64)
+      kmvReport(s, dir, sk)
     }),
     // KMV Jaccard (op 130): pairwise source similarity from the
     // sketches ALONE — the bottom-k of two sketches' union is a
@@ -2344,6 +2354,32 @@ object SparkEntry {
       .unionByName(toks.agg(countDistinct(col("tok")).as("exact_distinct"))
         .withColumn("source", lit("__ALL__")))
     perSource.unionByName(global).join(exact, "source")
+      .orderBy(col("source"))
+  }
+
+  /** Shared tail of the KMV queries (ops 129/132): per-source + merged
+    * __ALL__ estimates from a (source, h) sketch table, exact distincts
+    * joined in for the error story. The __ALL__ row is the bottom-k of
+    * the union of SKETCHES (KBs of input) — never a corpus rescan.
+    */
+  private def kmvReport(s: SparkSession, dir: String,
+                        sk: DataFrame): DataFrame = {
+    val merged = sk.select(lit("__ALL__").as("source"), col("h")).distinct()
+      .orderBy(col("h")).limit(64)
+    val toks = tbl(s, dir, "documents")
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+    val dt = toks.distinct()
+    val exact = dt.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+      .unionByName(
+        dt.select(col("tok")).distinct()
+          .agg(count(lit(1)).as("exact_distinct"))
+          .select(lit("__ALL__").as("source"), col("exact_distinct")))
+    Sketch.kmvEstimate(sk.select(col("source"), col("h")).unionByName(merged),
+        Seq("source"), k = 64)
+      .join(exact, "source")
+      .select(col("source"), col("n_kept"), col("est_distinct"),
+        col("exact_distinct"))
       .orderBy(col("source"))
   }
 

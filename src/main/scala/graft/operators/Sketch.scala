@@ -31,6 +31,14 @@ object Sketch {
   private def h32(v: Column, from: Int): Column =
     conv(substring(md5(v.cast("string")), from, 8), 16, 10).cast("long")
 
+  /** The KMV hash column, public so the streaming twin
+    * ([[graft.streaming.Stateful.kmvSketchStream]]) stages the
+    * IDENTICAL hash upstream of its typed state transition — bit
+    * parity between the batch and streamed sketches rests on the two
+    * paths hashing with one expression.
+    */
+  def kmvHash(v: Column): Column = h32(v, 1)
+
   /** alpha_m · m² of the HLL estimator (large-m alpha). Public so the
     * SQL oracle inlines the bit-identical double literal.
     */

@@ -345,4 +345,40 @@ object Stateful {
           }
       }
   }
+
+  // ------------------------------------------------- streaming KMV sketch
+
+  case class KmvIn(g: String, h: Long)
+  case class KmvState(hs: Array[Long])
+
+  /** Streaming twin of [[graft.operators.Sketch.kmvSketch]] (op 132):
+    * per-group bottom-k distinct-hash maintenance across micro-batches.
+    *
+    * The hash is staged UPSTREAM with the batch op's own expression
+    * ([[graft.operators.Sketch.kmvHash]]), so this state transition is
+    * pure order statistics: merge the batch's hashes into the sorted
+    * ≤k state array, emit the group's CURRENT sketch. State is
+    * construction-bounded — k longs per group, no watermark or TTL
+    * needed (the same reason op 123's register table needs none).
+    *
+    * Replay/duplicate-insensitivity: bottom-k of a union equals the
+    * bottom-k of the union of bottom-ks (the KMV merge losslessness,
+    * Sketch.scala:230), and Update-mode re-emissions only repeat
+    * subsets of historical sketches — so `distinct` + per-group
+    * bottom-k over the sink reconstructs the batch sketch
+    * bit-for-bit, however the input was micro-batched.
+    */
+  def kmvSketchStream(hashed: Dataset[KmvIn], k: Int = 64): Dataset[KmvIn] = {
+    import hashed.sparkSession.implicits._
+    hashed.groupByKey(_.g)
+      .flatMapGroupsWithState[KmvState, KmvIn](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g, it, state) =>
+          val prev = state.getOption.map(_.hs).getOrElse(Array.empty[Long])
+          val merged = (prev.iterator ++ it.map(_.h))
+            .toArray.distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          merged.iterator.map(KmvIn(g, _))
+      }
+  }
 }

@@ -239,4 +239,45 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(out == Map(1L -> 10L), s"unexpected verdicts: $out")
     } finally q.stop()
   }
+
+  test("kmvSketchStream reconstructs the batch sketch across batches") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    // 40 values per group split across two micro-batches, with overlap
+    // between the batches (duplicate hashes must collapse in state).
+    val all = (0 until 40).map(i => ("g" + (i % 2), "v" + i))
+    val (b1, b2) = all.splitAt(24)
+    val overlap = all.slice(20, 28) // re-sent in batch 2
+    val input = MemoryStream[(String, String)]
+    val q = Stateful.kmvSketchStream(
+        input.toDF().toDF("g", "v")
+          .select(col("g"), graft.operators.Sketch.kmvHash(col("v")).as("h"))
+          .as[Stateful.KmvIn],
+        k = k)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData((b2 ++ overlap): _*)
+      q.processAllAvailable()
+      // Idempotent read: distinct + per-group bottom-k over everything
+      // ever emitted must equal the batch sketch of the full input.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("h"))
+      val streamed = spark.table("kmv_stream").distinct()
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("g"), col("h"), col("rank"))
+        .as[(String, Long, Int)].collect().toSet
+      val batch = graft.operators.Sketch.kmvSketch(
+          all.toDF("g", "v"), Seq("g"), "v", k = k)
+        .select(col("g"), col("h"), col("rank"))
+        .as[(String, Long, Int)].collect().toSet
+      assert(streamed == batch,
+        s"streamed sketch != batch sketch:\n$streamed\nvs\n$batch")
+      assert(batch.count(_._1 == "g0") == k) // the cut actually bit
+    } finally q.stop()
+  }
 }
