@@ -381,6 +381,54 @@ object SparkEntry {
           (round(Eod.rollingCorr(col("ra"), col("rb"), w, 60), 4) + lit(0.0))
             .as("roll_corr"))
     }),
+    // Full-sample CAPM vs the 'view' benchmark (op 133, ffn-lineage
+    // alpha/beta): ONE hash agg over the rn-paired returns emits beta,
+    // annualized Jensen's alpha, R², and tracking error per pair.
+    "eod_capm" -> ((s, dir) =>
+      pairedReturnsVsView(s, dir)
+        .where(col("ra").isNotNull && col("rb").isNotNull)
+        .groupBy(col("pair_id"))
+        .agg(
+          (round(Eod.capmBeta(col("ra"), col("rb")), 6) + lit(0.0)).as("beta"),
+          (round(Eod.capmAlpha(col("ra"), col("rb")) * Eod.TradingDaysPerYear,
+            6) + lit(0.0)).as("alpha_ann"),
+          (round(Eod.capmR2(col("ra"), col("rb")), 6) + lit(0.0)).as("r2"),
+          (round(Eod.trackingError(col("ra"), col("rb")), 6) + lit(0.0))
+            .as("tracking_error"))
+        .orderBy(col("pair_id"))),
+    // Up/down capture + win rate (op 134): arithmetic capture (mean-
+    // based — exact under any agg order, unlike compounded capture),
+    // same single paired hash agg shape as eod_capm.
+    "eod_capture" -> ((s, dir) =>
+      pairedReturnsVsView(s, dir)
+        .where(col("ra").isNotNull && col("rb").isNotNull)
+        .groupBy(col("pair_id"))
+        .agg(
+          (round(Eod.upCapture(col("ra"), col("rb")), 6) + lit(0.0))
+            .as("up_capture"),
+          (round(Eod.downCapture(col("ra"), col("rb")), 6) + lit(0.0))
+            .as("down_capture"),
+          (round(Eod.winRate(col("ra")), 6) + lit(0.0)).as("win_rate"))
+        .orderBy(col("pair_id"))),
+    // Calendar return table (op 135, ffn's return-table/heatmap API in
+    // long form): period-end value per (series, calendar bucket) — one
+    // hash agg, max_by on the unique per-series ts — then period-over-
+    // period returns via a lag over the TINY bucketed relation (the
+    // window is per-series, never single-partition). Day grain here
+    // because the testdata spans one month; the month×year heatmap is
+    // the same plan with (yr, mo) as the bucket.
+    "eod_return_table" -> ((s, dir) => {
+      val m = events(s, dir)
+        .groupBy(col("event_type"), year(col("ts")).as("yr"),
+          month(col("ts")).as("mo"), dayofmonth(col("ts")).as("dy"))
+        .agg(max_by(col("value"), col("ts")).as("eop"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("yr"), col("mo"), col("dy"))
+      m.select(col("event_type"), col("yr"), col("mo"), col("dy"),
+          (round(col("eop") / lag(col("eop"), 1).over(w) - 1, 6) + lit(0.0))
+            .as("period_ret"))
+        .orderBy(col("event_type"), col("yr"), col("mo"), col("dy"))
+    }),
     // Drawdown episode report (op 126, ffn's drawdown_details): the
     // query surfaces the event-id row identities (ns-timestamp
     // convention, header note); the operator also carries the real
@@ -892,6 +940,40 @@ object SparkEntry {
         |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
         |WINDOW tw AS (PARTITION BY pair_id ORDER BY rn
         |              ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "eod_capm" ->
+      s"""$PAIRED_CTE, a AS (
+        |  SELECT pair_id, covar_samp(ra, rb) AS cov, var_samp(rb) AS varb,
+        |         avg(ra) AS ma, avg(rb) AS mb, corr(ra, rb) AS c,
+        |         stddev_samp(ra - rb) AS te
+        |  FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL GROUP BY pair_id
+        |)
+        |SELECT pair_id,
+        |  round(cov / varb, 6) + 0.0 AS beta,
+        |  round((ma - cov / varb * mb) * 252, 6) + 0.0 AS alpha_ann,
+        |  round(c * c, 6) + 0.0 AS r2,
+        |  round(te * sqrt(252.0), 6) + 0.0 AS tracking_error
+        |FROM a ORDER BY pair_id""".stripMargin,
+    "eod_capture" ->
+      s"""$PAIRED_CTE
+        |SELECT pair_id,
+        |  round(avg(CASE WHEN rb > 0 THEN ra END)
+        |      / avg(CASE WHEN rb > 0 THEN rb END), 6) + 0.0 AS up_capture,
+        |  round(avg(CASE WHEN rb < 0 THEN ra END)
+        |      / avg(CASE WHEN rb < 0 THEN rb END), 6) + 0.0 AS down_capture,
+        |  round(avg(CASE WHEN ra > 0 THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS win_rate
+        |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
+        |GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+    "eod_return_table" ->
+      """WITH m AS (
+        |  SELECT event_type, year(ts) AS yr, month(ts) AS mo,
+        |         day(ts) AS dy, arg_max(value, ts) AS eop
+        |  FROM events GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT event_type, yr, mo, dy,
+        |  round(eop / lag(eop) OVER (PARTITION BY event_type
+        |                             ORDER BY yr, mo, dy) - 1, 6) + 0.0
+        |    AS period_ret
+        |FROM m ORDER BY event_type, yr, mo, dy""".stripMargin,
     // Episode ids: running count of at-high rows (dd >= 0) — every
     // underwater run keeps the id of the high that preceded it.
     // Ordered-aggregate first/last mirror Spark's min_by/max_by over

@@ -338,6 +338,50 @@ object Eod {
                   n: Int): Column =
     corr(ret, benchmark).over(trailing(w, n))
 
+  // ------------------------------------------- benchmark-relative (full)
+
+  // Full-sample CAPM family: aggregate Columns over PAIRED rows (ret,
+  // benchmark) — feed rows where both are non-null, as with
+  // [[rollingBeta]] (diverging sample counts would unalign the
+  // moments). One hash agg per query, map-side combinable.
+
+  /** Full-sample OLS beta of `ret` on `benchmark`:
+    * covar_samp / var_samp. Null on <2 rows or a flat benchmark.
+    */
+  def capmBeta(ret: Column, benchmark: Column): Column =
+    safeDiv(covar_samp(ret, benchmark), var_samp(benchmark))
+
+  /** Per-period CAPM alpha = mean(ret) − beta·mean(benchmark); multiply
+    * by periods/year for the annualized Jensen's alpha.
+    */
+  def capmAlpha(ret: Column, benchmark: Column): Column =
+    avg(ret) - capmBeta(ret, benchmark) * avg(benchmark)
+
+  /** R² of the one-factor regression = corr(ret, benchmark)². */
+  def capmR2(ret: Column, benchmark: Column): Column =
+    pow(corr(ret, benchmark), lit(2.0))
+
+  /** Annualized tracking error = stddev_samp(ret − benchmark)·√nperiods. */
+  def trackingError(ret: Column, benchmark: Column,
+                    nperiods: Int = TradingDaysPerYear): Column =
+    stddev_samp(ret - benchmark) * math.sqrt(nperiods.toDouble)
+
+  /** Arithmetic up-capture: avg(ret | benchmark>0) / avg(benchmark |
+    * benchmark>0) — the mean-based capture ratio (the compounded
+    * variant is FP-order-sensitive; the arithmetic form is exact under
+    * any aggregation order). Null when the benchmark never rose.
+    */
+  def upCapture(ret: Column, benchmark: Column): Column =
+    safeDiv(avg(when(benchmark > 0, ret)), avg(when(benchmark > 0, benchmark)))
+
+  /** Arithmetic down-capture, the falling-period twin of [[upCapture]]. */
+  def downCapture(ret: Column, benchmark: Column): Column =
+    safeDiv(avg(when(benchmark < 0, ret)), avg(when(benchmark < 0, benchmark)))
+
+  /** Win rate: fraction of periods with a strictly positive return. */
+  def winRate(ret: Column): Column =
+    avg(when(ret > 0, 1.0).otherwise(0.0))
+
   /** Human-readable frequency label from the mode of deltas in days;
     * "unknown" when irregular (std > 1 day). Ref: eod/temporal.py:98.
     */

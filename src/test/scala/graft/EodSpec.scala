@@ -164,4 +164,43 @@ class EodSpec extends SparkSpec {
       .where($"c".isNotNull).select($"c").as[Double].collect()
     corr.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
   }
+
+  test("full-sample CAPM recovers a planted alpha and beta") {
+    // ra = 0.001 + 1.5·rb exactly → beta 1.5, per-period alpha 0.001,
+    // R² 1; tracking error is the stddev of (ra − rb) by definition.
+    val rb = Seq(0.01, -0.02, 0.015, 0.005, -0.01, 0.02)
+    val df = rb.zipWithIndex.map { case (b, i) => ("a", i, 0.001 + 1.5 * b, b) }
+      .toDF("k", "t", "ra", "rb")
+    val got = df.groupBy($"k").agg(
+        Eod.capmBeta($"ra", $"rb").as("beta"),
+        Eod.capmAlpha($"ra", $"rb").as("alpha"),
+        Eod.capmR2($"ra", $"rb").as("r2"),
+        Eod.trackingError($"ra", $"rb").as("te"))
+      .as[(String, Double, Double, Double, Double)].collect().head
+    assert(math.abs(got._2 - 1.5) < 1e-12)
+    assert(math.abs(got._3 - 0.001) < 1e-12)
+    assert(math.abs(got._4 - 1.0) < 1e-12)
+    val diffs = rb.map(b => 0.001 + 0.5 * b)
+    val mean = diffs.sum / diffs.size
+    val sd = math.sqrt(diffs.map(d => (d - mean) * (d - mean)).sum / (diffs.size - 1))
+    assert(math.abs(got._5 - sd * math.sqrt(252.0)) < 1e-12)
+  }
+
+  test("capture ratios and win rate split on the benchmark's sign") {
+    // up periods: rb ∈ {0.02, 0.04} with ra {0.01, 0.03};
+    // down periods: rb ∈ {-0.02} with ra {-0.04}. Zero-rb row excluded
+    // from both captures but counted by the win rate.
+    val rows = Seq(
+      ("a", 0, 0.01, 0.02), ("a", 1, 0.03, 0.04),
+      ("a", 2, -0.04, -0.02), ("a", 3, 0.01, 0.0))
+    val df = rows.toDF("k", "t", "ra", "rb")
+    val got = df.groupBy($"k").agg(
+        Eod.upCapture($"ra", $"rb").as("up"),
+        Eod.downCapture($"ra", $"rb").as("down"),
+        Eod.winRate($"ra").as("wr"))
+      .as[(String, Double, Double, Double)].collect().head
+    assert(math.abs(got._2 - (0.02 / 0.03)) < 1e-12)   // avg(.01,.03)/avg(.02,.04)
+    assert(math.abs(got._3 - 2.0) < 1e-12)             // -0.04 / -0.02
+    assert(math.abs(got._4 - 0.75) < 1e-12)            // 3 of 4 positive
+  }
 }
