@@ -218,7 +218,11 @@ object SparkEntry {
     // share the batch ops' oracles.
     p + ("streaming_hll" -> p("sketch_hll")) +
       ("streaming_cms" -> p("sketch_cms_topk")) +
-      ("streaming_kmv" -> p("sketch_kmv"))
+      ("streaming_kmv" -> p("sketch_kmv")) +
+      // op 136: streamed bar ids equal the batch ids (exact integer
+      // prefix state), so the bar twins replay the batch bar oracles.
+      ("streaming_volume_bars" -> p("tick_volume_bars")) +
+      ("streaming_dollar_bars" -> p("tick_dollar_bars"))
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1925,6 +1929,38 @@ object SparkEntry {
           round(col("vwap"), 6).as("vwap"), col("n_ticks"))
         .orderBy(col("event_type"), col("bar"))
     }),
+    // Streaming information-driven bars (op 136): the stream carries
+    // ONE long of state per symbol (the exclusive unit prefix) and
+    // stamps each tick with its bar id; integer units make the prefix
+    // exact under any micro-batching, so streamed ids equal the batch
+    // ids and the OHLCV report runs batch over the sink (oracles
+    // shared with tick_volume_bars / tick_dollar_bars). replayTs
+    // ordering == (ts, event_id) ordering: events' ts is unique and
+    // monotone in event_id within each series.
+    "streaming_volume_bars" -> ((s, dir) => {
+      import s.implicits._
+      val sunk = streamReplay(s, dir, "events", "svb") { src =>
+        graft.streaming.Stateful.volumeBarStream(
+          src.select(col("event_type").as("symbol"),
+            replayTs(col("event_id")).as("ts"),
+            col("value").cast("double").as("price"),
+            volume.as("volume")).as[graft.streaming.Stateful.VolTick],
+          threshold = 5000L).toDF()
+      }
+      barSinkReport(sunk)
+    }),
+    "streaming_dollar_bars" -> ((s, dir) => {
+      import s.implicits._
+      val sunk = streamReplay(s, dir, "events", "sdb") { src =>
+        graft.streaming.Stateful.dollarBarStream(
+          src.select(col("event_type").as("symbol"),
+            replayTs(col("event_id")).as("ts"),
+            col("value").cast("double").as("price"),
+            volume.as("volume")).as[graft.streaming.Stateful.VolTick],
+          thresholdCents = 50000000L).toDF()
+      }
+      barSinkReport(sunk)
+    }),
     "tick_dollar_bars" -> ((s, dir) => {
       val e = events(s, dir).withColumn("volume", volume)
       graft.operators.Bars
@@ -2438,6 +2474,30 @@ object SparkEntry {
     perSource.unionByName(global).join(exact, "source")
       .orderBy(col("source"))
   }
+
+  /** Shared tail of the streaming bar twins (op 136): the batch OHLCV
+    * over a bar-stamped tick sink — the same aggregation and rounding
+    * as the batch bar queries, so the oracle is shared. The sink's
+    * synthetic replay ts is order-equivalent to (ts, event_id), which
+    * makes min_by/max_by land the batch open/close.
+    */
+  private def barSinkReport(sunk: DataFrame): DataFrame =
+    sunk.groupBy(col("symbol"), col("bar"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum(col("volume")).as("volume"),
+        (sum((col("price") * col("volume")).cast("decimal(30,10)")).cast("double") /
+          sum(col("volume").cast("decimal(30,10)")).cast("double")).as("vwap"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("symbol").as("event_type"), col("bar"),
+        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+        round(col("volume"), 6).as("volume"),
+        round(col("vwap"), 6).as("vwap"), col("n_ticks"))
+      .orderBy(col("event_type"), col("bar"))
 
   /** Shared tail of the KMV queries (ops 129/132): per-source + merged
     * __ALL__ estimates from a (source, h) sketch table, exact distincts

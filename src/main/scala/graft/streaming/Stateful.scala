@@ -346,6 +346,57 @@ object Stateful {
       }
   }
 
+  // ---------------------------------------------- streaming threshold bars
+
+  case class VolTick(symbol: String, ts: Timestamp, price: Double,
+                     volume: Double)
+  case class BarTick(symbol: String, ts: Timestamp, price: Double,
+                     volume: Double, bar: Long)
+  case class BarAcc(units: Long)
+
+  /** Shared engine of the information-driven bar twins: per-symbol
+    * exclusive prefix of integer `units` across micro-batches, bar id
+    * = prefix / threshold — the crossing tick CLOSES its bar, exactly
+    * the batch rule ([[graft.operators.Bars.volumeBars]]). State is
+    * ONE long per symbol; integer units make the prefix exact under
+    * any batching, so streamed bar ids equal the batch ids
+    * bit-for-bit and the OHLCV report runs batch over the sink with
+    * the batch op's own oracle.
+    */
+  private def thresholdBarStream(ticks: Dataset[VolTick], threshold: Long,
+                                 units: VolTick => Long): Dataset[BarTick] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[BarAcc, BarTick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym, it, state) =>
+          var acc = state.getOption.map(_.units).getOrElse(0L)
+          val out = it.toArray.sortBy(_.ts.getTime).map { t =>
+            val bar = acc / threshold
+            acc += units(t)
+            BarTick(sym, t.ts, t.price, t.volume, bar)
+          }
+          state.update(BarAcc(acc))
+          out.iterator
+      }
+  }
+
+  /** Streaming volume bars (op 136): a bar closes each `threshold`
+    * units of traded volume. Volume must be integral (it rides in as
+    * double, the batch op's contract — Bars.scala:49).
+    */
+  def volumeBarStream(ticks: Dataset[VolTick], threshold: Long): Dataset[BarTick] =
+    thresholdBarStream(ticks, threshold, t => math.round(t.volume))
+
+  /** Streaming dollar bars (op 136): a bar closes each `thresholdCents`
+    * of traded value; per-tick value quantizes to integer cents before
+    * accumulating, the batch op's exactness rule (Bars.scala:63).
+    */
+  def dollarBarStream(ticks: Dataset[VolTick],
+                      thresholdCents: Long): Dataset[BarTick] =
+    thresholdBarStream(ticks, thresholdCents,
+      t => math.floor(t.price * t.volume * 100 + 0.5).toLong)
+
   // ------------------------------------------------- streaming KMV sketch
 
   case class KmvIn(g: String, h: Long)

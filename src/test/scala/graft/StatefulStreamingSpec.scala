@@ -240,6 +240,47 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("volumeBarStream carries the unit prefix across batches") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // threshold 10: volumes 4,4,4 → prefix 0,4,8 → bars 0,0,0; the
+    // 4th tick (prefix 12) opens bar 1 — only if state carried the 8
+    // from batch 1 across the boundary.
+    val input = MemoryStream[Stateful.VolTick]
+    val q = Stateful.volumeBarStream(input.toDS(), threshold = 10L)
+      .writeStream.format("memory").queryName("vbar_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Stateful.VolTick("A", ts(0), 100.0, 4.0),
+        Stateful.VolTick("A", ts(1), 101.0, 4.0))
+      q.processAllAvailable()
+      input.addData(
+        Stateful.VolTick("A", ts(2), 102.0, 4.0),
+        Stateful.VolTick("A", ts(3), 103.0, 4.0),
+        Stateful.VolTick("B", ts(0), 50.0, 25.0))
+      q.processAllAvailable()
+      val got = spark.table("vbar_stream")
+        .select(col("symbol"), col("ts"), col("bar"))
+        .as[(String, Timestamp, Long)].collect()
+        .map { case (s, t, b) => (s, t.getTime, b) }.toSet
+      assert(got == Set(
+        ("A", t0, 0L), ("A", t0 + 1000, 0L), ("A", t0 + 2000, 0L),
+        ("A", t0 + 3000, 1L),  // crossed only because state carried
+        ("B", t0, 0L)), s"unexpected bars: $got")
+      // and the streamed ids equal the batch op's on the same ticks
+      val ticks = Seq(
+        ("A", ts(0), 100.0, 4.0), ("A", ts(1), 101.0, 4.0),
+        ("A", ts(2), 102.0, 4.0), ("A", ts(3), 103.0, 4.0),
+        ("B", ts(0), 50.0, 25.0)).toDF("symbol", "ts", "price", "volume")
+      val batch = graft.operators.Bars
+        .volumeBars(ticks, "symbol", "ts", "price", "volume", threshold = 10L)
+        .select(col("symbol"), col("bar"), col("n_ticks"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(batch == Set(("A", 0L, 3L), ("A", 1L, 1L), ("B", 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("kmvSketchStream reconstructs the batch sketch across batches") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
