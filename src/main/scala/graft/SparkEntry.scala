@@ -1584,6 +1584,36 @@ object SparkEntry {
           col("right_age_us").as("age_us"))
         .orderBy(col("event_id"))
     }),
+    // op 137: binned range join — every view inside a click's 10-minute
+    // forward window, aggregated per window. Both the point and the
+    // interval side are event-scale relations, so the bare BETWEEN
+    // predicate would plan as a nested-loop join; the bin equi-key
+    // (width = the window span, explode factor ≤ 2) turns it into an
+    // ordinary shuffled join. All comparisons run in the integer-µs
+    // domain on BOTH engines (ns-precision parquet truncates to µs
+    // identically), and the left join back to the interval list keeps
+    // zero-match windows in the report.
+    "range_join_agg" -> ((s, dir) => {
+      val e = events(s, dir)
+      val us = unix_micros(col("ts"))
+      val spanUs = 600000000L
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("interval_id"), us.as("lo_us"),
+          (us + lit(spanUs)).as("hi_us"))
+      val views = e.where(col("event_type") === "view")
+        .select(us.as("p_us"), col("value"))
+      val agg = graft.operators.RangeJoin
+        .binned(views, "p_us", clicks, "lo_us", "hi_us", binWidth = spanUs)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(col("value").cast("decimal(30,10)")).cast("double").as("sv"))
+      clicks.select(col("interval_id"))
+        .join(agg, Seq("interval_id"), "left")
+        .select(col("interval_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"),
+          (round(col("sv"), 6) + lit(0.0)).as("sum_value"))
+        .orderBy(col("interval_id"))
+    }),
     "eod_prob_mom" -> ((s, dir) => { // custom Catalyst expression; no SQL oracle
       Graft.register(s)
       // Align series-a row i with series-b row i by pivoting on the
@@ -3311,6 +3341,23 @@ object SparkEntry {
           |  CASE WHEN age_us <= 86400000000 THEN round(quote_value, 6) END AS quote_value,
           |  CASE WHEN age_us <= 86400000000 THEN age_us END AS age_us
           |FROM j ORDER BY event_id""".stripMargin,
+      // Binned range join: the oracle states the plain BETWEEN
+      // semantics (fine at oracle scale); integer-µs domain on both
+      // sides, decimal sum, zero-match windows kept by the left join,
+      // + 0.0 normalizes any -0.0 from round().
+      "range_join_agg" ->
+        """WITH c AS (SELECT event_id AS interval_id, epoch_us(ts) AS lo_us,
+          |             epoch_us(ts) + 600000000 AS hi_us
+          |           FROM events WHERE event_type = 'click'),
+          |v AS (SELECT epoch_us(ts) AS p_us, value FROM events WHERE event_type = 'view'),
+          |a AS (SELECT c.interval_id, count(*) AS n_views,
+          |             CAST(sum(CAST(v.value AS DECIMAL(30,10))) AS DOUBLE) AS sv
+          |      FROM c JOIN v ON v.p_us BETWEEN c.lo_us AND c.hi_us
+          |      GROUP BY 1)
+          |SELECT c.interval_id, coalesce(a.n_views, 0) AS n_views,
+          |       round(a.sv, 6) + 0.0 AS sum_value
+          |FROM c LEFT JOIN a USING (interval_id)
+          |ORDER BY c.interval_id""".stripMargin,
       // Multimodal kernel oracles: the synthetic PNG is lossless, so the
       // decoded raster is pixel(x,y) = digest[(x+y) mod 16] with digest
       // byte i rebuilt from md5 hex nibbles 2i+1, 2i+2 via strpos; each
