@@ -673,6 +673,23 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value,
         |  count(DISTINCT event_id % 1000) AS distinct_bucket
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // stream-stream time-bounded join replay: with the delay covering
+    // the corpus span nothing is late-dropped, so the inner-join sink
+    // equals the batch join; µs-integer comparisons on both engines
+    "streaming_interval_join" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS tus, event_id AS trade_id,
+        |             value AS trade_value
+        |           FROM events WHERE event_type = 'purchase'),
+        |q AS (SELECT user_id AS q_user_id, epoch_us(ts) AS qus,
+        |        event_id AS quote_id, value AS quote_value
+        |      FROM events WHERE event_type = 'view')
+        |SELECT t.trade_id, q.quote_id, t.user_id,
+        |  round(t.trade_value, 6) AS trade_value,
+        |  round(q.quote_value, 6) AS quote_value,
+        |  t.tus - q.qus AS age_us
+        |FROM t JOIN q ON t.user_id = q.q_user_id
+        |  AND q.qus BETWEEN t.tus - 86400000000 AND t.tus
+        |ORDER BY trade_id, quote_id""".stripMargin,
     // streaming windowed agg replay: once every window is flushed, the
     // append-mode stream equals the batch tumbling-window agg
     "streaming_window_agg" ->
@@ -1990,6 +2007,31 @@ object SparkEntry {
           thresholdCents = 50000000L).toDF()
       }
       barSinkReport(sunk)
+    }),
+    // op 138: watermarked stream-stream time-bounded join — trades
+    // (purchase) joined to the last day of quotes (view) per user, both
+    // sides streaming. Inner-join pairs emit exactly once under any
+    // micro-batching; the 31-day delay covers the whole corpus span so
+    // the replayed sink equals the batch join and the oracle is plain
+    // SQL. Real event time (the ns→µs normalized ts), not replay time:
+    // the join semantics are about the data's own clock.
+    "streaming_interval_join" -> ((s, dir) => {
+      streamReplay(s, dir, "events", "sij") { src =>
+        val e = graft.sources.Tables.normalizeEventTs(src)
+        val trades = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("t_ts"),
+            col("event_id").as("trade_id"), col("value").as("trade_value"))
+        val quotes = e.where(col("event_type") === "view")
+          .select(col("user_id").as("q_user_id"), col("ts").as("q_ts"),
+            col("event_id").as("quote_id"), col("value").as("quote_value"))
+        graft.streaming.EventStream.timeBoundedJoin(trades, quotes,
+            "user_id", "q_user_id", "t_ts", "q_ts",
+            lookbackSec = 86400L, delay = "31 days")
+          .select(col("trade_id"), col("quote_id"), col("user_id"),
+            round(col("trade_value"), 6).as("trade_value"),
+            round(col("quote_value"), 6).as("quote_value"),
+            (unix_micros(col("t_ts")) - unix_micros(col("q_ts"))).as("age_us"))
+      }.orderBy(col("trade_id"), col("quote_id"))
     }),
     "tick_dollar_bars" -> ((s, dir) => {
       val e = events(s, dir).withColumn("volume", volume)

@@ -96,6 +96,32 @@ object EventStream {
                        depth: Int = 4, width: Int = 1024): DataFrame =
     graft.operators.Sketch.cmsCounters(rows, valueCol, depth, width)
 
+  /** Watermarked stream-stream time-bounded join (SURVEY §2 op 138) —
+    * the canonical Structured Streaming two-stream join: each left row
+    * pairs with every right row sharing `leftKey`/`rightKey` whose
+    * event time lies in `[leftTs - lookbackSec, leftTs]` (inclusive,
+    * the trade↔recent-quotes shape). Both sides carry a watermark, so
+    * Spark bounds the buffered state to the lookback + delay horizon
+    * and drops it as the watermark advances — the property that makes
+    * this run forever on an unbounded feed. Inner-join emission is
+    * exactly-once per matching pair regardless of how the input is
+    * micro-batched (pairs whose halves arrive in different batches
+    * join against buffered state), so the sink equals the batch join
+    * whenever the delay covers the source's disorder.
+    *
+    * Column names must be disjoint across the two sides (rename before
+    * calling, as with [[graft.operators.RangeJoin]]).
+    */
+  def timeBoundedJoin(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTs: String, rightTs: String,
+                      lookbackSec: Long, delay: String): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookbackSec SECONDS") &&
+          col(rightTs) <= col(leftTs))
+
   /** Read the events table shape as a file stream (parquet source). */
   def readEventStream(spark: org.apache.spark.sql.SparkSession,
                       path: String): DataFrame =

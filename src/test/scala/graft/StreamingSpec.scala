@@ -128,4 +128,32 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream time-bounded join pairs halves across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(Long, Timestamp, Long)]
+    val quotes = MemoryStream[(Long, Timestamp, Long)]
+    val t0 = 1700000000000L
+    val joined = EventStream.timeBoundedJoin(
+      trades.toDF().toDF("user_id", "t_ts", "trade_id"),
+      quotes.toDF().toDF("q_user_id", "q_ts", "quote_id"),
+      "user_id", "q_user_id", "t_ts", "q_ts",
+      lookbackSec = 60L, delay = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      // batch 1: quotes only — buffered as join state
+      quotes.addData(
+        (1L, new Timestamp(t0), 100L),        // in window of trade below
+        (1L, new Timestamp(t0 - 120000), 101L), // too old (> 60 s before)
+        (2L, new Timestamp(t0), 102L))        // wrong user
+      q.processAllAvailable()
+      // batch 2: the trade arrives later; its quote is in prior state
+      trades.addData((1L, new Timestamp(t0 + 30000), 7L))
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select($"trade_id", $"quote_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((7L, 100L)), got.toString)
+    } finally q.stop()
+  }
 }
