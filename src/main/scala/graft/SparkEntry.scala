@@ -1421,6 +1421,39 @@ object SparkEntry {
         .orderBy(col("stratum"), col("bin"))
     }),
 
+    // ---- write-side layout planning (ops 139-140)
+    // op 139: per-source size-budgeted shard manifest — the "~512 MB
+    // output files" rule as a deterministic plan both engines replay.
+    "layout_shard_plan" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.operators.Layout.shardPlan(d, "source", "doc_id", "n_chars",
+          target = 2000L)
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("shard_chars"))
+        .orderBy(col("source"), col("shard_id"))
+    }),
+    // op 140: z-order layout audit — interleave (user, hour-of-corpus)
+    // to 8 bits each, bucket the 16-bit z-key into 256 files, report
+    // each file's span on BOTH dims (the pruning story: a z-clustered
+    // file bounds every interleaved dimension, a time-sorted one only
+    // bounds time). Pure integer algebra so the oracle replays it.
+    "layout_zorder" -> ((s, dir) => {
+      val e = events(s, dir)
+      val stamped = e.withColumn("h",
+          expr("least(greatest((unix_micros(ts) - 1704067200000000L) " +
+            "div 3600000000L, 0L), 719L)"))
+        .withColumn("hb", expr("(h * 256) div 720"))
+        .withColumn("z", graft.operators.Layout.zorderValue(
+          Seq(col("user_id"), col("hb")), bits = 8))
+        .withColumn("file_id", expr("z div 256"))
+      stamped.groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("user_id")) - min(col("user_id"))).as("user_span"),
+          (max(col("h")) - min(col("h"))).as("hour_span"))
+        .orderBy(col("file_id"))
+    }),
+
     // ---- similarity search (ops 51-52)
     "ann_topk_bruteforce" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -2987,6 +3020,31 @@ object SparkEntry {
           |)
           |SELECT stratum, bin, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens
           |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // Layout planners (ops 139-140): integer-exact window prefix /
+      // bit-interleave algebra, replayed verbatim.
+      "layout_shard_plan" ->
+        """WITH p AS (
+          |  SELECT source, n_chars,
+          |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+          |      AS shard_id
+          |  FROM documents)
+          |SELECT source, shard_id, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS shard_chars
+          |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "layout_zorder" ->
+        s"""WITH d AS (
+          |  SELECT user_id,
+          |    least(greatest((epoch_us(ts) - 1704067200000000) // 3600000000, 0), 719) AS h
+          |  FROM events),
+          |q AS (SELECT user_id, h, (h * 256) // 720 AS hb FROM d),
+          |z AS (SELECT user_id, h,
+          |  (${graft.operators.Layout.zorderSql(Seq("user_id", "hb"), 8)}) // 256 AS file_id
+          |  FROM q)
+          |SELECT file_id, count(*) AS n_rows,
+          |  max(user_id) - min(user_id) AS user_span,
+          |  max(h) - min(h) AS hour_span
+          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
       "dedup_exact" ->
         s"""WITH $CORPUS_CTE
           |SELECT doc_id,
