@@ -2049,7 +2049,13 @@ object SparkEntry {
     // SQL. Real event time (the ns→µs normalized ts), not replay time:
     // the join semantics are about the data's own clock.
     "streaming_interval_join" -> ((s, dir) => {
-      streamReplay(s, dir, "events", "sij") { src =>
+      // A stream-stream join keeps FOUR state stores per shuffle
+      // partition; at replay scale the store file I/O, not the data,
+      // dominates — run the replay at 8 partitions (the state-store
+      // sizing rule: partitions ∝ state volume, not CPU count).
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try streamReplay(s, dir, "events", "sij") { src =>
         val e = graft.sources.Tables.normalizeEventTs(src)
         val trades = e.where(col("event_type") === "purchase")
           .select(col("user_id"), col("ts").as("t_ts"),
@@ -2065,6 +2071,7 @@ object SparkEntry {
             round(col("quote_value"), 6).as("quote_value"),
             (unix_micros(col("t_ts")) - unix_micros(col("q_ts"))).as("age_us"))
       }.orderBy(col("trade_id"), col("quote_id"))
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
     "tick_dollar_bars" -> ((s, dir) => {
       val e = events(s, dir).withColumn("volume", volume)
@@ -2445,6 +2452,22 @@ object SparkEntry {
         .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
       kmvReport(s, dir,
         Sketch.kmvSketch(toks, Seq("source"), "tok", k = 64))
+    }),
+    // op 141: histogram quantile sketch — per-type value quantiles plus
+    // the __ALL__ row merged FROM THE SKETCHES (sum of bins, no corpus
+    // rescan: the rollup property). Dyadic width (512/128 = 4.0) makes
+    // the bin arithmetic exact in IEEE doubles on both engines.
+    "sketch_quantiles" -> ((s, dir) => {
+      val sk = Sketch.histSketch(events(s, dir), Seq("event_type"),
+        "value", lo = 0.0, hi = 512.0, nBins = 128)
+      val all = sk.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+        .withColumn("event_type", lit("__ALL__"))
+      val merged = sk.select(col("event_type"), col("bin"), col("cnt"))
+        .unionByName(all.select(col("event_type"), col("bin"), col("cnt")))
+      Sketch.histQuantiles(merged, Seq("event_type"),
+          Seq(0.25, 0.5, 0.75, 0.95), lo = 0.0, hi = 512.0, nBins = 128)
+        .select(col("event_type"), col("q"), col("est"), col("n"))
+        .orderBy(col("event_type"), col("q"))
     }),
     // Streaming twin (op 132): flatMapGroupsWithState maintains the
     // per-source bottom-k distinct-hash array (construction-bounded
@@ -4159,6 +4182,33 @@ object SparkEntry {
           "UNION ALL SELECT '__ALL__', count(DISTINCT tok) FROM tk) " +
           "SELECT source, n_kept, est_distinct, exact_distinct " +
           "FROM est JOIN ex USING (source) ORDER BY source"),
+      // Histogram quantile sketch: identical integer bin counts, the
+      // __ALL__ row merged by summing bins, bin-midpoint estimates.
+      // q and n are forced to DOUBLE before the rank product so both
+      // engines compute the same IEEE floor(q*n).
+      "sketch_quantiles" ->
+        """WITH h AS (
+          |  SELECT event_type,
+          |    least(127, greatest(0, CAST(floor(value / 4.0) AS INT))) AS bin,
+          |    count(*) AS cnt
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |m AS (SELECT event_type, bin, cnt FROM h
+          |      UNION ALL
+          |      SELECT '__ALL__', bin, sum(cnt) FROM h GROUP BY 2),
+          |c AS (SELECT event_type, bin, cnt,
+          |        sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+          |        sum(cnt) OVER (PARTITION BY event_type) AS n
+          |      FROM m),
+          |x AS (SELECT c.*, q FROM c
+          |      CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS q)),
+          |t AS (SELECT event_type, q, CAST(n AS BIGINT) AS n,
+          |        min(CASE WHEN cum >= least(n, CAST(floor(q * CAST(n AS DOUBLE)) AS BIGINT) + 1)
+          |            THEN bin END) AS qbin
+          |      FROM x GROUP BY 1, 2, 3)
+          |SELECT event_type, q,
+          |  floor((0.0 + (CAST(qbin AS DOUBLE) + 0.5) * 4.0) * 1e6 + 0.5) / 1e6 AS est,
+          |  n
+          |FROM t ORDER BY event_type, q""".stripMargin,
       // KMV Jaccard: bottom-k of each pair's sketch-hash union with
       // per-side presence flags; estimate = both-present fraction.
       "sketch_kmv_jaccard" ->

@@ -309,4 +309,63 @@ object Sketch {
         floor(col("n_both").cast("double") /
           col("n_union_kept").cast("double") * 1e6 + 0.5) / 1e6)
   }
+
+  /** Mergeable equi-width histogram quantile sketch (SURVEY §2 op 141)
+    * — the quantile member of the sketch family: exact quantiles sort
+    * the whole column (the 100 TB killer); a fixed-bin histogram is
+    * ≤ nBins rows per group, map-side combinable, and histograms from
+    * different sources/days MERGE BY SUMMING BINS without a rescan
+    * (the same rollup property as the CMS counter table). The
+    * bin-midpoint estimate is within binWidth/2 of the rank statistic
+    * (hence within one bin width of any interpolated-quantile
+    * convention) — an a-priori value-axis bound, chosen up front.
+    *
+    * Out-of-domain values clamp into the edge bins (their mass still
+    * counts; their position saturates). Choose a DYADIC width
+    * ((hi−lo)/nBins a power of two) and the bin arithmetic is exact in
+    * IEEE doubles — no cross-engine rounding surface at all.
+    */
+  def histSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, s"bad domain [$lo,$hi)/$nBins")
+    val width = (hi - lo) / nBins
+    val v = col(valueCol)
+    val bin = least(lit(nBins - 1), greatest(lit(0),
+      floor((v - lit(lo)) / lit(width)).cast("int")))
+    df.where(v.isNotNull)
+      .groupBy(groupCols.map(col) :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a (group, bin, cnt) histogram sketch: for
+    * each q, the midpoint of the bin where the cumulative count first
+    * reaches rank ⌊q·n⌋+1 (clamped to n). Bin-midpoint, not
+    * interpolated — the estimate is a pure function of integer bin
+    * counts, so engines agree bit-for-bit; the half-width error bound
+    * is the sketch's contract, interpolation would only polish inside
+    * it. Output: group cols, q, est (1e-6-quantized), n.
+    */
+  def histQuantiles(sketch: DataFrame, groupCols: Seq[String],
+                    qs: Seq[Double], lo: Double, hi: Double,
+                    nBins: Int): DataFrame = {
+    val width = (hi - lo) / nBins
+    val g = groupCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("bin"))
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(g: _*)))
+    cum
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("target",
+        least(col("n"), floor(col("q") * col("n").cast("double"))
+          .cast("long") + 1L))
+      .groupBy(g :+ col("q"): _*)
+      .agg(
+        min(when(col("cum") >= col("target"), col("bin"))).as("qbin"),
+        max(col("n")).as("n"))
+      .withColumn("est",
+        floor((lit(lo) + (col("qbin").cast("double") + 0.5) * lit(width))
+          * 1e6 + 0.5) / 1e6)
+      .drop("qbin")
+  }
 }

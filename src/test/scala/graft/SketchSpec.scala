@@ -150,4 +150,35 @@ class SketchSpec extends SparkSpec {
     assert(out(1) == ((11L, None, None))) // best match 380s old — too stale
     assert(out(2) == ((12L, None, None))) // no quote at all for key 2
   }
+
+  test("histogram quantile sketch: estimates within half a bin width") {
+    val vals = (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val sk = Sketch.histSketch(vals, Seq("g"), "v", lo = 0.0, hi = 128.0,
+      nBins = 32) // width 4
+    val qs = Sketch.histQuantiles(sk, Seq("g"), Seq(0.25, 0.5, 0.75),
+        lo = 0.0, hi = 128.0, nBins = 32)
+      .select($"q", $"est", $"n").as[(Double, Double, Long)]
+      .collect().sortBy(_._1)
+    assert(qs.map(_._3).forall(_ == 100L))
+    // interpolated truths 25.75/50.5/75.25; the bin-midpoint sits
+    // within width/2 of the RANK statistic, so within one full bin
+    // width (4) of the interpolated quantile
+    val truth = Map(0.25 -> 25.75, 0.5 -> 50.5, 0.75 -> 75.25)
+    qs.foreach { case (q, est, _) =>
+      assert(math.abs(est - truth(q)) <= 4.0, s"q=$q est=$est") }
+  }
+
+  test("histogram sketches merge by summing bins; outliers clamp to edges") {
+    val a = (1 to 50).map(i => ("x", i.toDouble))
+    val b = (51 to 100).map(i => ("x", i.toDouble)) :+ (("x", 99999.0))
+    val whole = Sketch.histSketch((a ++ b).toDF("g", "v"), Seq("g"), "v",
+      0.0, 128.0, 32)
+    val merged = Sketch.histSketch(a.toDF("g", "v"), Seq("g"), "v", 0.0, 128.0, 32)
+      .unionByName(Sketch.histSketch(b.toDF("g", "v"), Seq("g"), "v", 0.0, 128.0, 32))
+      .groupBy($"g", $"bin").agg(sum($"cnt").as("cnt"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+    // the 99999.0 outlier landed in the top bin, not outside the sketch
+    val top = whole.where($"bin" === 31).select($"cnt").as[Long].head()
+    assert(top >= 1L)
+  }
 }
