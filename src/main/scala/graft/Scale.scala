@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cluster, Corpus, Dedup, Drawdown, Embed, Pq, Resample, Similarity, Sketch}
+import graft.operators.{Cluster, Corpus, Dedup, Drawdown, Embed, Layout, Pq, RangeJoin, Resample, Similarity, Sketch}
 
 /** Scale probe: the driver's testdata stops at sf0.1, so this main
   * self-generates inputs at multiples of the sf0.1 row counts (same
@@ -419,6 +419,50 @@ object Scale {
         val cmsRows = Sketch.cmsCounters(sketchToks, "tok", 4, 1024).count()
         val kmvRows = Sketch.kmvSketch(sketchToks, Seq("src"), "tok", k = 256).count()
         println(s"""{"op":"sketch_state_rows","scale":$m,"rows":$nDocs,"hll_regs":$hllRows,"cms_cells":$cmsRows,"kmv_rows":$kmvRows}""")
+      }
+      // Histogram quantile sketch (op 141): wall linear in rows, state
+      // ≤ nBins counts per key at EVERY tier (the mergeable-rollup
+      // evidence, same claim shape as sketch_state_rows).
+      timed("sketch_quantiles", m, nSeries) {
+        val sk = Sketch.histSketch(series, Seq("key"), "ret",
+          lo = -0.02, hi = 0.02, nBins = 128)
+        sink(Sketch.histQuantiles(sk, Seq("key"),
+          Seq(0.25, 0.5, 0.75, 0.95), lo = -0.02, hi = 0.02, nBins = 128))
+      }
+      if (wanted("sketch_hist_rows")) {
+        val histRows = Sketch.histSketch(series, Seq("key"), "ret",
+          -0.02, 0.02, 128).count()
+        println(s"""{"op":"sketch_hist_rows","scale":$m,"rows":$nSeries,"hist_rows":$histRows}""")
+      }
+      // Binned range join (op 137): every 50th key-0 row opens a
+      // 2-slot interval over the global position domain (~200 points
+      // each) — pair fan-out is rows/25, so wall must track rows, and
+      // the bin equi-key keeps the plan off nested loops at any tier.
+      timed("range_join", m, nSeries) {
+        val pos = (col("ord") * 100 + col("key")).cast("long")
+        val pts = series.select(pos.as("p"))
+        val ivs = series.where(col("key") === 0 && col("ord") % 50 === 0)
+          .select((col("ord") * 100).cast("long").as("lo"),
+            (col("ord") * 100 + 199).cast("long").as("hi"),
+            col("ord").cast("long").as("iid"))
+        sink(RangeJoin.binned(pts, "p", ivs, "lo", "hi", binWidth = 200L)
+          .groupBy(col("iid")).agg(count(lit(1)).as("n")))
+      }
+      // Write-side layout planners (ops 139-140): one per-group window
+      // pass / one codegen projection — both must stay linear.
+      timed("layout_shard_plan", m, nDocs) {
+        val sized = docs.select(col("doc_id"), (col("doc_id") % 64).as("src"),
+          length(col("text")).cast("long").as("bytes"))
+        sink(Layout.shardPlan(sized, "src", "doc_id", "bytes",
+            target = 1L << 20)
+          .groupBy(col("src"), col("shard_id"))
+          .agg(count(lit(1)).as("n"), sum(col("bytes")).as("b")))
+      }
+      timed("layout_zorder", m, nSeries) {
+        val z = series.select(Layout.zorderValue(
+          Seq(col("key") % 256, col("ord") % 256), bits = 8).as("z"))
+        sink(z.groupBy(expr("z div 256").as("file_id"))
+          .agg(count(lit(1)).as("n")))
       }
       // Drawdown episode report (op 126): two same-key window passes
       // + one (key, episode) agg — must stay linear per key.

@@ -222,7 +222,10 @@ object SparkEntry {
       // op 136: streamed bar ids equal the batch ids (exact integer
       // prefix state), so the bar twins replay the batch bar oracles.
       ("streaming_volume_bars" -> p("tick_volume_bars")) +
-      ("streaming_dollar_bars" -> p("tick_dollar_bars"))
+      ("streaming_dollar_bars" -> p("tick_dollar_bars")) +
+      // op 142: counts only grow, so the max-merged Update sink equals
+      // the batch bin table and the report replays the batch oracle.
+      ("streaming_quantiles" -> p("sketch_quantiles"))
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2458,16 +2461,23 @@ object SparkEntry {
     // rescan: the rollup property). Dyadic width (512/128 = 4.0) makes
     // the bin arithmetic exact in IEEE doubles on both engines.
     "sketch_quantiles" -> ((s, dir) => {
-      val sk = Sketch.histSketch(events(s, dir), Seq("event_type"),
-        "value", lo = 0.0, hi = 512.0, nBins = 128)
-      val all = sk.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
-        .withColumn("event_type", lit("__ALL__"))
-      val merged = sk.select(col("event_type"), col("bin"), col("cnt"))
-        .unionByName(all.select(col("event_type"), col("bin"), col("cnt")))
-      Sketch.histQuantiles(merged, Seq("event_type"),
-          Seq(0.25, 0.5, 0.75, 0.95), lo = 0.0, hi = 512.0, nBins = 128)
-        .select(col("event_type"), col("q"), col("est"), col("n"))
-        .orderBy(col("event_type"), col("q"))
+      histQuantileReport(Sketch.histSketch(events(s, dir),
+        Seq("event_type"), "value", lo = 0.0, hi = 512.0, nBins = 128))
+    }),
+    // Streaming twin (op 142): the histogram is an Update-mode
+    // streaming agg with construction-bounded state (≤ nBins counts
+    // per type, no watermark — the same O(1)-state family as
+    // streaming_hll/cms/kmv). Counts only grow, so a max-merge over
+    // the Update sink reconstructs the batch bin table exactly and the
+    // report shares sketch_quantiles' oracle.
+    "streaming_quantiles" -> ((s, dir) => {
+      val sunk = streamReplay(s, dir, "events", "sqh", mode = "update") {
+        src =>
+          Sketch.histSketch(graft.sources.Tables.normalizeEventTs(src),
+            Seq("event_type"), "value", lo = 0.0, hi = 512.0, nBins = 128)
+      }
+      histQuantileReport(sunk.groupBy(col("event_type"), col("bin"))
+        .agg(max(col("cnt")).as("cnt")))
     }),
     // Streaming twin (op 132): flatMapGroupsWithState maintains the
     // per-source bottom-k distinct-hash array (construction-bounded
@@ -2626,6 +2636,22 @@ object SparkEntry {
         round(col("volume"), 6).as("volume"),
         round(col("vwap"), 6).as("vwap"), col("n_ticks"))
       .orderBy(col("event_type"), col("bar"))
+
+  /** Shared tail of the quantile-sketch queries (ops 141/142): the
+    * per-type + `__ALL__`-merged quantile report over a
+    * (event_type, bin, cnt) histogram table — the merge sums BINS,
+    * never rescanning the corpus.
+    */
+  private def histQuantileReport(sk: DataFrame): DataFrame = {
+    val all = sk.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+      .withColumn("event_type", lit("__ALL__"))
+    val merged = sk.select(col("event_type"), col("bin"), col("cnt"))
+      .unionByName(all.select(col("event_type"), col("bin"), col("cnt")))
+    Sketch.histQuantiles(merged, Seq("event_type"),
+        Seq(0.25, 0.5, 0.75, 0.95), lo = 0.0, hi = 512.0, nBins = 128)
+      .select(col("event_type"), col("q"), col("est"), col("n"))
+      .orderBy(col("event_type"), col("q"))
+  }
 
   /** Shared tail of the KMV queries (ops 129/132): per-source + merged
     * __ALL__ estimates from a (source, h) sketch table, exact distincts

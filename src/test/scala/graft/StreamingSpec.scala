@@ -129,6 +129,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram sketch max-merges to the batch bin table") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val sk = graft.operators.Sketch.histSketch(
+      input.toDF().toDF("g", "v"), Seq("g"), "v", lo = 0.0, hi = 128.0,
+      nBins = 32)
+    val q = sk.writeStream.format("memory").queryName("hist_stream")
+      .outputMode("update").start()
+    try {
+      val batch1 = (1 to 50).map(i => ("a", i.toDouble))
+      val batch2 = (26 to 75).map(i => ("a", i.toDouble)) :+ (("b", 5.0))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hist_stream")
+        .groupBy($"g", $"bin").agg(max($"cnt").as("cnt"))
+      val batch = graft.operators.Sketch.histSketch(
+        (batch1 ++ batch2).toDF("g", "v"), Seq("g"), "v", 0.0, 128.0, 32)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream time-bounded join pairs halves across batches") {
     implicit val sqlCtx = spark.sqlContext
     val trades = MemoryStream[(Long, Timestamp, Long)]
