@@ -2053,9 +2053,10 @@ object SparkEntry {
     // the join semantics are about the data's own clock.
     "streaming_interval_join" -> ((s, dir) => {
       // A stream-stream join keeps FOUR state stores per shuffle
-      // partition; at replay scale the store file I/O, not the data,
-      // dominates — run the replay at 8 partitions (the state-store
-      // sizing rule: partitions ∝ state volume, not CPU count).
+      // partition and does little per-row compute, so store file I/O
+      // dominates the replay — run it at 8 partitions. (Measured both
+      // ways at sf0.1: the compute-heavy replays LOSE from fewer
+      // partitions, so this stays per-query, not in streamReplay.)
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try streamReplay(s, dir, "events", "sij") { src =>
