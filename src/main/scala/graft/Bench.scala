@@ -64,7 +64,7 @@ object Bench {
           case e: Throwable =>
             // A swallowed failure must not masquerade as a fast query:
             // record it so the JSON line shows exactly what broke.
-            errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(120)
             None
         }
       }
@@ -81,8 +81,14 @@ object Bench {
     val qs = results.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    // Error strings are capped (120 chars each, ≤12 entries shown) and
+    // the map goes LAST in the line: three rounds running, the archived
+    // BENCH json was truncated mid-errors-map and the per-query timings
+    // were lost with it. Small capped errors at the very end can't push
+    // the timings past any truncation limit.
+    val errs = errors.take(12).map { case (k, v) =>
+      s"\"" + k + "\":\"" + v + "\""
+    }.mkString("{", ",", "}")
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val streaming = streamSplit.map { case (k, (su, ex)) =>
       s"\"" + k + "\":{\"setup\":" + r3(su) + ",\"exec\":" + r3(ex) + "}"
@@ -96,7 +102,7 @@ object Bench {
     // (duplicated as total_sec): the driver may keep only the tail of
     // this line, and r5's record lost the leading "value" field to that
     // truncation — the trailing copy makes the total indestructible.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streaming,"setup_split":$setups,"harness_sec":$harness,"sf":"$sfDir","n_queries":${results.size},"total_sec":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"harness_sec":$harness,"streaming":$streaming,"setup_split":$setups,"queries":$qs,"errors":$errs,"total_sec":$total}""")
     spark.stop()
   }
 }

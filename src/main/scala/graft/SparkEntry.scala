@@ -1930,8 +1930,17 @@ object SparkEntry {
       // closing no-data batch flushes them. A single run leaves the
       // data/sentinel batch split to file-listing order — flaky.
       runOnce()
+      // Sentinel ts (~2200-01-01) in whatever physical type the source
+      // file carries, so the fixed readStream schema still matches.
+      val sentinelTs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          lit(7258118400000000000L) // ns
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          expr("timestamp_ntz'2200-01-01 00:00:00'")
+        case _ => expr("timestamp'2200-01-01 00:00:00'")
+      }
       raw.limit(1)
-        .withColumn("ts", lit(7258118400000000000L)) // ~2200-01-01 in ns
+        .withColumn("ts", sentinelTs)
         .withColumn("event_type", lit("zz_sentinel"))
         .write.mode("append").parquet(in.toString)
       runOnce()
@@ -3075,9 +3084,9 @@ object SparkEntry {
       "layout_shard_plan" ->
         """WITH p AS (
           |  SELECT source, n_chars,
-          |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
-          |      AS shard_id
+          |      AS BIGINT) AS shard_id
           |  FROM documents)
           |SELECT source, shard_id, count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS shard_chars
@@ -3089,11 +3098,11 @@ object SparkEntry {
           |  FROM events),
           |q AS (SELECT user_id, h, (h * 256) // 720 AS hb FROM d),
           |z AS (SELECT user_id, h,
-          |  (${graft.operators.Layout.zorderSql(Seq("user_id", "hb"), 8)}) // 256 AS file_id
+          |  CAST((${graft.operators.Layout.zorderSql(Seq("user_id", "hb"), 8)}) // 256 AS BIGINT) AS file_id
           |  FROM q)
           |SELECT file_id, count(*) AS n_rows,
-          |  max(user_id) - min(user_id) AS user_span,
-          |  max(h) - min(h) AS hour_span
+          |  CAST(max(user_id) - min(user_id) AS BIGINT) AS user_span,
+          |  CAST(max(h) - min(h) AS BIGINT) AS hour_span
           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
       "dedup_exact" ->
         s"""WITH $CORPUS_CTE

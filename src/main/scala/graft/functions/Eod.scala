@@ -149,7 +149,7 @@ object Eod {
     * Microsecond-exact: uses unix_micros. Ref: eod/temporal.py:156.
     */
   def yearFrac(ts: Column): Column =
-    (unix_micros(max(ts)) - unix_micros(min(ts))) / lit(1e6 * SecondsPerYear)
+    (Tick.epochUs(max(ts)) - Tick.epochUs(min(ts))) / lit(1e6 * SecondsPerYear)
 
   /** CAGR: (last/first)^(1/yearFrac) - 1. Ref: eod/returns.py:96. */
   def cagr(price: Column, ts: Column): Column =

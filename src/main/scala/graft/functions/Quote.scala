@@ -44,5 +44,5 @@ object Quote {
     * is a stub; this is its natural content given the as-of join).
     */
   def quoteLatencyUs(tradeTs: Column, quoteTs: Column): Column =
-    unix_micros(tradeTs) - unix_micros(quoteTs)
+    Tick.epochUs(tradeTs) - Tick.epochUs(quoteTs)
 }

@@ -23,7 +23,16 @@ object Tick {
   val Scale: Map[String, Double] =
     Map("s" -> 1e9, "ms" -> 1e6, "us" -> 1e3, "ns" -> 1.0)
 
-  private def nanos(ts: Column): Column = unix_micros(ts) * 1000L
+  /** NTZ-tolerant epoch extraction: `unix_micros` rejects
+    * TIMESTAMP_NTZ, so coerce through TimestampType first. Under the
+    * library's pinned UTC session TZ the cast is value-exact, and for a
+    * column already TimestampType Catalyst's SimplifyCasts removes the
+    * no-op — either parquet timestamp flavor works without a plan cost.
+    */
+  def epochUs(ts: Column): Column =
+    unix_micros(ts.cast(org.apache.spark.sql.types.TimestampType))
+
+  private def nanos(ts: Column): Column = epochUs(ts) * 1000L
 
   /** Trades per time unit: n / ((last ts - first ts)/scale).
     * Ref: tick/activity.py:11 (first/last of the ordered series = min/max,

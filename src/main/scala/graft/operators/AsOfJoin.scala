@@ -38,7 +38,8 @@ object AsOfJoin {
                      ts: String, rightPayload: Seq[String],
                      maxAgeUs: Long): DataFrame = {
     val j = backward(left, right, key, ts, rightPayload :+ ts)
-    val age = unix_micros(col(ts)) - unix_micros(col(s"right_$ts"))
+    val age = graft.functions.Tick.epochUs(col(ts)) -
+      graft.functions.Tick.epochUs(col(s"right_$ts"))
     val within = col(s"right_$ts").isNotNull && age <= maxAgeUs
     rightPayload.foldLeft(j) { (df, c) =>
       df.withColumn(s"right_$c", when(within, col(s"right_$c")))

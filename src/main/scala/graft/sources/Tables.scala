@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Source layer for the star-schema testdata (and any parquet lake with
   * the same shape). Readers stay plain `spark.read.parquet` so Catalyst
@@ -15,11 +15,11 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    normalizeTimestamps(if (name == "events") normalizeEventTs(df) else df)
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-    * rejects; with spark.sql.legacy.parquet.nanosAsLong the column
+  /** events.parquet historically carried TIMESTAMP(NANOS), which Spark's
+    * reader rejects; with spark.sql.legacy.parquet.nanosAsLong the column
     * arrives as Long ns. Rebuild a µs TimestampType via exact integer
     * division (`div`, not `/` — ns magnitudes exceed 2^53, a double
     * round-trip would corrupt low microseconds).
@@ -28,8 +28,25 @@ object Tables {
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
+
+  /** Parquet written with `isAdjustedToUTC=false` (e.g. pandas/pyarrow
+    * naive timestamps) reads back as TIMESTAMP_NTZ in Spark 4, which
+    * `unix_micros`, `withWatermark`, and the duration kernels all reject.
+    * The session TZ is pinned to UTC everywhere in this library, so
+    * casting NTZ → TimestampType is value-exact (same micros since
+    * epoch). Applied to EVERY timestamp column of every table so a
+    * testdata regeneration flipping the flag is a no-op.
+    */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   /** Register all tables as temp views for SQL users. */
   def registerViews(spark: SparkSession, dir: String): Unit =

@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
   * watermark bounds state size.
   */
 object EventStream {
+  /** `withWatermark` rejects TIMESTAMP_NTZ
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), which is what a parquet
+    * source written with isAdjustedToUTC=false presents as in Spark 4.
+    * Coerce the event-time column before watermarking — value-exact
+    * under the library's pinned UTC session TZ, a no-op otherwise.
+    */
+  private def eventTime(df: DataFrame, c: String): DataFrame =
+    df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Tumbling-window per-type stats with a lateness watermark. The sum
     * runs in decimal(30,10): double addition is order-sensitive and
     * shuffle-merge order is not deterministic, so a double sum can
@@ -19,7 +32,7 @@ object EventStream {
     */
   def windowedStats(events: DataFrame, windowLen: String,
                     watermark: String): DataFrame =
-    events
+    eventTime(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -35,7 +48,8 @@ object EventStream {
     */
   def sessionize(events: DataFrame, gap: String,
                  watermark: Option[String] = None): DataFrame = {
-    val base = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
+    val ev = eventTime(events, "ts")
+    val base = watermark.map(ev.withWatermark("ts", _)).getOrElse(ev)
     base.groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("first_ts"),
@@ -55,7 +69,7 @@ object EventStream {
     */
   def dedupExactStream(docs: DataFrame, idCol: String, textCol: String,
                        tsCol: String, watermark: String): DataFrame =
-    docs
+    eventTime(docs, tsCol)
       .withColumn("_digest", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       // dropDuplicatesWithinWatermark: digest-keyed state that the
@@ -116,8 +130,8 @@ object EventStream {
                       leftKey: String, rightKey: String,
                       leftTs: String, rightTs: String,
                       lookbackSec: Long, delay: String): DataFrame =
-    left.withWatermark(leftTs, delay)
-      .join(right.withWatermark(rightTs, delay),
+    eventTime(left, leftTs).withWatermark(leftTs, delay)
+      .join(eventTime(right, rightTs).withWatermark(rightTs, delay),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookbackSec SECONDS") &&
           col(rightTs) <= col(leftTs))

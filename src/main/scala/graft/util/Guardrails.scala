@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicReference
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
-import org.apache.spark.sql.types.{DataType, DoubleType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DoubleType, TimestampNTZType, TimestampType}
 
 /** Input-dtype guards — the Spark counterpart of the reference's
   * guard_expr decorator (ffn_polars/utils/guardrails.py), which flags
@@ -53,8 +53,57 @@ object Guardrails extends Logging {
   def requireDouble(df: DataFrame, cols: String*): Unit =
     cols.foreach(require(df, _, DoubleType))
 
+  /** Accepts either parquet timestamp flavor: the duration kernels
+    * coerce NTZ through TimestampType themselves (Tick.epochUs), so an
+    * NTZ column satisfies the contract too.
+    */
   def requireTimestamp(df: DataFrame, cols: String*): Unit =
-    cols.foreach(require(df, _, TimestampType))
+    cols.foreach { c =>
+      val actual = df.schema(c).dataType
+      if (actual != TimestampType && actual != TimestampNTZType)
+        emit(s"column '$c' must be a timestamp (TZ or NTZ), got $actual")
+    }
+
+  /** Name-contract guard (reference guard_expr required_substring,
+    * guardrails.py:63-69): catches e.g. a price series handed to an
+    * operator that documents itself over RETURNS — the dtype matches,
+    * the semantics don't, and the name is the only signal available
+    * before execution.
+    */
+  def requireNameContains(colName: String, substring: String): Unit =
+    if (!colName.contains(substring))
+      emit(s"column '$colName' name does not contain '$substring'")
+
+  /** Schema-level null contract: the column must be declared
+    * non-nullable. Free (no job), but parquet reads are nullable by
+    * default — use [[requireNoNulls]] when the data, not the schema,
+    * carries the contract.
+    */
+  def requireNonNullable(df: DataFrame, cols: String*): Unit =
+    cols.foreach { c =>
+      if (df.schema(c).nullable)
+        emit(s"column '$c' must be declared non-nullable")
+    }
+
+  /** Data-level null contract: ONE aggregate-only job over the frame
+    * counting nulls in every guarded column at once (a count-aggregate
+    * scan — column-pruned to the guarded columns, combined map-side, no
+    * wide shuffle, so it stays cheap even at lake scale; still, prefer
+    * guarding the small post-aggregation frame over the raw fact
+    * table).
+    */
+  def requireNoNulls(df: DataFrame, cols: String*): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    if (cols.nonEmpty) {
+      val aggs = cols.map(c => count(when(col(c).isNull, lit(1))).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val bad = cols.zipWithIndex.collect {
+        case (c, i) if row.getLong(i) > 0 => s"'$c' (${row.getLong(i)} nulls)"
+      }
+      if (bad.nonEmpty)
+        emit(s"null contract violated: ${bad.mkString(", ")}")
+    }
+  }
 
   /** Plan-shape guard: flags any Window operator with an empty
     * partitionSpec. Spark evaluates such a window by moving EVERY row

@@ -41,6 +41,43 @@ class SourcesSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM events").as[Long].head() > 0)
   }
 
+  test("NTZ parquet (isAdjustedToUTC=false) loads as TimestampType, value-exact") {
+    import org.apache.spark.sql.types._
+    // Write a fixture whose ts is TIMESTAMP_NTZ — what pandas/pyarrow
+    // naive timestamps become in Spark 4's reader — plus an NTZ date col
+    // on a non-events table name, to pin the generalized normalization.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    val micros = Seq(1712928600000000L, 1712928601500000L)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(micros.zipWithIndex.map { case (us, i) =>
+          org.apache.spark.sql.Row(i.toLong, us)
+        }),
+        StructType(Seq(StructField("event_id", LongType),
+          StructField("ts_us", LongType))))
+      .withColumn("ts", timestamp_micros($"ts_us").cast(TimestampNTZType))
+      .drop("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // raw read must come back NTZ or the fixture proves nothing
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+      TimestampNTZType)
+    val loaded = Tables.load(spark, dir, "events")
+    assert(loaded.schema("ts").dataType == TimestampType)
+    val got = loaded.orderBy($"event_id")
+      .select(unix_micros($"ts")).as[Long].collect()
+    assert(got.toSeq == micros,
+      s"NTZ→TZ cast not value-exact under UTC: ${got.toSeq}")
+    // generalized path: any table, any NTZ column name
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L, 1712928600000000L))),
+        StructType(Seq(StructField("o_orderkey", LongType),
+          StructField("us", LongType))))
+      .withColumn("o_orderdate", timestamp_micros($"us").cast(TimestampNTZType))
+      .drop("us")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(Tables.load(spark, dir, "orders").schema("o_orderdate").dataType ==
+      TimestampType)
+  }
+
   test("partitioned writes prune partitions on filtered reads") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")

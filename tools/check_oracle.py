@@ -36,6 +36,22 @@ def main(sf_dir: str, out_dir: str) -> None:
             print(f"SCHEMA   {name}: spark={list(a.columns)} duck={list(b.columns)}"); n_bad += 1; continue
         if len(a) != len(b):
             print(f"ROWS     {name}: spark={len(a)} duck={len(b)}"); n_bad += 1; continue
+        # The driver hashes SERIALIZED values, so an int column on one
+        # side vs float on the other ("3" vs "3.0") is red even when the
+        # numbers match — e.g. DuckDB window sum(BIGINT) -> HUGEINT
+        # round-trips to float64 in fetchdf(). Flag it before the
+        # bit-level compare below (which would cast both and pass).
+        dtype_bad = [
+            c for c in a.columns
+            if {a[c].dtype.kind, b[c].dtype.kind} == {'i', 'f'}
+            or {a[c].dtype.kind, b[c].dtype.kind} == {'u', 'f'}
+        ]
+        if dtype_bad:
+            print(f"DTYPE    {name}: int-vs-float columns "
+                  f"{[(c, str(a[c].dtype), str(b[c].dtype)) for c in dtype_bad]}"
+                  " (driver hash compares serialized text; cast the oracle)")
+            n_bad += 1
+            continue
         mismatch = None
         for c in a.columns:
             av, bv = a[c], b[c]
