@@ -388,6 +388,40 @@ object Scale {
           graft.functions.Eod.rollingCorr(col("ra"), col("rb"), w, 60)
             .as("corr")))
       }
+
+      // Multi-benchmark CAPM grid (op 143): 97 assets × 3 benchmarks
+      // over the keyed series — the benchmark slice (3 of 100 keys)
+      // broadcasts, the asset side never re-shuffles, one hash agg
+      // emits the grid. Linear-in-rows is the evidence the broadcast
+      // fan-out shape holds as series length grows.
+      timed("capm_multi", m, nSeries) {
+        val b = series.where(col("key") < 3)
+          .select(col("key").as("bench_id"), col("ord"), col("ret").as("rb"))
+        val a = series.where(col("key") >= 3)
+          .select(col("key").as("pair_id"), col("ord"), col("ret").as("ra"))
+        sink(a.join(broadcast(b), "ord")
+          .groupBy(col("pair_id"), col("bench_id"))
+          .agg(
+            graft.functions.Eod.capmBeta(col("ra"), col("rb")).as("beta"),
+            graft.functions.Eod.capmAlpha(col("ra"), col("rb")).as("alpha"),
+            graft.functions.Eod.capmR2(col("ra"), col("rb")).as("r2")))
+      }
+
+      // Rolling capture (op 144): same one-pass windowed shape as
+      // rolling_beta_corr (conditional windowed means).
+      timed("rolling_capture", m, nSeries) {
+        val bench = series.where(col("key") === 0)
+          .select(col("ord"), col("ret").as("rb"))
+        val paired = series.where(col("key") =!= 0)
+          .select(col("key").as("pair_id"), col("ord"), col("ret").as("ra"))
+          .join(bench, "ord")
+        val w = Window.partitionBy(col("pair_id")).orderBy(col("ord"))
+        sink(paired.select(col("pair_id"), col("ord"),
+          graft.functions.Eod.rollingUpCapture(col("ra"), col("rb"), w, 60)
+            .as("up"),
+          graft.functions.Eod.rollingDownCapture(col("ra"), col("rb"), w, 60)
+            .as("dn")))
+      }
       // Sketches (ops 118-119): the claim is fixed-size mergeable
       // state — wall-time linear in rows, state rows CONSTANT across
       // scales (≤ m per group for HLL, ≤ depth·width for CMS). The
@@ -562,6 +596,25 @@ object Scale {
           }
         }
       }
+
+      // Streaming space-saving top-k state (op 145): the generated
+      // corpus has ~5000 distinct tokens, far beyond 16 buckets ×
+      // capacity 16 = 256 counters — evictions run constantly, and
+      // state_rows must stay ≤ 256 at EVERY scale while the token
+      // stream grows 50×. The constant-state evidence for the heavy-
+      // hitter sketch (its batch-exactness regime is separately pinned
+      // by the oracle at test SF, where the vocabulary fits).
+      if (wanted("spacesaving_state_rows")) {
+        try {
+          val (sec, stateRows) =
+            spaceSavingProbe(spark, s"$root/$m/docs", capacity = 16)
+          println(s"""{"op":"spacesaving_state_rows","scale":$m,"rows":$nDocs,"sec":$sec,"state_rows":$stateRows}""")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val msg = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+            println(s"""{"op":"spacesaving_state_rows","scale":$m,"rows":$nDocs,"err":"$msg"}""")
+        }
+      }
     }
     spark.stop()
   }
@@ -618,5 +671,36 @@ object Scale {
       .map(p => Option(p.sink).map(_.numOutputRows).getOrElse(0L))
       .filter(_ > 0).sum
     (sec, stateRows, flagged)
+  }
+
+  /** One AvailableNow replay of the generated docs' token stream
+    * through [[graft.streaming.Stateful.spaceSavingStream]]; returns
+    * (wall sec, final state rows). State rows come from the query
+    * progress (numRowsTotal of the flatMapGroupsWithState operator) —
+    * the direct measurement that eviction keeps the counter table at
+    * buckets×capacity regardless of stream length.
+    */
+  def spaceSavingProbe(spark: SparkSession, docsPath: String,
+                       capacity: Int): (Double, Long) = {
+    import spark.implicits._
+    val docs = spark.read.parquet(docsPath)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ss-ck").toString
+    val in = spark.readStream.schema(docs.schema).parquet(docsPath)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select((graft.operators.Sketch.kmvHash(col("tok")) % 16).cast("int")
+        .as("bucket"), col("tok").as("token"))
+      .as[graft.streaming.Stateful.SSIn]
+    val t0 = System.nanoTime()
+    val q = graft.streaming.Stateful.spaceSavingStream(in, capacity)
+      .toDF.writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sec = math.round((System.nanoTime() - t0) / 1e6) / 1e3
+    val stateRows = q.recentProgress.reverseIterator
+      .flatMap(p => Option(p.stateOperators).filter(_.nonEmpty))
+      .nextOption().map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
+    (sec, stateRows)
   }
 }

@@ -55,6 +55,23 @@ object SparkEntry {
     */
   val setupStats = scala.collection.concurrent.TrieMap[String, Double]()
 
+  /** Run `body` under `n` shuffle partitions, restoring after. The
+    * state-store sizing rule (partitions ∝ state volume, not CPU
+    * count): a stateful replay whose state is a few thousand small
+    * keys pays per-batch commit latency on EVERY store instance, so
+    * 32 near-empty HDFS-backed stores lose to 8. Applied per-query
+    * and only where measured to win (sf0.1/local[32], min-of-2):
+    * smdedup 5.3→2.8 s, kmv 3.6→2.9, cms 3.4→2.9, tick_rule
+    * 2.3→1.9; the compute-heavy window-agg replay LOSES (7.9→11.6)
+    * and keeps the session default. At lake scale state volume grows
+    * with content and the right count grows with it.
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   private def streamReplay(s: SparkSession, dir: String, table: String,
                            tag: String, mode: String = "append")
                           (build: DataFrame => DataFrame): DataFrame = {
@@ -225,7 +242,10 @@ object SparkEntry {
       ("streaming_dollar_bars" -> p("tick_dollar_bars")) +
       // op 142: counts only grow, so the max-merged Update sink equals
       // the batch bin table and the report replays the batch oracle.
-      ("streaming_quantiles" -> p("sketch_quantiles"))
+      ("streaming_quantiles" -> p("sketch_quantiles")) +
+      // op 147: same md5 coin, same (key, id) bottom-n — the streamed
+      // sample equals the batch stratified sample exactly.
+      ("streaming_sample" -> p("corpus_sample_n"))
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -345,6 +365,20 @@ object SparkEntry {
           round(Eod.cvarGivenVar(col("ret"), col("var5")), 6).as("cvar_5"))
         .orderBy(col("event_type"))
     }),
+    // Conditional drawdown at risk (op 148): the VaR/CVaR pattern
+    // applied to the DRAWDOWN distribution (Chekhlov/Uryasev/Zabarankin
+    // 2005) — the 5th-percentile drawdown depth and the mean depth of
+    // the tail at or below it, per series. Same one-window + one-agg
+    // plan as eod_var_cvar over the shared drawdown series.
+    "eod_cdar" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      withDd(s, dir)
+        .withColumn("dar5", Eod.valueAtRisk(col("dd"), 0.05).over(wSym))
+        .groupBy(col("event_type"))
+        .agg(round(min(col("dar5")), 6).as("dar_5"),
+          round(Eod.cvarGivenVar(col("dd"), col("dar5")), 6).as("cdar_5"))
+        .orderBy(col("event_type"))
+    }),
     "eod_omega" -> ((s, dir) =>
       withRet(s, dir).where(col("ret").isNotNull)
         .groupBy(col("event_type"))
@@ -417,6 +451,52 @@ object SparkEntry {
             .as("down_capture"),
           (round(Eod.winRate(col("ra")), 6) + lit(0.0)).as("win_rate"))
         .orderBy(col("pair_id"))),
+    // Multi-benchmark CAPM (op 143): every asset series regressed on
+    // EVERY series in a declared benchmark set at once — the
+    // fund-vs-{index, sector, peer-median} report ffn users build by
+    // looping calc_stats per benchmark. The benchmark frame is the
+    // K·n-row slice of the returns relation (K = #benchmarks, small by
+    // declaration), so it broadcasts: ONE broadcast hash join on rn
+    // fans each asset row out to its K benchmark pairings — no shuffle
+    // of the asset side, however many benchmarks — and one hash agg by
+    // (pair_id, bench_id) emits the whole grid.
+    "eod_capm_multi" -> ((s, dir) => {
+      val benches = Seq("view", "click")
+      val r = withRet(s, dir).withColumn("rn", row_number().over(wT))
+      val b = r.where(col("event_type").isin(benches: _*))
+        .select(col("event_type").as("bench_id"), col("rn"),
+          col("ret").as("rb"))
+      r.where(!col("event_type").isin(benches: _*))
+        .select(col("event_type").as("pair_id"), col("rn"),
+          col("ret").as("ra"))
+        .join(broadcast(b), "rn")
+        .where(col("ra").isNotNull && col("rb").isNotNull)
+        .groupBy(col("pair_id"), col("bench_id"))
+        .agg(
+          (round(Eod.capmBeta(col("ra"), col("rb")), 6) + lit(0.0)).as("beta"),
+          (round(Eod.capmAlpha(col("ra"), col("rb")) * Eod.TradingDaysPerYear,
+            6) + lit(0.0)).as("alpha_ann"),
+          (round(Eod.capmR2(col("ra"), col("rb")), 6) + lit(0.0)).as("r2"),
+          (round(Eod.trackingError(col("ra"), col("rb")), 6) + lit(0.0))
+            .as("tracking_error"))
+        .orderBy(col("pair_id"), col("bench_id"))
+    }),
+    // Rolling capture ratios (op 144): the windowed twin of
+    // eod_capture — trailing-60-row up/down capture and win rate per
+    // pair, same per-pair window partitioning as the rolling beta/corr
+    // family (never single-partition; WindowGuard enforces).
+    "eod_rolling_capture" -> ((s, dir) => {
+      val tw = Window.partitionBy(col("pair_id")).orderBy(col("rn"))
+      pairedReturnsVsView(s, dir)
+        .where(col("ra").isNotNull && col("rb").isNotNull)
+        .select(col("pair_id"), col("rn"),
+          (round(Eod.rollingUpCapture(col("ra"), col("rb"), tw, 60), 4)
+            + lit(0.0)).as("up_capture"),
+          (round(Eod.rollingDownCapture(col("ra"), col("rb"), tw, 60), 4)
+            + lit(0.0)).as("down_capture"),
+          (round(Eod.rollingWinRate(col("ra"), tw, 60), 4) + lit(0.0))
+            .as("win_rate"))
+    }),
     // Calendar return table (op 135, ffn's return-table/heatmap API in
     // long form): period-end value per (series, calendar bucket) — one
     // hash agg, max_by on the unique per-series ts — then period-over-
@@ -744,6 +824,43 @@ object SparkEntry {
         |  round(value / max(value) OVER w - 1, 6) AS drawdown
         |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
         |ORDER BY symbol, ts_us""".stripMargin,
+    // streaming running risk: the integer sums replay as cumulative
+    // window sums over the same 1e-5-quantized log returns (CAST the
+    // window sums — DuckDB returns HUGEINT); derived metrics use the
+    // textually identical double algebra as the Spark query.
+    "streaming_risk" ->
+      """WITH r AS (
+        |  SELECT event_type AS symbol, event_id,
+        |    ln(value / lag(value) OVER (PARTITION BY event_type ORDER BY event_id)) AS lret
+        |  FROM events WHERE value > 0
+        |), q AS (
+        |  SELECT symbol, event_id,
+        |    CAST(floor(lret * 100000.0 + 0.5) AS BIGINT) AS ret_q
+        |  FROM r WHERE lret IS NOT NULL
+        |), c AS (
+        |  SELECT symbol, event_id, ret_q,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS n,
+        |    CAST(sum(ret_q) OVER w2 AS BIGINT) AS sum_q,
+        |    CAST(sum(ret_q * ret_q) OVER w2 AS BIGINT) AS sumsq_q
+        |  FROM q WINDOW w2 AS (PARTITION BY symbol ORDER BY event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), m AS (
+        |  SELECT *, (sum_q / 100000.0) / n AS mean,
+        |         (sumsq_q / 10000000000.0) / n AS ex2 FROM c
+        |), v AS (
+        |  SELECT *, CASE WHEN n >= 2
+        |    THEN ((ex2 - mean * mean) * n) / (n - 1.0) END AS var_s FROM m
+        |), f AS (
+        |  SELECT *, CASE WHEN var_s > 0 THEN sqrt(var_s) END AS vol FROM v
+        |)
+        |SELECT symbol,
+        |  CAST(1712928600000000 + event_id * 1000 AS BIGINT) AS ts_us,
+        |  ret_q, n, sum_q, sumsq_q,
+        |  floor(mean * 1000000.0 + 0.5) / 1000000.0 AS run_mean,
+        |  floor(vol * 1000000.0 + 0.5) / 1000000.0 AS run_vol,
+        |  floor(CASE WHEN vol > 0 THEN mean / vol * sqrt(252.0) END
+        |        * 1000000.0 + 0.5) / 1000000.0 AS run_sharpe_ann
+        |FROM f ORDER BY symbol, ts_us""".stripMargin,
     "eod_returns" ->
       """SELECT event_type, event_id,
         |  round(value / lag(value) OVER w - 1, 6) AS ret
@@ -916,6 +1033,16 @@ object SparkEntry {
         |FROM r JOIN q ON r.event_type = q.event_type
         |WHERE ret IS NOT NULL
         |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+    "eod_cdar" ->
+      s"""$DD_CTE, q AS (
+        |  SELECT event_type, quantile_cont(dd, 0.05) AS dar5
+        |  FROM d GROUP BY event_type
+        |)
+        |SELECT d.event_type,
+        |  round(min(dar5), 6) AS dar_5,
+        |  round(avg(CASE WHEN dd <= dar5 THEN dd END), 6) AS cdar_5
+        |FROM d JOIN q ON d.event_type = q.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "eod_omega" ->
       // nullif mirrors safeDiv: a loss-free asset is NULL on both
       // sides, not +inf on one (the gate reads NULL and NaN as NA but
@@ -987,6 +1114,41 @@ object SparkEntry {
         |  round(avg(CASE WHEN ra > 0 THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS win_rate
         |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
         |GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+    "eod_capm_multi" ->
+      s"""$R_CTE, s AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM r
+        |), p AS (
+        |  SELECT a.event_type AS pair_id, b.event_type AS bench_id, a.rn,
+        |         a.ret AS ra, b.ret AS rb
+        |  FROM s a JOIN s b USING (rn)
+        |  WHERE a.event_type NOT IN ('view', 'click')
+        |    AND b.event_type IN ('view', 'click')
+        |), g AS (
+        |  SELECT pair_id, bench_id, covar_samp(ra, rb) AS cov,
+        |         var_samp(rb) AS varb, avg(ra) AS ma, avg(rb) AS mb,
+        |         corr(ra, rb) AS c, stddev_samp(ra - rb) AS te
+        |  FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT pair_id, bench_id,
+        |  round(cov / varb, 6) + 0.0 AS beta,
+        |  round((ma - cov / varb * mb) * 252, 6) + 0.0 AS alpha_ann,
+        |  round(c * c, 6) + 0.0 AS r2,
+        |  round(te * sqrt(252.0), 6) + 0.0 AS tracking_error
+        |FROM g ORDER BY pair_id, bench_id""".stripMargin,
+    "eod_rolling_capture" ->
+      s"""$PAIRED_CTE
+        |SELECT pair_id, rn,
+        |  round(avg(CASE WHEN rb > 0 THEN ra END) OVER tw
+        |      / avg(CASE WHEN rb > 0 THEN rb END) OVER tw, 4) + 0.0 AS up_capture,
+        |  round(avg(CASE WHEN rb < 0 THEN ra END) OVER tw
+        |      / avg(CASE WHEN rb < 0 THEN rb END) OVER tw, 4) + 0.0 AS down_capture,
+        |  round(avg(CASE WHEN ra > 0 THEN 1.0 ELSE 0.0 END) OVER tw, 4) + 0.0
+        |    AS win_rate
+        |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
+        |WINDOW tw AS (PARTITION BY pair_id ORDER BY rn
+        |              ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
     "eod_return_table" ->
       """WITH m AS (
         |  SELECT event_type, year(ts) AS yr, month(ts) AS mo,
@@ -1714,6 +1876,28 @@ object SparkEntry {
         .agg(round(corr(col("a.ret"), col("b.ret")), 6).as("corr"))
         .orderBy(col("type_a"), col("type_b"))
     }),
+    // Zipf fit per source (op 149): OLS slope of ln(freq) on ln(rank)
+    // over the top token ranks — the corpus-health diagnostic (natural
+    // text ≈ −1; templated/spam corpora flatten or steepen). One token
+    // explode + one (source, tok) agg + a per-source window rank +
+    // regr_slope: every stage keyed, nothing single-partition.
+    "text_zipf" -> ((s, dir) => {
+      val freq = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("tok"))
+      freq.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 30)
+        .groupBy(col("source"))
+        .agg(
+          (round(regr_slope(log(col("cnt")), log(col("rnk"))), 6) + lit(0.0))
+            .as("zipf_slope"),
+          (round(corr(log(col("cnt")), log(col("rnk"))), 6) + lit(0.0))
+            .as("zipf_r"),
+          count(lit(1)).as("n_types"))
+        .orderBy(col("source"))
+    }),
     "text_top_ngrams" -> ((s, dir) => {
       val g = tbl(s, dir, "documents")
         .select(col("lang"), explode(Text.ngrams(col("text"), 2)).as("ng"))
@@ -1797,7 +1981,8 @@ object SparkEntry {
     // of the digest (not of WHICH duplicate survived the state race),
     // so the result is deterministic at any parallelism/batching.
     "streaming_dedup" -> ((s, dir) =>
-      streamReplay(s, dir, "documents", "sdedup") { src =>
+      withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "documents", "sdedup") { src =>
         // synthetic deterministic event time (documents carry none);
         // 10-year watermark delay => nothing is ever late in replay,
         // while a production ingest would use a real bound
@@ -1806,14 +1991,16 @@ object SparkEntry {
           .dedupExactStream(docs, "doc_id", "text", "ts", "3650 days")
           .select(md5(col("text")).as("digest"),
             length(col("text")).cast("long").as("text_len"))
-      }.orderBy(col("digest"))),
+      }.orderBy(col("digest")) }),
 
     // Streaming MinHash near-dup (op 102), REPLAYED to batch: the
     // planted-dup corpus rebuilt IN-STREAM (copies carry larger ids →
     // later event time → always the flagged side); dup_of per doc =
     // min over hit buckets = the earliest sharer overall.
-    "streaming_dedup_minhash" -> ((s, dir) =>
-      streamReplay(s, dir, "documents", "smdedup") { src =>
+    // State-store-bound replay (a few thousand band-bucket keys):
+    // see withShufflePartitions — measured 5.3→2.8 s at 8.
+    "streaming_dedup_minhash" -> ((s, dir) => {
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "documents", "smdedup") { src =>
         val base = src.select(col("doc_id"), col("text"))
         val corpus = base
           .unionAll(base.where(col("doc_id") % 50 === 0)
@@ -1825,7 +2012,9 @@ object SparkEntry {
         graft.streaming.Stateful
           .minhashDedupStream(corpus, "doc_id", "text", "ts").toDF
       }.groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+      }
+    }),
 
     // Stream-static incremental MinHash dedup (op 115), REPLAYED: the
     // planted copies arrive AS the stream; the original documents are
@@ -1867,7 +2056,7 @@ object SparkEntry {
     // window. value > 0 filter keeps hw away from 0 (NaN drawdown).
     "streaming_drawdown" -> ((s, dir) => {
       import s.implicits._
-      streamReplay(s, dir, "events", "sdd") { src =>
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "events", "sdd") { src =>
         val ticks = src.where(col("value") > 0)
           .select(col("event_type").as("symbol"),
             replayTs(col("event_id")).as("ts"),
@@ -1878,7 +2067,46 @@ object SparkEntry {
             round(col("price"), 6).as("price"),
             round(col("high_water"), 6).as("high_water"),
             round(col("drawdown"), 6).as("drawdown"))
-      }.orderBy(col("symbol"), col("ts_us"))
+      }.orderBy(col("symbol"), col("ts_us")) }
+    }),
+
+    // Streaming running risk metrics (op 146): per-symbol running
+    // log-return mean/vol/Sharpe from INTEGER state (1e-5-quantized
+    // returns — addition-order/micro-batch independent, so the batch
+    // oracle replays the identical integer sums and derives the same
+    // doubles). Three longs of state per symbol; the live risk
+    // dashboard twin of the full-sample eod ratio family.
+    "streaming_risk" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "events", "srisk") { src =>
+        val ticks = src.where(col("value") > 0)
+          .select(col("event_type").as("symbol"),
+            replayTs(col("event_id")).as("ts"),
+            col("value").cast("double").as("price"))
+          .as[graft.streaming.Stateful.RiskTick]
+        val raw = graft.streaming.Stateful.runningRiskStream(ticks).toDF
+        // Derived metrics: IDENTICAL double algebra to the oracle SQL,
+        // on identical integer inputs — textual parity is the proof.
+        val mean = (col("sumQ") / 100000.0) / col("n")
+        val ex2 = (col("sumSqQ") / 10000000000.0) / col("n")
+        val varS = when(col("n") >= 2,
+          ((ex2 - mean * mean) * col("n")) / (col("n") - 1.0))
+        val vol = when(varS > 0, sqrt(varS))
+        val sharpe = when(vol > 0, mean / vol * lit(math.sqrt(252.0)))
+        // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): the integer sums
+        // make ties at the 6th decimal EXACT (e.g. sum_q/n landing on
+        // …5), where Spark's HALF_UP and DuckDB's half-even disagree;
+        // floor+0.5 is the same deterministic function of the same
+        // double on both engines.
+        def q6(c: Column) = floor(c * 1000000.0 + lit(0.5)) / 1000000.0
+        raw.select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
+          col("retQ").as("ret_q"), col("n"),
+          col("sumQ").as("sum_q"), col("sumSqQ").as("sumsq_q"),
+          q6(mean).as("run_mean"),
+          q6(vol).as("run_vol"),
+          q6(sharpe).as("run_sharpe_ann"))
+      }.orderBy(col("symbol"), col("ts_us")) }
     }),
 
     // ---- streaming windowed agg, REPLAYED to batch (op 58): the real
@@ -1955,7 +2183,7 @@ object SparkEntry {
     // exact integer ms on both engines.
     "streaming_asof" -> ((s, dir) => {
       import s.implicits._
-      streamReplay(s, dir, "events", "sao") { src =>
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "events", "sao") { src =>
         val mkts = src.select(col("event_type").as("symbol"),
             replayTs(col("event_id")).as("ts"),
             when(col("event_id") % 2 === 0, lit("quote")).otherwise(lit("trade"))
@@ -1969,7 +2197,7 @@ object SparkEntry {
             round(col("price"), 6).as("price"), round(col("bid"), 6).as("bid"),
             round(col("ask"), 6).as("ask"), round(col("mid"), 6).as("mid"),
             col("latency_ms"))
-      }.orderBy(col("symbol"), col("ts_us"))
+      }.orderBy(col("symbol"), col("ts_us")) }
     }),
 
     // ---- streaming tick rule via transformWithState, REPLAYED to
@@ -1979,7 +2207,7 @@ object SparkEntry {
       import s.implicits._
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      try withShufflePartitions(s, 8) {
         streamReplay(s, dir, "events", "str") { src =>
           val ticks = src.select(col("event_type").as("symbol"),
               replayTs(col("event_id")).as("ts"),
@@ -2031,26 +2259,28 @@ object SparkEntry {
     // monotone in event_id within each series.
     "streaming_volume_bars" -> ((s, dir) => {
       import s.implicits._
-      val sunk = streamReplay(s, dir, "events", "svb") { src =>
+      val sunk = withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "events", "svb") { src =>
         graft.streaming.Stateful.volumeBarStream(
           src.select(col("event_type").as("symbol"),
             replayTs(col("event_id")).as("ts"),
             col("value").cast("double").as("price"),
             volume.as("volume")).as[graft.streaming.Stateful.VolTick],
           threshold = 5000L).toDF()
-      }
+      } }
       barSinkReport(sunk)
     }),
     "streaming_dollar_bars" -> ((s, dir) => {
       import s.implicits._
-      val sunk = streamReplay(s, dir, "events", "sdb") { src =>
+      val sunk = withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "events", "sdb") { src =>
         graft.streaming.Stateful.dollarBarStream(
           src.select(col("event_type").as("symbol"),
             replayTs(col("event_id")).as("ts"),
             col("value").cast("double").as("price"),
             volume.as("volume")).as[graft.streaming.Stateful.VolTick],
           thresholdCents = 50000000L).toDF()
-      }
+      } }
       barSinkReport(sunk)
     }),
     // op 138: watermarked stream-stream time-bounded join — trades
@@ -2063,12 +2293,9 @@ object SparkEntry {
     "streaming_interval_join" -> ((s, dir) => {
       // A stream-stream join keeps FOUR state stores per shuffle
       // partition and does little per-row compute, so store file I/O
-      // dominates the replay — run it at 8 partitions. (Measured both
-      // ways at sf0.1: the compute-heavy replays LOSE from fewer
-      // partitions, so this stays per-query, not in streamReplay.)
-      val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try streamReplay(s, dir, "events", "sij") { src =>
+      // dominates the replay — run it at 8 partitions
+      // (withShufflePartitions has the measurements).
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "events", "sij") { src =>
         val e = graft.sources.Tables.normalizeEventTs(src)
         val trades = e.where(col("event_type") === "purchase")
           .select(col("user_id"), col("ts").as("t_ts"),
@@ -2084,7 +2311,7 @@ object SparkEntry {
             round(col("quote_value"), 6).as("quote_value"),
             (unix_micros(col("t_ts")) - unix_micros(col("q_ts"))).as("age_us"))
       }.orderBy(col("trade_id"), col("quote_id"))
-      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      }
     }),
     "tick_dollar_bars" -> ((s, dir) => {
       val e = events(s, dir).withColumn("volume", volume)
@@ -2481,11 +2708,12 @@ object SparkEntry {
     // the Update sink reconstructs the batch bin table exactly and the
     // report shares sketch_quantiles' oracle.
     "streaming_quantiles" -> ((s, dir) => {
-      val sunk = streamReplay(s, dir, "events", "sqh", mode = "update") {
+      val sunk = withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "events", "sqh", mode = "update") {
         src =>
           Sketch.histSketch(graft.sources.Tables.normalizeEventTs(src),
             Seq("event_type"), "value", lo = 0.0, hi = 512.0, nBins = 128)
-      }
+      } }
       histQuantileReport(sunk.groupBy(col("event_type"), col("bin"))
         .agg(max(col("cnt")).as("cnt")))
     }),
@@ -2499,15 +2727,15 @@ object SparkEntry {
     // batch sketch bit-for-bit (oracle shared with sketch_kmv).
     "streaming_kmv" -> ((s, dir) => {
       import s.implicits._
-      val sunk = streamReplay(s, dir, "documents", "streaming_kmv",
-        mode = "update") { src =>
+      val sunk = withShufflePartitions(s, 8) { streamReplay(s, dir,
+        "documents", "streaming_kmv", mode = "update") { src =>
         graft.streaming.Stateful.kmvSketchStream(
           src.select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
             .where(col("tok").isNotNull)
             .select(col("source").as("g"), Sketch.kmvHash(col("tok")).as("h"))
             .as[graft.streaming.Stateful.KmvIn],
           k = 64).toDF()
-      }
+      } }
       val wG = Window.partitionBy(col("source")).orderBy(col("h"))
       val sk = sunk.select(col("g").as("source"), col("h")).distinct()
         .withColumn("rank", row_number().over(wG))
@@ -2546,12 +2774,12 @@ object SparkEntry {
     // the batch table exactly and the heavy-hitter probe runs batch
     // over it (oracle shared with sketch_cms_topk).
     "streaming_cms" -> ((s, dir) => {
-      val sunk = streamReplay(s, dir, "documents", "streaming_cms",
-        mode = "update") { src =>
+      val sunk = withShufflePartitions(s, 8) { streamReplay(s, dir,
+        "documents", "streaming_cms", mode = "update") { src =>
         graft.streaming.EventStream.cmsCounterStream(
           src.select(explode(Text.tokens(col("text"))).as("tok")),
           "tok", depth = 4, width = 1024)
-      }
+      } }
       val counters = sunk.groupBy(col("j"), col("pos"))
         .agg(max(col("cnt")).cast("long").as("cnt"))
       val toks = tbl(s, dir, "documents")
@@ -2560,6 +2788,55 @@ object SparkEntry {
           topK = 20)
         .select(col("v").as("token"), col("est_cnt"), col("exact_cnt"))
         .orderBy(col("est_cnt").desc, col("token"))
+    }),
+    // Streaming space-saving top-k (op 145): heavy hitters with
+    // CONSTANT state by construction — buckets×capacity counters, each
+    // token hash-sharded to exactly one bucket's space-saving instance
+    // (flatMapGroupsWithState). Counts only grow, so max-merge over the
+    // Update-mode sink reconstructs the final counters; the global
+    // top-20 is a batch scan of that sink. While buckets have spare
+    // capacity counts are exact (err = 0) — the regime the oracle
+    // replays; past capacity the classical cnt−err lower bound holds.
+    "streaming_topk" -> ((s, dir) => {
+      import s.implicits._
+      val sunk = withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "documents", "sstopk",
+          mode = "update") { src =>
+        val in = src.select(explode(Text.tokens(col("text"))).as("tok"))
+          .select((Sketch.kmvHash(col("tok")) % 16).cast("int").as("bucket"),
+            col("tok").as("token"))
+          .as[graft.streaming.Stateful.SSIn]
+        graft.streaming.Stateful.spaceSavingStream(in, capacity = 16).toDF()
+      } }
+      sunk.groupBy(col("bucket"), col("token"))
+        .agg(max(col("cnt")).as("cnt"), max(col("err")).as("err"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+        .select(col("token"), col("cnt"), col("err"))
+    }),
+    // Streaming fixed-n stratified sample (op 147): per-source bottom-5
+    // by the md5 coin, maintained in constant state (5 (key, id) pairs
+    // per stratum — the KMV bottom-k merge argument applied to
+    // sampling). distinct + per-stratum bottom-n over the Update sink
+    // reconstructs the batch sample exactly; oracle shared with
+    // corpus_sample_n (same coin, same (key, id) order).
+    "streaming_sample" -> ((s, dir) => {
+      import s.implicits._
+      val sunk = withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "documents", "ssamp", mode = "update") { src =>
+        graft.streaming.Stateful.sampleNStream(
+          src.select(col("source").as("g"),
+            Sketch.kmvHash(col("doc_id")).as("key"),
+            col("doc_id").as("id"))
+            .as[graft.streaming.Stateful.SampIn],
+          n = 5).toDF()
+      } }
+      val w = Window.partitionBy(col("g")).orderBy(col("key"), col("id"))
+      sunk.distinct()
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("g").as("source"), col("id").as("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
     }),
     // Efraimidis-Spirakis weighted sample: 20 docs per lang,
     // P(doc) ∝ n_chars, deterministic md5 draw (op 120).
@@ -3328,6 +3605,17 @@ object SparkEntry {
           |  round(corr(a.ret, b.ret), 6) AS corr
           |FROM r a JOIN r b ON a.rn = b.rn AND a.event_type < b.event_type
           |GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin,
+      "text_zipf" ->
+        """WITH tk AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+          |f AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+          |r AS (SELECT source, tok, cnt,
+          |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rnk
+          |  FROM f)
+          |SELECT source,
+          |  round(regr_slope(ln(cnt), ln(rnk)), 6) + 0.0 AS zipf_slope,
+          |  round(corr(ln(cnt), ln(rnk)), 6) + 0.0 AS zipf_r,
+          |  count(*) AS n_types
+          |FROM r WHERE rnk <= 30 GROUP BY source ORDER BY source""".stripMargin,
       "text_top_ngrams" ->
         """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           |g AS (
@@ -4284,6 +4572,14 @@ object SparkEntry {
           "FROM ex CROSS JOIN range(0, 4) j), " +
           "est AS (SELECT tok, exact_cnt, min(cnt) AS est_cnt FROM pr JOIN cnts USING (j, pos) GROUP BY tok, exact_cnt) " +
           "SELECT tok AS token, est_cnt, exact_cnt FROM est ORDER BY est_cnt DESC, token LIMIT 20"),
+      // Streaming space-saving top-k: while every hash bucket has
+      // spare capacity the maintained counts are EXACT (err = 0), so
+      // the oracle is the plain exact top-20 token count — the same
+      // exactness argument the CMS/KMV streaming twins replay.
+      "streaming_topk" ->
+        ("WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents) " +
+          "SELECT tok AS token, count(*) AS cnt, CAST(0 AS BIGINT) AS err " +
+          "FROM tk GROUP BY tok ORDER BY cnt DESC, token LIMIT 20"),
       // Efraimidis-Spirakis keys replayed: ln((H + 0.5) / 2^32) / w,
       // quantized to 1e-6 longs, top-20 per lang (key desc, id).
       "corpus_sample_weighted" ->

@@ -338,6 +338,31 @@ object Eod {
                   n: Int): Column =
     corr(ret, benchmark).over(trailing(w, n))
 
+  /** Rolling arithmetic up-capture over the trailing n rows: the
+    * windowed twin of [[upCapture]] — avg(ret | bench>0 in frame) /
+    * avg(bench | bench>0 in frame). Null while the frame holds no
+    * rising-benchmark row. Same paired-rows contract as
+    * [[rollingBeta]].
+    */
+  def rollingUpCapture(ret: Column, benchmark: Column, w: WindowSpec,
+                       n: Int): Column =
+    safeDiv(avg(when(benchmark > 0, ret)).over(trailing(w, n)),
+      avg(when(benchmark > 0, benchmark)).over(trailing(w, n)))
+
+  /** Rolling arithmetic down-capture — the falling-period twin of
+    * [[rollingUpCapture]].
+    */
+  def rollingDownCapture(ret: Column, benchmark: Column, w: WindowSpec,
+                         n: Int): Column =
+    safeDiv(avg(when(benchmark < 0, ret)).over(trailing(w, n)),
+      avg(when(benchmark < 0, benchmark)).over(trailing(w, n)))
+
+  /** Rolling win rate: share of positive returns in the trailing n
+    * rows ([[winRate]] windowed).
+    */
+  def rollingWinRate(ret: Column, w: WindowSpec, n: Int): Column =
+    avg(when(ret > 0, 1.0).otherwise(0.0)).over(trailing(w, n))
+
   // ------------------------------------------- benchmark-relative (full)
 
   // Full-sample CAPM family: aggregate Columns over PAIRED rows (ret,

@@ -432,4 +432,147 @@ object Stateful {
           merged.iterator.map(KmvIn(g, _))
       }
   }
+
+  // ------------------------------------------ streaming running risk
+
+  case class RiskTick(symbol: String, ts: Timestamp, price: Double)
+  case class RiskState(lastPrice: Double, n: Long, sumQ: Long, sumSqQ: Long)
+  case class RiskRow(symbol: String, ts: Timestamp, retQ: Long, n: Long,
+                     sumQ: Long, sumSqQ: Long)
+
+  /** Per-symbol running log-return moments — the streaming twin of the
+    * full-sample mean/vol/Sharpe family (ref eod/ratios.py), for the
+    * live risk dashboard the batch ops can't feed: each tick emits the
+    * symbol's return count, running Σq and Σq² from which mean, sample
+    * vol, and annualized Sharpe derive in closed form.
+    *
+    * Exactness: the log return quantizes to 1e-5 longs BEFORE
+    * accumulating, so the running sums are INTEGER — addition-order
+    * independent, micro-batching independent, and bit-reconstructible
+    * by a batch engine replaying the same quantization (the variance-
+    * ratio convention, SURVEY §6). Derived metrics are then identical
+    * double algebra on identical integers. Range: |q| ≤ ~1e6 for any
+    * price ratio within e^±10, so Σq² stays far inside int64 for ~1e11
+    * typical ticks per symbol.
+    *
+    * State is THREE longs + one double per symbol, no watermark needed
+    * (the bars/KMV constant-state argument); in-batch rows sort by
+    * event time per symbol, cross-batch continuity rides on lastPrice.
+    */
+  def runningRiskStream(ticks: Dataset[RiskTick]): Dataset[RiskRow] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[RiskState, RiskRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym, it, state) =>
+          var st = state.getOption.getOrElse(
+            RiskState(Double.NaN, 0L, 0L, 0L))
+          val out = it.toArray.sortBy(_.ts.getTime).flatMap { t =>
+            if (!st.lastPrice.isNaN) {
+              val q = math.floor(math.log(t.price / st.lastPrice) * 1e5 + 0.5)
+                .toLong
+              st = RiskState(t.price, st.n + 1, st.sumQ + q,
+                st.sumSqQ + q * q)
+              Some(RiskRow(sym, t.ts, q, st.n, st.sumQ, st.sumSqQ))
+            } else {
+              st = st.copy(lastPrice = t.price)
+              None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  // ------------------------------------- streaming stratified sample
+
+  case class SampIn(g: String, key: Long, id: Long)
+  case class SampState(keys: Array[Long], ids: Array[Long])
+
+  /** Streaming fixed-n stratified sample — the ingestion twin of
+    * [[graft.operators.Corpus.stratifiedSampleN]]: maintain the n
+    * SMALLEST (md5-key, id) pairs per stratum across micro-batches.
+    * The md5 coin makes membership a pure order statistic, so this is
+    * the KMV merge argument verbatim (bottom-n of a union = bottom-n
+    * of the union of bottom-ns): state is n pairs per stratum by
+    * construction, Update-mode re-emissions only repeat historical
+    * subsets, and distinct + per-stratum bottom-n over the sink equals
+    * the batch sample exactly — a uniform n-per-stratum sample of an
+    * unbounded stream in constant state, no reservoir RNG to replay.
+    */
+  def sampleNStream(rows: Dataset[SampIn], n: Int): Dataset[SampIn] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.g)
+      .flatMapGroupsWithState[SampState, SampIn](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g, it, state) =>
+          val prev = state.getOption.map(s => s.keys.zip(s.ids))
+            .getOrElse(Array.empty[(Long, Long)])
+          val merged = (prev.iterator ++ it.map(e => (e.key, e.id)))
+            .toArray.distinct.sorted.take(n)
+          state.update(SampState(merged.map(_._1), merged.map(_._2)))
+          merged.iterator.map { case (k, id) => SampIn(g, k, id) }
+      }
+  }
+
+  // --------------------------------------- streaming space-saving top-k
+
+  case class SSIn(bucket: Int, token: String)
+  case class SSEntry(token: String, cnt: Long, err: Long)
+  case class SSState(entries: Array[SSEntry])
+  case class SSOut(bucket: Int, token: String, cnt: Long, err: Long)
+
+  /** Streaming heavy hitters by the space-saving algorithm
+    * (Metwally/Agrawal/El Abbadi 2005), sharded by a hash bucket:
+    * each key lives in exactly ONE bucket (hash-determined), each
+    * bucket maintains at most `capacity` candidate counters, and an
+    * arriving key not among them evicts the minimum counter,
+    * inheriting its count (+1) with that count recorded as `err` —
+    * the classical overestimate bound (true count ∈ [cnt − err, cnt]).
+    *
+    * Scale shape: state is `capacity` counters per bucket — CONSTANT
+    * per group by construction, like the register/counter sketches
+    * (ops 123/124), so an unbounded stream holds buckets·capacity
+    * counters total, forever. Buckets distribute across executors by
+    * the group key; a global top-k is a batch scan of the
+    * continuously-maintained sink (counts only grow, so max-merge per
+    * (bucket, token) reconstructs each counter's final value from
+    * Update-mode re-emissions). Because keys are hash-partitioned
+    * into disjoint buckets, the union of per-bucket candidates has
+    * per-key error identical to a single space-saving instance of
+    * buckets·capacity counters — sharding loses nothing while
+    * removing the single-instance hotspot a textbook implementation
+    * hits at scale.
+    *
+    * In-batch arrival order can affect WHICH minimum-count candidate
+    * an eviction displaces; while a bucket has spare capacity the
+    * counts are exact (`err` = 0) and the result is
+    * batching-independent — the regime the oracle replays.
+    */
+  def spaceSavingStream(toks: Dataset[SSIn], capacity: Int): Dataset[SSOut] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.bucket)
+      .flatMapGroupsWithState[SSState, SSOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket, it, state) =>
+          val m = scala.collection.mutable.LinkedHashMap.from(
+            state.getOption.map(_.entries.iterator.map(e =>
+              e.token -> (e.cnt, e.err)).toSeq).getOrElse(Seq.empty))
+          it.foreach { e =>
+            m.get(e.token) match {
+              case Some((c, err)) => m(e.token) = (c + 1, err)
+              case None if m.size < capacity => m(e.token) = (1L, 0L)
+              case None =>
+                // evict the min counter (token asc tiebreak, determinism)
+                val (minTok, (minC, _)) = m.minBy { case (t, (c, _)) => (c, t) }
+                m.remove(minTok)
+                m(e.token) = (minC + 1, minC)
+            }
+          }
+          state.update(SSState(m.iterator.map { case (t, (c, err)) =>
+            SSEntry(t, c, err)
+          }.toArray))
+          m.iterator.map { case (t, (c, err)) => SSOut(bucket, t, c, err) }
+      }
+  }
 }

@@ -54,4 +54,27 @@ class RollingSpec extends SparkSpec {
     // t=0: the only frame row is a gain → zero downside → null sortino
     assert(out(0)._2 == 0.0 && out(0)._3.isEmpty)
   }
+
+  test("rolling up/down capture and win rate over a trailing frame") {
+    // paired (ra, rb): benchmark up at t=0,2, down at t=1,3
+    val rows = Seq(
+      ("a", 0, 0.02, 0.01), ("a", 1, -0.01, -0.02),
+      ("a", 2, 0.03, 0.02), ("a", 3, 0.01, -0.01))
+    val df = rows.toDF("k", "t", "ra", "rb")
+    val out = df.select($"t",
+        Eod.rollingUpCapture($"ra", $"rb", w, 3).as("up"),
+        Eod.rollingDownCapture($"ra", $"rb", w, 3).as("dn"),
+        Eod.rollingWinRate($"ra", w, 3).as("wr"))
+      .orderBy($"t")
+      .as[(Int, Option[Double], Option[Double], Double)].collect()
+    // t=2 frame {0,1,2}: up rows 0,2 → avg(ra)=0.025 / avg(rb)=0.015
+    assert(math.abs(out(2)._2.get - 0.025 / 0.015) < 1e-12)
+    // down rows: just row 1 → -0.01 / -0.02
+    assert(math.abs(out(2)._3.get - 0.5) < 1e-12)
+    assert(math.abs(out(2)._4 - 2.0 / 3) < 1e-12)
+    // t=0 frame has no falling-benchmark row → null down-capture
+    assert(out(0)._3.isEmpty && out(0)._2.isDefined)
+    // t=3 frame {1,2,3}: down rows 1,3 → avg(ra)=0.0 / avg(rb)=-0.015 = -0.0
+    assert(math.abs(out(3)._3.get - 0.0) < 1e-12)
+  }
 }

@@ -321,4 +321,97 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(batch.count(_._1 == "g0") == k) // the cut actually bit
     } finally q.stop()
   }
+
+  test("runningRiskStream carries lastPrice and integer sums across batches") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Stateful.RiskTick
+    val input = MemoryStream[RiskTick]
+    val q = Stateful.runningRiskStream(input.toDS())
+      .writeStream.format("memory").queryName("run_risk")
+      .outputMode("append").start()
+    try {
+      input.addData(RiskTick("A", ts(0), 100.0), RiskTick("A", ts(1), 110.0))
+      q.processAllAvailable()
+      // batch 2 continues from lastPrice=110 carried in state
+      input.addData(RiskTick("A", ts(2), 99.0))
+      q.processAllAvailable()
+      val out = spark.table("run_risk")
+        .orderBy($"ts")
+        .select($"retQ", $"n", $"sumQ", $"sumSqQ")
+        .as[(Long, Long, Long, Long)].collect()
+      val q1 = math.floor(math.log(110.0 / 100.0) * 1e5 + 0.5).toLong
+      val q2 = math.floor(math.log(99.0 / 110.0) * 1e5 + 0.5).toLong
+      assert(out.length == 2) // first tick seeds state, emits nothing
+      assert(out(0) == ((q1, 1L, q1, q1 * q1)))
+      assert(out(1) == ((q2, 2L, q1 + q2, q1 * q1 + q2 * q2)))
+    } finally q.stop()
+  }
+
+  test("sampleNStream: bottom-n state equals the batch bottom-n across batches") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Stateful.SampIn
+    // keys chosen so batch 2 displaces one of batch 1's bottom-2
+    val b1 = Seq(SampIn("s", 50L, 1L), SampIn("s", 30L, 2L), SampIn("s", 70L, 3L))
+    val b2 = Seq(SampIn("s", 10L, 4L), SampIn("s", 60L, 5L))
+    val input = MemoryStream[SampIn]
+    val q = Stateful.sampleNStream(input.toDS(), n = 2)
+      .writeStream.format("memory").queryName("samp_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // distinct + bottom-2 over everything emitted = batch bottom-2
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"key", $"id")
+      val got = spark.table("samp_stream").distinct()
+        .withColumn("rnk", row_number().over(w)).where($"rnk" <= 2)
+        .select($"key", $"id").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 4L), (30L, 2L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("spaceSavingStream: exact under capacity, bounded state + err past it") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // One bucket, capacity 3, 4 distinct tokens: a/b heavy, c light,
+    // d arrives LAST (after state is full) and must evict the minimum.
+    val b1 = Seq("a", "a", "b", "c", "a", "b")          // batch 1: a=3 b=2 c=1
+    val b2 = Seq("a", "b", "d")                          // batch 2: d evicts c
+    val input = MemoryStream[String]
+    val q = Stateful.spaceSavingStream(
+        input.toDF().toDF("token")
+          .select(lit(0).as("bucket"), col("token"))
+          .as[Stateful.SSIn],
+        capacity = 3)
+      .writeStream.format("memory").queryName("ss_topk")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // under capacity: every count exact, err 0
+      val snap1 = spark.table("ss_topk")
+        .groupBy($"token").agg(max($"cnt").as("cnt"), max($"err").as("err"))
+        .as[(String, Long, Long)].collect()
+        .map { case (t, c, e) => t -> (c, e) }.toMap
+      assert(snap1 == Map("a" -> (3L, 0L), "b" -> (2L, 0L), "c" -> (1L, 0L)))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val last = spark.table("ss_topk")
+        .groupBy($"token").agg(max($"cnt").as("cnt"), max($"err").as("err"))
+        .as[(String, Long, Long)].collect()
+        .map { case (t, c, e) => t -> (c, e) }.toMap
+      // state stayed ≤ capacity: c (the min counter) was evicted, d
+      // inherited its count+1 with err = the evicted count — the
+      // space-saving overestimate invariant (true ∈ [cnt−err, cnt]).
+      assert(last("a") == (4L, 0L) && last("b") == (3L, 0L))
+      assert(last("d") == (2L, 1L), last.toString)
+      // the final state snapshot (latest emission set) holds 3 tokens
+      val finalTokens = Set("a", "b", "d")
+      assert(finalTokens.forall(last.contains))
+    } finally q.stop()
+  }
 }
