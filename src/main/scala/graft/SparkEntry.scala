@@ -406,21 +406,58 @@ object SparkEntry {
     // scale — so no single-partition WindowExec anywhere in the suite.
     // `+ 0.0` squashes IEEE −0.0 out of round() (Spark and DuckDB can
     // disagree on the sign of a rounded zero, which flips the hash).
+    // Rolling beta via PREFIX-SUM DIFFERENCES, not a frame-bounded
+    // covar/var: WindowExec re-aggregates the whole frame per row for
+    // sliding frames (O(k) per row — measured 4.6 s vs siblings'
+    // 1.8 s at k=60; a 1-year frame would be 252×), while cumulative
+    // sums are incremental (O(1) per row) and lag(cum, k) recovers
+    // the frame sum. beta = (nΣxy − ΣxΣy)/(nΣyy − ΣyΣy) — the
+    // (n−1) denominators of covar_samp/var_samp cancel. The oracle
+    // replays the IDENTICAL algebra, so both engines derive from the
+    // same cumulative sums. Two Window ops share one sort (same
+    // partitioning/order — one Exchange in the plan).
     "eod_rolling_beta" -> ((s, dir) => {
-      val w = Window.partitionBy(col("pair_id")).orderBy(col("rn"))
-      pairedReturnsVsView(s, dir)
+      val wp = Window.partitionBy(col("pair_id")).orderBy(col("rn"))
+      val cum = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = pairedReturnsVsView(s, dir)
         .where(col("ra").isNotNull && col("rb").isNotNull)
         .select(col("pair_id"), col("rn"),
-          (round(Eod.rollingBeta(col("ra"), col("rb"), w, 60), 4) + lit(0.0))
-            .as("beta"))
+          row_number().over(wp).as("i"),
+          sum(col("ra")).over(cum).as("cx"),
+          sum(col("rb")).over(cum).as("cy"),
+          sum(col("ra") * col("rb")).over(cum).as("cxy"),
+          sum(col("rb") * col("rb")).over(cum).as("cyy"))
+      def sl(name: String) =
+        col(name) - coalesce(lag(col(name), 60).over(wp), lit(0.0))
+      val nn = least(col("i"), lit(60)).cast("double")
+      val den = nn * sl("cyy") - sl("cy") * sl("cy")
+      val num = nn * sl("cxy") - sl("cx") * sl("cy")
+      c.select(col("pair_id"), col("rn"),
+        (round(when(den =!= 0.0, num / den), 4) + lit(0.0)).as("beta"))
     }),
+    // Same prefix-sum idiom as eod_rolling_beta (corr additionally
+    // needs the Σx² prefix): r = (nΣxy−ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²)).
     "eod_rolling_corr" -> ((s, dir) => {
-      val w = Window.partitionBy(col("pair_id")).orderBy(col("rn"))
-      pairedReturnsVsView(s, dir)
+      val wp = Window.partitionBy(col("pair_id")).orderBy(col("rn"))
+      val cum = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = pairedReturnsVsView(s, dir)
         .where(col("ra").isNotNull && col("rb").isNotNull)
         .select(col("pair_id"), col("rn"),
-          (round(Eod.rollingCorr(col("ra"), col("rb"), w, 60), 4) + lit(0.0))
-            .as("roll_corr"))
+          row_number().over(wp).as("i"),
+          sum(col("ra")).over(cum).as("cx"),
+          sum(col("rb")).over(cum).as("cy"),
+          sum(col("ra") * col("rb")).over(cum).as("cxy"),
+          sum(col("ra") * col("ra")).over(cum).as("cxx"),
+          sum(col("rb") * col("rb")).over(cum).as("cyy"))
+      def sl(name: String) =
+        col(name) - coalesce(lag(col(name), 60).over(wp), lit(0.0))
+      val nn = least(col("i"), lit(60)).cast("double")
+      val num = nn * sl("cxy") - sl("cx") * sl("cy")
+      val dx = nn * sl("cxx") - sl("cx") * sl("cx")
+      val dy = nn * sl("cyy") - sl("cy") * sl("cy")
+      c.select(col("pair_id"), col("rn"),
+        (round(when(dx > 0.0 && dy > 0.0, num / sqrt(dx * dy)), 4)
+          + lit(0.0)).as("roll_corr"))
     }),
     // Full-sample CAPM vs the 'view' benchmark (op 133, ffn-lineage
     // alpha/beta): ONE hash agg over the rn-paired returns emits beta,
@@ -1079,18 +1116,56 @@ object SparkEntry {
         |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
         |GROUP BY a.event_type, a.event_id""".stripMargin,
     "eod_rolling_corr" ->
-      s"""$PAIRED_CTE
-        |SELECT pair_id, rn, round(corr(ra, rb) OVER tw, 4) + 0.0 AS roll_corr
-        |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
-        |WINDOW tw AS (PARTITION BY pair_id ORDER BY rn
-        |              ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "eod_rolling_beta" ->
-      s"""$PAIRED_CTE
+      s"""$PAIRED_CTE, c AS (
+        |  SELECT pair_id, rn,
+        |    row_number() OVER wp AS i,
+        |    sum(ra) OVER cum AS cx, sum(rb) OVER cum AS cy,
+        |    sum(ra * rb) OVER cum AS cxy,
+        |    sum(ra * ra) OVER cum AS cxx, sum(rb * rb) OVER cum AS cyy
+        |  FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
+        |  WINDOW wp AS (PARTITION BY pair_id ORDER BY rn),
+        |         cum AS (PARTITION BY pair_id ORDER BY rn
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), d AS (
+        |  SELECT pair_id, rn, CAST(least(i, 60) AS DOUBLE) AS n,
+        |    cx - coalesce(lag(cx, 60) OVER wp2, 0.0) AS sx,
+        |    cy - coalesce(lag(cy, 60) OVER wp2, 0.0) AS sy,
+        |    cxy - coalesce(lag(cxy, 60) OVER wp2, 0.0) AS sxy,
+        |    cxx - coalesce(lag(cxx, 60) OVER wp2, 0.0) AS sxx,
+        |    cyy - coalesce(lag(cyy, 60) OVER wp2, 0.0) AS syy
+        |  FROM c WINDOW wp2 AS (PARTITION BY pair_id ORDER BY rn)
+        |)
         |SELECT pair_id, rn,
-        |  round(covar_samp(ra, rb) OVER tw / var_samp(rb) OVER tw, 4) + 0.0 AS beta
-        |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
-        |WINDOW tw AS (PARTITION BY pair_id ORDER BY rn
-        |              ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |        THEN (n * sxy - sx * sy)
+        |             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 4)
+        |    + 0.0 AS roll_corr
+        |FROM d""".stripMargin,
+    // prefix-sum-difference algebra, textually mirroring the Spark
+    // query (the frame covar/var form is O(frame) per row at scale)
+    "eod_rolling_beta" ->
+      s"""$PAIRED_CTE, c AS (
+        |  SELECT pair_id, rn,
+        |    row_number() OVER wp AS i,
+        |    sum(ra) OVER cum AS cx, sum(rb) OVER cum AS cy,
+        |    sum(ra * rb) OVER cum AS cxy, sum(rb * rb) OVER cum AS cyy
+        |  FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
+        |  WINDOW wp AS (PARTITION BY pair_id ORDER BY rn),
+        |         cum AS (PARTITION BY pair_id ORDER BY rn
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), d AS (
+        |  SELECT pair_id, rn, CAST(least(i, 60) AS DOUBLE) AS n,
+        |    cx - coalesce(lag(cx, 60) OVER wp2, 0.0) AS sx,
+        |    cy - coalesce(lag(cy, 60) OVER wp2, 0.0) AS sy,
+        |    cxy - coalesce(lag(cxy, 60) OVER wp2, 0.0) AS sxy,
+        |    cyy - coalesce(lag(cyy, 60) OVER wp2, 0.0) AS syy
+        |  FROM c WINDOW wp2 AS (PARTITION BY pair_id ORDER BY rn)
+        |)
+        |SELECT pair_id, rn,
+        |  round(CASE WHEN n * syy - sy * sy <> 0
+        |        THEN (n * sxy - sx * sy) / (n * syy - sy * sy) END, 4) + 0.0
+        |    AS beta
+        |FROM d""".stripMargin,
     "eod_capm" ->
       s"""$PAIRED_CTE, a AS (
         |  SELECT pair_id, covar_samp(ra, rb) AS cov, var_samp(rb) AS varb,
