@@ -675,32 +675,45 @@ object Scale {
 
   /** One AvailableNow replay of the generated docs' token stream
     * through [[graft.streaming.Stateful.spaceSavingStream]]; returns
-    * (wall sec, final state rows). State rows come from the query
-    * progress (numRowsTotal of the flatMapGroupsWithState operator) —
-    * the direct measurement that eviction keeps the counter table at
-    * buckets×capacity regardless of stream length.
+    * (wall sec, final COUNTER rows). The store's numRowsTotal only
+    * counts flatMapGroupsWithState GROUP records (one per bucket — it
+    * would read `buckets` even if eviction were broken and the
+    * per-bucket arrays grew with the vocabulary), so the probe
+    * measures the invariant directly from the emissions: each batch
+    * re-emits every bucket's CURRENT candidate table, so the single
+    * AvailableNow batch's sink row count IS the final counter count —
+    * ≤ buckets·capacity iff eviction holds, ~vocabulary size if not.
     */
   def spaceSavingProbe(spark: SparkSession, docsPath: String,
                        capacity: Int): (Double, Long) = {
     import spark.implicits._
     val docs = spark.read.parquet(docsPath)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ss-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ss-out").toString
     val in = spark.readStream.schema(docs.schema).parquet(docsPath)
       .select(explode(split(col("text"), " ")).as("tok"))
       .select((graft.operators.Sketch.kmvHash(col("tok")) % 16).cast("int")
         .as("bucket"), col("tok").as("token"))
       .as[graft.streaming.Stateful.SSIn]
     val t0 = System.nanoTime()
+    // foreachBatch (parquet's file sink is Append-only; this stateful
+    // op runs in Update mode); the LAST batch's emission is the final
+    // counter table, so keep its count.
+    val lastBatchRows = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = graft.streaming.Stateful.spaceSavingStream(in, capacity)
-      .toDF.writeStream.format("noop").outputMode("update")
+      .toDF.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.persist() // one execution: count + write share the batch
+        lastBatchRows.set(b.count())
+        b.write.mode("append").parquet(out)
+        b.unpersist()
+        ()
+      }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val sec = math.round((System.nanoTime() - t0) / 1e6) / 1e3
-    val stateRows = q.recentProgress.reverseIterator
-      .flatMap(p => Option(p.stateOperators).filter(_.nonEmpty))
-      .nextOption().map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
-    (sec, stateRows)
+    (sec, lastBatchRows.get())
   }
 }

@@ -157,6 +157,33 @@ object SparkEntry {
       |  WHERE a.event_type <> 'view' AND b.event_type = 'view'
       |)""".stripMargin
 
+  /** Oracle twin of [[pairedPrefixFrames]]: the cumulative-sum +
+    * lag-difference CTEs appended to PAIRED_CTE. Keep in lockstep with
+    * the Spark helper — both engines must derive from the same sums.
+    */
+  private def prefixFrameSql(k: Int, includeXx: Boolean): String = {
+    val xxCum = if (includeXx) ",\n    sum(ra * ra) OVER cum AS cxx" else ""
+    val xxDif = if (includeXx)
+      s",\n    cxx - coalesce(lag(cxx, $k) OVER wp2, 0.0) AS sxx" else ""
+    s""", c AS (
+      |  SELECT pair_id, rn,
+      |    row_number() OVER wp AS i,
+      |    sum(ra) OVER cum AS cx, sum(rb) OVER cum AS cy,
+      |    sum(ra * rb) OVER cum AS cxy, sum(rb * rb) OVER cum AS cyy$xxCum
+      |  FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
+      |  WINDOW wp AS (PARTITION BY pair_id ORDER BY rn),
+      |         cum AS (PARTITION BY pair_id ORDER BY rn
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), d AS (
+      |  SELECT pair_id, rn, CAST(least(i, $k) AS DOUBLE) AS n,
+      |    cx - coalesce(lag(cx, $k) OVER wp2, 0.0) AS sx,
+      |    cy - coalesce(lag(cy, $k) OVER wp2, 0.0) AS sy,
+      |    cxy - coalesce(lag(cxy, $k) OVER wp2, 0.0) AS sxy,
+      |    cyy - coalesce(lag(cyy, $k) OVER wp2, 0.0) AS syy$xxDif
+      |  FROM c WINDOW wp2 AS (PARTITION BY pair_id ORDER BY rn)
+      |)""".stripMargin
+  }
+
   /** drawdown CTE (prices have no nulls in testdata; ffill is identity). */
   private val DD_CTE =
     """WITH d AS (
@@ -196,6 +223,35 @@ object SparkEntry {
     r.where(col("event_type") =!= "view")
       .select(col("event_type").as("pair_id"), col("rn"), col("ret").as("ra"))
       .join(bench, "rn")
+  }
+
+  /** Prefix-sum sliding-frame scaffold shared by the rolling beta/corr
+    * pair: cumulative Σx/Σy/Σxy/Σy² (+Σx² when `includeXx`) over the
+    * per-pair order, a lag-difference builder recovering the k-row
+    * frame sum in O(1) per row (WindowExec re-aggregates O(k) per row
+    * for frame-bounded aggregates), and the frame row count. One edit
+    * point for the frame arithmetic — the oracle CTE twin is
+    * [[prefixFrameSql]]; keep the two in lockstep.
+    */
+  private def pairedPrefixFrames(s: SparkSession, dir: String, k: Int,
+                                 includeXx: Boolean)
+      : (DataFrame, String => Column, Column) = {
+    val wp = Window.partitionBy(col("pair_id")).orderBy(col("rn"))
+    val cum = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sums = Seq(
+      row_number().over(wp).as("i"),
+      sum(col("ra")).over(cum).as("cx"),
+      sum(col("rb")).over(cum).as("cy"),
+      sum(col("ra") * col("rb")).over(cum).as("cxy"),
+      sum(col("rb") * col("rb")).over(cum).as("cyy")) ++
+      (if (includeXx) Seq(sum(col("ra") * col("ra")).over(cum).as("cxx"))
+       else Nil)
+    val c = pairedReturnsVsView(s, dir)
+      .where(col("ra").isNotNull && col("rb").isNotNull)
+      .select(Seq(col("pair_id"), col("rn")) ++ sums: _*)
+    val sl = (name: String) =>
+      col(name) - coalesce(lag(col(name), k).over(wp), lit(0.0))
+    (c, sl, least(col("i"), lit(k)).cast("double"))
   }
 
   private def withDd(s: SparkSession, dir: String): DataFrame =
@@ -417,19 +473,7 @@ object SparkEntry {
     // same cumulative sums. Two Window ops share one sort (same
     // partitioning/order — one Exchange in the plan).
     "eod_rolling_beta" -> ((s, dir) => {
-      val wp = Window.partitionBy(col("pair_id")).orderBy(col("rn"))
-      val cum = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val c = pairedReturnsVsView(s, dir)
-        .where(col("ra").isNotNull && col("rb").isNotNull)
-        .select(col("pair_id"), col("rn"),
-          row_number().over(wp).as("i"),
-          sum(col("ra")).over(cum).as("cx"),
-          sum(col("rb")).over(cum).as("cy"),
-          sum(col("ra") * col("rb")).over(cum).as("cxy"),
-          sum(col("rb") * col("rb")).over(cum).as("cyy"))
-      def sl(name: String) =
-        col(name) - coalesce(lag(col(name), 60).over(wp), lit(0.0))
-      val nn = least(col("i"), lit(60)).cast("double")
+      val (c, sl, nn) = pairedPrefixFrames(s, dir, 60, includeXx = false)
       val den = nn * sl("cyy") - sl("cy") * sl("cy")
       val num = nn * sl("cxy") - sl("cx") * sl("cy")
       c.select(col("pair_id"), col("rn"),
@@ -438,20 +482,7 @@ object SparkEntry {
     // Same prefix-sum idiom as eod_rolling_beta (corr additionally
     // needs the Σx² prefix): r = (nΣxy−ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²)).
     "eod_rolling_corr" -> ((s, dir) => {
-      val wp = Window.partitionBy(col("pair_id")).orderBy(col("rn"))
-      val cum = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val c = pairedReturnsVsView(s, dir)
-        .where(col("ra").isNotNull && col("rb").isNotNull)
-        .select(col("pair_id"), col("rn"),
-          row_number().over(wp).as("i"),
-          sum(col("ra")).over(cum).as("cx"),
-          sum(col("rb")).over(cum).as("cy"),
-          sum(col("ra") * col("rb")).over(cum).as("cxy"),
-          sum(col("ra") * col("ra")).over(cum).as("cxx"),
-          sum(col("rb") * col("rb")).over(cum).as("cyy"))
-      def sl(name: String) =
-        col(name) - coalesce(lag(col(name), 60).over(wp), lit(0.0))
-      val nn = least(col("i"), lit(60)).cast("double")
+      val (c, sl, nn) = pairedPrefixFrames(s, dir, 60, includeXx = true)
       val num = nn * sl("cxy") - sl("cx") * sl("cy")
       val dx = nn * sl("cxx") - sl("cx") * sl("cx")
       val dy = nn * sl("cyy") - sl("cy") * sl("cy")
@@ -1116,25 +1147,7 @@ object SparkEntry {
         |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
         |GROUP BY a.event_type, a.event_id""".stripMargin,
     "eod_rolling_corr" ->
-      s"""$PAIRED_CTE, c AS (
-        |  SELECT pair_id, rn,
-        |    row_number() OVER wp AS i,
-        |    sum(ra) OVER cum AS cx, sum(rb) OVER cum AS cy,
-        |    sum(ra * rb) OVER cum AS cxy,
-        |    sum(ra * ra) OVER cum AS cxx, sum(rb * rb) OVER cum AS cyy
-        |  FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
-        |  WINDOW wp AS (PARTITION BY pair_id ORDER BY rn),
-        |         cum AS (PARTITION BY pair_id ORDER BY rn
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |), d AS (
-        |  SELECT pair_id, rn, CAST(least(i, 60) AS DOUBLE) AS n,
-        |    cx - coalesce(lag(cx, 60) OVER wp2, 0.0) AS sx,
-        |    cy - coalesce(lag(cy, 60) OVER wp2, 0.0) AS sy,
-        |    cxy - coalesce(lag(cxy, 60) OVER wp2, 0.0) AS sxy,
-        |    cxx - coalesce(lag(cxx, 60) OVER wp2, 0.0) AS sxx,
-        |    cyy - coalesce(lag(cyy, 60) OVER wp2, 0.0) AS syy
-        |  FROM c WINDOW wp2 AS (PARTITION BY pair_id ORDER BY rn)
-        |)
+      s"""$PAIRED_CTE${prefixFrameSql(60, includeXx = true)}
         |SELECT pair_id, rn,
         |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         |        THEN (n * sxy - sx * sy)
@@ -1144,23 +1157,7 @@ object SparkEntry {
     // prefix-sum-difference algebra, textually mirroring the Spark
     // query (the frame covar/var form is O(frame) per row at scale)
     "eod_rolling_beta" ->
-      s"""$PAIRED_CTE, c AS (
-        |  SELECT pair_id, rn,
-        |    row_number() OVER wp AS i,
-        |    sum(ra) OVER cum AS cx, sum(rb) OVER cum AS cy,
-        |    sum(ra * rb) OVER cum AS cxy, sum(rb * rb) OVER cum AS cyy
-        |  FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
-        |  WINDOW wp AS (PARTITION BY pair_id ORDER BY rn),
-        |         cum AS (PARTITION BY pair_id ORDER BY rn
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |), d AS (
-        |  SELECT pair_id, rn, CAST(least(i, 60) AS DOUBLE) AS n,
-        |    cx - coalesce(lag(cx, 60) OVER wp2, 0.0) AS sx,
-        |    cy - coalesce(lag(cy, 60) OVER wp2, 0.0) AS sy,
-        |    cxy - coalesce(lag(cxy, 60) OVER wp2, 0.0) AS sxy,
-        |    cyy - coalesce(lag(cyy, 60) OVER wp2, 0.0) AS syy
-        |  FROM c WINDOW wp2 AS (PARTITION BY pair_id ORDER BY rn)
-        |)
+      s"""$PAIRED_CTE${prefixFrameSql(60, includeXx = false)}
         |SELECT pair_id, rn,
         |  round(CASE WHEN n * syy - sy * sy <> 0
         |        THEN (n * sxy - sx * sy) / (n * syy - sy * sy) END, 4) + 0.0

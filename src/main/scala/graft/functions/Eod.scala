@@ -324,6 +324,12 @@ object Eod {
     * window. Feed it rows where both series are non-null — the sample
     * counts of cov and var diverge otherwise and the ratio is not a
     * beta.
+    *
+    * SCALE NOTE: sliding-frame aggregates re-aggregate the whole frame
+    * per row in WindowExec (O(n) per row). For long frames or hot
+    * paths, prefer the prefix-sum-difference formulation the
+    * `eod_rolling_beta` query uses (cumulative Σx/Σy/Σxy/Σy² +
+    * lag(cum, n) — O(1) per row, measured 5× faster at n=60).
     */
   def rollingBeta(ret: Column, benchmark: Column, w: WindowSpec,
                   n: Int): Column =

@@ -24,13 +24,17 @@ object Tick {
     Map("s" -> 1e9, "ms" -> 1e6, "us" -> 1e3, "ns" -> 1.0)
 
   /** NTZ-tolerant epoch extraction: `unix_micros` rejects
-    * TIMESTAMP_NTZ, so coerce through TimestampType first. Under the
-    * library's pinned UTC session TZ the cast is value-exact, and for a
-    * column already TimestampType Catalyst's SimplifyCasts removes the
-    * no-op — either parquet timestamp flavor works without a plan cost.
+    * TIMESTAMP_NTZ, so coerce through TimestampType — but ONLY for
+    * NTZ (resolved per the analyzed input type, see
+    * [[graft.expressions.EpochUs]]): a blanket cast would silently
+    * read a legacy Long-ns column as SECONDS. Under the library's
+    * pinned UTC session TZ the NTZ cast is value-exact; any
+    * non-timestamp input still fails analysis loudly.
     */
   def epochUs(ts: Column): Column =
-    unix_micros(ts.cast(org.apache.spark.sql.types.TimestampType))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.EpochUs(
+        org.apache.spark.sql.GraftSqlBridge.expression(ts)))
 
   private def nanos(ts: Column): Column = epochUs(ts) * 1000L
 

@@ -45,8 +45,19 @@ object Tables {
     val ntz = df.schema.fields.collect {
       case f if f.dataType == TimestampNTZType => f.name
     }
-    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+    ntz.foldLeft(df)(coerceNtz)
   }
+
+  /** Coerce ONE column NTZ → TimestampType if (and only if) it is NTZ
+    * — the single shared implementation behind [[normalizeTimestamps]]
+    * and the streaming event-time coercion (EventStream.eventTime).
+    */
+  def coerceNtz(df: DataFrame, c: String): DataFrame =
+    df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(TimestampNTZType) =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
 
   /** Register all tables as temp views for SQL users. */
   def registerViews(spark: SparkSession, dir: String): Unit =

@@ -17,11 +17,7 @@ object EventStream {
     * under the library's pinned UTC session TZ, a no-op otherwise.
     */
   private def eventTime(df: DataFrame, c: String): DataFrame =
-    df.schema.find(_.name == c).map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
-        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
-    }
+    graft.sources.Tables.coerceNtz(df, c)
 
   /** Tumbling-window per-type stats with a lateness watermark. The sum
     * runs in decimal(30,10): double addition is order-sensitive and

@@ -455,6 +455,13 @@ object Stateful {
     * price ratio within e^±10, so Σq² stays far inside int64 for ~1e11
     * typical ticks per symbol.
     *
+    * Residual cross-engine risk, accepted: q quantizes Math.log
+    * OUTPUT, so a 1-ulp ln() divergence between the JVM and the
+    * replaying engine's libm at a floor boundary would shift one q by
+    * 1 and propagate into every later sum of that symbol (blast
+    * radius = the series, unlike row-local rounding). P ≈ ulp/grid ≈
+    * 2e-11 per row; the dual-SF oracle gate is the detector.
+    *
     * State is THREE longs + one double per symbol, no watermark needed
     * (the bars/KMV constant-state argument); in-batch rows sort by
     * event time per symbol, cross-batch continuity rides on lastPrice.

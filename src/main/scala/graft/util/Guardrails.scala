@@ -94,7 +94,8 @@ object Guardrails extends Logging {
     */
   def requireNoNulls(df: DataFrame, cols: String*): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit, when}
-    if (cols.nonEmpty) {
+    // Silent mode must not pay for a scan whose verdict it discards.
+    if (cols.nonEmpty && mode.get() != Silent) {
       val aggs = cols.map(c => count(when(col(c).isNull, lit(1))).as(c))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       val bad = cols.zipWithIndex.collect {

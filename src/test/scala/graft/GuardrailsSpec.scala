@@ -63,6 +63,33 @@ class GuardrailsSpec extends SparkSpec {
     Guardrails.requireNonNullable(dirty, "id")
   }
 
+  test("epochUs: both timestamp flavors value-exact, raw Long still fails loudly") {
+    val tz = Seq(1712928600000000L).toDF("us")
+      .select(timestamp_micros($"us").as("ts"))
+    assert(tz.select(graft.functions.Tick.epochUs($"ts")).as[Long].head()
+      == 1712928600000000L)
+    val ntz = tz.select($"ts".cast(TimestampNTZType).as("ts"))
+    assert(ntz.select(graft.functions.Tick.epochUs($"ts")).as[Long].head()
+      == 1712928600000000L)
+    // a legacy Long-ns column must NOT silently cast (Long→Timestamp
+    // reads SECONDS — ~1e9× off); analysis has to reject it like
+    // unix_micros always did
+    val longs = Seq(1712928600000000000L).toDF("ts")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      longs.select(graft.functions.Tick.epochUs($"ts")).collect()
+    }
+  }
+
+  test("silent mode skips the requireNoNulls scan entirely") {
+    // a frame whose evaluation THROWS: if Silent still ran the job,
+    // this would explode instead of returning quietly
+    val bomb = spark.range(1).selectExpr(
+      "assert_true(id > 100, 'guard job ran under Silent') AS v")
+    Guardrails.withMode(graft.util.Guardrails.Silent) {
+      Guardrails.requireNoNulls(bomb, "v")
+    }
+  }
+
   test("data-level null guard is one aggregate job with pruned scan") {
     val df = Seq((1L, 1.0, "x"), (2L, 2.0, "y")).toDF("id", "v", "s")
     val aggs = Seq("id", "v").map(c => count(when(col(c).isNull, lit(1))).as(c))
