@@ -62,9 +62,11 @@ object SparkEntry {
     * 32 near-empty HDFS-backed stores lose to 8. Applied per-query
     * and only where measured to win (sf0.1/local[32], min-of-2):
     * smdedup 5.3→2.8 s, kmv 3.6→2.9, cms 3.4→2.9, tick_rule
-    * 2.3→1.9; the compute-heavy window-agg replay LOSES (7.9→11.6)
-    * and keeps the session default. At lake scale state volume grows
-    * with content and the right count grows with it.
+    * 2.3→1.9, window-agg 6.5→3.8 (its first measurement ran at the
+    * session default both times — its inline replay predates the
+    * wrapper — and the apparent "loss" was noise; the real knob wins
+    * like every other small-state replay). At lake scale state
+    * volume grows with content and the right count grows with it.
     */
   private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
@@ -2186,7 +2188,7 @@ object SparkEntry {
     // sentinel row far in the future pushes the final watermark past
     // every real window so the no-data closing batch flushes them all;
     // the sentinel's own window is excluded by event_type.
-    "streaming_window_agg" -> ((s, dir) => {
+    "streaming_window_agg" -> ((s, dir) => withShufflePartitions(s, 8) {
       val tS0 = System.nanoTime()
       val path = s"$dir/events.parquet"
       val out = java.nio.file.Files.createTempDirectory("graft-swa-out").toString
