@@ -201,6 +201,36 @@ object Scale {
         sink(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10,
           nCells = nCells))
       }
+      // Corpus-wide kNN graph (op 150): candidates shuffle on
+      // (table, bucket); cost ∝ Σ bucket² — with planes scaled to
+      // log2(n) the bucket count tracks n and the probe should stay
+      // near-linear, the evidence that the graph build never
+      // degenerates toward N².
+      timed("ann_knn_graph", m, nEmb) {
+        val planes = math.max(4, (math.log(nEmb.toDouble) / math.log(2)).toInt - 4)
+        val e = emb.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nm", Similarity.normNative(col("v")))
+        val tabs = Seq(0, planes).map { off =>
+          e.select(col("vec_id"), col("v"), col("nm"),
+            Similarity.lshBucketAt(col("v"), off, planes, dim).as("bucket"),
+            lit(off).as("tbl"))
+        }
+        val all = tabs.reduce(_ unionAll _)
+        val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nm").as("qn"), col("bucket"), col("tbl"))
+        val c = all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("nm").as("cn"), col("bucket"), col("tbl"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        sink(q.join(c, Seq("tbl", "bucket"))
+          .where(col("neighbor_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(max(Similarity.dotNative(col("qv"), col("cv"))
+            / (col("qn") * col("cn"))).as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10))
+      }
       timed("resample_by_key", m, nSeries) {
         sink(Resample.resampleMean(series, "ret", Seq("key"), Seq("ord"), 10))
       }

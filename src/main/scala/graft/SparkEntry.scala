@@ -1714,6 +1714,42 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // kNN graph over the whole corpus (op 150): the SemDeDup /
+    // SSL-prototype / hard-negative precursor — every vector's top-3
+    // cosine neighbors among candidates sharing ANY of its 2 LSH
+    // tables' sign buckets (OR'd tables, the standard recall
+    // amplification). Bucket-join shaped: no all-pairs scan; a pair
+    // met in both tables collapses via the per-pair max (cosine is
+    // identical on every meeting). At 100 TB this is the per-batch
+    // neighbor-graph build: candidates shuffle on (table, bucket),
+    // cost ∝ Σ bucket², never N².
+    "ann_knn_graph" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nm", Similarity.normNative(col("v")))
+      val tabs = Seq(0, 4).map { off =>
+        e.select(col("vec_id"), col("v"), col("nm"),
+          Similarity.lshBucketAt(col("v"), off, 4, EmbDim).as("bucket"),
+          lit(off).as("tbl"))
+      }
+      val all = tabs.reduce(_ unionAll _)
+      val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nm").as("qn"), col("bucket"), col("tbl"))
+      val c = all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nm").as("cn"), col("bucket"), col("tbl"))
+      val pairs = q.join(c, Seq("tbl", "bucket"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(Similarity.dotNative(col("qv"), col("cv"))
+          / (col("qn") * col("cn"))).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "ann_topk_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       Similarity.ivfTopK(
@@ -4031,6 +4067,28 @@ object SparkEntry {
           |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
           |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
       "ann_topk_ivf" -> ivfOracle(labeled = false),
+      // kNN graph: both LSH tables replayed (offsets 0 and 4), pair
+      // dedup by max over identical cosines, self-pairs excluded.
+      "ann_knn_graph" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |t AS (
+          |  SELECT vec_id, v, 0 AS tbl, ${lshBucketSqlAt("v", 0, 4)} AS bucket FROM e
+          |  UNION ALL
+          |  SELECT vec_id, v, 4 AS tbl, ${lshBucketSqlAt("v", 4, 4)} AS bucket FROM e
+          |), p AS (
+          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |    max(list_dot_product(a.v, b.v) /
+          |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) AS cosine
+          |  FROM t a JOIN t b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          |  WHERE b.vec_id <> a.vec_id
+          |  GROUP BY 1, 2
+          |), r AS (
+          |  SELECT query_id, neighbor_id, cosine,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |  FROM p
+          |)
+          |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
+          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
       "sim_quotes" ->
         s"""WITH $QUOTES_CTE
           |SELECT ticker, ts_us, bid, ask, bid_size, ask_size, exchange, day

@@ -322,4 +322,24 @@ class PlanSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoopJoin"),
       "HLL report degenerated to an all-pairs join:\n" + p.take(1200))
   }
+
+  test("multi-benchmark CAPM broadcasts the bench slice, pushdown at its scan") {
+    // the whole-grid fan-out must be a broadcast join (the asset side
+    // never re-shuffles however many benchmarks) and the bench-side
+    // parquet scan must carry the event_type IN filter
+    val p = plan("eod_capm_multi")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("In(event_type"),
+      "bench-side scan lost the benchmark-set pushdown:\n" + p.take(2000))
+  }
+
+  test("prefix-sum rolling beta plans no sliding re-aggregation frames") {
+    // the O(1)-per-row formulation: every window frame in the plan is
+    // either growing (unboundedpreceding..currentrow) or a lag row
+    // frame — a "59, currentrow$" sliding spec would mean the O(k)
+    // re-aggregating form crept back
+    val p = plan("eod_rolling_beta").toLowerCase
+    assert(!p.contains("-59, currentrow"),
+      "sliding frame re-appeared in rolling beta:\n" + p.take(1500))
+  }
 }
