@@ -521,6 +521,44 @@ object SparkEntry {
             .as("down_capture"),
           (round(Eod.winRate(col("ra")), 6) + lit(0.0)).as("win_rate"))
         .orderBy(col("pair_id"))),
+    // Portfolio-level stats (op 151): the ffn end-use — CONSTRUCT a
+    // portfolio from constituent series, then run the stats ON it.
+    // Two equal-weight portfolios (all five series; 'core' excluding
+    // the error series) from rn-aligned cross-sections (per-rn mean
+    // return where the full membership is present). Stats run in LOG
+    // space: this corpus' synthetic returns reach 2682× per step, so
+    // a compounded value index overflows double (cum Σln ≈ 2·10⁴) —
+    // total log return and log-drawdown (cumΣ − cummax(cumΣ)) stay
+    // finite and are the standard heavy-tail-safe forms. One per-rn
+    // agg (shuffles on rn), then one window pass over the TINY
+    // per-portfolio relation, partitioned by port_id.
+    "eod_portfolio" -> ((s, dir) => {
+      val r = withRet(s, dir).withColumn("rn", row_number().over(wT))
+        .where(col("ret").isNotNull)
+        .select(col("event_type"), col("rn"), col("ret"))
+      def port(id: String, members: Column, k: Int) =
+        r.where(members)
+          .groupBy(col("rn"))
+          .agg(count(lit(1)).as("nm"), avg(col("ret")).as("pret"))
+          .where(col("nm") === k)
+          .select(lit(id).as("port_id"), col("rn"), col("pret"))
+      val p = port("core", col("event_type") =!= "error", 4)
+        .unionAll(port("ew", lit(true), 5))
+      val wp = Window.partitionBy(col("port_id")).orderBy(col("rn"))
+      val cum = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cl = sum(when(col("pret") + 1.0 > 0.0, log(col("pret") + 1.0)))
+        .over(cum)
+      p.withColumn("cl", cl)
+        .withColumn("ddl", col("cl") - max(col("cl")).over(cum))
+        .groupBy(col("port_id"))
+        .agg(count(lit(1)).as("n_periods"),
+          (round(avg(col("pret")) / stddev_samp(col("pret"))
+            * lit(math.sqrt(252.0)), 6) + lit(0.0)).as("sharpe_ann"),
+          (round(max_by(col("cl"), col("rn")), 6) + lit(0.0))
+            .as("total_log_return"),
+          (round(min(col("ddl")), 6) + lit(0.0)).as("max_drawdown_log"))
+        .orderBy(col("port_id"))
+    }),
     // Multi-benchmark CAPM (op 143): every asset series regressed on
     // EVERY series in a declared benchmark set at once — the
     // fund-vs-{index, sector, peer-median} report ffn users build by
@@ -1188,6 +1226,36 @@ object SparkEntry {
         |  round(avg(CASE WHEN ra > 0 THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS win_rate
         |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
         |GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+    "eod_portfolio" ->
+      s"""$R_CTE, s AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM r
+        |), pc AS (
+        |  SELECT 'core' AS port_id, rn, avg(ret) AS pret
+        |  FROM s WHERE ret IS NOT NULL AND event_type <> 'error'
+        |  GROUP BY rn HAVING count(*) = 4
+        |), pe AS (
+        |  SELECT 'ew' AS port_id, rn, avg(ret) AS pret
+        |  FROM s WHERE ret IS NOT NULL
+        |  GROUP BY rn HAVING count(*) = 5
+        |), p AS (SELECT * FROM pc UNION ALL SELECT * FROM pe),
+        |c AS (
+        |  SELECT port_id, rn, pret,
+        |    sum(CASE WHEN pret + 1.0 > 0.0 THEN ln(pret + 1.0) END) OVER cum AS cl
+        |  FROM p WINDOW cum AS (PARTITION BY port_id ORDER BY rn
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), d AS (
+        |  SELECT port_id, rn, pret, cl,
+        |    cl - max(cl) OVER cum AS ddl
+        |  FROM c WINDOW cum AS (PARTITION BY port_id ORDER BY rn
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT port_id, count(*) AS n_periods,
+        |  round(avg(pret) / stddev_samp(pret) * sqrt(252.0), 6) + 0.0 AS sharpe_ann,
+        |  round(arg_max(cl, rn), 6) + 0.0 AS total_log_return,
+        |  round(min(ddl), 6) + 0.0 AS max_drawdown_log
+        |FROM d GROUP BY port_id ORDER BY port_id""".stripMargin,
     "eod_capm_multi" ->
       s"""$R_CTE, s AS (
         |  SELECT event_type, ret,
