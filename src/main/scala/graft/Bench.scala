@@ -1,6 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Collapse per-rep wall-clock samples to the recorded min. A query
+    * whose every rep failed is OMITTED entirely — recording 0.0 would
+    * deflate total_sec and read as "fast" in the archived record (the
+    * errors map is the place that names the failure). */
+  def collapse(reps: Map[String, Seq[Double]]): Map[String, Double] =
+    reps.collect { case (k, ts) if ts.nonEmpty => k -> ts.min }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,13 +75,13 @@ object Bench {
             None
         }
       }
-      if (times.nonEmpty) {
-        val (dt, split, setup) = times.minBy(_._1)
+      collapse(Map(name -> times.map(_._1))).get(name).map { dt =>
+        val (_, split, setup) = times.minBy(_._1)
         if (split != (0.0, 0.0)) streamSplit += name -> split
         setup.foreach(su => setupSplit += name -> (su, math.max(dt - su, 0.0)))
         name -> dt
-      } else name -> 0.0
-    }
+      }
+    }.flatten.toMap
     // Rounded to 3 decimals and sorted by DESCENDING time: the driver
     // may keep only the tail of this line, so the biggest (most
     // informative) numbers must come first and stay short.
@@ -102,7 +109,19 @@ object Bench {
     // (duplicated as total_sec): the driver may keep only the tail of
     // this line, and r5's record lost the leading "value" field to that
     // truncation — the trailing copy makes the total indestructible.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"harness_sec":$harness,"streaming":$streaming,"setup_split":$setups,"queries":$qs,"errors":$errs,"total_sec":$total}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"harness_sec":$harness,"streaming":$streaming,"setup_split":$setups,"queries":$qs,"errors":$errs,"total_sec":$total}"""
+    // Four rounds running, the archived BENCH json died to stdout noise
+    // AFTER the line (state-store shutdown stack traces land past the
+    // driver's tail window). Silence logging and stop Spark BEFORE
+    // printing so the JSON is the final stdout content, and mirror the
+    // line to a committed file as the belt-and-suspenders record.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r11")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"BENCH_LOCAL_$round.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // read-only cwd must not kill the print
+    println(line)
   }
 }

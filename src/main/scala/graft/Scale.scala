@@ -207,29 +207,35 @@ object Scale {
       // near-linear, the evidence that the graph build never
       // degenerates toward N².
       timed("ann_knn_graph", m, nEmb) {
-        val planes = math.max(4, (math.log(nEmb.toDouble) / math.log(2)).toInt - 4)
-        val e = emb.select(col("vec_id"),
-            col("embedding").cast("array<double>").as("v"))
-          .withColumn("nm", Similarity.normNative(col("v")))
-        val tabs = Seq(0, planes).map { off =>
-          e.select(col("vec_id"), col("v"), col("nm"),
-            Similarity.lshBucketAt(col("v"), off, planes, dim).as("bucket"),
-            lit(off).as("tbl"))
+        sink(Similarity.knnGraph(emb, "vec_id", "embedding", 10, dim,
+          planes = Similarity.planesForN(nEmb)))
+      }
+      // Planted hot bucket: 25% of the corpus replaced by ONE constant
+      // vector — all its copies land in the same sign bucket of every
+      // table, the degenerate near-dup cluster the cap exists for.
+      // Uncapped that bucket alone is (n/4)² pairs in one task; with
+      // the cap (set below the cluster size) the bucket drops from
+      // both tables and the probe's wall-time must stay in line with
+      // the clean-corpus run above — the evidence the cap bounds the
+      // max-task pair count rather than merely relabeling it.
+      if (wanted("ann_knn_graph_hotbucket")) {
+        // Materialized OUTSIDE the timing (like every probe input):
+        // the spiked projection itself is what's expensive — Catalyst
+        // re-evaluates the `when(·, constLit)` branch inside each of
+        // the 2·planes bucket expressions (a measured 9× on the bare
+        // scan) — and that harness cost must not be charged to the op.
+        val constV = typedLit((0 until dim).map(d => 0.5 + 0.001 * d))
+        emb.select(col("vec_id"),
+            when(col("vec_id") % 4 === 0, constV)
+              .otherwise(col("embedding").cast("array<double>"))
+              .as("embedding"))
+          .write.mode("overwrite").parquet(s"$root/$m/embspiked")
+        val spiked = spark.read.parquet(s"$root/$m/embspiked")
+        timed("ann_knn_graph_hotbucket", m, nEmb) {
+          sink(Similarity.knnGraph(spiked, "vec_id", "embedding", 10, dim,
+            planes = Similarity.planesForN(nEmb),
+            maxBucket = math.max(64, (nEmb / 8).toInt)))
         }
-        val all = tabs.reduce(_ unionAll _)
-        val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nm").as("qn"), col("bucket"), col("tbl"))
-        val c = all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-          col("nm").as("cn"), col("bucket"), col("tbl"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        sink(q.join(c, Seq("tbl", "bucket"))
-          .where(col("neighbor_id") =!= col("query_id"))
-          .groupBy(col("query_id"), col("neighbor_id"))
-          .agg(max(Similarity.dotNative(col("qv"), col("cv"))
-            / (col("qn") * col("cn"))).as("cosine"))
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 10))
       }
       timed("resample_by_key", m, nSeries) {
         sink(Resample.resampleMean(series, "ret", Seq("key"), Seq("ord"), 10))

@@ -1790,34 +1790,17 @@ object SparkEntry {
     // met in both tables collapses via the per-pair max (cosine is
     // identical on every meeting). At 100 TB this is the per-batch
     // neighbor-graph build: candidates shuffle on (table, bucket),
-    // cost ∝ Σ bucket², never N².
-    "ann_knn_graph" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nm", Similarity.normNative(col("v")))
-      val tabs = Seq(0, 4).map { off =>
-        e.select(col("vec_id"), col("v"), col("nm"),
-          Similarity.lshBucketAt(col("v"), off, 4, EmbDim).as("bucket"),
-          lit(off).as("tbl"))
-      }
-      val all = tabs.reduce(_ unionAll _)
-      val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nm").as("qn"), col("bucket"), col("tbl"))
-      val c = all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-        col("nm").as("cn"), col("bucket"), col("tbl"))
-      val pairs = q.join(c, Seq("tbl", "bucket"))
-        .where(col("neighbor_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("neighbor_id"))
-        .agg(max(Similarity.dotNative(col("qv"), col("cv"))
-          / (col("qn") * col("cn"))).as("cosine"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      pairs.withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 3)
+    // cost ∝ Σ bucket², never N² — with Similarity.knnGraph's
+    // DefaultMaxBucket cap bounding the worst single bucket (the
+    // oracle replays the cap via a bucket-count CTE); size planes
+    // with Similarity.planesForN at real corpus scale.
+    "ann_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          3, EmbDim, planes = 4)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("query_id"), col("rnk"))
-    }),
+        .orderBy(col("query_id"), col("rnk"))),
     "ann_topk_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       Similarity.ivfTopK(
@@ -4139,10 +4122,14 @@ object SparkEntry {
       // dedup by max over identical cosines, self-pairs excluded.
       "ann_knn_graph" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          |t AS (
+          |t0 AS (
           |  SELECT vec_id, v, 0 AS tbl, ${lshBucketSqlAt("v", 0, 4)} AS bucket FROM e
           |  UNION ALL
           |  SELECT vec_id, v, 4 AS tbl, ${lshBucketSqlAt("v", 4, 4)} AS bucket FROM e
+          |), t AS (
+          |  SELECT * FROM (
+          |    SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bc FROM t0
+          |  ) WHERE bc <= 10000
           |), p AS (
           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
           |    max(list_dot_product(a.v, b.v) /

@@ -274,4 +274,83 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Plane count sized to the corpus for the kNN-graph build:
+    * `max(4, floor(log2 n) - 4)` targets ~16 vectors per sign bucket,
+    * so Σ bucket² stays near-linear in n (the Scale probe's rule).
+    */
+  def planesForN(n: Long): Int =
+    math.max(4, (math.log(n.toDouble) / math.log(2)).toInt - 4)
+
+  /** Corpus-wide kNN graph (SURVEY §2 op 150): every vector's top-k
+    * cosine neighbors among candidates sharing ANY of its LSH tables'
+    * sign buckets (OR'd tables, the standard recall amplification).
+    * Bucket-join shaped — candidates shuffle on (table, bucket), cost
+    * ∝ Σ bucket², never N²; a pair met in both tables collapses via
+    * the per-pair max (cosine is identical on every meeting).
+    *
+    * HOT-BUCKET CAP (same convention as
+    * [[graft.operators.Dedup.DefaultMaxBucket]]): a degenerate bucket —
+    * a dense near-duplicate cluster, exactly what a dedup-bound corpus
+    * has — would cost c² pairs in ONE task. Buckets holding more than
+    * `maxBucket` vectors are dropped from that table (both join sides,
+    * so the filter is symmetric); a vector in a hot bucket can still
+    * meet neighbors through its OTHER tables, and a bucket hotter than
+    * the cap carries no per-pair signal worth quadratic work — the
+    * same recall trade the dedup family documents. Deterministic, so a
+    * SQL oracle replays it with a bucket-count CTE. Pass Int.MaxValue
+    * for exact uncapped runs.
+    *
+    * SIZE planes TO THE CORPUS via [[planesForN]]; `tableOffsets`
+    * defaults to two independent tables (offsets 0 and `planes`).
+    * Returns (query_id, rank, neighbor_id, cosine) with cosine raw
+    * (callers round for display/oracles).
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               dim: Int, planes: Int = 4,
+               tableOffsets: Seq[Int] = Seq.empty,
+               maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val offsets = if (tableOffsets.nonEmpty) tableOffsets else Seq(0, planes)
+    val e = df.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nm", normNative(col("v")))
+    val tabs = offsets.map { off =>
+      e.select(col("_id"), col("v"), col("nm"),
+        lshBucketAt(col("v"), off, planes, dim).as("bucket"),
+        lit(off).as("tbl"))
+    }
+    val all = tabs.reduce(_ unionAll _)
+    // The cap is a bucket-count aggregate joined back — NOT a window
+    // count: the agg combines map-side to one row per (tbl, bucket)
+    // (≤ tables·2^planes rows of 16 B), so AQE broadcasts it and the
+    // main rows never take an extra shuffle/sort for the filter. (A
+    // measured window-count variant doubled the probe's wall-time —
+    // it re-shuffled AND re-sorted every carried vector payload.) If
+    // the bucket table ever outgrows broadcast (planes ≈ log2 n keeps
+    // it at ~n/16 rows), AQE falls back to a shuffle join already
+    // co-partitioned with the pair join's keys.
+    val capped =
+      if (maxBucket == Int.MaxValue) all
+      else {
+        val ok = all.groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("_bc"))
+          .where(col("_bc") <= maxBucket)
+          .select(col("tbl"), col("bucket"))
+        all.join(ok, Seq("tbl", "bucket"))
+      }
+    val q = capped.select(col("_id").as("query_id"), col("v").as("qv"),
+      col("nm").as("qn"), col("bucket"), col("tbl"))
+    val c = capped.select(col("_id").as("neighbor_id"), col("v").as("cv"),
+      col("nm").as("cn"), col("bucket"), col("tbl"))
+    val pairs = q.join(c, Seq("tbl", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(dotNative(col("qv"), col("cv"))
+        / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
 }

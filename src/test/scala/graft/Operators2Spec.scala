@@ -25,6 +25,43 @@ class Operators2Spec extends SparkSpec {
     assert(ivf.count() <= 9) // ≤ k per query; approximate by design
   }
 
+  test("knnGraph: hot-bucket cap drops the degenerate cluster, keeps the rest") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = e.selectExpr("size(embedding)").as[Int].head()
+    // Plant a 12-member constant cluster on ids 1000-1011: every copy
+    // lands in the SAME sign bucket of BOTH tables — the dedup-bound
+    // corpus's worst case the cap exists for.
+    val constV = typedLit((0 until dim).map(d => 0.25 + 0.01 * d))
+    val planted = e.select($"vec_id", $"embedding".cast("array<double>"))
+      .unionAll(spark.range(1000, 1012).select(
+        $"id".as("vec_id"), constV.as("embedding")))
+    val capped = Similarity.knnGraph(planted, "vec_id", "embedding", 3, dim,
+      planes = 4, maxBucket = 8).cache()
+    // cluster members meet ONLY in their (dropped) constant bucket →
+    // no edge between any two of them survives
+    val intra = capped.where($"query_id" >= 1000 && $"neighbor_id" >= 1000)
+    assert(intra.count() == 0, "capped graph must drop intra-hot-cluster edges")
+    // vectors outside the hot bucket keep their neighborhoods:
+    // capping can only REMOVE candidates, never change survivors' cosines
+    val uncapped = Similarity.knnGraph(planted, "vec_id", "embedding", 3, dim,
+      planes = 4, maxBucket = Int.MaxValue)
+    val join = capped.where($"query_id" < 1000).as("c")
+      .join(uncapped.as("u"), Seq("query_id", "neighbor_id"))
+      .where(abs($"c.cosine" - $"u.cosine") > 1e-12)
+    assert(join.count() == 0, "surviving edges must carry identical cosines")
+    // a no-op cap (every bucket under it) must be EXACTLY the uncapped graph
+    val wide = Similarity.knnGraph(planted, "vec_id", "embedding", 3, dim,
+      planes = 4, maxBucket = Int.MaxValue - 1)
+    assert(wide.exceptAll(uncapped).isEmpty && uncapped.exceptAll(wide).isEmpty)
+  }
+
+  test("planesForN targets ~16 per bucket and floors at 4") {
+    assert(Similarity.planesForN(100) == 4)
+    assert(Similarity.planesForN(2000) == 6)      // floor(log2 2000)=10
+    assert(Similarity.planesForN(100000) == 12)   // floor(log2 1e5)=16
+    assert(Similarity.planesForN(1L << 40) == 36) // bucket count tracks n/16
+  }
+
   test("resampleStat generalizes the bootstrap to any aggregate") {
     val df = (1 to 100).map(i => ("s1", i, i.toDouble)).toDF("k", "o", "v")
     val out = Resample.resampleStat(df, "v", Seq("k"), Seq("o"), 5)(v => max(v))
