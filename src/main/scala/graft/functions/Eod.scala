@@ -427,4 +427,25 @@ object Eod {
       .when(abs(d - 1) <= 0.1, "daily")
       .otherwise("unknown")
   }
+
+  /** Calendar resampling (ffn `to_period`/`resample` lineage,
+    * eod/temporal.py neighborhood — generalizes the return-table op):
+    * compact a (series, ts, value) relation to period-end values at
+    * any `date_trunc` grain ("week", "month", "quarter", "year", …)
+    * and emit the period-over-period return per series. ONE hash agg
+    * (map-side combinable max_by on the per-series timestamp) + one
+    * lag over the MUCH smaller bucketed relation — the window
+    * partitions per series, never single-partition, and at 100 TB the
+    * agg is the only pass over the raw ticks. Callers needing OHLC at
+    * the grain use the bars family instead.
+    */
+  def resampleToPeriod(df: org.apache.spark.sql.DataFrame, seriesCol: String,
+                       tsCol: String, valueCol: String,
+                       grain: String): org.apache.spark.sql.DataFrame = {
+    val m = df
+      .groupBy(col(seriesCol), date_trunc(grain, col(tsCol)).as("period"))
+      .agg(max_by(col(valueCol), col(tsCol)).as("eop"))
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("period"))
+    m.withColumn("period_ret", col("eop") / lag(col("eop"), 1).over(w) - 1)
+  }
 }

@@ -203,4 +203,25 @@ class EodSpec extends SparkSpec {
     assert(math.abs(got._3 - 2.0) < 1e-12)             // -0.04 / -0.02
     assert(math.abs(got._4 - 0.75) < 1e-12)            // 3 of 4 positive
   }
+
+  test("resampleToPeriod compacts to period-end values at any grain") {
+    // daily prices across a month boundary: monthly grain keeps the
+    // LAST value of each month and chains returns off it
+    val rows = Seq(
+      ("a", "2024-01-30 10:00:00", 100.0), ("a", "2024-01-31 10:00:00", 110.0),
+      ("a", "2024-02-01 10:00:00", 120.0), ("a", "2024-02-29 10:00:00", 99.0),
+      ("b", "2024-01-15 10:00:00", 50.0))
+    val df = rows.toDF("k", "ts", "v").withColumn("ts", $"ts".cast("timestamp"))
+    val m = Eod.resampleToPeriod(df, "k", "ts", "v", "month")
+      .select($"k", month($"period").as("mo"), $"eop", $"period_ret")
+      .as[(String, Int, Double, Option[Double])].collect().sortBy(r => (r._1, r._2))
+    assert(m.toSeq == Seq(
+      ("a", 1, 110.0, None),                    // Jan end = 110, no prior
+      ("a", 2, 99.0, Some(99.0 / 110.0 - 1.0)), // Feb end chains off Jan
+      ("b", 1, 50.0, None)))
+    // weekly grain on the same data: 2024-01-30/31 + 02-01 share a week
+    val w = Eod.resampleToPeriod(df.where($"k" === "a"), "k", "ts", "v", "week")
+      .select($"eop").as[Double].collect().sorted
+    assert(w.toSeq == Seq(99.0, 120.0)) // week of Jan 29 ends at Feb 1's 120
+  }
 }

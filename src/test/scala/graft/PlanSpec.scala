@@ -342,4 +342,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("-59, currentrow"),
       "sliding frame re-appeared in rolling beta:\n" + p.take(1500))
   }
+
+  test("prefix-sum rolling family plans no sliding re-aggregation frames") {
+    // eod_rolling (k=20) and eod_rolling_capture (k=60) use the same
+    // cumulative-sum + lag-difference idiom as rolling beta: any
+    // "-19, currentrow" / "-59, currentrow" frame spec means a
+    // frame-bounded O(k)-per-row aggregate crept back in
+    val r = plan("eod_rolling").toLowerCase
+    assert(!r.contains("-19, currentrow"),
+      "sliding frame re-appeared in eod_rolling:\n" + r.take(1500))
+    val c = plan("eod_rolling_capture").toLowerCase
+    assert(!c.contains("-59, currentrow"),
+      "sliding frame re-appeared in eod_rolling_capture:\n" + c.take(1500))
+  }
 }
