@@ -303,7 +303,11 @@ object SparkEntry {
       ("streaming_quantiles" -> p("sketch_quantiles")) +
       // op 147: same md5 coin, same (key, id) bottom-n — the streamed
       // sample equals the batch stratified sample exactly.
-      ("streaming_sample" -> p("corpus_sample_n"))
+      ("streaming_sample" -> p("corpus_sample_n")) +
+      // op 152: stateless probes of the capped index emit the same
+      // pair set as the batch kNN graph (equi-join cap equivalence),
+      // so the compacted sink replays the batch oracle.
+      ("streaming_knn_graph" -> p("ann_knn_graph"))
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3000,6 +3004,25 @@ object SparkEntry {
         .select(col("stratum").as("source"), col("n_docs"),
           col("n_tokens"), col("share"), col("weight"))
         .orderBy(col("source"))),
+    // Per-source token-distribution diagnostics (op 155): unigram
+    // entropy + KL from the pooled corpus distribution — the
+    // mixture-health signal (templated sources: low H, high KL).
+    // Integer-quantized per-term sums, divided at the end.
+    "corpus_kl" -> ((s, dir) =>
+      Corpus.klDivergence(tbl(s, dir, "documents"), col("source"), "text")
+        .select(col("stratum").as("source"), col("n_tokens"), col("vocab"),
+          col("entropy"), col("kl_from_corpus"))
+        .orderBy(col("source"))),
+    // Token-budget mixture plan (op 156): mixtureWeights → executable
+    // per-source Bernoulli rates for a 100k-token budget; the rate
+    // column feeds stratifiedSample directly.
+    "corpus_token_budget" -> ((s, dir) =>
+      Corpus.tokenBudgetPlan(tbl(s, dir, "documents"), col("source"),
+          "text", budgetTokens = 100000L, alpha = 0.5)
+        .select(col("stratum").as("source"), col("n_docs"), col("n_tokens"),
+          col("weight"), col("target_tokens"), col("rate"),
+          col("expected_tokens"))
+        .orderBy(col("source"))),
     // Overlapping-window substring dedup (op 96) on the planted-dup
     // corpus: the +2000000 exact copies must show full-length runs.
     "dedup_windows" -> ((s, dir) =>
@@ -3279,13 +3302,24 @@ object SparkEntry {
     // per stratum — the KMV bottom-k merge argument applied to
     // sampling). distinct + per-stratum bottom-n over the Update sink
     // reconstructs the batch sample exactly; oracle shared with
-    // corpus_sample_n (same coin, same (key, id) order).
+    // corpus_sample_n (same coin, same (key, id) order). The batch
+    // op's oversample pre-filter (u < 4n/cnt) replays here as a
+    // stream-static broadcast of the stratum counts, so the stream
+    // ranks over the IDENTICAL survivor set as batch + oracle — in
+    // the ~e^-Ω(n) tail where a stratum's bottom-n doesn't all
+    // survive the cut, all three shrink together instead of the
+    // stream silently emitting extra rows.
     "streaming_sample" -> ((s, dir) => {
       import s.implicits._
+      val cnts = tbl(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("_cnt"))
       val sunk = withShufflePartitions(s, 8) {
         streamReplay(s, dir, "documents", "ssamp", mode = "update") { src =>
         graft.streaming.Stateful.sampleNStream(
-          src.select(col("source").as("g"),
+          src.join(broadcast(cnts), "source")
+            .where(Corpus.md5Uniform(col("doc_id")) <
+              least(lit(1.0), lit(20.0) / col("_cnt")))
+            .select(col("source").as("g"),
             Sketch.kmvHash(col("doc_id")).as("key"),
             col("doc_id").as("id"))
             .as[graft.streaming.Stateful.SampIn],
@@ -3297,6 +3331,41 @@ object SparkEntry {
         .where(col("rnk") <= 5)
         .select(col("g").as("source"), col("id").as("doc_id"))
         .orderBy(col("source"), col("doc_id"))
+    }),
+    // Streaming kNN-graph maintenance (op 152): the op-115 pattern on
+    // op 150 — the capped (tbl, bucket) index is materialized ONCE
+    // (parquet, the expensive Σ bucket² build amortized), and each
+    // arriving vector probes it STATELESSLY (stream-static equi-join,
+    // no state store: the index carries the history, the stream is
+    // map-shaped). Because the pair join is on equal (tbl, bucket),
+    // capping the index side alone equals the batch op's symmetric
+    // cap, so the max-merge + top-k compaction over the Append sink
+    // reproduces ann_knn_graph exactly and shares its oracle. At
+    // 100 TB this is live neighbor-graph upkeep: probe cost per
+    // arrival ∝ its buckets' occupancy, index refresh is a periodic
+    // batch rebuild.
+    "streaming_knn_graph" -> ((s, dir) => {
+      val t0 = System.nanoTime()
+      val ixPath =
+        java.nio.file.Files.createTempDirectory("graft-sknn-ix").toString
+      Similarity.knnIndexRelation(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", EmbDim, planes = 4)
+        .write.mode("overwrite").parquet(ixPath)
+      setupStats("streaming_knn_graph") = (System.nanoTime() - t0) / 1e9
+      val ix = s.read.parquet(ixPath)
+      val sunk = streamReplay(s, dir, "embeddings", "sknn") { src =>
+        Similarity.knnProbe(src, ix, "vec_id", "embedding", EmbDim,
+          planes = 4)
+      }
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      sunk.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("cosine")).as("cosine"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
     }),
     // Efraimidis-Spirakis weighted sample: 20 docs per lang,
     // P(doc) ∝ n_chars, deterministic md5 draw (op 120).
@@ -4693,6 +4762,41 @@ object SparkEntry {
           |  floor(share * 1e6 + 0.5) / 1e6 AS share,
           |  floor(CAST(qs AS DOUBLE) / qtot * 1e6 + 0.5) / 1e6 AS weight
           |FROM sc CROSS JOIN qt ORDER BY source""".stripMargin),
+      // Entropy + KL vs pooled corpus: per-term 1e-6-quantized long
+      // contributions, integer sums, divide by n_s at the end.
+      "corpus_kl" ->
+        ("""WITH t AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+          |st AS (SELECT source, tok, count(*) AS cst FROM t GROUP BY 1, 2),
+          |gl AS (SELECT tok, CAST(sum(cst) AS BIGINT) AS ct FROM st GROUP BY 1),
+          |ns AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ns, count(*) AS vocab FROM st GROUP BY 1),
+          |n AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM gl),
+          |q AS (SELECT st.source, ns.ns, ns.vocab,
+          |  CAST(floor(cst * (ln(cst) - ln(ns.ns) - ln(ct) + ln(n.n)) * 1e6 + 0.5) AS BIGINT) AS qkl,
+          |  CAST(floor(cst * (ln(ns.ns) - ln(cst)) * 1e6 + 0.5) AS BIGINT) AS qh
+          |  FROM st JOIN gl USING (tok) JOIN ns USING (source) CROSS JOIN n)
+          |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+          |  CAST(max(vocab) AS BIGINT) AS vocab,
+          |  floor(CAST(sum(qh) AS DOUBLE) / max(ns) + 0.5) / 1e6 AS entropy,
+          |  floor(CAST(sum(qkl) AS DOUBLE) / max(ns) + 0.5) / 1e6 AS kl_from_corpus
+          |FROM q GROUP BY source ORDER BY source""".stripMargin),
+      // mixtureWeights replayed, extended with the budget arithmetic
+      // (all on the quantized weight grid — engine-exact).
+      "corpus_token_budget" ->
+        ("""WITH t AS (SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS ntok FROM documents),
+          |per AS (SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per),
+          |sc AS (SELECT source, n_docs, n_tokens,
+          |  CAST(floor(pow(CAST(n_tokens AS DOUBLE) / tt, 0.5) * 1e6 + 0.5) AS BIGINT) AS qs
+          |  FROM per CROSS JOIN tot),
+          |qt AS (SELECT CAST(sum(qs) AS BIGINT) AS qtot FROM sc),
+          |wmix AS (SELECT source, n_docs, n_tokens,
+          |  floor(CAST(qs AS DOUBLE) / qtot * 1e6 + 0.5) / 1e6 AS weight
+          |  FROM sc CROSS JOIN qt),
+          |pl AS (SELECT *, CAST(floor(weight * 100000 + 0.5) AS BIGINT) AS target_tokens FROM wmix),
+          |rt AS (SELECT *, floor(least(1.0, CAST(target_tokens AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6 AS rate FROM pl)
+          |SELECT source, n_docs, n_tokens, weight, target_tokens, rate,
+          |  CAST(floor(rate * n_tokens + 0.5) AS BIGINT) AS expected_tokens
+          |FROM rt ORDER BY source""".stripMargin),
       // Overlapping windows with positions; islands trick (pos −
       // row_number constant within a run) for the longest dup run.
       "dedup_windows" ->

@@ -328,6 +328,79 @@ object Corpus {
           .as("weight"))
   }
 
+  /** Per-stratum token-distribution diagnostics: Shannon entropy of the
+    * stratum's unigram distribution and its KL divergence from the
+    * whole-corpus distribution — the mixture-health signal that catches
+    * a source drifting from the corpus (templated/boilerplate sources
+    * show low entropy and high KL; a healthy mix clusters near the
+    * corpus entropy). KL(P_s ‖ P_c) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) with
+    * P_c the pooled distribution, so every stratum term has p_c > 0 and
+    * the divergence is finite by construction.
+    *
+    * Determinism: per-term contributions quantize to 1e-6 longs —
+    * c_st·(ln c_st − ln n_s − ln c_t + ln N) for KL, c_st·(ln n_s −
+    * ln c_st) for entropy — integer sums divide by n_s at the end
+    * (the lmScore convention), so both metrics replay bit-exact.
+    *
+    * Scale shape: token explode → (stratum, tok) count (map-side
+    * combinable), global per-token counts as a SECOND agg over the
+    * first (vocab-sized input, not the corpus), a tok equi-join
+    * between the two (AQE broadcasts a small vocab, shuffle-joins a
+    * 100 TB one), stratum totals re-aggregated from the counts and
+    * broadcast back. Strictly linear in corpus tokens; no pairs.
+    */
+  def klDivergence(df: DataFrame, strataCol: Column,
+                   textCol: String): DataFrame = {
+    val st = df.select(strataCol.as("stratum"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col("stratum"), col("tok")).agg(count(lit(1)).as("cst"))
+    val gl = st.groupBy(col("tok")).agg(sum(col("cst")).as("ct"))
+    val ns = st.groupBy(col("stratum")).agg(sum(col("cst")).as("ns"),
+      count(lit(1)).as("vocab"))
+    val n = gl.agg(sum(col("ct")).as("n")) // 1 row — broadcast
+    st.join(gl, "tok").join(broadcast(ns), "stratum")
+      .crossJoin(broadcast(n))
+      .select(col("stratum"), col("ns"), col("vocab"),
+        floor(col("cst").cast("double") *
+          (log(col("cst").cast("double")) - log(col("ns").cast("double")) -
+           log(col("ct").cast("double")) + log(col("n").cast("double"))) *
+          1e6 + 0.5).cast("long").as("qkl"),
+        floor(col("cst").cast("double") *
+          (log(col("ns").cast("double")) - log(col("cst").cast("double"))) *
+          1e6 + 0.5).cast("long").as("qh"))
+      .groupBy(col("stratum"))
+      .agg(max(col("ns")).as("n_tokens"), max(col("vocab")).as("vocab"),
+        (floor(sum(col("qh")).cast("double") / max(col("ns")) + 0.5) / 1e6)
+          .as("entropy"),
+        (floor(sum(col("qkl")).cast("double") / max(col("ns")) + 0.5) / 1e6)
+          .as("kl_from_corpus"))
+  }
+
+  /** Token-budget mixture plan — the step that turns [[mixtureWeights]]
+    * into an executable sampling schedule: given a total token budget
+    * B, each stratum's target is B·weight, its Bernoulli doc-sampling
+    * rate is min(1, target/n_tokens) (an under-budget stratum keeps
+    * everything; the α < 1 upsampled tail saturates at rate 1 rather
+    * than inventing repeats), and expected_tokens = rate·n_tokens
+    * reports the plan's realized size. The rate column feeds
+    * [[stratifiedSample]] directly as the per-stratum rate map.
+    *
+    * Determinism: rates derive from the already-quantized weights and
+    * integer token counts, then floor-quantize to 1e-6 — engine-exact.
+    * Scale shape: [[mixtureWeights]]'s one aggregate + broadcasts;
+    * this adds only literal arithmetic on the stratum-sized relation.
+    */
+  def tokenBudgetPlan(df: DataFrame, strataCol: Column, textCol: String,
+                      budgetTokens: Long, alpha: Double = 0.5): DataFrame =
+    mixtureWeights(df, strataCol, textCol, alpha)
+      .withColumn("target_tokens",
+        floor(col("weight") * budgetTokens + 0.5).cast("long"))
+      .withColumn("rate", floor(least(lit(1.0),
+        col("target_tokens").cast("double") / col("n_tokens")) * 1e6 + 0.5)
+        / 1e6)
+      .withColumn("expected_tokens",
+        floor(col("rate") * col("n_tokens") + 0.5).cast("long"))
+
   /** Benchmark-contamination detection: for each train doc, the number
     * of its distinct word `width`-grams that appear in ANY benchmark
     * doc (n-gram-overlap decontamination, the GPT-3/C4 convention —

@@ -310,34 +310,8 @@ object Similarity {
                dim: Int, planes: Int = 4,
                tableOffsets: Seq[Int] = Seq.empty,
                maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val offsets = if (tableOffsets.nonEmpty) tableOffsets else Seq(0, planes)
-    val e = df.select(col(idCol).as("_id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nm", normNative(col("v")))
-    val tabs = offsets.map { off =>
-      e.select(col("_id"), col("v"), col("nm"),
-        lshBucketAt(col("v"), off, planes, dim).as("bucket"),
-        lit(off).as("tbl"))
-    }
-    val all = tabs.reduce(_ unionAll _)
-    // The cap is a bucket-count aggregate joined back — NOT a window
-    // count: the agg combines map-side to one row per (tbl, bucket)
-    // (≤ tables·2^planes rows of 16 B), so AQE broadcasts it and the
-    // main rows never take an extra shuffle/sort for the filter. (A
-    // measured window-count variant doubled the probe's wall-time —
-    // it re-shuffled AND re-sorted every carried vector payload.) If
-    // the bucket table ever outgrows broadcast (planes ≈ log2 n keeps
-    // it at ~n/16 rows), AQE falls back to a shuffle join already
-    // co-partitioned with the pair join's keys.
-    val capped =
-      if (maxBucket == Int.MaxValue) all
-      else {
-        val ok = all.groupBy(col("tbl"), col("bucket"))
-          .agg(count(lit(1)).as("_bc"))
-          .where(col("_bc") <= maxBucket)
-          .select(col("tbl"), col("bucket"))
-        all.join(ok, Seq("tbl", "bucket"))
-      }
+    val capped = knnIndexRelation(df, idCol, vecCol, dim, planes,
+      tableOffsets, maxBucket)
     val q = capped.select(col("_id").as("query_id"), col("v").as("qv"),
       col("nm").as("qn"), col("bucket"), col("tbl"))
     val c = capped.select(col("_id").as("neighbor_id"), col("v").as("cv"),
@@ -352,5 +326,79 @@ object Similarity {
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** The kNN graph's capped candidate index as a standalone relation
+    * — (\_id, v, nm, bucket, tbl), one row per vector per LSH table,
+    * hot buckets dropped (see [[knnGraph]]'s cap rationale). Public so
+    * the streaming twin materializes it ONCE (parquet) and probes it
+    * per micro-batch: because the pair join is on equal (tbl, bucket),
+    * capping the index side alone is equivalent to the batch op's
+    * symmetric cap — a query vector in a dropped bucket finds zero
+    * candidates there either way — so streamed probes of the same
+    * corpus reproduce [[knnGraph]] exactly.
+    *
+    * The cap is a bucket-count aggregate joined back — NOT a window
+    * count: the agg combines map-side to one row per (tbl, bucket)
+    * (≤ tables·2^planes rows of 16 B), so AQE broadcasts it and the
+    * main rows never take an extra shuffle/sort for the filter. (A
+    * measured window-count variant doubled the probe's wall-time —
+    * it re-shuffled AND re-sorted every carried vector payload.) If
+    * the bucket table ever outgrows broadcast (planes ≈ log2 n keeps
+    * it at ~n/16 rows), AQE falls back to a shuffle join already
+    * co-partitioned with the pair join's keys.
+    */
+  def knnIndexRelation(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, planes: Int = 4,
+                       tableOffsets: Seq[Int] = Seq.empty,
+                       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val offsets = if (tableOffsets.nonEmpty) tableOffsets else Seq(0, planes)
+    val e = df.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nm", normNative(col("v")))
+    val tabs = offsets.map { off =>
+      e.select(col("_id"), col("v"), col("nm"),
+        lshBucketAt(col("v"), off, planes, dim).as("bucket"),
+        lit(off).as("tbl"))
+    }
+    val all = tabs.reduce(_ unionAll _)
+    if (maxBucket == Int.MaxValue) all
+    else {
+      val ok = all.groupBy(col("tbl"), col("bucket"))
+        .agg(count(lit(1)).as("_bc"))
+        .where(col("_bc") <= maxBucket)
+        .select(col("tbl"), col("bucket"))
+      all.join(ok, Seq("tbl", "bucket"))
+    }
+  }
+
+  /** Stateless probe of a materialized [[knnIndexRelation]]: each
+    * arriving vector hashes into its LSH tables' buckets and joins the
+    * index on (tbl, bucket) — a stream-static equi-join, no state
+    * store at all (the op-115 pattern: the index carries the history,
+    * the stream is map-shaped) — emitting raw (query_id, neighbor_id,
+    * cosine) candidate edges. A pair met in both tables emits twice
+    * with identical cosine; rank/compact at the sink
+    * (`groupBy(query, neighbor).max(cosine)` + top-k window), where
+    * duplicate emissions collapse for free. Streaming-safe: works on a
+    * streaming `queries` DataFrame in Append mode.
+    */
+  def knnProbe(queries: DataFrame, index: DataFrame, idCol: String,
+               vecCol: String, dim: Int, planes: Int = 4,
+               tableOffsets: Seq[Int] = Seq.empty): DataFrame = {
+    val offsets = if (tableOffsets.nonEmpty) tableOffsets else Seq(0, planes)
+    val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", normNative(col("qv")))
+    val probes = offsets.map { off =>
+      qv.select(col("query_id"), col("qv"), col("qn"),
+        lshBucketAt(col("qv"), off, planes, dim).as("bucket"),
+        lit(off).as("tbl"))
+    }.reduce(_ unionAll _)
+    probes.join(index, Seq("tbl", "bucket"))
+      .where(col("_id") =!= col("query_id"))
+      .select(col("query_id"), col("_id").as("neighbor_id"),
+        (dotNative(col("qv"), col("v")) / (col("qn") * col("nm")))
+          .as("cosine"))
   }
 }

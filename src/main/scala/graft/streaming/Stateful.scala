@@ -28,6 +28,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   */
 object Stateful {
 
+  /** Full-precision event-time sort key: `Timestamp.getTime` alone is
+    * millisecond-resolution, so microsecond ticks sharing a millisecond
+    * would tie and resolve to shuffle arrival order — nondeterministic
+    * output for a deterministic input. (getTime, getNanos) is the
+    * timestamp's total order; callers append a value tiebreak so even
+    * true timestamp ties order deterministically.
+    */
+  private def tsKey(ts: Timestamp): (Long, Int) = (ts.getTime, ts.getNanos)
+
   // ------------------------------------------------------ running drawdown
 
   case class Tick(symbol: String, ts: Timestamp, price: Double)
@@ -47,7 +56,7 @@ object Stateful {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (symbol, it, state) =>
           var hw = state.getOption.map(_.max).getOrElse(Double.NegativeInfinity)
-          val out = it.toArray.sortBy(_.ts.getTime).map { t =>
+          val out = it.toArray.sortBy(t => (tsKey(t.ts), t.price)).map { t =>
             hw = math.max(hw, t.price)
             DrawdownRow(symbol, t.ts, t.price, hw,
               if (hw != 0.0) t.price / hw - 1 else Double.NaN)
@@ -87,7 +96,7 @@ object Stateful {
           // (a trade at t sees a quote stamped t, matching the batch
           // as-of join's at-or-before semantics) — not an accident of
           // "quote" < "trade" string order.
-          it.toArray.sortBy(e => (e.ts.getTime, e.kind == "trade")).foreach { e =>
+          it.toArray.sortBy(e => (tsKey(e.ts), e.kind == "trade")).foreach { e =>
             if (e.kind == "quote") {
               // last-quote-wins only forward in time: a late quote must
               // not roll the prevailing NBBO backwards.
@@ -124,7 +133,7 @@ object Stateful {
     override def handleInputRows(key: String, rows: Iterator[Tick],
                                  timerValues: TimerValues): Iterator[SignedTick] = {
       var prev = if (lastPrice.exists()) lastPrice.get() else Double.NaN
-      val out = rows.toArray.sortBy(_.ts.getTime).map { t =>
+      val out = rows.toArray.sortBy(t => (tsKey(t.ts), t.price)).map { t =>
         val dir =
           if (prev.isNaN || t.price == prev) 0
           else if (t.price > prev) 1
@@ -371,7 +380,8 @@ object Stateful {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (sym, it, state) =>
           var acc = state.getOption.map(_.units).getOrElse(0L)
-          val out = it.toArray.sortBy(_.ts.getTime).map { t =>
+          val out = it.toArray.sortBy(t => (tsKey(t.ts), t.price, t.volume))
+            .map { t =>
             val bar = acc / threshold
             acc += units(t)
             BarTick(sym, t.ts, t.price, t.volume, bar)
@@ -474,7 +484,7 @@ object Stateful {
         (sym, it, state) =>
           var st = state.getOption.getOrElse(
             RiskState(Double.NaN, 0L, 0L, 0L))
-          val out = it.toArray.sortBy(_.ts.getTime).flatMap { t =>
+          val out = it.toArray.sortBy(t => (tsKey(t.ts), t.price)).flatMap { t =>
             if (!st.lastPrice.isNaN) {
               val q = math.floor(math.log(t.price / st.lastPrice) * 1e5 + 0.5)
                 .toLong
@@ -506,6 +516,14 @@ object Stateful {
     * subsets, and distinct + per-stratum bottom-n over the sink equals
     * the batch sample exactly — a uniform n-per-stratum sample of an
     * unbounded stream in constant state, no reservoir RNG to replay.
+    *
+    * Batch parity caveat: [[graft.operators.Corpus.stratifiedSampleN]]
+    * ranks only rows surviving its oversample pre-filter (u < 4n/cnt);
+    * this op ranks whatever it is fed. Exact equality therefore needs
+    * the SAME input set — either apply the same pre-filter upstream
+    * (a stream-static broadcast of stratum counts, as the gate query
+    * does) or rely on the stratum's bottom-n all surviving the cut
+    * (fails with probability ~e^-Ω(n) per stratum).
     */
   def sampleNStream(rows: Dataset[SampIn], n: Int): Dataset[SampIn] = {
     import rows.sparkSession.implicits._

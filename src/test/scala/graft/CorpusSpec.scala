@@ -176,6 +176,49 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(bw + sw - 1.0) < 1e-5)
   }
 
+  test("klDivergence: identical strata have KL 0; skew shows up as KL > 0") {
+    // Two strata with the SAME token distribution → each equals the
+    // pooled corpus → KL = 0; entropy = ln 2 for a uniform 2-vocab.
+    val bal = Seq(("a", "x y"), ("b", "x y")).toDF("src", "text")
+    val out0 = Corpus.klDivergence(bal, $"src", "text")
+      .select($"stratum", $"entropy", $"kl_from_corpus")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out0.values.forall { case (h, kl) =>
+      math.abs(h - math.log(2)) < 1e-5 && math.abs(kl) < 1e-5 })
+    // A degenerate stratum (one repeated token) against a mixed one:
+    // zero entropy, positive divergence from the pooled distribution.
+    val skew = Seq(("t", "x x x x"), ("m", "x y z w")).toDF("src", "text")
+    val outS = Corpus.klDivergence(skew, $"src", "text")
+      .select($"stratum", $"entropy", $"kl_from_corpus")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val (ht, klt) = outS("t")
+    assert(ht == 0.0 && klt > 0.1,
+      s"templated stratum must show zero entropy, positive KL: $outS")
+  }
+
+  test("tokenBudgetPlan: rates cap at 1 and realize the budget") {
+    val ten = Seq.fill(10)("w").mkString(" ")
+    val df = ((0 until 90).map(i => (s"d$i", "big", ten)) ++
+      (0 until 10).map(i => (s"s$i", "small", ten)))
+      .toDF("doc_id", "src", "text")
+    val out = Corpus.tokenBudgetPlan(df, $"src", "text",
+        budgetTokens = 500L, alpha = 0.5)
+      .select($"stratum", $"n_tokens", $"target_tokens", $"rate",
+        $"expected_tokens")
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, bn, bt, br, be) = out("big")
+    val (_, sn, st, sr, se) = out("small")
+    // alpha=0.5: weights = 3/4, 1/4 of 500 → big 375 of 900 (rate<1),
+    // small 125 > its 100 tokens → rate saturates at 1, keeps all.
+    assert(bt == 375L && st == 125L)
+    assert(sr == 1.0 && se == sn, "under-budget stratum keeps everything")
+    assert(br < 1.0 && math.abs(be - bt) <= 1,
+      s"rate must realize the target: $out")
+  }
+
   test("windowDedup finds the longest duplicated run across docs") {
     val span = (1 to 10).map(i => s"s$i").mkString(" ") // 10 shared tokens
     val df = Seq(

@@ -55,6 +55,28 @@ class Operators2Spec extends SparkSpec {
     assert(wide.exceptAll(uncapped).isEmpty && uncapped.exceptAll(wide).isEmpty)
   }
 
+  test("knnProbe over the materialized index reproduces knnGraph exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = e.selectExpr("size(embedding)").as[Int].head()
+    // The streaming twin's claim: stateless probes of the capped index
+    // emit the batch graph's pair set (equi-join cap equivalence), so
+    // max-merge + top-k over the emissions equals knnGraph bit-for-bit.
+    val ix = Similarity.knnIndexRelation(e, "vec_id", "embedding", dim,
+      planes = 4)
+    val probed = Similarity.knnProbe(e, ix, "vec_id", "embedding", dim,
+      planes = 4)
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(max($"cosine").as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    val streamed = probed.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+    val batch = Similarity.knnGraph(e, "vec_id", "embedding", 3, dim,
+      planes = 4)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("planesForN targets ~16 per bucket and floors at 4") {
     assert(Similarity.planesForN(100) == 4)
     assert(Similarity.planesForN(2000) == 6)      // floor(log2 2000)=10
