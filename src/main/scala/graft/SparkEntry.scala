@@ -304,10 +304,14 @@ object SparkEntry {
       // op 147: same md5 coin, same (key, id) bottom-n — the streamed
       // sample equals the batch stratified sample exactly.
       ("streaming_sample" -> p("corpus_sample_n")) +
-      // op 152: stateless probes of the capped index emit the same
+      // op 154: stateless probes of the capped index emit the same
       // pair set as the batch kNN graph (equi-join cap equivalence),
       // so the compacted sink replays the batch oracle.
-      ("streaming_knn_graph" -> p("ann_knn_graph"))
+      ("streaming_knn_graph" -> p("ann_knn_graph")) +
+      // op 161: per-source counts only grow, so the max-merged Update
+      // sink equals the batch count table and the shared quantized
+      // weight algebra replays the batch mixture oracle.
+      ("streaming_mixture" -> p("corpus_mixture"))
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -446,6 +450,17 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg((round(Eod.omegaRatio(col("ret"), rfPeriodic), 6) + lit(0.0))
           .as("omega"))
+        .orderBy(col("event_type"))),
+    // Tail ratio + gain-to-pain (op 157): right/left tail magnitudes
+    // via interpolated quantiles (sorting, not summing — engine-exact
+    // on identical ret doubles) and Schwager's GPR on 1e-6-quantized
+    // integer sums (order-free, the variance-ratio convention).
+    "eod_tail_gain" -> ((s, dir) =>
+      withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(round(Eod.tailRatio(col("ret")), 6).as("tail_ratio"),
+          round(Eod.gainToPain(col("q")), 6).as("gain_to_pain"))
         .orderBy(col("event_type"))),
     // Two-pass central moments: mean via per-asset window, deviations
     // aggregated — no raw-moment cancellation (see skewnessFromDev).
@@ -1346,6 +1361,22 @@ object SparkEntry {
         |        nullif(sum(greatest($RF_LIT - ret, 0)), 0), 6) + 0.0 AS omega
         |FROM r WHERE ret IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "eod_tail_gain" ->
+      // quantile_cont = Spark percentile (R-7 interpolation); GPR on
+      // floor(ret*1e6+0.5) integer sums — order-free both engines;
+      // nullif mirrors safeDiv on a loss-free asset.
+      s"""$R_CTE, q AS (
+        |  SELECT event_type, ret,
+        |    CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS q
+        |  FROM r WHERE ret IS NOT NULL
+        |)
+        |SELECT event_type,
+        |  round(abs(quantile_cont(ret, 0.95)) /
+        |        nullif(abs(quantile_cont(ret, 0.05)), 0), 6) AS tail_ratio,
+        |  round(CAST(sum(CASE WHEN q > 0 THEN q ELSE 0 END) AS DOUBLE) /
+        |        nullif(-CAST(sum(CASE WHEN q < 0 THEN q ELSE 0 END) AS DOUBLE), 0), 6)
+        |    AS gain_to_pain
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin,
     "eod_skew_kurt" ->
       s"""$R_CTE, d AS (
         |  SELECT event_type,
@@ -2074,6 +2105,20 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))),
+    // Recall@3 of the LSH index vs brute-force ground truth (op 158):
+    // the tuning feedback loop — left join from the exact side keeps
+    // zero-recall queries visible.
+    "ann_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val c = e.where(col("vec_id") >= 5)
+      Similarity.recallAtK(
+          Similarity.lshTopK(q, c, "vec_id", "embedding", 3, EmbDim),
+          Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3), 3)
+        .select(col("query_id"), col("n_hits"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
     "ann_topk_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       Similarity.ivfTopK(
@@ -2380,6 +2425,27 @@ object SparkEntry {
         .where(col("dp").isNotNull)
         .groupBy(col("event_type"))
         .agg(round(Tick.kyleLambda(col("dp"), col("sv")), 6).as("kyle_lambda"))
+        .orderBy(col("event_type"))),
+    // Roll implied spread (op 159): Δp and its lag from ONE ordered
+    // window pass (lag(value,1/2)), covariance aggregated per symbol.
+    "tick_roll_spread" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("dp", col("value") - lag(col("value"), 1).over(wT))
+        .withColumn("dpl",
+          lag(col("value"), 1).over(wT) - lag(col("value"), 2).over(wT))
+        .where(col("dp").isNotNull && col("dpl").isNotNull)
+        .groupBy(col("event_type"))
+        .agg((round(Tick.rollSpread(col("dp"), col("dpl")), 6) + lit(0.0))
+          .as("roll_spread"))
+        .orderBy(col("event_type"))),
+    // Amihud illiquidity (op 160): mean |ret|/(p·v) ×1e6 per symbol —
+    // the dollar-volume-normalized impact proxy on the same synthetic
+    // volume convention as the rest of the tick family.
+    "tick_amihud" -> ((s, dir) =>
+      withRet(s, dir).where(col("ret").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(round(Tick.amihudIlliquidity(col("ret"), col("value") * volume),
+          6).as("amihud"))
         .orderBy(col("event_type"))),
 
     // ---- rolling metrics (north-star "rolling calculations")
@@ -3122,6 +3188,32 @@ object SparkEntry {
     // max is replay/duplicate-insensitive, so the streamed registers —
     // and therefore every estimate — equal the batch op bit-for-bit
     // (oracle shared with sketch_hll).
+    // Streaming mixture monitor (op 161): per-source doc/token counts
+    // as a declarative Update-mode streaming aggregation — state is
+    // ONE row per source by construction, no watermark needed. Counts
+    // only grow, so the max-merged sink IS the final count table (the
+    // op-123/142 argument) and the shared quantized weight algebra
+    // (Corpus.mixtureWeightsFromCounts) reproduces the batch mixture
+    // exactly — the live view of "what is the mix right now" during
+    // ingestion, sharing corpus_mixture's oracle.
+    "streaming_mixture" -> ((s, dir) => {
+      val sunk = withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "documents", "smix", mode = "update") { src =>
+          src.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        }
+      }
+      Corpus.mixtureWeightsFromCounts(
+          sunk.groupBy(col("source"))
+            .agg(max(col("n_docs")).as("n_docs"),
+              max(col("n_tokens")).as("n_tokens"))
+            .withColumnRenamed("source", "stratum"),
+          alpha = 0.5)
+        .select(col("stratum").as("source"), col("n_docs"),
+          col("n_tokens"), col("share"), col("weight"))
+        .orderBy(col("source"))
+    }),
     "streaming_hll" -> ((s, dir) => {
       val sunk = streamReplay(s, dir, "documents", "streaming_hll",
         mode = "update") { src =>
@@ -4192,6 +4284,29 @@ object SparkEntry {
           |SELECT event_type, round(covar_samp(dp, sv) / var_samp(sv), 6) AS kyle_lambda
           |FROM d WHERE dp IS NOT NULL
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "tick_roll_spread" ->
+        """WITH d AS (
+          |  SELECT event_type,
+          |    value - lag(value, 1) OVER w AS dp,
+          |    lag(value, 1) OVER w - lag(value, 2) OVER w AS dpl
+          |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+          |)
+          |SELECT event_type,
+          |  round(CASE WHEN covar_samp(dp, dpl) < 0
+          |             THEN 2.0 * sqrt(-covar_samp(dp, dpl)) END, 6) + 0.0
+          |    AS roll_spread
+          |FROM d WHERE dp IS NOT NULL AND dpl IS NOT NULL
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "tick_amihud" ->
+        // zero-dollar prints are skipped (NULL in the CASE → dropped
+        // by avg), mirroring the Spark-side lazy guard.
+        s"""$R_CTE
+          |SELECT event_type,
+          |  round(avg(CASE WHEN value * $SQL_VOL > 0
+          |                 THEN abs(ret) / (value * $SQL_VOL) * 1e6 END), 6)
+          |    AS amihud
+          |FROM r WHERE ret IS NOT NULL
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       // prefix-sum twin of the Spark query: identical cumulative sums,
       // identical lag-difference and guard algebra (keep in lockstep).
       "eod_rolling" ->
@@ -4507,6 +4622,41 @@ object SparkEntry {
           |)
           |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
           |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      // Both top-3 CTEs replayed (brute = ground truth, LSH =
+      // approx), intersected per query; left join keeps recall-0 rows.
+      "ann_recall" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+          |sb AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM q CROSS JOIN c
+          |), gt AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |    FROM sb) WHERE rnk <= 3
+          |),
+          |qb AS (SELECT query_id, qv, ${lshBucketSql("qv")} AS bucket FROM q),
+          |cb AS (SELECT neighbor_id, cv, ${lshBucketSql("cv")} AS bucket FROM c),
+          |sl AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM cb JOIN qb USING (bucket)
+          |), ap AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |    FROM sl) WHERE rnk <= 3
+          |)
+          |SELECT gt.query_id,
+          |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+          |  round(CAST(count(ap.neighbor_id) AS DOUBLE) / 3, 6) AS recall
+          |FROM gt LEFT JOIN ap ON gt.query_id = ap.query_id
+          |  AND gt.neighbor_id = ap.neighbor_id
+          |GROUP BY gt.query_id ORDER BY gt.query_id""".stripMargin,
       "ann_topk_ivf" -> ivfOracle(labeled = false),
       // kNN graph: both LSH tables replayed (offsets 0 and 4), pair
       // dedup by max over identical cosines, self-pairs excluded.

@@ -277,6 +277,28 @@ object Eod {
   def cvarGivenVar(ret: Column, varCut: Column): Column =
     avg(when(ret <= varCut, ret))
 
+  /** Tail ratio |Q(p)| / |Q(1−p)| of the return distribution (p = 0.95
+    * by convention): right-tail magnitude over left-tail magnitude —
+    * > 1 means the upside tail outweighs the downside. Same R-7
+    * interpolated quantiles as [[valueAtRisk]]. Aggregate Column.
+    *
+    * Beyond the reference surface (the calc_stats neighborhood ffn
+    * users reach for next, like VaR/CVaR above).
+    */
+  def tailRatio(ret: Column, p: Double = 0.95): Column =
+    safeDiv(abs(percentile(ret, lit(p))), abs(percentile(ret, lit(1 - p))))
+
+  /** Gain-to-pain ratio (Schwager): Σ positive returns / |Σ negative
+    * returns|, over returns PRE-QUANTIZED to 1e-6 longs (`q`) — the
+    * two sums are then integer, addition-order free, and replay
+    * bit-exact on any engine (the variance-ratio convention); the
+    * grid cancels in the ratio. Aggregate Column over `q`; null when
+    * there are no losses.
+    */
+  def gainToPain(q: Column): Column =
+    safeDiv(sum(when(q > 0, q).otherwise(lit(0L))).cast("double"),
+      -sum(when(q < 0, q).otherwise(lit(0L))).cast("double"))
+
   /** Omega ratio at a periodic threshold L: Σ max(r−L, 0) / Σ max(L−r, 0)
     * — probability-weighted gains over losses around L (Keating &
     * Shadwick 2002). Aggregate Column; null when there are no losses.

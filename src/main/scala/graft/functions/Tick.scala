@@ -128,4 +128,29 @@ object Tick {
     */
   def kyleLambda(dp: Column, sv: Column): Column =
     safeDiv(covar_samp(dp, sv), var_samp(sv))
+
+  /** Roll (1984) implied effective spread: 2·√(−cov(Δp_t, Δp_{t−1})) —
+    * bid-ask bounce makes adjacent price changes negatively serially
+    * covariant, and the magnitude recovers the spread without any
+    * quote data. Aggregate over precomputed Δp and its lag; null when
+    * the serial covariance is non-negative (no bounce signal — the
+    * estimator is undefined there, not zero). Beyond the reference
+    * surface, the classic next ask after [[kyleLambda]].
+    */
+  def rollSpread(dp: Column, dpLag: Column): Column = {
+    val c = covar_samp(dp, dpLag)
+    when(c < 0, lit(2.0) * sqrt(-c))
+  }
+
+  /** Amihud (2002) illiquidity: mean |return| per unit of traded
+    * dollar value, scaled ×10⁶ for readable magnitudes — the standard
+    * price-impact-per-dollar proxy when order-flow signs are
+    * unavailable. Aggregate over per-row return and dollar volume;
+    * zero-dollar rows (a crossed/zero print) are SKIPPED, not divided
+    * by — the lazy-guard rule of [[graft.functions.safeDiv]] applied
+    * per row: one degenerate print must not ANSI-abort a
+    * 1000-executor job.
+    */
+  def amihudIlliquidity(ret: Column, dollarVolume: Column): Column =
+    avg(when(dollarVolume > 0, abs(ret) / dollarVolume * 1e6))
 }

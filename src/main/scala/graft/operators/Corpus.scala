@@ -309,10 +309,22 @@ object Corpus {
     * 1-row total broadcast — nothing else.
     */
   def mixtureWeights(df: DataFrame, strataCol: Column, textCol: String,
-                     alpha: Double = 0.5): DataFrame = {
-    val per = df.groupBy(strataCol.as("stratum"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(Text.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+                     alpha: Double = 0.5): DataFrame =
+    mixtureWeightsFromCounts(
+      df.groupBy(strataCol.as("stratum"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col(textCol)).cast("long")).as("n_tokens")),
+      alpha)
+
+  /** [[mixtureWeights]] from a PRECOMPUTED (stratum, n_docs, n_tokens)
+    * relation — public so the streaming monitor reuses the identical
+    * share/weight algebra on counts maintained by a streaming
+    * aggregation (counts only grow, so the max-merged Update sink IS
+    * the final count table — the op-123/142 argument — and the
+    * derived weights equal the batch op's exactly).
+    */
+  def mixtureWeightsFromCounts(per: DataFrame,
+                               alpha: Double = 0.5): DataFrame = {
     val tot = per.agg(sum(col("n_tokens")).as("_tot")) // 1 row — broadcast
     val scaled = per.crossJoin(broadcast(tot))
       .withColumn("share", col("n_tokens").cast("double") / col("_tot"))

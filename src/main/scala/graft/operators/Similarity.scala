@@ -328,6 +328,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Recall@k evaluation of an approximate ANN result against the
+    * exact ground truth — the index-tuning feedback loop every
+    * approximate similarity stack needs (pick planes/probes by
+    * measured recall on a query sample, not by faith). Inputs are two
+    * (query_id, neighbor_id, ...) top-k results (e.g. [[lshTopK]] vs
+    * [[bruteForceTopK]] on the same query sample); output is one row
+    * per ground-truth query: n_hits = |approx ∩ exact| and recall =
+    * n_hits/k. Queries the approximate index missed entirely (empty
+    * bucket) still appear, at recall 0 — a left join from the exact
+    * side, not an inner join, so the metric can't silently drop the
+    * worst cases.
+    *
+    * Scale shape: one equi-join on (query_id, neighbor_id) between two
+    * k·|sample|-row relations + a keyed count — negligible next to
+    * producing either input; run it on a sampled query set.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val g = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = g.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    g.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** The kNN graph's capped candidate index as a standalone relation
     * — (\_id, v, nm, bucket, tbl), one row per vector per LSH table,
     * hot buckets dropped (see [[knnGraph]]'s cap rationale). Public so

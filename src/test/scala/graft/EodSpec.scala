@@ -114,6 +114,27 @@ class EodSpec extends SparkSpec {
       .select($"o").as[Option[Double]].head().isEmpty)
   }
 
+  test("tail ratio and gain-to-pain on a hand-computable series") {
+    // 5 returns: p95/p5 interpolate within the order statistics (R-7:
+    // h = p(n-1), linear between floor/ceil ranks).
+    val r = Seq(-0.04, -0.01, 0.01, 0.02, 0.05)
+    val df = r.zipWithIndex.map { case (v, i) => ("a", i, v) }
+      .toDF("k", "t", "r")
+      .withColumn("q", floor($"r" * 1e6 + 0.5).cast("long"))
+    val got = df.groupBy($"k")
+      .agg(Eod.tailRatio($"r").as("tr"), Eod.gainToPain($"q").as("gp"))
+      .select($"tr", $"gp").as[(Double, Double)].head()
+    // p95: h=3.8 → 0.02+0.8·(0.05−0.02)=0.044; p5: h=0.2 → −0.04+0.2·0.03=−0.034
+    assert(math.abs(got._1 - 0.044 / 0.034) < 1e-9, s"tail ratio ${got._1}")
+    assert(math.abs(got._2 - (0.01 + 0.02 + 0.05) / 0.05) < 1e-9,
+      s"gain-to-pain ${got._2}")
+    // loss-free series: null, not inf (the safeDiv contract)
+    val up = Seq(("a", 0, 0.01, 10000L), ("a", 1, 0.02, 20000L))
+      .toDF("k", "t", "r", "q")
+    assert(up.groupBy($"k").agg(Eod.gainToPain($"q").as("gp"))
+      .select($"gp").as[Option[Double]].head().isEmpty)
+  }
+
   test("skewness and excess kurtosis from centered deviations") {
     // symmetric data → skew 0; {-1,-1,1,1} → m2=1, m4=1 → kurt −2
     val df = Seq(-1.0, -1.0, 1.0, 1.0).zipWithIndex

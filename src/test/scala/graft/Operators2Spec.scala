@@ -77,6 +77,22 @@ class Operators2Spec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("recallAtK: perfect self-comparison, and misses stay visible at 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
+      (2L, 22L)).toDF("query_id", "neighbor_id")
+    // approx finds 2 of query 1's neighbors and none of query 2's
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact, 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((2L, 2.0 / 3)), s"partial hit: $out")
+    assert(out(2L) == ((0L, 0.0)), "missed query must appear at recall 0")
+    // exact vs itself = recall 1 everywhere
+    val self = Similarity.recallAtK(exact, exact, 3)
+      .select($"recall").as[Double].collect()
+    assert(self.length == 2 && self.forall(_ == 1.0))
+  }
+
   test("planesForN targets ~16 per bucket and floors at 4") {
     assert(Similarity.planesForN(100) == 4)
     assert(Similarity.planesForN(2000) == 6)      // floor(log2 2000)=10

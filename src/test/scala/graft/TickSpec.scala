@@ -47,6 +47,37 @@ class TickSpec extends SparkSpec {
       .select($"l").as[Option[Double]].head().isEmpty)
   }
 
+  test("Roll spread recovers a planted bid-ask bounce, null without one") {
+    // Pure bounce around a flat mid: trades alternate ±s/2 → Δp
+    // alternates ±s with cov(Δp, lagΔp) = −s² (population); with
+    // covar_samp over the 4 (dp, dpl) pairs the estimate is 2√(s²·4/3)
+    // for this exact alternating pattern — compute it directly.
+    val dp = Seq(1.0, -1.0, 1.0, -1.0, 1.0)
+    val rows = dp.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      ("a", i, b, a) }.toSeq
+    val df = rows.toDF("k", "t", "dp", "dpl")
+    val got = df.groupBy($"k").agg(Tick.rollSpread($"dp", $"dpl").as("s"))
+      .select($"s").as[Double].head()
+    // cov_samp of {(−1,1),(1,−1),(−1,1),(1,−1)} = Σ(dp−0)(dpl−0)/3 = −4/3
+    assert(math.abs(got - 2.0 * math.sqrt(4.0 / 3.0)) < 1e-12, s"got $got")
+    // trending prices (positive serial covariance: dp tracks dpl) →
+    // null, not NaN
+    val trend = Seq(("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", 3.0, 3.0))
+      .toDF("k", "dp", "dpl")
+    assert(trend.groupBy($"k").agg(Tick.rollSpread($"dp", $"dpl").as("s"))
+      .select($"s").as[Option[Double]].head().isEmpty)
+  }
+
+  test("Amihud illiquidity is mean |ret| per dollar, scaled 1e6") {
+    val df = Seq(("a", 0.01, 1000.0), ("a", -0.02, 2000.0))
+      .toDF("k", "ret", "dv")
+    val got = df.groupBy($"k")
+      .agg(Tick.amihudIlliquidity($"ret", $"dv").as("il"))
+      .select($"il").as[Double].head()
+    val want = (0.01 / 1000.0 * 1e6 + 0.02 / 2000.0 * 1e6) / 2
+    assert(math.abs(got - want) < 1e-9, s"got $got want $want")
+  }
+
   test("MAD and winsorized mean on a hand case with one outlier") {
     val xs = Seq(1.0, 2.0, 3.0, 4.0, 1000.0)
     val df = xs.zipWithIndex.map { case (x, i) => ("a", i, x) }.toDF("k", "t", "x")
