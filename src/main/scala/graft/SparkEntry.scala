@@ -748,6 +748,34 @@ object SparkEntry {
           col("trough_id"), col("end_id"), col("n_obs"), col("depth"),
           col("recovered"))
         .orderBy(col("event_type"), col("episode"))),
+    // Drawdown episode summary (op 162, the calc_stats duration
+    // block): aggregates the op-126 episode table per series —
+    // episode count, deepest/mean depth (mean on 1e-6-quantized
+    // integer sums; depth is already on the 1e-6 grid so the
+    // quantization is lossless), longest/mean duration, and the
+    // underwater fraction of all observations (total via a tiny
+    // per-series count joined back).
+    "eod_drawdown_stats" -> ((s, dir) => {
+      val det = Drawdown.details(events(s, dir), "event_type", "ts",
+        "event_id", "value")
+      val tot = events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_series"))
+      det.withColumn("qd", floor(col("depth") * 1e6 + 0.5).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_episodes"),
+          round(min(col("depth")), 6).as("max_depth"),
+          (floor(sum(col("qd")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+            .as("avg_depth"),
+          max(col("n_obs")).as("max_duration"),
+          round(avg(col("n_obs")), 6).as("avg_duration"),
+          sum(col("n_obs")).as("n_underwater"))
+        .join(tot, "event_type")
+        .select(col("event_type"), col("n_episodes"), col("max_depth"),
+          col("avg_depth"), col("max_duration"), col("avg_duration"),
+          round(col("n_underwater").cast("double") / col("n_series"), 6)
+            .as("underwater_frac"))
+        .orderBy(col("event_type"))
+    }),
     // Return autocorrelation at lags 1..5 (op 127): one window pass
     // builds all five lagged columns, one hash agg computes the five
     // correlations, stack() unpivots to (lag_k, acf) rows. corr
@@ -1634,6 +1662,34 @@ object SparkEntry {
         |FROM g WHERE dd < 0
         |GROUP BY event_type, episode
         |ORDER BY event_type, episode""".stripMargin,
+    "eod_drawdown_stats" ->
+      // op-126's episode CTE re-aggregated; avg depth on the same
+      // quantized-long sums, duration/underwater on exact integers.
+      """WITH d AS (
+        |  SELECT event_type, event_id, ts,
+        |    round(value / max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS dd,
+        |    count(*) OVER (PARTITION BY event_type) AS n_series
+        |  FROM events
+        |), g AS (
+        |  SELECT *, sum(CASE WHEN dd >= 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+        |  FROM d
+        |), ep AS (
+        |  SELECT event_type, episode, count(*) AS n_obs, min(dd) AS depth,
+        |    max(n_series) AS n_series
+        |  FROM g WHERE dd < 0 GROUP BY event_type, episode
+        |)
+        |SELECT event_type,
+        |  count(*) AS n_episodes,
+        |  round(min(depth), 6) AS max_depth,
+        |  floor(CAST(sum(CAST(floor(depth * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / count(*) + 0.5) / 1e6 AS avg_depth,
+        |  CAST(max(n_obs) AS BIGINT) AS max_duration,
+        |  round(avg(n_obs), 6) AS avg_duration,
+        |  round(CAST(sum(n_obs) AS DOUBLE) / max(n_series), 6) AS underwater_frac
+        |FROM ep GROUP BY event_type ORDER BY event_type""".stripMargin,
     "eod_acf" ->
       (s"""$R_CTE, l AS (
         |  SELECT event_type, ret,
@@ -2872,6 +2928,37 @@ object SparkEntry {
           round(sum(graft.functions.Quote.microprice(col("bid"), col("ask"), col("bs"), col("as"))
             .cast("decimal(30,10)")).cast("double") / count(lit(1)), 6).as("avg_microprice"))
         .orderBy(col("event_type"))
+    }),
+    // Effective vs quoted spread (op 163): each trade as-of joins the
+    // prevailing synthetic NBBO (bid/ask on the deterministic
+    // stable-price grid), eff = 2·|p − mid| against the quoted
+    // ask − bid — the execution-quality report (eff < quoted =
+    // inside-spread fills). Per-row values quantize to 1e-6 longs
+    // before the per-key mean (the asof_latency convention). Same
+    // single key-shuffle as every as-of op.
+    "tick_effective_spread" -> ((s, dir) => {
+      val e = events(s, dir)
+      val half = (col("event_id") % 5 + 1).cast("double") / 100.0
+      val trades = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), stablePrice.as("price"))
+      val quotes = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          (stablePrice - half).as("bid"), (stablePrice + half).as("ask"))
+      val mid = (col("right_bid") + col("right_ask")) / 2.0
+      AsOfJoin.backward(trades, quotes, "user_id", "ts", Seq("bid", "ask"))
+        .where(col("right_bid").isNotNull)
+        .withColumn("qeff",
+          floor(abs(col("price") - mid) * 2.0 * 1e6 + 0.5).cast("long"))
+        .withColumn("qspr",
+          floor((col("right_ask") - col("right_bid")) * 1e6 + 0.5)
+            .cast("long"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_trades"),
+          (floor(sum(col("qeff")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+            .as("avg_eff_spread"),
+          (floor(sum(col("qspr")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+            .as("avg_quoted_spread"))
+        .orderBy(col("user_id"))
     }),
     "asof_latency" -> ((s, dir) => {
       val e = events(s, dir)
@@ -4419,6 +4506,24 @@ object SparkEntry {
           |  round(CAST(sum(CAST((ask - bid) / ((bid + ask) / 2) * 10000.0 AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_rel_spread_bps,
           |  round(CAST(sum(CAST((ask * bs + bid * "as") / (bs + "as") AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_microprice
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "tick_effective_spread" ->
+        // ASOF inner join mirrors the isNotNull filter; per-row
+        // quantization inside the sum, floor-mean at the end.
+        s"""WITH t AS (SELECT user_id, ts, $SQL_STABLE AS price FROM events WHERE event_type = 'purchase'),
+          |q AS (SELECT user_id, ts,
+          |  $SQL_STABLE - (event_id % 5 + 1) / 100.0 AS bid,
+          |  $SQL_STABLE + (event_id % 5 + 1) / 100.0 AS ask
+          |  FROM events WHERE event_type = 'view'),
+          |j AS (
+          |  SELECT t.user_id,
+          |    CAST(floor(abs(t.price - (q.bid + q.ask) / 2) * 2 * 1e6 + 0.5) AS BIGINT) AS qeff,
+          |    CAST(floor((q.ask - q.bid) * 1e6 + 0.5) AS BIGINT) AS qspr
+          |  FROM t ASOF JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
+          |)
+          |SELECT user_id, count(*) AS n_trades,
+          |  floor(CAST(sum(qeff) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_eff_spread,
+          |  floor(CAST(sum(qspr) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_quoted_spread
+          |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
       "asof_latency" ->
         """WITH t AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
           |q AS (SELECT user_id, ts AS qts FROM events WHERE event_type = 'view')

@@ -34,6 +34,22 @@ class DrawdownKmvSpec extends SparkSpec {
     assert(math.abs(out(1)._6 - (107.0 / 111.0 - 1)) < 1e-6)
   }
 
+  test("drawdown summary aggregates the episode table consistently") {
+    val prices = Seq(100.0, 110.0, 105.0, 102.0, 108.0, 111.0, 107.0)
+    val df = prices.zipWithIndex.map { case (p, i) =>
+      ("a", ts(i.toLong), i.toLong, p)
+    }.toDF("k", "ts", "id", "p")
+    val det = Drawdown.details(df, "k", "ts", "id", "p")
+    val s = det.groupBy($"k")
+      .agg(count(lit(1)).as("n_ep"), min($"depth").as("max_depth"),
+        max($"n_obs").as("max_dur"), sum($"n_obs").as("underwater"))
+      .select($"n_ep", $"max_depth", $"max_dur", $"underwater")
+      .as[(Long, Double, Long, Long)].head()
+    // two episodes; deepest = 102/110−1; longest 3 rows; 4 of 7 underwater
+    assert(s._1 == 2L && s._3 == 3L && s._4 == 4L)
+    assert(math.abs(s._2 - (102.0 / 110.0 - 1)) < 1e-6)
+  }
+
   test("drawdown details: a null price forward-fills, never breaks an episode") {
     val rows = Seq[(String, Long, Option[Double])](
       ("a", 0L, Some(100.0)), ("a", 1L, Some(90.0)),

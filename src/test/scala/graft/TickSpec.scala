@@ -78,6 +78,21 @@ class TickSpec extends SparkSpec {
     assert(math.abs(got - want) < 1e-9, s"got $got want $want")
   }
 
+  test("effective spread: mid fills are 0, ask fills equal the quoted spread") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val quotes = Seq(("u", ts(0), 99.0, 101.0)).toDF("k", "t", "bid", "ask")
+    val trades = Seq(("u", ts(1), 100.0), ("u", ts(2), 101.0))
+      .toDF("k", "t", "price")
+    val j = graft.operators.AsOfJoin.backward(trades, quotes, "k", "t",
+      Seq("bid", "ask"))
+    val eff = j.withColumn("eff",
+        abs($"price" - ($"right_bid" + $"right_ask") / 2) * 2)
+      .select($"price", $"eff").as[(Double, Double)].collect().toMap
+    assert(eff(100.0) == 0.0, "a mid fill has zero effective spread")
+    assert(eff(101.0) == 2.0, "an ask fill pays the full quoted spread")
+  }
+
   test("MAD and winsorized mean on a hand case with one outlier") {
     val xs = Seq(1.0, 2.0, 3.0, 4.0, 1000.0)
     val df = xs.zipWithIndex.map { case (x, i) => ("a", i, x) }.toDF("k", "t", "x")
