@@ -970,6 +970,64 @@ object SparkEntry {
           round(sum(col("l_quantity")), 6).as("sum_qty"),
           round(max(col("o_totalprice")), 6).as("total_price"))
         .orderBy(col("o_orderkey"))
+    }),
+    // Semi/anti joins (op 164): EXISTS/NOT EXISTS as LeftSemi/LeftAnti
+    // — the probe side streams, the build side reduces to keys only
+    // (never a payload join + distinct), and the nation spine keeps
+    // empty groups visible. At 100 TB the orders key set broadcasts
+    // or shuffle-joins on the key; either way no row multiplication.
+    "rel_semi_anti" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      val n = tbl(s, dir, "nation")
+      val open = c.join(
+          o.where(col("o_orderstatus") === "O").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_open_cust"))
+      val none = c.join(o.select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_no_order_cust"))
+      n.select(col("n_nationkey"), col("n_name"))
+        .join(open, col("n_nationkey") === open("c_nationkey"), "left")
+        .drop("c_nationkey")
+        .join(none, col("n_nationkey") === none("c_nationkey"), "left")
+        .select(col("n_name"),
+          coalesce(col("n_open_cust"), lit(0L)).as("n_open_cust"),
+          coalesce(col("n_no_order_cust"), lit(0L)).as("n_no_order_cust"))
+        .orderBy(col("n_name"))
+    }),
+    // Rollup with subtotal rows (op 165): region × nation revenue with
+    // per-region and grand-total rows, labels coalesced to 'ALL' so
+    // the subtotal identity is a value, not an engine-specific null.
+    "rel_rollup" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer"); val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          col("revenue"), col("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    // Pivot (op 166): revenue by order priority across order-status
+    // columns — conditional aggregation under the hood (one hash agg,
+    // no joins), the spreadsheet-shaped report surface.
+    "rel_pivot" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(30,8)"))
+          .cast("double"), 2))
+        .select(col("o_orderpriority"), col("F").as("rev_f"),
+          col("O").as("rev_o"), col("P").as("rev_p"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -1897,7 +1955,45 @@ object SparkEntry {
         |  round(max(o_totalprice), 6) AS total_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "rel_semi_anti" ->
+      """WITH op AS (
+        |  SELECT c_nationkey, count(*) AS n_open_cust FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders
+        |                WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |  GROUP BY c_nationkey
+        |), nn AS (
+        |  SELECT c_nationkey, count(*) AS n_no_order_cust FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_nationkey
+        |)
+        |SELECT n_name,
+        |  coalesce(n_open_cust, 0) AS n_open_cust,
+        |  coalesce(n_no_order_cust, 0) AS n_no_order_cust
+        |FROM nation
+        |LEFT JOIN op ON n_nationkey = op.c_nationkey
+        |LEFT JOIN nn ON n_nationkey = nn.c_nationkey
+        |ORDER BY n_name""".stripMargin,
+    "rel_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name,
+        |  coalesce(n_name, 'ALL') AS n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+    "rel_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS DOUBLE), 2) AS rev_f,
+        |  round(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS DOUBLE), 2) AS rev_o,
+        |  round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS DOUBLE), 2) AS rev_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 
   // =================================================================
@@ -3176,6 +3272,32 @@ object SparkEntry {
           col("weight"), col("target_tokens"), col("rate"),
           col("expected_tokens"))
         .orderBy(col("source"))),
+    // Dedup impact report (op 167): what the curation pipeline prints
+    // after exact dedup — per source, how many docs and tokens the
+    // digest-canonical pass removes (keep = min doc_id per md5
+    // digest, the op-46 rule). One digest groupBy joined back + one
+    // keyed agg; the planted +2000000 copies make the removal
+    // non-trivial and the %-of-corpus column meaningful.
+    "corpus_dedup_report" -> ((s, dir) => {
+      val c = docCorpus(s, dir)
+      val canon = c.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("canonical_id"))
+      val lang = tbl(s, dir, "documents")
+        .select(col("doc_id").as("orig_id"), col("source"))
+      c.withColumn("digest", md5(col("text")))
+        .join(canon, "digest")
+        .join(lang, col("doc_id") % 1000000 === col("orig_id"))
+        .withColumn("removed",
+          (col("doc_id") =!= col("canonical_id")).cast("long"))
+        .withColumn("ntok", Text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("removed")).as("n_removed"),
+          sum(col("removed") * col("ntok")).as("tokens_removed"),
+          round(sum(col("removed")).cast("double") / count(lit(1)), 6)
+            .as("removed_frac"))
+        .orderBy(col("source"))
+    }),
     // Overlapping-window substring dedup (op 96) on the planted-dup
     // corpus: the +2000000 exact copies must show full-length runs.
     "dedup_windows" -> ((s, dir) =>
@@ -4095,6 +4217,23 @@ object SparkEntry {
           |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
           |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
           |FROM corpus ORDER BY doc_id""".stripMargin,
+      "corpus_dedup_report" ->
+        s"""WITH $CORPUS_CTE,
+          |k AS (
+          |  SELECT doc_id, text,
+          |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+          |  FROM corpus
+          |), j AS (
+          |  SELECT d.source,
+          |    CASE WHEN k.doc_id != k.canonical_id THEN 1 ELSE 0 END AS removed,
+          |    len(regexp_split_to_array(trim(k.text), '\\s+')) AS ntok
+          |  FROM k JOIN documents d ON (k.doc_id % 1000000) = d.doc_id
+          |)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(removed) AS BIGINT) AS n_removed,
+          |  CAST(sum(removed * ntok) AS BIGINT) AS tokens_removed,
+          |  round(CAST(sum(removed) AS DOUBLE) / count(*), 6) AS removed_frac
+          |FROM j GROUP BY source ORDER BY source""".stripMargin,
       "dedup_minhash_lsh" -> minhashPairsSql,
       // Incremental twin: index buckets (min id, count) from the
       // original docs; planted copies query them. Same bands chain.

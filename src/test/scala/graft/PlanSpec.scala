@@ -32,6 +32,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("EXISTS/NOT EXISTS plan as LeftSemi/LeftAnti, not payload joins") {
+    val p = plan("rel_semi_anti")
+    assert(p.contains("LeftSemi"), "semi join missing: " + p.take(800))
+    assert(p.contains("LeftAnti"), "anti join missing: " + p.take(800))
+  }
+
+  test("rollup runs as ONE expand+agg pass, not a union of aggregates") {
+    val p = plan("rel_rollup")
+    assert(p.contains("Expand"), "rollup must plan as Expand: " + p.take(800))
+    assert(!p.contains("Union"), "rollup must not fall back to a union")
+  }
+
   test("series analytics run inside whole-stage codegen") {
     // codegen stages print as "*(n)" in executedPlan.toString
     val p = plan("eod_returns")
