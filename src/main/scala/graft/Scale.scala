@@ -237,6 +237,30 @@ object Scale {
             maxBucket = math.max(64, (nEmb / 8).toInt)))
         }
       }
+      // Streaming kNN-graph maintenance (op 154): the index build is
+      // the amortized cost (≈ the ann_knn_graph probe above); what the
+      // per-arrival path pays is ONE stateless equi-join of the batch
+      // against the materialized index. Probe a 10%-of-corpus arrival
+      // batch: cost must track batch × bucket occupancy, far below the
+      // full graph build at every tier.
+      if (wanted("ann_knn_probe") &&
+          !new java.io.File(s"$root/$m/knn_ix").exists()) {
+        Similarity.knnIndexRelation(emb, "vec_id", "embedding", dim,
+            planes = Similarity.planesForN(nEmb))
+          .write.mode("overwrite").parquet(s"$root/$m/knn_ix")
+      }
+      timed("ann_knn_probe", m, nEmb / 10) {
+        val arrivals = emb.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        sink(Similarity.knnProbe(arrivals,
+          spark.read.parquet(s"$root/$m/knn_ix"), "vec_id", "embedding",
+          dim, planes = Similarity.planesForN(nEmb)))
+      }
+      // Mixture diagnostics (op 155): the claim is strictly linear in
+      // corpus tokens — explode, two keyed aggs, one vocab join.
+      timed("corpus_kl", m, nDocs) {
+        sink(Corpus.klDivergence(docs, col("doc_id") % 20, "text"))
+      }
       timed("resample_by_key", m, nSeries) {
         sink(Resample.resampleMean(series, "ret", Seq("key"), Seq("ord"), 10))
       }

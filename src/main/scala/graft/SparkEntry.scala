@@ -776,6 +776,37 @@ object SparkEntry {
             .as("underwater_frac"))
         .orderBy(col("event_type"))
     }),
+    // Burke + Sterling ratios (op 168, the drawdown-denominated
+    // performance family next to Calmar): numerator = annualized
+    // arithmetic mean return (avg·252, the documented variant);
+    // Burke divides by √(Σ depth²) over the op-126 episodes, Sterling
+    // by |mean of the 5 deepest| — depths are 1e-6-grid doubles, so
+    // qd = floor(d·1e6+0.5) longs make Σqd² and the top-5 mean exact
+    // integers (order-free); ranking ties break on episode id.
+    "eod_burke_sterling" -> ((s, dir) => {
+      val det = Drawdown.details(events(s, dir), "event_type", "ts",
+          "event_id", "value")
+        .withColumn("qd", floor(col("depth") * 1e6 + 0.5).cast("long"))
+      val wDeep = Window.partitionBy(col("event_type"))
+        .orderBy(col("qd"), col("episode"))
+      val dd = det
+        .withColumn("deep_rank", row_number().over(wDeep))
+        .groupBy(col("event_type"))
+        .agg(sum(col("qd") * col("qd")).as("sum_qd2"),
+          sum(when(col("deep_rank") <= 5, col("qd"))).as("top5_qd"),
+          sum(when(col("deep_rank") <= 5, 1L).otherwise(0L)).as("n_top"))
+      val ann = withRet(s, dir).where(col("ret").isNotNull)
+        .groupBy(col("event_type"))
+        .agg((avg(col("ret")) * 252.0).as("ann_ret"))
+      ann.join(dd, "event_type")
+        .select(col("event_type"),
+          round(col("ann_ret") /
+            (sqrt(col("sum_qd2").cast("double")) / 1e6), 6).as("burke"),
+          round(col("ann_ret") /
+            abs(col("top5_qd").cast("double") / col("n_top") / 1e6), 6)
+            .as("sterling"))
+        .orderBy(col("event_type"))
+    }),
     // Return autocorrelation at lags 1..5 (op 127): one window pass
     // builds all five lagged columns, one hash agg computes the five
     // correlations, stack() unpivots to (lag_k, acf) rows. corr
@@ -1748,6 +1779,41 @@ object SparkEntry {
         |  round(avg(n_obs), 6) AS avg_duration,
         |  round(CAST(sum(n_obs) AS DOUBLE) / max(n_series), 6) AS underwater_frac
         |FROM ep GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "eod_burke_sterling" ->
+      // episode depths re-quantized to longs; Σqd² and the top-5 mean
+      // are exact integer algebra; ann return from the shared r CTE.
+      s"""$R_CTE, dd0 AS (
+        |  SELECT event_type, event_id, ts,
+        |    round(value / max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS dd
+        |  FROM events
+        |), g2 AS (
+        |  SELECT *, sum(CASE WHEN dd >= 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+        |  FROM dd0
+        |), ep AS (
+        |  SELECT event_type, episode,
+        |    CAST(floor(min(dd) * 1e6 + 0.5) AS BIGINT) AS qd
+        |  FROM g2 WHERE dd < 0 GROUP BY event_type, episode
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY qd, episode) AS deep_rank
+        |  FROM ep
+        |), agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(qd * qd) AS BIGINT) AS sum_qd2,
+        |    CAST(sum(CASE WHEN deep_rank <= 5 THEN qd END) AS BIGINT) AS top5_qd,
+        |    CAST(sum(CASE WHEN deep_rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_top
+        |  FROM rk GROUP BY event_type
+        |), ann AS (
+        |  SELECT event_type, avg(ret) * 252.0 AS ann_ret
+        |  FROM r WHERE ret IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT ann.event_type,
+        |  round(ann_ret / (sqrt(CAST(sum_qd2 AS DOUBLE)) / 1e6), 6) AS burke,
+        |  round(ann_ret / abs(CAST(top5_qd AS DOUBLE) / n_top / 1e6), 6) AS sterling
+        |FROM ann JOIN agg ON ann.event_type = agg.event_type
+        |ORDER BY ann.event_type""".stripMargin,
     "eod_acf" ->
       (s"""$R_CTE, l AS (
         |  SELECT event_type, ret,

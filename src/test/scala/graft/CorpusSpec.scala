@@ -198,6 +198,22 @@ class CorpusSpec extends SparkSpec {
       s"templated stratum must show zero entropy, positive KL: $outS")
   }
 
+  test("mixtureWeightsFromCounts equals mixtureWeights on the same corpus") {
+    val ten = Seq.fill(10)("w").mkString(" ")
+    val df = ((0 until 90).map(i => (s"d$i", "big", ten)) ++
+      (0 until 10).map(i => (s"s$i", "small", ten)))
+      .toDF("doc_id", "src", "text")
+    val direct = Corpus.mixtureWeights(df, $"src", "text", alpha = 0.5)
+    val counts = df.groupBy($"src".as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.Text.tokenCount($"text").cast("long"))
+          .as("n_tokens"))
+    val viaCounts = Corpus.mixtureWeightsFromCounts(counts, alpha = 0.5)
+    assert(direct.exceptAll(viaCounts).isEmpty &&
+      viaCounts.exceptAll(direct).isEmpty,
+      "the streaming monitor's counts path must match the batch op exactly")
+  }
+
   test("tokenBudgetPlan: rates cap at 1 and realize the budget") {
     val ten = Seq.fill(10)("w").mkString(" ")
     val df = ((0 until 90).map(i => (s"d$i", "big", ten)) ++
