@@ -311,7 +311,10 @@ object SparkEntry {
       // op 161: per-source counts only grow, so the max-merged Update
       // sink equals the batch count table and the shared quantized
       // weight algebra replays the batch mixture oracle.
-      ("streaming_mixture" -> p("corpus_mixture"))
+      ("streaming_mixture" -> p("corpus_mixture")) +
+      // op 170: the gate is map-only (no state, no shuffle), so the
+      // streamed Append sink equals the batch table row-for-row.
+      ("streaming_quality_gate" -> p("corpus_gopher"))
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2214,6 +2217,30 @@ object SparkEntry {
       Dedup.embeddingCosinePairs(embCorpus(s, dir), "vec_id", "embedding",
           0.99, EmbDim)
         .orderBy(col("id_a"), col("id_b"))),
+    // Dedup-index evaluation (op 169, the ann_recall pattern on the
+    // dedup family): precision/recall of the MinHash-LSH candidate
+    // pairs against exact n-gram-Jaccard ≥ 0.5 ground truth on the
+    // planted-dup corpus — the measured basis for choosing k/bands
+    // (the S-curve in numbers, not in faith). One-row report; both
+    // pair sets are the already-bucketed ops, the intersect is a
+    // pair-key join.
+    "dedup_eval" -> ((s, dir) => {
+      val c = docCorpus(s, dir)
+      val truth = Dedup.ngramJaccardPairs(c, "doc_id", "text",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val found = Dedup.minhashLshPairs(c, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      val hit = found.intersect(truth)
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_found"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_found"), 6)
+            .as("precision"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6)
+            .as("recall"))
+    }),
 
     // ---- corpus curation (ops 76-79): repetition quality, stratified
     // sampling, contamination, packing — all md5-deterministic
@@ -3463,6 +3490,18 @@ object SparkEntry {
     // max is replay/duplicate-insensitive, so the streamed registers —
     // and therefore every estimate — equal the batch op bit-for-bit
     // (oracle shared with sketch_hll).
+    // Streaming quality gate (op 170): the Gopher rules applied to
+    // the ingest stream — the op is pure per-row array algebra (no
+    // shuffle, no state), so the streaming plan is the batch plan
+    // behind a file source and the Append sink equals the batch
+    // table row-for-row; oracle shared with corpus_gopher. This is
+    // the curation FILTER running at ingest time instead of as a
+    // nightly batch — at 100 TB the difference between storing raw
+    // and storing curated.
+    "streaming_quality_gate" -> ((s, dir) =>
+      streamReplay(s, dir, "documents", "sgate") { src =>
+        Corpus.gopherQualityRules(src, "doc_id", "text")
+      }.orderBy(col("doc_id"))),
     // Streaming mixture monitor (op 161): per-source doc/token counts
     // as a declarative Update-mode streaming aggregation — state is
     // ONE row per source by construction, no watermark needed. Counts
@@ -4301,6 +4340,38 @@ object SparkEntry {
           |  round(CAST(sum(removed) AS DOUBLE) / count(*), 6) AS removed_frac
           |FROM j GROUP BY source ORDER BY source""".stripMargin,
       "dedup_minhash_lsh" -> minhashPairsSql,
+      // op 169: the bands chain + the exact-Jaccard chain composed in
+      // one statement (jsh renamed to avoid the bands CTE's sh).
+      "dedup_eval" ->
+        s"""$minhashBandsCte,
+          |jsh AS (
+          |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(toks)-2, 1) + 1),
+          |    i -> array_to_string(toks[i:i+2], ' ')))) AS jg
+          |  FROM t
+          |), sizes AS (SELECT id, count(*) AS sz FROM jsh GROUP BY id),
+          |common AS (
+          |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          |  FROM jsh a JOIN jsh b ON a.jg = b.jg AND a.id < b.id
+          |  GROUP BY a.id, b.id
+          |), truth AS (
+          |  SELECT id_a, id_b FROM common
+          |  JOIN sizes sa ON sa.id = id_a
+          |  JOIN sizes sb ON sb.id = id_b
+          |  WHERE common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE >= 0.5
+          |), found AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          |), hit AS (SELECT * FROM found INTERSECT SELECT * FROM truth)
+          |SELECT
+          |  (SELECT count(*) FROM truth) AS n_truth,
+          |  (SELECT count(*) FROM found) AS n_found,
+          |  (SELECT count(*) FROM hit) AS n_hit,
+          |  round((SELECT count(*) FROM hit)::DOUBLE /
+          |        (SELECT count(*) FROM found), 6) AS precision,
+          |  round((SELECT count(*) FROM hit)::DOUBLE /
+          |        (SELECT count(*) FROM truth), 6) AS recall""".stripMargin,
       // Incremental twin: index buckets (min id, count) from the
       // original docs; planted copies query them. Same bands chain.
       "dedup_incremental" -> minhashIncrementalSql,
