@@ -2350,6 +2350,25 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))),
+    // Truncated-embedding recall (op 171, the Matryoshka question):
+    // how much top-k fidelity survives keeping only the first half of
+    // each vector — recallAtK with the truncated-space brute top-k as
+    // "approx" vs the full-dimension ground truth. At 100 TB this is
+    // the measured basis for halving the vector store.
+    "ann_recall_truncated" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      def half(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, EmbDim / 2))
+      val q = e.where(col("vec_id") < 5)
+      val c = e.where(col("vec_id") >= 5)
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(half(q), half(c), "vec_id",
+            "embedding", 3),
+          Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3), 3)
+        .select(col("query_id"), col("n_hits"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
     // Recall@3 of the LSH index vs brute-force ground truth (op 158):
     // the tuning feedback loop — left join from the exact side keeps
     // zero-recall queries visible.
@@ -3389,6 +3408,25 @@ object SparkEntry {
           sum(col("removed") * col("ntok")).as("tokens_removed"),
           round(sum(col("removed")).cast("double") / count(lit(1)), 6)
             .as("removed_frac"))
+        .orderBy(col("source"))
+    }),
+    // Executed token budget (op 172): the op-156 plan applied — docs
+    // join their stratum's broadcast rate, the md5 coin keeps ~rate of
+    // each source, and the report shows achieved vs target tokens (a
+    // saturated stratum keeps everything; the rest land near target).
+    // Pure filter at the scan + one keyed agg, deterministic on any
+    // engine/partitioning.
+    "corpus_budget_sample" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val plan = Corpus.tokenBudgetPlan(d, col("source"), "text",
+          budgetTokens = 100000L, alpha = 0.5)
+        .select(col("stratum"), col("rate"), col("target_tokens"))
+      d.join(broadcast(plan), col("source") === col("stratum"))
+        .where(Corpus.md5Uniform(col("doc_id")) < col("rate"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("tokens_kept"),
+          max(col("target_tokens")).as("target_tokens"))
         .orderBy(col("source"))
     }),
     // Overlapping-window substring dedup (op 96) on the planted-dup
@@ -5003,6 +5041,39 @@ object SparkEntry {
           |)
           |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
           |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      // Same two-chain recall shape, approx side on qv[1:32]/cv[1:32]
+      // (DuckDB list slices are 1-based inclusive = first 32 dims).
+      "ann_recall_truncated" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+          |sb AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM q CROSS JOIN c
+          |), gt AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |    FROM sb) WHERE rnk <= 3
+          |), st AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv[1:${EmbDim / 2}], cv[1:${EmbDim / 2}]) /
+          |      (sqrt(list_dot_product(qv[1:${EmbDim / 2}], qv[1:${EmbDim / 2}])) *
+          |       sqrt(list_dot_product(cv[1:${EmbDim / 2}], cv[1:${EmbDim / 2}]))) AS cosine
+          |  FROM q CROSS JOIN c
+          |), ap AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |    FROM st) WHERE rnk <= 3
+          |)
+          |SELECT gt.query_id,
+          |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+          |  round(CAST(count(ap.neighbor_id) AS DOUBLE) / 3, 6) AS recall
+          |FROM gt LEFT JOIN ap ON gt.query_id = ap.query_id
+          |  AND gt.neighbor_id = ap.neighbor_id
+          |GROUP BY gt.query_id ORDER BY gt.query_id""".stripMargin,
       // Both top-3 CTEs replayed (brute = ground truth, LSH =
       // approx), intersected per query; left join keeps recall-0 rows.
       "ann_recall" ->
@@ -5310,6 +5381,26 @@ object SparkEntry {
           |  floor(CAST(sum(qh) AS DOUBLE) / max(ns) + 0.5) / 1e6 AS entropy,
           |  floor(CAST(sum(qkl) AS DOUBLE) / max(ns) + 0.5) / 1e6 AS kl_from_corpus
           |FROM q GROUP BY source ORDER BY source""".stripMargin),
+      // op 172: the budget plan's rate CTEs + the md5-coin filter +
+      // one keyed agg — the executed schedule.
+      "corpus_budget_sample" ->
+        (s"""WITH t AS (SELECT source, len(regexp_split_to_array(trim(text), '\\s+')) AS ntok FROM documents),
+          |per AS (SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per),
+          |sc AS (SELECT source, n_tokens,
+          |  CAST(floor(pow(CAST(n_tokens AS DOUBLE) / tt, 0.5) * 1e6 + 0.5) AS BIGINT) AS qs
+          |  FROM per CROSS JOIN tot),
+          |qt AS (SELECT CAST(sum(qs) AS BIGINT) AS qtot FROM sc),
+          |rt AS (SELECT source, n_tokens,
+          |  CAST(floor(floor(CAST(qs AS DOUBLE) / qtot * 1e6 + 0.5) / 1e6 * 100000 + 0.5) AS BIGINT) AS target_tokens,
+          |  floor(least(1.0, CAST(CAST(floor(floor(CAST(qs AS DOUBLE) / qtot * 1e6 + 0.5) / 1e6 * 100000 + 0.5) AS BIGINT) AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6 AS rate
+          |  FROM sc CROSS JOIN qt)
+          |SELECT d.source, count(*) AS n_kept,
+          |  CAST(sum(len(regexp_split_to_array(trim(d.text), '\\s+'))) AS BIGINT) AS tokens_kept,
+          |  CAST(max(rt.target_tokens) AS BIGINT) AS target_tokens
+          |FROM documents d JOIN rt ON d.source = rt.source
+          |WHERE ${w8("md5(d.doc_id::VARCHAR)")} / 4294967296.0 < rt.rate
+          |GROUP BY d.source ORDER BY d.source""".stripMargin),
       // mixtureWeights replayed, extended with the budget arithmetic
       // (all on the quantized weight grid — engine-exact).
       "corpus_token_budget" ->
