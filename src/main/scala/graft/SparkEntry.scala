@@ -3567,12 +3567,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
     "streaming_hll" -> ((s, dir) => {
-      val sunk = streamReplay(s, dir, "documents", "streaming_hll",
-        mode = "update") { src =>
+      // State = sources×256 register rows — the small-state replay
+      // shape the 8-partition rule exists for (SparkEntry.scala:60).
+      val sunk = withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "documents", "streaming_hll",
+          mode = "update") { src =>
         graft.streaming.EventStream.hllRegisterStream(
           src.select(col("source"), explode(Text.tokens(col("text"))).as("tok")),
           "source", "tok", m = 256)
-      }
+      } }
       // Re-merge: Update mode may emit a register several times across
       // micro-batches; max-merge makes the read idempotent.
       hllReport(s, dir, sunk.groupBy(col("source"), col("reg"))
