@@ -751,6 +751,23 @@ object SparkEntry {
           col("trough_id"), col("end_id"), col("n_obs"), col("depth"),
           col("recovered"))
         .orderBy(col("event_type"), col("episode"))),
+    // Cross-sectional return rank (op 174): at each aligned index,
+    // rank the assets by that period's return — the momentum /
+    // long-short decile primitive. Windows partition by the
+    // cross-section key (many small partitions, never one big one);
+    // rank ties break on the asset name over identical ret doubles.
+    "eod_cross_rank" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("rn", row_number().over(wT))
+      val wX = Window.partitionBy(col("rn"))
+        .orderBy(col("ret").desc, col("event_type"))
+      r.withColumn("xrank", row_number().over(wX).cast("long"))
+        .withColumn("n_assets",
+          count(lit(1)).over(Window.partitionBy(col("rn"))))
+        .select(col("event_type"), col("rn"), round(col("ret"), 6).as("ret"),
+          col("xrank"), col("n_assets"))
+        .orderBy(col("rn"), col("xrank"))
+    }),
     // Drawdown episode summary (op 162, the calc_stats duration
     // block): aggregates the op-126 episode table per series —
     // episode count, deepest/mean depth (mean on 1e-6-quantized
@@ -1754,6 +1771,16 @@ object SparkEntry {
         |FROM g WHERE dd < 0
         |GROUP BY event_type, episode
         |ORDER BY event_type, episode""".stripMargin,
+    "eod_cross_rank" ->
+      s"""$R_CTE, x AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM r WHERE ret IS NOT NULL
+        |)
+        |SELECT event_type, rn, round(ret, 6) AS ret,
+        |  row_number() OVER (PARTITION BY rn ORDER BY ret DESC, event_type) AS xrank,
+        |  count(*) OVER (PARTITION BY rn) AS n_assets
+        |FROM x ORDER BY rn, xrank""".stripMargin,
     "eod_drawdown_stats" ->
       // op-126's episode CTE re-aggregated; avg depth on the same
       // quantized-long sums, duration/underwater on exact integers.
@@ -3166,6 +3193,51 @@ object SparkEntry {
             .as("avg_eff_spread"),
           (floor(sum(col("qspr")).cast("double") / count(lit(1)) + 0.5) / 1e6)
             .as("avg_quoted_spread"))
+        .orderBy(col("user_id"))
+    }),
+    // Realized-spread decomposition (op 173, Huang-Stoll lineage):
+    // eff = realized + impact — realized = 2q·(p − mid_{t+5s})
+    // (what the liquidity provider actually earned), impact =
+    // 2q·(mid_{t+5s} − mid_t) (the information cost). Two as-of
+    // passes: backward for the prevailing mid, forward from t+5s for
+    // the future mid; trade sign q by the tick rule per key. Per-row
+    // 1e-6-quantized longs before the floor-means.
+    "tick_realized_spread" -> ((s, dir) => {
+      val e = events(s, dir)
+      val half = (col("event_id") % 5 + 1).cast("double") / 100.0
+      val quotes = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          (stablePrice - half).as("bid"), (stablePrice + half).as("ask"))
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trades = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          stablePrice.as("price"))
+        .withColumn("q",
+          when(col("price") > lag(col("price"), 1).over(wU), 1.0)
+            .when(col("price") < lag(col("price"), 1).over(wU), -1.0)
+            .otherwise(1.0))
+      val j1 = AsOfJoin.backward(trades, quotes, "user_id", "ts",
+          Seq("bid", "ask"))
+        .where(col("right_bid").isNotNull)
+        .withColumn("mid0", (col("right_bid") + col("right_ask")) / 2.0)
+        .select(col("user_id"),
+          (col("ts") + expr("INTERVAL 5 SECONDS")).as("ts"),
+          col("event_id"), col("price"), col("q"), col("mid0"))
+      val mids = quotes.select(col("user_id"), col("ts"),
+        ((col("bid") + col("ask")) / 2.0).as("mid"))
+      AsOfJoin.forward(j1, mids, "user_id", "ts", Seq("mid"))
+        .where(col("right_mid").isNotNull)
+        .withColumn("qr", floor(col("q") * (col("price") - col("right_mid"))
+          * 2.0 * 1e6 + 0.5).cast("long"))
+        .withColumn("qi", floor(col("q") * (col("right_mid") - col("mid0"))
+          * 2.0 * 1e6 + 0.5).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_trades"),
+          (floor(sum(col("qr")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+            .as("avg_realized_spread"),
+          (floor(sum(col("qi")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+            .as("avg_price_impact"))
         .orderBy(col("user_id"))
     }),
     "asof_latency" -> ((s, dir) => {
@@ -4841,6 +4913,33 @@ object SparkEntry {
           |  floor(CAST(sum(qeff) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_eff_spread,
           |  floor(CAST(sum(qspr) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_quoted_spread
           |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "tick_realized_spread" ->
+        // Two ASOF joins: backward (>=) for the prevailing mid,
+        // forward (<=) from ts+5s for the future mid; tick-rule q.
+        s"""WITH t0 AS (SELECT user_id, ts, event_id, $SQL_STABLE AS price FROM events WHERE event_type = 'purchase'),
+          |t AS (SELECT *, CASE WHEN price > lag(price) OVER w THEN 1.0
+          |                     WHEN price < lag(price) OVER w THEN -1.0
+          |                     ELSE 1.0 END AS q
+          |      FROM t0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |qt AS (SELECT user_id, ts,
+          |  $SQL_STABLE - (event_id % 5 + 1) / 100.0 AS bid,
+          |  $SQL_STABLE + (event_id % 5 + 1) / 100.0 AS ask
+          |  FROM events WHERE event_type = 'view'),
+          |j1 AS (
+          |  SELECT t.user_id, t.ts + INTERVAL 5 SECOND AS ts5, t.event_id,
+          |    t.price, t.q, (qt.bid + qt.ask) / 2 AS mid0
+          |  FROM t ASOF JOIN qt ON t.user_id = qt.user_id AND t.ts >= qt.ts
+          |), qm AS (SELECT user_id, ts, (bid + ask) / 2 AS mid FROM qt),
+          |j2 AS (
+          |  SELECT j1.user_id,
+          |    CAST(floor(j1.q * (j1.price - qm.mid) * 2 * 1e6 + 0.5) AS BIGINT) AS qr,
+          |    CAST(floor(j1.q * (qm.mid - j1.mid0) * 2 * 1e6 + 0.5) AS BIGINT) AS qi
+          |  FROM j1 ASOF JOIN qm ON j1.user_id = qm.user_id AND j1.ts5 <= qm.ts
+          |)
+          |SELECT user_id, count(*) AS n_trades,
+          |  floor(CAST(sum(qr) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_realized_spread,
+          |  floor(CAST(sum(qi) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_price_impact
+          |FROM j2 GROUP BY user_id ORDER BY user_id""".stripMargin,
       "asof_latency" ->
         """WITH t AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
           |q AS (SELECT user_id, ts AS qts FROM events WHERE event_type = 'view')
