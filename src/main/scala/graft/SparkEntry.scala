@@ -768,6 +768,37 @@ object SparkEntry {
           col("xrank"), col("n_assets"))
         .orderBy(col("rn"), col("xrank"))
     }),
+    // Long-short momentum backtest (op 175, the op-174 end-use): rank
+    // on the PREVIOUS period's return (the signal must lag the
+    // holding period — ranking on the same period's return is
+    // lookahead), hold long the top 2 / short the bottom 2 of each
+    // complete 5-asset cross-section, and summarize the spread
+    // series: period count, mean spread (1e-6-quantized integer
+    // sums), annualized Sharpe, hit rate. One extra lag on the
+    // already-shuffled per-series window, then per-rn aggs.
+    "eod_long_short" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("sig", lag(col("ret"), 1).over(wT))
+        .where(col("sig").isNotNull)
+      val wX = Window.partitionBy(col("rn"))
+        .orderBy(col("sig").desc, col("event_type"))
+      val ls = r.withColumn("srank", row_number().over(wX))
+        .withColumn("na", count(lit(1)).over(Window.partitionBy(col("rn"))))
+        .where(col("na") === 5)
+        .groupBy(col("rn"))
+        .agg((avg(when(col("srank") <= 2, col("ret"))) -
+          avg(when(col("srank") >= 4, col("ret")))).as("ls_ret"))
+        .withColumn("qls", floor(col("ls_ret") * 1e6 + 0.5).cast("long"))
+      ls.agg(count(lit(1)).as("n_periods"),
+          (floor(sum(col("qls")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+            .as("mean_spread"),
+          round(avg(col("qls").cast("double") / 1e6) /
+            stddev_samp(col("qls").cast("double") / 1e6)
+            * lit(math.sqrt(252.0)), 6).as("sharpe_ann"),
+          round(avg(when(col("qls") > 0, 1.0).otherwise(0.0)), 6)
+            .as("hit_rate"))
+    }),
     // Drawdown episode summary (op 162, the calc_stats duration
     // block): aggregates the op-126 episode table per series —
     // episode count, deepest/mean depth (mean on 1e-6-quantized
@@ -1771,6 +1802,29 @@ object SparkEntry {
         |FROM g WHERE dd < 0
         |GROUP BY event_type, episode
         |ORDER BY event_type, episode""".stripMargin,
+    "eod_long_short" ->
+      s"""$R_CTE, x AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER w2 AS rn,
+        |    lag(ret) OVER w2 AS sig
+        |  FROM r WHERE ret IS NOT NULL
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY rn ORDER BY sig DESC, event_type) AS srank,
+        |    count(*) OVER (PARTITION BY rn) AS na
+        |  FROM x WHERE sig IS NOT NULL
+        |), ls AS (
+        |  SELECT rn,
+        |    CAST(floor((avg(CASE WHEN srank <= 2 THEN ret END) -
+        |                avg(CASE WHEN srank >= 4 THEN ret END)) * 1e6 + 0.5) AS BIGINT) AS qls
+        |  FROM rk WHERE na = 5 GROUP BY rn
+        |)
+        |SELECT count(*) AS n_periods,
+        |  floor(CAST(sum(qls) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_spread,
+        |  round(avg(CAST(qls AS DOUBLE) / 1e6) / stddev_samp(CAST(qls AS DOUBLE) / 1e6)
+        |        * sqrt(252.0), 6) AS sharpe_ann,
+        |  round(avg(CASE WHEN qls > 0 THEN 1.0 ELSE 0.0 END), 6) AS hit_rate
+        |FROM ls""".stripMargin,
     "eod_cross_rank" ->
       s"""$R_CTE, x AS (
         |  SELECT event_type, ret,
