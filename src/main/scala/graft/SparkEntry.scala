@@ -2771,6 +2771,25 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(Tick.kyleLambda(col("dp"), col("sv")), 6).as("kyle_lambda"))
         .orderBy(col("event_type"))),
+    // TWAP (op 176): time-weighted average price — each tick's price
+    // weighted by its holding time to the next tick (the last tick
+    // has no interval and drops, the TWAP convention). Exactness:
+    // weights are integer microseconds and the weighted sums
+    // accumulate as DECIMAL(30,8) (exact, order-free — the rel_*
+    // convention), divided once at the end in double.
+    "tick_twap" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("dt_us",
+          unix_micros(lead(col("ts"), 1).over(wT)) - unix_micros(col("ts")))
+        .where(col("dt_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(round(
+          sum((col("value") * col("dt_us")).cast("decimal(30,8)"))
+            .cast("double") /
+          sum(col("dt_us").cast("decimal(30,8)")).cast("double"), 6)
+          .as("twap"),
+          sum(col("dt_us")).as("span_us"))
+        .orderBy(col("event_type"))),
     // Roll implied spread (op 159): Δp and its lag from ONE ordered
     // window pass (lag(value,1/2)), covariance aggregated per symbol.
     "tick_roll_spread" -> ((s, dir) =>
@@ -4813,6 +4832,18 @@ object SparkEntry {
           |)
           |SELECT event_type, round(covar_samp(dp, sv) / var_samp(sv), 6) AS kyle_lambda
           |FROM d WHERE dp IS NOT NULL
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "tick_twap" ->
+        """WITH d AS (
+          |  SELECT event_type, value,
+          |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us
+          |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+          |)
+          |SELECT event_type,
+          |  round(CAST(sum(CAST(value * dt_us AS DECIMAL(30,8))) AS DOUBLE) /
+          |        CAST(sum(CAST(dt_us AS DECIMAL(30,8))) AS DOUBLE), 6) AS twap,
+          |  CAST(sum(dt_us) AS BIGINT) AS span_us
+          |FROM d WHERE dt_us IS NOT NULL
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
       "tick_roll_spread" ->
         """WITH d AS (
