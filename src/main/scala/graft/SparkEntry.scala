@@ -751,6 +751,28 @@ object SparkEntry {
           col("trough_id"), col("end_id"), col("n_obs"), col("depth"),
           col("recovered"))
         .orderBy(col("event_type"), col("episode"))),
+    // Lookback returns (op 177, ffn calc_stats' three_month/six_month/
+    // one_year block at this corpus' one-month span): price now vs the
+    // last price at-or-before end−Δ, per series — end anchored by a
+    // per-series window max, the Δ-cut values picked by max_by with a
+    // null-ordering guard (rows past the cut contribute a null order
+    // key, which max_by skips — no second scan, no join).
+    "eod_lookback_returns" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("end_ts",
+          max(col("ts")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("cut7", col("end_ts") - expr("INTERVAL 7 DAYS"))
+        .withColumn("cut14", col("end_ts") - expr("INTERVAL 14 DAYS"))
+      e.groupBy(col("event_type"))
+        .agg(
+          round(max_by(col("value"), col("ts")) /
+            max_by(col("value"), when(col("ts") <= col("cut7"), col("ts")))
+            - 1, 6).as("ret_1w"),
+          round(max_by(col("value"), col("ts")) /
+            max_by(col("value"), when(col("ts") <= col("cut14"), col("ts")))
+            - 1, 6).as("ret_2w"))
+        .orderBy(col("event_type"))
+    }),
     // Cross-sectional return rank (op 174): at each aligned index,
     // rank the assets by that period's return — the momentum /
     // long-short decile primitive. Windows partition by the
@@ -1300,6 +1322,28 @@ object SparkEntry {
         |  round(value / max(value) OVER w - 1, 6) AS drawdown
         |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
         |ORDER BY symbol, ts_us""".stripMargin,
+    "streaming_twap" ->
+      // qp·Δms / ΣΔms as cumulative integer window sums; Δms = the
+      // event_id gap (replay grid is 1 ms per id); floor-quantized
+      // output (round's HALF_UP tie behavior never enters).
+      """WITH e AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS value FROM events),
+        |d AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(floor(lag(value) OVER w * 1e6 + 0.5) AS BIGINT) AS qprev,
+        |    event_id - lag(event_id) OVER w AS dtms
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+        |), c AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(sum(qprev * dtms) OVER w2 AS BIGINT) AS spt,
+        |    CAST(sum(dtms) OVER w2 AS BIGINT) AS st
+        |  FROM d WHERE dtms IS NOT NULL
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT event_type AS symbol,
+        |  CAST(1712928600000000 + event_id * 1000 AS BIGINT) AS ts_us,
+        |  round(value, 6) AS price,
+        |  floor((CAST(spt AS DOUBLE) / st / 1e6) * 1e6 + 0.5) / 1e6 AS twap
+        |FROM c WHERE st > 0 ORDER BY symbol, ts_us""".stripMargin,
     // streaming running risk: the integer sums replay as cumulative
     // window sums over the same 1e-5-quantized log returns (CAST the
     // window sums — DuckDB returns HUGEINT); derived metrics use the
@@ -1802,6 +1846,20 @@ object SparkEntry {
         |FROM g WHERE dd < 0
         |GROUP BY event_type, episode
         |ORDER BY event_type, episode""".stripMargin,
+    "eod_lookback_returns" ->
+      // max_by FILTER mirrors the null-order-key guard; ties on a
+      // shared max ts cannot occur (ts, event_id) is unique per type.
+      """WITH e AS (
+        |  SELECT event_type, ts, value,
+        |    max(ts) OVER (PARTITION BY event_type) AS end_ts
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  round(max_by(value, ts) /
+        |    max_by(value, ts) FILTER (WHERE ts <= end_ts - INTERVAL 7 DAY) - 1, 6) AS ret_1w,
+        |  round(max_by(value, ts) /
+        |    max_by(value, ts) FILTER (WHERE ts <= end_ts - INTERVAL 14 DAY) - 1, 6) AS ret_2w
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "eod_long_short" ->
       s"""$R_CTE, x AS (
         |  SELECT event_type, ret,
@@ -2964,6 +3022,24 @@ object SparkEntry {
       }.orderBy(col("symbol"), col("ts_us")) }
     }),
 
+    // Streaming running TWAP (op 178): the op-176 benchmark live —
+    // integer Σqp·Δms / ΣΔms state per symbol (see
+    // Stateful.runningTwapStream), replayed by DuckDB as cumulative
+    // window sums over the identical quantized integers.
+    "streaming_twap" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "events", "stwap") { src =>
+        val ticks = src
+          .select(col("event_type").as("symbol"),
+            replayTs(col("event_id")).as("ts"),
+            col("value").cast("double").as("price"))
+          .as[graft.streaming.Stateful.Tick]
+        graft.streaming.Stateful.runningTwapStream(ticks)
+          .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
+            round(col("price"), 6).as("price"),
+            (floor(col("twap") * 1e6 + 0.5) / 1e6).as("twap"))
+      }.orderBy(col("symbol"), col("ts_us")) }
+    }),
     // Streaming running risk metrics (op 146): per-symbol running
     // log-return mean/vol/Sharpe from INTEGER state (1e-5-quantized
     // returns — addition-order/micro-batch independent, so the batch

@@ -540,6 +540,50 @@ object Stateful {
       }
   }
 
+  // ------------------------------------------- streaming running TWAP
+
+  case class TwapRow(symbol: String, ts: Timestamp, price: Double,
+                     twap: Double)
+  case class TwapState(lastMs: Long, lastQp: Long, sumPT: Long, sumT: Long)
+
+  /** Per-symbol running time-weighted average price: each arriving
+    * tick CLOSES the previous tick's holding interval (prev price ×
+    * Δms), the TWAP convention. Prices quantize to 1e-6 longs before
+    * weighting, so the running Σqp·Δt and ΣΔt are INTEGER —
+    * addition-order and micro-batch independent (the op-146
+    * convention) — and a batch engine replays them as cumulative
+    * window sums bit-for-bit. The first tick of a symbol opens its
+    * interval and emits nothing (no holding time yet). State is four
+    * longs per symbol; Σqp·Δt stays inside int64 for qp ≤ 5.6e8
+    * (price ≤ 560) × Δ ≤ 1e4 ms × ~2e4 ticks ≈ 1e17.
+    */
+  def runningTwapStream(ticks: Dataset[Tick]): Dataset[TwapRow] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[TwapState, TwapRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym, it, state) =>
+          var st = state.getOption.getOrElse(
+            TwapState(Long.MinValue, 0L, 0L, 0L))
+          val out = it.toArray.sortBy(t => (tsKey(t.ts), t.price)).flatMap { t =>
+            val ms = t.ts.getTime
+            val qp = math.floor(t.price * 1e6 + 0.5).toLong
+            if (st.lastMs == Long.MinValue) {
+              st = TwapState(ms, qp, 0L, 0L); None
+            } else {
+              val dt = ms - st.lastMs
+              st = TwapState(ms, qp, st.sumPT + st.lastQp * dt, st.sumT + dt)
+              if (st.sumT > 0)
+                Some(TwapRow(sym, t.ts, t.price,
+                  st.sumPT.toDouble / st.sumT / 1e6))
+              else None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // --------------------------------------- streaming space-saving top-k
 
   case class SSIn(bucket: Int, token: String)

@@ -44,6 +44,30 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTwapStream closes intervals with the PREVIOUS price, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val q = Stateful.runningTwapStream(input.toDS())
+      .writeStream.format("memory").queryName("run_twap")
+      .outputMode("append").start()
+    try {
+      // p=100 held 2s, then p=110 held 1s (across the batch boundary)
+      input.addData(Tick("A", ts(0), 100.0), Tick("A", ts(2), 110.0))
+      q.processAllAvailable()
+      input.addData(Tick("A", ts(3), 120.0))
+      q.processAllAvailable()
+      val out = spark.table("run_twap")
+        .select($"ts", $"twap").as[(Timestamp, Double)].collect()
+        .map { case (t, tw) => t.getTime -> tw }.toMap
+      // first tick opens its interval, emits nothing
+      assert(!out.contains(t0))
+      assert(out(t0 + 2000) == 100.0, "one closed interval at p=100")
+      // (100·2s + 110·1s)/3s — the state carried lastPrice across batches
+      assert(math.abs(out(t0 + 3000) - 310.0 / 3) < 1e-9)
+      assert(out.size == 2)
+    } finally q.stop()
+  }
+
   test("asOfEnrich joins trades to the prevailing quote across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[MarketEvent]
