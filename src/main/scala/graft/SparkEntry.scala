@@ -454,6 +454,17 @@ object SparkEntry {
         .agg((round(Eod.omegaRatio(col("ret"), rfPeriodic), 6) + lit(0.0))
           .as("omega"))
         .orderBy(col("event_type"))),
+    // Kelly criterion (op 180, Thorp's continuous approximation):
+    // f* = μ/σ² of periodic returns — the growth-optimal leverage —
+    // plus the half-Kelly practitioners actually run. One agg.
+    "eod_kelly" -> ((s, dir) =>
+      withRet(s, dir).where(col("ret").isNotNull)
+        .groupBy(col("event_type"))
+        .agg((round(avg(col("ret")) / var_samp(col("ret")), 6) + lit(0.0))
+          .as("kelly"),
+          (round(avg(col("ret")) / var_samp(col("ret")) / 2.0, 6) + lit(0.0))
+            .as("half_kelly"))
+        .orderBy(col("event_type"))),
     // Tail ratio + gain-to-pain (op 157): right/left tail magnitudes
     // via interpolated quantiles (sorting, not summing — engine-exact
     // on identical ret doubles) and Schwager's GPR on 1e-6-quantized
@@ -1573,6 +1584,13 @@ object SparkEntry {
         |        nullif(sum(greatest($RF_LIT - ret, 0)), 0), 6) + 0.0 AS omega
         |FROM r WHERE ret IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "eod_kelly" ->
+      s"""$R_CTE
+        |SELECT event_type,
+        |  round(avg(ret) / var_samp(ret), 6) + 0.0 AS kelly,
+        |  round(avg(ret) / var_samp(ret) / 2.0, 6) + 0.0 AS half_kelly
+        |FROM r WHERE ret IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "eod_tail_gain" ->
       // quantile_cont = Spark percentile (R-7 interpolation); GPR on
       // floor(ret*1e6+0.5) integer sums — order-free both engines;
@@ -2426,6 +2444,24 @@ object SparkEntry {
         .groupBy(col("source"), col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("shard_chars"))
+        .orderBy(col("source"), col("shard_id"))
+    }),
+    // Skipping manifest (op 179, the Iceberg/Delta file-stats story):
+    // per shard of the op-139 plan, the min/max/count/null-count
+    // column stats a scan planner prunes on — a shard whose
+    // [min, max] misses the predicate never opens. Dense doc_id
+    // ranges + n_chars spans make the pruning effectiveness visible;
+    // same one window pass + one keyed agg as the plan itself.
+    "layout_manifest" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.operators.Layout.shardPlan(d, "source", "doc_id", "n_chars",
+          target = 2000L)
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          sum(col("lang").isNull.cast("long")).as("null_lang"))
         .orderBy(col("source"), col("shard_id"))
     }),
     // op 140: z-order layout audit — interleave (user, hour-of-corpus)
@@ -4564,6 +4600,19 @@ object SparkEntry {
           |  FROM documents)
           |SELECT source, shard_id, count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS shard_chars
+          |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "layout_manifest" ->
+        """WITH p AS (
+          |  SELECT source, doc_id, n_chars, lang,
+          |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+          |      AS BIGINT) AS shard_id
+          |  FROM documents)
+          |SELECT source, shard_id, count(*) AS n_rows,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+          |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+          |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+          |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang
           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "layout_zorder" ->
         s"""WITH d AS (
