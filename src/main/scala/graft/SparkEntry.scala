@@ -412,6 +412,21 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(Eod.ulcerPerformanceIndex(col("ret"), col("dd")), 6).as("upi"))
         .orderBy(col("event_type"))),
+    // Pain index + pain ratio (op 195, the L1 sibling of the ulcer
+    // family): pain = mean depth of the drawdown series (ulcer is the
+    // L2 form), pain ratio = CAGR over pain — the Calmar shape with
+    // the average, not the worst, drawdown in the denominator. The
+    // ratio runs on the bounded stablePrice series (the eod_calmar
+    // convention); never-underwater series yield null via safeDiv.
+    "eod_pain_index" -> ((s, dir) =>
+      events(s, dir).withColumn("p", stablePrice)
+        .withColumn("dd", Eod.toDrawdownSeries(col("value"), wT))
+        .withColumn("ddp", Eod.toDrawdownSeries(col("p"), wT))
+        .groupBy(col("event_type"))
+        .agg((round(avg(-col("dd")), 6) + lit(0.0)).as("pain_index"),
+          (round(safeDiv(Eod.cagr(col("p"), col("ts")), avg(-col("ddp"))), 6)
+            + lit(0.0)).as("pain_ratio"))
+        .orderBy(col("event_type"))),
     "eod_calmar" -> ((s, dir) => {
       val e = events(s, dir).withColumn("p", stablePrice)
         .withColumn("dd", Eod.toDrawdownSeries(col("p"), wT))
@@ -967,6 +982,25 @@ object SparkEntry {
       lagged.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
         .selectExpr("event_type",
           "stack(5, 1, a1, 2, a2, 3, a3, 4, a4, 5, a5) AS (lag_k, acf)")
+        .orderBy(col("event_type"), col("lag_k"))
+    }),
+    // Order-flow sign autocorrelation (op 196): the eod_acf kernel on
+    // tick-rule signs — the long-memory-of-order-flow diagnostic (LOB
+    // literature: sign ACF decays slowly where returns' doesn't).
+    // Signs are small ints, corr's pairwise null-skip identical on
+    // both engines; one window pass builds dir + its five lags.
+    "tick_sign_autocorr" -> ((s, dir) => {
+      val d = when(col("value") > lag(col("value"), 1).over(wT), 1)
+        .when(col("value") < lag(col("value"), 1).over(wT), -1).otherwise(0)
+      val lagged = events(s, dir).select(col("event_type"), col("ts"),
+          col("event_id"), d.as("dir"))
+        .select(Seq(col("event_type"), col("dir")) ++
+          (1 to 5).map(kk => lag(col("dir"), kk).over(wT).as(s"l$kk")): _*)
+      val aggs = (1 to 5).map(kk =>
+        (round(corr(col("dir"), col(s"l$kk")), 6) + lit(0.0)).as(s"a$kk"))
+      lagged.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+        .selectExpr("event_type",
+          "stack(5, 1, a1, 2, a2, 3, a3, 4, a4, 5, a5) AS (lag_k, sign_acf)")
         .orderBy(col("event_type"), col("lag_k"))
     }),
     // Lo–MacKinlay variance ratio (op 128): VR(q) = Var(q-period log
@@ -1680,6 +1714,22 @@ object SparkEntry {
     "eod_ulcer_index" ->
       s"""$DD_CTE SELECT event_type, round(sqrt(avg(pow(dd * 100.0, 2.0))), 6) AS ulcer_index
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "eod_pain_index" ->
+      s"""WITH d AS (
+        |  SELECT event_type, ts, value, $SQL_STABLE AS p,
+        |    value / max(value) OVER w - 1 AS dd,
+        |    $SQL_STABLE / max($SQL_STABLE) OVER w - 1 AS ddp
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type,
+        |  round(avg(-dd), 6) + 0.0 AS pain_index,
+        |  round(CASE WHEN avg(-ddp) <> 0 THEN
+        |    (pow(arg_max(p, ts) / arg_min(p, ts),
+        |      1.0 / ((epoch_us(max(ts)) - epoch_us(min(ts))) / (1e6 * 31557600.0))) - 1)
+        |    / avg(-ddp) END, 6) + 0.0 AS pain_ratio
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "eod_upi" ->
       """WITH d AS (
         |  SELECT event_type, event_id, ts, value,
@@ -2220,6 +2270,30 @@ object SparkEntry {
         |""".stripMargin +
         (2 to 5).map(k => s"  UNION ALL SELECT event_type, $k, a$k FROM a").mkString("\n") +
         "\n) ORDER BY event_type, lag_k"),
+    "tick_sign_autocorr" ->
+      ("""WITH s0 AS (
+        |  SELECT event_type, ts, event_id,
+        |    CASE WHEN value > lag(value) OVER w THEN 1
+        |         WHEN value < lag(value) OVER w THEN -1 ELSE 0 END AS dir
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), l AS (
+        |  SELECT event_type, dir,
+        |""".stripMargin +
+        (1 to 5).map(k => s"    lag(dir, $k) OVER w AS l$k").mkString(",\n") +
+        """
+        |  FROM s0 WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), a AS (
+        |  SELECT event_type,
+        |""".stripMargin +
+        (1 to 5).map(k => s"    round(corr(dir, l$k), 6) + 0.0 AS a$k").mkString(",\n") +
+        """
+        |  FROM l GROUP BY event_type
+        |)
+        |SELECT event_type, lag_k, sign_acf FROM (
+        |  SELECT event_type, 1 AS lag_k, a1 AS sign_acf FROM a
+        |""".stripMargin +
+        (2 to 5).map(k => s"  UNION ALL SELECT event_type, $k, a$k FROM a").mkString("\n") +
+        "\n) ORDER BY event_type, lag_k"),
     "eod_variance_ratio" ->
       """WITH lr0 AS (
         |  SELECT event_type, ts, event_id,
@@ -2740,6 +2814,28 @@ object SparkEntry {
           Map("en" -> 0.9, "unknown" -> 0.25), defaultRate = 0.5)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("lang"))
+    }),
+    // Train/val/test split manifest (op 197): the md5-coin assignment
+    // (80/10/10) every training run needs to be REPRODUCIBLE — the
+    // same corpus always lands in the same split, regardless of
+    // partitioning, insertion order, or engine (the stratifiedSample
+    // coin, thresholded twice). Per (source, split): docs, tokens, and
+    // the realized fraction (exact integer ratio over the tiny
+    // source-sized relation). Map + one keyed agg + one small window.
+    "corpus_split" -> ((s, dir) => {
+      val u = Corpus.md5Uniform(col("doc_id"))
+      val wSrc = Window.partitionBy(col("source"))
+      tbl(s, dir, "documents")
+        .withColumn("split",
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+        .withColumn("ntok", Text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"))
+        .withColumn("frac",
+          round(col("n_docs").cast("double")
+            / sum(col("n_docs")).over(wSrc), 6))
+        .orderBy(col("source"), col("split"))
     }),
     // Benchmark set = the original %97 docs; the corpus' planted
     // +2000000 copies of exactly those docs are the contamination to
@@ -5141,6 +5237,28 @@ object SparkEntry {
           |)
           |SELECT lang, count(*) AS n_kept FROM u WHERE u < rate
           |GROUP BY lang ORDER BY lang""".stripMargin,
+      // op 197: same md5 coin, same thresholds, exact fractions.
+      "corpus_split" ->
+        s"""WITH u AS (
+          |  SELECT source, doc_id,
+          |    len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+          |    ${w8("md5(doc_id::VARCHAR)")} / 4294967296.0 AS u
+          |  FROM documents
+          |), s AS (
+          |  SELECT source,
+          |    CASE WHEN u < 0.8 THEN 'train'
+          |         WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+          |    ntok
+          |  FROM u
+          |), g AS (
+          |  SELECT source, split, count(*) AS n_docs,
+          |    CAST(sum(ntok) AS BIGINT) AS n_tokens
+          |  FROM s GROUP BY 1, 2
+          |)
+          |SELECT source, split, n_docs, n_tokens,
+          |  round(CAST(n_docs AS DOUBLE)
+          |        / sum(n_docs) OVER (PARTITION BY source), 6) AS frac
+          |FROM g ORDER BY source, split""".stripMargin,
       "corpus_contamination" ->
         s"""WITH $CORPUS_CTE,
           |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),

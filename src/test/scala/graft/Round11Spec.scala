@@ -269,6 +269,56 @@ class Round11Spec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("eod_pain_index: pain ≤ |max drawdown| and ≥ 0; ulcer dominates pain") {
+    val pain = SparkEntry.queries("eod_pain_index")(spark, dir)
+      .select($"event_type", $"pain_index").as[(String, Double)].collect().toMap
+    val mdd = SparkEntry.queries("eod_max_drawdown")(spark, dir)
+      .select($"event_type", $"max_drawdown").as[(String, Double)]
+      .collect().toMap
+    val ulcer = SparkEntry.queries("eod_ulcer_index")(spark, dir)
+      .select($"event_type", $"ulcer_index").as[(String, Double)]
+      .collect().toMap
+    for ((k, p) <- pain) {
+      assert(p >= 0.0 && p <= math.abs(mdd(k)) + 1e-6, s"$k pain bounds")
+      // RMS ≥ mean for any nonneg sample (ulcer is in percent units)
+      assert(ulcer(k) / 100.0 >= p - 1e-6, s"$k ulcer ≥ pain")
+    }
+  }
+
+  test("tick_sign_autocorr emits 5 lags per symbol with |acf| ≤ 1") {
+    val out = SparkEntry.queries("tick_sign_autocorr")(spark, dir)
+      .select($"event_type", $"lag_k", $"sign_acf")
+      .as[(String, Int, Double)].collect()
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    assert(out.forall(r => math.abs(r._3) <= 1.0 + 1e-9))
+  }
+
+  test("corpus_split: splits partition each source; coin matches a recomputation") {
+    val out = SparkEntry.queries("corpus_split")(spark, dir)
+      .select($"source", $"split", $"n_docs", $"frac")
+      .as[(String, String, Long, Double)].collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+    // independent coin: first 8 md5 hex chars of the decimal id
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val want = docs.groupBy(_._1).view.mapValues { rows =>
+      rows.groupBy { case (_, id) =>
+        val x = u(id)
+        if (x < 0.8) "train" else if (x < 0.9) "val" else "test"
+      }.view.mapValues(_.length.toLong).toMap
+    }.toMap
+    for ((src, spl, n, frac) <- out) {
+      assert(want(src)(spl) == n, s"$src/$spl")
+      val tot = want(src).values.sum
+      assert(math.abs(frac - n.toDouble / tot) < 1e-6)
+    }
+  }
+
   test("eod_hurst: all series emit, R/S means positive, H in a sane band") {
     val out = SparkEntry.queries("eod_hurst")(spark, dir)
       .select($"event_type", $"mrs_8", $"mrs_32", $"mrs_128", $"hurst")
