@@ -325,7 +325,10 @@ object SparkEntry {
       ("streaming_mixture" -> p("corpus_mixture")) +
       // op 170: the gate is map-only (no state, no shuffle), so the
       // streamed Append sink equals the batch table row-for-row.
-      ("streaming_quality_gate" -> p("corpus_gopher"))
+      ("streaming_quality_gate" -> p("corpus_gopher")) +
+      // op 201: the split map is stateless, the sink equals the batch
+      // assignment row-for-row → the manifest replays op 197's oracle.
+      ("streaming_split" -> p("corpus_split"))
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -718,6 +721,111 @@ object SparkEntry {
             .as("total_log_return"),
           (round(min(col("ddl")), 6) + lit(0.0)).as("max_drawdown_log"))
         .orderBy(col("port_id"))
+    }),
+    // Rebalance turnover (op 199, the op-152 companion every weighted
+    // mandate reports): at each 21-row block end, weights have DRIFTED
+    // to w′_a = exp(ai − lv); the trade the next rebalance executes is
+    // turnover = Σ|w_target − w′|/2 (one-way). Same drift algebra as
+    // eod_portfolio_weighted (ln w + Σln(1+r), max-shifted LSE);
+    // per-asset deviations quantize to 1e-6 longs before the sum. The
+    // final block's row is the residual drift at period end (no
+    // following rebalance) — kept, and documented as such.
+    "eod_turnover" -> ((s, dir) => {
+      import s.implicits._
+      val wdf = Seq(("click", 0.4), ("purchase", 0.3), ("signup", 0.2),
+        ("view", 0.1)).toDF("event_type", "w")
+      val f = withRet(s, dir).withColumn("rn", row_number().over(wT))
+        .where(col("ret").isNotNull && col("event_type") =!= "error")
+        .select(col("event_type"), col("rn"), col("ret"))
+      val full = f
+        .withColumn("nm", count(lit(1)).over(Window.partitionBy(col("rn"))))
+        .where(col("nm") === 4)
+      val idx = full.select(col("event_type"), col("ret"),
+        row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("rn"))).as("i"))
+        .withColumn("blk",
+          floor((col("i") - 1).cast("double") / 21.0).cast("long"))
+      val wBlk = Window.partitionBy(col("event_type"), col("blk"))
+        .orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // INTEGER log state (the op-146 convention — a float ai chain
+      // flipped one 1e-6 output at a .5 boundary, measured at sf0.01):
+      // ln w inlines as a Scala-computed quantized literal, per-row
+      // ln(1+r) quantizes to 1e-9 longs, so aiq is an exact integer
+      // both engines replay; the drifted weight is then the EXACT
+      // integer ratio eq/Σeq — no further libm in the output path.
+      val lnwq = typedLit(Map("click" -> 0.4, "purchase" -> 0.3,
+        "signup" -> 0.2, "view" -> 0.1).map { case (k, w) =>
+        k -> math.floor(math.log(w) * 1e9 + 0.5).toLong })
+      val a = idx.join(broadcast(wdf), "event_type")
+        .withColumn("lq",
+          floor(log(col("ret") + 1.0) * 1e9 + 0.5).cast("long"))
+        .withColumn("aiq",
+          lnwq(col("event_type")) + sum(col("lq")).over(wBlk))
+      val endR = a
+        .withColumn("imax", max(col("i")).over(Window.partitionBy(col("blk"))))
+        .where(col("i") === col("imax"))
+      val wB = Window.partitionBy(col("blk"))
+      endR
+        .withColumn("mxq", max(col("aiq")).over(wB))
+        .withColumn("eq", floor(
+          exp((col("aiq") - col("mxq")).cast("double") / 1e9) * 1e9 + 0.5)
+          .cast("long"))
+        .withColumn("dq", floor(abs(col("w") - col("eq").cast("double")
+          / sum(col("eq")).over(wB).cast("double")) * 1e6 + 0.5)
+          .cast("long"))
+        .groupBy(col("blk"))
+        // floor(Σdq/2 + 0.5)/1e6, NOT round(Σdq/2e6, 6): an odd Σdq
+        // lands EXACTLY on a half-1e-6 tie, where Spark's HALF_UP and
+        // DuckDB's half-even disagree (measured: 518369/2e6) — the
+        // op-146 floor convention is the same function on both engines
+        .agg(count(lit(1)).as("n_assets"),
+          (floor(sum(col("dq")).cast("double") / 2.0 + 0.5) / 1e6)
+            .as("turnover"))
+        .orderBy(col("blk"))
+    }),
+    // Brinson allocation attribution (op 200; Brinson–Fachler 1985,
+    // single-level with assets as classes): per 21-row block, the
+    // declared-weight portfolio vs the equal-weight benchmark —
+    // contribution_a = (w_a − 1/4)·(r_a − r_B), which sums to the
+    // block's active return. Asset block returns compound from the
+    // op-199 INTEGER log sums (r_a = exp(Σlq/1e9) − 1, quantized to
+    // 1e-6 longs), the benchmark return is the exact integer mean, so
+    // every product is the same double algebra on the same integers.
+    "eod_brinson" -> ((s, dir) => {
+      import s.implicits._
+      val wdf = Seq(("click", 0.4), ("purchase", 0.3), ("signup", 0.2),
+        ("view", 0.1)).toDF("event_type", "w")
+      val f = withRet(s, dir).withColumn("rn", row_number().over(wT))
+        .where(col("ret").isNotNull && col("event_type") =!= "error")
+        .select(col("event_type"), col("rn"), col("ret"))
+      val full = f
+        .withColumn("nm", count(lit(1)).over(Window.partitionBy(col("rn"))))
+        .where(col("nm") === 4)
+      val idx = full.select(col("event_type"), col("ret"),
+        row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("rn"))).as("i"))
+        .withColumn("blk",
+          floor((col("i") - 1).cast("double") / 21.0).cast("long"))
+      val blockRet = idx
+        .withColumn("lq",
+          floor(log(col("ret") + 1.0) * 1e9 + 0.5).cast("long"))
+        .groupBy(col("event_type"), col("blk"))
+        .agg(sum(col("lq")).as("slq"))
+        .withColumn("raq",
+          floor((exp(col("slq").cast("double") / 1e9) - 1.0) * 1e6 + 0.5)
+            .cast("long"))
+      val wB = Window.partitionBy(col("blk"))
+      def q6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
+      blockRet.join(broadcast(wdf), "event_type")
+        .withColumn("rbq", sum(col("raq")).over(wB))
+        .select(col("blk"), col("event_type"),
+          (col("w") - 0.25).as("active_w"),
+          (col("raq") / 1e6).as("block_ret"),
+          q6((col("w") - 0.25)
+            * (col("raq") / 1e6 - col("rbq").cast("double") / 4e6))
+            .as("alloc_contrib"))
+        .orderBy(col("blk"), col("event_type"))
     }),
     // Multi-benchmark CAPM (op 143): every asset series regressed on
     // EVERY series in a declared benchmark set at once — the
@@ -2026,6 +2134,89 @@ object SparkEntry {
         |  round(arg_max(cl, i), 6) + 0.0 AS total_log_return,
         |  round(min(ddl), 6) + 0.0 AS max_drawdown_log
         |FROM dd2 GROUP BY port_id ORDER BY port_id""".stripMargin,
+    // op 199: same drift CTEs as the weighted portfolio (rebal21
+    // only), block-end LSE, 1e-6-quantized deviations.
+    "eod_turnover" ->
+      s"""$R_CTE, f AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM r WHERE ret IS NOT NULL AND event_type <> 'error'
+        |), cfull AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY rn) AS nm FROM f
+        |  ) WHERE nm = 4
+        |), idx AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY rn) AS i
+        |  FROM cfull
+        |), b AS (
+        |  SELECT event_type, ret, i,
+        |    CAST(floor((i - 1) / 21.0) AS BIGINT) AS blk
+        |  FROM idx
+        |), wtab AS (
+        |  SELECT * FROM (VALUES ('click', 0.4), ('purchase', 0.3),
+        |    ('signup', 0.2), ('view', 0.1)) AS t(event_type, w)
+        |), a AS (
+        |  SELECT event_type, blk, i, w,
+        |    (CASE WHEN event_type = 'click' THEN -916290732 WHEN event_type = 'purchase' THEN -1203972804 WHEN event_type = 'signup' THEN -1609437912 WHEN event_type = 'view' THEN -2302585093 END)
+        |    + CAST(sum(CAST(floor(ln(ret + 1.0) * 1e9 + 0.5) AS BIGINT)) OVER (
+        |      PARTITION BY event_type, blk ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS aiq
+        |  FROM b JOIN wtab USING (event_type)
+        |), endr AS (
+        |  SELECT * FROM (
+        |    SELECT *, max(i) OVER (PARTITION BY blk) AS imax FROM a
+        |  ) WHERE i = imax
+        |), m1 AS (
+        |  SELECT *, max(aiq) OVER (PARTITION BY blk) AS mxq FROM endr
+        |), m1b AS (
+        |  SELECT *, CAST(floor(exp(CAST(aiq - mxq AS DOUBLE) / 1e9) * 1e9 + 0.5) AS BIGINT) AS eq
+        |  FROM m1
+        |), t2 AS (
+        |  SELECT blk,
+        |    CAST(floor(abs(w - CAST(eq AS DOUBLE)
+        |      / CAST(sum(eq) OVER (PARTITION BY blk) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS dq
+        |  FROM m1b
+        |)
+        |SELECT blk, count(*) AS n_assets,
+        |  floor(CAST(sum(dq) AS DOUBLE) / 2.0 + 0.5) / 1e6 AS turnover
+        |FROM t2 GROUP BY blk ORDER BY blk""".stripMargin,
+    // op 200: same integer block log sums, same quantized block
+    // returns, exact integer benchmark mean, floor-quantized output.
+    "eod_brinson" ->
+      s"""$R_CTE, f AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM r WHERE ret IS NOT NULL AND event_type <> 'error'
+        |), cfull AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY rn) AS nm FROM f
+        |  ) WHERE nm = 4
+        |), idx AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY rn) AS i
+        |  FROM cfull
+        |), br AS (
+        |  SELECT event_type, CAST(floor((i - 1) / 21.0) AS BIGINT) AS blk,
+        |    CAST(sum(CAST(floor(ln(ret + 1.0) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS slq
+        |  FROM idx GROUP BY 1, 2
+        |), ra AS (
+        |  SELECT event_type, blk,
+        |    CAST(floor((exp(CAST(slq AS DOUBLE) / 1e9) - 1.0) * 1e6 + 0.5) AS BIGINT) AS raq
+        |  FROM br
+        |), wtab AS (
+        |  SELECT * FROM (VALUES ('click', 0.4), ('purchase', 0.3),
+        |    ('signup', 0.2), ('view', 0.1)) AS t(event_type, w)
+        |), j AS (
+        |  SELECT blk, event_type, w, raq,
+        |    CAST(sum(raq) OVER (PARTITION BY blk) AS BIGINT) AS rbq
+        |  FROM ra JOIN wtab USING (event_type)
+        |)
+        |SELECT blk, event_type, w::DOUBLE - 0.25 AS active_w,
+        |  raq / 1e6 AS block_ret,
+        |  floor((w::DOUBLE - 0.25) * (raq / 1e6 - CAST(rbq AS DOUBLE) / 4e6)
+        |        * 1e6 + 0.5) / 1e6 AS alloc_contrib
+        |FROM j ORDER BY blk, event_type""".stripMargin,
     "eod_capm_multi" ->
       s"""$R_CTE, s AS (
         |  SELECT event_type, ret,
@@ -2887,6 +3078,40 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"),
           sum(col("lang").isNull.cast("long")).as("null_lang"))
         .orderBy(col("source"), col("shard_id"))
+    }),
+    // Scan-amplification audit of the op-179 manifest (op 202 — the
+    // metric behind "did the layout actually enable skipping?"): 10
+    // evenly-spaced probe points per source's id range, each counting
+    // the shards whose [min,max] contain it — a point predicate opens
+    // avg_touched files of n_shards; skip_frac is what pruning saves.
+    // Everything is integer (probe positions by exact floor division,
+    // touch counts, 10-probe mean = exact ratio); the manifest
+    // relation is shard-sized, so the probe join is trivial.
+    "layout_overlap" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val man = graft.operators.Layout.shardPlan(d, "source", "doc_id",
+          "n_chars", target = 2000L)
+        .groupBy(col("source"), col("shard_id"))
+        .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      val spans = man.groupBy(col("source"))
+        .agg(min(col("min_id")).as("lo"), max(col("max_id")).as("hi"),
+          count(lit(1)).as("n_shards"))
+      val probes = spans
+        .withColumn("j", explode(sequence(lit(0), lit(9))))
+        .withColumn("p", col("lo") + floor((col("hi") - col("lo"))
+          * col("j") / 9.0).cast("long"))
+      val touched = probes.select(col("source"), col("j"), col("p"))
+        .join(man, "source")
+        .where(col("p") >= col("min_id") && col("p") <= col("max_id"))
+        .groupBy(col("source"), col("j")).agg(count(lit(1)).as("t"))
+      probes.join(touched, Seq("source", "j"), "left")
+        .withColumn("tt", coalesce(col("t"), lit(0L)))
+        .groupBy(col("source"))
+        .agg(max(col("n_shards")).as("n_shards"),
+          round(sum(col("tt")).cast("double") / 10.0, 4).as("avg_touched"),
+          round(lit(1.0) - sum(col("tt")).cast("double") / 10.0
+            / max(col("n_shards")), 4).as("skip_frac"))
+        .orderBy(col("source"))
     }),
     // op 140: z-order layout audit — interleave (user, hour-of-corpus)
     // to 8 bits each, bucket the 16-bit z-key into 256 files, report
@@ -4302,6 +4527,75 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("code_digest"),
           col("max_abs_err"), col("mean_abs_err"))
         .orderBy(col("vec_id"))),
+    // Top principal component by IN-PLAN power iteration (op 198 —
+    // the linear-algebra sibling of the in-plan Lloyd k-means, op 85):
+    // v ← C·v / ||C·v|| iterated 5 times from the uniform start, then
+    // one final multiply yields the loadings, the top eigenvalue, and
+    // its explained-variance share. No driver-side state, no collect:
+    // each iteration is ONE map-side-combinable (pos) aggregation over
+    // rows carrying the centered vector — the per-row x·v is an
+    // INTEGER fold (1e-4-quantized components × 1e-4-quantized v), the
+    // per-dim Σ x_d·(x·v) are integer sums, and the 64-element norm
+    // squares through DECIMAL(19,0)² (long² would overflow; a float
+    // sum's association would wiggle) — so every engine replays v
+    // bit-for-bit. Centering means come from quantized integer sums.
+    // Integer headroom: |Σ xq·ssc| ≤ N·dim·(1.2e4)²·8 ≈ N·1e10 — exact
+    // to N ≈ 1e8 rows; beyond that, coarsen the grid one decade.
+    "embed_power_iter" -> ((s, dir) => {
+      val dim = 64
+      val ex = tbl(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .withColumn("xq0", floor(col("x") * 1e4 + 0.5).cast("long"))
+      val means = ex.groupBy(col("pos"))
+        .agg((sum(col("xq0")).cast("double") / count(lit(1)) / 1e4).as("mu"),
+          count(lit(1)).as("n"),
+          sum(col("xq0") * col("xq0")).as("sxx"), sum(col("xq0")).as("sx"))
+      val rows = ex.join(broadcast(means.select(col("pos"), col("mu"))), "pos")
+        .withColumn("xq", floor((col("x") - col("mu")) * 1e4 + 0.5)
+          .cast("long"))
+        .groupBy(col("id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            col("xq")))), e => e.getField("xq")).as("xqa"))
+      def vArr(vdf: DataFrame): DataFrame = vdf
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("vq")))), e => e.getField("vq")).as("va"))
+      def multiply(vdf: DataFrame): DataFrame =
+        rows.crossJoin(broadcast(vArr(vdf)))
+          .withColumn("st", aggregate(
+            zip_with(col("xqa"), col("va"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("ssc", floor(col("st") / 1e4).cast("long"))
+          .select(posexplode(col("xqa")).as(Seq("pos", "xqe")), col("ssc"))
+          .groupBy(col("pos")).agg(sum(col("xqe") * col("ssc")).as("w"))
+      def normed(wdf: DataFrame): DataFrame = {
+        val nrm = wdf.agg(sqrt(sum(col("w").cast("decimal(19,0)")
+          * col("w").cast("decimal(19,0)")).cast("double")).as("nrm"))
+        wdf.crossJoin(broadcast(nrm))
+          .select(col("pos"), col("nrm"),
+            floor(col("w").cast("double") / col("nrm") * 1e4 + 0.5)
+              .cast("long").as("vq"))
+      }
+      val v0 = means.select(col("pos"),
+        lit(math.floor(1.0 / 8.0 * 1e4 + 0.5).toLong).as("vq"))
+      val vFinal = (1 to 5).foldLeft(v0)((v, _) => normed(multiply(v))
+        .select(col("pos"), col("vq")))
+      val wLast = normed(multiply(vFinal))
+      val scalars = means
+        .withColumn("varp", ((col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx") / col("n")) / col("n")
+          / 1e8).cast("decimal(30,12)"))
+        .agg(sum(col("varp")).cast("double").as("totvar"),
+          max(col("n")).cast("double").as("nn"))
+      wLast.crossJoin(broadcast(scalars))
+        .select(col("pos"),
+          (round(col("vq") / 1e4, 4) + lit(0.0)).as("loading"),
+          (round(col("nrm") / 1e8 / col("nn"), 6) + lit(0.0)).as("eigval"),
+          (round(col("nrm") / 1e8 / col("nn") / col("totvar"), 4)
+            + lit(0.0)).as("var_share"))
+        .orderBy(col("pos"))
+    }),
     // Class-scatter report (op 193, the Fisher-criterion diagnostic —
     // is the embedding space separable by label?): per label, the
     // within-class variance (mean per-dim var) and the distance of the
@@ -4419,6 +4713,27 @@ object SparkEntry {
       streamReplay(s, dir, "documents", "sgate") { src =>
         Corpus.gopherQualityRules(src, "doc_id", "text")
       }.orderBy(col("doc_id"))),
+    // Streaming split assignment (op 201, the op-170 stateless-gate
+    // pattern on op 197): the md5-coin split is a pure per-row map, so
+    // the streaming plan IS the batch plan behind a file source — each
+    // arriving doc is stamped train/val/test at ingest, the Append
+    // sink equals the batch assignment row-for-row, and the manifest
+    // report over the sink shares corpus_split's oracle.
+    "streaming_split" -> ((s, dir) => {
+      val u = Corpus.md5Uniform(col("doc_id"))
+      val sunk = streamReplay(s, dir, "documents", "ssplit") { src =>
+        src.select(col("source"), col("doc_id"),
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+            .as("split"),
+          Text.tokenCount(col("text")).cast("long").as("ntok"))
+      }
+      sunk.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+        .withColumn("frac",
+          round(col("n_docs").cast("double")
+            / sum(col("n_docs")).over(Window.partitionBy(col("source"))), 6))
+        .orderBy(col("source"), col("split"))
+    }),
     // Streaming mixture monitor (op 161): per-source doc/token counts
     // as a declarative Update-mode streaming aggregation — state is
     // ONE row per source by construction, no watermark needed. Counts
@@ -5309,6 +5624,39 @@ object SparkEntry {
           |  CAST(max(n_chars) AS BIGINT) AS max_chars,
           |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang
           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // op 202: same shard plan, same exact-floor probe positions,
+      // same left-join zero-touch handling.
+      "layout_overlap" ->
+        """WITH p AS (
+          |  SELECT source, doc_id,
+          |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+          |      AS BIGINT) AS shard_id
+          |  FROM documents
+          |), man AS (
+          |  SELECT source, shard_id, min(doc_id) AS min_id,
+          |    max(doc_id) AS max_id
+          |  FROM p GROUP BY 1, 2
+          |), spans AS (
+          |  SELECT source, min(min_id) AS lo, max(max_id) AS hi,
+          |    count(*) AS n_shards
+          |  FROM man GROUP BY source
+          |), probes AS (
+          |  SELECT source, n_shards, j.j AS j,
+          |    lo + CAST(floor((hi - lo) * j.j / 9.0) AS BIGINT) AS pp
+          |  FROM spans CROSS JOIN (SELECT range AS j FROM range(0, 10)) j
+          |), touched AS (
+          |  SELECT probes.source, j, count(*) AS t
+          |  FROM probes JOIN man ON probes.source = man.source
+          |    AND pp >= min_id AND pp <= max_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT source, max(n_shards) AS n_shards,
+          |  round(CAST(sum(coalesce(t, 0)) AS DOUBLE) / 10.0, 4) AS avg_touched,
+          |  round(1.0 - CAST(sum(coalesce(t, 0)) AS DOUBLE) / 10.0
+          |        / max(n_shards), 4) AS skip_frac
+          |FROM probes LEFT JOIN touched USING (source, j)
+          |GROUP BY source ORDER BY source""".stripMargin,
       "layout_zorder" ->
         s"""WITH d AS (
           |  SELECT user_id,
@@ -6625,6 +6973,53 @@ object SparkEntry {
           "CAST(max(eq) AS DOUBLE) / 1e6 AS max_abs_err, " +
           "sum(eq)::DOUBLE / count(*) / 1e6 AS mean_abs_err " +
           "FROM r GROUP BY id ORDER BY vec_id"),
+      // op 198: the 6 power-iteration steps unrolled as generated
+      // CTEs — identical integer folds, identical DECIMAL(19,0)²
+      // norms, identical floor re-quantization, so v replays
+      // bit-for-bit; pos here is 0-based (range(0,64) zipped with the
+      // component unnest) because pos IS an output column.
+      "embed_power_iter" -> {
+        val iterCtes = (1 to 6).map { t =>
+          s"""s$t AS (
+            |  SELECT id, CAST(floor(CAST(sum(xq * vq) AS BIGINT) / 1e4) AS BIGINT) AS ssc
+            |  FROM e JOIN v${t - 1} USING (pos) GROUP BY id
+            |), w$t AS (
+            |  SELECT pos, CAST(sum(xq * ssc) AS BIGINT) AS w
+            |  FROM e JOIN s$t USING (id) GROUP BY pos
+            |), n$t AS (
+            |  SELECT sqrt(CAST(sum(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))) AS DOUBLE)) AS nrm FROM w$t
+            |), v$t AS (
+            |  SELECT pos, CAST(floor(CAST(w AS DOUBLE) / nrm * 1e4 + 0.5) AS BIGINT) AS vq
+            |  FROM w$t, n$t
+            |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH x0 AS (
+          |  SELECT vec_id AS id, unnest(range(0, 64)) AS pos,
+          |    unnest(embedding::DOUBLE[]) AS x
+          |  FROM embeddings
+          |), q0 AS (
+          |  SELECT id, pos, x, CAST(floor(x * 1e4 + 0.5) AS BIGINT) AS xq0
+          |  FROM x0
+          |), m AS (
+          |  SELECT pos, CAST(sum(xq0) AS DOUBLE) / count(*) / 1e4 AS mu,
+          |    count(*) AS n, CAST(sum(xq0 * xq0) AS BIGINT) AS sxx,
+          |    CAST(sum(xq0) AS BIGINT) AS sx
+          |  FROM q0 GROUP BY pos
+          |), e AS (
+          |  SELECT id, q0.pos, CAST(floor((x - mu) * 1e4 + 0.5) AS BIGINT) AS xq
+          |  FROM q0 JOIN m ON q0.pos = m.pos
+          |), v0 AS (SELECT pos, 1250::BIGINT AS vq FROM m),
+          |$iterCtes,
+          |tv AS (
+          |  SELECT CAST(sum(CAST((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n / 1e8 AS DECIMAL(30,12))) AS DOUBLE) AS totvar,
+          |    CAST(max(n) AS DOUBLE) AS nn
+          |  FROM m
+          |)
+          |SELECT pos, round(vq / 1e4, 4) + 0.0 AS loading,
+          |  round(nrm / 1e8 / nn, 6) + 0.0 AS eigval,
+          |  round(nrm / 1e8 / nn / totvar, 4) + 0.0 AS var_share
+          |FROM v6, n6, tv ORDER BY pos""".stripMargin
+      },
       // op 193: same integer (label, dim) sums, same exact centroid
       // ratios, DECIMAL-cast per-dim term sums; pos is 1-based here
       // vs 0-based in Spark — it is only an internal join key.

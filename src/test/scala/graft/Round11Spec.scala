@@ -319,6 +319,93 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("embed_power_iter agrees with a plain double power iteration") {
+    val out = SparkEntry.queries("embed_power_iter")(spark, dir)
+      .select($"pos", $"loading", $"eigval", $"var_share")
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.length == 64)
+    val norm2 = out.map(r => r._2 * r._2).sum
+    assert(math.abs(norm2 - 1.0) < 0.01, s"unit norm, got $norm2")
+    assert(out.forall(r => r._4 > 0 && r._4 <= 1.0))
+    // reference: the SAME 6 multiply steps in plain double arithmetic
+    // (no quantization) — random-ish embeddings have a near-degenerate
+    // top spectrum, so the comparison is iteration-count-matched: the
+    // quantized plan must track the exact iterate, not a fully
+    // converged eigenvector
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"embedding".cast("array<double>")).as[Seq[Double]]
+      .collect().map(_.toArray)
+    val n = vecs.length; val dim = 64
+    val mu = Array.tabulate(dim)(d => vecs.map(_(d)).sum / n)
+    val xc = vecs.map(v => Array.tabulate(dim)(d => v(d) - mu(d)))
+    var v = Array.fill(dim)(1.0 / 8.0)
+    var lam = 0.0
+    for (_ <- 1 to 6) {
+      val w = Array.fill(dim)(0.0)
+      for (row <- xc) {
+        val s = (0 until dim).map(d => row(d) * v(d)).sum
+        for (d <- 0 until dim) w(d) += row(d) * s
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      lam = nrm / n
+      v = w.map(_ / nrm)
+    }
+    val cos = (0 until dim).map(d => out(d)._2 * v(d)).sum
+    assert(math.abs(cos) > 0.999, s"direction cosine $cos")
+    assert(math.abs(out.head._3 - lam) / lam < 0.01,
+      s"eigval ${out.head._3} vs $lam")
+  }
+
+  test("eod_turnover: full cross-section, bounded one-way turnover") {
+    val out = SparkEntry.queries("eod_turnover")(spark, dir)
+      .select($"blk", $"n_assets", $"turnover")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 == 4), "four assets at every block end")
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0), "one-way bound")
+    assert(out.exists(_._3 > 0.0), "drift must move some weight")
+  }
+
+  test("eod_brinson: contributions sum to the block's active return") {
+    val out = SparkEntry.queries("eod_brinson")(spark, dir)
+      .select($"blk", $"event_type", $"active_w", $"block_ret",
+        $"alloc_contrib")
+      .as[(Long, String, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    for ((blk, rows) <- out.groupBy(_._1)) {
+      assert(rows.length == 4, s"blk $blk membership")
+      assert(math.abs(rows.map(_._3).sum) < 1e-9, s"blk $blk Σactive_w = 0")
+      // Σ (w−¼)(r_a − r_B) = Σ w·r_a − r_B = active return
+      val rB = rows.map(_._4).sum / 4.0
+      val active = rows.map(r => (r._3 + 0.25) * r._4).sum - rB
+      assert(math.abs(rows.map(_._5).sum - active) < 1e-5,
+        s"blk $blk attribution identity")
+    }
+  }
+
+  test("streaming_split sink report equals the batch corpus_split exactly") {
+    val batch = SparkEntry.queries("corpus_split")(spark, dir)
+      .select($"source", $"split", $"n_docs", $"n_tokens", $"frac")
+      .as[(String, String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val streamed = SparkEntry.queries("streaming_split")(spark, dir)
+      .select($"source", $"split", $"n_docs", $"n_tokens", $"frac")
+      .as[(String, String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed == batch)
+  }
+
+  test("layout_overlap: disjoint consecutive shards touch ≤ 1 file per probe") {
+    val out = SparkEntry.queries("layout_overlap")(spark, dir)
+      .select($"source", $"n_shards", $"avg_touched", $"skip_frac")
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    for ((src, n, avg, skip) <- out) {
+      // the shard plan tiles each source's id order → ranges disjoint
+      assert(avg <= 1.0 + 1e-9, s"$src avg_touched")
+      assert(avg >= 0.0 && skip >= 0.0 && skip <= 1.0, src)
+      if (n > 1) assert(skip > 0.0, s"$src must skip with $n shards")
+    }
+  }
+
   test("eod_hurst: all series emit, R/S means positive, H in a sane band") {
     val out = SparkEntry.queries("eod_hurst")(spark, dir)
       .select($"event_type", $"mrs_8", $"mrs_32", $"mrs_128", $"hurst")
