@@ -600,6 +600,30 @@ object SparkEntry {
             * stddev_samp(col("rb")) * Eod.TradingDaysPerYear, 6) + lit(0.0))
             .as("m2_ann"))
         .orderBy(col("pair_id"))),
+    // Jobson–Korkie/Memmel Sharpe-difference test (op 204 — "is this
+    // fund's Sharpe REALLY higher than the benchmark's?"): z =
+    // (SRa − SRb)/√(θ/n), θ = 2(1−ρ) + ½(SRa² + SRb² − SRa·SRb(1+ρ²))
+    // (Memmel 2003's correction of JK 1981). Per-period Sharpes
+    // (annualization cancels in the ratio), one paired hash agg.
+    "eod_sharpe_test" -> ((s, dir) =>
+      pairedReturnsVsView(s, dir)
+        .where(col("ra").isNotNull && col("rb").isNotNull)
+        .groupBy(col("pair_id"))
+        .agg(count(lit(1)).as("n"),
+          (avg(col("ra")) / stddev_samp(col("ra"))).as("sra"),
+          (avg(col("rb")) / stddev_samp(col("rb"))).as("srb"),
+          corr(col("ra"), col("rb")).as("rho"))
+        .select(col("pair_id"), col("n"),
+          (round(col("sra"), 6) + lit(0.0)).as("sr_a"),
+          (round(col("srb"), 6) + lit(0.0)).as("sr_b"),
+          (round((col("sra") - col("srb")) / sqrt(
+            (lit(2.0) * (lit(1.0) - col("rho"))
+              + lit(0.5) * (col("sra") * col("sra")
+                + col("srb") * col("srb")
+                - col("sra") * col("srb")
+                  * (lit(1.0) + col("rho") * col("rho"))))
+              / col("n")), 6) + lit(0.0)).as("z_stat"))
+        .orderBy(col("pair_id"))),
     // Ljung–Box portmanteau test at lags 1..5 (op 182, the
     // significance companion to op 127's ACF): Q = n(n+2)·Σ ρ_k²/(n−k)
     // with ρ_k the pairwise lag-k correlation (the eod_acf kernel) and
@@ -1401,6 +1425,31 @@ object SparkEntry {
           col("O").as("rev_o"), col("P").as("rev_p"))
         .orderBy(col("o_orderpriority"))
     }),
+    // TPC-H Q3 shape (op 205, the shipping-priority report — the
+    // canonical 3-way join + sort-limit every warehouse benchmarks):
+    // segment filter on the customer dim, date filters on BOTH fact
+    // scans (all three reach the parquet readers as pushed
+    // predicates), revenue as exact DECIMAL so the top-10 order is a
+    // total order (ties break on l_orderkey), rounded only on output.
+    "rel_tpch_q3" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      val cut = lit("1998-01-01").cast("timestamp")
+      c.where(col("c_mktsegment") === "BUILDING")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < cut)
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > cut)
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,8)")).as("rev"),
+          unix_micros(max(col("o_orderdate"))).as("o_orderdate_us"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          col("o_orderdate_us"))
+    }),
     // Cube (op 185): revenue over ALL 2² grouping combinations of
     // (region, order priority) in ONE Expand+agg pass — the OLAP
     // completion of op 165's rollup (which only emits the prefix
@@ -2031,6 +2080,23 @@ object SparkEntry {
         |    AS m2_ann
         |FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
         |GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+    "eod_sharpe_test" ->
+      s"""$PAIRED_CTE, a AS (
+        |  SELECT pair_id, count(*) AS n,
+        |    avg(ra) / stddev_samp(ra) AS sra,
+        |    avg(rb) / stddev_samp(rb) AS srb,
+        |    corr(ra, rb) AS rho
+        |  FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL GROUP BY pair_id
+        |)
+        |SELECT pair_id, n,
+        |  round(sra, 6) + 0.0 AS sr_a,
+        |  round(srb, 6) + 0.0 AS sr_b,
+        |  round((sra - srb) / sqrt(
+        |    (2.0 * (1.0 - rho)
+        |     + 0.5 * (sra * sra + srb * srb
+        |              - sra * srb * (1.0 + rho * rho))) / n), 6) + 0.0
+        |    AS z_stat
+        |FROM a ORDER BY pair_id""".stripMargin,
     "eod_ljung_box" ->
       (s"""$R_CTE, l AS (
         |  SELECT event_type, ret,
@@ -2763,6 +2829,25 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "rel_tpch_q3" ->
+      """WITH j AS (
+        |  SELECT l_orderkey,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8)) AS r,
+        |    o_orderdate
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01'
+        |), g AS (
+        |  SELECT l_orderkey, sum(r) AS rev,
+        |    epoch_us(max(o_orderdate)) AS o_orderdate_us
+        |  FROM j GROUP BY l_orderkey
+        |)
+        |SELECT l_orderkey, round(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  o_orderdate_us
+        |FROM g ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin,
     "rel_cube" ->
       """SELECT coalesce(r_name, 'ALL') AS r_name,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
@@ -2845,6 +2930,60 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         round(Text.qualityScore(col("text")), 6).as("quality"))),
+    // Character entropy (op 206, the compressibility proxy): Shannon
+    // H = ln n − Σc·ln c / n over per-doc character counts — templated
+    // or repeated text scores low, the quality signal compression-
+    // based filters approximate. Per-char terms c·ln c quantize to
+    // 1e-9 longs (integer sums; a term flip moves H by ~1e-11, far
+    // under the 1e-6 output grid); explode → two keyed hash aggs.
+    "text_char_entropy" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .where(col("ch") =!= "")
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        .withColumn("tq", floor(col("c") * log(col("c").cast("double"))
+          * 1e9 + 0.5).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_chars_total"),
+          count(lit(1)).as("distinct_chars"), sum(col("tq")).as("stq"))
+        .select(col("doc_id"), col("n_chars_total"), col("distinct_chars"),
+          (floor((log(col("n_chars_total").cast("double"))
+            - col("stq").cast("double") / 1e9 / col("n_chars_total"))
+            * 1e6 + 0.5) / 1e6).as("entropy"))),
+    // Top bigrams by PMI (op 207; Church & Hanks 1990): pointwise
+    // mutual information ln((B/N_b)·(N_u/U_x)·(N_u/U_y)) over corpus
+    // bigram/unigram counts, min count 5, top 20 by (PMI, bigram) —
+    // collocation mining, the classic phrase detector (word2vec's
+    // phrase pass is this formula with a discount). All counts are
+    // integers; PMI is one ln of an exact-integer-ratio product with
+    // IDENTICAL parenthesization in the oracle; two keyed joins of
+    // the bigram relation against the unigram counts.
+    "text_pmi_bigrams" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val d = tbl(s, dir, "documents")
+      val bi = d.select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("b"))
+      val uni = d.select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("u"))
+      val nb = bi.agg(sum(col("b")).as("n_b"))
+      val nu = uni.agg(sum(col("u")).as("n_u"))
+      bi.where(col("b") >= 5)
+        .join(uni.withColumnRenamed("w", "x").withColumnRenamed("u", "ux"), "x")
+        .join(uni.withColumnRenamed("w", "y").withColumnRenamed("u", "uy"), "y")
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .withColumn("pmi", log(
+          (col("b").cast("double") / col("n_b"))
+            * (col("n_u").cast("double") / col("ux"))
+            * (col("n_u").cast("double") / col("uy"))))
+        .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+          col("b").as("b_count"), (round(col("pmi"), 6) + lit(0.0)).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(20)
+    }),
     // Curriculum schedule (op 189): the corpus bucketed into quality
     // bins, highest first — the "easy/clean data early" training
     // order, emitted as a phase table a data loader consumes. Binning
@@ -2954,6 +3093,20 @@ object SparkEntry {
       Dedup.clusters(Dedup.minhashLshPairs(docCorpus(s, dir), "doc_id", "text"),
           "id_a", "id_b")
         .orderBy(col("id"))),
+    // Duplicate-cluster size histogram (op 203, the dedup report's
+    // shape diagnostic): how big are the near-dup families — a corpus
+    // of pairs dedups cheaply, a power-law tail of giant clusters is
+    // where hot-bucket caps and keep-one policies earn their keep.
+    // Two keyed aggs over the op-81 component table; n_dup_docs =
+    // (size−1)·clusters is what keep-one-per-cluster would remove.
+    "dedup_cluster_stats" -> ((s, dir) =>
+      Dedup.clusters(Dedup.minhashLshPairs(docCorpus(s, dir), "doc_id", "text"),
+          "id_a", "id_b")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          ((col("cluster_size") - 1) * count(lit(1))).as("n_dup_docs"))
+        .orderBy(col("cluster_size"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docCorpus(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -3143,6 +3296,36 @@ object SparkEntry {
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rnk"))
+    }),
+    // MIPS top-k (op 208): maximum INNER PRODUCT — the retrieval
+    // objective when magnitudes carry signal (recommender scores,
+    // un-normalized rerankers) where cosine ANN ranks wrong. Scores
+    // are INTEGER folds of 1e-4-quantized components (exact under any
+    // order, so top-k by (score, id) is a total order both engines
+    // agree on bit-for-bit). Brute scan is the small-query-set
+    // baseline (queries broadcast); at scale the standard reduction
+    // (Bachrach 2014: augment with √(M²−‖x‖²) → cosine problem) runs
+    // this through the op-52/63 LSH/IVF machinery unchanged.
+    "ann_topk_mips" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding")
+          .cast("array<double>"),
+          x => floor(x * 1e4 + 0.5).cast("long")).as("q"))
+      val qs = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("q").as("qv"))
+      val cands = e.where(col("vec_id") >= 3)
+        .select(col("vec_id").as("neighbor_id"), col("q").as("cv"))
+      val wQ = Window.partitionBy(col("query_id"))
+        .orderBy(col("ip_q").desc, col("neighbor_id"))
+      cands.crossJoin(broadcast(qs))
+        .withColumn("ip_q", aggregate(
+          zip_with(col("qv"), col("cv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("rank", row_number().over(wQ).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("ip_q") / 1e8, 6).as("inner_product"))
+        .orderBy(col("query_id"), col("rank"))
     }),
     // Approximate by design but fully deterministic (md5-derived planes
     // / lowest-id centroids), so DuckDB replays the exact same buckets.
@@ -4548,16 +4731,23 @@ object SparkEntry {
           posexplode(col("embedding").cast("array<double>"))
             .as(Seq("pos", "x")))
         .withColumn("xq0", floor(col("x") * 1e4 + 0.5).cast("long"))
+      // localCheckpoint (the Lloyd/Dedup.clusters idiom): without it
+      // the declarative 6-iteration chain re-derives the explode +
+      // centering + array assembly ~12× inside one plan — measured
+      // 11.2 s at sf0.1; checkpointing the shared relations and each
+      // superseded iterate cuts it to one derivation per input
       val means = ex.groupBy(col("pos"))
         .agg((sum(col("xq0")).cast("double") / count(lit(1)) / 1e4).as("mu"),
           count(lit(1)).as("n"),
           sum(col("xq0") * col("xq0")).as("sxx"), sum(col("xq0")).as("sx"))
+        .localCheckpoint()
       val rows = ex.join(broadcast(means.select(col("pos"), col("mu"))), "pos")
         .withColumn("xq", floor((col("x") - col("mu")) * 1e4 + 0.5)
           .cast("long"))
         .groupBy(col("id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"),
             col("xq")))), e => e.getField("xq")).as("xqa"))
+        .localCheckpoint()
       def vArr(vdf: DataFrame): DataFrame = vdf
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("vq")))), e => e.getField("vq")).as("va"))
@@ -4579,8 +4769,12 @@ object SparkEntry {
       }
       val v0 = means.select(col("pos"),
         lit(math.floor(1.0 / 8.0 * 1e4 + 0.5).toLong).as("vq"))
-      val vFinal = (1 to 5).foldLeft(v0)((v, _) => normed(multiply(v))
-        .select(col("pos"), col("vq")))
+      val vFinal = (1 to 5).foldLeft(v0) { (v, _) =>
+        val next = normed(multiply(v)).select(col("pos"), col("vq"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(v)
+        next
+      }
       val wLast = normed(multiply(vFinal))
       val scalars = means
         .withColumn("varp", ((col("sxx").cast("double")
@@ -5425,6 +5619,63 @@ object SparkEntry {
           |  0.4 * (len(list_filter(toks, x -> $stopCond)) / greatest(len(toks), 1)) +
           |  0.2 * (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(len(toks), 1), 1.0)), 6) AS quality
           |FROM t""".stripMargin,
+      // op 206: same per-char integer counts, same 1e-9-quantized
+      // c·ln c terms, same floor-q6 entropy.
+      "text_char_entropy" ->
+        """WITH c AS (
+          |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+          |  FROM documents
+          |), g AS (
+          |  SELECT doc_id, ch, count(*) AS c FROM c WHERE ch <> ''
+          |  GROUP BY 1, 2
+          |), q AS (
+          |  SELECT doc_id, c,
+          |    CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS tq
+          |  FROM g
+          |), a AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_total,
+          |    count(*) AS distinct_chars, CAST(sum(tq) AS BIGINT) AS stq
+          |  FROM q GROUP BY doc_id
+          |)
+          |SELECT doc_id, n_chars_total, distinct_chars,
+          |  floor((ln(CAST(n_chars_total AS DOUBLE))
+          |         - CAST(stq AS DOUBLE) / 1e9 / n_chars_total)
+          |        * 1e6 + 0.5) / 1e6 AS entropy
+          |FROM a""".stripMargin,
+      // op 207: identical integer counts and the identically
+      // parenthesized PMI product; ordered by the ROUNDED pmi so the
+      // limit-20 selection matches the Spark query's total order.
+      "text_pmi_bigrams" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          |  FROM documents
+          |), bi0 AS (
+          |  SELECT unnest(list_transform(range(1, len(toks)),
+          |    i -> struct_pack(x := toks[i], y := toks[i + 1]))) AS p
+          |  FROM t
+          |), bi AS (
+          |  SELECT p.x AS x, p.y AS y, count(*) AS b
+          |  FROM bi0 GROUP BY 1, 2
+          |), uni AS (
+          |  SELECT unnest(toks) AS w FROM t
+          |), uc AS (SELECT w, count(*) AS u FROM uni GROUP BY w),
+          |nb AS (SELECT CAST(sum(b) AS BIGINT) AS n_b FROM bi),
+          |nu AS (SELECT CAST(sum(u) AS BIGINT) AS n_u FROM uc),
+          |j AS (
+          |  SELECT bi.x, bi.y, bi.b, ux.u AS ux, uy.u AS uy, n_b, n_u
+          |  FROM bi JOIN uc ux ON bi.x = ux.w
+          |          JOIN uc uy ON bi.y = uy.w
+          |  CROSS JOIN nb CROSS JOIN nu
+          |  WHERE bi.b >= 5
+          |), sc AS (
+          |  SELECT x || ' ' || y AS bigram, b AS b_count,
+          |    round(ln((CAST(b AS DOUBLE) / n_b)
+          |      * (CAST(n_u AS DOUBLE) / ux)
+          |      * (CAST(n_u AS DOUBLE) / uy)), 6) + 0.0 AS pmi
+          |  FROM j
+          |)
+          |SELECT bigram, b_count, pmi FROM sc
+          |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
       // op 189: same quality kernel, integer binning on the quantized
       // score, floor-mean; BIGINT casts pin the hugeint sums.
       "corpus_curriculum" ->
@@ -5768,6 +6019,28 @@ object SparkEntry {
           |)
           |SELECT src AS id, least(src, min(dst)) AS cluster_id
           |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+      // op 203: the op-81 component table re-aggregated twice.
+      "dedup_cluster_stats" ->
+        s"""WITH RECURSIVE pairs AS (
+          |  $minhashPairsSql
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          |  WHERE e.dst != r.src
+          |), comp AS (
+          |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+          |  FROM reach GROUP BY src
+          |), sz AS (
+          |  SELECT cluster_id, count(*) AS cluster_size
+          |  FROM comp GROUP BY cluster_id
+          |)
+          |SELECT cluster_size, count(*) AS n_clusters,
+          |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dup_docs
+          |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
       "dedup_simhash" ->
         s"""$TOKS_CTE, tok AS (
           |  SELECT doc_id, unnest(toks) AS _w FROM t
@@ -5850,6 +6123,29 @@ object SparkEntry {
           |)
           |SELECT id_a, id_b, round(cosine, 6) AS cosine
           |FROM p WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+      // op 208: identical 1e-4 component quantization, integer inner
+      // products → the (score, id) top-k is the same total order.
+      "ann_topk_mips" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+          |    x -> CAST(floor(x * 1e4 + 0.5) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), qs AS (SELECT vec_id AS query_id, q AS qv FROM v WHERE vec_id < 3),
+          |cs AS (SELECT vec_id AS neighbor_id, q AS cv FROM v WHERE vec_id >= 3),
+          |sc AS (
+          |  SELECT query_id, neighbor_id,
+          |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+          |      i -> qv[i] * cv[i])) AS BIGINT) AS ip_q
+          |  FROM cs CROSS JOIN qs
+          |), rk AS (
+          |  SELECT *, CAST(row_number() OVER (
+          |    PARTITION BY query_id ORDER BY ip_q DESC, neighbor_id)
+          |    AS BIGINT) AS rank
+          |  FROM sc
+          |)
+          |SELECT query_id, rank, neighbor_id,
+          |  round(ip_q / 1e8, 6) AS inner_product
+          |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "ann_topk_bruteforce" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),

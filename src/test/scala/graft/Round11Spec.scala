@@ -406,6 +406,124 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("rel_tpch_q3: top-10 revenue orders recomputed from raw tables") {
+    val got = SparkEntry.queries("rel_tpch_q3")(spark, dir)
+      .select($"l_orderkey", $"revenue").as[(Long, Double)].collect()
+    assert(got.length <= 10)
+    val cut = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)]
+      .collect().filter(_._2 == "BUILDING").map(_._1).toSet
+    val ords = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .filter(o => cust(o._2) && o._3.before(cut)).map(_._1).toSet
+    val rev = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount", $"l_shipdate")
+      .as[(Long, Double, Double, java.sql.Timestamp)].collect()
+      .filter(l => ords(l._1) && l._4.after(cut))
+      .groupBy(_._1).view
+      .mapValues(_.map(l => BigDecimal(l._2 * (1.0 - l._3))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum).toMap
+    val want = rev.toSeq.sortBy { case (k, r) => (-r, k) }.take(10)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq, "same top-10 keys")
+    for (((k, r), (wk, wr)) <- got.zip(want))
+      assert(math.abs(r - wr.toDouble) < 0.02, s"order $k revenue")
+  }
+
+  test("eod_sharpe_test: z recomputed from raw paired returns") {
+    val rets = returnsBySeries()
+    val rb = rets("view")
+    val got = SparkEntry.queries("eod_sharpe_test")(spark, dir)
+      .select($"pair_id", $"z_stat").as[(String, Double)].collect().toMap
+    for ((k, ra) <- rets if k != "view") {
+      val n = math.min(ra.length, rb.length)
+      val (a, b) = (ra.take(n), rb.take(n))
+      val sra = mean(a) / sampStd(a)
+      val srb = mean(b) / sampStd(b)
+      val rho = corr(a, b)
+      val theta = 2.0 * (1.0 - rho) +
+        0.5 * (sra * sra + srb * srb - sra * srb * (1.0 + rho * rho))
+      val z = (sra - srb) / math.sqrt(theta / n)
+      assert(math.abs(got(k) - z) < 1e-5, s"$k z")
+    }
+  }
+
+  test("dedup_cluster_stats histogram covers the planted duplicate families") {
+    val out = SparkEntry.queries("dedup_cluster_stats")(spark, dir)
+      .select($"cluster_size", $"n_clusters", $"n_dup_docs")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._1 >= 2), "clusters are ≥ 2 by construction")
+    assert(out.forall(r => r._3 == (r._1 - 1) * r._2))
+    // total clustered docs must equal the component-table row count
+    val compRows = SparkEntry.queries("dedup_clusters")(spark, dir).count()
+    assert(out.map(r => r._1 * r._2).sum == compRows)
+  }
+
+  test("text_char_entropy: a uniform-chars doc recomputes exactly") {
+    val out = SparkEntry.queries("text_char_entropy")(spark, dir)
+      .select($"doc_id", $"n_chars_total", $"distinct_chars", $"entropy")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // recompute one doc by hand
+    val (id, text) = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].head()
+    val counts = text.toSeq.groupBy(identity).view.mapValues(_.length).toMap
+    val n = text.length.toDouble
+    val h = math.log(n) - counts.values.map(c =>
+      math.floor(c * math.log(c) * 1e9 + 0.5) / 1e9).sum / n
+    val got = out.find(_._1 == id).get
+    assert(got._2 == text.length && got._3 == counts.size)
+    assert(math.abs(got._4 - math.floor(h * 1e6 + 0.5) / 1e6) < 2e-6)
+    // bound: H ≤ ln(distinct)
+    assert(out.forall(r => r._4 <= math.log(r._3.toDouble) + 1e-6))
+  }
+
+  test("text_pmi_bigrams: counts verified against a direct recount") {
+    val out = SparkEntry.queries("text_pmi_bigrams")(spark, dir)
+      .select($"bigram", $"b_count", $"pmi")
+      .as[(String, Long, Double)].collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"text").as[String].collect()
+    val bcount = scala.collection.mutable.Map[String, Long]()
+    for (t <- texts) {
+      val ws = t.trim.split("\\s+")
+      for (Array(a, b) <- ws.sliding(2).collect { case a if a.length == 2 => a })
+        bcount(s"$a $b") = bcount.getOrElse(s"$a $b", 0L) + 1
+    }
+    for ((bg, c, pmi) <- out) {
+      assert(bcount(bg) == c, s"count of '$bg'")
+      assert(c >= 5)
+      assert(!pmi.isNaN && !pmi.isInfinite)
+    }
+  }
+
+  test("ann_topk_mips: integer inner products match a direct computation") {
+    val out = SparkEntry.queries("ann_topk_mips")(spark, dir)
+      .select($"query_id", $"rank", $"neighbor_id", $"inner_product")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 15) // 3 queries × top-5
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) =>
+        id -> v.map(x => math.floor(x * 1e4 + 0.5).toLong).toArray }.toMap
+    for ((q, _, nb, ip) <- out) {
+      val want = vecs(q).zip(vecs(nb)).map { case (a, b) => a * b }.sum / 1e8
+      assert(math.abs(ip - want) < 1e-6, s"q$q nb$nb")
+    }
+    // rank 1 really is the max over all candidates for each query
+    for (q <- Seq(0L, 1L, 2L)) {
+      val best = vecs.filter(_._1 >= 3).map { case (id, v) =>
+        (vecs(q).zip(v).map { case (a, b) => a * b }.sum, id) }
+        .maxBy { case (s2, id) => (s2, -id) }
+      val got1 = out.filter(r => r._1 == q && r._2 == 1L).head
+      assert(got1._3 == best._2, s"query $q argmax")
+    }
+  }
+
   test("eod_hurst: all series emit, R/S means positive, H in a sane band") {
     val out = SparkEntry.queries("eod_hurst")(spark, dir)
       .select($"event_type", $"mrs_8", $"mrs_32", $"mrs_128", $"hurst")
