@@ -132,6 +132,7 @@ object SparkEntry {
     */
   private val FourLn2 = 4.0 * math.log(2.0)        // 2.772588722239781
   private val GkWeight = 2.0 * math.log(2.0) - 1.0 // 0.3862943611198906
+  private val PiOver2 = math.Pi / 2.0              // 1.5707963267948966
   private val SQL_STABLE = "(100.0 + (event_id % 21 - 10) / 10.0)"
   private val SQL_SMALLRET = "((event_id % 7 - 3) / 1000.0)"
   private val SQL_ANNRET = "(value / 100000.0)"
@@ -624,6 +625,56 @@ object SparkEntry {
                   * (lit(1.0) + col("rho") * col("rho"))))
               / col("n")), 6) + lit(0.0)).as("z_stat"))
         .orderBy(col("pair_id"))),
+    // Lo (2002) autocorrelation-adjusted Sharpe (op 209): the iid
+    // √252 annualizer overstates the Sharpe of autocorrelated
+    // series; the correct factor is q/√(q + 2Σ_{k<q}(q−k)ρ_k),
+    // truncated at 5 lags (the op-127 ACF kernel — ρ≈0 beyond).
+    // One window pass builds the lags, ONE hash agg composes the
+    // statistic; the weighted ρ sum is left-associated identically
+    // on both engines.
+    "eod_sharpe_adj" -> ((s, dir) => {
+      val lagged = withRet(s, dir).select(
+        Seq(col("event_type"), col("ret")) ++
+          (1 to 5).map(kk => lag(col("ret"), kk).over(wT).as(s"l$kk")): _*)
+      val rhoSum = (1 to 5).map(kk =>
+        lit((NP - kk).toDouble) * corr(col("ret"), col(s"l$kk")))
+        .reduce(_ + _)
+      lagged.groupBy(col("event_type"))
+        .agg(count(col("ret")).as("n"),
+          (avg(col("ret") - lit(rfPeriodic)) /
+            stddev_samp(col("ret") - lit(rfPeriodic))).as("srp"),
+          rhoSum.as("rs"))
+        .select(col("event_type"), col("n"),
+          (round(col("srp") * lit(math.sqrt(252.0)), 6) + lit(0.0))
+            .as("sharpe_iid"),
+          (round(col("srp") * lit(252.0) /
+            sqrt(lit(252.0) + lit(2.0) * col("rs")), 6) + lit(0.0))
+            .as("sharpe_adj"))
+        .orderBy(col("event_type"))
+    }),
+    // Calendar extremes (op 210 — ffn's best_day/worst_day family):
+    // best/worst single-tick return plus best/worst calendar-DAY
+    // compound return (day eop via max_by(ts), the op-135 kernel;
+    // the testdata spans one month, so day is the calendar grain
+    // with real support). min/max only — order-independent, no sum
+    // nondeterminism anywhere.
+    "eod_extremes" -> ((s, dir) => {
+      val tick = withRet(s, dir).groupBy(col("event_type"))
+        .agg((round(max(col("ret")), 6) + lit(0.0)).as("best_tick"),
+          (round(min(col("ret")), 6) + lit(0.0)).as("worst_tick"))
+      val wD = Window.partitionBy(col("event_type"))
+        .orderBy(col("yr"), col("mo"), col("dy"))
+      val day = events(s, dir)
+        .groupBy(col("event_type"), year(col("ts")).as("yr"),
+          month(col("ts")).as("mo"), dayofmonth(col("ts")).as("dy"))
+        .agg(max_by(col("value"), col("ts")).as("eop"))
+        .select(col("event_type"),
+          (col("eop") / lag(col("eop"), 1).over(wD) - 1).as("dret"))
+        .groupBy(col("event_type"))
+        .agg((round(max(col("dret")), 6) + lit(0.0)).as("best_day"),
+          (round(min(col("dret")), 6) + lit(0.0)).as("worst_day"))
+      tick.join(day, "event_type").orderBy(col("event_type"))
+    }),
     // Ljung–Box portmanteau test at lags 1..5 (op 182, the
     // significance companion to op 127's ACF): Q = n(n+2)·Σ ρ_k²/(n−k)
     // with ρ_k the pairwise lag-k correlation (the eod_acf kernel) and
@@ -1135,6 +1186,26 @@ object SparkEntry {
           "stack(5, 1, a1, 2, a2, 3, a3, 4, a4, 5, a5) AS (lag_k, sign_acf)")
         .orderBy(col("event_type"), col("lag_k"))
     }),
+    // Bipower variation & jump share (op 211; Barndorff-Nielsen &
+    // Shephard 2004): BV = (π/2)·Σ|r_i||r_{i−1}| is robust to jumps
+    // while RV = Σr² is not, so max(0, 1 − BV/RV) isolates the jump
+    // contribution to realized variance. One window pass (log return
+    // + its lag), one hash agg; π/2 inlined as the same round-trip
+    // double literal on both engines.
+    "tick_bipower" -> ((s, dir) => {
+      val lagged = events(s, dir)
+        .withColumn("lr", Tick.microReturns(col("value"), wT))
+        .withColumn("lp", lag(col("lr"), 1).over(wT))
+      lagged.groupBy(col("event_type"))
+        .agg(sum(col("lr") * col("lr")).as("rvr"),
+          (lit(PiOver2) * sum(abs(col("lr")) * abs(col("lp")))).as("bvr"))
+        .select(col("event_type"),
+          round(col("rvr"), 6).as("rv"),
+          round(col("bvr"), 6).as("bv"),
+          (round(greatest(lit(0.0), lit(1.0) - col("bvr") / col("rvr")), 6)
+            + lit(0.0)).as("jump_share"))
+        .orderBy(col("event_type"))
+    }),
     // Lo–MacKinlay variance ratio (op 128): VR(q) = Var(q-period log
     // return)/(q·Var(1-period)) over non-overlapping complete blocks.
     // Log returns quantize to 1e-6 longs BEFORE the block sums so the
@@ -1489,6 +1560,48 @@ object SparkEntry {
           round(min(col("pr")), 6).as("min_pr"),
           round(max(col("cd")), 6).as("max_cd"))
         .orderBy(col("c_mktsegment"), col("decile"))
+    }),
+    // TPC-H Q5 shape (op 212, local-supplier revenue): the 6-way
+    // join whose distinguishing constraint is c_nationkey =
+    // s_nationkey — two INDEPENDENT dimension paths that must agree,
+    // which no snowflake traversal expresses. The region filter
+    // prunes the broadcast nation⋈region branch before any fact
+    // shuffle; revenue sums in exact DECIMAL.
+    "rel_tpch_q5" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem"); val sup = tbl(s, dir, "supplier")
+      val n = tbl(s, dir, "nation"); val r = tbl(s, dir, "region")
+      val asia = broadcast(n.join(r.where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey")))
+      c.join(asia, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+    // Decorrelated scalar subquery (op 213): "orders above their
+    // customer's average order value" — the correlated-subquery
+    // shape every optimizer decorrelates. Spark-first it is ONE
+    // window agg (sum+count per customer, no self-join), and the
+    // comparison runs in exact DECIMAL cross-multiplied form
+    // (price·n > Σprice) so the boundary row never depends on float
+    // averaging order.
+    "rel_above_avg" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val wC = Window.partitionBy(col("o_custkey"))
+      o.withColumn("s", sum(col("o_totalprice").cast("decimal(30,8)")).over(wC))
+        .withColumn("n", count(lit(1)).over(wC))
+        .where(col("o_totalprice").cast("decimal(30,8)") * col("n") > col("s"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_above"),
+          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2)
+            .as("sum_above"))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -2097,6 +2210,50 @@ object SparkEntry {
         |              - sra * srb * (1.0 + rho * rho))) / n), 6) + 0.0
         |    AS z_stat
         |FROM a ORDER BY pair_id""".stripMargin,
+    // op 209: same lag columns, same left-associated weighted ρ sum,
+    // same (srp · 252)/√(252 + 2Σ) parenthesization.
+    "eod_sharpe_adj" ->
+      (s"""$R_CTE, l AS (
+        |  SELECT event_type, ret,
+        |""".stripMargin +
+        (1 to 5).map(k => s"    lag(ret, $k) OVER w AS l$k").mkString(",\n") +
+        s"""
+        |  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), a AS (
+        |  SELECT event_type, count(ret) AS n,
+        |    avg(ret - $RF_LIT) / stddev_samp(ret - $RF_LIT) AS srp,
+        |    ((((251.0 * corr(ret, l1) + 250.0 * corr(ret, l2))
+        |       + 249.0 * corr(ret, l3)) + 248.0 * corr(ret, l4))
+        |       + 247.0 * corr(ret, l5)) AS rs
+        |  FROM l GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |  round(srp * ${java.lang.Double.toString(math.sqrt(252.0))}, 6) + 0.0 AS sharpe_iid,
+        |  round(srp * 252.0 / sqrt(252.0 + 2.0 * rs), 6) + 0.0 AS sharpe_adj
+        |FROM a ORDER BY event_type""".stripMargin),
+    // op 210: min/max only; the day leg replays the op-135 arg_max
+    // day-eop kernel.
+    "eod_extremes" ->
+      s"""$R_CTE, t AS (
+        |  SELECT event_type, round(max(ret), 6) + 0.0 AS best_tick,
+        |         round(min(ret), 6) + 0.0 AS worst_tick
+        |  FROM r GROUP BY event_type
+        |), m AS (
+        |  SELECT event_type, year(ts) AS yr, month(ts) AS mo,
+        |         day(ts) AS dy, arg_max(value, ts) AS eop
+        |  FROM events GROUP BY 1, 2, 3, 4
+        |), d AS (
+        |  SELECT event_type, eop / lag(eop, 1) OVER (
+        |    PARTITION BY event_type ORDER BY yr, mo, dy) - 1 AS dret
+        |  FROM m
+        |), dd AS (
+        |  SELECT event_type, round(max(dret), 6) + 0.0 AS best_day,
+        |         round(min(dret), 6) + 0.0 AS worst_day
+        |  FROM d GROUP BY event_type
+        |)
+        |SELECT t.event_type, best_tick, worst_tick, best_day, worst_day
+        |FROM t JOIN dd ON t.event_type = dd.event_type
+        |ORDER BY t.event_type""".stripMargin,
     "eod_ljung_box" ->
       (s"""$R_CTE, l AS (
         |  SELECT event_type, ret,
@@ -2551,6 +2708,26 @@ object SparkEntry {
         |""".stripMargin +
         (2 to 5).map(k => s"  UNION ALL SELECT event_type, $k, a$k FROM a").mkString("\n") +
         "\n) ORDER BY event_type, lag_k"),
+    // op 211: same log-return + lag pass, same π/2 round-trip
+    // literal, same greatest(0, 1 − BV/RV) parenthesization.
+    "tick_bipower" ->
+      s"""WITH t AS (
+        |  SELECT event_type, ts, event_id,
+        |    CASE WHEN value > 0 THEN ln(value) END
+        |      - lag(CASE WHEN value > 0 THEN ln(value) END) OVER w AS lr
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), l AS (
+        |  SELECT event_type, lr,
+        |    lag(lr, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lp
+        |  FROM t
+        |), a AS (
+        |  SELECT event_type, sum(lr * lr) AS rvr,
+        |    ${java.lang.Double.toString(PiOver2)} * sum(abs(lr) * abs(lp)) AS bvr
+        |  FROM l GROUP BY event_type
+        |)
+        |SELECT event_type, round(rvr, 6) AS rv, round(bvr, 6) AS bv,
+        |  round(greatest(0.0, 1.0 - bvr / rvr), 6) + 0.0 AS jump_share
+        |FROM a ORDER BY event_type""".stripMargin,
     "eod_variance_ratio" ->
       """WITH lr0 AS (
         |  SELECT event_type, ts, event_id,
@@ -2871,7 +3048,35 @@ object SparkEntry {
         |SELECT c_mktsegment, decile, count(*) AS n,
         |  round(min(pr), 6) AS min_pr, round(max(cd), 6) AS max_cd
         |FROM t GROUP BY c_mktsegment, decile
-        |ORDER BY c_mktsegment, decile""".stripMargin
+        |ORDER BY c_mktsegment, decile""".stripMargin,
+    // op 212: identical join predicates (incl. the c=s nation
+    // constraint) and the exact-DECIMAL revenue sum.
+    "rel_tpch_q5" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // op 213: the correlated form, decorrelated by DuckDB itself —
+    // the comparison stays in exact cross-multiplied DECIMAL.
+    "rel_above_avg" ->
+      """WITH s AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,8)))
+        |      OVER (PARTITION BY o_custkey) AS s,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders
+        |)
+        |SELECT o_custkey, count(*) AS n_above,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2)
+        |    AS sum_above
+        |FROM s WHERE CAST(o_totalprice AS DECIMAL(30,8)) * n > s
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 
   // =================================================================

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 second-wave additions: Lo adjusted Sharpe, calendar
+  * extremes, bipower variation, TPC-H Q5, decorrelated above-average
+  * subquery. Each query is checked against an INDEPENDENT in-test
+  * recomputation (collected rows + plain Scala math), not a
+  * restatement of the production expression.
+  */
+class Round11bSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(): Array[(String, java.sql.Timestamp, Long, Double)] =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_type", $"ts", $"event_id", $"value")
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .collect()
+
+  /** event_type → prices in (ts, event_id) order. */
+  private def pricesBySeries(): Map[String, Array[Double]] =
+    rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+    }
+
+  private def mean(xs: Array[Double]) = xs.sum / xs.length
+  private def sampStd(xs: Array[Double]) = {
+    val m = mean(xs)
+    math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+  }
+  private def corr(a: Array[Double], b: Array[Double]): Double = {
+    val (ma, mb) = (mean(a), mean(b))
+    val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+      b.map(y => (y - mb) * (y - mb)).sum)
+  }
+
+  test("tick_bipower matches a scalar recomputation of RV/BV/jump share") {
+    val got = SparkEntry.queries("tick_bipower")(spark, dir)
+      .select($"event_type", $"rv", $"bv", $"jump_share")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val prices = pricesBySeries()
+    assert(got.keySet == prices.keySet)
+    for ((k, p) <- prices) {
+      val lr = p.sliding(2).map { case Array(a, b) => math.log(b) - math.log(a) }.toArray
+      val rv = lr.map(x => x * x).sum
+      val bv = math.Pi / 2 * lr.sliding(2).map { case Array(a, b) => math.abs(b) * math.abs(a) }.sum
+      val js = math.max(0.0, 1.0 - bv / rv)
+      assert(math.abs(got(k)._1 - rv) < 2e-6, s"$k rv")
+      assert(math.abs(got(k)._2 - bv) < 2e-6, s"$k bv")
+      assert(math.abs(got(k)._3 - js) < 2e-6, s"$k jump")
+    }
+  }
+
+  test("eod_sharpe_adj: Lo (2002) annualizer from the first five ACF lags") {
+    val got = SparkEntry.queries("eod_sharpe_adj")(spark, dir)
+      .select($"event_type", $"sharpe_iid", $"sharpe_adj")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val rf = math.pow(1.05, 1.0 / 252) - 1.0
+    for ((k, p) <- pricesBySeries()) {
+      val r = p.sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+      val ex = r.map(_ - rf)
+      val srp = mean(ex) / sampStd(ex)
+      val rhos = (1 to 5).map(kk => corr(r.drop(kk), r.dropRight(kk)))
+      val rs = (1 to 5).map(kk => (252 - kk) * rhos(kk - 1)).sum
+      val iid = srp * math.sqrt(252.0)
+      val adj = srp * 252.0 / math.sqrt(252.0 + 2.0 * rs)
+      assert(math.abs(got(k)._1 - iid) < 2e-6, s"$k iid")
+      assert(math.abs(got(k)._2 - adj) < 2e-6, s"$k adj")
+    }
+  }
+
+  test("eod_extremes: best/worst tick and calendar-day returns") {
+    val got = SparkEntry.queries("eod_extremes")(spark, dir)
+      .select($"event_type", $"best_tick", $"worst_tick", $"best_day", $"worst_day")
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val byType = rows().groupBy(_._1)
+    for ((k, rs) <- byType) {
+      val sorted = rs.sortBy(r => (r._2.getTime, r._3))
+      val ticks = sorted.map(_._4).sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+      // day end-of-period price = value at max ts within the day
+      val eods = sorted.groupBy(r => r._2.toLocalDateTime.toLocalDate)
+        .toArray.sortBy(_._1.toString)
+        .map { case (_, day) => day.maxBy(r => (r._2.getTime, r._3))._4 }
+      val days = eods.sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+      assert(math.abs(got(k)._1 - ticks.max) < 2e-6, s"$k best_tick")
+      assert(math.abs(got(k)._2 - ticks.min) < 2e-6, s"$k worst_tick")
+      assert(math.abs(got(k)._3 - days.max) < 2e-6, s"$k best_day")
+      assert(math.abs(got(k)._4 - days.min) < 2e-6, s"$k worst_day")
+    }
+  }
+
+  test("rel_tpch_q5 matches an in-memory join recomputation") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey", $"c_nationkey").as[(Long, Int)].collect().toMap
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .select($"s_suppkey", $"s_nationkey").as[(Long, Int)].collect().toMap
+    val nat = spark.read.parquet(s"$dir/nation.parquet")
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .as[(Int, String, Int)].collect()
+    val reg = spark.read.parquet(s"$dir/region.parquet")
+      .select($"r_regionkey", $"r_name").as[(Int, String)].collect().toMap
+    val asiaNations = nat.filter(n => reg(n._3) == "ASIA")
+      .map(n => n._1 -> n._2).toMap
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect().toMap
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .as[(Long, Long, Double, Double)].collect()
+    val agg = collection.mutable.Map[String, (Double, Long)]()
+    for ((ok, sk, price, disc) <- li) {
+      val ck = orders(ok)
+      val cn = cust(ck)
+      if (asiaNations.contains(cn) && supp(sk) == cn) {
+        val name = asiaNations(cn)
+        val (r, c) = agg.getOrElse(name, (0.0, 0L))
+        agg(name) = (r + price * (1.0 - disc), c + 1)
+      }
+    }
+    val got = SparkEntry.queries("rel_tpch_q5")(spark, dir)
+      .select($"n_name", $"revenue", $"n_items")
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == agg.keySet.toSet)
+    for ((k, (rev, n)) <- agg) {
+      assert(math.abs(got(k)._1 - rev) < 0.02, s"$k revenue")
+      assert(got(k)._2 == n, s"$k n_items")
+    }
+  }
+
+  test("rel_above_avg matches a per-customer scalar recomputation") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
+    val byCust = orders.groupBy(_._1)
+    val expect = byCust.flatMap { case (ck, os) =>
+      val avgP = os.map(_._2).sum / os.length
+      val above = os.map(_._2).filter(_ > avgP)
+      if (above.nonEmpty) Some(ck -> (above.length.toLong, above.sum)) else None
+    }
+    val got = SparkEntry.queries("rel_above_avg")(spark, dir)
+      .select($"o_custkey", $"n_above", $"sum_above")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == expect.keySet.toSet)
+    for ((k, (n, s)) <- expect) {
+      assert(got(k)._1 == n, s"$k n_above")
+      assert(math.abs(got(k)._2 - s) < 0.02, s"$k sum_above")
+    }
+  }
+}
