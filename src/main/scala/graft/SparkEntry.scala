@@ -133,6 +133,7 @@ object SparkEntry {
   private val FourLn2 = 4.0 * math.log(2.0)        // 2.772588722239781
   private val GkWeight = 2.0 * math.log(2.0) - 1.0 // 0.3862943611198906
   private val PiOver2 = math.Pi / 2.0              // 1.5707963267948966
+  private val CsK = 3.0 - 2.0 * math.sqrt(2.0)     // 0.1715728752538097
   private val SQL_STABLE = "(100.0 + (event_id % 21 - 10) / 10.0)"
   private val SQL_SMALLRET = "((event_id % 7 - 3) / 1000.0)"
   private val SQL_ANNRET = "(value / 100000.0)"
@@ -1092,6 +1093,96 @@ object SparkEntry {
           round(avg(when(col("qls") > 0, 1.0).otherwise(0.0)), 6)
             .as("hit_rate"))
     }),
+    // Cross-sectional information coefficient (op 214, the
+    // signal-quality companion to op 175's backtest): per complete
+    // 5-asset period, Spearman ρ between the PREVIOUS period's
+    // return rank and this period's return rank — competition ranks
+    // with the event_type tiebreak make d integer, so ρ = 1 −
+    // 6Σd²/(n(n²−1)) is the same exact double on both engines; the
+    // IC series then summarizes to mean (floor-quantized integer
+    // sums), t-stat, and hit rate. Two rank windows + two hash aggs.
+    "eod_ic" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("sig", lag(col("ret"), 1).over(wT))
+        .where(col("sig").isNotNull)
+      val wS = Window.partitionBy(col("rn"))
+        .orderBy(col("sig").desc, col("event_type"))
+      val wR = Window.partitionBy(col("rn"))
+        .orderBy(col("ret").desc, col("event_type"))
+      val ic = r.withColumn("rs", row_number().over(wS))
+        .withColumn("rr", row_number().over(wR))
+        .withColumn("na", count(lit(1)).over(Window.partitionBy(col("rn"))))
+        .where(col("na") === 5)
+        .withColumn("d", (col("rs") - col("rr")).cast("double"))
+        .groupBy(col("rn"))
+        .agg((lit(1.0) - lit(6.0) * sum(col("d") * col("d")) / lit(120.0))
+          .as("ic"))
+        .withColumn("qic", floor(col("ic") * 1e6 + 0.5).cast("long"))
+      ic.agg(count(lit(1)).as("n_periods"),
+        (floor(sum(col("qic")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("mean_ic"),
+        round(avg(col("qic").cast("double") / 1e6) /
+          stddev_samp(col("qic").cast("double") / 1e6)
+          * sqrt(count(lit(1)).cast("double")), 6).as("ic_tstat"),
+        round(avg(when(col("qic") > 0, 1.0).otherwise(0.0)), 6)
+          .as("hit_rate"))
+    }),
+    // Inverse-volatility portfolio (op 216, risk parity's first-order
+    // approximation — the op-151/152 family's third weighting
+    // scheme): per complete 21-row block, each asset's weight for
+    // the NEXT block is (1/vol)/Σ(1/vol) from THIS block's realized
+    // vol. All cross-asset sums are integer (1/vol quantized to 1e-9
+    // longs, contributions to 1e-9 longs), so weights are exact
+    // integer ratios and the composite return is an exact integer
+    // sum — no float-order nondeterminism across engines or
+    // partitionings. Block vol comes from 1e-6-quantized integer
+    // sums with the squares through DECIMAL(19,0)² (the op-198
+    // convention — this corpus' 2682×-per-step returns overflow
+    // long q²), and the block return is the exact-integer-ratio MEAN
+    // period return (compounding overflows any fixed grid here; see
+    // op 151's log-space note).
+    "eod_inverse_vol" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("block", floor((col("rn") - 1) / 21).cast("long"))
+        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+      val blk = r.groupBy(col("event_type"), col("block"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+          sum(col("q").cast("decimal(19,0)") * col("q").cast("decimal(19,0)"))
+            .as("sq2"))
+        .where(col("n") === 21)
+        .withColumn("vol", sqrt((col("sq2").cast("double") / 1e12 -
+          (col("sq").cast("double") / 1e6) * (col("sq").cast("double") / 1e6)
+            / lit(21.0)) / lit(20.0)))
+        .withColumn("br", col("sq").cast("double") / 1e6 / lit(21.0))
+        .withColumn("iq", floor(lit(1.0) / col("vol") * 1e9 + 0.5).cast("long"))
+      val wts = blk.select(col("event_type"), (col("block") + 1).as("block"),
+        col("iq"))
+      val tot = wts.groupBy(col("block"))
+        .agg(sum(col("iq")).as("siq"), count(lit(1)).as("nw"))
+        .where(col("nw") === 5)
+      // both cross-sections must be complete: 5 weights (prior
+      // block) AND 5 asset returns (this block) — a trailing partial
+      // block would otherwise emit a portfolio whose weights don't
+      // sum to 1.
+      val full = blk.groupBy(col("block"))
+        .agg(count(lit(1)).as("nb")).where(col("nb") === 5)
+      val j = blk.select(col("event_type"), col("block"), col("br"))
+        .join(wts, Seq("event_type", "block"))
+        .join(tot.select(col("block"), col("siq")), Seq("block"))
+        .join(full.select(col("block")), Seq("block"))
+        .withColumn("w", col("iq").cast("double") / col("siq").cast("double"))
+        .withColumn("cq", floor(col("w") * col("br") * 1e9 + 0.5).cast("long"))
+      val port = j.groupBy(col("block"))
+        .agg((sum(col("cq")).cast("double") / 1e9).as("pr"))
+      j.join(port, Seq("block"))
+        .select(col("block"), col("event_type"),
+          round(col("w"), 6).as("weight"),
+          (round(col("br"), 6) + lit(0.0)).as("asset_ret"),
+          (round(col("pr"), 6) + lit(0.0)).as("port_ret"))
+        .orderBy(col("block"), col("event_type"))
+    }),
     // Drawdown episode summary (op 162, the calc_stats duration
     // block): aggregates the op-126 episode table per series —
     // episode count, deepest/mean depth (mean on 1e-6-quantized
@@ -1204,6 +1295,42 @@ object SparkEntry {
           round(col("bvr"), 6).as("bv"),
           (round(greatest(lit(0.0), lit(1.0) - col("bvr") / col("rvr")), 6)
             + lit(0.0)).as("jump_share"))
+        .orderBy(col("event_type"))
+    }),
+    // Corwin–Schultz high–low spread estimator (op 215; Corwin &
+    // Schultz 2012): bid-ask spread recovered from daily high/low
+    // ranges alone — β sums the two days' squared log ranges, γ is
+    // the squared log range of the two-day span, α combines them
+    // with k = 3 − 2√2, S = 2(e^α − 1)/(1 + e^α). Non-overlapping
+    // day pairs via lead() on odd row numbers; day highs/lows are
+    // exact parquet max/min, every transcendental sees the same
+    // double on both engines, negative estimates floor at 0 (the
+    // paper's convention). Mean spread per series over ~15 pairs.
+    "tick_corwin_schultz" -> ((s, dir) => {
+      val wD = Window.partitionBy(col("event_type"))
+        .orderBy(col("yr"), col("mo"), col("dy"))
+      val d = events(s, dir)
+        .groupBy(col("event_type"), year(col("ts")).as("yr"),
+          month(col("ts")).as("mo"), dayofmonth(col("ts")).as("dy"))
+        .agg(max(col("value")).as("hi"), min(col("value")).as("lo"))
+        .withColumn("rn", row_number().over(wD))
+        .withColumn("hi2", lead(col("hi"), 1).over(wD))
+        .withColumn("lo2", lead(col("lo"), 1).over(wD))
+        .where(col("rn") % 2 === 1 && col("hi2").isNotNull)
+      val k = CsK
+      val beta = pow(log(col("hi") / col("lo")), 2) +
+        pow(log(col("hi2") / col("lo2")), 2)
+      val gamma = pow(log(greatest(col("hi"), col("hi2")) /
+        least(col("lo"), col("lo2"))), 2)
+      val alpha = (sqrt(lit(2.0) * beta) - sqrt(beta)) / lit(k) -
+        sqrt(gamma / lit(k))
+      val cs = lit(2.0) * (exp(alpha) - lit(1.0)) / (lit(1.0) + exp(alpha))
+      d.withColumn("s_pos", greatest(lit(0.0), cs))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("s_pos")), 6).as("cs_spread"),
+          round(avg(when(col("s_pos") > 0, 1.0).otherwise(0.0)), 6)
+            .as("frac_pos"))
         .orderBy(col("event_type"))
     }),
     // Lo–MacKinlay variance ratio (op 128): VR(q) = Var(q-period log
@@ -2592,6 +2719,83 @@ object SparkEntry {
         |        * sqrt(252.0), 6) AS sharpe_ann,
         |  round(avg(CASE WHEN qls > 0 THEN 1.0 ELSE 0.0 END), 6) AS hit_rate
         |FROM ls""".stripMargin,
+    // op 214: identical competition ranks (same tiebreak), exact
+    // integer Σd², same 1 − 6Σd²/120 parenthesization, the op-175
+    // summary shape.
+    "eod_ic" ->
+      s"""$R_CTE, x AS (
+        |  SELECT event_type, ts, event_id, ret,
+        |    row_number() OVER w2 AS rn,
+        |    lag(ret) OVER w2 AS sig
+        |  FROM r WHERE ret IS NOT NULL
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), rk AS (
+        |  SELECT rn, event_type, ret, sig,
+        |    row_number() OVER (PARTITION BY rn ORDER BY sig DESC, event_type) AS rs,
+        |    row_number() OVER (PARTITION BY rn ORDER BY ret DESC, event_type) AS rr,
+        |    count(*) OVER (PARTITION BY rn) AS na
+        |  FROM x WHERE sig IS NOT NULL
+        |), p AS (
+        |  SELECT rn,
+        |    CAST(floor((1.0 - 6.0 * sum(((rs - rr)::DOUBLE) * ((rs - rr)::DOUBLE)) / 120.0)
+        |      * 1e6 + 0.5) AS BIGINT) AS qic
+        |  FROM rk WHERE na = 5 GROUP BY rn
+        |)
+        |SELECT count(*) AS n_periods,
+        |  floor(CAST(sum(qic) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_ic,
+        |  round(avg(CAST(qic AS DOUBLE) / 1e6) / stddev_samp(CAST(qic AS DOUBLE) / 1e6)
+        |        * sqrt(CAST(count(*) AS DOUBLE)), 6) AS ic_tstat,
+        |  round(avg(CASE WHEN qic > 0 THEN 1.0 ELSE 0.0 END), 6) AS hit_rate
+        |FROM p""".stripMargin,
+    // op 216: the same 1e-6/1e-9 integer quantizations, the same
+    // exact iq/Σiq weight ratios and 1e-9-quantized contribution
+    // sums — every double either derives from identical integers or
+    // is an exact integer ratio.
+    "eod_inverse_vol" ->
+      s"""$R_CTE, x AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM r WHERE ret IS NOT NULL
+        |), b0 AS (
+        |  SELECT event_type, CAST(floor((rn - 1) / 21) AS BIGINT) AS block,
+        |    CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS q
+        |  FROM x
+        |), blk AS (
+        |  SELECT event_type, block, count(*) AS n, sum(q) AS sq,
+        |    sum(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS sq2
+        |  FROM b0 GROUP BY 1, 2
+        |), v AS (
+        |  SELECT event_type, block,
+        |    sqrt((CAST(sq2 AS DOUBLE) / 1e12 -
+        |      (CAST(sq AS DOUBLE) / 1e6) * (CAST(sq AS DOUBLE) / 1e6) / 21.0) / 20.0) AS vol,
+        |    CAST(sq AS DOUBLE) / 1e6 / 21.0 AS br
+        |  FROM blk WHERE n = 21
+        |), iv AS (
+        |  SELECT event_type, block, br,
+        |    CAST(floor(1.0 / vol * 1e9 + 0.5) AS BIGINT) AS iq
+        |  FROM v
+        |), wts AS (
+        |  SELECT event_type, block + 1 AS block, iq FROM iv
+        |), tot AS (
+        |  SELECT block, sum(iq) AS siq FROM wts GROUP BY block HAVING count(*) = 5
+        |), fl AS (
+        |  SELECT block FROM iv GROUP BY block HAVING count(*) = 5
+        |), j AS (
+        |  SELECT iv.block, iv.event_type,
+        |    CAST(w.iq AS DOUBLE) / CAST(t.siq AS DOUBLE) AS w, iv.br,
+        |    CAST(floor(CAST(w.iq AS DOUBLE) / CAST(t.siq AS DOUBLE) * iv.br * 1e9 + 0.5)
+        |      AS BIGINT) AS cq
+        |  FROM iv
+        |  JOIN wts w ON iv.event_type = w.event_type AND iv.block = w.block
+        |  JOIN tot t ON iv.block = t.block
+        |  JOIN fl f ON iv.block = f.block
+        |), port AS (
+        |  SELECT block, CAST(sum(cq) AS DOUBLE) / 1e9 AS pr FROM j GROUP BY block
+        |)
+        |SELECT j.block, j.event_type, round(j.w, 6) AS weight,
+        |  round(j.br, 6) + 0.0 AS asset_ret, round(port.pr, 6) + 0.0 AS port_ret
+        |FROM j JOIN port ON j.block = port.block
+        |ORDER BY j.block, j.event_type""".stripMargin,
     "eod_cross_rank" ->
       s"""$R_CTE, x AS (
         |  SELECT event_type, ret,
@@ -2728,6 +2932,39 @@ object SparkEntry {
         |SELECT event_type, round(rvr, 6) AS rv, round(bvr, 6) AS bv,
         |  round(greatest(0.0, 1.0 - bvr / rvr), 6) + 0.0 AS jump_share
         |FROM a ORDER BY event_type""".stripMargin,
+    // op 215: same day-grain max/min highs/lows, same k = 3 − 2√2
+    // round-trip literal, identical α/S parenthesization.
+    "tick_corwin_schultz" -> {
+      val kL = java.lang.Double.toString(CsK)
+      s"""WITH d0 AS (
+        |  SELECT event_type, year(ts) AS yr, month(ts) AS mo, day(ts) AS dy,
+        |    max(value) AS hi, min(value) AS lo
+        |  FROM events GROUP BY 1, 2, 3, 4
+        |), d AS (
+        |  SELECT event_type, hi, lo,
+        |    row_number() OVER w AS rn,
+        |    lead(hi, 1) OVER w AS hi2,
+        |    lead(lo, 1) OVER w AS lo2
+        |  FROM d0 WINDOW w AS (PARTITION BY event_type ORDER BY yr, mo, dy)
+        |), p AS (
+        |  SELECT event_type,
+        |    pow(ln(hi / lo), 2) + pow(ln(hi2 / lo2), 2) AS beta,
+        |    pow(ln(greatest(hi, hi2) / least(lo, lo2)), 2) AS gamma
+        |  FROM d WHERE rn % 2 = 1 AND hi2 IS NOT NULL
+        |), a AS (
+        |  SELECT event_type,
+        |    (sqrt(2.0 * beta) - sqrt(beta)) / $kL - sqrt(gamma / $kL) AS alpha
+        |  FROM p
+        |), sp AS (
+        |  SELECT event_type,
+        |    greatest(0.0, 2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha))) AS s_pos
+        |  FROM a
+        |)
+        |SELECT event_type, count(*) AS n_pairs,
+        |  round(avg(s_pos), 6) AS cs_spread,
+        |  round(avg(CASE WHEN s_pos > 0 THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+        |FROM sp GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "eod_variance_ratio" ->
       """WITH lr0 AS (
         |  SELECT event_type, ts, event_id,

@@ -133,6 +133,92 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("eod_ic: Spearman rank IC of lagged signal vs return, summarized") {
+    val byType = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+    }
+    val maxLen = byType.values.map(_.length).max
+    val ics = (1 until maxLen).flatMap { i =>
+      // period i: signal = ret(i-1), target = ret(i); all 5 series must cover i
+      val present = byType.filter(_._2.length > i).toSeq
+      if (present.size != 5) None
+      else {
+        val entries = present.map { case (k, r) => (k, r(i - 1), r(i)) }
+        def ranksBy(key: ((String, Double, Double)) => Double) =
+          entries.sortBy(e => (-key(e), e._1)).zipWithIndex
+            .map { case (e, idx) => e._1 -> (idx + 1) }.toMap
+        val rs = ranksBy(_._2); val rr = ranksBy(_._3)
+        val d2 = entries.map(e => { val d = rs(e._1) - rr(e._1); d.toDouble * d }).sum
+        Some(1.0 - 6.0 * d2 / 120.0)
+      }
+    }.toArray
+    val got = SparkEntry.queries("eod_ic")(spark, dir)
+      .select($"n_periods", $"mean_ic", $"ic_tstat", $"hit_rate")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(got._1 == ics.length)
+    assert(math.abs(got._2 - mean(ics)) < 2e-6, "mean_ic")
+    val t = mean(ics) / sampStd(ics) * math.sqrt(ics.length.toDouble)
+    assert(math.abs(got._3 - t) < 2e-5, "ic_tstat")
+    assert(math.abs(got._4 - ics.count(_ > 0).toDouble / ics.length) < 2e-6)
+  }
+
+  test("tick_corwin_schultz: high-low spread from non-overlapping day pairs") {
+    val byType = rows().groupBy(_._1)
+    val got = SparkEntry.queries("tick_corwin_schultz")(spark, dir)
+      .select($"event_type", $"n_pairs", $"cs_spread")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val k = 3.0 - 2.0 * math.sqrt(2.0)
+    for ((et, rs) <- byType) {
+      val days = rs.groupBy(_._2.toLocalDateTime.toLocalDate).toArray
+        .sortBy(_._1.toString)
+        .map { case (_, d) => (d.map(_._4).max, d.map(_._4).min) }
+      val pairs = days.grouped(2).filter(_.length == 2).map { g =>
+        val (h1, l1) = g(0); val (h2, l2) = g(1)
+        val beta = math.pow(math.log(h1 / l1), 2) + math.pow(math.log(h2 / l2), 2)
+        val gamma = math.pow(math.log(math.max(h1, h2) / math.min(l1, l2)), 2)
+        val alpha = (math.sqrt(2 * beta) - math.sqrt(beta)) / k - math.sqrt(gamma / k)
+        math.max(0.0, 2.0 * (math.exp(alpha) - 1.0) / (1.0 + math.exp(alpha)))
+      }.toArray
+      assert(got(et)._1 == pairs.length, s"$et n_pairs")
+      assert(math.abs(got(et)._2 - mean(pairs)) < 2e-6, s"$et cs_spread")
+    }
+  }
+
+  test("eod_inverse_vol: next-block weights ∝ 1/vol, exact composite") {
+    val byType = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+    }
+    // per (type, block): (vol, meanRet) over complete 21-row blocks
+    val blocks = byType.map { case (k, r) =>
+      k -> r.grouped(21).filter(_.length == 21).toArray.map { b =>
+        (sampStd(b), mean(b))
+      }
+    }
+    val got = SparkEntry.queries("eod_inverse_vol")(spark, dir)
+      .select($"block", $"event_type", $"weight", $"asset_ret", $"port_ret")
+      .as[(Long, String, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    for (b <- got.map(_._1).distinct) {
+      val rows = got.filter(_._1 == b)
+      assert(rows.length == 5, s"block $b arity")
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-5, s"block $b Σw")
+      val inv = blocks.map { case (k, bl) => k -> 1.0 / bl(b.toInt - 1)._1 }
+      val tot = inv.values.sum
+      var port = 0.0
+      for ((_, et, w, ar, _) <- rows) {
+        val expW = inv(et) / tot
+        assert(math.abs(w - expW) < 1e-4, s"block $b $et weight")
+        val expR = blocks(et)(b.toInt)._2
+        assert(math.abs(ar - expR) < 2e-6, s"block $b $et asset_ret")
+        port += expW * expR
+      }
+      assert(math.abs(rows.head._5 - port) < 1e-4, s"block $b port_ret")
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
