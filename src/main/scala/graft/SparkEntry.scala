@@ -5714,6 +5714,123 @@ object SparkEntry {
           col("n_words_kept"), col("has_lorem"), col("has_brace"),
           col("kept_digest"), col("keep_doc"))
         .orderBy(col("doc_id"))
+    }),
+    // Canonical doc per duplicate cluster (op 217 — the keep-one
+    // policy the op-81/203 reports motivate): within each connected
+    // component, keep the LONGEST text, ties to the smallest id — a
+    // deterministic total order, so "which copy survives dedup" is
+    // engine- and partitioning-independent. One window over the
+    // (tiny) component table joined to text lengths.
+    "dedup_canonical" -> ((s, dir) => {
+      val comp = Dedup.clusters(
+        Dedup.minhashLshPairs(docCorpus(s, dir), "doc_id", "text"),
+        "id_a", "id_b")
+      val lens = docCorpus(s, dir)
+        .select(col("doc_id").as("id"), length(col("text")).as("len"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("len").desc, col("id"))
+      comp.join(lens, "id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("id").as("canonical_id"),
+          col("len").cast("long").as("canonical_len"), col("cluster_size"),
+          (col("cluster_size") - 1).as("n_removed"))
+        .orderBy(col("cluster_id"))
+    }),
+    // kNN-graph hubness (op 218): the in-degree distribution of the
+    // op-150 directed top-k graph — hubs (points that appear in
+    // many neighbor lists) are the known failure mode of
+    // high-dimensional kNN (Radovanović et al. 2010) and the thing
+    // SemDeDup/prune thresholds must be robust to. Left join keeps
+    // in-degree-0 nodes; two keyed integer aggs.
+    "ann_hubness" -> ((s, dir) => {
+      val g = Similarity.knnGraph(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", 3, EmbDim, planes = 4)
+      val deg = tbl(s, dir, "embeddings").select(col("vec_id"))
+        .join(g.groupBy(col("neighbor_id")).agg(count(lit(1)).as("d")),
+          col("vec_id") === col("neighbor_id"), "left")
+        .select(coalesce(col("d"), lit(0L)).as("in_deg"))
+      deg.groupBy(col("in_deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("in_deg"))
+    }),
+    // Tokenizer fertility per language (op 219): BPE-ish tokens per
+    // whitespace word and per 100 chars, per declared language — the
+    // multilingual-budget planner's constant (fertility decides how
+    // many DOCS a token budget buys per language). All-integer sums
+    // → exact ratios; one map + one keyed agg, map-side combinable.
+    "text_fertility" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("lang"), Text.tokenCount(col("text")).cast("long").as("ws"),
+          Text.bpeTokenCount(col("text")).cast("long").as("bpe"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"),
+          round(sum(col("bpe")).cast("double") / sum(col("ws")), 6)
+            .as("tokens_per_word"),
+          round(sum(col("bpe")).cast("double") * 100.0 / sum(col("nc")), 6)
+            .as("tokens_per_100chars"))
+        .orderBy(col("lang"))),
+    // Centroid-distance outliers (op 220, the op-85/88 family's
+    // per-point diagnostic): top-3 farthest vectors from their
+    // label's centroid. Centroids are exact integer-sum ratios
+    // (1e-6-quantized components, the op-176 convention); per-point
+    // squared distances quantize each dim's term to 1e-12 longs so
+    // the 64-dim sum is an exact integer — the (label, dist, id)
+    // order is a total order on both engines. Broadcast centroid
+    // join, one rank window.
+    "embed_centroid_outliers" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .withColumn("xq", floor(col("x") * 1e6 + 0.5).cast("long"))
+      val cen = e.groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
+      val d2 = e.join(broadcast(cen), Seq("label", "pos"))
+        .withColumn("m", col("sq").cast("double") / col("n").cast("double"))
+        .withColumn("diff", col("xq").cast("double") / 1e6 - col("m") / 1e6)
+        .withColumn("t",
+          floor(col("diff") * col("diff") * 1e12 + 0.5).cast("long"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(col("t")).as("s2"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("s2").desc, col("vec_id"))
+      d2.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("label"), col("rnk"), col("vec_id"),
+          round(sqrt(col("s2").cast("double") / 1e12), 6).as("dist"))
+        .orderBy(col("label"), col("rnk"))
+    }),
+    // Cross-doc boilerplate shingles (op 221 — template detection,
+    // the cross-document sibling of op 76's within-doc repetition):
+    // a 5-gram appearing in ≥ 5 DISTINCT docs is boilerplate; each
+    // doc reports what fraction of its distinct shingles is
+    // boilerplate (Dolma-style duplicate-n-gram fraction). Exact
+    // integer ratios; explode + two keyed aggs + one join back —
+    // the shingle key is the shuffle key, no all-pairs anywhere.
+    "corpus_boilerplate" -> ((s, dir) => {
+      val sh = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.shingles(col("text"), 5)).as("sh"))
+      val boiler = sh.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 5)
+        .select(col("sh"))
+      sh.join(boiler, Seq("sh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+        .join(sh.groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_shingles")),
+          Seq("doc_id"), "right")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_shingles")).as("n_shingles"),
+          sum(coalesce(col("n_boiler"), lit(0L))).as("n_boiler"),
+          round(sum(coalesce(col("n_boiler"), lit(0L))).cast("double") /
+            sum(col("n_shingles")), 6).as("boiler_frac"))
+        .orderBy(col("source"))
     })
   )
 
@@ -8100,7 +8217,136 @@ object SparkEntry {
           |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_digest,
           |  (len(kept) >= 3 AND NOT contains(lower(text2), 'lorem ipsum')
           |    AND NOT contains(text2, '{')) AS keep_doc
-          |FROM m ORDER BY doc_id""".stripMargin)
+          |FROM m ORDER BY doc_id""".stripMargin),
+      // op 217: the op-81 component table joined to corpus text
+      // lengths, the same (len DESC, id) keep-one window.
+      "dedup_canonical" ->
+        s"""WITH RECURSIVE pairs AS (
+          |  $minhashPairsSql
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          |  WHERE e.dst != r.src
+          |), comp AS (
+          |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+          |  FROM reach GROUP BY src
+          |), $CORPUS_CTE,
+          |lens AS (SELECT doc_id AS id, length(text) AS len FROM corpus),
+          |j AS (
+          |  SELECT comp.cluster_id, comp.id, lens.len,
+          |    row_number() OVER (PARTITION BY comp.cluster_id
+          |                       ORDER BY lens.len DESC, comp.id) AS rn,
+          |    count(*) OVER (PARTITION BY comp.cluster_id) AS cs
+          |  FROM comp JOIN lens ON comp.id = lens.id
+          |)
+          |SELECT cluster_id, id AS canonical_id,
+          |  CAST(len AS BIGINT) AS canonical_len,
+          |  cs AS cluster_size, cs - 1 AS n_removed
+          |FROM j WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+      // op 218: the op-150 graph re-aggregated to in-degrees, with a
+      // left join keeping in-degree-0 nodes.
+      "ann_hubness" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |t0 AS (
+          |  SELECT vec_id, v, 0 AS tbl, ${lshBucketSqlAt("v", 0, 4)} AS bucket FROM e
+          |  UNION ALL
+          |  SELECT vec_id, v, 4 AS tbl, ${lshBucketSqlAt("v", 4, 4)} AS bucket FROM e
+          |), t AS (
+          |  SELECT * FROM (
+          |    SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bc FROM t0
+          |  ) WHERE bc <= 10000
+          |), p AS (
+          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |    max(list_dot_product(a.v, b.v) /
+          |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) AS cosine
+          |  FROM t a JOIN t b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          |  WHERE b.vec_id <> a.vec_id
+          |  GROUP BY 1, 2
+          |), r AS (
+          |  SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |  FROM p
+          |), deg AS (
+          |  SELECT e.vec_id, COALESCE(d.d, 0) AS in_deg
+          |  FROM e LEFT JOIN (
+          |    SELECT neighbor_id, count(*) AS d FROM r WHERE rnk <= 3 GROUP BY 1
+          |  ) d ON e.vec_id = d.neighbor_id
+          |)
+          |SELECT in_deg, count(*) AS n_nodes
+          |FROM deg GROUP BY in_deg ORDER BY in_deg""".stripMargin,
+      // op 219: the text_token_count kernels summed per declared
+      // language — all-integer sums, exact ratios.
+      "text_fertility" ->
+        s"""WITH t AS (
+          |  SELECT lang,
+          |    len(regexp_split_to_array(trim(text), '\\s+')) AS ws,
+          |    len(regexp_extract_all(text, '${Text.BpePattern}')) AS bpe,
+          |    length(text) AS nc
+          |  FROM documents
+          |)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+          |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+          |  round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS tokens_per_word,
+          |  round(CAST(sum(bpe) AS DOUBLE) * 100.0 / sum(nc), 6) AS tokens_per_100chars
+          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+      // op 220: same 1e-6 component quantization, same exact
+      // integer-ratio centroids, same 1e-12-quantized per-dim terms.
+      "embed_centroid_outliers" ->
+        """WITH e AS (
+          |  SELECT vec_id, label,
+          |    unnest(range(0, len(embedding))) AS pos,
+          |    unnest(list_transform(embedding::DOUBLE[],
+          |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS xq
+          |  FROM embeddings
+          |), cen AS (
+          |  SELECT label, pos, count(*) AS n, sum(xq) AS sq FROM e GROUP BY 1, 2
+          |), d AS (
+          |  SELECT e.label, e.vec_id,
+          |    CAST(floor(
+          |      (CAST(e.xq AS DOUBLE) / 1e6 - (CAST(c.sq AS DOUBLE) / CAST(c.n AS DOUBLE)) / 1e6)
+          |      * (CAST(e.xq AS DOUBLE) / 1e6 - (CAST(c.sq AS DOUBLE) / CAST(c.n AS DOUBLE)) / 1e6)
+          |      * 1e12 + 0.5) AS BIGINT) AS t
+          |  FROM e JOIN cen c ON e.label = c.label AND e.pos = c.pos
+          |), s AS (
+          |  SELECT label, vec_id, sum(t) AS s2 FROM d GROUP BY 1, 2
+          |), rk AS (
+          |  SELECT label, vec_id, s2,
+          |    row_number() OVER (PARTITION BY label ORDER BY s2 DESC, vec_id) AS rnk
+          |  FROM s
+          |)
+          |SELECT label, rnk, vec_id, round(sqrt(CAST(s2 AS DOUBLE) / 1e12), 6) AS dist
+          |FROM rk WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
+      // op 221: the WordShingles width-5 truncation convention
+      // (toks[i:i+4] over max(len−4, 1) starts), counts all integer.
+      "corpus_boilerplate" ->
+        """WITH t AS (
+          |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+          |  FROM documents
+          |), shx AS (
+          |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(toks) - 4, 1) + 1),
+          |    i -> array_to_string(toks[i:i+4], ' ')))) AS sh
+          |  FROM t
+          |), b AS (
+          |  SELECT sh FROM (
+          |    SELECT sh, count(DISTINCT doc_id) AS nd FROM shx GROUP BY sh
+          |  ) WHERE nd >= 5
+          |), per AS (
+          |  SELECT s.doc_id, any_value(s.source) AS source, count(*) AS n_shingles,
+          |    count(b.sh) AS n_boiler
+          |  FROM shx s LEFT JOIN b ON s.sh = b.sh
+          |  GROUP BY s.doc_id
+          |)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+          |  CAST(sum(n_boiler) AS BIGINT) AS n_boiler,
+          |  round(CAST(sum(n_boiler) AS DOUBLE) / sum(n_shingles), 6) AS boiler_frac
+          |FROM per GROUP BY source ORDER BY source""".stripMargin
     )
   }
 

@@ -219,6 +219,124 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("dedup_canonical keeps the longest (then lowest-id) member per cluster") {
+    val members = SparkEntry.queries("dedup_clusters")(spark, dir)
+      .select($"id", $"cluster_id").as[(Long, Long)].collect()
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // replicate the planted-duplicate corpus lengths
+    val lens = collection.mutable.Map[Long, Int]()
+    for ((id, t) <- base) {
+      lens(id) = t.length
+      if (id % 50 == 0) lens(id + 1000000) = t.length + 4
+      if (id % 97 == 0) lens(id + 2000000) = t.length
+    }
+    val got = SparkEntry.queries("dedup_canonical")(spark, dir)
+      .select($"cluster_id", $"canonical_id", $"cluster_size", $"n_removed")
+      .as[(Long, Long, Long, Long)].collect()
+    val byCluster = members.groupBy(_._2)
+    assert(got.length == byCluster.size)
+    for ((cid, canon, size, removed) <- got) {
+      val ids = byCluster(cid).map(_._1)
+      assert(size == ids.length && removed == size - 1, s"cluster $cid size")
+      val expect = ids.minBy(id => (-lens(id), id))
+      assert(canon == expect, s"cluster $cid canonical")
+    }
+  }
+
+  test("ann_hubness is the in-degree histogram of the kNN graph") {
+    val edges = SparkEntry.queries("ann_knn_graph")(spark, dir)
+      .select($"neighbor_id").as[Long].collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val degOf = edges.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hist = collection.mutable.Map[Long, Long]()
+    val allVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id").as[Long].collect()
+    for (v <- allVecs) {
+      val d = degOf.getOrElse(v, 0L)
+      hist(d) = hist.getOrElse(d, 0L) + 1
+    }
+    val got = SparkEntry.queries("ann_hubness")(spark, dir)
+      .select($"in_deg", $"n_nodes").as[(Long, Long)].collect().toMap
+    assert(got == hist.toMap)
+    assert(got.values.sum == nVecs)
+  }
+
+  test("text_fertility: exact integer token/char ratios per language") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"lang", $"text").as[(String, String)].collect()
+    val bpeRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]".r
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      val ws = ds.map(d => d._2.trim.split("\\s+", -1).length.toLong).sum
+      val bpe = ds.map(d => bpeRe.findAllIn(d._2).length.toLong).sum
+      val nc = ds.map(_._2.length.toLong).sum
+      lang -> (ds.length.toLong, ws, bpe, bpe.toDouble / ws, bpe.toDouble * 100 / nc)
+    }
+    val got = SparkEntry.queries("text_fertility")(spark, dir)
+      .select($"lang", $"n_docs", $"ws_tokens", $"bpe_tokens",
+        $"tokens_per_word", $"tokens_per_100chars")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(got.keySet == expect.keySet.toSet)
+    for ((k, e) <- expect) {
+      assert(got(k)._1 == e._1 && got(k)._2 == e._2 && got(k)._3 == e._3, s"$k counts")
+      assert(math.abs(got(k)._4 - e._4) < 2e-6, s"$k per word")
+      assert(math.abs(got(k)._5 - e._5) < 2e-6, s"$k per 100c")
+    }
+  }
+
+  test("embed_centroid_outliers: top-3 farthest from label centroid") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val got = SparkEntry.queries("embed_centroid_outliers")(spark, dir)
+      .select($"label", $"rnk", $"vec_id", $"dist")
+      .as[(Int, Long, Long, Double)].collect()
+    for ((label, group) <- vecs.groupBy(_._2)) {
+      val dim = group.head._3.length
+      val cen = (0 until dim).map(p => group.map(_._3(p).toDouble).sum / group.length)
+      val dists = group.map { case (id, _, v) =>
+        id -> math.sqrt((0 until dim).map(p => {
+          val d = v(p) - cen(p); d * d
+        }).sum)
+      }
+      val top = dists.sortBy { case (id, d) => (-d, id) }.take(3)
+      val gotL = got.filter(_._1 == label).sortBy(_._2)
+      assert(gotL.map(_._3).toSeq == top.map(_._1).toSeq, s"label $label ids")
+      for (((_, d), g) <- top.zip(gotL))
+        assert(math.abs(g._4 - d) < 1e-4, s"label $label dist")
+    }
+  }
+
+  test("corpus_boilerplate: cross-doc 5-gram fraction per source") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+", -1)
+      val m = math.max(toks.length - 4, 1)
+      (0 until m).map(i => toks.slice(i, math.min(i + 5, toks.length)).mkString(" ")).toSet
+    }
+    val perDoc = docs.map { case (id, src, t) => (id, src, shingles(t)) }
+    val docCount = collection.mutable.Map[String, Int]()
+    for ((_, _, ss) <- perDoc; s <- ss)
+      docCount(s) = docCount.getOrElse(s, 0) + 1
+    val boiler = docCount.filter(_._2 >= 5).keySet
+    val expect = perDoc.groupBy(_._2).map { case (src, ds) =>
+      val nSh = ds.map(_._3.size.toLong).sum
+      val nB = ds.map(_._3.count(boiler).toLong).sum
+      src -> (ds.length.toLong, nSh, nB, nB.toDouble / nSh)
+    }
+    val got = SparkEntry.queries("corpus_boilerplate")(spark, dir)
+      .select($"source", $"n_docs", $"n_shingles", $"n_boiler", $"boiler_frac")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got.keySet == expect.keySet.toSet)
+    for ((k, e) <- expect) {
+      assert(got(k)._1 == e._1 && got(k)._2 == e._2 && got(k)._3 == e._3, s"$k counts")
+      assert(math.abs(got(k)._4 - e._4) < 2e-6, s"$k frac")
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
