@@ -1128,6 +1128,39 @@ object SparkEntry {
         round(avg(when(col("qic") > 0, 1.0).otherwise(0.0)), 6)
           .as("hit_rate"))
     }),
+    // K-ratio (op 222; Kestner 2003): OLS slope of the LOG equity
+    // curve on the time index, divided by its standard error and
+    // √n — "how straight is the growth line". Every sum is exact:
+    // x is the integer row index, y is ln(price) quantized to 1e-9
+    // longs, and the squared/cross sums run through DECIMAL(19,0)²
+    // (ln² overflows long at this corpus' price range). The slope/
+    // SE algebra then sees identical operands on both engines. ONE
+    // map-side-combinable hash agg after the rn window.
+    "eod_k_ratio" -> ((s, dir) => {
+      val r = events(s, dir).where(col("value") > 0)
+        .withColumn("x", row_number().over(wT).cast("long"))
+        .withColumn("yq", floor(log(col("value")) * 1e9 + 0.5).cast("long"))
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val a = r.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sx2"), sum(col("yq")).as("sy"),
+          sum(dec(col("x")) * dec(col("yq"))).as("sxy"),
+          sum(dec(col("yq")) * dec(col("yq"))).as("sy2"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val sx2D = col("sx2").cast("double")
+      val syD = col("sy").cast("double"); val sxyD = col("sxy").cast("double")
+      val sy2D = col("sy2").cast("double")
+      val bq = (nD * sxyD - sxD * syD) / (nD * sx2D - sxD * sxD)
+      val aq = (syD - bq * sxD) / nD
+      val ssq = sy2D - aq * syD - bq * sxyD
+      val seq = sqrt((ssq / (nD - lit(2.0))) / (sx2D - sxD * sxD / nD))
+      a.select(col("event_type"), col("n"),
+          round(bq / 1e9, 9).as("slope"),
+          round(seq / 1e9, 9).as("slope_se"),
+          (round(bq / seq, 6) + lit(0.0)).as("t_stat"),
+          (round(bq / seq / sqrt(nD), 6) + lit(0.0)).as("k_ratio"))
+        .orderBy(col("event_type"))
+    }),
     // Inverse-volatility portfolio (op 216, risk parity's first-order
     // approximation — the op-151/152 family's third weighting
     // scheme): per complete 21-row block, each asset's weight for
@@ -1978,6 +2011,39 @@ object SparkEntry {
         |  floor(CASE WHEN vol > 0 THEN mean / vol * sqrt(252.0) END
         |        * 1000000.0 + 0.5) / 1000000.0 AS run_sharpe_ann
         |FROM f ORDER BY symbol, ts_us""".stripMargin,
+    // op 224: the same ln(value/lag) sequence, the same 1e-12
+    // product quantization, totals = the max-merged stream state.
+    "streaming_bipower" ->
+      """WITH r AS (
+        |  SELECT event_type AS symbol, event_id,
+        |    ln(value / lag(value) OVER (PARTITION BY event_type ORDER BY event_id)) AS lr
+        |  FROM events WHERE value > 0
+        |), l AS (
+        |  SELECT symbol, lr,
+        |    lag(lr) OVER (PARTITION BY symbol ORDER BY event_id) AS lp
+        |  FROM r WHERE lr IS NOT NULL
+        |), q AS (
+        |  SELECT symbol,
+        |    CAST(floor(lr * lr * 1e12 + 0.5) AS BIGINT) AS qr,
+        |    CASE WHEN lp IS NOT NULL
+        |         THEN CAST(floor(abs(lr) * abs(lp) * 1e12 + 0.5) AS BIGINT)
+        |         ELSE 0 END AS qb
+        |  FROM l
+        |), a AS (
+        |  SELECT symbol, count(*) AS n,
+        |    CAST(sum(qr) AS BIGINT) AS srv, CAST(sum(qb) AS BIGINT) AS sbv
+        |  FROM q GROUP BY symbol
+        |), d AS (
+        |  SELECT symbol, n, srv, sbv,
+        |    CAST(srv AS DOUBLE) / 1e12 AS rv0,
+        |    1.5707963267948966 * (CAST(sbv AS DOUBLE) / 1e12) AS bv0
+        |  FROM a
+        |)
+        |SELECT symbol, n, srv AS sum_rv_q, sbv AS sum_bv_q,
+        |  floor(rv0 * 1000000.0 + 0.5) / 1000000.0 AS rv,
+        |  floor(bv0 * 1000000.0 + 0.5) / 1000000.0 AS bv,
+        |  floor(greatest(0.0, 1.0 - bv0 / rv0) * 1000000.0 + 0.5) / 1000000.0 AS jump_share
+        |FROM d ORDER BY symbol""".stripMargin,
     // op 188: the op-146 integer state minus the tick's own
     // contribution (in-row subtraction, no extra lag), identical
     // algebra to the Spark query; the flag tests the FLOORED z.
@@ -2747,6 +2813,40 @@ object SparkEntry {
         |        * sqrt(CAST(count(*) AS DOUBLE)), 6) AS ic_tstat,
         |  round(avg(CASE WHEN qic > 0 THEN 1.0 ELSE 0.0 END), 6) AS hit_rate
         |FROM p""".stripMargin,
+    // op 222: same integer x/1e-9-quantized ln(price) sums through
+    // DECIMAL(19,0)², same OLS parenthesization.
+    "eod_k_ratio" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS x,
+        |    CAST(floor(ln(value) * 1e9 + 0.5) AS BIGINT) AS yq
+        |  FROM events WHERE value > 0
+        |), a AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sx2,
+        |    sum(yq) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,0)) * CAST(yq AS DECIMAL(19,0))) AS sxy,
+        |    sum(CAST(yq AS DECIMAL(19,0)) * CAST(yq AS DECIMAL(19,0))) AS sy2
+        |  FROM x GROUP BY event_type
+        |), d AS (
+        |  SELECT event_type, n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS bq,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sx2 AS DOUBLE) AS sx2d,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(sy2 AS DOUBLE) AS sy2d, CAST(n AS DOUBLE) AS nd
+        |  FROM a
+        |), e AS (
+        |  SELECT event_type, n, bq,
+        |    sqrt(((sy2d - ((syd - bq * sxd) / nd) * syd - bq * sxyd) / (nd - 2.0))
+        |         / (sx2d - sxd * sxd / nd)) AS seq, nd
+        |  FROM d
+        |)
+        |SELECT event_type, n,
+        |  round(bq / 1e9, 9) AS slope,
+        |  round(seq / 1e9, 9) AS slope_se,
+        |  round(bq / seq, 6) + 0.0 AS t_stat,
+        |  round(bq / seq / sqrt(nd), 6) + 0.0 AS k_ratio
+        |FROM e ORDER BY event_type""".stripMargin,
     // op 216: the same 1e-6/1e-9 integer quantizations, the same
     // exact iq/Σiq weight ratios and 1e-9-quantized contribution
     // sums — every double either derives from identical integers or
@@ -4444,6 +4544,36 @@ object SparkEntry {
           q6(sharpe).as("run_sharpe_ann"))
       }.orderBy(col("symbol"), col("ts_us")) }
     }),
+    // Streaming bipower variation (op 224, the op-211 batch op's
+    // live twin on the op-146 pattern): per-symbol running Σ(lr²)
+    // and Σ(|lr_i||lr_{i−1}|) as 1e-12-quantized INTEGER state, the
+    // Append sink max-merged (sums only grow) into the final
+    // RV/BV/jump-share report — "was that move a jump?" at ingest
+    // latency. Derived metrics use the q6 floor convention on
+    // identical integers.
+    "streaming_bipower" -> ((s, dir) => {
+      import s.implicits._
+      val sunk = withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "events", "sbp") { src =>
+          val ticks = src.where(col("value") > 0)
+            .select(col("event_type").as("symbol"),
+              replayTs(col("event_id")).as("ts"),
+              col("value").cast("double").as("price"))
+            .as[graft.streaming.Stateful.RiskTick]
+          graft.streaming.Stateful.bipowerStream(ticks).toDF
+        }
+      }
+      def q6(c: Column) = floor(c * 1000000.0 + lit(0.5)) / 1000000.0
+      val rv0 = max(col("sumRvQ")).cast("double") / 1e12
+      val bv0 = lit(PiOver2) * (max(col("sumBvQ")).cast("double") / 1e12)
+      sunk.groupBy(col("symbol"))
+        .agg(max(col("n")).as("n"),
+          max(col("sumRvQ")).as("sum_rv_q"),
+          max(col("sumBvQ")).as("sum_bv_q"),
+          q6(rv0).as("rv"), q6(bv0).as("bv"),
+          q6(greatest(lit(0.0), lit(1.0) - bv0 / rv0)).as("jump_share"))
+        .orderBy(col("symbol"))
+    }),
     // Streaming z-score anomaly gate (op 188): each tick scored
     // against the PRIOR running state — z = (r − mean')/vol' with
     // (n', Σq', Σq²') = the op-146 integer state MINUS the tick's own
@@ -5773,6 +5903,16 @@ object SparkEntry {
           round(sum(col("bpe")).cast("double") * 100.0 / sum(col("nc")), 6)
             .as("tokens_per_100chars"))
         .orderBy(col("lang"))),
+    // Language-ID confusion matrix (op 223 — the op-53 classifier
+    // EVALUATED against the declared label, the corpus-curation
+    // QA report): count per (declared, predicted) cell. Pure
+    // map + one keyed integer agg.
+    "corpus_lang_confusion" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("lang"), Text.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
     // Centroid-distance outliers (op 220, the op-85/88 family's
     // per-point diagnostic): top-3 farthest vectors from their
     // label's centroid. Centroids are exact integer-sum ratios
@@ -8278,6 +8418,14 @@ object SparkEntry {
           |)
           |SELECT in_deg, count(*) AS n_nodes
           |FROM deg GROUP BY in_deg ORDER BY in_deg""".stripMargin,
+      // op 223: the op-53 scorer with the declared label carried
+      // through, re-aggregated to confusion cells.
+      "corpus_lang_confusion" ->
+        s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+          |sc AS (SELECT doc_id, lang, $langScores FROM t),
+          |p AS (SELECT lang, CASE $langCase ELSE 'unknown' END AS lang_pred FROM sc)
+          |SELECT lang, lang_pred, count(*) AS n
+          |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
       // op 219: the text_token_count kernels summed per declared
       // language — all-integer sums, exact ratios.
       "text_fertility" ->

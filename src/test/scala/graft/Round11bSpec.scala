@@ -337,6 +337,65 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("eod_k_ratio: OLS slope/SE of the log equity curve") {
+    val got = SparkEntry.queries("eod_k_ratio")(spark, dir)
+      .select($"event_type", $"n", $"slope", $"t_stat", $"k_ratio")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    for ((k, p) <- pricesBySeries()) {
+      val y = p.filter(_ > 0).map(math.log)
+      val n = y.length
+      val x = (1 to n).map(_.toDouble).toArray
+      val (sx, sy) = (x.sum, y.sum)
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val sx2 = x.map(a => a * a).sum
+      val b = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+      val a = (sy - b * sx) / n
+      val ss = y.zip(x).map { case (yy, xx) => val e = yy - a - b * xx; e * e }.sum
+      val se = math.sqrt((ss / (n - 2)) / (sx2 - sx * sx / n))
+      assert(got(k)._1 == n, s"$k n")
+      assert(math.abs(got(k)._2 - b) < 1e-7, s"$k slope")
+      assert(math.abs(got(k)._3 - b / se) < 1e-3, s"$k t_stat")
+      assert(math.abs(got(k)._4 - b / se / math.sqrt(n.toDouble)) < 1e-4, s"$k k_ratio")
+    }
+  }
+
+  test("corpus_lang_confusion is the cell count of declared × predicted") {
+    val pred = SparkEntry.queries("text_lang_id")(spark, dir)
+      .select($"doc_id", $"lang_pred").as[(Long, String)].collect().toMap
+    val declared = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val expect = declared.groupBy { case (id, l) => (l, pred(id)) }
+      .view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("corpus_lang_confusion")(spark, dir)
+      .select($"lang", $"lang_pred", $"n").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expect)
+  }
+
+  test("streaming_bipower equals a quantized-integer batch recomputation") {
+    val byType = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.filter(_._4 > 0).sortBy(_._3).map(_._4) // order by event_id
+    }
+    val got = SparkEntry.queries("streaming_bipower")(spark, dir)
+      .select($"symbol", $"n", $"rv", $"bv", $"jump_share")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    for ((k, p) <- byType) {
+      val lr = p.sliding(2).map { case Array(a, b) => math.log(b / a) }.toArray
+      val qr = lr.map(x => math.floor(x * x * 1e12 + 0.5).toLong).sum
+      val qb = lr.sliding(2).map { case Array(a, b) =>
+        math.floor(math.abs(b) * math.abs(a) * 1e12 + 0.5).toLong
+      }.sum
+      val rv0 = qr.toDouble / 1e12
+      val bv0 = math.Pi / 2 * (qb.toDouble / 1e12)
+      assert(got(k)._1 == lr.length, s"$k n")
+      assert(math.abs(got(k)._2 - rv0) < 2e-6, s"$k rv")
+      assert(math.abs(got(k)._3 - bv0) < 2e-6, s"$k bv")
+      assert(math.abs(got(k)._4 - math.max(0.0, 1.0 - bv0 / rv0)) < 2e-6, s"$k jump")
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
