@@ -653,6 +653,51 @@ object SparkEntry {
             .as("sharpe_adj"))
         .orderBy(col("event_type"))
     }),
+    // Henriksson–Merton market timing (op 226; HM 1981): r_a = α +
+    // β·r_b + γ·max(r_b, 0) — γ > 0 is timing skill (the manager
+    // holds more beta in up markets). Closed-form 3-var OLS by
+    // Cramer's rule on normal-equation sums: returns quantize to
+    // 1e-6 longs, every product sum runs through DECIMAL(19,0)²
+    // (exact), and the four 3×3 determinants are written with
+    // IDENTICAL expansion order on both engines — so α/β/γ are the
+    // same doubles. One paired hash agg per series.
+    "eod_hm_timing" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val p = pairedReturnsVsView(s, dir)
+        .where(col("ra").isNotNull && col("rb").isNotNull)
+        .withColumn("ya", floor(col("ra") * 1e6 + 0.5).cast("long"))
+        .withColumn("x1", floor(col("rb") * 1e6 + 0.5).cast("long"))
+        .withColumn("x2", greatest(floor(col("rb") * 1e6 + 0.5).cast("long"),
+          lit(0L)))
+      val a = p.groupBy(col("pair_id")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("ya")).as("sy"),
+        sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+        sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+        sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+        sum(dec(col("x1")) * dec(col("ya"))).as("s1y"),
+        sum(dec(col("x2")) * dec(col("ya"))).as("s2y"))
+      def d(c: String) = col(c).cast("double")
+      val nD = d("n")
+      val det = nD * (d("s11") * d("s22") - d("s12") * d("s12")) -
+        d("s1") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+        d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+      val detA = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+        d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
+        d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+      val detB = nD * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+        d("sy") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+        d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+      val detG = nD * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+        d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+        d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+      a.select(col("pair_id"), col("n"),
+          (round(detA / det / 1e6, 9) + lit(0.0)).as("alpha"),
+          (round(detB / det, 6) + lit(0.0)).as("beta"),
+          (round(detG / det, 6) + lit(0.0)).as("gamma"))
+        .orderBy(col("pair_id"))
+    }),
     // Calendar extremes (op 210 — ffn's best_day/worst_day family):
     // best/worst single-tick return plus best/worst calendar-DAY
     // compound return (day eop via max_by(ts), the op-135 kernel;
@@ -2424,6 +2469,53 @@ object SparkEntry {
         |  round(srp * ${java.lang.Double.toString(math.sqrt(252.0))}, 6) + 0.0 AS sharpe_iid,
         |  round(srp * 252.0 / sqrt(252.0 + 2.0 * rs), 6) + 0.0 AS sharpe_adj
         |FROM a ORDER BY event_type""".stripMargin),
+    // op 226: the same 1e-6 quantization, DECIMAL(19,0)² product
+    // sums, and the identical Cramer expansion order.
+    "eod_hm_timing" ->
+      s"""$PAIRED_CTE, qd AS (
+        |  SELECT pair_id,
+        |    CAST(floor(ra * 1e6 + 0.5) AS BIGINT) AS ya,
+        |    CAST(floor(rb * 1e6 + 0.5) AS BIGINT) AS x1,
+        |    greatest(CAST(floor(rb * 1e6 + 0.5) AS BIGINT), 0) AS x2
+        |  FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
+        |), a AS (
+        |  SELECT pair_id, count(*) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(ya) AS sy,
+        |    sum(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0))) AS s11,
+        |    sum(CAST(x1 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS s12,
+        |    sum(CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS s22,
+        |    sum(CAST(x1 AS DECIMAL(19,0)) * CAST(ya AS DECIMAL(19,0))) AS s1y,
+        |    sum(CAST(x2 AS DECIMAL(19,0)) * CAST(ya AS DECIMAL(19,0))) AS s2y
+        |  FROM qd GROUP BY pair_id
+        |), dd AS (
+        |  SELECT pair_id, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+        |    CAST(s2 AS DOUBLE) AS s2d, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(s11 AS DOUBLE) AS s11d, CAST(s12 AS DOUBLE) AS s12d,
+        |    CAST(s22 AS DOUBLE) AS s22d, CAST(s1y AS DOUBLE) AS s1yd,
+        |    CAST(s2y AS DOUBLE) AS s2yd
+        |  FROM a
+        |), det AS (
+        |  SELECT pair_id, n,
+        |    nd * (s11d * s22d - s12d * s12d) -
+        |      s1d * (s1d * s22d - s12d * s2d) +
+        |      s2d * (s1d * s12d - s11d * s2d) AS det0,
+        |    syd * (s11d * s22d - s12d * s12d) -
+        |      s1d * (s1yd * s22d - s12d * s2yd) +
+        |      s2d * (s1yd * s12d - s11d * s2yd) AS deta,
+        |    nd * (s1yd * s22d - s12d * s2yd) -
+        |      syd * (s1d * s22d - s12d * s2d) +
+        |      s2d * (s1d * s2yd - s1yd * s2d) AS detb,
+        |    nd * (s11d * s2yd - s1yd * s12d) -
+        |      s1d * (s1d * s2yd - s1yd * s2d) +
+        |      syd * (s1d * s12d - s11d * s2d) AS detg
+        |  FROM dd
+        |)
+        |SELECT pair_id, n,
+        |  round(deta / det0 / 1e6, 9) + 0.0 AS alpha,
+        |  round(detb / det0, 6) + 0.0 AS beta,
+        |  round(detg / det0, 6) + 0.0 AS gamma
+        |FROM det ORDER BY pair_id""".stripMargin,
     // op 210: min/max only; the day leg replays the op-135 arg_max
     // day-eop kernel.
     "eod_extremes" ->
@@ -4230,6 +4322,52 @@ object SparkEntry {
             col("value"), col("lo"), col("hi")), 6).as("winsor_mean"))
         .orderBy(col("event_type"))
     }),
+    // Two-sample Kolmogorov–Smirnov test (op 225): each series'
+    // return distribution vs the 'view' benchmark — the numeric
+    // drift detector (distribution shift per shard/day is the 100 TB
+    // use). D evaluates on the GLOBAL 1e-6-quantized value grid
+    // (step-function CDFs: a superset grid never changes the max),
+    // and the max runs over the INTEGER numerator |ca·nb − cb·na| so
+    // D is an exact rational; λ and the asymptotic p-value are then
+    // identical double algebra. Dense grid = distinct values ×
+    // broadcast(5 types) — no all-pairs, one cumulative window.
+    "stats_ks_test" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+      val cnt = r.groupBy(col("event_type"), col("q"))
+        .agg(count(lit(1)).as("c"))
+      val grid = cnt.select(col("q")).distinct()
+      val types = cnt.select(col("event_type")).distinct()
+      val dense = grid.crossJoin(broadcast(types))
+        .join(cnt, Seq("event_type", "q"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wq = Window.partitionBy(col("event_type")).orderBy(col("q"))
+      val cum = dense.withColumn("cc", sum(col("c")).over(wq))
+      val tot = r.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+      val cumT = cum.join(tot, "event_type")
+      val aSide = cumT.where(col("event_type") =!= "view")
+        .select(col("event_type"), col("q"), col("cc").as("ca"),
+          col("nt").as("na"))
+      val bSide = cumT.where(col("event_type") === "view")
+        .select(col("q"), col("cc").as("cb"), col("nt").as("nb"))
+      val m = aSide.join(bSide, "q")
+        .withColumn("num", abs(col("ca") * col("nb") - col("cb") * col("na")))
+        .groupBy(col("event_type"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          max(col("num")).as("mx"))
+      val dd = col("mx").cast("double") /
+        (col("n_a") * col("n_b")).cast("double")
+      val lam = col("dd") * sqrt((col("n_a") * col("n_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      m.withColumn("dd", dd)
+        .withColumn("lam", lam)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("dd"), 6).as("ks_d"),
+          round(least(lit(1.0),
+            lit(2.0) * exp(lit(-2.0) * col("lam") * col("lam"))), 6)
+            .as("p_value"))
+        .orderBy(col("event_type"))
+    }),
     // Kyle's lambda price impact (op 117).
     "tick_kyle_lambda" -> ((s, dir) =>
       events(s, dir)
@@ -5944,6 +6082,50 @@ object SparkEntry {
           round(sqrt(col("s2").cast("double") / 1e12), 6).as("dist"))
         .orderBy(col("label"), col("rnk"))
     }),
+    // Simplified silhouette per label (op 227 — cluster-quality QA
+    // for the op-85/86/88 family): s = (b − a)/max(a, b) with a =
+    // distance to the OWN label centroid and b = the nearest OTHER
+    // centroid (centroid-based silhouette — the all-pairs original
+    // is O(n²) and adds nothing at this granularity). Same exact
+    // integer-ratio centroids and 1e-12-quantized per-dim terms as
+    // op 220, so a/b/s are identical doubles; b's argmin runs on
+    // INTEGER s2. Per-label mean on 1e-6-quantized s + misplaced
+    // (s < 0) count. Broadcast centroid join, no shuffle beyond the
+    // per-vector agg.
+    "embed_silhouette" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .withColumn("xq", floor(col("x") * 1e6 + 0.5).cast("long"))
+      val cen = e.groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
+        .select(col("label").as("clabel"), col("pos"),
+          (col("sq").cast("double") / col("n").cast("double")).as("m"))
+      val terms = e.join(broadcast(cen), Seq("pos"))
+        .withColumn("diff", col("xq").cast("double") / 1e6 - col("m") / 1e6)
+        .withColumn("t",
+          floor(col("diff") * col("diff") * 1e12 + 0.5).cast("long"))
+        .groupBy(col("vec_id"), col("label"), col("clabel"))
+        .agg(sum(col("t")).as("s2"))
+      val own = terms.where(col("label") === col("clabel"))
+        .select(col("vec_id"), col("label"),
+          sqrt(col("s2").cast("double") / 1e12).as("a"))
+      val oth = terms.where(col("label") =!= col("clabel"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min(col("s2")).as("bmin"))
+        .select(col("vec_id"), col("label"),
+          sqrt(col("bmin").cast("double") / 1e12).as("b"))
+      own.join(oth, Seq("vec_id", "label"))
+        .withColumn("qs", floor((col("b") - col("a")) /
+          greatest(col("a"), col("b")) * 1e6 + 0.5).cast("long"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (floor(sum(col("qs")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+            .as("mean_silhouette"),
+          sum(when(col("qs") < 0, 1L).otherwise(0L)).as("n_misplaced"))
+        .orderBy(col("label"))
+    }),
     // Cross-doc boilerplate shingles (op 221 — template detection,
     // the cross-document sibling of op 76's within-doc repetition):
     // a 5-gram appearing in ≥ 5 DISTINCT docs is boilerplate; each
@@ -6985,6 +7167,45 @@ object SparkEntry {
           |                 THEN greatest(lo, least(hi, value)) END), 6) AS winsor_mean
           |FROM events e JOIN b ON e.event_type = b.event_type
           |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+      // op 225: same global 1e-6 grid, same integer KS numerator,
+      // same λ/p-value algebra.
+      "stats_ks_test" ->
+        s"""$R_CTE, q0 AS (
+          |  SELECT event_type, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS q
+          |  FROM r WHERE ret IS NOT NULL
+          |), cnt AS (SELECT event_type, q, count(*) AS c FROM q0 GROUP BY 1, 2),
+          |grid AS (SELECT DISTINCT q FROM cnt),
+          |types AS (SELECT DISTINCT event_type FROM cnt),
+          |dense AS (
+          |  SELECT t.event_type, g.q, COALESCE(c.c, 0) AS c
+          |  FROM grid g CROSS JOIN types t
+          |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.q = g.q
+          |), cum AS (
+          |  SELECT event_type, q,
+          |    sum(c) OVER (PARTITION BY event_type ORDER BY q
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+          |  FROM dense
+          |), tot AS (SELECT event_type, count(*) AS nt FROM q0 GROUP BY 1),
+          |sa AS (SELECT c.event_type, c.q, c.cc AS ca, t.nt AS na
+          |       FROM cum c JOIN tot t USING (event_type) WHERE c.event_type <> 'view'),
+          |sb AS (SELECT c.q, c.cc AS cb, t.nt AS nb
+          |       FROM cum c JOIN tot t USING (event_type) WHERE c.event_type = 'view'),
+          |m AS (
+          |  SELECT sa.event_type, max(sa.na) AS n_a, max(sb.nb) AS n_b,
+          |    max(abs(sa.ca * sb.nb - sb.cb * sa.na)) AS mx
+          |  FROM sa JOIN sb USING (q) GROUP BY sa.event_type
+          |), dd AS (
+          |  SELECT event_type, n_a, n_b,
+          |    CAST(mx AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS dd
+          |  FROM m
+          |), ll AS (
+          |  SELECT event_type, n_a, n_b, dd,
+          |    dd * sqrt(CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) AS lam
+          |  FROM dd
+          |)
+          |SELECT event_type, n_a, n_b, round(dd, 6) AS ks_d,
+          |  round(least(1.0, 2.0 * exp(-2.0 * lam * lam)), 6) AS p_value
+          |FROM ll ORDER BY event_type""".stripMargin,
       "tick_kyle_lambda" ->
         s"""WITH d AS (
           |  SELECT event_type,
@@ -8469,6 +8690,40 @@ object SparkEntry {
           |)
           |SELECT label, rnk, vec_id, round(sqrt(CAST(s2 AS DOUBLE) / 1e12), 6) AS dist
           |FROM rk WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
+      // op 227: the op-220 distance kernel against ALL centroids,
+      // argmin on integer s2, the same (b−a)/max quantization.
+      "embed_silhouette" ->
+        """WITH e AS (
+          |  SELECT vec_id, label,
+          |    unnest(range(0, len(embedding))) AS pos,
+          |    unnest(list_transform(embedding::DOUBLE[],
+          |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS xq
+          |  FROM embeddings
+          |), cen AS (
+          |  SELECT label AS clabel, pos,
+          |    CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+          |  FROM e GROUP BY label, pos
+          |), terms AS (
+          |  SELECT e.vec_id, e.label, c.clabel,
+          |    sum(CAST(floor((CAST(e.xq AS DOUBLE) / 1e6 - c.m / 1e6)
+          |      * (CAST(e.xq AS DOUBLE) / 1e6 - c.m / 1e6) * 1e12 + 0.5) AS BIGINT)) AS s2
+          |  FROM e JOIN cen c ON e.pos = c.pos
+          |  GROUP BY 1, 2, 3
+          |), own AS (
+          |  SELECT vec_id, label, sqrt(CAST(s2 AS DOUBLE) / 1e12) AS a
+          |  FROM terms WHERE label = clabel
+          |), oth AS (
+          |  SELECT vec_id, label, sqrt(CAST(min(s2) AS DOUBLE) / 1e12) AS b
+          |  FROM terms WHERE label <> clabel GROUP BY 1, 2
+          |), sil AS (
+          |  SELECT o.label,
+          |    CAST(floor((t.b - o.a) / greatest(o.a, t.b) * 1e6 + 0.5) AS BIGINT) AS qs
+          |  FROM own o JOIN oth t USING (vec_id, label)
+          |)
+          |SELECT label, count(*) AS n_vecs,
+          |  floor(CAST(sum(qs) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_silhouette,
+          |  CAST(sum(CASE WHEN qs < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced
+          |FROM sil GROUP BY label ORDER BY label""".stripMargin,
       // op 221: the WordShingles width-5 truncation convention
       // (toks[i:i+4] over max(len−4, 1) starts), counts all integer.
       "corpus_boilerplate" ->

@@ -396,6 +396,100 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("stats_ks_test: two-sample KS vs the view benchmark") {
+    val rets = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+    }
+    val bench = rets("view").sorted
+    val got = SparkEntry.queries("stats_ks_test")(spark, dir)
+      .select($"event_type", $"n_a", $"n_b", $"ks_d", $"p_value")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got.keySet == rets.keySet - "view")
+    for ((k, ra) <- rets if k != "view") {
+      val a = ra.sorted
+      // D over the pooled sample points
+      val pool = (a ++ bench).distinct.sorted
+      val d = pool.map { x =>
+        val fa = a.count(_ <= x).toDouble / a.length
+        val fb = bench.count(_ <= x).toDouble / bench.length
+        math.abs(fa - fb)
+      }.max
+      assert(got(k)._1 == a.length && got(k)._2 == bench.length, s"$k n")
+      assert(math.abs(got(k)._3 - d) < 1e-5, s"$k D")
+      val lam = d * math.sqrt(a.length.toDouble * bench.length / (a.length + bench.length))
+      val p = math.min(1.0, 2.0 * math.exp(-2.0 * lam * lam))
+      assert(math.abs(got(k)._4 - p) < 1e-4, s"$k p")
+    }
+  }
+
+  test("eod_hm_timing: Henriksson-Merton 3-var OLS vs normal-equation solve") {
+    val rets = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+    }
+    val rb = rets("view")
+    val got = SparkEntry.queries("eod_hm_timing")(spark, dir)
+      .select($"pair_id", $"n", $"alpha", $"beta", $"gamma")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    for ((k, ra) <- rets if k != "view") {
+      val n = math.min(ra.length, rb.length)
+      val y = ra.take(n); val x1 = rb.take(n)
+      val x2 = x1.map(math.max(_, 0.0))
+      val (s1, s2, sy) = (x1.sum, x2.sum, y.sum)
+      val s11 = x1.map(v => v * v).sum
+      val s12 = x1.zip(x2).map { case (a, b) => a * b }.sum
+      val s22 = x2.map(v => v * v).sum
+      val s1y = x1.zip(y).map { case (a, b) => a * b }.sum
+      val s2y = x2.zip(y).map { case (a, b) => a * b }.sum
+      val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s12 - s11 * s2)
+      val detA = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+        s2 * (s1y * s12 - s11 * s2y)
+      val detB = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s2y - s1y * s2)
+      val detG = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+        sy * (s1 * s12 - s11 * s2)
+      assert(got(k)._1 == n, s"$k n")
+      assert(math.abs(got(k)._2 - detA / det) < 1e-5, s"$k alpha")
+      assert(math.abs(got(k)._3 - detB / det) < 1e-3, s"$k beta")
+      assert(math.abs(got(k)._4 - detG / det) < 1e-3, s"$k gamma")
+    }
+  }
+
+  test("embed_silhouette: centroid-based simplified silhouette per label") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val dim = vecs.head._3.length
+    val cents = vecs.groupBy(_._2).map { case (l, g) =>
+      l -> (0 until dim).map(p => g.map(_._3(p).toDouble).sum / g.length).toArray
+    }
+    val expect = vecs.groupBy(_._2).map { case (l, g) =>
+      val sils = g.map { case (_, _, v) =>
+        def dist(c: Array[Double]) =
+          math.sqrt((0 until dim).map(p => { val d = v(p) - c(p); d * d }).sum)
+        val a = dist(cents(l))
+        val b = cents.filter(_._1 != l).values.map(dist).min
+        (b - a) / math.max(a, b)
+      }
+      l -> (g.length.toLong, sils.sum / sils.length,
+        sils.count(_ < 0).toLong)
+    }
+    val got = SparkEntry.queries("embed_silhouette")(spark, dir)
+      .select($"label", $"n_vecs", $"mean_silhouette", $"n_misplaced")
+      .as[(Int, Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == expect.keySet.toSet)
+    for ((l, e) <- expect) {
+      assert(got(l)._1 == e._1, s"label $l n")
+      assert(math.abs(got(l)._2 - e._2) < 1e-4, s"label $l mean")
+      assert(got(l)._3 == e._3, s"label $l misplaced")
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
