@@ -465,6 +465,26 @@ object SparkEntry {
           round(Eod.cvarGivenVar(col("ret"), col("var5")), 6).as("cvar_5"))
         .orderBy(col("event_type"))
     }),
+    // Rachev ratio (op 228, the op-103 kernel on BOTH tails): mean
+    // of the top-5% gain tail over |mean of the bottom-5% loss
+    // tail| — reward-tail versus risk-tail, the distribution-shape
+    // companion to omega. Same one-window + one-agg shape as
+    // var/cvar, R-7 quantile cuts on both sides.
+    "eod_rachev" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("var5", Eod.valueAtRisk(col("ret"), 0.05).over(wSym))
+        .withColumn("g95", Eod.valueAtRisk(col("ret"), 0.95).over(wSym))
+        .groupBy(col("event_type"))
+        .agg(round(avg(when(col("ret") >= col("g95"), col("ret"))), 6)
+            .as("gain_tail"),
+          round(avg(when(col("ret") <= col("var5"), col("ret"))), 6)
+            .as("loss_tail"),
+          (round(avg(when(col("ret") >= col("g95"), col("ret"))) /
+            (-avg(when(col("ret") <= col("var5"), col("ret")))), 6)
+            + lit(0.0)).as("rachev"))
+        .orderBy(col("event_type"))
+    }),
     // Conditional drawdown at risk (op 148): the VaR/CVaR pattern
     // applied to the DRAWDOWN distribution (Chekhlov/Uryasev/Zabarankin
     // 2005) — the 5th-percentile drawdown depth and the mean depth of
@@ -1807,6 +1827,31 @@ object SparkEntry {
           round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2)
             .as("sum_above"))
         .orderBy(col("o_custkey"))
+    }),
+    // TPC-H Q10 shape (op 229, returned-item revenue): which
+    // customers returned the most revenue last quarter — the
+    // customer-grain sort-limit sibling of op 205's order-grain Q3.
+    // Both date bounds and the returnflag filter reach the parquet
+    // scans; revenue in exact DECIMAL so the top-20 is a total order
+    // (ties on c_custkey); nation broadcast.
+    "rel_tpch_q10" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem"); val n = tbl(s, dir, "nation")
+      val lo = lit("1997-10-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .join(li.where(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,8)")).as("rev"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          round(col("rev").cast("double"), 2).as("revenue"), col("n_items"))
     })
   )
 
@@ -2311,6 +2356,22 @@ object SparkEntry {
         |SELECT r.event_type,
         |  round(min(var5), 6) AS var_5,
         |  round(avg(CASE WHEN ret <= var5 THEN ret END), 6) AS cvar_5
+        |FROM r JOIN q ON r.event_type = q.event_type
+        |WHERE ret IS NOT NULL
+        |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+    // op 228: both R-7 quantile cuts, the same tail means and the
+    // same gain/(−loss) parenthesization.
+    "eod_rachev" ->
+      s"""$R_CTE, q AS (
+        |  SELECT event_type, quantile_cont(ret, 0.05) AS var5,
+        |    quantile_cont(ret, 0.95) AS g95
+        |  FROM r WHERE ret IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT r.event_type,
+        |  round(avg(CASE WHEN ret >= g95 THEN ret END), 6) AS gain_tail,
+        |  round(avg(CASE WHEN ret <= var5 THEN ret END), 6) AS loss_tail,
+        |  round(avg(CASE WHEN ret >= g95 THEN ret END) /
+        |        (-avg(CASE WHEN ret <= var5 THEN ret END)), 6) + 0.0 AS rachev
         |FROM r JOIN q ON r.event_type = q.event_type
         |WHERE ret IS NOT NULL
         |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
@@ -3505,7 +3566,26 @@ object SparkEntry {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2)
         |    AS sum_above
         |FROM s WHERE CAST(o_totalprice AS DECIMAL(30,8)) * n > s
-        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // op 229: identical filters and the exact-DECIMAL top-20 order.
+    "rel_tpch_q10" ->
+      """WITH j AS (
+        |  SELECT c_custkey, c_name, n_name,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8)) AS r
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_returnflag = 'R'
+        |), g AS (
+        |  SELECT c_custkey, c_name, n_name, sum(r) AS rev, count(*) AS n_items
+        |  FROM j GROUP BY 1, 2, 3
+        |)
+        |SELECT c_custkey, c_name, n_name,
+        |  round(CAST(rev AS DOUBLE), 2) AS revenue, n_items
+        |FROM g ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin
   )
 
   // =================================================================
@@ -6126,6 +6206,37 @@ object SparkEntry {
           sum(when(col("qs") < 0, 1L).otherwise(0L)).as("n_misplaced"))
         .orderBy(col("label"))
     }),
+    // Per-dimension variance spectrum + participation ratio (op 230,
+    // the cheap intrinsic-dimension probe the op-198 power iteration
+    // refines): population variance per dimension from 1e-6-quantized
+    // integer sums, then effective_dim = (Σλ)²/Σλ² — 64 means the
+    // space is isotropic, ≪64 says truncation (op 171) is safe.
+    // Cross-dim sums are integer again (λ quantized to 1e-12, λ²
+    // through DECIMAL(19,0)²), so the single-row report is
+    // engine-exact. Two tiny hash aggs.
+    "embed_dim_variance" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+        .withColumn("xq", floor(col("x") * 1e6 + 0.5).cast("long"))
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val lam = e.groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"),
+          sum(dec(col("xq")) * dec(col("xq"))).as("sq2"))
+        .withColumn("v", col("sq2").cast("double") / 1e12 / col("n") -
+          (col("sq").cast("double") / 1e6 / col("n")) *
+          (col("sq").cast("double") / 1e6 / col("n")))
+        .withColumn("lq", floor(col("v") * 1e12 + 0.5).cast("long"))
+      lam.agg(count(lit(1)).as("n_dims"),
+          (sum(col("lq")).cast("double") / 1e12).as("tv"),
+          (max(col("lq")).cast("double") / 1e12).as("mv"),
+          (sum(dec(col("lq")) * dec(col("lq"))).cast("double") / 1e24)
+            .as("s2"))
+        .select(col("n_dims"),
+          round(col("tv"), 6).as("total_var"),
+          round(col("mv"), 6).as("max_var"),
+          round(col("tv") * col("tv") / col("s2"), 6).as("effective_dim"))
+    }),
     // Cross-doc boilerplate shingles (op 221 — template detection,
     // the cross-document sibling of op 76's within-doc repetition):
     // a 5-gram appearing in ≥ 5 DISTINCT docs is boilerplate; each
@@ -8724,6 +8835,35 @@ object SparkEntry {
           |  floor(CAST(sum(qs) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_silhouette,
           |  CAST(sum(CASE WHEN qs < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced
           |FROM sil GROUP BY label ORDER BY label""".stripMargin,
+      // op 230: same 1e-6 component quantization, per-dim population
+      // variance, λ re-quantized to 1e-12 with λ² through
+      // DECIMAL(19,0)².
+      "embed_dim_variance" ->
+        """WITH e AS (
+          |  SELECT unnest(range(0, len(embedding))) AS pos,
+          |    unnest(list_transform(embedding::DOUBLE[],
+          |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS xq
+          |  FROM embeddings
+          |), lam AS (
+          |  SELECT pos, count(*) AS n, sum(xq) AS sq,
+          |    sum(CAST(xq AS DECIMAL(19,0)) * CAST(xq AS DECIMAL(19,0))) AS sq2
+          |  FROM e GROUP BY pos
+          |), lq AS (
+          |  SELECT pos,
+          |    CAST(floor((CAST(sq2 AS DOUBLE) / 1e12 / n -
+          |      (CAST(sq AS DOUBLE) / 1e6 / n) * (CAST(sq AS DOUBLE) / 1e6 / n))
+          |      * 1e12 + 0.5) AS BIGINT) AS lq
+          |  FROM lam
+          |), a AS (
+          |  SELECT count(*) AS n_dims,
+          |    CAST(sum(lq) AS DOUBLE) / 1e12 AS tv,
+          |    CAST(max(lq) AS DOUBLE) / 1e12 AS mv,
+          |    CAST(sum(CAST(lq AS DECIMAL(19,0)) * CAST(lq AS DECIMAL(19,0))) AS DOUBLE) / 1e24 AS s2
+          |  FROM lq
+          |)
+          |SELECT n_dims, round(tv, 6) AS total_var, round(mv, 6) AS max_var,
+          |  round(tv * tv / s2, 6) AS effective_dim
+          |FROM a""".stripMargin,
       // op 221: the WordShingles width-5 truncation convention
       // (toks[i:i+4] over max(len−4, 1) starts), counts all integer.
       "corpus_boilerplate" ->

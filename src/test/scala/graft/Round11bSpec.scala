@@ -490,6 +490,84 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("eod_rachev: gain-tail over loss-tail means with R-7 cuts") {
+    def r7(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val got = SparkEntry.queries("eod_rachev")(spark, dir)
+      .select($"event_type", $"gain_tail", $"loss_tail", $"rachev")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val rets = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+    }
+    for ((k, r) <- rets) {
+      val v5 = r7(r, 0.05); val g95 = r7(r, 0.95)
+      val gain = r.filter(_ >= g95); val loss = r.filter(_ <= v5)
+      val gm = gain.sum / gain.length; val lm = loss.sum / loss.length
+      assert(math.abs(got(k)._1 - gm) < 2e-6, s"$k gain")
+      assert(math.abs(got(k)._2 - lm) < 2e-6, s"$k loss")
+      assert(math.abs(got(k)._3 - gm / -lm) < 2e-5, s"$k rachev")
+    }
+  }
+
+  test("rel_tpch_q10 matches an in-memory recomputation") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .as[(Long, String, Int)].collect().map(c => c._1 -> (c._2, c._3)).toMap
+    val natName = spark.read.parquet(s"$dir/nation.parquet")
+      .select($"n_nationkey", $"n_name").as[(Int, String)].collect().toMap
+    val lo = java.sql.Timestamp.valueOf("1997-10-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val ordersQ = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .filter(o => !o._3.before(lo) && o._3.before(hi))
+      .map(o => o._1 -> o._2).toMap
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_returnflag", $"l_extendedprice", $"l_discount")
+      .as[(Long, String, Double, Double)].collect()
+    val agg = collection.mutable.Map[Long, (Double, Long)]()
+    for ((ok, rf, price, disc) <- li if rf == "R"; ck <- ordersQ.get(ok)) {
+      val (r, c) = agg.getOrElse(ck, (0.0, 0L))
+      agg(ck) = (r + price * (1.0 - disc), c + 1)
+    }
+    val top = agg.toArray.sortBy { case (ck, (r, _)) => (-r, ck) }.take(20)
+    val got = SparkEntry.queries("rel_tpch_q10")(spark, dir)
+      .select($"c_custkey", $"c_name", $"n_name", $"revenue", $"n_items")
+      .as[(Long, String, String, Double, Long)].collect()
+    assert(got.length == top.length)
+    for (((ck, (r, c)), g) <- top.zip(got)) {
+      assert(g._1 == ck, s"custkey order")
+      assert(g._2 == cust(ck)._1 && g._3 == natName(cust(ck)._2), s"$ck dims")
+      assert(math.abs(g._4 - r) < 0.02 && g._5 == c, s"$ck rev")
+    }
+  }
+
+  test("embed_dim_variance: variance spectrum and participation ratio") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"embedding").as[Array[Float]].collect()
+    val dim = vecs.head.length
+    val lams = (0 until dim).map { p =>
+      val xs = vecs.map(_(p).toDouble)
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }.toArray
+    val got = SparkEntry.queries("embed_dim_variance")(spark, dir)
+      .select($"n_dims", $"total_var", $"max_var", $"effective_dim")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(got._1 == dim)
+    assert(math.abs(got._2 - lams.sum) < 1e-4, "total")
+    assert(math.abs(got._3 - lams.max) < 1e-5, "max")
+    val eff = lams.sum * lams.sum / lams.map(l => l * l).sum
+    assert(math.abs(got._4 - eff) < 1e-3, "effective dim")
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
