@@ -712,10 +712,12 @@ object SparkEntry {
       val detG = nD * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
         d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
         d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+      // det = 0 (collinear x1/x2, e.g. a benchmark that never goes
+      // negative) must null the coefficients, not ANSI-abort.
       a.select(col("pair_id"), col("n"),
-          (round(detA / det / 1e6, 9) + lit(0.0)).as("alpha"),
-          (round(detB / det, 6) + lit(0.0)).as("beta"),
-          (round(detG / det, 6) + lit(0.0)).as("gamma"))
+          (round(when(det =!= 0.0, detA / det / 1e6), 9) + lit(0.0)).as("alpha"),
+          (round(when(det =!= 0.0, detB / det), 6) + lit(0.0)).as("beta"),
+          (round(when(det =!= 0.0, detG / det), 6) + lit(0.0)).as("gamma"))
         .orderBy(col("pair_id"))
     }),
     // Calendar extremes (op 210 — ffn's best_day/worst_day family):
@@ -735,7 +737,10 @@ object SparkEntry {
           month(col("ts")).as("mo"), dayofmonth(col("ts")).as("dy"))
         .agg(max_by(col("value"), col("ts")).as("eop"))
         .select(col("event_type"),
-          (col("eop") / lag(col("eop"), 1).over(wD) - 1).as("dret"))
+          // safeDiv: a zero day-close (sf0.1+ bad ticks) must null
+          // the return, not ANSI-abort — matches DuckDB x/0 → NULL.
+          (graft.functions.safeDiv(col("eop"),
+            lag(col("eop"), 1).over(wD)) - 1).as("dret"))
         .groupBy(col("event_type"))
         .agg((round(max(col("dret")), 6) + lit(0.0)).as("best_day"),
           (round(min(col("dret")), 6) + lit(0.0)).as("worst_day"))
@@ -1254,6 +1259,9 @@ object SparkEntry {
           (col("sq").cast("double") / 1e6) * (col("sq").cast("double") / 1e6)
             / lit(21.0)) / lit(20.0)))
         .withColumn("br", col("sq").cast("double") / 1e6 / lit(21.0))
+        // vol = 0 (flat block) must drop the asset-block, not abort;
+        // the count-5 completeness gates then drop the whole block.
+        .where(col("vol") > 0)
         .withColumn("iq", floor(lit(1.0) / col("vol") * 1e9 + 0.5).cast("long"))
       val wts = blk.select(col("event_type"), (col("block") + 1).as("block"),
         col("iq"))
@@ -1391,7 +1399,9 @@ object SparkEntry {
         .select(col("event_type"),
           round(col("rvr"), 6).as("rv"),
           round(col("bvr"), 6).as("bv"),
-          (round(greatest(lit(0.0), lit(1.0) - col("bvr") / col("rvr")), 6)
+          // rvr = 0 (degenerate flat series) must null, not abort.
+          (round(when(col("rvr") =!= 0.0,
+            greatest(lit(0.0), lit(1.0) - col("bvr") / col("rvr"))), 6)
             + lit(0.0)).as("jump_share"))
         .orderBy(col("event_type"))
     }),
@@ -1407,7 +1417,9 @@ object SparkEntry {
     "tick_corwin_schultz" -> ((s, dir) => {
       val wD = Window.partitionBy(col("event_type"))
         .orderBy(col("yr"), col("mo"), col("dy"))
-      val d = events(s, dir)
+      // value > 0: sf0.1+ plants zero-priced bad ticks; a 0 low
+      // would ANSI-abort ln(hi/lo) (the op-1 safeDiv rationale).
+      val d = events(s, dir).where(col("value") > 0)
         .groupBy(col("event_type"), year(col("ts")).as("yr"),
           month(col("ts")).as("mo"), dayofmonth(col("ts")).as("dy"))
         .agg(max(col("value")).as("hi"), min(col("value")).as("lo"))
@@ -2573,9 +2585,9 @@ object SparkEntry {
         |  FROM dd
         |)
         |SELECT pair_id, n,
-        |  round(deta / det0 / 1e6, 9) + 0.0 AS alpha,
-        |  round(detb / det0, 6) + 0.0 AS beta,
-        |  round(detg / det0, 6) + 0.0 AS gamma
+        |  round(CASE WHEN det0 <> 0.0 THEN deta / det0 / 1e6 END, 9) + 0.0 AS alpha,
+        |  round(CASE WHEN det0 <> 0.0 THEN detb / det0 END, 6) + 0.0 AS beta,
+        |  round(CASE WHEN det0 <> 0.0 THEN detg / det0 END, 6) + 0.0 AS gamma
         |FROM det ORDER BY pair_id""".stripMargin,
     // op 210: min/max only; the day leg replays the op-135 arg_max
     // day-eop kernel.
@@ -3026,7 +3038,7 @@ object SparkEntry {
         |), iv AS (
         |  SELECT event_type, block, br,
         |    CAST(floor(1.0 / vol * 1e9 + 0.5) AS BIGINT) AS iq
-        |  FROM v
+        |  FROM v WHERE vol > 0
         |), wts AS (
         |  SELECT event_type, block + 1 AS block, iq FROM iv
         |), tot AS (
@@ -3183,7 +3195,8 @@ object SparkEntry {
         |  FROM l GROUP BY event_type
         |)
         |SELECT event_type, round(rvr, 6) AS rv, round(bvr, 6) AS bv,
-        |  round(greatest(0.0, 1.0 - bvr / rvr), 6) + 0.0 AS jump_share
+        |  round(CASE WHEN rvr <> 0.0
+        |             THEN greatest(0.0, 1.0 - bvr / rvr) END, 6) + 0.0 AS jump_share
         |FROM a ORDER BY event_type""".stripMargin,
     // op 215: same day-grain max/min highs/lows, same k = 3 − 2√2
     // round-trip literal, identical α/S parenthesization.
@@ -3192,7 +3205,7 @@ object SparkEntry {
       s"""WITH d0 AS (
         |  SELECT event_type, year(ts) AS yr, month(ts) AS mo, day(ts) AS dy,
         |    max(value) AS hi, min(value) AS lo
-        |  FROM events GROUP BY 1, 2, 3, 4
+        |  FROM events WHERE value > 0 GROUP BY 1, 2, 3, 4
         |), d AS (
         |  SELECT event_type, hi, lo,
         |    row_number() OVER w AS rn,
@@ -6197,6 +6210,9 @@ object SparkEntry {
         .select(col("vec_id"), col("label"),
           sqrt(col("bmin").cast("double") / 1e12).as("b"))
       own.join(oth, Seq("vec_id", "label"))
+        // a = b = 0 (a point sitting on two centroids) must drop,
+        // not ANSI-abort on 0/0.
+        .where(greatest(col("a"), col("b")) > 0)
         .withColumn("qs", floor((col("b") - col("a")) /
           greatest(col("a"), col("b")) * 1e6 + 0.5).cast("long"))
         .groupBy(col("label"))
@@ -8830,6 +8846,7 @@ object SparkEntry {
           |  SELECT o.label,
           |    CAST(floor((t.b - o.a) / greatest(o.a, t.b) * 1e6 + 0.5) AS BIGINT) AS qs
           |  FROM own o JOIN oth t USING (vec_id, label)
+          |  WHERE greatest(o.a, t.b) > 0
           |)
           |SELECT label, count(*) AS n_vecs,
           |  floor(CAST(sum(qs) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_silhouette,
