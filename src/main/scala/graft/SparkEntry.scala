@@ -4256,6 +4256,64 @@ object SparkEntry {
           round(col("right_quote_value"), 6).as("quote_value"))
         .orderBy(col("event_id"))
     }),
+    // Upsample + forward-fill (op 232, the reference host API's
+    // upsample/fill_forward lineage): a regular hourly grid per
+    // series, each grid point carrying the last observation at or
+    // before it. Spark-first the fill IS the op-42 backward as-of
+    // join of the generated grid against the events — one key
+    // shuffle, no per-key loops; sequence() builds the grid
+    // in-plan, no driver materialization.
+    "df_upsample_ffill" -> ((s, dir) => {
+      val e = events(s, dir)
+      val grid = e.groupBy(col("event_type"))
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          max(col("ts")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 hour"))).as("ts"))
+      AsOfJoin.backward(grid,
+          e.select(col("event_type"), col("ts"), col("event_id"),
+            col("value")),
+          "event_type", "ts", Seq("event_id", "value"))
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("right_event_id").as("src_event_id"),
+          round(col("right_value"), 6).as("value"))
+        .orderBy(col("event_type"), col("ts_us"))
+    }),
+    // Rolling median + quartiles (op 233, polars rolling_quantile
+    // lineage): R-7 interpolated quantiles over a 20-row sliding
+    // frame. No prefix-sum form exists for order statistics (the
+    // op-67 maxDD argument), so this stays a genuine frame — the
+    // one rolling family member that must re-aggregate per row.
+    "eod_rolling_median" -> ((s, dir) => {
+      val wF = wT.rowsBetween(-19, Window.currentRow)
+      withRet(s, dir).select(col("event_type"), col("event_id"),
+        (round(percentile(col("ret"), lit(0.25)).over(wF), 6) + lit(0.0))
+          .as("roll_p25"),
+        (round(percentile(col("ret"), lit(0.5)).over(wF), 6) + lit(0.0))
+          .as("roll_median"),
+        (round(percentile(col("ret"), lit(0.75)).over(wF), 6) + lit(0.0))
+          .as("roll_p75"))
+    }),
+    // Nearest as-of (op 231, polars strategy="nearest" — the third
+    // join_asof strategy, completing ops 42/122): smallest absolute
+    // time distance wins, ties to the backward match.
+    "asof_join_nearest" -> ((s, dir) => {
+      val e = events(s, dir)
+      val trades = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val quotes = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("quote_id"), col("value").as("quote_value"))
+      AsOfJoin.nearest(trades, quotes, "user_id", "ts",
+          Seq("quote_id", "quote_value"))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("trade_value"),
+          col("right_quote_id").as("quote_id"),
+          round(col("right_quote_value"), 6).as("quote_value"),
+          col("right_dist_us").as("dist_us"))
+        .orderBy(col("event_id"))
+    }),
     // Tolerance-bounded as-of (SURVEY §2 op 122): same trade↔quote
     // alignment, but a quote older than 1 day is no match — the
     // stale-quote guard. Mixed outcome by construction (median age in
@@ -7623,6 +7681,54 @@ object SparkEntry {
           |       q.quote_id, round(q.quote_value, 6) AS quote_value
           |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts <= q.ts
           |ORDER BY t.event_id""".stripMargin,
+      // op 232: generate_series grid + the same backward ASOF fill.
+      "df_upsample_ffill" ->
+        """WITH b AS (
+          |  SELECT event_type, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+          |  FROM events GROUP BY 1
+          |), g AS (
+          |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gts
+          |  FROM b
+          |), e AS (SELECT event_type, ts, event_id, value FROM events)
+          |SELECT g.event_type, epoch_us(g.gts) AS ts_us,
+          |  e.event_id AS src_event_id, round(e.value, 6) AS value
+          |FROM g ASOF LEFT JOIN e
+          |  ON g.event_type = e.event_type AND g.gts >= e.ts
+          |ORDER BY g.event_type, ts_us""".stripMargin,
+      // op 233: the same R-7 window-frame quantiles.
+      "eod_rolling_median" ->
+        s"""$R_CTE
+          |SELECT event_type, event_id,
+          |  round(quantile_cont(ret, 0.25) OVER w2, 6) + 0.0 AS roll_p25,
+          |  round(quantile_cont(ret, 0.5) OVER w2, 6) + 0.0 AS roll_median,
+          |  round(quantile_cont(ret, 0.75) OVER w2, 6) + 0.0 AS roll_p75
+          |FROM r
+          |WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+          |              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
+      // op 231: both directional ASOF joins composed by the left's
+      // unique event_id, the same ≤ tie-break to backward.
+      "asof_join_nearest" ->
+        """WITH t AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+          |q AS (SELECT user_id, ts, event_id AS quote_id, value AS quote_value FROM events WHERE event_type = 'view'),
+          |b AS (SELECT t.user_id, t.event_id, t.value, t.ts,
+          |        q.quote_id AS b_id, q.quote_value AS b_val, q.ts AS b_ts
+          |      FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts),
+          |f AS (SELECT t.event_id, q.quote_id AS f_id, q.quote_value AS f_val, q.ts AS f_ts
+          |      FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts <= q.ts),
+          |j AS (SELECT b.*, f.f_id, f.f_val, f.f_ts FROM b JOIN f USING (event_id)),
+          |sel AS (
+          |  SELECT user_id, event_id, value,
+          |    (f_ts IS NULL OR (b_ts IS NOT NULL AND
+          |       epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))) AS use_b,
+          |    b_id, b_val, epoch_us(ts) - epoch_us(b_ts) AS b_age,
+          |    f_id, f_val, epoch_us(f_ts) - epoch_us(ts) AS f_age
+          |  FROM j
+          |)
+          |SELECT user_id, event_id, round(value, 6) AS trade_value,
+          |  CASE WHEN use_b THEN b_id ELSE f_id END AS quote_id,
+          |  round(CASE WHEN use_b THEN b_val ELSE f_val END, 6) AS quote_value,
+          |  CASE WHEN use_b THEN b_age ELSE f_age END AS dist_us
+          |FROM sel ORDER BY event_id""".stripMargin,
       // Tolerance-bounded as-of: ASOF match, then a stale (> 1 day)
       // match reverts to the null outcome — mirrors backwardWithin.
       "asof_join_tolerance" ->

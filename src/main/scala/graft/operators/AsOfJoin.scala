@@ -58,6 +58,37 @@ object AsOfJoin {
               rightPayload: Seq[String]): DataFrame =
     fillAsOf(left, right, key, ts, rightPayload, descending = true)
 
+  /** Nearest as-of (the third join_asof strategy in the reference's
+    * host API, polars `strategy="nearest"`): for each left row, the
+    * right row with the SMALLEST absolute time distance within the
+    * key; ties prefer the backward (earlier) match — a documented,
+    * deterministic convention the oracle replays. Composition of the
+    * two directional fills (two key-shuffles, still no range-join
+    * explosion); `right_dist_us` reports the winning distance.
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+              rightPayload: Seq[String]): DataFrame = {
+    val pay = rightPayload :+ ts
+    val b = pay.foldLeft(backward(left, right, key, ts, pay)) {
+      (df, c) => df.withColumnRenamed(s"right_$c", s"_b_$c")
+    }
+    val f = pay.foldLeft(forward(b, right, key, ts, pay)) {
+      (df, c) => df.withColumnRenamed(s"right_$c", s"_f_$c")
+    }
+    val us = (c: org.apache.spark.sql.Column) =>
+      graft.functions.Tick.epochUs(c)
+    val bAge = us(col(ts)) - us(col(s"_b_$ts"))
+    val fAge = us(col(s"_f_$ts")) - us(col(ts))
+    val useB = col(s"_f_$ts").isNull ||
+      (col(s"_b_$ts").isNotNull && bAge <= fAge)
+    rightPayload.foldLeft(f) { (df, c) =>
+        df.withColumn(s"right_$c",
+          when(useB, col(s"_b_$c")).otherwise(col(s"_f_$c")))
+      }
+      .withColumn("right_dist_us", when(useB, bAge).otherwise(fAge))
+      .drop(pay.flatMap(c => Seq(s"_b_$c", s"_f_$c")): _*)
+  }
+
   /** Shared fill: union the tagged sides, forward-fill the matched
     * right row as ONE struct, unpack to `right_<name>` columns.
     *

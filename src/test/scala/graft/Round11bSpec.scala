@@ -568,6 +568,97 @@ class Round11bSpec extends SparkSpec {
     assert(math.abs(got._4 - eff) < 1e-3, "effective dim")
   }
 
+  test("asof_join_nearest picks the closer side, ties to backward") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_type", $"user_id", $"ts", $"event_id", $"value")
+      .as[(String, Long, java.sql.Timestamp, Long, Double)].collect()
+    val quotes = ev.filter(_._1 == "view").groupBy(_._2)
+    val got = SparkEntry.queries("asof_join_nearest")(spark, dir)
+      .select($"event_id", $"quote_id", $"dist_us")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    for ((_, uid, ts, eid, _) <- ev.filter(_._1 == "purchase")) {
+      val qs = quotes.getOrElse(uid, Array.empty)
+      if (qs.isEmpty) assert(got(eid)._1.isEmpty, s"$eid no-quote")
+      else {
+        val before = qs.filter(q => us(q._3) <= us(ts))
+        val after = qs.filter(q => us(q._3) >= us(ts))
+        // backward = latest at-or-before; forward = earliest at-or-after
+        val b = if (before.nonEmpty) Some(before.maxBy(q => (us(q._3), q._4))) else None
+        val f = if (after.nonEmpty) Some(after.minBy(q => (us(q._3), q._4))) else None
+        val bAge = b.map(q => us(ts) - us(q._3))
+        val fAge = f.map(q => us(q._3) - us(ts))
+        val expect = (b, f) match {
+          case (Some(bb), Some(ff)) =>
+            if (bAge.get <= fAge.get) (bb._4, bAge.get) else (ff._4, fAge.get)
+          case (Some(bb), None) => (bb._4, bAge.get)
+          case (None, Some(ff)) => (ff._4, fAge.get)
+          case _ => (0L, 0L)
+        }
+        assert(got(eid)._2.contains(expect._2), s"$eid dist")
+      }
+    }
+  }
+
+  test("df_upsample_ffill: hourly grid carries the last prior observation") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_type", $"ts", $"event_id", $"value")
+      .as[(String, java.sql.Timestamp, Long, Double)].collect()
+    val got = SparkEntry.queries("df_upsample_ffill")(spark, dir)
+      .select($"event_type", $"ts_us", $"src_event_id", $"value")
+      .as[(String, Long, Option[Long], Option[Double])].collect()
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    for ((et, g) <- got.groupBy(_._1)) {
+      val series = ev.filter(_._1 == et).sortBy(e => (us(e._2), e._3))
+      val loUs = series.map(e => us(e._2)).min
+      val hiUs = series.map(e => us(e._2)).max
+      val lo = loUs - loUs % 3600000000L
+      val nGrid = (hiUs - lo) / 3600000000L + 1
+      assert(g.length == nGrid, s"$et grid size")
+      for ((_, tsUs, srcId, v) <- g) {
+        val atOrBefore = series.filter(e => us(e._2) <= tsUs)
+        if (atOrBefore.isEmpty) assert(srcId.isEmpty, s"$et $tsUs empty")
+        else {
+          val last = atOrBefore.maxBy(e => (us(e._2), e._3))
+          assert(srcId.contains(last._3), s"$et $tsUs src")
+          assert(math.abs(v.get - last._4) < 2e-6, s"$et $tsUs value")
+        }
+      }
+    }
+  }
+
+  test("eod_rolling_median: sliding 20-row R-7 quartiles") {
+    def r7(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val byType = rows().groupBy(_._1).map { case (k, rs) =>
+      val sorted = rs.sortBy(r => (r._2.getTime, r._3))
+      k -> (sorted.map(_._3),
+        sorted.map(_._4).sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray)
+    }
+    val got = SparkEntry.queries("eod_rolling_median")(spark, dir)
+      .select($"event_type", $"event_id", $"roll_median")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((et, (ids, rets)) <- byType) {
+      // row i (0-based over the full series incl. the null-ret head row)
+      for (i <- ids.indices) {
+        // returns available in the frame (rows max(0, i-19)..i; ret for row j is rets(j-1))
+        val fr = (math.max(0, i - 19) to i).filter(_ >= 1).map(j => rets(j - 1)).toArray
+        val g = got((et, ids(i)))
+        if (fr.isEmpty) assert(g.isEmpty, s"$et row $i")
+        else assert(math.abs(g.get - r7(fr, 0.5)) < 2e-6, s"$et row $i median")
+      }
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
