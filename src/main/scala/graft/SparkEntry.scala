@@ -1163,6 +1163,52 @@ object SparkEntry {
           round(avg(when(col("qls") > 0, 1.0).otherwise(0.0)), 6)
             .as("hit_rate"))
     }),
+    // Win/loss streaks (op 235, ffn's calc_stats streak fields):
+    // longest winning/losing run and the count of runs ≥ 5, per
+    // series — gaps-and-islands (rn − per-sign row_number), every
+    // value an exact integer. Two windows + two keyed aggs.
+    "eod_streaks" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("sgn", when(col("ret") > 0, 1)
+          .when(col("ret") < 0, -1).otherwise(0))
+      val w2 = Window.partitionBy(col("event_type"), col("sgn"))
+        .orderBy(col("rn"))
+      r.withColumn("grp", col("rn") - row_number().over(w2))
+        .groupBy(col("event_type"), col("sgn"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("sgn") === 1, col("len"))).as("max_win_streak"),
+          max(when(col("sgn") === -1, col("len"))).as("max_loss_streak"),
+          sum(when(col("sgn") === 1 && col("len") >= 5, 1L).otherwise(0L))
+            .as("n_win_streaks_5"),
+          sum(when(col("sgn") === -1 && col("len") >= 5, 1L).otherwise(0L))
+            .as("n_loss_streaks_5"))
+        .orderBy(col("event_type"))
+    }),
+    // Spearman correlation matrix (op 236, the robust sibling of op
+    // 70): each series' returns ranked over TIME (event_id
+    // tiebreak → integer ranks, engine-exact), then Pearson on the
+    // rank pairs via the op-70 bucket-pair shape — ranks are small
+    // integers so every corr co-moment sum is exact in double.
+    "eod_spearman_matrix" -> ((s, dir) => {
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(col("ret"), col("event_id"))
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("srk", row_number().over(wRank).cast("double"))
+        .select(col("event_type"), col("rn"), col("srk"))
+      r.groupBy(col("rn"))
+        .agg(collect_list(struct(col("event_type"), col("srk"))).as("l"))
+        .select(explode(col("l")).as("a"), col("l"))
+        .select(col("a"), explode(col("l")).as("b"))
+        .where(col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg((round(corr(col("a.srk"), col("b.srk")), 6) + lit(0.0))
+          .as("spearman"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
     // Cross-sectional information coefficient (op 214, the
     // signal-quality companion to op 175's backtest): per complete
     // 5-asset period, Spearman ρ between the PREVIOUS period's
@@ -1840,6 +1886,19 @@ object SparkEntry {
             .as("sum_above"))
         .orderBy(col("o_custkey"))
     }),
+    // TPC-H Q6 shape (op 234, the forecast-revenue-change scan): a
+    // pure filter-aggregate with NO join — the canonical predicate-
+    // pushdown showcase (all three predicates reach the parquet
+    // reader; the scan is the whole plan). Exact DECIMAL revenue.
+    "rel_tpch_q6" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(30,8)")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))),
     // TPC-H Q10 shape (op 229, returned-item revenue): which
     // customers returned the most revenue last quarter — the
     // customer-grain sort-limit sibling of op 205's order-grain Q3.
@@ -3580,6 +3639,53 @@ object SparkEntry {
         |    AS sum_above
         |FROM s WHERE CAST(o_totalprice AS DECIMAL(30,8)) * n > s
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // op 234: the same three pushed predicates, exact DECIMAL.
+    "rel_tpch_q6" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // op 235: the same gaps-and-islands integers.
+    "eod_streaks" ->
+      s"""$R_CTE, x AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+        |    CASE WHEN ret > 0 THEN 1 WHEN ret < 0 THEN -1 ELSE 0 END AS sgn
+        |  FROM r WHERE ret IS NOT NULL
+        |), isl AS (
+        |  SELECT event_type, sgn,
+        |    rn - row_number() OVER (PARTITION BY event_type, sgn ORDER BY rn) AS grp
+        |  FROM x
+        |), runs AS (
+        |  SELECT event_type, sgn, grp, count(*) AS len
+        |  FROM isl GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type,
+        |  max(CASE WHEN sgn = 1 THEN len END) AS max_win_streak,
+        |  max(CASE WHEN sgn = -1 THEN len END) AS max_loss_streak,
+        |  CAST(sum(CASE WHEN sgn = 1 AND len >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_win_streaks_5,
+        |  CAST(sum(CASE WHEN sgn = -1 AND len >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_loss_streaks_5
+        |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // op 236: identical time-ranks, the op-70 rn pair join.
+    "eod_spearman_matrix" ->
+      """WITH r0 AS (
+        |  SELECT event_type, ts, event_id,
+        |    value / lag(value) OVER w - 1 AS ret
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), r AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ret, event_id) AS DOUBLE) AS srk
+        |  FROM r0 WHERE ret IS NOT NULL
+        |)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  round(corr(a.srk, b.srk), 6) + 0.0 AS spearman
+        |FROM r a JOIN r b ON a.rn = b.rn AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // op 229: identical filters and the exact-DECIMAL top-20 order.
     "rel_tpch_q10" ->
       """WITH j AS (

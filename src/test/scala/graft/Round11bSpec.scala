@@ -659,6 +659,70 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("rel_tpch_q6: filter-aggregate forecast revenue") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_shipdate", $"l_discount", $"l_quantity", $"l_extendedprice")
+      .as[(java.sql.Timestamp, Double, Double, Double)].collect()
+    val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val sel = li.filter(l => !l._1.before(lo) && l._1.before(hi) &&
+      l._2 >= 0.05 && l._2 <= 0.07 && l._3 < 24)
+    val got = SparkEntry.queries("rel_tpch_q6")(spark, dir)
+      .select($"revenue", $"n_items").as[(Double, Long)].collect().head
+    assert(got._2 == sel.length)
+    assert(math.abs(got._1 - sel.map(l => l._4 * l._2).sum) < 0.02)
+  }
+
+  test("eod_streaks: longest win/loss runs per series") {
+    val got = SparkEntry.queries("eod_streaks")(spark, dir)
+      .select($"event_type", $"max_win_streak", $"max_loss_streak")
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val rets = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+    }
+    def runs(r: Array[Double], up: Boolean): List[Int] = {
+      val sgn = r.map(x => if (x > 0) 1 else if (x < 0) -1 else 0)
+      val target = if (up) 1 else -1
+      sgn.foldLeft(List.empty[Int]) { (acc, s) =>
+        if (s == target) (acc.headOption.getOrElse(0) + 1) ::
+          (if (acc.isEmpty) Nil else acc.tail)
+        else 0 :: acc
+      }.filter(_ > 0)
+    }
+    for ((k, r) <- rets) {
+      val wins = runs(r, up = true); val losses = runs(r, up = false)
+      assert(got(k)._1 == (if (wins.isEmpty) None else Some(wins.max.toLong)), s"$k win")
+      assert(got(k)._2 == (if (losses.isEmpty) None else Some(losses.max.toLong)), s"$k loss")
+    }
+  }
+
+  test("eod_spearman_matrix: Pearson on full-series time ranks") {
+    val rets = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+    }
+    def ranks(r: Array[Double]): Array[Double] = {
+      val order = r.zipWithIndex.sortBy { case (v, i) => (v, i) }
+      val out = new Array[Double](r.length)
+      for ((p, rank) <- order.zipWithIndex) out(p._2) = rank + 1.0
+      out
+    }
+    val got = SparkEntry.queries("eod_spearman_matrix")(spark, dir)
+      .select($"type_a", $"type_b", $"spearman")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val keys = rets.keys.toArray.sorted
+    for (i <- keys.indices; j <- i + 1 until keys.length) {
+      val (a, b) = (rets(keys(i)), rets(keys(j)))
+      val n = math.min(a.length, b.length)
+      val (ra, rb) = (ranks(a).take(n), ranks(b).take(n))
+      assert(math.abs(got((keys(i), keys(j))) - corr(ra, rb)) < 2e-5,
+        s"${keys(i)}/${keys(j)}")
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
