@@ -673,6 +673,39 @@ object SparkEntry {
             .as("sharpe_adj"))
         .orderBy(col("event_type"))
     }),
+    // Downside/upside beta (op 239; Bawa–Lindenberg): β conditioned
+    // on the benchmark's sign — the asymmetry the single CAPM β
+    // averages away (β⁻ ≫ β⁺ is the crash-exposure signature).
+    // Returns quantize to 1e-6 longs, the condition tests the
+    // QUANTIZED benchmark (engine-identical branch), product sums
+    // through DECIMAL(19,0)², β as the same (nΣab − ΣaΣb)/(nΣbb −
+    // ΣbΣb) double algebra. One paired hash agg.
+    "eod_downside_capm" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val p = pairedReturnsVsView(s, dir)
+        .where(col("ra").isNotNull && col("rb").isNotNull)
+        .withColumn("qa", floor(col("ra") * 1e6 + 0.5).cast("long"))
+        .withColumn("qb", floor(col("rb") * 1e6 + 0.5).cast("long"))
+      def side(cond: Column, tag: String) = Seq(
+        sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+        sum(when(cond, col("qa"))).as(s"sa_$tag"),
+        sum(when(cond, col("qb"))).as(s"sb_$tag"),
+        sum(when(cond, dec(col("qa")) * dec(col("qb")))).as(s"sab_$tag"),
+        sum(when(cond, dec(col("qb")) * dec(col("qb")))).as(s"sbb_$tag"))
+      val aggs = side(col("qb") < 0, "dn") ++ side(col("qb") > 0, "up")
+      def beta(tag: String) = {
+        def d(c: String) = col(s"${c}_$tag").cast("double")
+        (d("n") * d("sab") - d("sa") * d("sb")) /
+          (d("n") * d("sbb") - d("sb") * d("sb"))
+      }
+      p.groupBy(col("pair_id")).agg(aggs.head, aggs.tail: _*)
+        .select(col("pair_id"), col("n_dn"), col("n_up"),
+          (round(beta("dn"), 6) + lit(0.0)).as("beta_down"),
+          (round(beta("up"), 6) + lit(0.0)).as("beta_up"),
+          (round(when(beta("up") =!= 0.0, beta("dn") / beta("up")), 6)
+            + lit(0.0)).as("beta_ratio"))
+        .orderBy(col("pair_id"))
+    }),
     // Henriksson–Merton market timing (op 226; HM 1981): r_a = α +
     // β·r_b + γ·max(r_b, 0) — γ > 0 is timing skill (the manager
     // holds more beta in up markets). Closed-form 3-var OLS by
@@ -2601,6 +2634,40 @@ object SparkEntry {
         |  round(srp * ${java.lang.Double.toString(math.sqrt(252.0))}, 6) + 0.0 AS sharpe_iid,
         |  round(srp * 252.0 / sqrt(252.0 + 2.0 * rs), 6) + 0.0 AS sharpe_adj
         |FROM a ORDER BY event_type""".stripMargin),
+    // op 239: the same quantized-sign condition and conditional
+    // DECIMAL sums, the same β double algebra per side.
+    "eod_downside_capm" ->
+      s"""$PAIRED_CTE, qd AS (
+        |  SELECT pair_id,
+        |    CAST(floor(ra * 1e6 + 0.5) AS BIGINT) AS qa,
+        |    CAST(floor(rb * 1e6 + 0.5) AS BIGINT) AS qb
+        |  FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
+        |), a AS (
+        |  SELECT pair_id,
+        |    CAST(sum(CASE WHEN qb < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dn,
+        |    sum(CASE WHEN qb < 0 THEN qa END) AS sa_dn,
+        |    sum(CASE WHEN qb < 0 THEN qb END) AS sb_dn,
+        |    sum(CASE WHEN qb < 0 THEN CAST(qa AS DECIMAL(19,0)) * CAST(qb AS DECIMAL(19,0)) END) AS sab_dn,
+        |    sum(CASE WHEN qb < 0 THEN CAST(qb AS DECIMAL(19,0)) * CAST(qb AS DECIMAL(19,0)) END) AS sbb_dn,
+        |    CAST(sum(CASE WHEN qb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |    sum(CASE WHEN qb > 0 THEN qa END) AS sa_up,
+        |    sum(CASE WHEN qb > 0 THEN qb END) AS sb_up,
+        |    sum(CASE WHEN qb > 0 THEN CAST(qa AS DECIMAL(19,0)) * CAST(qb AS DECIMAL(19,0)) END) AS sab_up,
+        |    sum(CASE WHEN qb > 0 THEN CAST(qb AS DECIMAL(19,0)) * CAST(qb AS DECIMAL(19,0)) END) AS sbb_up
+        |  FROM qd GROUP BY pair_id
+        |), b AS (
+        |  SELECT pair_id, n_dn, n_up,
+        |    (CAST(n_dn AS DOUBLE) * CAST(sab_dn AS DOUBLE) - CAST(sa_dn AS DOUBLE) * CAST(sb_dn AS DOUBLE))
+        |      / (CAST(n_dn AS DOUBLE) * CAST(sbb_dn AS DOUBLE) - CAST(sb_dn AS DOUBLE) * CAST(sb_dn AS DOUBLE)) AS bd,
+        |    (CAST(n_up AS DOUBLE) * CAST(sab_up AS DOUBLE) - CAST(sa_up AS DOUBLE) * CAST(sb_up AS DOUBLE))
+        |      / (CAST(n_up AS DOUBLE) * CAST(sbb_up AS DOUBLE) - CAST(sb_up AS DOUBLE) * CAST(sb_up AS DOUBLE)) AS bu
+        |  FROM a
+        |)
+        |SELECT pair_id, n_dn, n_up,
+        |  round(bd, 6) + 0.0 AS beta_down,
+        |  round(bu, 6) + 0.0 AS beta_up,
+        |  round(CASE WHEN bu <> 0.0 THEN bd / bu END, 6) + 0.0 AS beta_ratio
+        |FROM b ORDER BY pair_id""".stripMargin,
     // op 226: the same 1e-6 quantization, DECIMAL(19,0)² product
     // sums, and the identical Cramer expansion order.
     "eod_hm_timing" ->
@@ -4222,6 +4289,28 @@ object SparkEntry {
         .select(col("query_id"), col("n_hits"),
           round(col("recall"), 6).as("recall"))
         .orderBy(col("query_id"))
+    }),
+    // IVF tuning curve (op 237, the op-168 recall evaluation swept
+    // over nProbe): recall@3 vs exact ground truth at nProbe ∈
+    // {1,2,4} — the measured probe/recall trade every IVF deployment
+    // sizes against (recall rises with probes, cost is
+    // nProbe·n/nCells). Ground truth computed ONCE; mean recall is
+    // the exact integer ratio Σhits/(3·queries).
+    "ann_recall_vs_probes" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val c = e.where(col("vec_id") >= 5)
+      val exact = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3)
+      Seq(1, 2, 4).map { p =>
+        Similarity.recallAtK(
+            Similarity.ivfTopK(q, c, "vec_id", "embedding", 3, nProbe = p),
+            exact, 3)
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("n_hits")).as("total_hits"))
+          .select(lit(p).as("n_probe"), col("n_queries"), col("total_hits"),
+            round(col("total_hits").cast("double") /
+              (col("n_queries") * 3).cast("double"), 6).as("recall"))
+      }.reduce(_.unionByName(_)).orderBy(col("n_probe"))
     }),
     "ann_topk_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -6417,6 +6506,33 @@ object SparkEntry {
           round(col("mv"), 6).as("max_var"),
           round(col("tv") * col("tv") / col("s2"), 6).as("effective_dim"))
     }),
+    // Bigram conditional entropy per source (op 238 — the sequence-
+    // predictability health check completing ops 206/207: low
+    // H(w₂|w₁) = templated/repetitive text, high = diverse): H =
+    // −Σ c(ab)·ln(c(ab)/c(a·))/N over frequency-preserving bigrams,
+    // each term an ln of an exact integer ratio quantized to 1e-9
+    // longs → integer sums, engine-exact; perplexity = e^H. One
+    // explode + two keyed aggs + a first-token join.
+    "corpus_bigram_entropy" -> ((s, dir) => {
+      val bg = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.ngrams(col("text"), 2)).as("bg"))
+        .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("cnt"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val ca = bg.groupBy(col("source"), col("w1"))
+        .agg(sum(col("cnt")).as("ca"))
+      bg.join(ca, Seq("source", "w1"))
+        .withColumn("q", floor(col("cnt").cast("double") *
+          log(col("cnt").cast("double") / col("ca").cast("double")) *
+          1e9 + 0.5).cast("long"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_bigrams"), sum(col("q")).as("sq"))
+        .select(col("source"), col("n_bigrams"),
+          round((-(col("sq").cast("double") / 1e9)) /
+            col("n_bigrams").cast("double"), 6).as("h_cond"),
+          round(exp((-(col("sq").cast("double") / 1e9)) /
+            col("n_bigrams").cast("double")), 6).as("perplexity"))
+        .orderBy(col("source"))
+    }),
     // Cross-doc boilerplate shingles (op 221 — template detection,
     // the cross-document sibling of op 76's within-doc repetition):
     // a 5-gram appearing in ≥ 5 DISTINCT docs is boilerplate; each
@@ -8085,6 +8201,61 @@ object SparkEntry {
           |  AND gt.neighbor_id = ap.neighbor_id
           |GROUP BY gt.query_id ORDER BY gt.query_id""".stripMargin,
       "ann_topk_ivf" -> ivfOracle(labeled = false),
+      // op 237: the ivfOracle chain with qr swept over the probe
+      // levels via a lateral probe-level join; hits vs the shared
+      // brute ground truth.
+      "ann_recall_vs_probes" ->
+        """WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+          |cent AS (SELECT neighbor_id AS cell_id, cv AS centv FROM c ORDER BY neighbor_id LIMIT 16),
+          |ccells AS (
+          |  SELECT neighbor_id, cv, cell_id FROM (
+          |    SELECT c.neighbor_id, c.cv, cent.cell_id,
+          |      row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+          |        list_dot_product(c.cv, cent.centv) /
+          |          (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+          |        cent.cell_id) AS cr
+          |    FROM c CROSS JOIN cent
+          |  ) WHERE cr <= 1
+          |),
+          |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          |sb AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM q CROSS JOIN c
+          |), gt AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |    FROM sb) WHERE rnk <= 3
+          |), pr AS (
+          |  SELECT query_id, qv, cell_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY
+          |      list_dot_product(qv, centv) /
+          |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centv, centv))) DESC,
+          |      cell_id) AS qr
+          |  FROM q CROSS JOIN cent
+          |), lv AS (SELECT unnest([1, 2, 4]) AS n_probe),
+          |cand AS (
+          |  SELECT lv.n_probe, pr.query_id, ccells.neighbor_id,
+          |    list_dot_product(pr.qv, ccells.cv) /
+          |      (sqrt(list_dot_product(pr.qv, pr.qv)) * sqrt(list_dot_product(ccells.cv, ccells.cv))) AS cosine
+          |  FROM pr JOIN lv ON pr.qr <= lv.n_probe
+          |  JOIN ccells ON pr.cell_id = ccells.cell_id
+          |), ap AS (
+          |  SELECT n_probe, query_id, neighbor_id FROM (
+          |    SELECT n_probe, query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY n_probe, query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |    FROM cand) WHERE rnk <= 3
+          |), h AS (
+          |  SELECT n_probe, count(*) AS total_hits
+          |  FROM ap JOIN gt USING (query_id, neighbor_id) GROUP BY n_probe
+          |)
+          |SELECT lv.n_probe, (SELECT count(*) FROM q) AS n_queries,
+          |  CAST(COALESCE(h.total_hits, 0) AS BIGINT) AS total_hits,
+          |  round(CAST(COALESCE(h.total_hits, 0) AS DOUBLE) /
+          |        CAST((SELECT count(*) FROM q) * 3 AS DOUBLE), 6) AS recall
+          |FROM lv LEFT JOIN h USING (n_probe) ORDER BY lv.n_probe""".stripMargin,
       // kNN graph: both LSH tables replayed (offsets 0 and 4), pair
       // dedup by max over identical cosines, self-pairs excluded.
       "ann_knn_graph" ->
@@ -9093,6 +9264,30 @@ object SparkEntry {
           |SELECT n_dims, round(tv, 6) AS total_var, round(mv, 6) AS max_var,
           |  round(tv * tv / s2, 6) AS effective_dim
           |FROM a""".stripMargin,
+      // op 238: the same frequency-preserving width-2 shingles, the
+      // same 1e-9-quantized c·ln(c/ca) terms.
+      "corpus_bigram_entropy" ->
+        """WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |bg0 AS (
+          |  SELECT source, unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+          |    i -> array_to_string(toks[i:i+1], ' '))) AS bg
+          |  FROM t
+          |), bgc AS (
+          |  SELECT source, bg, count(*) AS cnt FROM bg0 GROUP BY 1, 2
+          |), wone AS (
+          |  SELECT source, bg, cnt, split_part(bg, ' ', 1) AS w1 FROM bgc
+          |), ca AS (
+          |  SELECT source, w1, CAST(sum(cnt) AS BIGINT) AS ca FROM wone GROUP BY 1, 2
+          |), qq AS (
+          |  SELECT a.source, a.cnt,
+          |    CAST(floor(CAST(a.cnt AS DOUBLE) *
+          |      ln(CAST(a.cnt AS DOUBLE) / CAST(c.ca AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS q
+          |  FROM wone a JOIN ca c ON a.source = c.source AND a.w1 = c.w1
+          |)
+          |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+          |  round((-(CAST(sum(q) AS DOUBLE) / 1e9)) / CAST(sum(cnt) AS DOUBLE), 6) AS h_cond,
+          |  round(exp((-(CAST(sum(q) AS DOUBLE) / 1e9)) / CAST(sum(cnt) AS DOUBLE)), 6) AS perplexity
+          |FROM qq GROUP BY source ORDER BY source""".stripMargin,
       // op 221: the WordShingles width-5 truncation convention
       // (toks[i:i+4] over max(len−4, 1) starts), counts all integer.
       "corpus_boilerplate" ->

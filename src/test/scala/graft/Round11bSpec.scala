@@ -723,6 +723,76 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("ann_recall_vs_probes: recall is monotone in nProbe, exact ratio") {
+    val got = SparkEntry.queries("ann_recall_vs_probes")(spark, dir)
+      .select($"n_probe", $"n_queries", $"total_hits", $"recall")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1, 2, 4))
+    assert(got.forall(_._2 == 5))
+    // recall must be the exact hits/(3·q) ratio and non-decreasing
+    for (r <- got)
+      assert(math.abs(r._4 - r._3.toDouble / (r._2 * 3)) < 1e-6)
+    assert(got.sliding(2).forall { case Array(a, b) => a._3 <= b._3 })
+    // at 4 probes this matches the standalone IVF op's hit count
+    val ivf = SparkEntry.queries("ann_topk_ivf")(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = SparkEntry.queries("ann_topk_bruteforce")(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.last._3 == (ivf & brute).size)
+  }
+
+  test("corpus_bigram_entropy: conditional entropy from bigram counts") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    val got = SparkEntry.queries("corpus_bigram_entropy")(spark, dir)
+      .select($"source", $"n_bigrams", $"h_cond")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    for ((src, ds) <- docs.groupBy(_._1)) {
+      val bigrams = ds.flatMap { case (_, t) =>
+        val toks = t.trim.split("\\s+", -1)
+        val m = math.max(toks.length - 1, 1)
+        (0 until m).map(i => toks.slice(i, math.min(i + 2, toks.length)).mkString(" "))
+      }
+      val cnt = bigrams.groupBy(identity).view.mapValues(_.length).toMap
+      val ca = cnt.toSeq.groupBy(_._1.split(" ")(0))
+        .view.mapValues(_.map(_._2).sum).toMap
+      val n = bigrams.length
+      val h = -cnt.map { case (bg, c) =>
+        c.toDouble * math.log(c.toDouble / ca(bg.split(" ")(0)))
+      }.sum / n
+      assert(got(src)._1 == n, s"$src n")
+      assert(math.abs(got(src)._2 - h) < 1e-4, s"$src H")
+    }
+  }
+
+  test("eod_downside_capm: sign-conditioned betas") {
+    val rets = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+    }
+    val rb = rets("view")
+    val got = SparkEntry.queries("eod_downside_capm")(spark, dir)
+      .select($"pair_id", $"n_dn", $"beta_down", $"beta_up")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    for ((k, ra) <- rets if k != "view") {
+      val n = math.min(ra.length, rb.length)
+      def beta(cond: Double => Boolean): (Long, Double) = {
+        val pairs = ra.take(n).zip(rb.take(n)).filter(p => cond(p._2))
+        val m = pairs.length
+        val (sa, sb) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+        val sab = pairs.map(p => p._1 * p._2).sum
+        val sbb = pairs.map(p => p._2 * p._2).sum
+        (m.toLong, (m * sab - sa * sb) / (m * sbb - sb * sb))
+      }
+      val (nd, bd) = beta(_ < 0); val (_, bu) = beta(_ > 0)
+      assert(got(k)._1 == nd, s"$k n_dn")
+      assert(math.abs(got(k)._2 - bd) < 1e-3, s"$k beta_down")
+      assert(math.abs(got(k)._3 - bu) < 1e-3, s"$k beta_up")
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
