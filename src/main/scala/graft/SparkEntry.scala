@@ -1462,6 +1462,22 @@ object SparkEntry {
           "stack(5, 1, a1, 2, a2, 3, a3, 4, a4, 5, a5) AS (lag_k, sign_acf)")
         .orderBy(col("event_type"), col("lag_k"))
     }),
+    // Intraday volume profile (op 242, the U-shape diagnostic every
+    // execution scheduler calibrates against): volume share per
+    // (symbol, hour-of-day) — integer volume sums, share an exact
+    // integer ratio. One keyed agg + a per-symbol total join.
+    "tick_volume_profile" -> ((s, dir) => {
+      val v = (col("event_id") % 100 + 1).cast("long")
+      val h = events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(sum(v).as("vol"), count(lit(1)).as("n_trades"))
+      val t = h.groupBy(col("event_type")).agg(sum(col("vol")).as("tv"))
+      h.join(t, "event_type")
+        .select(col("event_type"), col("hr"), col("n_trades"), col("vol"),
+          round(col("vol").cast("double") / col("tv").cast("double"), 6)
+            .as("vol_share"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
     // Bipower variation & jump share (op 211; Barndorff-Nielsen &
     // Shephard 2004): BV = (π/2)·Σ|r_i||r_{i−1}| is robust to jumps
     // while RV = Σr² is not, so max(0, 1 − BV/RV) isolates the jump
@@ -4714,6 +4730,75 @@ object SparkEntry {
             .as("p_value"))
         .orderBy(col("event_type"))
     }),
+    // Mann–Whitney U rank-sum test (op 240, the op-225 KS's rank
+    // sibling — sensitive to location shift where KS reacts to any
+    // shape change): each series vs the view benchmark on the
+    // pooled 1e-6-quantized grid. Midranks are exact half-integers
+    // (sums of integer rank bounds), U and the normal z use the
+    // no-tie-correction formula (documented) — every input to the
+    // double algebra is an exact integer or half-integer.
+    "stats_mann_whitney" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+      val aSide = r.where(col("event_type") =!= "view")
+        .select(col("event_type").as("pair_id"), col("q"))
+      val bSide = r.where(col("event_type") === "view")
+        .select(col("q"))
+      // pooled per pair: a rows tagged 1, benchmark rows tagged 0
+      val pooled = aSide.withColumn("isA", lit(1L))
+        .unionByName(aSide.select(col("pair_id")).distinct()
+          .crossJoin(bSide).withColumn("isA", lit(0L)))
+      // midrank of value v = (count(< v) + 1 + count(<= v)) / 2 —
+      // exact from two integer cumulative counts over the value grid.
+      val cnt = pooled.groupBy(col("pair_id"), col("q"))
+        .agg(count(lit(1)).as("c"), sum(col("isA")).as("cA"))
+      val wq = Window.partitionBy(col("pair_id")).orderBy(col("q"))
+      val ranked = cnt
+        .withColumn("cum", sum(col("c")).over(wq))
+        .withColumn("mid",
+          ((col("cum") - col("c") + 1).cast("double") +
+            col("cum").cast("double")) / 2.0)
+      val agg = ranked.groupBy(col("pair_id"))
+        .agg(sum(col("cA") * col("mid")).as("ra"),
+          sum(col("cA")).as("na"), sum(col("c") - col("cA")).as("nb"))
+      val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+      val u = col("ra") - naD * (naD + 1.0) / 2.0
+      val z = (u - naD * nbD / 2.0) /
+        sqrt(naD * nbD * (naD + nbD + 1.0) / 12.0)
+      agg.select(col("pair_id"), col("na"), col("nb"),
+          round(u, 6).as("u_stat"),
+          (round(z, 6) + lit(0.0)).as("z_stat"))
+        .orderBy(col("pair_id"))
+    }),
+    // Chi-square independence test (op 241): source × lang
+    // contingency on documents — "is language mix independent of
+    // source" (the mixture-drift alarm). Expected counts are exact
+    // integer ratios, each (o−e)²/e cell term quantizes to 1e-9
+    // longs so the cell sum is an exact integer; χ² and dof
+    // reported (the p-value needs the incomplete gamma — out of
+    // replayable-SQL scope, documented).
+    "stats_chi2_independence" -> ((s, dir) => {
+      val o = tbl(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val rowT = o.groupBy(col("source")).agg(sum(col("o")).as("rt"))
+      val colT = o.groupBy(col("lang")).agg(sum(col("o")).as("ct"))
+      val tot = o.agg(sum(col("o")).as("n"))
+      val cells = o.join(broadcast(rowT), "source")
+        .join(broadcast(colT), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", (col("rt") * col("ct")).cast("double") /
+          col("n").cast("double"))
+        .withColumn("t", floor((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e") * 1e9 + 0.5)
+          .cast("long"))
+      cells.agg(count(lit(1)).as("n_cells"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          (sum(col("t")).cast("double") / 1e9).as("chi2r"))
+        .select(col("n_cells"),
+          ((col("n_sources") - 1) * (col("n_langs") - 1)).as("dof"),
+          round(col("chi2r"), 6).as("chi2"))
+    }),
     // Kyle's lambda price impact (op 117).
     "tick_kyle_lambda" -> ((s, dir) =>
       events(s, dir)
@@ -7574,6 +7659,77 @@ object SparkEntry {
           |                 THEN greatest(lo, least(hi, value)) END), 6) AS winsor_mean
           |FROM events e JOIN b ON e.event_type = b.event_type
           |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+      // op 240: same pooled grid, same exact half-integer midranks,
+      // same no-tie-correction U/z algebra.
+      "stats_mann_whitney" ->
+        s"""$R_CTE, q0 AS (
+          |  SELECT event_type, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS q
+          |  FROM r WHERE ret IS NOT NULL
+          |), pooled AS (
+          |  SELECT event_type AS pair_id, q, 1 AS isA
+          |  FROM q0 WHERE event_type <> 'view'
+          |  UNION ALL
+          |  SELECT p.pair_id, b.q, 0 AS isA
+          |  FROM (SELECT DISTINCT event_type AS pair_id FROM q0 WHERE event_type <> 'view') p
+          |  CROSS JOIN (SELECT q FROM q0 WHERE event_type = 'view') b
+          |), cnt AS (
+          |  SELECT pair_id, q, count(*) AS c, CAST(sum(isA) AS BIGINT) AS cA
+          |  FROM pooled GROUP BY 1, 2
+          |), rk AS (
+          |  SELECT pair_id, q, c, cA,
+          |    sum(c) OVER (PARTITION BY pair_id ORDER BY q
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM cnt
+          |), mid AS (
+          |  SELECT pair_id, cA, c,
+          |    (CAST(cum - c + 1 AS DOUBLE) + CAST(cum AS DOUBLE)) / 2.0 AS mid
+          |  FROM rk
+          |), agg AS (
+          |  SELECT pair_id, sum(cA * mid) AS ra,
+          |    CAST(sum(cA) AS BIGINT) AS na, CAST(sum(c - cA) AS BIGINT) AS nb
+          |  FROM mid GROUP BY pair_id
+          |)
+          |SELECT pair_id, na, nb,
+          |  round(ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0, 6) AS u_stat,
+          |  round((ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0
+          |         - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+          |        / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+          |               * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0) / 12.0), 6)
+          |    + 0.0 AS z_stat
+          |FROM agg ORDER BY pair_id""".stripMargin,
+      // op 241: exact integer-ratio expected counts, 1e-9-quantized
+      // cell terms.
+      "stats_chi2_independence" ->
+        """WITH o AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+          |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+          |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+          |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+          |cells AS (
+          |  SELECT o.o, CAST(rt.rt * ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+          |  FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN nn
+          |), t AS (
+          |  SELECT CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+          |    * 1e9 + 0.5) AS BIGINT) AS t
+          |  FROM cells
+          |)
+          |SELECT (SELECT count(*) FROM cells) AS n_cells,
+          |  CAST(((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+          |  round(CAST(sum(t) AS DOUBLE) / 1e9, 6) AS chi2
+          |FROM t""".stripMargin,
+      // op 242: integer volume sums, exact share ratios.
+      "tick_volume_profile" ->
+        s"""WITH h AS (
+          |  SELECT event_type, hour(ts) AS hr,
+          |    CAST(sum(event_id % 100 + 1) AS BIGINT) AS vol,
+          |    count(*) AS n_trades
+          |  FROM events GROUP BY 1, 2
+          |), t AS (
+          |  SELECT event_type, CAST(sum(vol) AS BIGINT) AS tv FROM h GROUP BY 1
+          |)
+          |SELECT h.event_type, h.hr, h.n_trades, h.vol,
+          |  round(CAST(h.vol AS DOUBLE) / CAST(t.tv AS DOUBLE), 6) AS vol_share
+          |FROM h JOIN t USING (event_type)
+          |ORDER BY h.event_type, h.hr""".stripMargin,
       // op 225: same global 1e-6 grid, same integer KS numerator,
       // same λ/p-value algebra.
       "stats_ks_test" ->

@@ -793,6 +793,75 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("stats_mann_whitney: midrank U and z vs a direct recomputation") {
+    val rets = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }
+        .map(r => math.floor(r * 1e6 + 0.5).toLong).toArray
+    }
+    val bench = rets("view")
+    val got = SparkEntry.queries("stats_mann_whitney")(spark, dir)
+      .select($"pair_id", $"na", $"nb", $"u_stat", $"z_stat")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    for ((k, a) <- rets if k != "view") {
+      val pool = (a.map((_, 1)) ++ bench.map((_, 0))).sortBy(_._1)
+      // midranks over the sorted pool
+      val ranks = collection.mutable.Map[Long, Double]()
+      var i = 0
+      while (i < pool.length) {
+        var j = i
+        while (j < pool.length && pool(j)._1 == pool(i)._1) j += 1
+        ranks(pool(i)._1) = (i + 1 + j).toDouble / 2.0
+        i = j
+      }
+      val ra = a.map(ranks(_)).sum
+      val (na, nb) = (a.length.toDouble, bench.length.toDouble)
+      val u = ra - na * (na + 1) / 2
+      val z = (u - na * nb / 2) / math.sqrt(na * nb * (na + nb + 1) / 12.0)
+      assert(got(k)._1 == a.length && got(k)._2 == bench.length, s"$k n")
+      assert(math.abs(got(k)._3 - u) < 1e-5, s"$k U")
+      assert(math.abs(got(k)._4 - z) < 1e-4, s"$k z")
+    }
+  }
+
+  test("stats_chi2_independence: source × lang chi-square") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"lang").as[(String, String)].collect()
+    val obs = docs.groupBy(identity).view.mapValues(_.length).toMap
+    val rt = docs.groupBy(_._1).view.mapValues(_.length).toMap
+    val ct = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val n = docs.length.toDouble
+    val chi2 = obs.map { case ((s0, l0), o) =>
+      val e = rt(s0) * ct(l0) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val got = SparkEntry.queries("stats_chi2_independence")(spark, dir)
+      .select($"n_cells", $"dof", $"chi2").as[(Long, Long, Double)]
+      .collect().head
+    assert(got._1 == obs.size)
+    assert(got._2 == (rt.size - 1).toLong * (ct.size - 1))
+    assert(math.abs(got._3 - chi2) < 1e-4)
+  }
+
+  test("tick_volume_profile: hourly volume shares sum to 1") {
+    val got = SparkEntry.queries("tick_volume_profile")(spark, dir)
+      .select($"event_type", $"hr", $"vol", $"vol_share")
+      .as[(String, Int, Long, Double)].collect()
+    val ev = rows()
+    for ((et, g) <- got.groupBy(_._1)) {
+      val vols = ev.filter(_._1 == et)
+        .groupBy(_._2.toLocalDateTime.getHour)
+        .view.mapValues(_.map(r => r._3 % 100 + 1).sum).toMap
+      assert(g.length == vols.size, s"$et hours")
+      for ((_, hr, vol, share) <- g) {
+        assert(vol == vols(hr), s"$et h$hr vol")
+        assert(math.abs(share - vol.toDouble / vols.values.sum) < 2e-6)
+      }
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-4, s"$et Σshare")
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
