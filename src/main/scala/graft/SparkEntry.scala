@@ -5697,6 +5697,20 @@ object SparkEntry {
           expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_bins"),
           (expr("array_position(embedding, array_max(embedding))") - 1)
             .cast("long").as("top_bin"))),
+    // Audio-column plumbing (op 243, the op-57 family's audio leg):
+    // synthetic raw-PCM binary payloads (md5-derived — no wav codec
+    // ships in a JDK, and raw PCM is what a codec decodes INTO),
+    // framed per 64 samples with RMS energy + zero-crossing rate —
+    // the classic silence/voicing gates. Batched mapPartitions like
+    // every media kernel; integer sums → SQL-exact doubles.
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.audioFrameEnergy(
+          Multimodal.withSyntheticPcm(tbl(s, dir, "documents"),
+            "doc_id", "text"),
+          "doc_id", "audio")
+        .select(col("doc_id"), col("frame_id"), col("n_samples"),
+          round(col("rms"), 6).as("rms"), round(col("zcr"), 6).as("zcr"))
+        .orderBy(col("doc_id"), col("frame_id"))),
 
     // ---- PII detection/redaction (op 82) and unigram-LM quality
     // scoring (op 83)
@@ -8203,6 +8217,33 @@ object SparkEntry {
           |  floor(sum(p)::DOUBLE / (fw * fh) * 1e6 + 0.5) / 1e6 AS mean_px
           |FROM px GROUP BY doc_id, frame_idx, fw, fh
           |ORDER BY doc_id, frame_idx""".stripMargin,
+      // op 243: the same md5-derived PCM samples, integer frame sums.
+      "mm_audio" ->
+        """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+          |d AS (
+          |  SELECT doc_id, list_transform(range(0, 16), i ->
+          |    (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+          |    + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1) AS bytes
+          |  FROM b
+          |), nn AS (SELECT doc_id, bytes, 256 + (bytes[1] % 8) * 64 AS n FROM d),
+          |smp AS (
+          |  SELECT doc_id, i.range AS i,
+          |    CAST(floor(i.range / 64) AS BIGINT) AS frame_id,
+          |    ((bytes[(i.range % 16) + 1]
+          |      + i.range * (bytes[((i.range + 5) % 16) + 1] % 7)) % 256) - 128 AS s
+          |  FROM nn CROSS JOIN range(0, 1024) i WHERE i.range < n
+          |), sgn AS (
+          |  SELECT doc_id, frame_id, i, s,
+          |    CASE WHEN s >= 0 THEN 1 ELSE -1 END AS sg,
+          |    lag(CASE WHEN s >= 0 THEN 1 ELSE -1 END) OVER (
+          |      PARTITION BY doc_id, frame_id ORDER BY i) AS pg
+          |  FROM smp
+          |)
+          |SELECT doc_id, frame_id, CAST(64 AS BIGINT) AS n_samples,
+          |  round(sqrt(CAST(sum(s * s) AS DOUBLE) / 64), 6) AS rms,
+          |  round(CAST(sum(CASE WHEN pg IS NOT NULL AND sg <> pg THEN 1 ELSE 0 END) AS DOUBLE) / 63, 6) AS zcr
+          |FROM sgn GROUP BY doc_id, frame_id
+          |ORDER BY doc_id, frame_id""".stripMargin,
       "mm_embed" ->
         """WITH b AS (SELECT doc_id, md5(text) AS hx FROM documents),
           |d AS (

@@ -263,4 +263,84 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Attach a synthetic 8-bit PCM payload, deterministically derived
+    * from md5(text): length 256 + (d₀ mod 8)·64 samples, sample(i) =
+    * (d(i mod 16) + i·(d((i+5) mod 16) mod 7)) mod 256 — an opaque
+    * `binary` audio column whose post-decode stats a SQL engine can
+    * predict from the md5 hex, exactly like [[withSyntheticPng]]. (No
+    * wav/mp3 codec ships in a JDK; raw PCM is the container-free
+    * ground truth an audio kernel would decode INTO anyway.)
+    */
+  def withSyntheticPcm(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val d = md.digest(if (text == null) Array.emptyByteArray
+                            else text.getBytes("UTF-8"))
+          val n = 256 + ((d(0) & 0xff) % 8) * 64
+          val pcm = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            pcm(i) = (((d(i % 16) & 0xff) +
+              i * ((d((i + 5) % 16) & 0xff) % 7)) % 256).toByte
+            i += 1
+          }
+          (id, pcm)
+        }
+      }
+      .toDF(idCol, "audio")
+  }
+
+  case class AudioFrame(doc_id: Long, frame_id: Long, n_samples: Long,
+                        rms: Double, zcr: Double)
+
+  /** Per-frame audio features over the raw PCM bytes: RMS energy of
+    * the centered samples and the zero-crossing rate — the two
+    * classic pre-neural audio descriptors (silence/voicing gates).
+    * Complete 64-sample frames only; crossings count sign changes of
+    * (s − 128) WITHIN the frame (s = 128 takes the positive side so
+    * the sign is total). Batched per partition like every media
+    * kernel here; all sums are integers, so the emitted doubles
+    * replay exactly in SQL.
+    */
+  def audioFrameEnergy(df: DataFrame, idCol: String, binCol: String,
+                       frame: Int = 64,
+                       batchSize: Int = DefaultBatchSize): DataFrame = {
+    require(frame > 1, s"frame must exceed 1, got $frame")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            val nFrames = bytes.length / frame
+            (0 until nFrames).map { f =>
+              var sumSq = 0L
+              var zc = 0L
+              var prevPos = false
+              var i = 0
+              while (i < frame) {
+                val s = (bytes(f * frame + i) & 0xff) - 128
+                sumSq += s.toLong * s
+                val pos = s >= 0
+                if (i > 0 && pos != prevPos) zc += 1
+                prevPos = pos
+                i += 1
+              }
+              AudioFrame(id, f.toLong, frame.toLong,
+                math.sqrt(sumSq.toDouble / frame),
+                zc.toDouble / (frame - 1))
+            }
+          }
+        }
+      }
+      .toDF()
+  }
 }

@@ -862,6 +862,30 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("mm_audio: framed RMS/ZCR from the md5-derived PCM payload") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val got = SparkEntry.queries("mm_audio")(spark, dir)
+      .select($"doc_id", $"frame_id", $"rms", $"zcr")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    for ((id, text) <- docs.take(50)) {
+      val d = md.digest(text.getBytes("UTF-8"))
+      val n = 256 + ((d(0) & 0xff) % 8) * 64
+      val pcm = (0 until n).map(i =>
+        ((d(i % 16) & 0xff) + i * ((d((i + 5) % 16) & 0xff) % 7)) % 256)
+      for (f <- 0 until n / 64) {
+        val fr = pcm.slice(f * 64, f * 64 + 64).map(_ - 128)
+        val rms = math.sqrt(fr.map(s => s.toDouble * s).sum / 64)
+        val zc = fr.sliding(2).count { case Seq(a, b) => (a >= 0) != (b >= 0) }
+        val g = got((id, f.toLong))
+        assert(math.abs(g._1 - rms) < 2e-6, s"doc $id frame $f rms")
+        assert(math.abs(g._2 - zc.toDouble / 63) < 2e-6, s"doc $id frame $f zcr")
+      }
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
