@@ -330,7 +330,11 @@ object SparkEntry {
       ("streaming_quality_gate" -> p("corpus_gopher")) +
       // op 201: the split map is stateless, the sink equals the batch
       // assignment row-for-row → the manifest replays op 197's oracle.
-      ("streaming_split" -> p("corpus_split"))
+      ("streaming_split" -> p("corpus_split")) +
+      // op 244: per-(symbol, hour) integer volume counts only grow,
+      // so the max-merged Update sink equals the batch table and the
+      // share report replays op 242's oracle.
+      ("streaming_volume_profile" -> p("tick_volume_profile"))
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1934,6 +1938,27 @@ object SparkEntry {
           round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2)
             .as("sum_above"))
         .orderBy(col("o_custkey"))
+    }),
+    // TPC-H Q18 shape (op 245, large-volume orders): orders whose
+    // total line quantity exceeds a threshold — the GROUP BY +
+    // HAVING derived relation joined back to its dimensions; the
+    // having-filtered key set drives a SEMI-join-shaped plan (the
+    // aggregate output is tiny, so AQE broadcasts it). Quantity
+    // sums in exact DECIMAL so the threshold comparison never
+    // depends on float order.
+    "rel_large_orders" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(30,8)")).as("qty"))
+        .where(col("qty") > lit(150))
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("qty").cast("double"), 2).as("total_qty"))
+        .orderBy(col("o_orderkey"))
     }),
     // TPC-H Q6 shape (op 234, the forecast-revenue-change scan): a
     // pure filter-aggregate with NO join — the canonical predicate-
@@ -3722,6 +3747,21 @@ object SparkEntry {
         |    AS sum_above
         |FROM s WHERE CAST(o_totalprice AS DECIMAL(30,8)) * n > s
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // op 245: the same exact-DECIMAL HAVING threshold.
+    "rel_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(30,8))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(30,8))) > 150
+        |)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  epoch_us(o_orderdate) AS o_orderdate_us,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  round(CAST(qty AS DOUBLE), 2) AS total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     // op 234: the same three pushed predicates, exact DECIMAL.
     "rel_tpch_q6" ->
       """SELECT
@@ -6108,6 +6148,27 @@ object SparkEntry {
         .select(col("stratum").as("source"), col("n_docs"),
           col("n_tokens"), col("share"), col("weight"))
         .orderBy(col("source"))
+    }),
+    // Streaming intraday volume profile (op 244, the op-242 live
+    // twin on the op-161 pattern): per-(symbol, hour) integer volume
+    // counts only grow, so the max-merged Update sink equals the
+    // batch table and the share report replays the batch oracle.
+    "streaming_volume_profile" -> ((s, dir) => {
+      val sunk = withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "events", "svprof", mode = "update") { src =>
+          src.groupBy(col("event_type"), hour(col("ts")).as("hr"))
+            .agg(sum((col("event_id") % 100 + 1).cast("long")).as("vol"),
+              count(lit(1)).as("n_trades"))
+        }
+      }
+      val h = sunk.groupBy(col("event_type"), col("hr"))
+        .agg(max(col("vol")).as("vol"), max(col("n_trades")).as("n_trades"))
+      val t = h.groupBy(col("event_type")).agg(sum(col("vol")).as("tv"))
+      h.join(t, "event_type")
+        .select(col("event_type"), col("hr"), col("n_trades"), col("vol"),
+          round(col("vol").cast("double") / col("tv").cast("double"), 6)
+            .as("vol_share"))
+        .orderBy(col("event_type"), col("hr"))
     }),
     "streaming_hll" -> ((s, dir) => {
       // State = sources×256 register rows — the small-state replay

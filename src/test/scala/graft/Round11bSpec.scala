@@ -886,6 +886,28 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("rel_large_orders: HAVING-threshold orders joined to dimensions") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity").as[(Long, Double)].collect()
+    val bigKeys = li.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 > 150).keys.toSet
+    val got = SparkEntry.queries("rel_large_orders")(spark, dir)
+      .select($"o_orderkey", $"total_qty").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSet == bigKeys)
+    val qty = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    for ((ok, q) <- got) assert(math.abs(q - qty(ok)) < 0.02, s"order $ok")
+  }
+
+  test("streaming_volume_profile equals the batch volume profile") {
+    val batch = SparkEntry.queries("tick_volume_profile")(spark, dir)
+      .select($"event_type", $"hr", $"vol", $"vol_share")
+      .as[(String, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val stream = SparkEntry.queries("streaming_volume_profile")(spark, dir)
+      .select($"event_type", $"hr", $"vol", $"vol_share")
+      .as[(String, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
