@@ -528,6 +528,38 @@ object Scale {
           -0.02, 0.02, 128).count()
         println(s"""{"op":"sketch_hist_rows","scale":$m,"rows":$nSeries,"hist_rows":$histRows}""")
       }
+      // Two-sample KS (op 225): the dense grid is distinct QUANTIZED
+      // values × keys — the 1e-6 grid bounds distinct values by the
+      // VALUE RANGE (±0.01 → ≤ 20 001 points) regardless of row
+      // count, so the cross product saturates at ~2M rows while the
+      // counting aggregation stays linear in input rows. Wall should
+      // approach linear-in-rows once the grid saturates.
+      timed("stats_ks", m, nSeries) {
+        val r = series
+          .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+        val cnt = r.groupBy(col("key"), col("q"))
+          .agg(count(lit(1)).as("c"))
+        val grid = cnt.select(col("q")).distinct()
+        val keyset = cnt.select(col("key")).distinct()
+        val dense = grid.crossJoin(broadcast(keyset))
+          .join(cnt, Seq("key", "q"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val wq = Window.partitionBy(col("key")).orderBy(col("q"))
+        val cum = dense.withColumn("cc", sum(col("c")).over(wq))
+        val tot = r.groupBy(col("key")).agg(count(lit(1)).as("nt"))
+        val cumT = cum.join(tot, "key")
+        val aSide = cumT.where(col("key") =!= 0)
+          .select(col("key"), col("q"), col("cc").as("ca"),
+            col("nt").as("na"))
+        val bSide = cumT.where(col("key") === 0)
+          .select(col("q"), col("cc").as("cb"), col("nt").as("nb"))
+        sink(aSide.join(bSide, "q")
+          .withColumn("num",
+            abs(col("ca") * col("nb") - col("cb") * col("na")))
+          .groupBy(col("key"))
+          .agg(max(col("num")).as("mx"), max(col("na")).as("na"),
+            max(col("nb")).as("nb")))
+      }
       // Binned range join (op 137): every 50th key-0 row opens a
       // 2-slot interval over the global position domain (~200 points
       // each) — pair fan-out is rows/25, so wall must track rows, and

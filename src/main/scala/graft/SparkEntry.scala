@@ -334,7 +334,10 @@ object SparkEntry {
       // op 244: per-(symbol, hour) integer volume counts only grow,
       // so the max-merged Update sink equals the batch table and the
       // share report replays op 242's oracle.
-      ("streaming_volume_profile" -> p("tick_volume_profile"))
+      ("streaming_volume_profile" -> p("tick_volume_profile")) +
+      // op 246: contingency cells only grow — same argument, same
+      // exact χ² algebra on the max-merged final counts.
+      ("streaming_chi2" -> p("stats_chi2_independence"))
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5152,6 +5155,40 @@ object SparkEntry {
           q6(vol).as("run_vol"),
           q6(sharpe).as("run_sharpe_ann"))
       }.orderBy(col("symbol"), col("ts_us")) }
+    }),
+    // Streaming chi-square drift monitor (op 246, the op-241 live
+    // twin on the op-161 pattern): the source × lang contingency
+    // cells only grow, so the max-merged Update sink equals the
+    // batch table and the χ² report (same exact expected-count
+    // algebra) replays the batch oracle — "has the language mix
+    // drifted" at ingest latency.
+    "streaming_chi2" -> ((s, dir) => {
+      val sunk = withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "documents", "schi2", mode = "update") { src =>
+          src.groupBy(col("source"), col("lang"))
+            .agg(count(lit(1)).as("o"))
+        }
+      }
+      val o = sunk.groupBy(col("source"), col("lang"))
+        .agg(max(col("o")).as("o"))
+      val rowT = o.groupBy(col("source")).agg(sum(col("o")).as("rt"))
+      val colT = o.groupBy(col("lang")).agg(sum(col("o")).as("ct"))
+      val tot = o.agg(sum(col("o")).as("n"))
+      val cells = o.join(broadcast(rowT), "source")
+        .join(broadcast(colT), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", (col("rt") * col("ct")).cast("double") /
+          col("n").cast("double"))
+        .withColumn("t", floor((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e") * 1e9 + 0.5)
+          .cast("long"))
+      cells.agg(count(lit(1)).as("n_cells"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          (sum(col("t")).cast("double") / 1e9).as("chi2r"))
+        .select(col("n_cells"),
+          ((col("n_sources") - 1) * (col("n_langs") - 1)).as("dof"),
+          round(col("chi2r"), 6).as("chi2"))
     }),
     // Streaming bipower variation (op 224, the op-211 batch op's
     // live twin on the op-146 pattern): per-symbol running Σ(lr²)

@@ -908,6 +908,16 @@ class Round11bSpec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("streaming_chi2 equals the batch chi-square report") {
+    val batch = SparkEntry.queries("stats_chi2_independence")(spark, dir)
+      .select($"n_cells", $"dof", $"chi2").as[(Long, Long, Double)]
+      .collect().head
+    val stream = SparkEntry.queries("streaming_chi2")(spark, dir)
+      .select($"n_cells", $"dof", $"chi2").as[(Long, Long, Double)]
+      .collect().head
+    assert(stream == batch)
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
