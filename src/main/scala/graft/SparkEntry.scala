@@ -472,6 +472,36 @@ object SparkEntry {
           round(Eod.cvarGivenVar(col("ret"), col("var5")), 6).as("cvar_5"))
         .orderBy(col("event_type"))
     }),
+    // Hill tail-index estimator (op 247; Hill 1975): ξ = mean of
+    // ln(x_(i)/x_(k+1)) over the k = 50 largest losses — the
+    // fat-tail exponent α = 1/ξ that says whether variance even
+    // exists (α < 2 = infinite-variance territory; VaR/CVaR
+    // assumptions hinge on it). Losses quantize to 1e-6 longs, the
+    // order statistic is a (ql DESC, event_id) rank — a total order
+    // — and each ln of an exact integer ratio quantizes to 1e-9
+    // longs → exact integer mean. One rank window + one tiny join.
+    "eod_hill_tail" -> ((s, dir) => {
+      val k = 50
+      val losses = withRet(s, dir).where(col("ret") < 0)
+        .withColumn("ql", floor(-col("ret") * 1e6 + 0.5).cast("long"))
+        .where(col("ql") > 0)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ql").desc, col("event_id"))
+      val ranked = losses.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k + 1)
+      val ref = ranked.where(col("rnk") === k + 1)
+        .select(col("event_type"), col("ql").as("qref"))
+      ranked.where(col("rnk") <= k).join(ref, "event_type")
+        .withColumn("t", floor(log(col("ql").cast("double") /
+          col("qref").cast("double")) * 1e9 + 0.5).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("k"),
+          ((sum(col("t")).cast("double") / 1e9) / count(lit(1))).as("xi"))
+        .select(col("event_type"), col("k"),
+          round(col("xi"), 6).as("hill_xi"),
+          (round(lit(1.0) / col("xi"), 6) + lit(0.0)).as("tail_alpha"))
+        .orderBy(col("event_type"))
+    }),
     // Rachev ratio (op 228, the op-103 kernel on BOTH tails): mean
     // of the top-5% gain tail over |mean of the bottom-5% loss
     // tail| — reward-tail versus risk-tail, the distribution-shape
@@ -2507,6 +2537,31 @@ object SparkEntry {
         |FROM r JOIN q ON r.event_type = q.event_type
         |WHERE ret IS NOT NULL
         |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+    // op 247: the same quantized-loss order statistic and
+    // 1e-9-quantized ln-ratio terms.
+    "eod_hill_tail" ->
+      s"""$R_CTE, lf AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(-ret * 1e6 + 0.5) AS BIGINT) AS ql
+        |  FROM r WHERE ret < 0
+        |), rk AS (
+        |  SELECT event_type, ql,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ql DESC, event_id) AS rnk
+        |  FROM lf WHERE ql > 0
+        |), ref AS (SELECT event_type, ql AS qref FROM rk WHERE rnk = 51),
+        |t AS (
+        |  SELECT rk.event_type,
+        |    CAST(floor(ln(CAST(rk.ql AS DOUBLE) / CAST(ref.qref AS DOUBLE))
+        |      * 1e9 + 0.5) AS BIGINT) AS t
+        |  FROM rk JOIN ref USING (event_type) WHERE rnk <= 50
+        |), a AS (
+        |  SELECT event_type, count(*) AS k,
+        |    (CAST(sum(t) AS DOUBLE) / 1e9) / count(*) AS xi
+        |  FROM t GROUP BY event_type
+        |)
+        |SELECT event_type, k, round(xi, 6) AS hill_xi,
+        |  round(1.0 / xi, 6) + 0.0 AS tail_alpha
+        |FROM a ORDER BY event_type""".stripMargin,
     // op 228: both R-7 quantile cuts, the same tail means and the
     // same gain/(−loss) parenthesization.
     "eod_rachev" ->

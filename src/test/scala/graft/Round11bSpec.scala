@@ -918,6 +918,27 @@ class Round11bSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("eod_hill_tail: Hill estimator over the top-50 losses") {
+    val rets = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+    }
+    val got = SparkEntry.queries("eod_hill_tail")(spark, dir)
+      .select($"event_type", $"k", $"hill_xi", $"tail_alpha")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    for ((et, r) <- rets) {
+      val losses = r.filter(_ < 0).map(x => -x).sortBy(-_)
+      if (losses.length >= 51) {
+        val xref = losses(50)
+        val xi = losses.take(50).map(x => math.log(x / xref)).sum / 50
+        assert(got(et)._1 == 50, s"$et k")
+        assert(math.abs(got(et)._2 - xi) < 1e-4, s"$et xi")
+        assert(math.abs(got(et)._3 - 1.0 / xi) < 1e-2, s"$et alpha")
+      }
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
