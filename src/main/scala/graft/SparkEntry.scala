@@ -472,6 +472,62 @@ object SparkEntry {
           round(Eod.cvarGivenVar(col("ret"), col("var5")), 6).as("cvar_5"))
         .orderBy(col("event_type"))
     }),
+    // Kupiec proportion-of-failures VaR backtest (op 248; Kupiec
+    // 1995): does the 5% VaR actually fail 5% of the time — the
+    // regulatory validation of op 103. Breaches counted against the
+    // full-sample R-7 cut (identical double both engines), LR_pof =
+    // −2[(n−x)ln(1−p) + x·ln p − (n−x)ln(1−x/n) − x·ln(x/n)] with
+    // the x = 0 term defined 0; reject at the χ²(1) 95% critical
+    // value (shared round-trip literal). One window + one agg.
+    "eod_var_backtest" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      val crit = 3.841458820694124 // qchisq(0.95, 1), published value
+      val a = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("var5", Eod.valueAtRisk(col("ret"), 0.05).over(wSym))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ret") < col("var5"), 1L).otherwise(0L))
+            .as("n_breach"))
+      val nD = col("n").cast("double"); val xD = col("n_breach").cast("double")
+      val lnP = math.log(0.05); val lnQ = math.log(0.95)
+      val t = ((nD - xD) * lnQ + xD * lnP) -
+        ((nD - xD) * log(lit(1.0) - xD / nD) +
+          when(col("n_breach") > 0, xD * log(xD / nD)).otherwise(lit(0.0)))
+      a.withColumn("lr", lit(-2.0) * t)
+        .select(col("event_type"), col("n"), col("n_breach"),
+          round(xD / nD, 6).as("breach_rate"),
+          (round(col("lr"), 6) + lit(0.0)).as("lr_pof"),
+          (col("lr") > crit).as("reject"))
+        .orderBy(col("event_type"))
+    }),
+    // Wald–Wolfowitz runs test on tick directions (op 249): is the
+    // order flow's sign sequence random — R runs of nonzero tick
+    // signs vs E = 2n₊n₋/n + 1 and σ² = 2n₊n₋(2n₊n₋−n)/(n²(n−1));
+    // every input an exact integer count, z identical double
+    // algebra. The hypothesis-test companion to op 196's sign ACF.
+    "tick_runs_test" -> ((s, dir) => {
+      val d = when(col("value") > lag(col("value"), 1).over(wT), 1)
+        .when(col("value") < lag(col("value"), 1).over(wT), -1).otherwise(0)
+      val signs = events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"), d.as("sgn"))
+        .where(col("sgn") =!= 0)
+      val withPrev = signs
+        .withColumn("prev", lag(col("sgn"), 1).over(wT))
+      val a = withPrev.groupBy(col("event_type"))
+        .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_neg"),
+          (sum(when(col("prev").isNotNull && col("sgn") =!= col("prev"), 1L)
+            .otherwise(0L)) + lit(1L)).as("n_runs"))
+      val np = col("n_pos").cast("double"); val nn = col("n_neg").cast("double")
+      val n = np + nn
+      val e = lit(2.0) * np * nn / n + lit(1.0)
+      val v = lit(2.0) * np * nn * (lit(2.0) * np * nn - n) /
+        (n * n * (n - lit(1.0)))
+      a.select(col("event_type"), col("n_pos"), col("n_neg"), col("n_runs"),
+          (round((col("n_runs").cast("double") - e) / sqrt(v), 6) + lit(0.0))
+            .as("z_stat"))
+        .orderBy(col("event_type"))
+    }),
     // Hill tail-index estimator (op 247; Hill 1975): ξ = mean of
     // ln(x_(i)/x_(k+1)) over the k = 50 largest losses — the
     // fat-tail exponent α = 1/ξ that says whether variance even
@@ -2537,6 +2593,62 @@ object SparkEntry {
         |FROM r JOIN q ON r.event_type = q.event_type
         |WHERE ret IS NOT NULL
         |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+    // op 248: the same R-7 cut, the same LR parenthesization with
+    // ln(0.05)/ln(0.95) as shared round-trip literals.
+    "eod_var_backtest" -> {
+      val lnP = java.lang.Double.toString(math.log(0.05))
+      val lnQ = java.lang.Double.toString(math.log(0.95))
+      s"""$R_CTE, q AS (
+        |  SELECT event_type, quantile_cont(ret, 0.05) AS var5
+        |  FROM r WHERE ret IS NOT NULL GROUP BY event_type
+        |), a AS (
+        |  SELECT r.event_type, count(*) AS n,
+        |    CAST(sum(CASE WHEN ret < var5 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach
+        |  FROM r JOIN q ON r.event_type = q.event_type
+        |  WHERE ret IS NOT NULL GROUP BY r.event_type
+        |), d AS (
+        |  SELECT event_type, n, n_breach,
+        |    CAST(n AS DOUBLE) AS nd, CAST(n_breach AS DOUBLE) AS xd
+        |  FROM a
+        |), l AS (
+        |  SELECT event_type, n, n_breach, nd, xd,
+        |    -2.0 * (((nd - xd) * $lnQ + xd * $lnP) -
+        |      ((nd - xd) * ln(1.0 - xd / nd) +
+        |       CASE WHEN n_breach > 0 THEN xd * ln(xd / nd) ELSE 0.0 END)) AS lr
+        |  FROM d
+        |)
+        |SELECT event_type, n, n_breach, round(xd / nd, 6) AS breach_rate,
+        |  round(lr, 6) + 0.0 AS lr_pof,
+        |  lr > 3.841458820694124 AS reject
+        |FROM l ORDER BY event_type""".stripMargin
+    },
+    // op 249: the same nonzero-sign runs count and integer-count z.
+    "tick_runs_test" ->
+      """WITH s0 AS (
+        |  SELECT event_type, ts, event_id,
+        |    CASE WHEN value > lag(value) OVER w THEN 1
+        |         WHEN value < lag(value) OVER w THEN -1 ELSE 0 END AS sgn
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), nz AS (
+        |  SELECT event_type, sgn,
+        |    lag(sgn) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+        |  FROM s0 WHERE sgn <> 0
+        |), a AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND sgn <> prev THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+        |  FROM nz GROUP BY event_type
+        |), d AS (
+        |  SELECT event_type, n_pos, n_neg, n_runs,
+        |    CAST(n_pos AS DOUBLE) AS np, CAST(n_neg AS DOUBLE) AS nn
+        |  FROM a
+        |)
+        |SELECT event_type, n_pos, n_neg, n_runs,
+        |  round((CAST(n_runs AS DOUBLE) - (2.0 * np * nn / (np + nn) + 1.0)) /
+        |        sqrt(2.0 * np * nn * (2.0 * np * nn - (np + nn)) /
+        |             ((np + nn) * (np + nn) * ((np + nn) - 1.0))), 6) + 0.0 AS z_stat
+        |FROM d ORDER BY event_type""".stripMargin,
     // op 247: the same quantized-loss order statistic and
     // 1e-9-quantized ln-ratio terms.
     "eod_hill_tail" ->

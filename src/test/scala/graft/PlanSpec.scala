@@ -367,4 +367,33 @@ class PlanSpec extends SparkSpec {
     assert(!c.contains("-59, currentrow"),
       "sliding frame re-appeared in eod_rolling_capture:\n" + c.take(1500))
   }
+
+  test("TPC-H Q5 broadcasts the region-filtered nation branch, pushes the filter") {
+    val p = plan("rel_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      "region filter must reach the parquet scan:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("TPC-H Q10 pushes both date bounds and the returnflag to the scans") {
+    val p = plan("rel_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag not pushed")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "date lo not pushed")
+    assert(p.contains("LessThan(o_orderdate"), "date hi not pushed")
+  }
+
+  test("KS dense grid broadcasts the 5-type side, never a cartesian product") {
+    val p = plan("stats_ks_test")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "KS grid fell back to a cartesian product")
+  }
+
+  test("large-orders HAVING key set joins broadcast (AQE), not shuffled") {
+    val p = plan("rel_large_orders")
+    assert(p.contains("BroadcastHashJoin"),
+      "having-filtered key set should broadcast:\n" + p.take(1200))
+  }
 }

@@ -939,6 +939,52 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("eod_var_backtest: Kupiec LR from breach counts") {
+    def r7(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted; val h = (s.length - 1) * p; val lo = h.toInt
+      if (lo + 1 >= s.length) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val got = SparkEntry.queries("eod_var_backtest")(spark, dir)
+      .select($"event_type", $"n", $"n_breach", $"lr_pof", $"reject")
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val rets = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+    }
+    for ((k, r) <- rets) {
+      val cut = r7(r, 0.05)
+      val x = r.count(_ < cut); val n = r.length
+      val lr = -2.0 * ((n - x) * math.log(0.95) + x * math.log(0.05) -
+        ((n - x) * math.log(1.0 - x.toDouble / n) +
+          (if (x > 0) x * math.log(x.toDouble / n) else 0.0)))
+      assert(got(k)._1 == n && got(k)._2 == x, s"$k counts")
+      assert(math.abs(got(k)._3 - lr) < 1e-4, s"$k LR")
+      assert(got(k)._4 == (lr > 3.841458820694124), s"$k reject")
+    }
+  }
+
+  test("tick_runs_test: Wald-Wolfowitz z from sign runs") {
+    val got = SparkEntry.queries("tick_runs_test")(spark, dir)
+      .select($"event_type", $"n_pos", $"n_neg", $"n_runs", $"z_stat")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    for ((k, rs) <- rows().groupBy(_._1)) {
+      val p = rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      val sgn = p.sliding(2).map { case Array(a, b) =>
+        if (b > a) 1 else if (b < a) -1 else 0
+      }.filter(_ != 0).toArray
+      val np = sgn.count(_ == 1); val nn = sgn.count(_ == -1)
+      val runs = 1 + sgn.sliding(2).count { case Array(a, b) => a != b }
+      val n = (np + nn).toDouble
+      val e = 2.0 * np * nn / n + 1.0
+      val v = 2.0 * np * nn * (2.0 * np * nn - n) / (n * n * (n - 1.0))
+      assert(got(k)._1 == np && got(k)._2 == nn, s"$k counts")
+      assert(got(k)._3 == runs, s"$k runs")
+      assert(math.abs(got(k)._4 - (runs - e) / math.sqrt(v)) < 1e-4, s"$k z")
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
