@@ -500,6 +500,44 @@ object SparkEntry {
           (col("lr") > crit).as("reject"))
         .orderBy(col("event_type"))
     }),
+    // Christoffersen independence test (op 250; Christoffersen 1998
+    // — the op-248 companion): do VaR breaches CLUSTER — transition
+    // counts n00/n01/n10/n11 of the breach indicator, LR_ind
+    // comparing the Markov transition fit to the iid fit. Every π
+    // is an exact integer ratio and every 0·ln0 term is defined 0
+    // (guards mirrored verbatim in the oracle); reject at the χ²(1)
+    // 95% critical value. One window + one agg.
+    "eod_var_independence" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      val crit = 3.841458820694124
+      val b = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("var5", Eod.valueAtRisk(col("ret"), 0.05).over(wSym))
+        .withColumn("br", when(col("ret") < col("var5"), 1L).otherwise(0L))
+        .withColumn("pb", lag(col("br"), 1).over(wT))
+        .where(col("pb").isNotNull)
+      val a = b.groupBy(col("event_type")).agg(
+        sum(when(col("pb") === 0 && col("br") === 0, 1L).otherwise(0L)).as("n00"),
+        sum(when(col("pb") === 0 && col("br") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("pb") === 1 && col("br") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("pb") === 1 && col("br") === 1, 1L).otherwise(0L)).as("n11"))
+      def d(c: String) = col(c).cast("double")
+      val nTot = d("n00") + d("n01") + d("n10") + d("n11")
+      val pi = (d("n01") + d("n11")) / nTot
+      val pi01 = d("n01") / (d("n00") + d("n01"))
+      val pi11 = d("n11") / (d("n10") + d("n11"))
+      def t(cnt: Column, lnArg: Column) =
+        when(cnt > 0, cnt.cast("double") * log(lnArg)).otherwise(lit(0.0))
+      val lr = lit(-2.0) * (
+        t(col("n00") + col("n10"), lit(1.0) - pi) +
+        t(col("n01") + col("n11"), pi) -
+        t(col("n00"), lit(1.0) - pi01) - t(col("n01"), pi01) -
+        t(col("n10"), lit(1.0) - pi11) - t(col("n11"), pi11))
+      a.withColumn("lr", lr)
+        .select(col("event_type"), col("n00"), col("n01"), col("n10"),
+          col("n11"), (round(col("lr"), 6) + lit(0.0)).as("lr_ind"),
+          (col("lr") > crit).as("reject"))
+        .orderBy(col("event_type"))
+    }),
     // Wald–Wolfowitz runs test on tick directions (op 249): is the
     // order flow's sign sequence random — R runs of nonzero tick
     // signs vs E = 2n₊n₋/n + 1 and σ² = 2n₊n₋(2n₊n₋−n)/(n²(n−1));
@@ -2622,6 +2660,48 @@ object SparkEntry {
         |  lr > 3.841458820694124 AS reject
         |FROM l ORDER BY event_type""".stripMargin
     },
+    // op 250: the same transition counts, the same guarded 0·ln0
+    // terms and left-assoc LR composition.
+    "eod_var_independence" ->
+      s"""$R_CTE, q AS (
+        |  SELECT event_type, quantile_cont(ret, 0.05) AS var5
+        |  FROM r WHERE ret IS NOT NULL GROUP BY event_type
+        |), b AS (
+        |  SELECT r.event_type,
+        |    CASE WHEN ret < var5 THEN 1 ELSE 0 END AS br,
+        |    lag(CASE WHEN ret < var5 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY r.event_type ORDER BY ts, event_id) AS pb
+        |  FROM r JOIN q ON r.event_type = q.event_type
+        |  WHERE ret IS NOT NULL
+        |), a AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN pb = 0 AND br = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |    CAST(sum(CASE WHEN pb = 0 AND br = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN pb = 1 AND br = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN pb = 1 AND br = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |  FROM b WHERE pb IS NOT NULL GROUP BY event_type
+        |), p AS (
+        |  SELECT event_type, n00, n01, n10, n11,
+        |    (CAST(n01 AS DOUBLE) + CAST(n11 AS DOUBLE)) /
+        |      (CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE) + CAST(n10 AS DOUBLE) + CAST(n11 AS DOUBLE)) AS pi,
+        |    CAST(n01 AS DOUBLE) / (CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE)) AS pi01,
+        |    CAST(n11 AS DOUBLE) / (CAST(n10 AS DOUBLE) + CAST(n11 AS DOUBLE)) AS pi11
+        |  FROM a
+        |), l AS (
+        |  SELECT event_type, n00, n01, n10, n11,
+        |    -2.0 * (
+        |      (CASE WHEN n00 + n10 > 0 THEN CAST(n00 + n10 AS DOUBLE) * ln(1.0 - pi) ELSE 0.0 END) +
+        |      (CASE WHEN n01 + n11 > 0 THEN CAST(n01 + n11 AS DOUBLE) * ln(pi) ELSE 0.0 END) -
+        |      (CASE WHEN n00 > 0 THEN CAST(n00 AS DOUBLE) * ln(1.0 - pi01) ELSE 0.0 END) -
+        |      (CASE WHEN n01 > 0 THEN CAST(n01 AS DOUBLE) * ln(pi01) ELSE 0.0 END) -
+        |      (CASE WHEN n10 > 0 THEN CAST(n10 AS DOUBLE) * ln(1.0 - pi11) ELSE 0.0 END) -
+        |      (CASE WHEN n11 > 0 THEN CAST(n11 AS DOUBLE) * ln(pi11) ELSE 0.0 END)) AS lr
+        |  FROM p
+        |)
+        |SELECT event_type, n00, n01, n10, n11,
+        |  round(lr, 6) + 0.0 AS lr_ind,
+        |  lr > 3.841458820694124 AS reject
+        |FROM l ORDER BY event_type""".stripMargin,
     // op 249: the same nonzero-sign runs count and integer-count z.
     "tick_runs_test" ->
       """WITH s0 AS (

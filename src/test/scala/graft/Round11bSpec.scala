@@ -985,6 +985,39 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("eod_var_independence: Christoffersen LR from transition counts") {
+    def r7(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted; val h = (s.length - 1) * p; val lo = h.toInt
+      if (lo + 1 >= s.length) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val got = SparkEntry.queries("eod_var_independence")(spark, dir)
+      .select($"event_type", $"n00", $"n01", $"n10", $"n11", $"lr_ind")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    val rets = rows().groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(2).map { case Array(a, b) => b / a - 1.0 }.toArray
+    }
+    for ((k, r) <- rets) {
+      val cut = r7(r, 0.05)
+      val br = r.map(x => if (x < cut) 1 else 0)
+      val trans = br.sliding(2).toArray
+      def cnt(a: Int, b: Int) = trans.count(t => t(0) == a && t(1) == b)
+      val (n00, n01, n10, n11) = (cnt(0, 0), cnt(0, 1), cnt(1, 0), cnt(1, 1))
+      val nT = (n00 + n01 + n10 + n11).toDouble
+      val pi = (n01 + n11) / nT
+      val p01 = n01.toDouble / (n00 + n01)
+      val p11 = n11.toDouble / (n10 + n11)
+      def t0(c: Int, x: Double) = if (c > 0) c * math.log(x) else 0.0
+      val lr = -2.0 * (t0(n00 + n10, 1 - pi) + t0(n01 + n11, pi) -
+        t0(n00, 1 - p01) - t0(n01, p01) - t0(n10, 1 - p11) - t0(n11, p11))
+      val g = got(k)
+      assert((g._1, g._2, g._3, g._4) ==
+        (n00.toLong, n01.toLong, n10.toLong, n11.toLong), s"$k counts")
+      assert(math.abs(g._5 - lr) < 1e-4, s"$k LR")
+    }
+  }
+
   test("rel_above_avg matches a per-customer scalar recomputation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
