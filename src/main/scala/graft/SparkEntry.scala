@@ -669,6 +669,101 @@ object SparkEntry {
           round(Eod.excessKurtosisFromDev(col("d")), 6).as("kurt_excess"))
         .orderBy(col("event_type"))
     }),
+    // Jarque–Bera normality test (op 271; Jarque/Bera 1980): are the
+    // returns even Gaussian — JB = n/6·(S² + K²/4) on the op-105
+    // central-moment pass, rejecting normality at the χ²(2) 95%
+    // critical value. The hypothesis-test companion to eod_skew_kurt
+    // (same two-pass plan: mean via per-asset window, deviations
+    // aggregated — no raw-moment cancellation). JB is formed from the
+    // 1e-6-QUANTIZED moments: the n/6 factor amplifies the engines'
+    // ~1e-12 avg(d^k) accumulation jitter past the 1e-6 output grid
+    // (measured: 6.9e7 JB differed in the 6th decimal), while the
+    // quantized moments hash-match exactly — so both engines square
+    // the identical doubles.
+    "eod_jarque_bera" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      val crit = 5.991464547107979 // qchisq(0.95, 2), published value
+      val a = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("d", col("ret") - avg(col("ret")).over(wSym))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (round(Eod.skewnessFromDev(col("d")), 6) + lit(0.0)).as("sk"),
+          (round(Eod.excessKurtosisFromDev(col("d")), 6) + lit(0.0)).as("ku"))
+      a.withColumn("jbs", col("n").cast("double") / 6.0 *
+          (col("sk") * col("sk") + col("ku") * col("ku") / 4.0))
+        .select(col("event_type"), col("n"),
+          col("sk").as("skew"), col("ku").as("kurt_excess"),
+          round(col("jbs"), 6).as("jb"),
+          (col("jbs") > crit).as("reject"))
+        .orderBy(col("event_type"))
+    }),
+    // Cornish–Fisher modified VaR (op 272; Cornish/Fisher 1938, the
+    // "mVaR" of hedge-fund risk reports): the Gaussian 5% quantile
+    // z adjusted for the sample's skew and excess kurtosis —
+    // z_cf = z + (z²−1)S/6 + (z³−3z)K/24 − (2z³−5z)S²/36, then
+    // mVaR = μ + z_cf·σ (sample σ). Complements op 103's historical
+    // VaR: same tail, parametric-with-shape instead of empirical.
+    // One window + one agg, the eod_skew_kurt pass plus stddev_samp.
+    "eod_cornish_fisher" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      val z = -1.6448536269514722 // qnorm(0.05), published value
+      val a = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("d", col("ret") - avg(col("ret")).over(wSym))
+        .groupBy(col("event_type"))
+        .agg(avg(col("ret")).as("mu"),
+          stddev_samp(col("ret")).as("sd"),
+          Eod.skewnessFromDev(col("d")).as("sk"),
+          Eod.excessKurtosisFromDev(col("d")).as("ku"))
+      val zcf = lit(z) + lit(z * z - 1.0) * col("sk") / 6.0 +
+        lit(z * z * z - 3.0 * z) * col("ku") / 24.0 -
+        lit(2.0 * z * z * z - 5.0 * z) * col("sk") * col("sk") / 36.0
+      a.withColumn("zcf", zcf)
+        .select(col("event_type"),
+          (round(col("zcf"), 6) + lit(0.0)).as("z_cf"),
+          (round(col("mu") + col("zcf") * col("sd"), 6) + lit(0.0))
+            .as("mvar_5"))
+        .orderBy(col("event_type"))
+    }),
+    // Mann–Kendall trend test (op 273; Mann 1945/Kendall 1975) on the
+    // DAILY CLOSE series: S = Σ_{i<j} sgn(x_j − x_i), no-tie variance
+    // n(n−1)(2n+5)/18, continuity-corrected Z, two-sided 5% verdict.
+    // Scale shape: the day-grain compaction (arg-max close per
+    // (series, day)) is the only full-data pass — the O(n²) pairing
+    // runs on the BOUNDED daily table (n = calendar days, not rows;
+    // 30 here, 365/year at scale), self-joined per series key. The
+    // close is an order-pinned single element (max_by, no float
+    // summation), so pair signs are engine-exact.
+    "eod_mann_kendall" -> ((s, dir) => {
+      val zcrit = 1.959963984540054 // qnorm(0.975), published value
+      val d = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(max_by(col("value"), col("ts")).as("close"))
+      val x = d.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        .select(col("event_type"), col("rn"), col("close"))
+      val p = x.as("a").join(x.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.rn") < col("b.rn"))
+        .select(col("a.event_type").as("event_type"),
+          when(col("b.close") > col("a.close"), 1L)
+            .when(col("b.close") < col("a.close"), -1L)
+            .otherwise(0L).as("sg"))
+      val nD = col("n_days").cast("double")
+      val varS = nD * (nD - 1.0) * (nD * 2.0 + 5.0) / 18.0
+      val sD = col("s_stat").cast("double")
+      val zS = when(col("s_stat") > 0, (sD - 1.0) / sqrt(varS))
+        .when(col("s_stat") < 0, (sD + 1.0) / sqrt(varS))
+        .otherwise(lit(0.0))
+      p.groupBy(col("event_type")).agg(sum(col("sg")).as("s_stat"))
+        .join(d.groupBy(col("event_type")).agg(count(lit(1)).as("n_days")),
+          "event_type")
+        .withColumn("z", zS)
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          (round(col("z"), 6) + lit(0.0)).as("z_stat"),
+          when(col("z") > zcrit, "up").when(col("z") < -zcrit, "down")
+            .otherwise("none").as("trend"))
+        .orderBy(col("event_type"))
+    }),
     "eod_ewma_vol" -> ((s, dir) =>
       withRet(s, dir).where(col("ret").isNotNull)
         .select(col("event_type"), col("event_id"),
@@ -2124,6 +2219,27 @@ object SparkEntry {
         .limit(20)
         .select(col("c_custkey"), col("c_name"), col("n_name"),
           round(col("rev").cast("double"), 2).as("revenue"), col("n_items"))
+    }),
+    // TPC-H Q14 shape (op 274, promotion effect): what share of one
+    // month's revenue came from PROMO parts. The month filter reaches
+    // the lineitem scan (PushedFilters); part is the small dim —
+    // broadcast, no shuffle; both the conditional and total revenue
+    // sums go through exact DECIMAL (order-free) before the one final
+    // double division. The classic filtered-share aggregation.
+    "rel_tpch_q14" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val pt = tbl(s, dir, "part")
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(30,8)")
+      li.where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round((lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)
+              .cast("decimal(30,8)"))).cast("double") /
+            sum(rev).cast("double")), 6).as("promo_revenue_pct"),
+          round(sum(rev).cast("double"), 2).as("total_revenue"),
+          count(lit(1)).as("n_items"))
     })
   )
 
@@ -2823,6 +2939,84 @@ object SparkEntry {
         |  round(avg(pow(d, 3)) / pow(avg(pow(d, 2)), 1.5), 6) AS skew,
         |  round(avg(pow(d, 4)) / pow(avg(pow(d, 2)), 2) - 3, 6) AS kurt_excess
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // op 271: same central-moment CTE, JB from the same 1e-6-quantized
+    // moments (engine-exact; see the Spark side's amplification note).
+    "eod_jarque_bera" ->
+      s"""$R_CTE, d AS (
+        |  SELECT event_type,
+        |    ret - avg(ret) OVER (PARTITION BY event_type) AS d
+        |  FROM r WHERE ret IS NOT NULL
+        |), m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    round(avg(pow(d, 3)) / pow(avg(pow(d, 2)), 1.5), 6) + 0.0 AS sk,
+        |    round(avg(pow(d, 4)) / pow(avg(pow(d, 2)), 2) - 3, 6) + 0.0 AS ku
+        |  FROM d GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |  sk AS skew, ku AS kurt_excess,
+        |  round(n / 6.0 * (sk * sk + ku * ku / 4.0), 6) AS jb,
+        |  (n / 6.0 * (sk * sk + ku * ku / 4.0)) > 5.991464547107979 AS reject
+        |FROM m ORDER BY event_type""".stripMargin,
+    // op 272: identical z_cf polynomial on the same moments.
+    "eod_cornish_fisher" -> {
+      val z = -1.6448536269514722
+      s"""$R_CTE, d AS (
+        |  SELECT event_type, ret,
+        |    ret - avg(ret) OVER (PARTITION BY event_type) AS d
+        |  FROM r WHERE ret IS NOT NULL
+        |), m AS (
+        |  SELECT event_type, avg(ret) AS mu, stddev_samp(ret) AS sd,
+        |    avg(pow(d, 3)) / pow(avg(pow(d, 2)), 1.5) AS sk,
+        |    avg(pow(d, 4)) / pow(avg(pow(d, 2)), 2) - 3 AS ku
+        |  FROM d GROUP BY event_type
+        |), zc AS (
+        |  SELECT event_type, mu, sd,
+        |    ($z) + (${z * z - 1.0}) * sk / 6.0
+        |    + (${z * z * z - 3.0 * z}) * ku / 24.0
+        |    - (${2.0 * z * z * z - 5.0 * z}) * sk * sk / 36.0 AS zcf
+        |  FROM m
+        |)
+        |SELECT event_type,
+        |  round(zcf, 6) + 0.0 AS z_cf,
+        |  round(mu + zcf * sd, 6) + 0.0 AS mvar_5
+        |FROM zc ORDER BY event_type""".stripMargin
+    },
+    // op 273: arg_max daily close (order-pinned, no float sums), the
+    // same i<j pairing and no-tie variance algebra.
+    "eod_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    arg_max(value, ts) AS close
+        |  FROM events GROUP BY event_type, day
+        |), x AS (
+        |  SELECT event_type, close,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM d
+        |), p AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN b.close > a.close THEN 1
+        |         WHEN b.close < a.close THEN -1 ELSE 0 END AS sg
+        |  FROM x a JOIN x b ON a.event_type = b.event_type AND a.rn < b.rn
+        |), m AS (
+        |  SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
+        |  FROM p GROUP BY event_type
+        |), c AS (
+        |  SELECT event_type, count(*) AS n_days FROM d GROUP BY event_type
+        |), zt AS (
+        |  SELECT m.event_type, c.n_days, m.s_stat,
+        |    CASE WHEN m.s_stat > 0 THEN (m.s_stat - 1.0)
+        |           / sqrt(c.n_days * (c.n_days - 1.0) * (2.0 * c.n_days + 5.0) / 18.0)
+        |         WHEN m.s_stat < 0 THEN (m.s_stat + 1.0)
+        |           / sqrt(c.n_days * (c.n_days - 1.0) * (2.0 * c.n_days + 5.0) / 18.0)
+        |         ELSE 0.0 END AS z
+        |  FROM m JOIN c ON m.event_type = c.event_type
+        |)
+        |SELECT event_type, n_days, s_stat,
+        |  round(z, 6) + 0.0 AS z_stat,
+        |  CASE WHEN z > 1.959963984540054 THEN 'up'
+        |       WHEN z < -1.959963984540054 THEN 'down'
+        |       ELSE 'none' END AS trend
+        |FROM zt ORDER BY event_type""".stripMargin,
     // O(60·n) pairwise replay of the truncated-weight EWMA — an oracle
     // formulation, not a scale shape (the Spark side folds a bounded
     // trailing array instead).
@@ -4022,6 +4216,20 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // op 274: same exact-DECIMAL conditional/total sums, one division.
+    "rel_tpch_q14" ->
+      """SELECT
+        |  round(100.0 *
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))
+        |      ELSE CAST(0.0 AS DECIMAL(30,8)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE),
+        |    6) AS promo_revenue_pct,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
     // op 235: the same gaps-and-islands integers.
     "eod_streaks" ->
       s"""$R_CTE, x AS (
@@ -4136,6 +4344,32 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         round(Text.qualityScore(col("text")), 6).as("quality"))),
+    // Flesch reading ease + Flesch–Kincaid grade (op 276; Flesch
+    // 1948/Kincaid 1975): the classic readability pair over exact
+    // integer counts — words = latin-letter runs, sentences =
+    // terminator runs (min 1), syllables = vowel-group runs (the
+    // standard dictionary-free heuristic). The patterns are
+    // character classes only, so Java regex and RE2 agree; the two
+    // scores are identical-parenthesization algebra on exact
+    // integers. Map-only, whole-stage codegen, no shuffle.
+    "text_readability" -> ((s, dir) => {
+      val words = size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+      val sents = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+      val sylls = size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0)))
+      val wps = col("n_words").cast("double") / col("n_sents").cast("double")
+      val spw = col("n_sylls").cast("double") / col("n_words").cast("double")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), words.cast("long").as("n_words"),
+          sents.cast("long").as("n_sents"), sylls.cast("long").as("n_sylls"))
+        .where(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_sylls"),
+          (round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+            + lit(0.0)).as("flesch"),
+          (round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+            + lit(0.0)).as("fk_grade"))
+    }),
     // Character entropy (op 206, the compressibility proxy): Shannon
     // H = ln n − Σc·ln c / n over per-doc character counts — templated
     // or repeated text scores low, the quality signal compression-
@@ -5192,6 +5426,49 @@ object SparkEntry {
           (round(when(sum(col("g_term")) > 0,
             sqrt(sum(col("g_term")).cast("double") / count(lit(1)))), 6)
             + lit(0.0)).as("gk_vol"))
+        .orderBy(col("event_type"))
+    }),
+    // Yang–Zhang volatility (op 275; Yang/Zhang 2000): the
+    // drift-independent OHLC estimator that handles overnight jumps —
+    // σ²_YZ = V_overnight + k·V_openclose + (1−k)·V_RS with
+    // k = 0.34/(1.34 + (n+1)/(n−1)), V_RS the Rogers–Satchell mean.
+    // Daily bars via the op-59 kernel (one shuffle), the overnight
+    // link one lag over the per-series day order, then one agg.
+    // Zero-price days (low = 0, sf0.1 has zero prints) drop BEFORE
+    // the lag on both engines so the overnight link re-chains
+    // identically; var_samp needs n ≥ 2 overnight rows else null.
+    "tick_yang_zhang" -> ((s, dir) => {
+      val bars = graft.operators.Bars.timeBars(
+        events(s, dir).withColumn("volume", volume),
+        "event_type", "ts", "value", "volume", "1 day",
+        tiebreak = Some("event_id"))
+        .where(col("low") > 0)
+      val wDay = Window.partitionBy(col("event_type"))
+        .orderBy(col("bar_start"))
+      val d = bars
+        .withColumn("pc", lag(col("close"), 1).over(wDay))
+        .withColumn("ov", log(col("open") / col("pc")))
+        .withColumn("cc", log(col("close") / col("open")))
+        .withColumn("rs",
+          log(col("high") / col("open")) * log(col("high") / col("close")) +
+            log(col("low") / col("open")) * log(col("low") / col("close")))
+        .where(col("pc").isNotNull)
+      val nD = col("n_days").cast("double")
+      val k = lit(0.34) / (lit(1.34) + (nD + 1.0) / (nD - 1.0))
+      d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          var_samp(col("ov")).as("vo"),
+          var_samp(col("cc")).as("vc"),
+          avg(col("rs")).as("vrs"))
+        .select(col("event_type"), col("n_days"),
+          (round(sqrt(col("vo")), 6) + lit(0.0)).as("vol_overnight"),
+          (round(sqrt(col("vc")), 6) + lit(0.0)).as("vol_openclose"),
+          (round(when(col("vrs") >= 0, sqrt(col("vrs"))), 6) + lit(0.0))
+            .as("vol_rs"),
+          (round(when(col("n_days") >= 2 &&
+            col("vo") + k * col("vc") + (lit(1.0) - k) * col("vrs") >= 0,
+            sqrt(col("vo") + k * col("vc") + (lit(1.0) - k) * col("vrs"))), 6)
+            + lit(0.0)).as("yang_zhang_vol"))
         .orderBy(col("event_type"))
     }),
 
@@ -6927,6 +7204,33 @@ object SparkEntry {
     // Cross-dim sums are integer again (λ quantized to 1e-12, λ²
     // through DECIMAL(19,0)²), so the single-row report is
     // engine-exact. Two tiny hash aggs.
+    // Pairwise-similarity distribution (op 277): the embedding-space
+    // health check behind near-dup thresholds — cosine of each
+    // DETERMINISTIC consecutive-id pair (id, id+1), quantized to 1e-6
+    // longs, histogrammed into 0.1 bins with exact-integer per-bin
+    // means. No sampling RNG (the pairing is the id order), no
+    // all-pairs blowup: one equi-join on adjacent ids (sort-merge on
+    // vec_id at scale — N pairs total, not N²), then a tiny keyed agg.
+    // Cosines use the codegen'd native dot (bit-identical sequential
+    // fold to DuckDB's list_dot_product, the ANN-family precedent).
+    "embed_pair_sim" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .where(Similarity.dotNative(col("v"), col("v")) > 0)
+      val a = e.select(col("vec_id").as("id"), col("v").as("va"))
+      val b = e.select((col("vec_id") - 1).as("id"), col("v").as("vb"))
+      val cosQ = floor(Similarity.dotNative(col("va"), col("vb")) /
+        (Similarity.normNative(col("va")) * Similarity.normNative(col("vb")))
+        * 1e6 + 0.5).cast("long")
+      a.join(b, "id")
+        .select(cosQ.as("q"))
+        .withColumn("bin", floor(col("q").cast("double") / 1e5).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("q")).cast("double") / 1e6 / count(lit(1)), 6)
+            .as("avg_cos"))
+        .orderBy(col("bin"))
+    }),
     "embed_dim_variance" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
         .select(posexplode(col("embedding").cast("array<double>"))
@@ -7351,6 +7655,24 @@ object SparkEntry {
           |  0.4 * (len(list_filter(toks, x -> $stopCond)) / greatest(len(toks), 1)) +
           |  0.2 * (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(len(toks), 1), 1.0)), 6) AS quality
           |FROM t""".stripMargin,
+      // op 276: same character-class counts, same score algebra.
+      "text_readability" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+          |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+          |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+          |  FROM documents
+          |)
+          |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+          |  CAST(s AS BIGINT) AS n_sents, CAST(syl AS BIGINT) AS n_sylls,
+          |  round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+          |        - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 4) + 0.0
+          |    AS flesch,
+          |  round(0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+          |        + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59, 4)
+          |    + 0.0 AS fk_grade
+          |FROM t WHERE w > 0""".stripMargin,
       // op 206: same per-char integer counts, same 1e-9-quantized
       // c·ln c terms, same floor-q6 entropy.
       "text_char_entropy" ->
@@ -8216,6 +8538,39 @@ object SparkEntry {
           |        THEN sqrt(CAST(sum(g_term) AS DOUBLE) / count(*)) END, 6)
           |    + 0.0 AS gk_vol
           |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // op 275: same daily-bar CTE, low>0 filter BEFORE the lag so the
+      // overnight link re-chains identically, identical k algebra.
+      "tick_yang_zhang" ->
+        """WITH b AS (
+          |  SELECT event_type, date_trunc('day', ts) AS bs,
+          |    arg_min(value, ts) AS open, max(value) AS high,
+          |    min(value) AS low, arg_max(value, ts) AS close
+          |  FROM events GROUP BY event_type, bs
+          |), f AS (
+          |  SELECT * FROM b WHERE low > 0
+          |), d AS (
+          |  SELECT event_type, lag(close) OVER w AS pc,
+          |    ln(open / lag(close) OVER w) AS ov,
+          |    ln(close / open) AS cc,
+          |    ln(high / open) * ln(high / close)
+          |      + ln(low / open) * ln(low / close) AS rs
+          |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY bs)
+          |), a AS (
+          |  SELECT event_type, count(*) AS n_days,
+          |    var_samp(ov) AS vo, var_samp(cc) AS vc, avg(rs) AS vrs
+          |  FROM d WHERE pc IS NOT NULL GROUP BY event_type
+          |), a2 AS (
+          |  SELECT *, 0.34 / (1.34 + (n_days + 1.0) / (n_days - 1.0)) AS k
+          |  FROM a
+          |)
+          |SELECT event_type, n_days,
+          |  round(sqrt(vo), 6) + 0.0 AS vol_overnight,
+          |  round(sqrt(vc), 6) + 0.0 AS vol_openclose,
+          |  round(CASE WHEN vrs >= 0 THEN sqrt(vrs) END, 6) + 0.0 AS vol_rs,
+          |  round(CASE WHEN n_days >= 2 AND vo + k * vc + (1.0 - k) * vrs >= 0
+          |        THEN sqrt(vo + k * vc + (1.0 - k) * vrs) END, 6) + 0.0
+          |    AS yang_zhang_vol
+          |FROM a2 ORDER BY event_type""".stripMargin,
       // prefix-sum twin of the Spark query: identical cumulative sums,
       // identical lag-difference and guard algebra (keep in lockstep).
       "eod_rolling" ->
@@ -9780,6 +10135,22 @@ object SparkEntry {
       // op 230: same 1e-6 component quantization, per-dim population
       // variance, λ re-quantized to 1e-12 with λ² through
       // DECIMAL(19,0)².
+      // op 277: same adjacent-id pairing, identical cosine
+      // parenthesization, same 1e-6 quantization and 0.1 bins.
+      "embed_pair_sim" ->
+        """WITH e AS (
+          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+          |), p AS (
+          |  SELECT CAST(floor(list_dot_product(a.v, b.v) /
+          |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          |      * 1e6 + 0.5) AS BIGINT) AS q
+          |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+          |)
+          |SELECT CAST(floor(CAST(q AS DOUBLE) / 1e5) AS BIGINT) AS bin,
+          |  count(*) AS n_pairs,
+          |  round(CAST(sum(q) AS DOUBLE) / 1e6 / count(*), 6) AS avg_cos
+          |FROM p GROUP BY bin ORDER BY bin""".stripMargin,
       "embed_dim_variance" ->
         """WITH e AS (
           |  SELECT unnest(range(0, len(embedding))) AS pos,
