@@ -328,6 +328,8 @@ object SparkEntry {
       // op 170: the gate is map-only (no state, no shuffle), so the
       // streamed Append sink equals the batch table row-for-row.
       ("streaming_quality_gate" -> p("corpus_gopher")) +
+      // op 283: same stateless-map argument for the readability gate.
+      ("streaming_readability" -> p("text_readability")) +
       // op 201: the split map is stateless, the sink equals the batch
       // assignment row-for-row → the manifest replays op 197's oracle.
       ("streaming_split" -> p("corpus_split")) +
@@ -2240,6 +2242,47 @@ object SparkEntry {
             sum(rev).cast("double")), 6).as("promo_revenue_pct"),
           round(sum(rev).cast("double"), 2).as("total_revenue"),
           count(lit(1)).as("n_items"))
+    }),
+    // TPC-H Q19 shape (op 281, discounted revenue under disjunctive
+    // brand/size/quantity predicates): the OR-of-ANDs pattern that
+    // exercises Catalyst's common-factor extraction — the p_brand/
+    // p_size disjunction's union bound pushes to the part scan while
+    // the mixed part×lineitem conjuncts evaluate post-join. part
+    // broadcasts; revenue in exact DECIMAL.
+    "rel_tpch_q19" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val pt = tbl(s, dir, "part")
+      val pred =
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(10, 30) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(20, 50) &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 30)
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .where(pred)
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    // Explicit GROUPING SETS (op 282): the general form completing
+    // rollup (op 165) and cube (op 185) — an arbitrary set list
+    // ((seg, pri), (seg), (pri)) in ONE Expand+agg pass instead of
+    // three self-unioned aggregations; subtotal identity is the
+    // 'ALL' value (both grouping columns are non-null in the data).
+    // Declared in SQL — the one grouping surface the DataFrame API
+    // doesn't expose — over the same temp-view-registered loads.
+    "rel_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      tbl(s, dir, "customer").createOrReplaceTempView("gs_customer")
+      s.sql("""SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2)
+        |    AS revenue,
+        |  count(*) AS n_orders
+        |FROM gs_orders JOIN gs_customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+        |                        (c_mktsegment), (o_orderpriority))
+        |ORDER BY seg, pri""".stripMargin)
     })
   )
 
@@ -4230,6 +4273,29 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
         |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    // op 281: identical disjunctive predicate, exact DECIMAL revenue.
+    "rel_tpch_q19" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    // op 282: the same set list, subtotals labeled 'ALL'.
+    "rel_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2)
+        |    AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+        |                        (c_mktsegment), (o_orderpriority))
+        |ORDER BY seg, pri""".stripMargin,
     // op 235: the same gaps-and-islands integers.
     "eod_streaks" ->
       s"""$R_CTE, x AS (
@@ -4306,6 +4372,31 @@ object SparkEntry {
         .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
   }
 
+  /** Shared by text_readability and its streaming gate twin: exact
+    * integer word/sentence/syllable counts (character-class regexes
+    * only, so Java regex and RE2 agree), then the two classic scores
+    * with identical parenthesization on both engines. Map-only,
+    * whole-stage codegen, no shuffle.
+    */
+  private def readabilityScores(docs: DataFrame): DataFrame = {
+    val words = size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+    val sents = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+    val sylls = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0)))
+    val wps = col("n_words").cast("double") / col("n_sents").cast("double")
+    val spw = col("n_sylls").cast("double") / col("n_words").cast("double")
+    docs
+      .select(col("doc_id"), words.cast("long").as("n_words"),
+        sents.cast("long").as("n_sents"), sylls.cast("long").as("n_sylls"))
+      .where(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_sylls"),
+        (round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+          + lit(0.0)).as("flesch"),
+        (round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+          + lit(0.0)).as("fk_grade"))
+  }
+
   private val CORPUS_CTE =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -4352,23 +4443,54 @@ object SparkEntry {
     // character classes only, so Java regex and RE2 agree; the two
     // scores are identical-parenthesization algebra on exact
     // integers. Map-only, whole-stage codegen, no shuffle.
-    "text_readability" -> ((s, dir) => {
-      val words = size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
-      val sents = greatest(
-        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
-      val sylls = size(regexp_extract_all(lower(col("text")),
-        lit("[aeiouy]+"), lit(0)))
-      val wps = col("n_words").cast("double") / col("n_sents").cast("double")
-      val spw = col("n_sylls").cast("double") / col("n_words").cast("double")
+    "text_readability" -> ((s, dir) =>
+      readabilityScores(tbl(s, dir, "documents"))),
+    // Type-token ratio + Simpson diversity per source (op 278): the
+    // lexical-diversity pair behind repetition filters — TTR = V/N
+    // (distinct over total tokens) and Simpson's D = Σc(c−1)/(N(N−1))
+    // (the probability two random tokens coincide; high = templated
+    // text). All exact integer counts: explode → per-(source, token)
+    // hash agg with map-side combine → one tiny per-source agg — the
+    // same two-level shape every corpus frequency op here uses, no
+    // distinct-shuffle (V counted in pass two).
+    "text_ttr" -> ((s, dir) => {
+      val tok = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      tok.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1)).as("coinc"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") /
+            col("n_tokens").cast("double"), 6).as("ttr"),
+          round(col("coinc").cast("double") /
+            (col("n_tokens").cast("double") *
+              (col("n_tokens").cast("double") - 1.0)), 6).as("simpson_d"))
+        .orderBy(col("source"))
+    }),
+    // Doc-length Gini per source (op 279): corpus concentration —
+    // are a few giant documents carrying a source's token mass (a
+    // mixture-weight and dedup-risk signal). The sorted-rank closed
+    // form G = (2Σr·x − (n+1)Σx)/(nΣx) on exact integer lengths:
+    // one rank window per source + one agg, no O(n²) pairing; ties
+    // in x are rank-order-invariant (equal x ⇒ Σr·x unchanged), so
+    // the statistic is engine-exact.
+    "corpus_gini" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
       tbl(s, dir, "documents")
-        .select(col("doc_id"), words.cast("long").as("n_words"),
-          sents.cast("long").as("n_sents"), sylls.cast("long").as("n_sylls"))
-        .where(col("n_words") > 0)
-        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_sylls"),
-          (round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
-            + lit(0.0)).as("flesch"),
-          (round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
-            + lit(0.0)).as("fk_grade"))
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("r", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"),
+          sum(col("r") * col("n_chars")).as("srx"))
+        .select(col("source"), col("n_docs"),
+          round((lit(2.0) * col("srx").cast("double") -
+            (col("n_docs") + 1).cast("double") * col("sx").cast("double")) /
+            (col("n_docs").cast("double") * col("sx").cast("double")), 6)
+            .as("gini"))
+        .orderBy(col("source"))
     }),
     // Character entropy (op 206, the compressibility proxy): Shannon
     // H = ln n − Σc·ln c / n over per-doc character counts — templated
@@ -6663,6 +6785,15 @@ object SparkEntry {
       streamReplay(s, dir, "documents", "sgate") { src =>
         Corpus.gopherQualityRules(src, "doc_id", "text")
       }.orderBy(col("doc_id"))),
+    // Streaming readability scoring (op 283, the op-170 stateless-gate
+    // pattern on op 276): the regex counts and score algebra are pure
+    // per-row maps, so the streaming plan IS the batch plan behind a
+    // file source — each arriving doc is scored at ingest, the Append
+    // sink equals the batch table row-for-row, oracle shared with
+    // text_readability.
+    "streaming_readability" -> ((s, dir) =>
+      streamReplay(s, dir, "documents", "sread")(readabilityScores)
+        .orderBy(col("doc_id"))),
     // Streaming split assignment (op 201, the op-170 stateless-gate
     // pattern on op 197): the md5-coin split is a pure per-row map, so
     // the streaming plan IS the batch plan behind a file source — each
@@ -7213,6 +7344,33 @@ object SparkEntry {
     // vec_id at scale — N pairs total, not N²), then a tiny keyed agg.
     // Cosines use the codegen'd native dot (bit-identical sequential
     // fold to DuckDB's list_dot_product, the ANN-family precedent).
+    // Per-label L2-norm distribution (op 280): the embedding-store
+    // calibration read — un-normalized stores skew cosine vs dot
+    // ranking, and a label whose norms drift flags an encoder issue.
+    // Norms quantize to 1e-6 longs (codegen'd native dot; identical
+    // sequential fold in DuckDB), then exact integer/decimal sums
+    // give mean and population std — one map + one keyed agg.
+    "embed_norm_stats" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val e = tbl(s, dir, "embeddings")
+        .select(col("label"),
+          floor(Similarity.normNative(col("embedding").cast("array<double>"))
+            * 1e6 + 0.5).cast("long").as("qn"))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("qn")).as("sq"),
+          min(col("qn")).as("mn"), max(col("qn")).as("mx"),
+          sum(dec(col("qn")) * dec(col("qn"))).as("sq2"))
+        .withColumn("mean", col("sq").cast("double") / 1e6 / col("n"))
+        .withColumn("v", col("sq2").cast("double") / 1e12 / col("n") -
+          col("mean") * col("mean"))
+        .select(col("label"), col("n"),
+          round(col("mean"), 6).as("mean_norm"),
+          (round(when(col("v") >= 0, sqrt(col("v"))), 6) + lit(0.0))
+            .as("std_norm"),
+          (col("mn").cast("double") / 1e6).as("min_norm"),
+          (col("mx").cast("double") / 1e6).as("max_norm"))
+        .orderBy(col("label"))
+    }),
     "embed_pair_sim" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -7673,6 +7831,43 @@ object SparkEntry {
           |        + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59, 4)
           |    + 0.0 AS fk_grade
           |FROM t WHERE w > 0""".stripMargin,
+      // op 278: same exact integer token counts.
+      "text_ttr" ->
+        """WITH tok AS (
+          |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          |  FROM documents
+          |), g AS (
+          |  SELECT source, t, count(*) AS c FROM tok WHERE t <> ''
+          |  GROUP BY source, t
+          |), a AS (
+          |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |    count(*) AS n_types, CAST(sum(c * (c - 1)) AS BIGINT) AS coinc
+          |  FROM g GROUP BY source
+          |)
+          |SELECT source, n_tokens, n_types,
+          |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+          |  round(CAST(coinc AS DOUBLE) /
+          |        (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 6)
+          |    AS simpson_d
+          |FROM a ORDER BY source""".stripMargin,
+      // op 279: same rank closed form on exact integer lengths.
+      "corpus_gini" ->
+        """WITH r AS (
+          |  SELECT source, n_chars,
+          |    row_number() OVER (PARTITION BY source
+          |                       ORDER BY n_chars, doc_id) AS r
+          |  FROM documents
+          |), a AS (
+          |  SELECT source, count(*) AS n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) AS sx,
+          |    CAST(sum(r * n_chars) AS BIGINT) AS srx
+          |  FROM r GROUP BY source
+          |)
+          |SELECT source, n_docs,
+          |  round((2.0 * CAST(srx AS DOUBLE)
+          |         - CAST(n_docs + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
+          |        (CAST(n_docs AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+          |FROM a ORDER BY source""".stripMargin,
       // op 206: same per-char integer counts, same 1e-9-quantized
       // c·ln c terms, same floor-q6 entropy.
       "text_char_entropy" ->
@@ -10135,6 +10330,31 @@ object SparkEntry {
       // op 230: same 1e-6 component quantization, per-dim population
       // variance, λ re-quantized to 1e-12 with λ² through
       // DECIMAL(19,0)².
+      // op 280: same 1e-6 norm quantization, exact sums, same
+      // population-variance algebra and guards.
+      "embed_norm_stats" ->
+        """WITH e AS (
+          |  SELECT label,
+          |    CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          |      * 1e6 + 0.5) AS BIGINT) AS qn
+          |  FROM embeddings
+          |), a AS (
+          |  SELECT label, count(*) AS n, CAST(sum(qn) AS BIGINT) AS sq,
+          |    min(qn) AS mn, max(qn) AS mx,
+          |    sum(CAST(qn AS DECIMAL(19,0)) * CAST(qn AS DECIMAL(19,0))) AS sq2
+          |  FROM e GROUP BY label
+          |), m AS (
+          |  SELECT label, n, CAST(sq AS DOUBLE) / 1e6 / n AS mean,
+          |    CAST(sq2 AS DOUBLE) / 1e12 / n
+          |      - (CAST(sq AS DOUBLE) / 1e6 / n) * (CAST(sq AS DOUBLE) / 1e6 / n) AS v,
+          |    mn, mx
+          |  FROM a
+          |)
+          |SELECT label, n, round(mean, 6) AS mean_norm,
+          |  round(CASE WHEN v >= 0 THEN sqrt(v) END, 6) + 0.0 AS std_norm,
+          |  CAST(mn AS DOUBLE) / 1e6 AS min_norm,
+          |  CAST(mx AS DOUBLE) / 1e6 AS max_norm
+          |FROM m ORDER BY label""".stripMargin,
       // op 277: same adjacent-id pairing, identical cosine
       // parenthesization, same 1e-6 quantization and 0.1 bins.
       "embed_pair_sim" ->

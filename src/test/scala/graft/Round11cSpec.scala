@@ -169,6 +169,111 @@ class Round11cSpec extends SparkSpec {
     }
   }
 
+  test("text_ttr: type-token ratio and Simpson D from scalar counts") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).map(_._2.length.toLong)
+      val n = toks.length.toLong
+      src -> (n, counts.size.toLong,
+        counts.map(c => c * (c - 1)).sum.toDouble / (n.toDouble * (n - 1)))
+    }
+    val got = SparkEntry.queries("text_ttr")(spark, dir)
+      .select($"source", $"n_tokens", $"n_types", $"simpson_d")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == want.keySet)
+    for ((s, (n, v, d)) <- want) {
+      assert(got(s)._1 == n && got(s)._2 == v, s"$s counts")
+      assert(math.abs(got(s)._3 - d) < 1e-6, s"$s simpson")
+    }
+  }
+
+  test("corpus_gini matches the O(n²) mean-absolute-difference form") {
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val got = SparkEntry.queries("corpus_gini")(spark, dir)
+      .select($"source", $"gini").as[(String, Double)].collect().toMap
+    for ((src, g) <- lens.groupBy(_._1)) {
+      val x = g.map(_._2.toDouble)
+      val n = x.length
+      val mad = (for (a <- x; b <- x) yield math.abs(a - b)).sum
+      val gini = mad / (2.0 * n * n * (x.sum / n))
+      // rank form is the population Gini up to the (n-1)/n convention:
+      // G_rank = (2Σr·x − (n+1)Σx)/(nΣx) equals Σ|xi−xj|/(2n²μ) exactly
+      assert(math.abs(got(src) - gini) < 1e-5, s"$src ${got(src)} vs $gini")
+    }
+  }
+
+  test("embed_norm_stats: per-label norm moments from scalar math") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"label".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val got = SparkEntry.queries("embed_norm_stats")(spark, dir)
+      .select($"label".cast("long"), $"n", $"mean_norm", $"std_norm")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    for ((lbl, g) <- vecs.groupBy(_._1)) {
+      val norms = g.map(v =>
+        math.rint(math.sqrt(v._2.map(x => x * x).sum) * 1e6) / 1e6)
+      val m = norms.sum / norms.length
+      val sd = math.sqrt(norms.map(x => (x - m) * (x - m)).sum / norms.length)
+      assert(got(lbl)._1 == norms.length, s"$lbl n")
+      assert(math.abs(got(lbl)._2 - m) < 2e-6, s"$lbl mean")
+      assert(math.abs(got(lbl)._3 - sd) < 2e-6, s"$lbl std")
+    }
+  }
+
+  test("rel_tpch_q19: disjunctive predicate from an independent scan") {
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+      .select($"p_partkey", $"p_brand", $"p_size")
+      .as[(Long, String, Int)].collect()
+      .map(p => p._1 -> (p._2, p._3)).toMap
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .as[(Long, Double, Double, Double)].collect()
+    val hits = li.filter { r =>
+      val (b, sz) = parts(r._1); val q = r._2
+      (b == "Brand#3" && sz >= 1 && sz <= 15 && q >= 1 && q <= 11) ||
+      (b == "Brand#14" && sz >= 10 && sz <= 30 && q >= 10 && q <= 20) ||
+      (b == "Brand#25" && sz >= 20 && sz <= 50 && q >= 20 && q <= 30)
+    }
+    val rev = hits.map(r => BigDecimal(r._3 * (1.0 - r._4))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+    val got = SparkEntry.queries("rel_tpch_q19")(spark, dir)
+      .select($"revenue", $"n_items").as[(Double, Long)].collect().head
+    assert(got._2 == hits.length, "n_items")
+    assert(math.abs(got._1 - rev.toDouble) < 0.02, "revenue")
+  }
+
+  test("rel_grouping_sets: three set aggregations, subtotals = ALL") {
+    val rows = SparkEntry.queries("rel_grouping_sets")(spark, dir)
+      .select($"seg", $"pri", $"n_orders").as[(String, String, Long)]
+      .collect()
+    val fine = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val bySeg = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+      .map(r => r._1 -> r._3).toMap
+    val byPri = rows.filter(r => r._1 == "ALL" && r._2 != "ALL")
+      .map(r => r._2 -> r._3).toMap
+    assert(rows.length == fine.length + bySeg.size + byPri.size,
+      "no grand-total row in the declared set list")
+    for ((seg, n) <- bySeg)
+      assert(fine.filter(_._1 == seg).map(_._3).sum == n, s"seg $seg")
+    for ((pri, n) <- byPri)
+      assert(fine.filter(_._2 == pri).map(_._3).sum == n, s"pri $pri")
+    assert(bySeg.values.sum == byPri.values.sum, "both partitions cover all")
+  }
+
+  test("streaming_readability equals the batch scores row-for-row") {
+    val batch = SparkEntry.queries("text_readability")(spark, dir)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    val stream = SparkEntry.queries("streaming_readability")(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(stream.sameElements(batch))
+  }
+
   test("rel_tpch_q14: promo share from an independent row scan") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select($"l_partkey", $"l_extendedprice", $"l_discount",
