@@ -144,6 +144,14 @@ object SparkEntry {
   private val rfPeriodic: Double = math.pow(1.0 + RF, 1.0 / NP) - 1.0
   private val RF_LIT: String = java.lang.Double.toString(rfPeriodic)
 
+  /** SQL twin of [[Corpus.md5Uniform]]'s 32-bit word over an arbitrary
+    * SQL string expression: first 8 hex chars of md5(<c>) as an
+    * integer via strpos arithmetic (engine-neutral base-16 decode).
+    */
+  private def md5Word8Sql(c: String): String = (1 to 8).map(j =>
+    s"(strpos('0123456789abcdef', substr(md5($c), $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}"
+  ).mkString("(", " + ", ")")
+
   /** returns CTE shared by many oracles. */
   private val R_CTE =
     """WITH r AS (
@@ -766,10 +774,224 @@ object SparkEntry {
             .otherwise("none").as("trend"))
         .orderBy(col("event_type"))
     }),
+    // CUSUM change-point statistics (op 284; Page 1954): has the mean
+    // of the return process SHIFTED — the recursive
+    // S_t = max(0, S_{t−1} + (x_t − μ)) re-expressed in its
+    // prefix-sum closed form S⁺_t = P_t − min(0, min_{i≤t} P_i) (and
+    // the mirrored S⁻) where P is the ordered cumulative sum of
+    // centered returns and the 0 term anchors the EMPTY prefix P₀ —
+    // so the whole statistic is two shared-sort cumulative windows
+    // instead of a sequential recursion. Both engines
+    // accumulate P in the same pinned (ts, event_id) order (the
+    // eod_rolling precedent). Breach threshold h = 5σ.
+    "eod_cusum" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      val cum = wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("sd", stddev_samp(col("ret")).over(wSym))
+        .withColumn("p", sum(col("ret") - avg(col("ret")).over(wSym)).over(cum))
+        .withColumn("cpos", col("p") - least(min(col("p")).over(cum), lit(0.0)))
+        .withColumn("cneg", greatest(max(col("p")).over(cum), lit(0.0)) - col("p"))
+      r.groupBy(col("event_type"))
+        .agg(round(max(col("cpos")), 6).as("max_cusum_pos"),
+          round(max(col("cneg")), 6).as("max_cusum_neg"),
+          sum(when(col("cpos") > col("sd") * 5.0, 1L).otherwise(0L))
+            .as("n_breach_pos"),
+          sum(when(col("cneg") > col("sd") * 5.0, 1L).otherwise(0L))
+            .as("n_breach_neg"),
+          round(min(col("sd")) * 5.0, 6).as("threshold"))
+        .orderBy(col("event_type"))
+    }),
+    // Newey–West long-run variance (op 285; Newey/West 1987): the
+    // autocorrelation-robust σ²_NW = γ₀ + 2Σ_{l≤5}(1−l/6)γ_l with
+    // Bartlett weights, and the mean-return t-stat under both the
+    // iid and the NW variance — the inference companion to op 127's
+    // ACF (same one-window + lag-columns + one-agg plan). Ratios and
+    // t-stats are O(1) quantities, so the 1e-6 round grid sits far
+    // above the engines' accumulation jitter.
+    "eod_newey_west" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      val base = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("d", col("ret") - avg(col("ret")).over(wSym))
+      val lagged = base.select(
+        Seq(col("event_type"), col("ret"), col("d")) ++
+          (1 to 5).map(l => lag(col("d"), l).over(wT).as(s"l$l")): _*)
+      val aggs = Seq(avg(col("ret")).as("mu"),
+        sum(col("d") * col("d")).as("g0")) ++
+        (1 to 5).map(l => sum(col("d") * col(s"l$l")).as(s"g$l"))
+      val a = lagged.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), aggs: _*)
+      val nD = col("n").cast("double")
+      def g(l: Int) = col(s"g$l") / nD
+      val s2 = g(0) + (1 to 5).map(l =>
+        g(l) * (2.0 * (1.0 - l / 6.0))).reduce(_ + _)
+      a.select(col("event_type"), col("n"),
+          round(s2 / g(0), 6).as("nw_ratio"),
+          round(col("mu") / sqrt(g(0) / nD), 6).as("tstat_iid"),
+          (round(when(s2 > 0, col("mu") / sqrt(s2 / nD)), 6) + lit(0.0))
+            .as("tstat_nw"))
+        .orderBy(col("event_type"))
+    }),
+    // Circular-block-bootstrap Sharpe confidence interval (op 303;
+    // Künsch 1989 / Politis–Romano): B = 60 replicates of each
+    // series, drawn as length-50 circular blocks whose starts are
+    // md5-derived (the op-77 determinism convention — same corpus →
+    // same resample on ANY engine/partitioning, which is what lets a
+    // SQL oracle replay a "random" bootstrap exactly); per-replicate
+    // annualized Sharpe, R-7 5%/95% quantiles as the CI around the
+    // full-series point estimate. Block length preserves the serial
+    // dependence a plain iid bootstrap destroys.
+    //
+    // Scale shape: the index relation is B× the data — the op's
+    // documented, intentional cost (B·n rows through one composite-
+    // key shuffle); everything else is keyed aggs. No collect, no
+    // per-replicate driver loop.
+    "eod_bootstrap_sharpe" -> ((s, dir) => {
+      val B = 60; val L = 50
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("rn", row_number().over(wT).cast("long"))
+        .select(col("event_type"), col("rn"), col("ret"))
+      val m = r.groupBy(col("event_type")).agg(max(col("rn")).as("m"))
+      val idx = m
+        .withColumn("b", explode(sequence(lit(1), lit(B))))
+        .withColumn("j", explode(sequence(lit(0),
+          ceil(col("m").cast("double") / L).cast("int") - 1)))
+        .withColumn("start",
+          conv(substring(md5(concat_ws("|", col("event_type"), col("b"),
+            col("j"))), 1, 8), 16, 10).cast("long") % col("m"))
+        .withColumn("o", explode(sequence(lit(0), lit(L - 1))))
+        .where(col("j") * L + col("o") < col("m")) // trim the last block
+        .withColumn("rn", (col("start") + col("o")) % col("m") + 1)
+        .select(col("event_type"), col("b"), col("rn"))
+      val sq252 = math.sqrt(252.0)
+      def sharpeOf(df: DataFrame, keys: Seq[Column]) = {
+        val nD = col("n").cast("double")
+        df.groupBy(keys: _*)
+          .agg(count(lit(1)).as("n"), sum(col("ret")).as("sr"),
+            sum(col("ret") * col("ret")).as("qr"))
+          .withColumn("sharpe",
+            (col("sr") / nD) /
+              sqrt((col("qr") - col("sr") * col("sr") / nD) / (nD - 1.0)) *
+              sq252)
+      }
+      val reps = sharpeOf(idx.join(r, Seq("event_type", "rn")),
+        Seq(col("event_type"), col("b")))
+      val ci = reps.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_boot"),
+        graft.functions.Stats.quantile(col("sharpe"), 0.05).as("lo"),
+        graft.functions.Stats.quantile(col("sharpe"), 0.95).as("hi"))
+      sharpeOf(r, Seq(col("event_type")))
+        .join(ci, "event_type")
+        .select(col("event_type"), col("n_boot"),
+          round(col("sharpe"), 6).as("sharpe_ann"),
+          round(col("lo"), 6).as("ci_lo"),
+          round(col("hi"), 6).as("ci_hi"))
+        .orderBy(col("event_type"))
+    }),
+    // Dickey–Fuller unit-root test (op 287; Dickey/Fuller 1979): does
+    // ln(price) mean-revert or random-walk — OLS of Δy on (1, y_{t−1})
+    // in the closed 2-regressor form, one lag pass + one agg of sums
+    // (the same shuffle every series op shares). The DF t-stat is
+    // non-Normal, so the verdict compares the MacKinnon 5%
+    // constant-case critical value −2.86; half-life −ln2/ln(1+ρ̂)
+    // only for mean-reverting fits (ρ̂∈(−1,0)), rounded coarse (2dp)
+    // because d(hl)/dρ ≈ ln2/ρ² amplifies sum jitter.
+    "eod_adf" -> ((s, dir) => {
+      val y = events(s, dir).withColumn("y", log(col("value")))
+        .withColumn("x", lag(col("y"), 1).over(wT))
+        .where(col("x").isNotNull)
+        .withColumn("dy", col("y") - col("x"))
+      val a = y.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("dy")).as("sxy"),
+        sum(col("dy") * col("dy")).as("syy"))
+      val nD = col("n").cast("double")
+      val cxx = col("sxx") - col("sx") * col("sx") / nD
+      val cxy = col("sxy") - col("sx") * col("sy") / nD
+      val cyy = col("syy") - col("sy") * col("sy") / nD
+      val rho = cxy / cxx
+      val s2 = (cyy - rho * cxy) / (nD - 2.0)
+      val t = rho / sqrt(s2 / cxx)
+      a.select(col("event_type"), col("n"),
+          round(rho, 6).as("rho"),
+          round(t, 6).as("adf_tstat"),
+          (round(when(rho < 0.0 && rho > -1.0,
+            lit(-0.6931471805599453) / log(lit(1.0) + rho)), 2) + lit(0.0))
+            .as("half_life"),
+          when(round(t, 6) < -2.86, "stationary").otherwise("unit_root")
+            .as("verdict"))
+        .orderBy(col("event_type"))
+    }),
+    // Engle–Granger cointegration vs the 'view' benchmark (op 288;
+    // Engle/Granger 1987): stage 1 regresses ln p_a on ln p_b over the
+    // rn-aligned pair (the op-107 pairing shape — one window pass for
+    // rn, equi-join on rn), stage 2 runs the no-constant DF test on
+    // the stage-1 residuals. The 4-row OLS-parameter table broadcasts
+    // back onto the pair rows; both engines form the residual with the
+    // IDENTICAL centered parenthesization (ya−m̄a) − β(yb−m̄b). Verdict
+    // against the 2-variable EG 5% critical value −3.34 (MacKinnon).
+    "eod_cointegration" -> ((s, dir) => {
+      val p = events(s, dir).withColumn("rn", row_number().over(wT))
+        .withColumn("y", log(col("value")))
+      val bench = p.where(col("event_type") === "view")
+        .select(col("rn"), col("y").as("yb"))
+      val pair = p.where(col("event_type") =!= "view")
+        .select(col("event_type").as("pair_id"), col("rn"), col("y").as("ya"))
+        .join(bench, "rn")
+      val ols = pair.groupBy(col("pair_id")).agg(
+        count(lit(1)).as("n"),
+        sum(col("ya")).as("sa"), sum(col("yb")).as("sb"),
+        sum(col("ya") * col("yb")).as("sab"),
+        sum(col("yb") * col("yb")).as("sbb"))
+      val nD0 = col("n").cast("double")
+      val params = ols.select(col("pair_id"), col("n"),
+        ((col("sab") - col("sa") * col("sb") / nD0) /
+          (col("sbb") - col("sb") * col("sb") / nD0)).as("beta"),
+        (col("sa") / nD0).as("ma"), (col("sb") / nD0).as("mb"))
+      val wp = Window.partitionBy(col("pair_id")).orderBy(col("rn"))
+      val resid = pair.join(broadcast(params), "pair_id")
+        .withColumn("e",
+          (col("ya") - col("ma")) - col("beta") * (col("yb") - col("mb")))
+        .withColumn("el", lag(col("e"), 1).over(wp))
+        .where(col("el").isNotNull)
+      val a = resid.groupBy(col("pair_id")).agg(
+        max(col("beta")).as("beta"), max(col("n")).as("n"),
+        count(lit(1)).as("m"),
+        sum(col("el") * (col("e") - col("el"))).as("sed"),
+        sum(col("el") * col("el")).as("see"),
+        sum((col("e") - col("el")) * (col("e") - col("el"))).as("sdd"))
+      val rho = col("sed") / col("see")
+      val s2 = (col("sdd") - rho * col("sed")) /
+        (col("m").cast("double") - 1.0)
+      val t = rho / sqrt(s2 / col("see"))
+      a.select(col("pair_id"), col("n"),
+          round(col("beta"), 6).as("beta"),
+          round(rho, 6).as("rho_resid"),
+          round(t, 6).as("eg_tstat"),
+          when(round(t, 6) < -3.34, 1L).otherwise(0L).as("cointegrated"))
+        .orderBy(col("pair_id"))
+    }),
     "eod_ewma_vol" -> ((s, dir) =>
       withRet(s, dir).where(col("ret").isNotNull)
         .select(col("event_type"), col("event_id"),
           round(Eod.ewmaVolatility(col("ret"), wT, 60), 6).as("ewma_vol"))),
+    // GARCH(1,1) filtered conditional vol (op 295; Bollerslev 1986):
+    // the k-truncated closed form over the trailing 60 returns ending
+    // at t−1, pinned (ω, α, β) = (2e-8, 0.08, 0.90) — ω scaled so the
+    // long-run variance ω/(1−α−β) = 1e-6 matches the series' return
+    // scale. Same collect_list + native codegen fold as op 106; rows
+    // with no prior return (each series' first) are dropped to match
+    // the oracle's inner self-join frame.
+    "eod_garch_filter" -> ((s, dir) =>
+      withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("garch", Eod.garchVolatility(col("ret"), wT, 60,
+          omega = 2.0e-8, alpha = 0.08, beta = 0.90))
+        .withColumn("rn", row_number().over(wT))
+        .where(col("rn") >= 2) // the frame is built BEFORE this filter
+        .select(col("event_type"), col("event_id"),
+          round(col("garch"), 8).as("garch_vol"))),
     // Rolling beta of each non-benchmark return series on the 'view'
     // benchmark series, rn-paired, trailing 60 pairs. The window is
     // partitioned by the pair key — four real pairs here, N pairs at
@@ -1940,6 +2162,26 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(Tick.realizedVolatility(col("lr")), 6).as("realized_vol"))
         .orderBy(col("event_type"))),
+    // Realized higher moments (op 291; Amaya/Christoffersen/Jacobs/
+    // Vasquez 2015): intraday skew √n·Σr³/RV^{3/2} and kurtosis
+    // n·Σr⁴/RV² from the same one-lag-pass log returns as op 38's RV —
+    // the jump/crash-risk signals a realized-vol desk reads next to
+    // RV, and still a single map-side-combined agg of power sums.
+    "tick_realized_moments" -> ((s, dir) =>
+      events(s, dir).withColumn("lr", Tick.microReturns(col("value"), wT))
+        .where(col("lr").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("lr") * col("lr")).as("rv"),
+          sum(col("lr") * col("lr") * col("lr")).as("s3"),
+          sum(col("lr") * col("lr") * col("lr") * col("lr")).as("s4"))
+        .select(col("event_type"), col("n"),
+          round(sqrt(col("rv")), 6).as("realized_vol"),
+          round(sqrt(col("n").cast("double")) * col("s3") /
+            (col("rv") * sqrt(col("rv"))), 6).as("realized_skew"),
+          round(col("n").cast("double") * col("s4") /
+            (col("rv") * col("rv")), 6).as("realized_kurt"))
+        .orderBy(col("event_type"))),
 
     // ---- Relational core (ops 43-45)
     "rel_pricing_summary" -> ((s, dir) => relPricingSummary(s, dir)),
@@ -2197,6 +2439,142 @@ object SparkEntry {
         .agg(round(sum((col("l_extendedprice") * col("l_discount"))
           .cast("decimal(30,8)")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_items"))),
+    // TPC-H Q17 shape (op 292, small-quantity-order revenue): average
+    // yearly revenue lost if small orders (< 20% of the part's mean
+    // quantity) stopped shipping, for one brand. The correlated
+    // subquery de-correlates into a per-part window mean over ONLY the
+    // brand's lineitems — the brand filter (a broadcast semi-join on
+    // the dim) runs BEFORE the window, so the shuffle keys ~1/25 of
+    // the fact table, not all of it. Money in exact DECIMAL (op 209's
+    // convention).
+    "rel_tpch_q17" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part").where(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val wP = Window.partitionBy(col("l_partkey"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("lim", avg(col("l_quantity")).over(wP) * 0.2)
+        .where(col("l_quantity") < col("lim"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(30,8)"))
+            .cast("double") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+    // TPC-H Q7 shape (op 299, bilateral volume shipping): revenue
+    // flowing between NATION_3 suppliers and NATION_8 customers, BOTH
+    // directions, by ship year. The two nation filters broadcast onto
+    // supplier/customer before either touches a fact table, so the
+    // or-of-two-pairs predicate prunes to two tiny key sets; shuffles
+    // are the same two fact-fact joins as op 298.
+    "rel_tpch_q7" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer"); val n = tbl(s, dir, "nation")
+      val sup = tbl(s, dir, "supplier")
+      val nn = n.where(col("n_name").isin("NATION_3", "NATION_8"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supN = sup.join(broadcast(nn),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custN = c.join(broadcast(nn),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(30,8)")
+      li.join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(o.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(vol).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    // TPC-H Q13 shape (op 300, customer order-count distribution):
+    // how many customers placed k orders, INCLUDING the zero-order
+    // tail a left join preserves — two keyed aggs back-to-back, the
+    // histogram-of-a-histogram shape. Both shuffles key on high-
+    // cardinality keys (custkey, then the tiny count grid).
+    "rel_tpch_q13" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      tbl(s, dir, "customer").select(col("c_custkey"))
+        .join(o.select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // TPC-H Q22 shape (op 301, global sales opportunity): richer-
+    // than-average customers DORMANT since 2000 (every custkey has
+    // lifetime orders in this testdata, so the dormancy cutoff plays
+    // Q22's "never ordered" role), by nation — the anti-join +
+    // scalar-subquery pattern. The positive-balance average is a
+    // 1-row broadcast; the date filter pushes to the orders scan
+    // BEFORE the distinct+anti join on custkey; balances summed in
+    // exact DECIMAL.
+    "rel_tpch_q22" -> ((s, dir) => {
+      val cst = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      val n = tbl(s, dir, "nation")
+      val avgBal = cst.where(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      cst.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("ab"))
+        .join(o.where(col("o_orderdate") >=
+              lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(30,8)"))
+            .cast("double"), 2).as("totacctbal"))
+        .orderBy(col("n_name"))
+    }),
+    // TPC-H Q8 shape (op 298, national market share): NATION_2's
+    // share of ASIA-customer PROMO revenue by order year — the
+    // deepest join tree in the relational family (fact ⋈ 6 dims).
+    // Every dim side broadcasts (part filter, supplier→nation name,
+    // customer-nation region semi-join); the only shuffles are the
+    // two fact-fact joins (lineitem⋈orders on orderkey, then on
+    // custkey) and the final 7-group agg. Revenue in exact DECIMAL,
+    // share as a double ratio (op-274's convention).
+    "rel_tpch_q8" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer"); val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region"); val p = tbl(s, dir, "part")
+      val sup = tbl(s, dir, "supplier")
+      val asiaNations = n.join(
+          broadcast(r.where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val custAsia = c.join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supNation = sup.join(
+          broadcast(n.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(30,8)")
+      li.join(broadcast(p.where(col("p_type") === "PROMO")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(o.select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(round(
+            sum(when(col("supp_nation") === "NATION_2", vol)
+              .otherwise(lit(0.0).cast("decimal(30,8)"))).cast("double") /
+            sum(vol).cast("double"), 6).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_year"))
+    }),
     // TPC-H Q10 shape (op 229, returned-item revenue): which
     // customers returned the most revenue last quarter — the
     // customer-grain sort-limit sibling of op 205's order-grain Q3.
@@ -2532,6 +2910,37 @@ object SparkEntry {
         |  floor(CASE WHEN vol > 0 THEN mean / vol * sqrt(252.0) END
         |        * 1000000.0 + 0.5) / 1000000.0 AS run_sharpe_ann
         |FROM f ORDER BY symbol, ts_us""".stripMargin,
+    // op 294: the Page recursion reconstructed via the op-284
+    // prefix-sum closed form on INTEGER cumulative windows — exact.
+    "streaming_cusum" ->
+      """WITH r AS (
+        |  SELECT event_type AS symbol, event_id,
+        |    value / lag(value) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      - 1 AS ret
+        |  FROM events WHERE value > 0
+        |), q AS (
+        |  SELECT symbol, event_id,
+        |    CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS ret_q
+        |  FROM r WHERE ret IS NOT NULL
+        |), c AS (
+        |  SELECT symbol, event_id, ret_q,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS n,
+        |    CAST(sum(ret_q) OVER w2 AS BIGINT) AS p
+        |  FROM q WINDOW w2 AS (PARTITION BY symbol ORDER BY event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), m AS (
+        |  SELECT symbol, event_id, ret_q, n, p,
+        |    p - least(CAST(min(p) OVER w3 AS BIGINT), 0) AS cusum_pos,
+        |    greatest(CAST(max(p) OVER w3 AS BIGINT), 0) - p AS cusum_neg
+        |  FROM c WINDOW w3 AS (PARTITION BY symbol ORDER BY event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol,
+        |  CAST(1712928600000000 + event_id * 1000 AS BIGINT) AS ts_us,
+        |  ret_q, n, cusum_pos, cusum_neg,
+        |  CAST(CASE WHEN cusum_pos > 20000 OR cusum_neg > 20000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS breach
+        |FROM m ORDER BY symbol, ts_us""".stripMargin,
     // op 224: the same ln(value/lag) sequence, the same 1e-12
     // product quantization, totals = the max-merged stream state.
     "streaming_bipower" ->
@@ -3060,6 +3469,199 @@ object SparkEntry {
         |       WHEN z < -1.959963984540054 THEN 'down'
         |       ELSE 'none' END AS trend
         |FROM zt ORDER BY event_type""".stripMargin,
+    // op 284: same prefix-sum closed form over the same pinned order.
+    "eod_cusum" ->
+      s"""$R_CTE, x0 AS (
+        |  SELECT event_type, ts, event_id, ret,
+        |    stddev_samp(ret) OVER (PARTITION BY event_type) AS sd,
+        |    avg(ret) OVER (PARTITION BY event_type) AS mu
+        |  FROM r WHERE ret IS NOT NULL
+        |), x AS (
+        |  SELECT event_type, ts, event_id, sd,
+        |    sum(ret - mu) OVER cum AS p
+        |  FROM x0
+        |  WINDOW cum AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), c AS (
+        |  SELECT event_type, sd,
+        |    p - least(min(p) OVER cum, 0.0) AS cpos,
+        |    greatest(max(p) OVER cum, 0.0) - p AS cneg
+        |  FROM x
+        |  WINDOW cum AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type,
+        |  round(max(cpos), 6) AS max_cusum_pos,
+        |  round(max(cneg), 6) AS max_cusum_neg,
+        |  CAST(sum(CASE WHEN cpos > sd * 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_breach_pos,
+        |  CAST(sum(CASE WHEN cneg > sd * 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_breach_neg,
+        |  round(min(sd) * 5.0, 6) AS threshold
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // op 285: same centered lags, Bartlett weights, identical algebra.
+    "eod_newey_west" ->
+      s"""$R_CTE, b AS (
+        |  SELECT event_type, ts, event_id, ret,
+        |    ret - avg(ret) OVER (PARTITION BY event_type) AS d
+        |  FROM r WHERE ret IS NOT NULL
+        |), l AS (
+        |  SELECT event_type, ret, d,
+        |    lag(d, 1) OVER w AS l1, lag(d, 2) OVER w AS l2,
+        |    lag(d, 3) OVER w AS l3, lag(d, 4) OVER w AS l4,
+        |    lag(d, 5) OVER w AS l5
+        |  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), a AS (
+        |  SELECT event_type, count(*) AS n, avg(ret) AS mu,
+        |    sum(d * d) AS g0, sum(d * l1) AS g1, sum(d * l2) AS g2,
+        |    sum(d * l3) AS g3, sum(d * l4) AS g4, sum(d * l5) AS g5
+        |  FROM l GROUP BY event_type
+        |), m AS (
+        |  SELECT event_type, n, mu, g0 / n AS gg0,
+        |    g0 / n + g1 / n * (2.0 * (1.0 - 1.0 / 6.0))
+        |           + g2 / n * (2.0 * (1.0 - 2.0 / 6.0))
+        |           + g3 / n * (2.0 * (1.0 - 3.0 / 6.0))
+        |           + g4 / n * (2.0 * (1.0 - 4.0 / 6.0))
+        |           + g5 / n * (2.0 * (1.0 - 5.0 / 6.0)) AS s2
+        |  FROM a
+        |)
+        |SELECT event_type, n,
+        |  round(s2 / gg0, 6) AS nw_ratio,
+        |  round(mu / sqrt(gg0 / n), 6) AS tstat_iid,
+        |  round(CASE WHEN s2 > 0 THEN mu / sqrt(s2 / n) END, 6) + 0.0
+        |    AS tstat_nw
+        |FROM m ORDER BY event_type""".stripMargin,
+    // op 303: the same md5-derived block starts (strpos base-16
+    // decode = conv's arithmetic), same trim, same Sharpe algebra,
+    // R-7 quantiles over the replicate set.
+    "eod_bootstrap_sharpe" ->
+      s"""$R_CTE, x AS (
+        |  SELECT event_type, ret,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM r WHERE ret IS NOT NULL
+        |), mm AS (
+        |  SELECT event_type, CAST(max(rn) AS BIGINT) AS m
+        |  FROM x GROUP BY event_type
+        |), bj AS (
+        |  SELECT event_type, m, b, unnest(range(0,
+        |    CAST(ceil(m / 50.0) AS BIGINT))) AS j
+        |  FROM mm CROSS JOIN (SELECT unnest(range(1, 61)) AS b) bb
+        |), st AS (
+        |  SELECT event_type, m, b, j,
+        |    ${md5Word8Sql("event_type || '|' || CAST(b AS VARCHAR) || '|' || CAST(j AS VARCHAR)")} % m AS strt
+        |  FROM bj
+        |), ix AS (
+        |  SELECT event_type, b, (strt + o) % m + 1 AS rn
+        |  FROM st CROSS JOIN (SELECT unnest(range(0, 50)) AS o) oo
+        |  WHERE j * 50 + o < m
+        |), rep AS (
+        |  SELECT i.event_type, b, count(*) AS n, sum(ret) AS sr,
+        |    sum(ret * ret) AS qr
+        |  FROM ix i JOIN x ON i.event_type = x.event_type AND i.rn = x.rn
+        |  GROUP BY i.event_type, b
+        |), sh AS (
+        |  SELECT event_type, b,
+        |    (sr / n) / sqrt((qr - sr * sr / n) / (n - 1.0))
+        |      * ${java.lang.Double.toString(math.sqrt(252.0))} AS sharpe
+        |  FROM rep
+        |), ci AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_boot,
+        |    quantile_cont(sharpe, 0.05) AS lo,
+        |    quantile_cont(sharpe, 0.95) AS hi
+        |  FROM sh GROUP BY event_type
+        |), pt AS (
+        |  SELECT event_type, count(*) AS n, sum(ret) AS sr,
+        |    sum(ret * ret) AS qr
+        |  FROM x GROUP BY event_type
+        |)
+        |SELECT pt.event_type, n_boot,
+        |  round((sr / n) / sqrt((qr - sr * sr / n) / (n - 1.0))
+        |    * ${java.lang.Double.toString(math.sqrt(252.0))}, 6) AS sharpe_ann,
+        |  round(lo, 6) AS ci_lo,
+        |  round(hi, 6) AS ci_hi
+        |FROM pt JOIN ci ON pt.event_type = ci.event_type
+        |ORDER BY pt.event_type""".stripMargin,
+    // op 287: same closed-form OLS sums over (Δ ln p, lag ln p).
+    "eod_adf" ->
+      """WITH y0 AS (
+        |  SELECT event_type, ts, event_id, ln(value) AS y
+        |  FROM events
+        |), y AS (
+        |  SELECT event_type, y,
+        |    lag(y) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
+        |  FROM y0
+        |), d AS (
+        |  SELECT event_type, x, y - x AS dy FROM y WHERE x IS NOT NULL
+        |), a AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(dy) AS sy,
+        |    sum(x * x) AS sxx, sum(x * dy) AS sxy, sum(dy * dy) AS syy
+        |  FROM d GROUP BY event_type
+        |), m AS (
+        |  SELECT event_type, n,
+        |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS rho,
+        |    sxx - sx * sx / n AS cxx,
+        |    sxy - sx * sy / n AS cxy,
+        |    syy - sy * sy / n AS cyy
+        |  FROM a
+        |), t AS (
+        |  SELECT event_type, n, rho,
+        |    rho / sqrt(((cyy - rho * cxy) / (n - 2.0)) / cxx) AS tstat
+        |  FROM m
+        |)
+        |SELECT event_type, n, round(rho, 6) AS rho,
+        |  round(tstat, 6) AS adf_tstat,
+        |  round(CASE WHEN rho < 0.0 AND rho > -1.0
+        |    THEN -0.6931471805599453 / ln(1.0 + rho) END, 2) + 0.0
+        |    AS half_life,
+        |  CASE WHEN round(tstat, 6) < -2.86 THEN 'stationary'
+        |       ELSE 'unit_root' END AS verdict
+        |FROM t ORDER BY event_type""".stripMargin,
+    // op 288: same two OLS stages, identical residual parenthesization.
+    "eod_cointegration" ->
+      """WITH p0 AS (
+        |  SELECT event_type, ln(value) AS y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events
+        |), pr AS (
+        |  SELECT a.event_type AS pair_id, a.rn, a.y AS ya, b.y AS yb
+        |  FROM p0 a JOIN p0 b USING (rn)
+        |  WHERE a.event_type <> 'view' AND b.event_type = 'view'
+        |), ols AS (
+        |  SELECT pair_id, count(*) AS n, sum(ya) AS sa, sum(yb) AS sb,
+        |    sum(ya * yb) AS sab, sum(yb * yb) AS sbb
+        |  FROM pr GROUP BY pair_id
+        |), pm AS (
+        |  SELECT pair_id, n,
+        |    (sab - sa * sb / n) / (sbb - sb * sb / n) AS beta,
+        |    sa / n AS ma, sb / n AS mb
+        |  FROM ols
+        |), e AS (
+        |  SELECT pr.pair_id, rn, beta, n,
+        |    (ya - ma) - beta * (yb - mb) AS e
+        |  FROM pr JOIN pm USING (pair_id)
+        |), l AS (
+        |  SELECT pair_id, beta, n, e,
+        |    lag(e) OVER (PARTITION BY pair_id ORDER BY rn) AS el
+        |  FROM e
+        |), a AS (
+        |  SELECT pair_id, max(beta) AS beta, max(n) AS n, count(*) AS m,
+        |    sum(el * (e - el)) AS sed, sum(el * el) AS see,
+        |    sum((e - el) * (e - el)) AS sdd
+        |  FROM l WHERE el IS NOT NULL GROUP BY pair_id
+        |), t AS (
+        |  SELECT pair_id, n, beta, sed / see AS rho,
+        |    (sed / see) /
+        |      sqrt(((sdd - (sed / see) * sed) / (m - 1.0)) / see) AS tstat
+        |  FROM a
+        |)
+        |SELECT pair_id, n, round(beta, 6) AS beta,
+        |  round(rho, 6) AS rho_resid,
+        |  round(tstat, 6) AS eg_tstat,
+        |  CAST(CASE WHEN round(tstat, 6) < -3.34 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS cointegrated
+        |FROM t ORDER BY pair_id""".stripMargin,
     // O(60·n) pairwise replay of the truncated-weight EWMA — an oracle
     // formulation, not a scale shape (the Spark side folds a bounded
     // trailing array instead).
@@ -3074,6 +3676,23 @@ object SparkEntry {
         |    * (1 - 0.94) / (1 - pow(0.94, count(*)))), 6) AS ewma_vol
         |FROM x a JOIN x b
         |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
+        |GROUP BY a.event_type, a.event_id""".stripMargin,
+    // op 295: O(60·n) pairwise replay of the truncated GARCH kernel —
+    // an oracle formulation; the Spark side folds a bounded trailing
+    // array. The inner join's empty frame at rn=1 mirrors the Spark
+    // side's rn >= 2 filter.
+    "eod_garch_filter" ->
+      s"""$R_CTE, x AS (
+        |  SELECT event_type, event_id, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM r WHERE ret IS NOT NULL
+        |)
+        |SELECT a.event_type, a.event_id,
+        |  round(sqrt(0.00000002 * (1 - pow(0.9, count(*))) / (1 - 0.9)
+        |    + 0.08 * sum(pow(0.9, a.rn - 1 - b.rn) * b.ret * b.ret)), 8)
+        |    AS garch_vol
+        |FROM x a JOIN x b
+        |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 60 AND a.rn - 1
         |GROUP BY a.event_type, a.event_id""".stripMargin,
     "eod_rolling_corr" ->
       s"""$PAIRED_CTE${prefixFrameSql(60, includeXx = true)}
@@ -4082,6 +4701,25 @@ object SparkEntry {
         |)
         |SELECT event_type, round(sqrt(sum(pow(lr, 2.0))), 6) AS realized_vol
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // op 291: same power sums (explicit products, not pow, matching
+    // the Spark side's multiplication chain).
+    "tick_realized_moments" ->
+      """WITH t AS (
+        |  SELECT event_type, CASE WHEN value > 0 THEN ln(value) END
+        |    - lag(CASE WHEN value > 0 THEN ln(value) END) OVER w AS lr
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(lr * lr) AS rv, sum(lr * lr * lr) AS s3,
+        |    sum(lr * lr * lr * lr) AS s4
+        |  FROM t WHERE lr IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |  round(sqrt(rv), 6) AS realized_vol,
+        |  round(sqrt(CAST(n AS DOUBLE)) * s3 / (rv * sqrt(rv)), 6)
+        |    AS realized_skew,
+        |  round(CAST(n AS DOUBLE) * s4 / (rv * rv), 6) AS realized_kurt
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4259,6 +4897,94 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // op 292: window-decorrelated form (quantities are whole numbers
+    // held exactly in doubles, so the 0.2·avg cutoff is bit-identical
+    // across engines); money summed in exact DECIMAL.
+    "rel_tpch_q17" ->
+      """WITH b AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#23'
+        |), w AS (
+        |  SELECT l_quantity, l_extendedprice,
+        |    0.2 * avg(l_quantity) OVER (PARTITION BY l_partkey) AS lim
+        |  FROM b
+        |)
+        |SELECT
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+        |    / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM w WHERE l_quantity < lim""".stripMargin,
+    // op 299: same flat join tree, both directions via the <> filter.
+    "rel_tpch_q7" ->
+      """WITH sel AS (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))
+        |      AS vol
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+        |    AND n2.n_name IN ('NATION_3', 'NATION_8')
+        |    AND n1.n_name <> n2.n_name
+        |)
+        |SELECT supp_nation, cust_nation, l_year,
+        |  round(CAST(sum(vol) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM sel GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // op 300: left join preserves the zero-order tail.
+    "rel_tpch_q13" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // op 301: same 1-row average; NOT EXISTS with the same date
+    // cutoff = the anti join.
+    "rel_tpch_q22" ->
+      """WITH ab AS (
+        |  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+        |)
+        |SELECT n_name, count(*) AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE), 2)
+        |    AS totacctbal
+        |FROM customer CROSS JOIN ab
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // op 298: flat join tree, same exact-DECIMAL conditional/total
+    // sums, one double division per year.
+    "rel_tpch_q8" ->
+      """WITH sel AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))
+        |      AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n1.n_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |)
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol
+        |      ELSE CAST(0.0 AS DECIMAL(30,8)) END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share,
+        |  count(*) AS n_items
+        |FROM sel GROUP BY o_year ORDER BY o_year""".stripMargin,
     // op 274: same exact-DECIMAL conditional/total sums, one division.
     "rel_tpch_q14" ->
       """SELECT
@@ -4406,6 +5132,38 @@ object SparkEntry {
 
   /** Embedding dimensionality of the testdata embeddings table. */
   private val EmbDim = 64
+
+  /** Op-286/296 shared kernel: brute top-3 in the SQ8-reconstructed
+    * space — query AND corpus encoded against the CORPUS-trained
+    * per-dim [min,max] ranges (codes clipped to [0,255], the Faiss
+    * SQ8 recipe), reconstructed, ranked by reconstructed cosine. The
+    * range table is a 64-row broadcast; encode/decode is per-row map
+    * algebra — the codec adds NO shuffle to the brute plan.
+    */
+  private def sq8TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val corpus = e.where(col("vec_id") >= 5)
+    val ranges = corpus.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+    def recon(df: DataFrame) = df.crossJoin(broadcast(ranges))
+      .withColumn("rv", transform(col("v"), (x, i) => {
+        val mn = element_at(col("mns"), i + 1)
+        val mx = element_at(col("mxs"), i + 1)
+        val code = least(greatest(
+          floor((x - mn) / (mx - mn) * 255.0 + 0.5), lit(0.0)), lit(255.0))
+        when(mx === mn, mn).otherwise(mn + code / 255.0 * (mx - mn))
+      }))
+      .select(col("vec_id"), col("rv"))
+    Similarity.bruteForceTopK(recon(e.where(col("vec_id") < 5)),
+      recon(corpus), "vec_id", "rv", 3)
+  }
 
   /** Embeddings corpus with planted exact-duplicate vectors. */
   private def embCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -4858,6 +5616,34 @@ object SparkEntry {
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rnk"))
+    }),
+    // SQ8-reconstructed top-k (op 286): search over the op-89 int8
+    // codec — both sides encode against the CORPUS-trained per-dim
+    // [min,max] ranges (codes clipped to [0,255], the Faiss SQ8
+    // recipe), reconstruct, and rank by reconstructed cosine. This is
+    // the asymmetric-distance search the 8×-smaller store actually
+    // serves; comparing its neighbor sets with ann_topk_bruteforce
+    // measures the codec's retrieval cost. The range table is a
+    // 64-row broadcast; encode/decode is per-row map algebra — the
+    // compression adds NO shuffle to the brute plan.
+    "ann_topk_sq8" -> ((s, dir) =>
+      sq8TopK(s, dir)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rnk"))),
+    // SQ8 retrieval-quality audit (op 296): recall@3 of the op-286
+    // reconstructed-space search against the full-precision brute
+    // ground truth — the measured basis for shipping the 8×-smaller
+    // store (the op-237 evaluation pattern applied to the codec).
+    "ann_recall_sq8" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.recallAtK(
+          sq8TopK(s, dir),
+          Similarity.bruteForceTopK(e.where(col("vec_id") < 5),
+            e.where(col("vec_id") >= 5), "vec_id", "embedding", 3), 3)
+        .select(col("query_id"), col("n_hits"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy(col("query_id"))
     }),
     // MIPS top-k (op 208): maximum INNER PRODUCT — the retrieval
     // objective when magnitudes carry signal (recommender scores,
@@ -5416,6 +6202,139 @@ object SparkEntry {
           (round(z, 6) + lit(0.0)).as("z_stat"))
         .orderBy(col("pair_id"))
     }),
+    // Welch's unequal-variance t-test (op 289; Welch 1947): does each
+    // series' mean return differ from the 'view' benchmark's — the
+    // parametric companion to op 268's rank-based Mann-Whitney. One
+    // groupBy for the per-series moments, then the 1-row benchmark
+    // moments broadcast onto the 4 comparison rows; Satterthwaite df.
+    // Rejection at the same ±1.96 two-sided literal the trend tests
+    // pin.
+    "stats_welch_ttest" -> ((s, dir) => {
+      val g0 = withRet(s, dir).where(col("ret").isNotNull)
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"), sum(col("ret")).as("sr"),
+          sum(col("ret") * col("ret")).as("qr"))
+      // moments from the same (n, Σx, Σx²) algebra as the oracle —
+      // not avg/var_samp, whose engine-internal accumulation differs.
+      val g = g0.select(col("event_type"), col("n"),
+        (col("sr") / col("n").cast("double")).as("m"),
+        ((col("qr") - col("sr") * col("sr") / col("n").cast("double")) /
+          (col("n").cast("double") - 1.0)).as("v"))
+      val bench = g.where(col("event_type") === "view")
+        .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+      val a = g.where(col("event_type") =!= "view")
+        .crossJoin(broadcast(bench))
+      val va = col("v") / col("n").cast("double")
+      val vb = col("vb") / col("nb").cast("double")
+      val t = (col("m") - col("mb")) / sqrt(va + vb)
+      val dfW = (va + vb) * (va + vb) /
+        (va * va / (col("n").cast("double") - 1.0) +
+          vb * vb / (col("nb").cast("double") - 1.0))
+      a.select(col("event_type"), col("n"), col("nb"),
+          round(t, 6).as("t_stat"),
+          round(dfW, 2).as("df_welch"),
+          when(abs(round(t, 6)) > 1.959963984540054, 1L).otherwise(0L)
+            .as("reject_95"))
+        .orderBy(col("event_type"))
+    }),
+    // One-way ANOVA across all series (op 290; Fisher): is there ANY
+    // mean-return difference among the 5 series — between/within sum
+    // decomposition entirely from per-group (n, Σx, Σx²) partial
+    // sums, so the whole test is one map-side-combined groupBy plus a
+    // 5-row final fold: SSW = Σ(q_g − s_g²/n_g), SSB = Σs_g²/n_g −
+    // (Σs)²/N. Reports F and the effect size η² = SSB/SST.
+    "stats_anova" -> ((s, dir) => {
+      val g = withRet(s, dir).where(col("ret").isNotNull)
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"), sum(col("ret")).as("s"),
+          sum(col("ret") * col("ret")).as("q"))
+      val a = g.agg(
+        count(lit(1)).as("k"), sum(col("n")).as("n"),
+        sum(col("s")).as("ts"), sum(col("q")).as("tq"),
+        sum(col("s") * col("s") / col("n").cast("double")).as("sb"))
+      val nD = col("n").cast("double"); val kD = col("k").cast("double")
+      val ssb = col("sb") - col("ts") * col("ts") / nD
+      val sst = col("tq") - col("ts") * col("ts") / nD
+      val ssw = col("tq") - col("sb")
+      val f = (ssb / (kD - 1.0)) / (ssw / (nD - kD))
+      a.select(col("k"), col("n"),
+          round(f, 6).as("f_stat"),
+          round(ssb / sst, 8).as("eta_sq"))
+    }),
+    // Brown–Forsythe variance-equality test (op 302; Brown/Forsythe
+    // 1974, the median-centered robust Levene): one-way ANOVA F on
+    // z = |ret − med_g| — do the series differ in DISPERSION (op 290
+    // asks about means; mean-centered Levene is outlier-fragile).
+    // Per-group medians via the shared R-7 percentile (op 116's
+    // engine-parity), then the op-290 partial-sum decomposition on z.
+    // Rejection at F(4,∞)'s 95% value 2.3719 (documented literal —
+    // exact F df₂ = n−k ≈ ∞ at this n).
+    "stats_levene" -> ((s, dir) => {
+      val wSym = Window.partitionBy(col("event_type"))
+      val z = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("med",
+          graft.functions.Stats.quantile(col("ret"), 0.5).over(wSym))
+        .withColumn("z", abs(col("ret") - col("med")))
+      val g = z.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("z")).as("s"),
+        sum(col("z") * col("z")).as("q"))
+      val a = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n"),
+        sum(col("s")).as("ts"), sum(col("q")).as("tq"),
+        sum(col("s") * col("s") / col("n").cast("double")).as("sb"))
+      val nD = col("n").cast("double"); val kD = col("k").cast("double")
+      val ssb = col("sb") - col("ts") * col("ts") / nD
+      val ssw = col("tq") - col("sb")
+      val f = (ssb / (kD - 1.0)) / (ssw / (nD - kD))
+      a.select(col("k"), col("n"), round(f, 6).as("f_stat"),
+        when(round(f, 6) > 2.3719, 1L).otherwise(0L).as("reject_95"))
+    }),
+    // Kruskal–Wallis rank ANOVA (op 297; Kruskal/Wallis 1952): the
+    // rank-based sibling of op 290 — does ANY series' return
+    // distribution sit higher — on the op-268 integer value grid, so
+    // midranks are exact. The global ranking is a TWO-LEVEL
+    // distributed prefix sum: a per-bucket cumulative window
+    // (partitioned — no single-partition WindowExec) plus bucket-level
+    // offsets from a tiny bucket-totals self-join; bucket count is
+    // bounded by the value RANGE (grid width 500), not the row count.
+    // Tie-corrected H = H / (1 − Σ(t³−t)/(N³−N)).
+    "stats_kruskal" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+      val qc = r.groupBy(col("q")).agg(count(lit(1)).as("c"))
+        .withColumn("b", floor(col("q") / lit(500.0)).cast("long"))
+      val bt = qc.groupBy(col("b")).agg(sum(col("c")).as("tb"))
+      val offs = bt.select(col("b"))
+        .join(broadcast(bt.select(col("b").as("b2"), col("tb"))),
+          col("b2") < col("b"), "left")
+        .groupBy(col("b"))
+        .agg(coalesce(sum(col("tb")), lit(0L)).as("off"))
+      val wB = Window.partitionBy(col("b")).orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mid = qc.join(broadcast(offs), "b")
+        .withColumn("cum", col("off") + sum(col("c")).over(wB))
+        .withColumn("mid",
+          ((col("cum") - col("c") + 1) + col("cum")).cast("double") / 2.0)
+        .select(col("q"), col("c"), col("mid"))
+      val gq = r.groupBy(col("event_type"), col("q"))
+        .agg(count(lit(1)).as("cg"))
+      val rg = gq.join(mid, "q")
+        .groupBy(col("event_type"))
+        .agg(sum(col("cg") * col("mid")).as("rgsum"),
+          sum(col("cg")).as("ng"))
+      val ties = mid.agg(
+        sum(col("c") * col("c") * col("c") - col("c")).as("t"))
+      val a = rg.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("rgsum") * col("rgsum") / col("ng").cast("double"))
+            .as("s"))
+        .crossJoin(broadcast(ties))
+      val nD = col("n").cast("double")
+      val h = lit(12.0) / (nD * (nD + 1.0)) * col("s") - lit(3.0) * (nD + 1.0)
+      val cTie = lit(1.0) - col("t").cast("double") / (nD * nD * nD - nD)
+      a.select(col("k"), col("n"),
+        round(h, 6).as("h_stat"),
+        round(cTie, 8).as("tie_correction"),
+        round(h / cTie, 6).as("h_adj"))
+    }),
     // Chi-square independence test (op 241): source × lang
     // contingency on documents — "is language mix independent of
     // source" (the mixture-drift alarm). Expected counts are exact
@@ -5801,6 +6720,32 @@ object SparkEntry {
           q6(vol).as("run_vol"),
           q6(sharpe).as("run_sharpe_ann"))
       }.orderBy(col("symbol"), col("ts_us")) }
+    }),
+    // Streaming CUSUM drift monitor (op 294, the op-284 live twin on
+    // the op-146 integer-state pattern): per-symbol Page recursion
+    // over 1e-6-quantized SIMPLE returns — no transcendental anywhere,
+    // so the state replays bit-exact with zero libm caveats; the
+    // oracle reconstructs the recursion with the op-284 prefix-sum
+    // closed form on integer cumulative windows. Breach flag at
+    // 20 000 micro-units (2% cumulative drift).
+    "streaming_cusum" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "events", "scusum") { src =>
+          val ticks = src.where(col("value") > 0)
+            .select(col("event_type").as("symbol"),
+              replayTs(col("event_id")).as("ts"),
+              col("value").cast("double").as("price"))
+            .as[graft.streaming.Stateful.RiskTick]
+          graft.streaming.Stateful.cusumStream(ticks).toDF
+            .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
+              col("retQ").as("ret_q"), col("n"),
+              col("cusumPos").as("cusum_pos"),
+              col("cusumNeg").as("cusum_neg"),
+              when(col("cusumPos") > 20000L || col("cusumNeg") > 20000L, 1L)
+                .otherwise(0L).as("breach"))
+        }.orderBy(col("symbol"), col("ts_us"))
+      }
     }),
     // Streaming chi-square drift monitor (op 246, the op-241 live
     // twin on the op-161 pattern): the source × lang contingency
@@ -6488,6 +7433,18 @@ object SparkEntry {
         .select(col("stratum").as("source"), col("n_docs"),
           col("n_tokens"), col("share"), col("weight"))
         .orderBy(col("source"))),
+    // UniMax budget allocation (op 293; Chung et al. 2023): the
+    // op-99 temperature rule's successor — as-uniform-as-possible
+    // language budgets capped at each language's own size, at 60% of
+    // the corpus. Water level θ from a one-row array fold; counts are
+    // exact in doubles so no quantization is needed (Corpus.scala
+    // scaladoc).
+    "corpus_unimax" -> ((s, dir) =>
+      Corpus.unimaxAllocation(tbl(s, dir, "documents"), col("lang"), 0.6)
+        .select(col("stratum").as("lang"), col("n_docs"),
+          round(col("alloc"), 4).as("alloc"),
+          round(col("alloc") / col("n_docs").cast("double"), 6).as("epochs"))
+        .orderBy(col("lang"))),
     // Per-source token-distribution diagnostics (op 155): unigram
     // entropy + KL from the pooled corpus distribution — the
     // mixture-health signal (templated sources: low H, high KL).
@@ -8395,6 +9352,94 @@ object SparkEntry {
           |SELECT query_id, rank, neighbor_id,
           |  round(ip_q / 1e8, 6) AS inner_product
           |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // op 286: same corpus-trained ranges, same clipped-code
+      // reconstruction (identical parenthesization), same ranking.
+      "ann_topk_sq8" ->
+        """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+          |q0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+          |ex AS (SELECT unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM c0),
+          |rg AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+          |rng AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM rg),
+          |cr AS (
+          |  SELECT vec_id AS neighbor_id,
+          |    list_transform(list_zip(v, mns, mxs), s ->
+          |      CASE WHEN s[3] = s[2] THEN s[2]
+          |           ELSE s[2] + least(greatest(floor((s[1] - s[2]) / (s[3] - s[2]) * 255.0 + 0.5), 0.0), 255.0)
+          |                       / 255.0 * (s[3] - s[2]) END) AS cv
+          |  FROM c0 CROSS JOIN rng
+          |), qr AS (
+          |  SELECT vec_id AS query_id,
+          |    list_transform(list_zip(v, mns, mxs), s ->
+          |      CASE WHEN s[3] = s[2] THEN s[2]
+          |           ELSE s[2] + least(greatest(floor((s[1] - s[2]) / (s[3] - s[2]) * 255.0 + 0.5), 0.0), 255.0)
+          |                       / 255.0 * (s[3] - s[2]) END) AS qv
+          |  FROM q0 CROSS JOIN rng
+          |), sc AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM qr CROSS JOIN cr
+          |), rk AS (
+          |  SELECT query_id, neighbor_id, cosine,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |  FROM sc
+          |)
+          |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
+          |FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      // op 296: the op-286 reconstructed ranking joined against the
+      // full-precision brute top-3 (the ann_recall evaluation shape).
+      "ann_recall_sq8" ->
+        """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+          |q0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+          |ex AS (SELECT unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM c0),
+          |rg AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+          |rng AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM rg),
+          |cr AS (
+          |  SELECT vec_id AS neighbor_id,
+          |    list_transform(list_zip(v, mns, mxs), s ->
+          |      CASE WHEN s[3] = s[2] THEN s[2]
+          |           ELSE s[2] + least(greatest(floor((s[1] - s[2]) / (s[3] - s[2]) * 255.0 + 0.5), 0.0), 255.0)
+          |                       / 255.0 * (s[3] - s[2]) END) AS cv
+          |  FROM c0 CROSS JOIN rng
+          |), qr AS (
+          |  SELECT vec_id AS query_id,
+          |    list_transform(list_zip(v, mns, mxs), s ->
+          |      CASE WHEN s[3] = s[2] THEN s[2]
+          |           ELSE s[2] + least(greatest(floor((s[1] - s[2]) / (s[3] - s[2]) * 255.0 + 0.5), 0.0), 255.0)
+          |                       / 255.0 * (s[3] - s[2]) END) AS qv
+          |  FROM q0 CROSS JOIN rng
+          |), sc AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM qr CROSS JOIN cr
+          |), ap AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |    FROM sc
+          |  ) WHERE rnk <= 3
+          |), bs AS (
+          |  SELECT q0.vec_id AS query_id, c0.vec_id AS neighbor_id,
+          |    list_dot_product(q0.v, c0.v) /
+          |      (sqrt(list_dot_product(q0.v, q0.v)) * sqrt(list_dot_product(c0.v, c0.v))) AS cosine
+          |  FROM q0 CROSS JOIN c0
+          |), exa AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |    FROM bs
+          |  ) WHERE rnk <= 3
+          |), h AS (
+          |  SELECT e.query_id, count(*) AS n_hits
+          |  FROM exa e JOIN ap a USING (query_id, neighbor_id)
+          |  GROUP BY e.query_id
+          |)
+          |SELECT q.query_id,
+          |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+          |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 3, 6) AS recall
+          |FROM (SELECT DISTINCT query_id FROM exa) q LEFT JOIN h USING (query_id)
+          |ORDER BY query_id""".stripMargin,
       "ann_topk_bruteforce" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
@@ -8512,6 +9557,111 @@ object SparkEntry {
           |  FROM c
           |)
           |SELECT lang, rnk, ng, n FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+      // op 289: same (n, Σx, Σx²) moment algebra, same 1.96 literal.
+      "stats_welch_ttest" ->
+        s"""$R_CTE, g AS (
+          |  SELECT event_type, count(*) AS n, sum(ret) AS sr,
+          |    sum(ret * ret) AS qr
+          |  FROM r WHERE ret IS NOT NULL GROUP BY event_type
+          |), m AS (
+          |  SELECT event_type, n, sr / n AS m,
+          |    (qr - sr * sr / n) / (n - 1.0) AS v
+          |  FROM g
+          |), j AS (
+          |  SELECT a.event_type, a.n, b.n AS nb,
+          |    (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t,
+          |    (a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
+          |      ((a.v / a.n) * (a.v / a.n) / (a.n - 1.0)
+          |       + (b.v / b.n) * (b.v / b.n) / (b.n - 1.0)) AS dfw
+          |  FROM m a CROSS JOIN m b
+          |  WHERE a.event_type <> 'view' AND b.event_type = 'view'
+          |)
+          |SELECT event_type, n, nb,
+          |  round(t, 6) AS t_stat,
+          |  round(dfw, 2) AS df_welch,
+          |  CAST(CASE WHEN abs(round(t, 6)) > 1.959963984540054
+          |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+          |FROM j ORDER BY event_type""".stripMargin,
+      // op 290: same partial-sum decomposition, single-row output.
+      "stats_anova" ->
+        s"""$R_CTE, g AS (
+          |  SELECT event_type, count(*) AS n, sum(ret) AS s,
+          |    sum(ret * ret) AS q
+          |  FROM r WHERE ret IS NOT NULL GROUP BY event_type
+          |), a AS (
+          |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+          |    sum(s) AS ts, sum(q) AS tq,
+          |    sum(s * s / n) AS sb
+          |  FROM g
+          |)
+          |SELECT k, n,
+          |  round(((sb - ts * ts / n) / (k - 1.0)) /
+          |        ((tq - sb) / (CAST(n AS DOUBLE) - k)), 6) AS f_stat,
+          |  round((sb - ts * ts / n) / (tq - ts * ts / n), 8) AS eta_sq
+          |FROM a""".stripMargin,
+      // op 302: same R-7 group medians (join-back form), same op-290
+      // partial-sum F algebra on the absolute deviations.
+      "stats_levene" ->
+        s"""$R_CTE, m AS (
+          |  SELECT event_type, quantile_cont(ret, 0.5) AS med
+          |  FROM r WHERE ret IS NOT NULL GROUP BY event_type
+          |), z AS (
+          |  SELECT r.event_type, abs(ret - med) AS z
+          |  FROM r JOIN m ON r.event_type = m.event_type
+          |  WHERE ret IS NOT NULL
+          |), g AS (
+          |  SELECT event_type, count(*) AS n, sum(z) AS s, sum(z * z) AS q
+          |  FROM z GROUP BY event_type
+          |), a AS (
+          |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+          |    sum(s) AS ts, sum(q) AS tq, sum(s * s / n) AS sb
+          |  FROM g
+          |)
+          |SELECT k, n,
+          |  round(((sb - ts * ts / n) / (k - 1.0)) /
+          |        ((tq - sb) / (CAST(n AS DOUBLE) - k)), 6) AS f_stat,
+          |  CAST(CASE WHEN round(((sb - ts * ts / n) / (k - 1.0)) /
+          |        ((tq - sb) / (CAST(n AS DOUBLE) - k)), 6) > 2.3719
+          |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+          |FROM a""".stripMargin,
+      // op 297: global-window midranks on the same integer grid (the
+      // oracle may rank globally; the Spark side two-levels it), the
+      // identical H and tie-correction algebra.
+      "stats_kruskal" ->
+        s"""$R_CTE, qq AS (
+          |  SELECT event_type,
+          |    CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS q
+          |  FROM r WHERE ret IS NOT NULL
+          |), qc AS (
+          |  SELECT q, count(*) AS c FROM qq GROUP BY q
+          |), mr AS (
+          |  SELECT q, c, sum(c) OVER (ORDER BY q
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM qc
+          |), mid AS (
+          |  SELECT q, c, CAST(cum - c + 1 + cum AS DOUBLE) / 2.0 AS mid
+          |  FROM mr
+          |), gq AS (
+          |  SELECT event_type, q, count(*) AS cg FROM qq GROUP BY 1, 2
+          |), rg AS (
+          |  SELECT event_type, sum(cg * mid) AS rgsum,
+          |    CAST(sum(cg) AS BIGINT) AS ng
+          |  FROM gq JOIN mid USING (q) GROUP BY 1
+          |), tt AS (
+          |  SELECT CAST(sum(c * c * c - c) AS BIGINT) AS t FROM qc
+          |), a AS (
+          |  SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+          |    sum(rgsum * rgsum / ng) AS s
+          |  FROM rg
+          |)
+          |SELECT k, n,
+          |  round(12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0), 6) AS h_stat,
+          |  round(1.0 - CAST(t AS DOUBLE) /
+          |    (CAST(n AS DOUBLE) * n * n - n), 8) AS tie_correction,
+          |  round((12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)) /
+          |    (1.0 - CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)), 6)
+          |    AS h_adj
+          |FROM a CROSS JOIN tt""".stripMargin,
       "stats_quantiles" ->
         """SELECT event_type,
           |  round(quantile_cont(value, 0.5), 6) AS p50,
@@ -9602,6 +10752,34 @@ object SparkEntry {
           |  floor(share * 1e6 + 0.5) / 1e6 AS share,
           |  floor(CAST(qs AS DOUBLE) / qtot * 1e6 + 0.5) / 1e6 AS weight
           |FROM sc CROSS JOIN qt ORDER BY source""".stripMargin),
+      // op 293: the window replay of the same water level — first
+      // ascending position where the prefix covers the budget; exact
+      // integer-in-double arithmetic, identical division order.
+      "corpus_unimax" ->
+        """WITH per AS (
+          |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+          |), tot AS (
+          |  SELECT count(*) AS nl, CAST(sum(n_docs) AS DOUBLE) * 0.6 AS b
+          |  FROM per
+          |), o AS (
+          |  SELECT lang, n_docs, nl, b,
+          |    row_number() OVER (ORDER BY n_docs, lang) AS i,
+          |    CAST(coalesce(sum(n_docs) OVER (ORDER BY n_docs, lang
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS DOUBLE) AS p
+          |  FROM per CROSS JOIN tot
+          |), th AS (
+          |  SELECT (b - p) / (nl - i + 1.0) AS theta
+          |  FROM o WHERE p + n_docs * (nl - i + 1.0) >= b
+          |  ORDER BY i LIMIT 1
+          |)
+          |SELECT lang, n_docs,
+          |  round(CASE WHEN theta IS NULL THEN CAST(n_docs AS DOUBLE)
+          |    ELSE least(CAST(n_docs AS DOUBLE), theta) END, 4) AS alloc,
+          |  round(CASE WHEN theta IS NULL THEN CAST(n_docs AS DOUBLE)
+          |    ELSE least(CAST(n_docs AS DOUBLE), theta) END
+          |    / n_docs, 6) AS epochs
+          |FROM per LEFT JOIN th ON true ORDER BY lang""".stripMargin,
       // Entropy + KL vs pooled corpus: per-term 1e-6-quantized long
       // contributions, integer sums, divide by n_s at the end.
       "corpus_kl" ->

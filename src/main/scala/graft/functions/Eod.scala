@@ -340,6 +340,20 @@ object Eod {
                      lambda: Double = 0.94): Column =
     graft.expressions.EwmaVol(collect_list(ret).over(trailing(w, n)), lambda)
 
+  /** GARCH(1,1) filtered conditional volatility from the trailing n
+    * returns ENDING AT t−1 (the forecast for t uses information
+    * through t−1 only — frame rowsBetween(−n, −1)), k-truncated
+    * closed form with pinned (ω, α, β); see
+    * [[graft.expressions.GarchVol]] for the truncation argument.
+    * Same collect_list + native-fold shape as [[ewmaVolatility]].
+    * Null/empty frames (the series' first row) yield σ = √(ω·0/…) —
+    * callers should drop rows with no prior return.
+    */
+  def garchVolatility(ret: Column, w: WindowSpec, n: Int,
+                      omega: Double, alpha: Double, beta: Double): Column =
+    graft.expressions.GarchVol(
+      collect_list(ret).over(w.rowsBetween(-n, -1)), omega, alpha, beta)
+
   /** Rolling OLS beta of `ret` on `benchmark` over the trailing n rows:
     * covar_samp / var_samp on the frame. Null until the frame has ≥2
     * paired rows (sample moments undefined), null on a flat benchmark

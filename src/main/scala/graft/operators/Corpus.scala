@@ -297,6 +297,54 @@ object Corpus {
       .withColumnRenamed("_stratum", "stratum")
   }
 
+  /** UniMax language-budget allocation (Chung et al. 2023): spread a
+    * total document budget across strata as uniformly as possible,
+    * capping each stratum at its own size — the water-filling
+    * allocation alloc_s = min(c_s, θ) with θ chosen so Σ alloc = B.
+    * θ comes from a deterministic left fold over the (count, stratum)
+    * array sorted ascending: the first position i (1-based, N strata,
+    * prefix P_{i−1}) where P_{i−1} + c_i·(N−i+1) ≥ B fixes
+    * θ = (B − P_{i−1})/(N−i+1); if even the full corpus fits the
+    * budget, θ stays null and every stratum keeps its full count.
+    *
+    * Scale shape: the fold runs on ONE aggregated row (N strata ≈
+    * tens), never on documents — one stratum count agg, a 1-row
+    * broadcast back, and pure map algebra. Counts are integers held
+    * exactly in doubles, so θ and the min(c, θ) cutoffs are
+    * bit-identical across engines (no quantization needed).
+    */
+  def unimaxAllocation(df: DataFrame, strataCol: Column,
+                       budgetFrac: Double): DataFrame = {
+    val per = df.groupBy(strataCol.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val packed = per.agg(
+      count(lit(1)).as("nl"), sum(col("n_docs")).as("total"),
+      array_sort(collect_list(struct(col("n_docs"), col("stratum"))))
+        .as("cs"))
+    val nlD = col("nl").cast("double")
+    val budget = col("total").cast("double") * lit(budgetFrac)
+    val theta = packed.select(
+      col("total"),
+      aggregate(col("cs"),
+        struct(lit(0.0).as("i"), lit(0.0).as("p"),
+          lit(null).cast("double").as("theta")),
+        (acc, x) => {
+          val c = x.getField("n_docs").cast("double")
+          val i = acc.getField("i") + lit(1.0)
+          val cand = (budget - acc.getField("p")) / (nlD - i + 1.0)
+          struct(i.as("i"), (acc.getField("p") + c).as("p"),
+            coalesce(acc.getField("theta"),
+              when(acc.getField("p") + c * (nlD - i + 1.0) >= budget,
+                cand)).as("theta"))
+        }).getField("theta").as("theta"))
+    per.crossJoin(broadcast(theta))
+      .select(col("stratum"), col("n_docs"),
+        when(col("theta").isNull, col("n_docs").cast("double"))
+          .otherwise(least(col("n_docs").cast("double"), col("theta")))
+          .as("alloc"),
+        col("theta"), col("total"))
+  }
+
   /** Data-mixture weights with temperature scaling (the multinomial
     * sampling rule of multilingual/multi-source training — Conneau &
     * Lample 2019 §3.1, w_s ∝ share_s^α): per-stratum doc/token counts,

@@ -539,6 +539,54 @@ object Stateful {
       }
   }
 
+  // ------------------------------------------- streaming CUSUM drift
+
+  case class CusumState(lastPrice: Double, n: Long, sPos: Long, sNeg: Long)
+  case class CusumRow(symbol: String, ts: Timestamp, retQ: Long, n: Long,
+                      cusumPos: Long, cusumNeg: Long)
+
+  /** Per-symbol running two-sided CUSUM around a zero target (Page
+    * 1954) — the live mean-shift detector twin of the batch op-284
+    * statistic: each tick folds the 1e-6-quantized SIMPLE return into
+    * S⁺ = max(0, S⁺+q) and S⁻ = max(0, S⁻−q) and emits both running
+    * statistics; a sustained drift in either direction ramps the
+    * corresponding side past any alarm threshold.
+    *
+    * Exactness: q = floor((p/p_prev − 1)·1e6 + 0.5) is ONE double
+    * division plus a floor — no transcendental, so unlike the
+    * ln-based risk/bipower states there is NO libm-ulp caveat: the
+    * integer recursion replays bit-exactly in any engine. A batch
+    * engine reconstructs the whole series with two cumulative integer
+    * windows via the prefix-sum closed form S⁺_t = P_t −
+    * min(0, min_{i≤t} P_i) (and mirrored S⁻; the op-284 identity).
+    * State is one double + three longs per symbol — constant, no
+    * watermark needed (the op-146 argument).
+    */
+  def cusumStream(ticks: Dataset[RiskTick]): Dataset[CusumRow] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym, it, state) =>
+          var st = state.getOption.getOrElse(
+            CusumState(Double.NaN, 0L, 0L, 0L))
+          val out = it.toArray.sortBy(t => (tsKey(t.ts), t.price)).flatMap { t =>
+            if (!st.lastPrice.isNaN) {
+              val q = math.floor((t.price / st.lastPrice - 1.0) * 1e6 + 0.5)
+                .toLong
+              st = CusumState(t.price, st.n + 1,
+                math.max(0L, st.sPos + q), math.max(0L, st.sNeg - q))
+              Some(CusumRow(sym, t.ts, q, st.n, st.sPos, st.sNeg))
+            } else {
+              st = st.copy(lastPrice = t.price)
+              None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // -------------------------------------- streaming bipower variation
 
   case class BpState(lastPrice: Double, lastAbsLr: Double, n: Long,

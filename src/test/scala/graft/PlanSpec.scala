@@ -396,4 +396,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "having-filtered key set should broadcast:\n" + p.take(1200))
   }
+
+  test("TPC-H Q8 pushes the p_type filter and broadcasts every dim side") {
+    val p = plan("rel_tpch_q8")
+    assert(p.contains("EqualTo(p_type,PROMO)"), "p_type not pushed")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "cartesian in Q8")
+  }
+
+  test("TPC-H Q17 filters the fact to the brand BEFORE the window shuffle") {
+    val p = plan("rel_tpch_q17")
+    // the window's shuffle must sit above the broadcast semi-join with
+    // the brand's partkeys, so only ~1/brand-count of lineitem shuffles
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("EqualTo(p_brand,Brand#23)"), "brand not pushed")
+  }
+
+  test("GARCH filter folds natively (graft_garch_vol), no interpreted HOFs") {
+    val p = plan("eod_garch_filter")
+    assert(p.contains("graft_garch_vol"), p.take(800))
+    assert(!p.contains("ArrayAggregate"), "interpreted HOF fold in GARCH path")
+  }
+
+  test("Kruskal midranks never use a single-partition global window") {
+    // structural guard is WindowGuardSpec; here pin the two-level shape:
+    // the bucket-offset side joins broadcast (tiny totals), and the
+    // only windows are bucket-partitioned.
+    val p = plan("stats_kruskal")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }

@@ -124,6 +124,85 @@ class Round11cSpec extends SparkSpec {
     }
   }
 
+  test("eod_cusum: prefix-sum closed form equals Page's recursion") {
+    val got = SparkEntry.queries("eod_cusum")(spark, dir)
+      .select($"event_type", $"max_cusum_pos", $"max_cusum_neg",
+        $"n_breach_pos")
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    for ((k, rets) <- returnsBySeries()) {
+      val mu = rets.sum / rets.length
+      val sd = math.sqrt(rets.map(x => (x - mu) * (x - mu)).sum /
+        (rets.length - 1))
+      var (sp, sn, mp, mn) = (0.0, 0.0, 0.0, 0.0)
+      var nbp = 0L
+      for (x <- rets) {
+        sp = math.max(0.0, sp + (x - mu)); sn = math.max(0.0, sn - (x - mu))
+        mp = math.max(mp, sp); mn = math.max(mn, sn)
+        if (sp > 5.0 * sd) nbp += 1
+      }
+      assert(math.abs(got(k)._1 - mp) < 2e-6, s"$k pos ${got(k)._1} vs $mp")
+      assert(math.abs(got(k)._2 - mn) < 2e-6, s"$k neg")
+      assert(got(k)._3 == nbp, s"$k breaches")
+    }
+  }
+
+  test("eod_newey_west: Bartlett-weighted long-run variance ratio") {
+    val got = SparkEntry.queries("eod_newey_west")(spark, dir)
+      .select($"event_type", $"nw_ratio", $"tstat_nw")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    for ((k, rets) <- returnsBySeries()) {
+      val n = rets.length
+      val mu = rets.sum / n
+      val d = rets.map(_ - mu)
+      def gamma(l: Int) =
+        (l until n).map(t => d(t) * d(t - l)).sum / n
+      val s2 = gamma(0) + (1 to 5).map(l =>
+        2.0 * (1.0 - l / 6.0) * gamma(l)).sum
+      assert(math.abs(got(k)._1 - s2 / gamma(0)) < 2e-6, s"$k ratio")
+      assert(math.abs(got(k)._2 - mu / math.sqrt(s2 / n)) < 2e-6, s"$k t")
+    }
+  }
+
+  test("ann_topk_sq8: clipped-code reconstruction then exact top-3") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val corpus = vecs.filter(_._1 >= 5)
+    val dim = vecs.head._2.length
+    val mns = (0 until dim).map(i => corpus.map(_._2(i)).min).toArray
+    val mxs = (0 until dim).map(i => corpus.map(_._2(i)).max).toArray
+    def recon(v: Array[Double]) = v.indices.map { i =>
+      if (mxs(i) == mns(i)) mns(i)
+      else {
+        val c = math.min(math.max(math.floor(
+          (v(i) - mns(i)) / (mxs(i) - mns(i)) * 255.0 + 0.5), 0.0), 255.0)
+        mns(i) + c / 255.0 * (mxs(i) - mns(i))
+      }
+    }.toArray
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val want = vecs.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      val rq = recon(qv)
+      corpus.map { case (nid, cv) => (qid, nid, cos(rq, recon(cv))) }
+        .sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+        .map { case ((q, nI, c), r) => (q, (r + 1).toLong) -> (nI, c) }
+    }.toMap
+    val got = SparkEntry.queries("ann_topk_sq8")(spark, dir)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == want.size)
+    for ((q, r, nId, c) <- got) {
+      val (wn, wc) = want((q, r))
+      assert(nId == wn, s"($q,$r) neighbor")
+      assert(math.abs(c - wc) < 2e-6, s"($q,$r) cosine")
+    }
+  }
+
   test("text_readability: Flesch/FK from independent regex counts") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap

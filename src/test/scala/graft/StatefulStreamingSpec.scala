@@ -372,6 +372,38 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumStream: Page recursion carries S+/S- across batches") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Stateful.RiskTick
+    val input = MemoryStream[RiskTick]
+    val q = Stateful.cusumStream(input.toDS())
+      .writeStream.format("memory").queryName("run_cusum")
+      .outputMode("append").start()
+    try {
+      // up 2%, up 1% (batch 1), then down 5% (batch 2)
+      input.addData(RiskTick("A", ts(0), 100.0), RiskTick("A", ts(1), 102.0),
+        RiskTick("A", ts(2), 103.02))
+      q.processAllAvailable()
+      input.addData(RiskTick("A", ts(3), 97.869))
+      q.processAllAvailable()
+      val out = spark.table("run_cusum")
+        .orderBy($"ts")
+        .select($"retQ", $"n", $"cusumPos", $"cusumNeg")
+        .as[(Long, Long, Long, Long)].collect()
+      def qz(a: Double, b: Double) =
+        math.floor((b / a - 1.0) * 1e6 + 0.5).toLong
+      val q1 = qz(100.0, 102.0); val q2 = qz(102.0, 103.02)
+      val q3 = qz(103.02, 97.869)
+      assert(out.length == 3) // first tick seeds state, emits nothing
+      assert(out(0) == ((q1, 1L, q1, 0L)))
+      assert(out(1) == ((q2, 2L, q1 + q2, 0L)))
+      // after the drop: S+ = max(0, q1+q2+q3), S- = max(0, 0 - q3)
+      assert(out(2) == ((q3, 3L, math.max(0L, q1 + q2 + q3),
+        math.max(0L, -q3))))
+    } finally q.stop()
+  }
+
   test("sampleNStream: bottom-n state equals the batch bottom-n across batches") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
