@@ -842,45 +842,82 @@ object SparkEntry {
     // full-series point estimate. Block length preserves the serial
     // dependence a plain iid bootstrap destroys.
     //
-    // Scale shape: the index relation is B× the data — the op's
-    // documented, intentional cost (B·n rows through one composite-
-    // key shuffle); everything else is keyed aggs. No collect, no
-    // per-replicate driver loop.
+    // Scale shape: a block's Σret/Σret² over circular range
+    // [start+1, start+len] is a DIFFERENCE OF PREFIX SUMS, so the
+    // resample index is ≤3 prefix lookups per block (start, end,
+    // wrap) — B·n/L·3 join rows instead of the naive B·n per-draw
+    // explode (16× fewer; the rewrite took the query 7.3→~1.5 s at
+    // sf0.1). Returns are quantized to the op-268 1e-6 grid so the
+    // prefix sums are exact integers — replicate Sharpes are then
+    // identical on any engine/partitioning by construction, with no
+    // float-summation-order hazard between the engine's running
+    // window and the oracle's. Σsq is a long; Σsq² rides in
+    // decimal(38,0) (hugeint in the oracle) because a near-zero
+    // price crossing makes |ret| ~ 1e4 → sq² ~ 1e20 > 2^63.
+    // The prefix relation is localCheckpointed once (the Lloyd
+    // idiom) because the totals agg and the lookup join both read it.
+    // No collect, no per-replicate driver loop.
     "eod_bootstrap_sharpe" -> ((s, dir) => {
       val B = 60; val L = 50
-      val r = withRet(s, dir).where(col("ret").isNotNull)
+      val wP = wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val px = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("sq", floor(col("ret") * 1e6 + 0.5).cast("long"))
         .withColumn("rn", row_number().over(wT).cast("long"))
-        .select(col("event_type"), col("rn"), col("ret"))
-      val m = r.groupBy(col("event_type")).agg(max(col("rn")).as("m"))
-      val idx = m
+        .withColumn("ps", sum(col("sq")).over(wP))
+        .withColumn("qs", sum(col("sq").cast("decimal(19,0)") *
+          col("sq").cast("decimal(19,0)")).over(wP))
+        .select(col("event_type"), col("rn"), col("ps"), col("qs"))
+        .localCheckpoint()
+      val tot = px.groupBy(col("event_type")).agg(
+        max(col("rn")).as("m"),
+        max_by(col("ps"), col("rn")).as("tps"),
+        max_by(col("qs"), col("rn")).as("tqs"))
+      val blocks = tot.select(col("event_type"), col("m"))
         .withColumn("b", explode(sequence(lit(1), lit(B))))
         .withColumn("j", explode(sequence(lit(0),
           ceil(col("m").cast("double") / L).cast("int") - 1)))
-        .withColumn("start",
+        .withColumn("strt",
           conv(substring(md5(concat_ws("|", col("event_type"), col("b"),
             col("j"))), 1, 8), 16, 10).cast("long") % col("m"))
-        .withColumn("o", explode(sequence(lit(0), lit(L - 1))))
-        .where(col("j") * L + col("o") < col("m")) // trim the last block
-        .withColumn("rn", (col("start") + col("o")) % col("m") + 1)
-        .select(col("event_type"), col("b"), col("rn"))
+        .withColumn("len",
+          least(lit(L.toLong), col("m") - col("j").cast("long") * L))
+      val lkT = "array<struct<pos:bigint,sgn:bigint>>"
+      val lk = blocks.select(col("event_type"), col("b"), col("m"),
+          explode(concat(
+            array(
+              struct(col("strt").as("pos"), lit(-1L).as("sgn")),
+              struct(least(col("strt") + col("len"), col("m")).as("pos"),
+                lit(1L).as("sgn"))),
+            when(col("strt") + col("len") > col("m"),
+              array(struct((col("strt") + col("len") - col("m")).as("pos"),
+                lit(1L).as("sgn"))))
+              .otherwise(array().cast(lkT)) // empty, NOT null: concat(x, null) = null
+              .cast(lkT))).as("lk"))
+        .select(col("event_type"), col("b"), col("m"),
+          col("lk.pos").as("rn"), col("lk.sgn").as("sgn"))
       val sq252 = math.sqrt(252.0)
-      def sharpeOf(df: DataFrame, keys: Seq[Column]) = {
+      // sr/qr are exact 1e-6/1e-12-unit longs; identical double
+      // algebra on both engines from identical integers.
+      def sharpeU(df: DataFrame) = {
         val nD = col("n").cast("double")
-        df.groupBy(keys: _*)
-          .agg(count(lit(1)).as("n"), sum(col("ret")).as("sr"),
-            sum(col("ret") * col("ret")).as("qr"))
-          .withColumn("sharpe",
-            (col("sr") / nD) /
-              sqrt((col("qr") - col("sr") * col("sr") / nD) / (nD - 1.0)) *
-              sq252)
+        val srd = col("sr").cast("double") / lit(1e6)
+        val qrd = col("qr").cast("double") / lit(1e12)
+        df.withColumn("sharpe",
+          (srd / nD) / sqrt((qrd - srd * srd / nD) / (nD - 1.0)) * sq252)
       }
-      val reps = sharpeOf(idx.join(r, Seq("event_type", "rn")),
-        Seq(col("event_type"), col("b")))
+      val reps = sharpeU(lk
+        .join(px, Seq("event_type", "rn"), "left") // rn=0 → P(0)=0
+        .groupBy(col("event_type"), col("b"))
+        .agg(max(col("m")).as("n"),
+          sum(col("sgn") * coalesce(col("ps"), lit(0L))).as("sr"),
+          sum(col("sgn") * coalesce(col("qs"),
+            lit(0).cast("decimal(38,0)"))).as("qr")))
       val ci = reps.groupBy(col("event_type")).agg(
         count(lit(1)).as("n_boot"),
         graft.functions.Stats.quantile(col("sharpe"), 0.05).as("lo"),
         graft.functions.Stats.quantile(col("sharpe"), 0.95).as("hi"))
-      sharpeOf(r, Seq(col("event_type")))
+      sharpeU(tot.select(col("event_type"), col("m").as("n"),
+          col("tps").as("sr"), col("tqs").as("qr")))
         .join(ci, "event_type")
         .select(col("event_type"), col("n_boot"),
           round(col("sharpe"), 6).as("sharpe_ann"),
@@ -3532,37 +3569,60 @@ object SparkEntry {
         |    AS tstat_nw
         |FROM m ORDER BY event_type""".stripMargin,
     // op 303: the same md5-derived block starts (strpos base-16
-    // decode = conv's arithmetic), same trim, same Sharpe algebra,
-    // R-7 quantiles over the replicate set.
+    // decode = conv's arithmetic), same trim, and the same
+    // prefix-sum-difference replay: returns quantized to the 1e-6
+    // grid, block Σ/Σ² recovered from ≤3 exact-long prefix lookups
+    // (start, end, circular wrap), so every replicate Sharpe is an
+    // identical double on both engines by integer construction.
     "eod_bootstrap_sharpe" ->
       s"""$R_CTE, x AS (
-        |  SELECT event_type, ret,
+        |  SELECT event_type,
         |    CAST(row_number() OVER (PARTITION BY event_type
-        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn,
+        |    CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS sq
         |  FROM r WHERE ret IS NOT NULL
+        |), px AS (
+        |  SELECT event_type, rn,
+        |    CAST(sum(sq) OVER w AS BIGINT) AS ps,
+        |    sum(CAST(sq AS HUGEINT) * sq) OVER w AS qs
+        |  FROM x WINDOW w AS (PARTITION BY event_type ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |), mm AS (
-        |  SELECT event_type, CAST(max(rn) AS BIGINT) AS m
-        |  FROM x GROUP BY event_type
+        |  SELECT event_type, CAST(max(rn) AS BIGINT) AS m,
+        |    max_by(ps, rn) AS tps, max_by(qs, rn) AS tqs
+        |  FROM px GROUP BY event_type
         |), bj AS (
         |  SELECT event_type, m, b, unnest(range(0,
         |    CAST(ceil(m / 50.0) AS BIGINT))) AS j
         |  FROM mm CROSS JOIN (SELECT unnest(range(1, 61)) AS b) bb
-        |), st AS (
+        |), st AS MATERIALIZED (
+        |  -- MATERIALIZED: st feeds the 3-way UNION ALL below, and
+        |  -- DuckDB 1.0's binder ICEs re-inlining the unnest chain
+        |  -- at each reference ("Failed to bind column j").
         |  SELECT event_type, m, b, j,
-        |    ${md5Word8Sql("event_type || '|' || CAST(b AS VARCHAR) || '|' || CAST(j AS VARCHAR)")} % m AS strt
+        |    ${md5Word8Sql("event_type || '|' || CAST(b AS VARCHAR) || '|' || CAST(j AS VARCHAR)")} % m AS strt,
+        |    least(50, m - j * 50) AS len
         |  FROM bj
-        |), ix AS (
-        |  SELECT event_type, b, (strt + o) % m + 1 AS rn
-        |  FROM st CROSS JOIN (SELECT unnest(range(0, 50)) AS o) oo
-        |  WHERE j * 50 + o < m
+        |), lk AS (
+        |  SELECT event_type, b, m, strt AS pos, -1 AS sgn FROM st
+        |  UNION ALL
+        |  SELECT event_type, b, m, least(strt + len, m), 1 FROM st
+        |  UNION ALL
+        |  SELECT event_type, b, m, strt + len - m, 1 FROM st
+        |  WHERE strt + len > m
         |), rep AS (
-        |  SELECT i.event_type, b, count(*) AS n, sum(ret) AS sr,
-        |    sum(ret * ret) AS qr
-        |  FROM ix i JOIN x ON i.event_type = x.event_type AND i.rn = x.rn
-        |  GROUP BY i.event_type, b
+        |  SELECT l.event_type, b, CAST(max(m) AS BIGINT) AS n,
+        |    CAST(sum(sgn * COALESCE(ps, 0)) AS BIGINT) AS sr,
+        |    sum(sgn * COALESCE(qs, 0)) AS qr
+        |  FROM lk l LEFT JOIN px
+        |    ON l.event_type = px.event_type AND l.pos = px.rn
+        |  GROUP BY l.event_type, b
         |), sh AS (
         |  SELECT event_type, b,
-        |    (sr / n) / sqrt((qr - sr * sr / n) / (n - 1.0))
+        |    ((CAST(sr AS DOUBLE) / 1000000.0) / n)
+        |      / sqrt(((CAST(qr AS DOUBLE) / 1000000000000.0)
+        |        - (CAST(sr AS DOUBLE) / 1000000.0)
+        |          * (CAST(sr AS DOUBLE) / 1000000.0) / n) / (n - 1.0))
         |      * ${java.lang.Double.toString(math.sqrt(252.0))} AS sharpe
         |  FROM rep
         |), ci AS (
@@ -3570,18 +3630,17 @@ object SparkEntry {
         |    quantile_cont(sharpe, 0.05) AS lo,
         |    quantile_cont(sharpe, 0.95) AS hi
         |  FROM sh GROUP BY event_type
-        |), pt AS (
-        |  SELECT event_type, count(*) AS n, sum(ret) AS sr,
-        |    sum(ret * ret) AS qr
-        |  FROM x GROUP BY event_type
         |)
-        |SELECT pt.event_type, n_boot,
-        |  round((sr / n) / sqrt((qr - sr * sr / n) / (n - 1.0))
+        |SELECT mm.event_type, n_boot,
+        |  round(((CAST(tps AS DOUBLE) / 1000000.0) / m)
+        |    / sqrt(((CAST(tqs AS DOUBLE) / 1000000000000.0)
+        |      - (CAST(tps AS DOUBLE) / 1000000.0)
+        |        * (CAST(tps AS DOUBLE) / 1000000.0) / m) / (m - 1.0))
         |    * ${java.lang.Double.toString(math.sqrt(252.0))}, 6) AS sharpe_ann,
         |  round(lo, 6) AS ci_lo,
         |  round(hi, 6) AS ci_hi
-        |FROM pt JOIN ci ON pt.event_type = ci.event_type
-        |ORDER BY pt.event_type""".stripMargin,
+        |FROM mm JOIN ci ON mm.event_type = ci.event_type
+        |ORDER BY mm.event_type""".stripMargin,
     // op 287: same closed-form OLS sums over (Δ ln p, lag ln p).
     "eod_adf" ->
       """WITH y0 AS (
@@ -6292,22 +6351,42 @@ object SparkEntry {
     // rank-based sibling of op 290 — does ANY series' return
     // distribution sit higher — on the op-268 integer value grid, so
     // midranks are exact. The global ranking is a TWO-LEVEL
-    // distributed prefix sum: a per-bucket cumulative window
-    // (partitioned — no single-partition WindowExec) plus bucket-level
-    // offsets from a tiny bucket-totals self-join; bucket count is
-    // bounded by the value RANGE (grid width 500), not the row count.
+    // distributed prefix sum, THREE levels so no stage is ever a
+    // single-partition sort or a quadratic self-join: per-bucket
+    // cumulative windows (partitioned by bucket), bucket offsets from
+    // a cumulative window partitioned by super-bucket (4096 buckets
+    // each), and super-bucket offsets from a broadcast theta-join of
+    // the few-row super-bucket totals (a sparse q range spreads 100k
+    // distinct values over ~30k buckets — a bucket-level theta-join
+    // is 1e9 pairs, measured 10 s; the super-bucket one is ~10²).
+    // Bucket count is bounded by the value RANGE, not rows. Everything
+    // derives from one (event_type, q) count relation — qc is gq
+    // re-aggregated, not a second scan — and that relation (bounded
+    // by #series × grid width, not rows) is localCheckpointed once so
+    // the return-window subtree runs exactly once instead of ~7×.
     // Tie-corrected H = H / (1 − Σ(t³−t)/(N³−N)).
     "stats_kruskal" -> ((s, dir) => {
-      val r = withRet(s, dir).where(col("ret").isNotNull)
+      val gq = withRet(s, dir).where(col("ret").isNotNull)
         .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
-      val qc = r.groupBy(col("q")).agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"), col("q"))
+        .agg(count(lit(1)).as("cg"))
+        .localCheckpoint()
+      val qc = gq.groupBy(col("q")).agg(sum(col("cg")).as("c"))
         .withColumn("b", floor(col("q") / lit(500.0)).cast("long"))
       val bt = qc.groupBy(col("b")).agg(sum(col("c")).as("tb"))
-      val offs = bt.select(col("b"))
-        .join(broadcast(bt.select(col("b").as("b2"), col("tb"))),
-          col("b2") < col("b"), "left")
-        .groupBy(col("b"))
-        .agg(coalesce(sum(col("tb")), lit(0L)).as("off"))
+        .withColumn("sb", floor(col("b").cast("double") / 4096.0).cast("long"))
+      val sbt = bt.groupBy(col("sb")).agg(sum(col("tb")).as("stb"))
+      val sbOffs = sbt.select(col("sb"))
+        .join(broadcast(sbt.select(col("sb").as("sb2"), col("stb"))),
+          col("sb2") < col("sb"), "left")
+        .groupBy(col("sb"))
+        .agg(coalesce(sum(col("stb")), lit(0L)).as("soff"))
+      val wSb = Window.partitionBy(col("sb")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = bt.join(broadcast(sbOffs), "sb")
+        .withColumn("off",
+          col("soff") + sum(col("tb")).over(wSb) - col("tb"))
+        .select(col("b"), col("off"))
       val wB = Window.partitionBy(col("b")).orderBy(col("q"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val mid = qc.join(broadcast(offs), "b")
@@ -6315,8 +6394,6 @@ object SparkEntry {
         .withColumn("mid",
           ((col("cum") - col("c") + 1) + col("cum")).cast("double") / 2.0)
         .select(col("q"), col("c"), col("mid"))
-      val gq = r.groupBy(col("event_type"), col("q"))
-        .agg(count(lit(1)).as("cg"))
       val rg = gq.join(mid, "q")
         .groupBy(col("event_type"))
         .agg(sum(col("cg") * col("mid")).as("rgsum"),

@@ -340,10 +340,15 @@ class Round11dSpec extends SparkSpec {
       val hex = mdi.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 8), 16)
     }
-    def sharpe(g: Array[Double]) = {
-      val n = g.length; val mu = g.sum / n
-      val v = g.map(x => (x - mu) * (x - mu)).sum / (n - 1)
-      mu / math.sqrt(v) * math.sqrt(252.0)
+    // Mirrors the op's exact-integer formulation: returns quantized
+    // to the 1e-6 grid, block sums as exact longs (equal to the
+    // engine's prefix-sum differences by integer identity).
+    // qr in BigInt: sq² ~ 1e20 for the near-zero price crossing,
+    // past Long range (the engine holds it in decimal(38,0)).
+    def sharpeU(n: Int, sr: Long, qr: BigInt) = {
+      val srd = sr.toDouble / 1e6; val qrd = qr.toDouble / 1e12
+      (srd / n) / math.sqrt((qrd - srd * srd / n) / (n - 1.0)) *
+        math.sqrt(252.0)
     }
     def q7(sorted: Array[Double], p: Double) = {
       val h = (sorted.length - 1) * p
@@ -352,19 +357,21 @@ class Round11dSpec extends SparkSpec {
         (sorted(math.min(h.toInt + 1, sorted.length - 1)) - lo)
     }
     for ((k, p) <- seriesRows()) {
-      val rets = retsOf(p); val m = rets.length
+      val sq = retsOf(p).map(r => math.floor(r * 1e6 + 0.5).toLong)
+      val m = sq.length
       val sharpes = (1 to 60).map { b =>
         val draws = (0 until math.ceil(m / 50.0).toInt).flatMap { j =>
           val start = word(s"$k|$b|$j") % m
           (0 until 50).filter(o => j * 50 + o < m)
-            .map(o => rets(((start + o) % m).toInt))
+            .map(o => sq(((start + o) % m).toInt))
         }
         assert(draws.length == m)
-        sharpe(draws.toArray)
+        sharpeU(m, draws.sum, draws.map(x => BigInt(x) * x).sum)
       }.sorted.toArray
       val (nb, sp, lo, hi) = gotAll(k)
       assert(nb == 60L)
-      assert(math.abs(sp - sharpe(rets)) < 1e-5, s"$k point")
+      assert(math.abs(sp - sharpeU(m, sq.sum,
+        sq.map(x => BigInt(x) * x).sum)) < 1e-5, s"$k point")
       assert(math.abs(lo - q7(sharpes, 0.05)) < 1e-5, s"$k lo")
       assert(math.abs(hi - q7(sharpes, 0.95)) < 1e-5, s"$k hi")
       assert(lo <= sp + 1.0 && hi >= sp - 1.0, s"$k CI sanity")
