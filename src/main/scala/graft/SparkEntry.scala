@@ -215,6 +215,33 @@ object SparkEntry {
   private def withRet(s: SparkSession, dir: String): DataFrame =
     events(s, dir).withColumn("ret", Eod.toReturns(col("value"), wT))
 
+  /** Exact pair moments of the rn-aligned return cross-section on the
+    * 1e-6 grid: per (ta, tb) — n and the long/decimal sums Σqa, Σqb,
+    * Σqaqb, Σqa², Σqb² (products through decimal(38,0): a near-zero
+    * price crossing puts q² ~ 1e20 past 2^63). Built with the
+    * eod_corr_matrix bucket-pair shape — ONE returns window, the
+    * cross-section grouped once and pairs emitted inside the group —
+    * and shared by every K×K matrix op (PCA factor, risk parity), so
+    * correlation/covariance entries are identical integers on any
+    * engine/partitioning.
+    */
+  private def quantizedPairMoments(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    withRet(s, dir).withColumn("rn", row_number().over(wT))
+      .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+      .groupBy(col("rn"))
+      .agg(collect_list(struct(col("event_type"), col("q"))).as("l"))
+      .select(explode(col("l")).as("a"), col("l"))
+      .select(col("a"), explode(col("l")).as("b"))
+      .where(col("a.q").isNotNull && col("b.q").isNotNull)
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.q")).as("sa"), sum(col("b.q")).as("sb"),
+        sum(dec(col("a.q")) * dec(col("b.q"))).as("sab"),
+        sum(dec(col("a.q")) * dec(col("a.q"))).as("saa"),
+        sum(dec(col("b.q")) * dec(col("b.q"))).as("sbb"))
+  }
+
   /** The click/view return series rn-paired into (rn, ra, rb) — one
     * window pass + pivot, shared by information ratio and the rolling
     * beta/corr pair. Unpaired rows keep nulls; callers that need both
@@ -2150,6 +2177,28 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(Tick.burstiness(col("delta_ns")), 6).as("burstiness"))
         .orderBy(col("event_type"))),
+    // ACD(1,1) expected-duration filter (op 304; Engle–Russell 1998):
+    // the duration-process sibling of eod_garch_filter — ψ_t forecasts
+    // the next inter-trade gap from the trailing gaps, and x/ψ is the
+    // "duration surprise" (≪1 = activity burst, the event-time trading
+    // signal). Same native codegen'd fold (graft_acd_psi), same
+    // k=60-truncated closed form, same self-join-replayable oracle.
+    // ψ rounds at 4dp: durations are O(10²) s, so the oracle's
+    // unordered Σβ^j·x accumulates ~1e-13 abs jitter — 1e-4 is the
+    // finest grid with negligible knife-edge risk (the GARCH query's
+    // 8dp is safe only because vol is O(10⁻²)).
+    "tick_acd" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("x", Tick.tsDeltaNs(col("ts"), wT).cast("double") / 1e9)
+        .where(col("x").isNotNull)
+        .withColumn("psi", graft.expressions.AcdPsi(
+          collect_list(col("x")).over(wT.rowsBetween(-60, -1)),
+          omega = 0.05, alpha = 0.10, beta = 0.85))
+        .withColumn("rn", row_number().over(wT))
+        .where(col("rn") >= 2) // the frame is built BEFORE this filter
+        .select(col("event_type"), col("event_id"),
+          round(col("psi"), 4).as("acd_psi"),
+          round(col("x") / col("psi"), 6).as("dur_surprise"))),
     "tick_volume_rate" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(round(Tick.volumeRate(volume, col("ts"), "s"), 6).as("volume_rate"))
@@ -4699,6 +4748,30 @@ object SparkEntry {
         |)
         |SELECT event_type, round(stddev_samp(delta_ns) / avg(delta_ns), 6) AS burstiness
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // op 304: the eod_garch_filter oracle recipe on durations — the
+    // k=60 truncated fold replayed as a 60-row range self-join; ψ at
+    // 4dp (durations are O(10²) s; see the Spark-side note).
+    "tick_acd" ->
+      """WITH d AS (
+        |  SELECT event_type, event_id, ts,
+        |    (epoch_us(ts) * 1000 - lag(epoch_us(ts) * 1000) OVER w) / 1e9 AS dx
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), f AS (
+        |  SELECT event_type, event_id, dx,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM d WHERE dx IS NOT NULL
+        |), p AS (
+        |  SELECT a.event_type, a.event_id, a.dx,
+        |    0.05 * (1 - pow(0.85, count(*))) / (1 - 0.85)
+        |      + 0.1 * sum(pow(0.85, a.rn - 1 - b.rn) * b.dx) AS psi
+        |  FROM f a JOIN f b
+        |    ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 60 AND a.rn - 1
+        |  GROUP BY a.event_type, a.event_id, a.dx
+        |)
+        |SELECT event_type, event_id,
+        |  round(psi, 4) AS acd_psi,
+        |  round(dx / psi, 6) AS dur_surprise
+        |FROM p""".stripMargin,
     "tick_volume_rate" ->
       s"""SELECT event_type,
         |  round(sum($SQL_VOL) / ((epoch_us(max(ts)) * 1000 - epoch_us(min(ts)) * 1000) / 1e9), 6) AS volume_rate
@@ -6113,6 +6186,132 @@ object SparkEntry {
         .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
         .agg(round(corr(col("a.ret"), col("b.ret")), 6).as("corr"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+    // PCA market factor (op 305): the first principal component of
+    // the K×K return-correlation matrix — the cross-sectional "market
+    // mode" (loading per series, eigenvalue, share of total variance
+    // λ/K). Everything is ENGINE-EXACT so a SQL oracle replays it:
+    // returns quantize to the op-268 1e-6 grid, pair moments are
+    // exact long/decimal sums over the rn-aligned cross-section (the
+    // eod_corr_matrix bucket-pair shape — group the cross-section
+    // once, emit pairs inside it, never a second returns window),
+    // each correlation re-quantizes to 1e-6, and the 6 power
+    // iterations run on the K²-row matrix relation with the
+    // embed_power_iter integer conventions (v at 1e-6, norms through
+    // decimal, localCheckpoint per iterate to stop plan blowup — the
+    // matrix build runs ONCE). K ~ series count, so post-matrix work
+    // is tiny at any data scale; the one data-sized pass is the
+    // cross-section agg every matrix op here shares.
+    "eod_pca_factor" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val mm = quantizedPairMoments(s, dir)
+      val nDec = col("n").cast("decimal(19,0)")
+      val num = nDec * col("sab") - dec(col("sa")) * dec(col("sb"))
+      val dxx = nDec * col("saa") - dec(col("sa")) * dec(col("sa"))
+      val dyy = nDec * col("sbb") - dec(col("sb")) * dec(col("sb"))
+      val rho = when(dxx > 0 && dyy > 0,
+        num.cast("double") / sqrt(dxx.cast("double") * dyy.cast("double")))
+        .otherwise(lit(0.0)) // flat series: no co-movement signal
+      val matrix = mm
+        .select(col("ta"), col("tb"),
+          floor(rho * 1e6 + 0.5).cast("long").as("rq"))
+        .localCheckpoint()
+      val scalarsK = matrix.where(col("ta") === col("tb"))
+        .agg(count(lit(1)).as("k"))
+      def mult(v: DataFrame): DataFrame = matrix
+        .join(v.withColumnRenamed("event_type", "tb"), "tb")
+        .groupBy(col("ta")).agg(sum(col("rq") * col("vq")).as("wv"))
+      def normed(wdf: DataFrame): DataFrame = {
+        val nrm = wdf.agg(sqrt(sum(dec(col("wv")) * dec(col("wv")))
+          .cast("double")).as("nrm"))
+        wdf.crossJoin(broadcast(nrm))
+          .select(col("ta").as("event_type"), col("nrm"),
+            floor(col("wv").cast("double") / col("nrm") * 1e6 + 0.5)
+              .cast("long").as("vq"))
+      }
+      val v0 = matrix.where(col("ta") === col("tb"))
+        .select(col("ta").as("event_type"), lit(1000000L).as("vq"))
+      val vFinal = (1 to 5).foldLeft(v0) { (v, _) =>
+        val next = normed(mult(v)).select(col("event_type"), col("vq"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(v)
+        next
+      }
+      normed(mult(vFinal))
+        .crossJoin(broadcast(scalarsK))
+        .select(col("event_type"),
+          (round(col("vq") / 1e6, 4) + lit(0.0)).as("loading"),
+          (round(col("nrm") / 1e12, 6) + lit(0.0)).as("eigval"),
+          (round(col("nrm") / 1e12 / col("k"), 4) + lit(0.0))
+            .as("var_share"))
+        .orderBy(col("event_type"))
+    }),
+    // Equal-risk-contribution weights (op 306; "risk parity", Maillard/
+    // Roncalli/Teïletche 2010): weights where each series contributes
+    // the same share of portfolio variance — the allocation ffn users
+    // build on top of calc_stats, and the covariance-aware upgrade of
+    // eod_inverse_vol. 4 rounds of the multiplicative fixed point
+    // w ← normalize(√(w/(Cw))) (RC_i = w_i(Cw)_i equalizes at the
+    // fixed point) on the same exact K×K machinery as eod_pca_factor:
+    // covariance entries quantize to integer 1e-12-grid decimals, the
+    // matrix-vector product is an exact decimal sum, and each round
+    // re-quantizes deterministically — scale-free via the max(u)
+    // pivot (max of identical doubles is order-free, unlike their
+    // sum). (Cw)_i floors at +1 raw unit: a dominant negative
+    // covariance row can push it ≤0 where √ is undefined — the same
+    // lazy-guard rule as safeDiv, and the oracle replays it. Output:
+    // weight, realized risk-contribution share, portfolio vol.
+    "eod_risk_parity" -> ((s, dir) => {
+      val mm = quantizedPairMoments(s, dir)
+      val nDec = col("n").cast("decimal(19,0)")
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val num = nDec * col("sab") - dec(col("sa")) * dec(col("sb"))
+      val cmat = mm.select(col("ta"), col("tb"),
+          floor(num.cast("double") /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0))
+            + 0.5).cast("decimal(38,0)").as("cq"))
+        .localCheckpoint()
+      val kk = cmat.where(col("ta") === col("tb"))
+        .agg(count(lit(1)).as("k"))
+      val w0 = cmat.where(col("ta") === col("tb"))
+        .crossJoin(broadcast(kk))
+        .select(col("ta").as("event_type"),
+          floor(lit(1e8) / col("k") + 0.5).cast("long").as("wq"))
+      def cw(w: DataFrame): DataFrame = cmat
+        .join(w.withColumnRenamed("event_type", "tb"), "tb")
+        .groupBy(col("ta")).agg(sum(col("cq") * col("wq")).as("rc"))
+      def step(w: DataFrame): DataFrame = {
+        val t = cw(w)
+          .join(w.withColumnRenamed("event_type", "ta"), "ta")
+          .withColumn("rcp",
+            greatest(col("rc"), lit(1).cast("decimal(38,0)")))
+          .withColumn("u",
+            sqrt(col("wq").cast("double") / col("rcp").cast("double")))
+        val tq = t.crossJoin(broadcast(t.agg(max(col("u")).as("mx"))))
+          .withColumn("uq",
+            floor(col("u") / col("mx") * 1e12 + 0.5).cast("long"))
+        tq.crossJoin(broadcast(tq.agg(sum(col("uq")).as("su"))))
+          .select(col("ta").as("event_type"),
+            floor(col("uq").cast("double") / col("su").cast("double")
+              * 1e8 + 0.5).cast("long").as("wq"))
+      }
+      val wF = (1 to 4).foldLeft(w0) { (w, _) =>
+        val next = step(w).localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(w)
+        next
+      }
+      val fin = cw(wF)
+        .join(wF.withColumnRenamed("event_type", "ta"), "ta")
+        .withColumn("wr", col("rc") * col("wq")) // w_i·(Cw)_i, exact decimal
+      fin.crossJoin(broadcast(fin.agg(sum(col("wr")).as("twr"))))
+        .select(col("ta").as("event_type"),
+          (round(col("wq") / 1e8, 6) + lit(0.0)).as("weight"),
+          (round(col("wr").cast("double") / col("twr").cast("double"), 4)
+            + lit(0.0)).as("risk_share"),
+          // wᵀCw is PSD up to ±0.5/entry quantization — clamp the dip
+          (round(sqrt(greatest(col("twr"), lit(0).cast("decimal(38,0)"))
+            .cast("double")) / 1e8 / 1e6, 6) + lit(0.0)).as("port_vol"))
+        .orderBy(col("event_type"))
     }),
     // Zipf fit per source (op 149): OLS slope of ln(freq) on ln(rank)
     // over the top token ranks — the corpus-health diagnostic (natural
@@ -9610,6 +9809,142 @@ object SparkEntry {
           |  round(corr(a.ret, b.ret), 6) AS corr
           |FROM r a JOIN r b ON a.rn = b.rn AND a.event_type < b.event_type
           |GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin,
+      // op 305: the identical quantized pair moments (hugeint = the
+      // Spark side's decimal), identical 1e-6 re-quantized ρ, and the
+      // 6 power iterations unrolled as generated CTE triples — every
+      // arithmetic step integer-exact or a deterministic double op on
+      // identical integers, so the loadings match bit-for-bit.
+      "eod_pca_factor" -> {
+        val iters = (1 to 5).map { i =>
+          s"""w$i AS (
+             |  SELECT ta, CAST(sum(rq * vq) AS BIGINT) AS wv
+             |  FROM m JOIN v${i - 1} ON m.tb = v${i - 1}.event_type
+             |  GROUP BY ta
+             |), n$i AS (
+             |  SELECT sqrt(CAST(sum(CAST(wv AS HUGEINT) * wv) AS DOUBLE)) AS nrm
+             |  FROM w$i
+             |), v$i AS (
+             |  SELECT ta AS event_type,
+             |    CAST(floor(CAST(wv AS DOUBLE) / nrm * 1000000.0 + 0.5)
+             |      AS BIGINT) AS vq
+             |  FROM w$i CROSS JOIN n$i
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""$R_CTE, x AS (
+          |  SELECT event_type,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY ts, event_id) AS rn,
+          |    CASE WHEN ret IS NOT NULL
+          |      THEN CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) END AS q
+          |  FROM r
+          |), pm AS (
+          |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n,
+          |    CAST(sum(a.q) AS BIGINT) AS sa, CAST(sum(b.q) AS BIGINT) AS sb,
+          |    sum(CAST(a.q AS HUGEINT) * b.q) AS sab,
+          |    sum(CAST(a.q AS HUGEINT) * a.q) AS saa,
+          |    sum(CAST(b.q AS HUGEINT) * b.q) AS sbb
+          |  FROM x a JOIN x b ON a.rn = b.rn
+          |  WHERE a.q IS NOT NULL AND b.q IS NOT NULL
+          |  GROUP BY 1, 2
+          |), m AS MATERIALIZED (
+          |  -- MATERIALIZED: referenced by all 7 unrolled multiplies.
+          |  SELECT ta, tb,
+          |    CAST(floor(CASE WHEN n * saa - CAST(sa AS HUGEINT) * sa > 0
+          |                     AND n * sbb - CAST(sb AS HUGEINT) * sb > 0
+          |      THEN CAST(n * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+          |        / sqrt(CAST(n * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+          |             * CAST(n * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE))
+          |      ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT) AS rq
+          |  FROM pm
+          |), kk AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k FROM m WHERE ta = tb
+          |), v0 AS (
+          |  SELECT ta AS event_type, CAST(1000000 AS BIGINT) AS vq
+          |  FROM m WHERE ta = tb
+          |), $iters, w6 AS (
+          |  SELECT ta, CAST(sum(rq * vq) AS BIGINT) AS wv
+          |  FROM m JOIN v5 ON m.tb = v5.event_type GROUP BY ta
+          |), n6 AS (
+          |  SELECT sqrt(CAST(sum(CAST(wv AS HUGEINT) * wv) AS DOUBLE)) AS nrm
+          |  FROM w6
+          |)
+          |SELECT ta AS event_type,
+          |  round(CAST(floor(CAST(wv AS DOUBLE) / nrm * 1000000.0 + 0.5)
+          |    AS BIGINT) / 1000000.0, 4) + 0.0 AS loading,
+          |  round(nrm / 1e12, 6) + 0.0 AS eigval,
+          |  round(nrm / 1e12 / k, 4) + 0.0 AS var_share
+          |FROM w6 CROSS JOIN n6 CROSS JOIN kk
+          |ORDER BY event_type""".stripMargin
+      },
+      // op 306: same exact pair moments → integer covariance grid,
+      // 4 fixed-point rounds unrolled as generated CTE quintuples,
+      // identical max-pivot quantization and +1-unit (Cw) floor.
+      "eod_risk_parity" -> {
+        val steps = (1 to 4).map { i =>
+          // every step CTE MATERIALIZED: each level references the
+          // previous one ~5x, and DuckDB 1.0 inlines non-materialized
+          // CTEs per reference — 5^4 plan copies hang the optimizer.
+          s"""r$i AS MATERIALIZED (
+             |  SELECT c.ta, sum(cq * wq) AS rc
+             |  FROM c JOIN w${i - 1} ON c.tb = w${i - 1}.event_type
+             |  GROUP BY c.ta
+             |), t$i AS MATERIALIZED (
+             |  SELECT r$i.ta, wq,
+             |    sqrt(CAST(wq AS DOUBLE) / CAST(greatest(rc, 1) AS DOUBLE)) AS u
+             |  FROM r$i JOIN w${i - 1} ON r$i.ta = w${i - 1}.event_type
+             |), m$i AS MATERIALIZED (SELECT max(u) AS mx FROM t$i),
+             |q$i AS MATERIALIZED (
+             |  SELECT ta, CAST(floor(u / mx * 1e12 + 0.5) AS BIGINT) AS uq
+             |  FROM t$i CROSS JOIN m$i
+             |), s$i AS MATERIALIZED (SELECT CAST(sum(uq) AS BIGINT) AS su FROM q$i),
+             |w$i AS MATERIALIZED (
+             |  SELECT ta AS event_type,
+             |    CAST(floor(CAST(uq AS DOUBLE) / CAST(su AS DOUBLE)
+             |      * 1e8 + 0.5) AS BIGINT) AS wq
+             |  FROM q$i CROSS JOIN s$i
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""$R_CTE, x AS (
+          |  SELECT event_type,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY ts, event_id) AS rn,
+          |    CASE WHEN ret IS NOT NULL
+          |      THEN CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) END AS q
+          |  FROM r
+          |), pm AS (
+          |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n,
+          |    CAST(sum(a.q) AS BIGINT) AS sa, CAST(sum(b.q) AS BIGINT) AS sb,
+          |    sum(CAST(a.q AS HUGEINT) * b.q) AS sab
+          |  FROM x a JOIN x b ON a.rn = b.rn
+          |  WHERE a.q IS NOT NULL AND b.q IS NOT NULL
+          |  GROUP BY 1, 2
+          |), c AS MATERIALIZED (
+          |  -- MATERIALIZED: referenced by every unrolled round; inlining
+          |  -- re-opens the scan chain per reference (fd exhaustion).
+          |  SELECT ta, tb,
+          |    CAST(floor(CAST(n * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+          |      / (CAST(n AS DOUBLE) * (n - 1.0)) + 0.5) AS HUGEINT) AS cq
+          |  FROM pm
+          |), kk AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k FROM c WHERE ta = tb
+          |), w0 AS MATERIALIZED (
+          |  SELECT ta AS event_type, CAST(floor(1e8 / k + 0.5) AS BIGINT) AS wq
+          |  FROM c CROSS JOIN kk WHERE ta = tb
+          |), $steps, rf AS (
+          |  SELECT c.ta, sum(cq * wq) AS rc
+          |  FROM c JOIN w4 ON c.tb = w4.event_type GROUP BY c.ta
+          |), f AS (
+          |  SELECT rf.ta, wq, rc * wq AS wr
+          |  FROM rf JOIN w4 ON rf.ta = w4.event_type
+          |), tot AS (SELECT sum(wr) AS twr FROM f)
+          |SELECT ta AS event_type,
+          |  round(wq / 1e8, 6) + 0.0 AS weight,
+          |  round(CAST(wr AS DOUBLE) / CAST(twr AS DOUBLE), 4) + 0.0
+          |    AS risk_share,
+          |  round(sqrt(CAST(greatest(twr, 0) AS DOUBLE)) / 1e8 / 1e6, 6)
+          |    + 0.0 AS port_vol
+          |FROM f CROSS JOIN tot ORDER BY event_type""".stripMargin
+      },
       "text_zipf" ->
         """WITH tk AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
           |f AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),

@@ -418,6 +418,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ArrayAggregate"), "interpreted HOF fold in GARCH path")
   }
 
+  test("ACD filter folds natively (graft_acd_psi), no interpreted HOFs") {
+    val p = plan("tick_acd")
+    assert(p.contains("graft_acd_psi"), p.take(800))
+    assert(!p.contains("ArrayAggregate"), "interpreted HOF fold in ACD path")
+  }
+
   test("Kruskal midranks never use a single-partition global window") {
     // structural guard is WindowGuardSpec; here pin the two-level shape:
     // the bucket-offset side joins broadcast (tiny totals), and the
