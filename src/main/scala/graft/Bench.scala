@@ -117,11 +117,17 @@ object Bench {
     // line to a committed file as the belt-and-suspenders record.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r11")
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r12")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(s"BENCH_LOCAL_$round.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not kill the print
     println(line)
+    // The archiver keeps only a ~2000-char tail of stdout; the full line
+    // above is ~8 KB, so its head (and the opening brace) never survives.
+    // This second, <200-char, totals-only object IS the last stdout line —
+    // it always fits whole inside any tail window and parses standalone.
+    // Per-query detail lives in the full line and the BENCH_LOCAL mirror.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"mirror":"BENCH_LOCAL_$round.json"}""")
   }
 }

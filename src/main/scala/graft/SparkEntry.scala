@@ -814,19 +814,28 @@ object SparkEntry {
     "eod_cusum" -> ((s, dir) => {
       val wSym = Window.partitionBy(col("event_type"))
       val cum = wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Centered returns AND the 5σ threshold are quantized to the 1e-6
+      // grid BEFORE the cumulative windows (streaming_cusum convention):
+      // the Page statistic and every breach compare are then pure long
+      // arithmetic, immune to the cross-engine last-ulp jitter of the
+      // unordered avg/stddev_samp aggregates that a float threshold
+      // would amplify into differing breach counts on a knife-edge row.
       val r = withRet(s, dir).where(col("ret").isNotNull)
-        .withColumn("sd", stddev_samp(col("ret")).over(wSym))
-        .withColumn("p", sum(col("ret") - avg(col("ret")).over(wSym)).over(cum))
-        .withColumn("cpos", col("p") - least(min(col("p")).over(cum), lit(0.0)))
-        .withColumn("cneg", greatest(max(col("p")).over(cum), lit(0.0)) - col("p"))
+        .withColumn("sdq", floor(stddev_samp(col("ret")).over(wSym) * 5e6
+          + 0.5).cast("long"))
+        .withColumn("dq", floor((col("ret") - avg(col("ret")).over(wSym))
+          * 1e6 + 0.5).cast("long"))
+        .withColumn("p", sum(col("dq")).over(cum))
+        .withColumn("cpos", col("p") - least(min(col("p")).over(cum), lit(0L)))
+        .withColumn("cneg", greatest(max(col("p")).over(cum), lit(0L)) - col("p"))
       r.groupBy(col("event_type"))
-        .agg(round(max(col("cpos")), 6).as("max_cusum_pos"),
-          round(max(col("cneg")), 6).as("max_cusum_neg"),
-          sum(when(col("cpos") > col("sd") * 5.0, 1L).otherwise(0L))
+        .agg(round(max(col("cpos")) / 1e6, 6).as("max_cusum_pos"),
+          round(max(col("cneg")) / 1e6, 6).as("max_cusum_neg"),
+          sum(when(col("cpos") > col("sdq"), 1L).otherwise(0L))
             .as("n_breach_pos"),
-          sum(when(col("cneg") > col("sd") * 5.0, 1L).otherwise(0L))
+          sum(when(col("cneg") > col("sdq"), 1L).otherwise(0L))
             .as("n_breach_neg"),
-          round(min(col("sd")) * 5.0, 6).as("threshold"))
+          round(min(col("sdq")) / 1e6, 6).as("threshold"))
         .orderBy(col("event_type"))
     }),
     // Newey–West long-run variance (op 285; Newey/West 1987): the
@@ -961,7 +970,11 @@ object SparkEntry {
     // only for mean-reverting fits (ρ̂∈(−1,0)), rounded coarse (2dp)
     // because d(hl)/dρ ≈ ln2/ρ² amplifies sum jitter.
     "eod_adf" -> ((s, dir) => {
-      val y = events(s, dir).withColumn("y", log(col("value")))
+      // value > 0 guard (eod_k_ratio convention): sf0.1+ plants
+      // zero-priced bad ticks; ln(0) throws in DuckDB and yields null in
+      // Spark, silently corrupting the count(*)/sum-mix OLS moments.
+      val y = events(s, dir).where(col("value") > 0)
+        .withColumn("y", log(col("value")))
         .withColumn("x", lag(col("y"), 1).over(wT))
         .where(col("x").isNotNull)
         .withColumn("dy", col("y") - col("x"))
@@ -997,7 +1010,11 @@ object SparkEntry {
     // IDENTICAL centered parenthesization (ya−m̄a) − β(yb−m̄b). Verdict
     // against the 2-variable EG 5% critical value −3.34 (MacKinnon).
     "eod_cointegration" -> ((s, dir) => {
-      val p = events(s, dir).withColumn("rn", row_number().over(wT))
+      // value > 0 guard BEFORE rn (eod_k_ratio convention) so the
+      // rn-alignment of the pair join is identical on both engines and
+      // ln never sees a planted zero-priced tick.
+      val p = events(s, dir).where(col("value") > 0)
+        .withColumn("rn", row_number().over(wT))
         .withColumn("y", log(col("value")))
       val bench = p.where(col("event_type") === "view")
         .select(col("rn"), col("y").as("yb"))
@@ -2603,10 +2620,16 @@ object SparkEntry {
     "rel_tpch_q22" -> ((s, dir) => {
       val cst = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
       val n = tbl(s, dir, "nation")
+      // The "richer than average" membership test is division-free:
+      // bal > sum/n ⟺ bal·n > sum with everything in exact DECIMAL, so
+      // a balance within an ulp of the float mean can't flip membership
+      // between engines (float avgs accumulate in different orders).
       val avgBal = cst.where(col("c_acctbal") > 0.0)
-        .agg(avg(col("c_acctbal")).as("ab"))
+        .agg(sum(col("c_acctbal").cast("decimal(18,4)")).as("abn"),
+          count(lit(1)).cast("decimal(18,0)").as("abd"))
       cst.crossJoin(broadcast(avgBal))
-        .where(col("c_acctbal") > col("ab"))
+        .where(col("c_acctbal").cast("decimal(18,4)") * col("abd") >
+          col("abn"))
         .join(o.where(col("o_orderdate") >=
               lit("2000-01-01").cast("timestamp"))
             .select(col("o_custkey")).distinct(),
@@ -3555,35 +3578,39 @@ object SparkEntry {
         |       WHEN z < -1.959963984540054 THEN 'down'
         |       ELSE 'none' END AS trend
         |FROM zt ORDER BY event_type""".stripMargin,
-    // op 284: same prefix-sum closed form over the same pinned order.
+    // op 284: same prefix-sum closed form over the same pinned order,
+    // centered returns and 5σ threshold quantized to the 1e-6 grid so
+    // the cumulative sums and breach compares are integer-exact.
     "eod_cusum" ->
       s"""$R_CTE, x0 AS (
-        |  SELECT event_type, ts, event_id, ret,
-        |    stddev_samp(ret) OVER (PARTITION BY event_type) AS sd,
-        |    avg(ret) OVER (PARTITION BY event_type) AS mu
+        |  SELECT event_type, ts, event_id,
+        |    CAST(floor(stddev_samp(ret) OVER (PARTITION BY event_type)
+        |      * 5000000.0 + 0.5) AS BIGINT) AS sdq,
+        |    CAST(floor((ret - avg(ret) OVER (PARTITION BY event_type))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS dq
         |  FROM r WHERE ret IS NOT NULL
         |), x AS (
-        |  SELECT event_type, ts, event_id, sd,
-        |    sum(ret - mu) OVER cum AS p
+        |  SELECT event_type, ts, event_id, sdq,
+        |    sum(dq) OVER cum AS p
         |  FROM x0
         |  WINDOW cum AS (PARTITION BY event_type ORDER BY ts, event_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |), c AS (
-        |  SELECT event_type, sd,
-        |    p - least(min(p) OVER cum, 0.0) AS cpos,
-        |    greatest(max(p) OVER cum, 0.0) - p AS cneg
+        |  SELECT event_type, sdq,
+        |    p - least(min(p) OVER cum, 0) AS cpos,
+        |    greatest(max(p) OVER cum, 0) - p AS cneg
         |  FROM x
         |  WINDOW cum AS (PARTITION BY event_type ORDER BY ts, event_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |)
         |SELECT event_type,
-        |  round(max(cpos), 6) AS max_cusum_pos,
-        |  round(max(cneg), 6) AS max_cusum_neg,
-        |  CAST(sum(CASE WHEN cpos > sd * 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  round(max(cpos) / 1000000.0, 6) AS max_cusum_pos,
+        |  round(max(cneg) / 1000000.0, 6) AS max_cusum_neg,
+        |  CAST(sum(CASE WHEN cpos > sdq THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_breach_pos,
-        |  CAST(sum(CASE WHEN cneg > sd * 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN cneg > sdq THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_breach_neg,
-        |  round(min(sd) * 5.0, 6) AS threshold
+        |  round(min(sdq) / 1000000.0, 6) AS threshold
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // op 285: same centered lags, Bartlett weights, identical algebra.
     "eod_newey_west" ->
@@ -3694,7 +3721,7 @@ object SparkEntry {
     "eod_adf" ->
       """WITH y0 AS (
         |  SELECT event_type, ts, event_id, ln(value) AS y
-        |  FROM events
+        |  FROM events WHERE value > 0
         |), y AS (
         |  SELECT event_type, y,
         |    lag(y) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
@@ -3731,7 +3758,7 @@ object SparkEntry {
         |  SELECT event_type, ln(value) AS y,
         |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
         |      AS rn
-        |  FROM events
+        |  FROM events WHERE value > 0
         |), pr AS (
         |  SELECT a.event_type AS pair_id, a.rn, a.y AS ya, b.y AS yb
         |  FROM p0 a JOIN p0 b USING (rn)
@@ -5082,14 +5109,16 @@ object SparkEntry {
     // cutoff = the anti join.
     "rel_tpch_q22" ->
       """WITH ab AS (
-        |  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS abn,
+        |    CAST(count(*) AS DECIMAL(18,0)) AS abd
+        |  FROM customer WHERE c_acctbal > 0.0
         |)
         |SELECT n_name, count(*) AS numcust,
         |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE), 2)
         |    AS totacctbal
         |FROM customer CROSS JOIN ab
         |JOIN nation ON n_nationkey = c_nationkey
-        |WHERE c_acctbal > ab
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * abd > abn
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,

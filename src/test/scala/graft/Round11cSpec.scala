@@ -134,15 +134,23 @@ class Round11cSpec extends SparkSpec {
       val mu = rets.sum / rets.length
       val sd = math.sqrt(rets.map(x => (x - mu) * (x - mu)).sum /
         (rets.length - 1))
-      var (sp, sn, mp, mn) = (0.0, 0.0, 0.0, 0.0)
+      // The query quantizes centered returns and the 5σ threshold to
+      // the 1e-6 grid before the cumulative windows (integer-exact
+      // breach compares across engines); replay the same integer
+      // recursion — the prefix-sum closed form is an exact identity
+      // of Page's recursion over the quantized increments.
+      val sdq = math.floor(sd * 5e6 + 0.5).toLong
+      var (sp, sn, mp, mn) = (0L, 0L, 0L, 0L)
       var nbp = 0L
       for (x <- rets) {
-        sp = math.max(0.0, sp + (x - mu)); sn = math.max(0.0, sn - (x - mu))
+        val dq = math.floor((x - mu) * 1e6 + 0.5).toLong
+        sp = math.max(0L, sp + dq); sn = math.max(0L, sn - dq)
         mp = math.max(mp, sp); mn = math.max(mn, sn)
-        if (sp > 5.0 * sd) nbp += 1
+        if (sp > sdq) nbp += 1
       }
-      assert(math.abs(got(k)._1 - mp) < 2e-6, s"$k pos ${got(k)._1} vs $mp")
-      assert(math.abs(got(k)._2 - mn) < 2e-6, s"$k neg")
+      assert(math.abs(got(k)._1 - mp / 1e6) < 1e-9,
+        s"$k pos ${got(k)._1} vs ${mp / 1e6}")
+      assert(math.abs(got(k)._2 - mn / 1e6) < 1e-9, s"$k neg")
       assert(got(k)._3 == nbp, s"$k breaches")
     }
   }
