@@ -2313,6 +2313,22 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("total_price"))
         .orderBy(col("o_orderpriority"), col("rk"))
     }),
+    // Op 66 driver row: this side is written with pow(l_quantity, 2.0);
+    // SquareRewriteRule (installed by Graft.register in Verify AND
+    // Bench) rewrites it to l_quantity*l_quantity before execution, and
+    // the oracle replays the multiply. Math.pow is not correctly
+    // rounded in general while x*x is one rounded op, so a hash match
+    // here is evidence the REWRITTEN expression ran — the rule's
+    // value-preservation claim, driver-checked (exactness: l_quantity
+    // is integral 1..50, so every square and partial sum is an exact
+    // double on both engines regardless of accumulation order).
+    // PlanSpec pins the structural half (no POWER in the optimized plan).
+    "rel_pow2_rewrite" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(pow(col("l_quantity"), 2.0)).as("sum_qty_sq"))
+        .orderBy(col("l_returnflag"))),
 
     // Bucketed co-located join (op 65), oracle-backed: write both fact
     // tables bucketed+sorted on the join key, then join AND aggregate on
@@ -4913,6 +4929,13 @@ object SparkEntry {
         |SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS total_price
         |FROM ranked WHERE rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin,
+    // op 66: the multiply the rule rewrites pow(x,2) into — integral
+    // quantities, so both sides are exact doubles at any sum order.
+    "rel_pow2_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  sum(l_quantity * l_quantity) AS sum_qty_sq
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // rel_bucketed_join routes through the bucketed write, but the
     // RESULT is layout-independent — a plain join/agg replays it.
     "rel_bucketed_join" ->

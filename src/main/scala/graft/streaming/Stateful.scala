@@ -37,6 +37,15 @@ object Stateful {
     */
   private def tsKey(ts: Timestamp): (Long, Int) = (ts.getTime, ts.getNanos)
 
+  /** Microsecond epoch of a Timestamp (`getTime` alone is ms-grain;
+    * `getNanos` carries the full fractional second). Stored streaming
+    * state that compares event ages must keep this precision — two
+    * same-millisecond quotes otherwise tie and resolve to arrival
+    * order across micro-batches (the library claims µs tick data).
+    */
+  private def tsMicros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
   // ------------------------------------------------------ running drawdown
 
   case class Tick(symbol: String, ts: Timestamp, price: Double)
@@ -77,7 +86,7 @@ object Stateful {
   case class EnrichedTrade(symbol: String, ts: Timestamp, price: Double,
                            bid: Double, ask: Double, mid: Double,
                            latency_ms: Long)
-  case class QuoteState(bid: Double, ask: Double, tsMillis: Long)
+  case class QuoteState(bid: Double, ask: Double, tsMicros: Long)
 
   /** Enrich each trade with the prevailing (most recent at-or-before)
     * quote. State = last quote per symbol; trades arriving before any
@@ -99,12 +108,16 @@ object Stateful {
           it.toArray.sortBy(e => (tsKey(e.ts), e.kind == "trade")).foreach { e =>
             if (e.kind == "quote") {
               // last-quote-wins only forward in time: a late quote must
-              // not roll the prevailing NBBO backwards.
-              if (q == null || e.ts.getTime >= q.tsMillis)
-                q = QuoteState(e.bid, e.ask, e.ts.getTime)
+              // not roll the prevailing NBBO backwards. Compared at µs
+              // grain (tsKey convention carried INTO stored state) so
+              // two quotes inside one millisecond resolve by timestamp,
+              // not by micro-batch arrival order.
+              if (q == null || tsMicros(e.ts) >= q.tsMicros)
+                q = QuoteState(e.bid, e.ask, tsMicros(e.ts))
             } else if (q != null) {
               out += EnrichedTrade(symbol, e.ts, e.price, q.bid, q.ask,
-                (q.bid + q.ask) / 2, e.ts.getTime - q.tsMillis)
+                (q.bid + q.ask) / 2,
+                Math.floorDiv(tsMicros(e.ts) - q.tsMicros, 1000L))
             }
           }
           if (q != null) state.update(q)

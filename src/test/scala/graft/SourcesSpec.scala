@@ -16,6 +16,22 @@ class SourcesSpec extends SparkSpec {
     assert(df.as[Double].collect().sorted.sameElements(Array(2.25, 6.25)))
   }
 
+  test("rel_pow2_rewrite: driver query runs the rewritten multiply") {
+    functions.Graft.register(spark)
+    val df = SparkEntry.queries("rel_pow2_rewrite")(spark, "/root/testdata/sf0.001")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("POWER"),
+      "pow(x,2) survived optimization: " + optimized.take(800))
+    // value half: exact integral squares match a local replay
+    val got = df.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select($"l_returnflag", $"l_quantity").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, xs) =>
+        k -> (xs.length.toLong, xs.map(x => x._2 * x._2).sum) }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("bucketed tables join without a shuffle (co-located merge join)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -145,6 +145,36 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfEnrich resolves same-millisecond quotes at microsecond grain across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // Two quotes inside ONE millisecond, the later-µs one arriving in
+    // the EARLIER micro-batch: state must keep it (µs compare), not let
+    // the same-ms earlier quote overwrite it by arrival order.
+    def tsUs(offsetUs: Long) = {
+      val absUs = t0 * 1000 + offsetUs
+      val t = new Timestamp(Math.floorDiv(absUs, 1000000L) * 1000)
+      t.setNanos((Math.floorMod(absUs, 1000000L) * 1000).toInt)
+      t
+    }
+    val input = MemoryStream[MarketEvent]
+    val q = Stateful.asOfEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_us")
+      .outputMode("append").start()
+    try {
+      input.addData(MarketEvent("A", tsUs(900), "quote", 0, 20.0, 22.0))
+      q.processAllAvailable()
+      // same getTime millisecond, 800 µs EARLIER: must be rejected
+      input.addData(MarketEvent("A", tsUs(100), "quote", 0, 1.0, 3.0))
+      q.processAllAvailable()
+      input.addData(MarketEvent("A", tsUs(2500), "trade", 21.0, 0, 0))
+      q.processAllAvailable()
+      val out = spark.table("asof_us")
+        .select($"mid", $"latency_ms").as[(Double, Long)].collect().toSeq
+      // prevailing = the 900 µs quote; age = floor((2500-900)/1000) = 1 ms
+      assert(out == Seq((21.0, 1L)), out.toString)
+    } finally q.stop()
+  }
+
   test("minhashDedupStream flags near-dups against earlier arrivals, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
