@@ -402,6 +402,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(p_type,PROMO)"), "p_type not pushed")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(!p.contains("CartesianProduct"), "cartesian in Q8")
+    // The ASIA-customer filter must shrink orders BEFORE the
+    // lineitem⋈orders exchange: a broadcast LeftSemi, not a
+    // post-shuffle inner join on custkey.
+    assert(p.contains("LeftSemi"), "ASIA customer semi-join missing:\n" +
+      p.take(1200))
   }
 
   test("TPC-H Q17 filters the fact to the brand BEFORE the window shuffle") {
