@@ -73,6 +73,71 @@ object Scale {
         .as("key"),
       (col("id") % 1000).cast("double").as("v"))
 
+  /** Synthetic events table in the driver-testdata shape (event_id, ts,
+    * event_type, value): 5 interleaved event types (so every rn
+    * cross-section is complete for the portfolio composites), 1 ms
+    * event spacing, deterministic positive prices. sf0.1 ≈ 100k rows,
+    * so scale multiples measure the real eod/stats query plans on
+    * 10×/50× longer series.
+    */
+  def genEvents(spark: SparkSession, n: Long): DataFrame = {
+    val types = array(lit("click"), lit("view"), lit("purchase"),
+      lit("signup"), lit("error"))
+    spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1712928600000000L) + col("id") * 1000L).as("ts"),
+      element_at(types, (col("id") % 5 + 1).cast("int")).as("event_type"),
+      (lit(50.0) + u(col("id"), "p") * 100.0).as("value"))
+  }
+
+  /** Mini TPC-H star schema sized off the lineitem row count with the
+    * sf0.1 table ratios (orders = li/4, customer = li/40, part = li/30,
+    * supplier = li/600, nation 25, region 5; region 2 is ASIA and every
+    * 5th part PROMO so Q8's filters keep their selectivity). Keys are
+    * modulo-consistent so every join finds its match.
+    */
+  def genTpch(spark: SparkSession, dir: String, nLi: Long): Unit = {
+    val nOrd = math.max(nLi / 4, 100L)
+    val nCust = math.max(nLi / 40, 100L)
+    val nPart = math.max(nLi / 30, 100L)
+    val nSup = math.max(nLi / 600, 25L)
+    spark.range(5).select(col("id").as("r_regionkey"),
+        when(col("id") === 2, lit("ASIA"))
+          .otherwise(concat(lit("REGION_"), col("id"))).as("r_name"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
+    spark.range(25).select(col("id").as("n_nationkey"),
+        concat(lit("NATION_"), col("id")).as("n_name"),
+        (col("id") % 5).as("n_regionkey"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    spark.range(nSup).select(col("id").as("s_suppkey"),
+        (conv(substring(md5(concat_ws("_", lit("sn"), col("id"))), 1, 8),
+          16, 10).cast("long") % 25).as("s_nationkey"))
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    spark.range(nCust).select(col("id").as("c_custkey"),
+        (conv(substring(md5(concat_ws("_", lit("cn"), col("id"))), 1, 8),
+          16, 10).cast("long") % 25).as("c_nationkey"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    spark.range(nPart).select(col("id").as("p_partkey"),
+        when(col("id") % 5 === 0, lit("PROMO"))
+          .otherwise(concat(lit("TYPE_"), col("id") % 7)).as("p_type"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    spark.range(nOrd).select(col("id").as("o_orderkey"),
+        (conv(substring(md5(concat_ws("_", lit("oc"), col("id"))), 1, 8),
+          16, 10).cast("long") % nCust).as("o_custkey"),
+        timestamp_seconds(lit(789000000L) + (col("id") % 1460) * 86400L)
+          .as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.range(nLi).select(
+        (col("id") % nOrd).as("l_orderkey"),
+        (conv(substring(md5(concat_ws("_", lit("lp"), col("id"))), 1, 8),
+          16, 10).cast("long") % nPart).as("l_partkey"),
+        (conv(substring(md5(concat_ws("_", lit("ls"), col("id"))), 1, 8),
+          16, 10).cast("long") % nSup).as("l_suppkey"),
+        (lit(900.0) + u(col("id"), "ep") * 100000.0).as("l_extendedprice"),
+        ((col("id") % 11).cast("double") / 100.0).as("l_discount"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,50")
       .split(",").map(_.trim.toLong)
@@ -610,6 +675,44 @@ object Scale {
         val lined = docs.withColumn("text", regexp_replace(col("text"),
           "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1.\n"))
         sink(Corpus.c4LineFilters(lined, "doc_id", "text"))
+      }
+
+      // ---- r11-heavyweight probes (r12): these five run the REAL
+      // SparkEntry query functions against self-generated tables in
+      // the events/TPC-H shapes, so the measurement covers the exact
+      // composed plan the driver benches — not a re-derived sketch.
+      // sf0.1 events ≈ 100k rows, so m=50 probes a 5M-row series set.
+      if (Seq("stats_kruskal", "eod_hurst", "eod_portfolio_weighted",
+          "eod_risk_parity", "rel_tpch_q8").exists(wanted)) {
+        val nEv = 100000L * m
+        genEvents(spark, nEv).write.mode("overwrite")
+          .parquet(s"$root/$m/events.parquet")
+        genTpch(spark, s"$root/$m", 600000L * m)
+        val qDir = s"$root/$m"
+        // Exact midranks via the two-level distributed prefix sum; the
+        // claim is no single-partition window, wall-time ~linear.
+        timed("stats_kruskal", m, nEv) {
+          sink(SparkEntry.queries("stats_kruskal")(spark, qDir))
+        }
+        // R/S over 3 block sizes: one explode(×3) + keyed windows.
+        timed("eod_hurst", m, nEv) {
+          sink(SparkEntry.queries("eod_hurst")(spark, qDir))
+        }
+        // Weighted composite: rn cross-section window + LSE fold.
+        timed("eod_portfolio_weighted", m, nEv) {
+          sink(SparkEntry.queries("eod_portfolio_weighted")(spark, qDir))
+        }
+        // Fixed-point risk parity on the k×k quantized moment matrix:
+        // cost is the ONE pair-moment pass (k²·rows/k join rows); the
+        // 4 iteration steps touch only k-row relations.
+        timed("eod_risk_parity", m, nEv) {
+          sink(SparkEntry.queries("eod_risk_parity")(spark, qDir))
+        }
+        // Deepest relational join tree; all dims broadcast, the ASIA
+        // semi-join shrinks orders before the big exchange.
+        timed("rel_tpch_q8", m, 600000L * m) {
+          sink(SparkEntry.queries("rel_tpch_q8")(spark, qDir))
+        }
       }
 
       // Skewed shuffle join + agg under AQE; broadcast disabled so the
