@@ -2327,7 +2327,7 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("total_price"))
         .orderBy(col("o_orderpriority"), col("rk"))
     }),
-    // Op 66 driver row: this side is written with pow(l_quantity, 2.0);
+    // Op 66's driver row (op 307): this side is written with pow(l_quantity, 2.0);
     // SquareRewriteRule (installed by Graft.register in Verify AND
     // Bench) rewrites it to l_quantity*l_quantity before execution, and
     // the oracle replays the multiply. Math.pow is not correctly
