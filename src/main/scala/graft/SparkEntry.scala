@@ -2639,6 +2639,225 @@ object SparkEntry {
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
+    // TPC-H Q4 shape (op 308, order-priority checking): orders in one
+    // quarter with at least one LATE line (shipped >90 days after the
+    // order date — the testdata has no commit/receipt dates, so
+    // lateness plays Q4's commit-vs-receipt role), counted by
+    // priority. The EXISTS plans as ONE LeftSemi on orderkey with the
+    // lateness predicate as a join residual — no distinct, no
+    // double-scan; the date filter pushes to the orders scan.
+    "rel_tpch_q4" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders"); val li = tbl(s, dir, "lineitem")
+      o.where(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .join(li.select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 90 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // TPC-H Q12 shape (op 309, shipping-priority audit): one ship
+    // year of lineitems split by returnflag (playing Q12's shipmode),
+    // with conditional counts of critical (1-URGENT/2-HIGH) vs other
+    // order priorities — the fact⋈fact join plus CASE-sum pattern.
+    // Both counts are exact integers; the date bounds push to the
+    // lineitem scan before the orderkey shuffle.
+    "rel_tpch_q12" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders"); val li = tbl(s, dir, "lineitem")
+      li.where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(o.select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // TPC-H Q9 shape (op 310, product-type profit): per supplier
+    // nation × order year, profit on red-named parts. No partsupp
+    // table exists, so supply cost is proxied as half the part's
+    // retail price — same join tree (fact ⋈ part ⋈ supplier ⋈ nation
+    // ⋈ orders), same per-row profit expression on BOTH engines
+    // (identical parenthesization, then exact-DECIMAL sum). part and
+    // supplier-nation broadcast; the one big shuffle is li⋈orders.
+    "rel_tpch_q9" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+      val p = tbl(s, dir, "part"); val sup = tbl(s, dir, "supplier")
+      val n = tbl(s, dir, "nation")
+      val supN = sup.join(broadcast(n.select(col("n_nationkey"),
+            col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val profit = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - lit(0.5) * col("p_retailprice") * col("l_quantity"))
+        .cast("decimal(30,8)")
+      li.join(broadcast(p.where(col("p_name").like("%red%"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(o.select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(round(sum(profit).cast("double"), 2).as("sum_profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // TPC-H Q11 shape (op 311, important stock): per-part inventory
+    // value from one nation's suppliers, kept when the part's value
+    // exceeds 0.1% of the nation total — the HAVING-against-a-scalar-
+    // subquery pattern. Values quantize to integer CENTS per row, so
+    // the division-free threshold compare (v·n > total — above the
+    // MEAN part value, which self-scales with part count the way
+    // TPC-H's 0.0001/SF fraction does; a fixed fraction returns 0
+    // rows at sf0.1) is pure long arithmetic — a part within an ulp
+    // of the float threshold can't flip membership between engines.
+    // (Longs, not decimal·k: Spark's precision-capped decimal
+    // multiply truncates scale 8→6 and would break exactness.)
+    "rel_tpch_q11" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val sup = tbl(s, dir, "supplier")
+      val n = tbl(s, dir, "nation")
+      val supN = sup.join(broadcast(n.where(col("n_name") === "NATION_3")
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val cents = floor(col("l_extendedprice") * col("l_quantity")
+        * 100.0 + 0.5).cast("long")
+      val perPart = li.join(broadcast(supN),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey")).agg(sum(cents).as("v"))
+      perPart.crossJoin(broadcast(perPart.agg(sum(col("v")).as("tot"),
+          count(lit(1)).as("np"))))
+        .where(col("v") * col("np") > col("tot"))
+        .select(col("l_partkey"),
+          round(col("v").cast("double") / 100.0, 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+    // TPC-H Q15 shape (op 312, top supplier): quarterly revenue per
+    // supplier, reporting the one(s) equal to the max — the
+    // view + scalar-subquery pattern. Revenue stays exact DECIMAL all
+    // the way through the max compare (equality on exact decimals is
+    // engine-stable); the 1-row max broadcasts.
+    "rel_tpch_q15" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val sup = tbl(s, dir, "supplier")
+      val rev = li.where(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,8)")).as("total_rev"))
+      rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("mx"))))
+        .where(col("total_rev") === col("mx"))
+        .join(broadcast(sup.select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_rev").cast("double"), 2).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // TPC-H Q16 shape (op 313, supplier-part relationships): distinct
+    // suppliers per (brand, type, size) bucket for mid-size non-PROMO
+    // parts off one brand, EXCLUDING a deterministic "complaints" set
+    // (suppkey ≡ 0 mod 7 — no comment column exists). The
+    // part-supplier catalog is the DISTINCT (partkey, suppkey) pair
+    // set from lineitem (no partsupp table); the exclusion is a
+    // broadcast anti join BEFORE the distinct-count agg.
+    "rel_tpch_q16" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val p = tbl(s, dir, "part")
+      val sup = tbl(s, dir, "supplier")
+      val complained = sup.where(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"))
+      val ps = li.select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(complained),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+      ps.join(broadcast(p.where(col("p_brand") =!= "Brand#9" &&
+            col("p_type") =!= "PROMO" && col("p_size") <= 10)
+            .select(col("p_partkey"), col("p_brand"), col("p_type"),
+              col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+    // TPC-H Q21 shape (op 314, suppliers who kept orders waiting):
+    // NATION_2 suppliers whose line in a finished (F) order shipped
+    // late (>60 days after the order date) while SOME other supplier
+    // contributed a line to the same order (EXISTS) and NO other
+    // supplier's line in that order was late (NOT EXISTS) — the
+    // double-correlated-subquery shape, decorrelated to one LeftSemi
+    // + one LeftAnti on the (orderkey, suppkey) self-relation. All
+    // three legs shuffle on orderkey only; the nation filter
+    // broadcasts onto the supplier side first.
+    "rel_tpch_q21" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+      val sup = tbl(s, dir, "supplier"); val n = tbl(s, dir, "nation")
+      val supN = sup.join(broadcast(n.where(col("n_name") === "NATION_2")
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val late = col("l_shipdate") > col("o_orderdate") +
+        expr("INTERVAL 60 DAYS")
+      val base = li.join(o.select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderstatus")),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_orderstatus") === "F")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          late.as("is_late"))
+        .localCheckpoint()
+      val l1 = base.where(col("is_late"))
+        .join(broadcast(supN), col("sk") === col("s_suppkey"))
+      val others = base.select(col("ok").as("ok2"), col("sk").as("sk2"),
+        col("is_late").as("late2"))
+      l1.join(others,
+          col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+        .join(others.where(col("late2")),
+          col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+    // TPC-H Q2 shape (op 315, minimum-cost supplier): for SMALL-type
+    // size-15 parts, the ASIA supplier(s) offering the part's minimum
+    // unit price — the correlated-min subquery, decorrelated into a
+    // per-part min over the (part, supplier) catalog + an exact join-
+    // back on the min. Unit price quantizes to integer cents BEFORE
+    // any min/compare (l_quantity is integral, so price/qty is the
+    // same double on both engines; the cent grid makes min/equality
+    // engine-stable). Catalog = DISTINCT-agg over lineitem (no
+    // partsupp table); part filter and supplier side broadcast.
+    "rel_tpch_q2" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val p = tbl(s, dir, "part")
+      val sup = tbl(s, dir, "supplier"); val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      val asiaSup = sup.join(broadcast(
+          n.join(broadcast(r.where(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name").as("nation"))
+      val parts = p.where(col("p_size") === 15 && col("p_type") === "SMALL")
+        .select(col("p_partkey"), col("p_brand"))
+      val cost = li.join(broadcast(parts),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("centq", floor(col("l_extendedprice")
+          / col("l_quantity") * 100.0 + 0.5).cast("long"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+        .agg(min(col("centq")).as("unit_cents"))
+      val wP = Window.partitionBy(col("p_partkey"))
+      cost.withColumn("mn", min(col("unit_cents")).over(wP))
+        .where(col("unit_cents") === col("mn"))
+        .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+          col("nation"), round(col("s_acctbal"), 2).as("s_acctbal"),
+          (col("unit_cents").cast("double") / 100.0).as("unit_price"))
+        .orderBy(col("s_acctbal").desc, col("nation"), col("s_name"),
+          col("p_partkey"))
+    }),
     // TPC-H Q22 shape (op 301, global sales opportunity): richer-
     // than-average customers DORMANT since 2000 (every custkey has
     // lifetime orders in this testdata, so the dormancy cutoff plays
@@ -5148,6 +5367,127 @@ object SparkEntry {
         |SELECT c_count, count(*) AS custdist
         |FROM cc GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // op 308: EXISTS with the same lateness predicate = the semi join.
+    "rel_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // op 309: same CASE-sums over the joined year of lineitems.
+    "rel_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // op 310: identical per-row profit parenthesization, exact-DECIMAL
+    // sum.
+    "rel_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - 0.5 * p_retailprice * l_quantity AS DECIMAL(30,8)))
+        |    AS DOUBLE), 2) AS sum_profit,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // op 311: same cents quantization, same long threshold compare.
+    "rel_tpch_q11" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(floor(l_extendedprice * l_quantity * 100.0 + 0.5)
+        |      AS BIGINT)) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey
+        |), t AS (SELECT sum(v) AS tot, count(*) AS np FROM pp)
+        |SELECT l_partkey, round(CAST(v AS DOUBLE) / 100.0, 2) AS value
+        |FROM pp CROSS JOIN t
+        |WHERE v * np > tot
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    // op 312: exact-DECIMAL revenue through the max equality.
+    "rel_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,8))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // op 313: DISTINCT pair catalog, NOT-IN exclusion, distinct count.
+    "rel_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO' AND p_size <= 10
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // op 314: EXISTS/NOT EXISTS over the same lateness predicate.
+    "rel_tpch_q21" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM base b1
+        |JOIN supplier ON s_suppkey = b1.sk
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name = 'NATION_2' AND b1.is_late
+        |  AND EXISTS (SELECT 1 FROM base b2
+        |              WHERE b2.ok = b1.ok AND b2.sk <> b1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM base b3
+        |                  WHERE b3.ok = b1.ok AND b3.sk <> b1.sk
+        |                    AND b3.is_late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    // op 315: same cent-grid unit price, per-part min + join-back.
+    "rel_tpch_q2" ->
+      """WITH cost AS (
+        |  SELECT p_partkey, p_brand, l_suppkey,
+        |    min(CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5)
+        |      AS BIGINT)) AS unit_cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_size = 15 AND p_type = 'SMALL'
+        |  GROUP BY 1, 2, 3
+        |), mn AS (
+        |  SELECT p_partkey AS mpk, min(unit_cents) AS m FROM cost
+        |  GROUP BY 1
+        |)
+        |SELECT p_partkey, p_brand, s_name,
+        |  n_name AS nation, round(s_acctbal, 2) AS s_acctbal,
+        |  CAST(unit_cents AS DOUBLE) / 100.0 AS unit_price
+        |FROM cost
+        |JOIN mn ON mpk = p_partkey AND unit_cents = m
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA'
+        |ORDER BY s_acctbal DESC, nation, s_name, p_partkey""".stripMargin,
     // op 301: same 1-row average; NOT EXISTS with the same date
     // cutoff = the anti join.
     "rel_tpch_q22" ->

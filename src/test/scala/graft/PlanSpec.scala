@@ -409,6 +409,38 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("TPC-H Q4 plans the late-line EXISTS as a LeftSemi with pushed dates") {
+    val p = plan("rel_tpch_q4")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as semi: " + p.take(800))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date bound not pushed")
+  }
+
+  test("TPC-H Q21 decorrelates EXISTS/NOT EXISTS into one semi + one anti") {
+    val p = plan("rel_tpch_q21")
+    assert(p.contains("LeftSemi"), "EXISTS leg missing: " + p.take(800))
+    assert(p.contains("LeftAnti"), "NOT EXISTS leg missing: " + p.take(800))
+    assert(!p.contains("CartesianProduct"), "cartesian in Q21")
+  }
+
+  test("TPC-H Q16 excludes complaint suppliers via a broadcast anti join") {
+    val p = plan("rel_tpch_q16")
+    assert(p.contains("LeftAnti"), "NOT IN must plan as anti: " + p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("TPC-H Q2 min-cost join-back stays broadcast/keyed, no cartesian") {
+    val p = plan("rel_tpch_q2")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "cartesian in Q2")
+  }
+
+  test("TPC-H Q9 pushes the part-name filter and broadcasts the dims") {
+    val p = plan("rel_tpch_q9")
+    assert(p.contains("StringContains(p_name,red)"), "p_name not pushed")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("TPC-H Q17 filters the fact to the brand BEFORE the window shuffle") {
     val p = plan("rel_tpch_q17")
     // the window's shuffle must sit above the broadcast semi-join with

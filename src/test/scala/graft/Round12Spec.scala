@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 wave: the TPC-H completion shapes (Q2/Q4/Q9/Q11/Q12/Q15/
+  * Q16/Q21 adapted to the testdata's columns — no partsupp or
+  * commit/receipt dates exist, so lateness is ship-vs-order date and
+  * the part-supplier catalog is the distinct lineitem pair set). Each
+  * query is checked against an INDEPENDENT in-test recomputation over
+  * collected rows in plain Scala, not a restatement of the production
+  * expression.
+  */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val orders = graft.sources.Tables.load(spark, dir, "orders")
+    .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+      unix_micros($"o_orderdate"), $"o_orderpriority")
+    .as[(Long, Long, String, Long, String)].collect()
+  private lazy val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    .select($"l_orderkey", $"l_suppkey", $"l_partkey", $"l_quantity",
+      $"l_extendedprice", $"l_discount", unix_micros($"l_shipdate"),
+      $"l_returnflag")
+    .as[(Long, Long, Long, Double, Double, Double, Long, String)].collect()
+  private lazy val part = graft.sources.Tables.load(spark, dir, "part")
+    .select($"p_partkey", $"p_name", $"p_brand", $"p_type",
+      $"p_size".cast("long"), $"p_retailprice")
+    .as[(Long, String, String, String, Long, Double)].collect()
+  private lazy val sup = graft.sources.Tables.load(spark, dir, "supplier")
+    .select($"s_suppkey", $"s_name", $"s_nationkey".cast("long"),
+      $"s_acctbal")
+    .as[(Long, String, Long, Double)].collect()
+  private lazy val nation = graft.sources.Tables.load(spark, dir, "nation")
+    .select($"n_nationkey".cast("long"), $"n_name",
+      $"n_regionkey".cast("long"))
+    .as[(Long, String, Long)].collect()
+  private lazy val region = graft.sources.Tables.load(spark, dir, "region")
+    .select($"r_regionkey".cast("long"), $"r_name")
+    .as[(Long, String)].collect()
+
+  private def usOf(date: String): Long =
+    java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli * 1000L
+  private val dayUs = 86400000000L
+
+  test("rel_tpch_q4: EXISTS-late order counts by priority") {
+    val lo = usOf("1997-07-01"); val hi = usOf("1997-10-01")
+    val lateOrders = li.groupBy(_._1) // orderkey -> lines
+    val want = orders.filter(o => o._4 >= lo && o._4 < hi)
+      .filter(o => lateOrders.getOrElse(o._1, Array.empty[
+        (Long, Long, Long, Double, Double, Double, Long, String)])
+        .exists(l => l._7 > o._4 + 90 * dayUs))
+      .groupBy(_._5).map { case (k, os) => k -> os.length.toLong }
+    val got = SparkEntry.queries("rel_tpch_q4")(spark, dir)
+      .select($"o_orderpriority", $"order_count")
+      .as[(String, Long)].collect().toMap
+    assert(got == want && got.nonEmpty, s"got $got want $want")
+  }
+
+  test("rel_tpch_q12: priority class counts by returnflag") {
+    val lo = usOf("1997-01-01"); val hi = usOf("1998-01-01")
+    val pri = orders.map(o => o._1 -> o._5).toMap
+    val want = li.filter(l => l._7 >= lo && l._7 < hi)
+      .groupBy(_._8).map { case (k, ls) =>
+        val high = ls.count(l =>
+          Set("1-URGENT", "2-HIGH")(pri(l._1)))
+        k -> (high.toLong, (ls.length - high).toLong)
+      }
+    val got = SparkEntry.queries("rel_tpch_q12")(spark, dir)
+      .select($"l_returnflag", $"high_line_count", $"low_line_count")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want && got.nonEmpty, s"got $got want $want")
+  }
+
+  test("rel_tpch_q9: red-part profit by supplier nation and order year") {
+    val nName = nation.map(r => r._1 -> r._2).toMap
+    val supN = sup.map(r => r._1 -> nName(r._3)).toMap
+    val redRp = part.filter(_._2.contains("red"))
+      .map(r => r._1 -> r._6).toMap
+    val oYear = orders.map(o => o._1 ->
+      java.time.Instant.ofEpochMilli(o._4 / 1000)
+        .atZone(java.time.ZoneOffset.UTC).getYear.toLong).toMap
+    val want = li.filter(l => redRp.contains(l._3))
+      .groupBy(l => (supN(l._2), oYear(l._1)))
+      .map { case (k, ls) =>
+        k -> (ls.map(l => l._5 * (1.0 - l._6) - 0.5 * redRp(l._3) * l._4)
+          .sum, ls.length.toLong)
+      }
+    val got = SparkEntry.queries("rel_tpch_q9")(spark, dir)
+      .select($"nation", $"o_year", $"sum_profit", $"n_items")
+      .as[(String, Long, Double, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    for ((nm, yr, pf, ni) <- got) {
+      val (wp, wn) = want((nm, yr))
+      assert(ni == wn && math.abs(pf - wp) < 0.02, s"q9 $nm $yr $pf vs $wp")
+    }
+  }
+
+  test("rel_tpch_q11: above-mean part values from one nation's suppliers") {
+    val nat5 = nation.filter(_._2 == "NATION_3").map(_._1).toSet
+    val supIn = sup.filter(s => nat5(s._3)).map(_._1).toSet
+    val perPart = li.filter(l => supIn(l._2))
+      .groupBy(_._3).map { case (k, ls) =>
+        k -> ls.map(l => math.floor(l._5 * l._4 * 100.0 + 0.5).toLong).sum
+      }
+    val tot = perPart.values.sum; val np = perPart.size
+    val want = perPart.filter { case (_, v) => v * np > tot }
+      .map { case (k, v) =>
+        k -> (math.round(v.toDouble / 100.0 * 100.0) / 100.0) }
+    val got = SparkEntry.queries("rel_tpch_q11")(spark, dir)
+      .select($"l_partkey", $"value").as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet && got.nonEmpty,
+      s"${got.size} vs ${want.size}")
+    for ((k, v) <- got) assert(math.abs(v - want(k)) < 0.011, s"q11 $k")
+  }
+
+  test("rel_tpch_q15: supplier(s) at the quarterly revenue max") {
+    val lo = usOf("1997-01-01"); val hi = usOf("1997-04-01")
+    def d8(v: Double) = BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val rev = li.filter(l => l._7 >= lo && l._7 < hi)
+      .groupBy(_._2).map { case (k, ls) =>
+        k -> ls.map(l => d8(l._5 * (1.0 - l._6))).sum }
+    val mx = rev.values.max
+    val want = rev.filter(_._2 == mx).keySet
+    val got = SparkEntry.queries("rel_tpch_q15")(spark, dir)
+      .select($"s_suppkey", $"total_revenue").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSet == want && got.nonEmpty)
+    for ((k, v) <- got)
+      assert(math.abs(v - rev(k).toDouble) < 0.02, s"q15 $k")
+  }
+
+  test("rel_tpch_q16: distinct supplier counts per part bucket") {
+    val excl = sup.filter(_._1 % 7 == 0).map(_._1).toSet
+    val pInfo = part.filter(p =>
+        p._3 != "Brand#9" && p._4 != "PROMO" && p._5 <= 10)
+      .map(p => p._1 -> ((p._3, p._4, p._5))).toMap
+    val want = li.map(l => (l._3, l._2)).distinct
+      .filter(ps => !excl(ps._2) && pInfo.contains(ps._1))
+      .groupBy(ps => pInfo(ps._1))
+      .map { case (k, ps) => k -> ps.map(_._2).distinct.length.toLong }
+    val got = SparkEntry.queries("rel_tpch_q16")(spark, dir)
+      .select($"p_brand", $"p_type", $"p_size".cast("long"), $"supplier_cnt")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(got == want && got.nonEmpty, s"${got.size} vs ${want.size}")
+  }
+
+  test("rel_tpch_q21: lone-late suppliers in finished orders") {
+    val ordOf = orders.map(o => o._1 -> o).toMap
+    val base = li.flatMap { l =>
+      val o = ordOf(l._1)
+      if (o._3 == "F") Some((l._1, l._2, l._7 > o._4 + 60 * dayUs)) else None
+    }
+    val byOrder = base.groupBy(_._1)
+    val nat2 = nation.filter(_._2 == "NATION_2").map(_._1).toSet
+    val supName = sup.filter(s => nat2(s._3)).map(s => s._1 -> s._2).toMap
+    val want = base.filter { case (ok, sk, late) =>
+        late && supName.contains(sk) &&
+        byOrder(ok).exists(b => b._2 != sk) &&
+        !byOrder(ok).exists(b => b._2 != sk && b._3)
+      }.groupBy(b => supName(b._2))
+      .map { case (k, bs) => k -> bs.length.toLong }
+    val got = SparkEntry.queries("rel_tpch_q21")(spark, dir)
+      .select($"s_name", $"numwait").as[(String, Long)].collect().toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("rel_tpch_q2: per-part minimum unit price from ASIA suppliers") {
+    val asiaRegions = region.filter(_._2 == "ASIA").map(_._1).toSet
+    val asiaNations = nation.filter(n => asiaRegions(n._3))
+    val asiaSup = sup.filter(s => asiaNations.exists(_._1 == s._3))
+      .map(_._1).toSet
+    val pSel = part.filter(p => p._5 == 15 && p._4 == "SMALL")
+      .map(_._1).toSet
+    val cost = li.filter(l => pSel(l._3))
+      .groupBy(l => (l._3, l._2)).map { case (k, ls) =>
+        k -> ls.map(l =>
+          math.floor(l._5 / l._4 * 100.0 + 0.5).toLong).min }
+    val mins = cost.groupBy(_._1._1)
+      .map { case (pk, cs) => pk -> cs.values.min }
+    val want = cost.filter { case ((pk, sk), c) =>
+      c == mins(pk) && asiaSup(sk) }.keySet
+    val got = SparkEntry.queries("rel_tpch_q2")(spark, dir)
+      .select($"p_partkey", $"unit_price").as[(Long, Double)].collect()
+    // got carries (part, supplier) rows; re-derive the pair set via the
+    // unit price to cross-check values too
+    assert(got.map(_._1).toSet == want.map(_._1), s"q2 parts")
+    for ((pk, price) <- got)
+      assert(math.abs(price - mins(pk).toDouble / 100.0) < 1e-9, s"q2 $pk")
+    assert(got.length == want.size, s"${got.length} vs ${want.size}")
+  }
+}
