@@ -6725,6 +6725,101 @@ object SparkEntry {
             .cast("double")) / 1e8 / 1e6, 6) + lit(0.0)).as("port_vol"))
         .orderBy(col("event_type"))
     }),
+    // Two-factor OLS (op 316; the CAPM grid's multi-factor successor —
+    // Fama/French-style attribution): each non-factor series regressed
+    // on the rn-aligned click AND view return factors via the closed
+    // 2×2 normal equations. Returns quantize to 1e-6 longs, every raw
+    // moment is an exact long/decimal sum (one keyed agg after the
+    // shared rn window + factor pivot join), and the determinant
+    // algebra runs in double on those exact integers — deterministic
+    // on any engine, with the oracle replaying identical
+    // parenthesization. det ≤ 0 (collinear factors) takes the null
+    // path, the safeDiv convention.
+    "eod_factor_ols" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+      val f = r.where(col("event_type").isin("click", "view"))
+        .groupBy(col("rn")).agg(
+          max(when(col("event_type") === "click", col("q"))).as("x1"),
+          max(when(col("event_type") === "view", col("q"))).as("x2"))
+        .where(col("x1").isNotNull && col("x2").isNotNull)
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val m = r.where(!col("event_type").isin("click", "view"))
+        .select(col("event_type"), col("rn"), col("q").as("y"))
+        .join(f, "rn")
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+          sum(col("y")).as("sy"),
+          sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+          sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+          sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+          sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
+          sum(dec(col("x2")) * dec(col("y"))).as("s2y"),
+          sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      val nD = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val a11 = d("s11") - d("s1") * d("s1") / nD
+      val a22 = d("s22") - d("s2") * d("s2") / nD
+      val a12 = d("s12") - d("s1") * d("s2") / nD
+      val c1y = d("s1y") - d("s1") * d("sy") / nD
+      val c2y = d("s2y") - d("s2") * d("sy") / nD
+      val cyy = d("syy") - d("sy") * d("sy") / nD
+      val det = a11 * a22 - a12 * a12
+      val b1 = (a22 * c1y - a12 * c2y) / det
+      val b2 = (a11 * c2y - a12 * c1y) / det
+      val alpha = (d("sy") - b1 * d("s1") - b2 * d("s2")) / nD / 1e6
+      val r2 = (b1 * c1y + b2 * c2y) / cyy
+      m.select(col("event_type"), col("n"),
+          (round(when(det > 0, b1), 6) + lit(0.0)).as("beta_click"),
+          (round(when(det > 0, b2), 6) + lit(0.0)).as("beta_view"),
+          (round(when(det > 0, alpha), 6) + lit(0.0)).as("alpha"),
+          (round(when(det > 0 && cyy > 0, r2), 6) + lit(0.0)).as("r2"))
+        .orderBy(col("event_type"))
+    }),
+    // PageRank over the op-150 kNN graph (op 317; corpus centrality —
+    // the representative-document signal cluster-based curation ranks
+    // by). INTEGER micro-rank algebra end-to-end: ranks live on the
+    // 1e-9 grid as longs, per-edge contribution is integer division by
+    // out-degree, damping 0.85 is ·17 div 20 — every iteration is
+    // exact long arithmetic with NO float summation anywhere, so any
+    // engine/partitioning replays it bit-for-bit (the dropped division
+    // remainders are the standard integer-PageRank mass leak; both
+    // engines drop identical remainders). 3 iterations on the ≤3N-row
+    // edge relation, localCheckpoint per step; the graph build is the
+    // one data-sized stage (same capped-bucket shape as op 150).
+    "embed_pagerank" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding", 3,
+          EmbDim, planes = 4)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val edgesOd = edges.join(
+          edges.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
+        .localCheckpoint()
+      val nodes = emb.select(col("vec_id"))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("nn"))))
+        .localCheckpoint()
+      val r0 = nodes.select(col("vec_id"), col("nn"),
+        expr("1000000000 div nn").as("rq"))
+      val rF = (1 to 3).foldLeft(r0) { (rank, _) =>
+        val inflow = edgesOd
+          .join(rank.select(col("vec_id").as("src"), col("rq")), "src")
+          .withColumn("c", expr("rq div od"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        val next = nodes
+          .join(inflow, col("vec_id") === col("dst"), "left")
+          .select(col("vec_id"), col("nn"),
+            (expr("150000000 div nn") +
+              expr("(17 * coalesce(inflow, 0L)) div 20")).as("rq"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(rank)
+        next
+      }
+      rF.select(col("vec_id"),
+          (col("rq").cast("double") / 1e9).as("pagerank"))
+        .orderBy(col("vec_id"))
+    }),
     // Zipf fit per source (op 149): OLS slope of ln(freq) on ln(rank)
     // over the top token ranks — the corpus-health diagnostic (natural
     // text ≈ −1; templated/spam corpora flatten or steepen). One token
@@ -10357,6 +10452,64 @@ object SparkEntry {
           |    + 0.0 AS port_vol
           |FROM f CROSS JOIN tot ORDER BY event_type""".stripMargin
       },
+      // op 316: identical quantized moments (hugeint = the Spark
+      // side's decimal) and identical double parenthesization of the
+      // 2×2 normal-equation algebra — deterministic on the same
+      // integers, so the rounded coefficients match bit-for-bit.
+      "eod_factor_ols" ->
+        s"""$R_CTE, x AS (
+          |  SELECT event_type,
+          |    CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS q,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY ts, event_id) AS rn
+          |  FROM r WHERE ret IS NOT NULL
+          |), f AS (
+          |  SELECT rn,
+          |    max(CASE WHEN event_type = 'click' THEN q END) AS x1,
+          |    max(CASE WHEN event_type = 'view' THEN q END) AS x2
+          |  FROM x WHERE event_type IN ('click', 'view') GROUP BY rn
+          |), fok AS (
+          |  SELECT * FROM f WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+          |), a AS (
+          |  SELECT event_type, count(*) AS n,
+          |    sum(x1) AS s1, sum(x2) AS s2, sum(q) AS sy,
+          |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+          |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+          |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+          |    sum(CAST(x1 AS HUGEINT) * q) AS s1y,
+          |    sum(CAST(x2 AS HUGEINT) * q) AS s2y,
+          |    sum(CAST(q AS HUGEINT) * q) AS syy
+          |  FROM x JOIN fok USING (rn)
+          |  WHERE event_type NOT IN ('click', 'view')
+          |  GROUP BY event_type
+          |), m AS (
+          |  SELECT event_type, n,
+          |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+          |    CAST(sy AS DOUBLE) AS syd,
+          |    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n AS a11,
+          |    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n AS a22,
+          |    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n AS a12,
+          |    CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / n AS c1y,
+          |    CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / n AS c2y,
+          |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cyy
+          |  FROM a
+          |), b AS (
+          |  SELECT event_type, n, s1d, s2d, syd, c1y, c2y, cyy,
+          |    a11 * a22 - a12 * a12 AS det,
+          |    (a22 * c1y - a12 * c2y) / (a11 * a22 - a12 * a12) AS b1,
+          |    (a11 * c2y - a12 * c1y) / (a11 * a22 - a12 * a12) AS b2
+          |  FROM m
+          |)
+          |SELECT event_type, n,
+          |  CASE WHEN det > 0 THEN round(b1, 6) + 0.0 END AS beta_click,
+          |  CASE WHEN det > 0 THEN round(b2, 6) + 0.0 END AS beta_view,
+          |  CASE WHEN det > 0 THEN
+          |    round((syd - b1 * s1d - b2 * s2d) / n / 1000000.0, 6) + 0.0
+          |  END AS alpha,
+          |  CASE WHEN det > 0 AND cyy > 0 THEN
+          |    round((b1 * c1y + b2 * c2y) / cyy, 6) + 0.0
+          |  END AS r2
+          |FROM b ORDER BY event_type""".stripMargin,
       "text_zipf" ->
         """WITH tk AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
           |f AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
@@ -11348,6 +11501,55 @@ object SparkEntry {
           |)
           |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
           |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      // op 317: the op-150 edge CTE verbatim, then 3 PageRank
+      // iterations unrolled — every step integer division on the 1e-9
+      // grid (// is BIGINT floor division; both engines drop identical
+      // remainders), so ranks match bit-for-bit.
+      "embed_pagerank" -> {
+        val iters = (1 to 3).map { i =>
+          s"""i$i AS (
+             |  SELECT dst, sum(rq // od) AS inflow
+             |  FROM g JOIN od USING (src)
+             |  JOIN r${i - 1} ON r${i - 1}.vec_id = g.src
+             |  GROUP BY dst
+             |), r$i AS (
+             |  SELECT emb.vec_id,
+             |    150000000 // nn + (17 * coalesce(inflow, 0)) // 20 AS rq
+             |  FROM (SELECT vec_id FROM embeddings) emb CROSS JOIN nn
+             |  LEFT JOIN i$i ON i$i.dst = emb.vec_id
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |t0 AS (
+          |  SELECT vec_id, v, 0 AS tbl, ${lshBucketSqlAt("v", 0, 4)} AS bucket FROM e
+          |  UNION ALL
+          |  SELECT vec_id, v, 4 AS tbl, ${lshBucketSqlAt("v", 4, 4)} AS bucket FROM e
+          |), t AS (
+          |  SELECT * FROM (
+          |    SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bc FROM t0
+          |  ) WHERE bc <= 10000
+          |), p AS (
+          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |    max(list_dot_product(a.v, b.v) /
+          |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) AS cosine
+          |  FROM t a JOIN t b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          |  WHERE b.vec_id <> a.vec_id
+          |  GROUP BY 1, 2
+          |), rk AS (
+          |  SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |  FROM p
+          |), g AS (
+          |  SELECT query_id AS src, neighbor_id AS dst FROM rk WHERE rnk <= 3
+          |), od AS (SELECT src, count(*) AS od FROM g GROUP BY src),
+          |nn AS (SELECT count(*) AS nn FROM embeddings),
+          |r0 AS (
+          |  SELECT vec_id, 1000000000 // nn AS rq
+          |  FROM embeddings CROSS JOIN nn
+          |), $iters
+          |SELECT vec_id, CAST(rq AS DOUBLE) / 1e9 AS pagerank
+          |FROM r3 ORDER BY vec_id""".stripMargin
+      },
       "sim_quotes" ->
         s"""WITH $QUOTES_CTE
           |SELECT ticker, ts_us, bid, ask, bid_size, ask_size, exchange, day

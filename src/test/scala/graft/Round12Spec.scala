@@ -168,6 +168,84 @@ class Round12Spec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("eod_factor_ols: closed-form 2-factor OLS matches a local solve") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(r => (r._2, r._3)).map(_._4) }
+    def qrets(p: Array[Double]) = p.sliding(2)
+      .map { case Array(a, b) => math.floor((b / a - 1) * 1e6 + 0.5).toLong }
+      .toArray
+    val f1 = qrets(ev("click")); val f2 = qrets(ev("view"))
+    val got = SparkEntry.queries("eod_factor_ols")(spark, dir)
+      .select($"event_type", $"n", $"beta_click", $"beta_view", $"alpha",
+        $"r2")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((k, p) <- ev if k != "click" && k != "view") {
+      val y = qrets(p)
+      val n = Seq(f1.length, f2.length, y.length).min
+      val (x1, x2, yy) = (f1.take(n).map(_.toDouble),
+        f2.take(n).map(_.toDouble), y.take(n).map(_.toDouble))
+      def mean(a: Array[Double]) = a.sum / n
+      val (m1, m2, my) = (mean(x1), mean(x2), mean(yy))
+      def cm(a: Array[Double], ma: Double, b: Array[Double], mb: Double) =
+        a.zip(b).map { case (u, v) => (u - ma) * (v - mb) }.sum
+      val a11 = cm(x1, m1, x1, m1); val a22 = cm(x2, m2, x2, m2)
+      val a12 = cm(x1, m1, x2, m2)
+      val c1y = cm(x1, m1, yy, my); val c2y = cm(x2, m2, yy, my)
+      val cyy = cm(yy, my, yy, my)
+      val det = a11 * a22 - a12 * a12
+      val b1 = (a22 * c1y - a12 * c2y) / det
+      val b2 = (a11 * c2y - a12 * c1y) / det
+      val alpha = (my - b1 * m1 - b2 * m2) / 1e6
+      val r2 = (b1 * c1y + b2 * c2y) / cyy
+      val g = got(k)
+      assert(g._2 == n, s"$k n ${g._2} vs $n")
+      assert(math.abs(g._3 - b1) < 1e-5, s"$k b1 ${g._3} vs $b1")
+      assert(math.abs(g._4 - b2) < 1e-5, s"$k b2")
+      assert(math.abs(g._5 - alpha) < 1e-5, s"$k alpha")
+      assert(math.abs(g._6 - r2) < 1e-5, s"$k r2")
+      // residual orthogonality: OLS residuals are uncorrelated with
+      // each factor (checks the solve, not just the replay)
+      val resid = yy.indices.map(i =>
+        yy(i) - my - b1 * (x1(i) - m1) - b2 * (x2(i) - m2))
+      val o1 = resid.zip(x1).map { case (e, x) => e * (x - m1) }.sum
+      assert(math.abs(o1) / math.sqrt(a11 * cm(yy, my, yy, my)) < 1e-9)
+    }
+  }
+
+  test("embed_pagerank: integer PageRank conserves rank ordering and mass") {
+    val got = SparkEntry.queries("embed_pagerank")(spark, dir)
+      .select($"vec_id", $"pagerank").as[(Long, Double)].collect()
+    val n = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    assert(got.length == n, s"${got.length} vs $n")
+    // every rank ≥ the damping floor and total mass ≤ 1 (integer
+    // division only leaks mass downward, never creates it)
+    val floorRank = (150000000L / n) / 1e9
+    assert(got.forall(_._2 >= floorRank - 1e-12))
+    val total = got.map(_._2).sum
+    assert(total <= 1.0 + 1e-9 && total > 0.3, s"mass $total")
+    // local replay: rebuild the same graph via the library kernel and
+    // run the same integer recursion in plain Scala
+    val edges = graft.operators.Similarity.knnGraph(
+        graft.sources.Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", 3, 64, planes = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val od = edges.groupBy(_._1).map { case (k, es) => k -> es.length }
+    val ids = got.map(_._1)
+    var rank = ids.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val inflow = edges.groupBy(_._2).map { case (dstId, es) =>
+        dstId -> es.map(e => rank(e._1) / od(e._1)).sum }
+      rank = ids.map(id =>
+        id -> (150000000L / n + 17L * inflow.getOrElse(id, 0L) / 20L)).toMap
+    }
+    for ((id, pr) <- got)
+      assert(math.abs(pr - rank(id) / 1e9) < 1e-12, s"pr $id")
+  }
+
   test("rel_tpch_q2: per-part minimum unit price from ASIA suppliers") {
     val asiaRegions = region.filter(_._2 == "ASIA").map(_._1).toSet
     val asiaNations = nation.filter(n => asiaRegions(n._3))
