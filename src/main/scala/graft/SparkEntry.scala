@@ -6282,6 +6282,37 @@ object SparkEntry {
           round(col("recall"), 6).as("recall"))
         .orderBy(col("query_id"))
     }),
+    // NDCG@3 of the LSH ranking vs brute truth (op 318; the
+    // POSITION-aware companion to op 158's recall — recall can't see
+    // that the one true neighbor sits at rank 3, NDCG can). Binary
+    // relevance against the exact top-3; the rank discounts
+    // 1/log2(i+1) are PRECOMPUTED 1e-9-grid integer constants
+    // (1e9, 630929754, 5e8 — no libm in either engine), so per-query
+    // DCG is an exact long sum and NDCG one double division by the
+    // constant ideal (2130929754). Queries whose LSH buckets return
+    // nothing keep a 0 row via the left join from the query set.
+    "ann_ndcg" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val c = e.where(col("vec_id") >= 5)
+      val gt = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("rel"))
+      val disc = when(col("rank") === 1, 1000000000L)
+        .when(col("rank") === 2, 630929754L).otherwise(500000000L)
+      val scored = Similarity.lshTopK(q, c, "vec_id", "embedding", 3, EmbDim)
+        .join(gt, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("g", coalesce(col("rel"), lit(0L)) * disc)
+        .groupBy(col("query_id"))
+        .agg(sum(col("g")).as("dcg"),
+          sum(coalesce(col("rel"), lit(0L))).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(scored, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("dcg"), lit(0L)).cast("double")
+            / 2130929754.0, 6).as("ndcg"))
+        .orderBy(col("query_id"))
+    }),
     // IVF tuning curve (op 237, the op-168 recall evaluation swept
     // over nProbe): recall@3 vs exact ground truth at nProbe ∈
     // {1,2,4} — the measured probe/recall trade every IVF deployment
@@ -11419,6 +11450,51 @@ object SparkEntry {
           |FROM gt LEFT JOIN ap ON gt.query_id = ap.query_id
           |  AND gt.neighbor_id = ap.neighbor_id
           |GROUP BY gt.query_id ORDER BY gt.query_id""".stripMargin,
+      // op 318: same integer discount table over the same LSH/brute
+      // CTEs; per-query DCG an exact long sum, one double division.
+      "ann_ndcg" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+          |sb AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM q CROSS JOIN c
+          |), gt AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |    FROM sb) WHERE rnk <= 3
+          |),
+          |qb AS (SELECT query_id, qv, ${lshBucketSql("qv")} AS bucket FROM q),
+          |cb AS (SELECT neighbor_id, cv, ${lshBucketSql("cv")} AS bucket FROM c),
+          |sl AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM cb JOIN qb USING (bucket)
+          |), ap AS (
+          |  SELECT query_id, neighbor_id, rnk FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |    FROM sl) WHERE rnk <= 3
+          |), sc AS (
+          |  SELECT ap.query_id,
+          |    sum(CASE WHEN gt.neighbor_id IS NOT NULL THEN
+          |      CASE ap.rnk WHEN 1 THEN 1000000000
+          |                  WHEN 2 THEN 630929754 ELSE 500000000 END
+          |      ELSE 0 END) AS dcg,
+          |    CAST(sum(CASE WHEN gt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_hits
+          |  FROM ap LEFT JOIN gt ON gt.query_id = ap.query_id
+          |    AND gt.neighbor_id = ap.neighbor_id
+          |  GROUP BY ap.query_id
+          |)
+          |SELECT q.query_id,
+          |  coalesce(n_hits, 0) AS n_hits,
+          |  round(CAST(coalesce(dcg, 0) AS DOUBLE) / 2130929754.0, 6) AS ndcg
+          |FROM q LEFT JOIN sc ON sc.query_id = q.query_id
+          |ORDER BY q.query_id""".stripMargin,
       "ann_topk_ivf" -> ivfOracle(labeled = false),
       // op 237: the ivfOracle chain with qr swept over the probe
       // levels via a lateral probe-level join; hits vs the shared

@@ -246,6 +246,35 @@ class Round12Spec extends SparkSpec {
       assert(math.abs(pr - rank(id) / 1e9) < 1e-12, s"pr $id")
   }
 
+  test("ann_ndcg: position-aware quality from library rankings") {
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val q = e.where($"vec_id" < 5); val c = e.where($"vec_id" >= 5)
+    val gt = graft.operators.Similarity
+      .bruteForceTopK(q, c, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+    val ap = graft.operators.Similarity
+      .lshTopK(q, c, "vec_id", "embedding", 3, 64)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect()
+    val disc = Map(1L -> 1000000000L, 2L -> 630929754L, 3L -> 500000000L)
+    val want = ap.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.filter(r => gt(k)(r._3)).map(r => disc(r._2)).sum }
+    val got = SparkEntry.queries("ann_ndcg")(spark, dir)
+      .select($"query_id", $"n_hits", $"ndcg")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 5)
+    for ((k, hits, ndcg) <- got) {
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"$k range")
+      val w = math.round(want.getOrElse(k, 0L) / 2130929754.0 * 1e6) / 1e6
+      assert(math.abs(ndcg - w) < 1e-9, s"$k ndcg $ndcg vs $w")
+      assert(hits == ap.filter(_._1 == k).count(r => gt(k)(r._3)), s"$k hits")
+      // position sensitivity: perfect recall at perfect order = 1.0
+      if (hits == 3 && ap.filter(_._1 == k).forall(r => gt(k)(r._3)))
+        assert(ndcg <= 1.0 + 1e-12)
+    }
+  }
+
   test("rel_tpch_q2: per-part minimum unit price from ASIA suppliers") {
     val asiaRegions = region.filter(_._2 == "ASIA").map(_._1).toSet
     val asiaNations = nation.filter(n => asiaRegions(n._3))
