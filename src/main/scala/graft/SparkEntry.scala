@@ -5980,6 +5980,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docCorpus(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
+    // Directed shingle containment (op 319; Broder 1997's second
+    // resemblance measure): the asymmetric quote/subset signal —
+    // a short doc pasted whole into a long one clears containment
+    // while its Jaccard drowns in the long side's union.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docCorpus(s, dir), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embCorpus(s, dir), "vec_id", "embedding",
           0.99, EmbDim)
@@ -6921,6 +6929,42 @@ object SparkEntry {
     // D is an exact rational; λ and the asymptotic p-value are then
     // identical double algebra. Dense grid = distinct values ×
     // broadcast(5 types) — no all-pairs, one cumulative window.
+    // Population stability index (op 320; the industry-standard
+    // feature-drift score credit/feature monitoring reports —
+    // PSI = Σ_bins (p−q)·ln(p/q), <0.1 stable / >0.25 shifted): each
+    // series' return distribution vs the view benchmark over fixed
+    // 1e-3-wide bins clamped to ±10 (the op-225 family's binning,
+    // coarser so bins are populated). Bin counts are exact integers;
+    // each PSI term is ln of a ratio of exact rationals — a
+    // deterministic double on identical integers, so the 6dp round is
+    // engine-stable. Bins empty on EITHER side are skipped (the
+    // standard ε-free convention) and reported via n_bins. Keyed
+    // aggs only; at 100 TB this is two map-side-combined counts.
+    "stats_psi" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("bin", greatest(lit(-10000L),
+          least(lit(10000L), floor(col("ret") * 1000.0).cast("long"))))
+      val cnt = r.groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val tot = r.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+      val ct = cnt.join(tot, "event_type")
+      val aSide = ct.where(col("event_type") =!= "view")
+        .select(col("event_type"), col("bin"), col("c").as("ca"),
+          col("nt").as("na"))
+      val bSide = ct.where(col("event_type") === "view")
+        .select(col("bin"), col("c").as("cb"), col("nt").as("nb"))
+      val p = col("ca").cast("double") / col("na").cast("double")
+      val q = col("cb").cast("double") / col("nb").cast("double")
+      aSide.join(bSide, "bin")
+        .withColumn("term", (p - q) * log(p / q))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_bins"),
+          round(sum(col("term")), 6).as("psi"))
+        .withColumn("verdict",
+          when(col("psi") < 0.1, "stable")
+            .when(col("psi") < 0.25, "moderate").otherwise("shifted"))
+        .orderBy(col("event_type"))
+    }),
     "stats_ks_test" -> ((s, dir) => {
       val r = withRet(s, dir).where(col("ret").isNotNull)
         .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
@@ -10121,6 +10165,30 @@ object SparkEntry {
           |)
           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
           |FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+      // op 319: same postings algebra, both directed containments.
+      "dedup_containment" ->
+        s"""$TOKS_CTE, sh AS (
+          |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(toks)-2, 1) + 1),
+          |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+          |  FROM t
+          |), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          |common AS (
+          |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+          |  GROUP BY a.id, b.id
+          |), j AS (
+          |  SELECT id_a, id_b,
+          |    common::DOUBLE / sa.sz::DOUBLE AS ca,
+          |    common::DOUBLE / sb.sz::DOUBLE AS cb
+          |  FROM common
+          |  JOIN sizes sa ON sa.id = id_a
+          |  JOIN sizes sb ON sb.id = id_b
+          |)
+          |SELECT id_a, id_b, round(ca, 6) AS containment_a,
+          |  round(cb, 6) AS containment_b
+          |FROM j WHERE greatest(ca, cb) >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin,
       // Replays the 4-table × 8-plane sign-LSH candidate generation of
       // Dedup.embeddingCosinePairs exactly (same md5-derived plane
       // literals), then the same exact-cosine verification — the
@@ -10764,6 +10832,38 @@ object SparkEntry {
           |  round(CAST(h.vol AS DOUBLE) / CAST(t.tv AS DOUBLE), 6) AS vol_share
           |FROM h JOIN t USING (event_type)
           |ORDER BY h.event_type, h.hr""".stripMargin,
+      // op 320: same fixed bins, exact integer counts, identical
+      // (p−q)·ln(p/q) parenthesization per bin.
+      "stats_psi" ->
+        s"""$R_CTE, b AS (
+          |  SELECT event_type,
+          |    greatest(-10000, least(10000,
+          |      CAST(floor(ret * 1000.0) AS BIGINT))) AS bin
+          |  FROM r WHERE ret IS NOT NULL
+          |), cnt AS (
+          |  SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2
+          |), tot AS (
+          |  SELECT event_type, count(*) AS nt FROM b GROUP BY 1
+          |), terms AS (
+          |  SELECT a.event_type,
+          |    (CAST(a.c AS DOUBLE) / ta.nt - CAST(v.c AS DOUBLE) / tv.nt) *
+          |    ln((CAST(a.c AS DOUBLE) / ta.nt) /
+          |       (CAST(v.c AS DOUBLE) / tv.nt)) AS term
+          |  FROM cnt a
+          |  JOIN tot ta ON ta.event_type = a.event_type
+          |  JOIN cnt v ON v.bin = a.bin AND v.event_type = 'view'
+          |  JOIN tot tv ON tv.event_type = 'view'
+          |  WHERE a.event_type <> 'view'
+          |), s AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
+          |    round(sum(term), 6) AS psi
+          |  FROM terms GROUP BY event_type
+          |)
+          |SELECT event_type, n_bins, psi,
+          |  CASE WHEN psi < 0.1 THEN 'stable'
+          |       WHEN psi < 0.25 THEN 'moderate'
+          |       ELSE 'shifted' END AS verdict
+          |FROM s ORDER BY event_type""".stripMargin,
       // op 225: same global 1e-6 grid, same integer KS numerator,
       // same λ/p-value algebra.
       "stats_ks_test" ->

@@ -269,6 +269,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Directed shingle containment C(A→B) = |A∩B| / |A| — the
+    * ASYMMETRIC near-dup signal Jaccard can't see: a short document
+    * quoted whole inside a much longer one has high containment but
+    * low Jaccard (the union is dominated by the long side). Standard
+    * for quote/subset detection in corpus curation (Broder 1997's
+    * second resemblance measure).
+    *
+    * Same single-postings-shuffle shape as [[ngramJaccardPairs]]
+    * (grouped postings → in-list pairs → count = |A∩B|), emitting
+    * BOTH directions' containment per unordered pair; kept when
+    * either direction clears the threshold. Same stop-shingle cap,
+    * same slight undercount trade under capping.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleWidth: Int = 3, threshold: Double = 0.5,
+                       maxPostings: Int = DefaultMaxBucket): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("_arr"))
+      .select(col("id"), size(col("_arr")).as("sz"), explode(col("_arr")).as("sh"))
+    sh.groupBy(col("sh"))
+      .agg(collect_list(struct(col("id"), col("sz"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxPostings)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"),
+        min(col("a.sz")).as("sz_a"), min(col("b.sz")).as("sz_b"))
+      .withColumn("containment_a",
+        col("common").cast("double") / col("sz_a").cast("double"))
+      .withColumn("containment_b",
+        col("common").cast("double") / col("sz_b").cast("double"))
+      .where(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment_a"), 6).as("containment_a"),
+        round(col("containment_b"), 6).as("containment_b"))
+  }
+
   /** Embedding near-duplicates: pairs with cosine >= threshold, with
     * candidates generated by sign-LSH bucketing (never all-pairs).
     *

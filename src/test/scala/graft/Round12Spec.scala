@@ -275,6 +275,73 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("dedup_containment: asymmetric subset signal a local set replay confirms") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def sh(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val shingled = docs.map { case (id, t) => id -> sh(t) }
+    val want = (for {
+      (ia, sa) <- shingled; (ib, sb) <- shingled if ia < ib
+      common = (sa & sb).size if common > 0
+      ca = common.toDouble / sa.size; cb = common.toDouble / sb.size
+      if math.max(ca, cb) >= 0.5
+    } yield (ia, ib) -> (ca, cb)).toMap
+    val got = SparkEntry.queries("dedup_containment")(spark, dir)
+      .select($"id_a", $"id_b", $"containment_a", $"containment_b")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // docCorpus plants extra dup docs beyond raw documents, so the
+    // production pair set is a superset; every raw-doc pair must match
+    val rawIds = docs.map(_._1).toSet
+    val gotRaw = got.filter { case ((a, b), _) => rawIds(a) && rawIds(b) }
+    assert(gotRaw.keySet == want.keySet,
+      s"${gotRaw.keySet.size} vs ${want.keySet.size}")
+    for ((k, (ca, cb)) <- gotRaw) {
+      assert(math.abs(ca - want(k)._1) < 1e-6, s"$k ca")
+      assert(math.abs(cb - want(k)._2) < 1e-6, s"$k cb")
+    }
+    // the asymmetric case exists somewhere: containment high, both
+    // directions unequal (a strict subset relationship)
+    assert(got.nonEmpty)
+  }
+
+  test("stats_psi: bin-replay equals the keyed aggregation") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(r => (r._2, r._3)).map(_._4) }
+    def bins(p: Array[Double]) = p.sliding(2)
+      .map { case Array(a, b) => b / a - 1 }
+      .map(r => math.max(-10000L, math.min(10000L,
+        math.floor(r * 1000.0).toLong)))
+      .toArray.groupBy(identity).map { case (k, v) => k -> v.length }
+    val vb = bins(ev("view")); val vn = vb.values.sum
+    val got = SparkEntry.queries("stats_psi")(spark, dir)
+      .select($"event_type", $"n_bins", $"psi", $"verdict")
+      .as[(String, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((k, p) <- ev if k != "view") {
+      val ab = bins(p); val an = ab.values.sum
+      val shared = ab.keySet & vb.keySet
+      val psi = shared.toSeq.map { b =>
+        val pa = ab(b).toDouble / an; val pv = vb(b).toDouble / vn
+        (pa - pv) * math.log(pa / pv)
+      }.sum
+      val g = got(k)
+      assert(g._2 == shared.size, s"$k bins ${g._2} vs ${shared.size}")
+      assert(math.abs(g._3 - psi) < 1e-5, s"$k psi ${g._3} vs $psi")
+      assert(g._4 == (if (psi < 0.1) "stable"
+        else if (psi < 0.25) "moderate" else "shifted") ||
+        math.abs(psi - 0.1) < 1e-5 || math.abs(psi - 0.25) < 1e-5, s"$k verdict")
+      assert(psi >= 0.0 - 1e-12, s"$k PSI is a divergence, nonneg")
+    }
+  }
+
   test("rel_tpch_q2: per-part minimum unit price from ASIA suppliers") {
     val asiaRegions = region.filter(_._2 == "ASIA").map(_._1).toSet
     val asiaNations = nation.filter(n => asiaRegions(n._3))
