@@ -523,6 +523,54 @@ object SparkEntry {
           round(Eod.cvarGivenVar(col("ret"), col("var5")), 6).as("cvar_5"))
         .orderBy(col("event_type"))
     }),
+    // Acerbi–Székely direct ES backtest (op 321; Acerbi/Székely 2014
+    // Z₂): completes the VaR validation family — Kupiec tests breach
+    // FREQUENCY (op 248), Christoffersen their INDEPENDENCE (op 250),
+    // Z₂ their MAGNITUDE against the predicted expected shortfall.
+    // Out-of-sample by construction (in-sample ES degenerates Z₂ to
+    // the breach count): VaR/ES estimated on each series' first half
+    // (R-7 quantile, tail mean from 1e-6-quantized EXACT sums),
+    // Z₂ = Σ_breach x/(T·α·ES) + 1 on the second half — E[Z₂] = 0
+    // under a correct model, < 0 when tail losses exceed the
+    // prediction. All sums integer-exact; Z₂ is one double expression
+    // on identical integers. Two keyed aggs + broadcast joins.
+    "eod_es_backtest" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("rn", row_number().over(wT))
+      val tot = r.groupBy(col("event_type")).agg(count(lit(1)).as("ntot"))
+      val rr = r.join(broadcast(tot), "event_type")
+        .withColumn("half", expr("ntot div 2"))
+      val train = rr.where(col("rn") <= col("half"))
+      val varT = train.groupBy(col("event_type"))
+        .agg(Eod.valueAtRisk(col("ret"), 0.05).as("var5"))
+      val qr = floor(col("ret") * 1e6 + 0.5).cast("long")
+      val trainEs = train.join(broadcast(varT), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("var5")).as("var5"),
+          sum(when(col("ret") <= col("var5"), qr).otherwise(lit(0L)))
+            .as("tq"),
+          sum(when(col("ret") <= col("var5"), 1L).otherwise(0L)).as("tn"))
+        .withColumn("es",
+          col("tq").cast("double") / 1e6 / col("tn").cast("double"))
+      val test = rr.where(col("rn") > col("half"))
+        .join(broadcast(trainEs), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test"),
+          max(col("var5")).as("var5"), max(col("es")).as("es"),
+          sum(when(col("ret") < col("var5"), qr).otherwise(lit(0L)))
+            .as("bq"),
+          sum(when(col("ret") < col("var5"), 1L).otherwise(0L))
+            .as("n_breach"))
+      val z2 = (col("bq").cast("double") / 1e6) /
+        (col("n_test").cast("double") * 0.05 * col("es")) + lit(1.0)
+      test.select(col("event_type"), col("n_test"), col("n_breach"),
+          round(col("var5"), 6).as("var_train"),
+          round(col("es"), 6).as("es_train"),
+          (round(when(col("es") < 0, z2), 6) + lit(0.0)).as("z2"),
+          when(col("es") < 0, round(when(col("es") < 0, z2), 6) < 0.0)
+            .as("es_underestimates_tail"))
+        .orderBy(col("event_type"))
+    }),
     // Kupiec proportion-of-failures VaR backtest (op 248; Kupiec
     // 1995): does the 5% VaR actually fail 5% of the time — the
     // regulatory validation of op 103. Breaches counted against the
@@ -3305,6 +3353,44 @@ object SparkEntry {
         |  CAST(CASE WHEN cusum_pos > 20000 OR cusum_neg > 20000
         |    THEN 1 ELSE 0 END AS BIGINT) AS breach
         |FROM m ORDER BY symbol, ts_us""".stripMargin,
+    // op 322: the op-294 return reconstruction (event_id order,
+    // value>0), the same float-floor binning, op-320's PSI algebra.
+    "streaming_psi" ->
+      """WITH r AS (
+        |  SELECT event_type AS symbol,
+        |    value / lag(value) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      - 1 AS ret
+        |  FROM events WHERE value > 0
+        |), b AS (
+        |  SELECT symbol,
+        |    greatest(-10000, least(10000, CAST(floor(
+        |      CAST(CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+        |        / 1000.0) AS BIGINT))) AS bin
+        |  FROM r WHERE ret IS NOT NULL
+        |), cnt AS (
+        |  SELECT symbol, bin, count(*) AS c FROM b GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT symbol, count(*) AS nt FROM b GROUP BY 1
+        |), terms AS (
+        |  SELECT a.symbol AS event_type,
+        |    (CAST(a.c AS DOUBLE) / ta.nt - CAST(v.c AS DOUBLE) / tv.nt) *
+        |    ln((CAST(a.c AS DOUBLE) / ta.nt) /
+        |       (CAST(v.c AS DOUBLE) / tv.nt)) AS term
+        |  FROM cnt a
+        |  JOIN tot ta ON ta.symbol = a.symbol
+        |  JOIN cnt v ON v.bin = a.bin AND v.symbol = 'view'
+        |  JOIN tot tv ON tv.symbol = 'view'
+        |  WHERE a.symbol <> 'view'
+        |), s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
+        |    round(sum(term), 6) AS psi
+        |  FROM terms GROUP BY event_type
+        |)
+        |SELECT event_type, n_bins, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |       WHEN psi < 0.25 THEN 'moderate'
+        |       ELSE 'shifted' END AS verdict
+        |FROM s ORDER BY event_type""".stripMargin,
     // op 224: the same ln(value/lag) sequence, the same 1e-12
     // product quantization, totals = the max-merged stream state.
     "streaming_bipower" ->
@@ -3563,6 +3649,55 @@ object SparkEntry {
         |FROM r JOIN q ON r.event_type = q.event_type
         |WHERE ret IS NOT NULL
         |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+    // op 321: same half split, same R-7 train cut, same exact
+    // quantized tail sums, identical Z₂ parenthesization.
+    "eod_es_backtest" ->
+      s"""$R_CTE, x AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS rn,
+        |    CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS qr
+        |  FROM r WHERE ret IS NOT NULL
+        |), tot AS (
+        |  SELECT event_type, count(*) AS ntot FROM x GROUP BY event_type
+        |), xr AS (
+        |  SELECT x.*, ntot // 2 AS half FROM x JOIN tot USING (event_type)
+        |), vt AS (
+        |  SELECT event_type, quantile_cont(ret, 0.05) AS var5
+        |  FROM xr WHERE rn <= half GROUP BY event_type
+        |), te AS (
+        |  SELECT xr.event_type, max(var5) AS var5,
+        |    CAST(sum(CASE WHEN ret <= var5 THEN qr ELSE 0 END) AS BIGINT)
+        |      AS tq,
+        |    sum(CASE WHEN ret <= var5 THEN 1 ELSE 0 END) AS tn
+        |  FROM xr JOIN vt USING (event_type)
+        |  WHERE rn <= half GROUP BY xr.event_type
+        |), es AS (
+        |  SELECT event_type, var5,
+        |    CAST(tq AS DOUBLE) / 1000000.0 / tn AS es
+        |  FROM te
+        |), t2 AS (
+        |  SELECT xr.event_type, count(*) AS n_test,
+        |    max(var5) AS var5, max(es.es) AS es,
+        |    CAST(sum(CASE WHEN ret < var5 THEN qr ELSE 0 END) AS BIGINT)
+        |      AS bq,
+        |    CAST(sum(CASE WHEN ret < var5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_breach
+        |  FROM xr JOIN es USING (event_type)
+        |  WHERE rn > half GROUP BY xr.event_type
+        |)
+        |SELECT event_type, n_test, n_breach,
+        |  round(var5, 6) AS var_train,
+        |  round(es, 6) AS es_train,
+        |  CASE WHEN es < 0 THEN
+        |    round((CAST(bq AS DOUBLE) / 1000000.0) /
+        |      (CAST(n_test AS DOUBLE) * 0.05 * es) + 1.0, 6) + 0.0
+        |  END AS z2,
+        |  CASE WHEN es < 0 THEN
+        |    round((CAST(bq AS DOUBLE) / 1000000.0) /
+        |      (CAST(n_test AS DOUBLE) * 0.05 * es) + 1.0, 6) < 0.0
+        |  END AS es_underestimates_tail
+        |FROM t2 ORDER BY event_type""".stripMargin,
     // op 248: the same R-7 cut, the same LR parenthesization with
     // ln(0.05)/ln(0.95) as shared round-trip literals.
     "eod_var_backtest" -> {
@@ -7603,6 +7738,53 @@ object SparkEntry {
               when(col("cusumPos") > 20000L || col("cusumNeg") > 20000L, 1L)
                 .otherwise(0L).as("breach"))
         }.orderBy(col("symbol"), col("ts_us"))
+      }
+    }),
+    // Streaming PSI drift monitor (op 322, the op-320 live twin on
+    // the op-294 replay pattern): per-symbol 1e-6-quantized returns
+    // from the cusumStream state (value>0-guarded, event_id replay
+    // order), binned to the 1e-3 grid POST-REPLAY by exact float
+    // floor on integers < 2^53 (both engines' floor agrees there;
+    // integer `div` would truncate negatives toward zero and
+    // misplace a bin). The final sink counts equal what an Update-
+    // mode bin aggregation would hold, so this is the live "has the
+    // return distribution drifted vs the benchmark" gate at ingest
+    // latency; PSI algebra identical to op 320.
+    "streaming_psi" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) {
+        val sunk = streamReplay(s, dir, "events", "spsi") { src =>
+          val ticks = src.where(col("value") > 0)
+            .select(col("event_type").as("symbol"),
+              replayTs(col("event_id")).as("ts"),
+              col("value").cast("double").as("price"))
+            .as[graft.streaming.Stateful.RiskTick]
+          graft.streaming.Stateful.cusumStream(ticks).toDF
+            .select(col("symbol"), col("retQ"))
+        }
+        val binned = sunk.withColumn("bin",
+          greatest(lit(-10000L), least(lit(10000L),
+            floor(col("retQ").cast("double") / 1000.0).cast("long"))))
+        val cnt = binned.groupBy(col("symbol"), col("bin"))
+          .agg(count(lit(1)).as("c"))
+        val tot = binned.groupBy(col("symbol")).agg(count(lit(1)).as("nt"))
+        val ct = cnt.join(tot, "symbol")
+        val aSide = ct.where(col("symbol") =!= "view")
+          .select(col("symbol").as("event_type"), col("bin"),
+            col("c").as("ca"), col("nt").as("na"))
+        val bSide = ct.where(col("symbol") === "view")
+          .select(col("bin"), col("c").as("cb"), col("nt").as("nb"))
+        val p = col("ca").cast("double") / col("na").cast("double")
+        val q = col("cb").cast("double") / col("nb").cast("double")
+        aSide.join(bSide, "bin")
+          .withColumn("term", (p - q) * log(p / q))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_bins"),
+            round(sum(col("term")), 6).as("psi"))
+          .withColumn("verdict",
+            when(col("psi") < 0.1, "stable")
+              .when(col("psi") < 0.25, "moderate").otherwise("shifted"))
+          .orderBy(col("event_type"))
       }
     }),
     // Streaming chi-square drift monitor (op 246, the op-241 live

@@ -342,6 +342,73 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("eod_es_backtest: out-of-sample Z2 from a local train/test replay") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(r => (r._2, r._3)).map(_._4) }
+    def r7(sorted: Array[Double], p: Double) = {
+      val h = (sorted.length - 1) * p
+      val lo = sorted(h.toInt)
+      lo + (h - h.toInt) *
+        (sorted(math.min(h.toInt + 1, sorted.length - 1)) - lo)
+    }
+    val got = SparkEntry.queries("eod_es_backtest")(spark, dir)
+      .select($"event_type", $"n_test", $"n_breach", $"es_train", $"z2")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((k, p) <- ev) {
+      val rets = p.sliding(2).map { case Array(a, b) => b / a - 1 }.toArray
+      val half = rets.length / 2
+      val (train, test) = rets.splitAt(half)
+      val v5 = r7(train.sorted, 0.05)
+      val tailQ = train.filter(_ <= v5)
+        .map(r => math.floor(r * 1e6 + 0.5).toLong)
+      val es = tailQ.sum.toDouble / 1e6 / tailQ.length
+      val breach = test.filter(_ < v5)
+      val bq = breach.map(r => math.floor(r * 1e6 + 0.5).toLong).sum
+      val z2 = (bq.toDouble / 1e6) / (test.length * 0.05 * es) + 1.0
+      val g = got(k)
+      assert(g._2 == test.length, s"$k n_test")
+      assert(g._3 == breach.length, s"$k n_breach")
+      assert(math.abs(g._4 - es) < 1e-6, s"$k es")
+      assert(math.abs(g._5 - z2) < 1e-5, s"$k z2 ${g._5} vs $z2")
+      // Z2's construction: zero breaches => Z2 = 1 (model conservative)
+      if (breach.isEmpty) assert(math.abs(g._5 - 1.0) < 1e-9)
+    }
+  }
+
+  test("streaming_psi: final-state PSI equals the replayed-return binning") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"event_id", $"value")
+      .as[(String, Long, Double)].collect()
+      .filter(_._3 > 0)
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(_._2).map(_._3) }
+    def bins(p: Array[Double]) = p.sliding(2)
+      .map { case Array(a, b) => b / a - 1 }
+      .map(r => math.floor(r * 1e6 + 0.5).toLong)
+      .map(q => math.max(-10000L, math.min(10000L,
+        math.floor(q.toDouble / 1000.0).toLong)))
+      .toArray.groupBy(identity).map { case (k, v) => k -> v.length }
+    val vb = bins(ev("view")); val vn = vb.values.sum
+    val got = SparkEntry.queries("streaming_psi")(spark, dir)
+      .select($"event_type", $"n_bins", $"psi")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    for ((k, p) <- ev if k != "view") {
+      val ab = bins(p); val an = ab.values.sum
+      val shared = ab.keySet & vb.keySet
+      val psi = shared.toSeq.map { b =>
+        val pa = ab(b).toDouble / an; val pv = vb(b).toDouble / vn
+        (pa - pv) * math.log(pa / pv)
+      }.sum
+      val g = got(k)
+      assert(g._2 == shared.size, s"$k bins")
+      assert(math.abs(g._3 - psi) < 1e-5, s"$k psi ${g._3} vs $psi")
+    }
+  }
+
   test("rel_tpch_q2: per-part minimum unit price from ASIA suppliers") {
     val asiaRegions = region.filter(_._2 == "ASIA").map(_._1).toSet
     val asiaNations = nation.filter(n => asiaRegions(n._3))
