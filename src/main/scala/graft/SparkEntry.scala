@@ -2906,6 +2906,44 @@ object SparkEntry {
         .orderBy(col("s_acctbal").desc, col("nation"), col("s_name"),
           col("p_partkey"))
     }),
+    // TPC-H Q20 shape (op 323, potential part promotion): EUROPE
+    // suppliers holding "excess stock" of blue parts — the
+    // correlated-aggregate subquery (availqty > 0.5 × qty shipped in
+    // the year). No partsupp/availqty exists, so stock plays out as
+    // lifetime shipped quantity per (part, supplier) pair vs 2× the
+    // 1997 shipments of that pair — same correlated shape, and both
+    // aggregates come out of ONE shuffle on (partkey, suppkey): the
+    // windowed sum is a conditional sum inside the same groupBy, so
+    // the decorrelation costs no second exchange. Quantities are
+    // integral → BIGINT sums make the 2× compare engine-exact. The
+    // blue-part filter broadcasts onto lineitem BEFORE the agg; the
+    // qualifying suppkey set (≤ supplier count) broadcasts back as a
+    // LeftSemi into the supplier dimension.
+    "rel_tpch_q20" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val p = tbl(s, dir, "part")
+      val sup = tbl(s, dir, "supplier"); val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      val in97 = col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+      val q = col("l_quantity").cast("long")
+      val qual = li.join(broadcast(p.where(col("p_name").startsWith("blue"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(q).as("life_qty"),
+          sum(when(in97, q).otherwise(lit(0L))).as("q97"))
+        .where(col("life_qty") > lit(2L) * col("q97"))
+        .select(col("l_suppkey")).distinct()
+      sup.join(broadcast(qual), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .join(broadcast(n.join(broadcast(r.where(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy(col("s_name"), col("s_suppkey"))
+    }),
     // TPC-H Q22 shape (op 301, global sales opportunity): richer-
     // than-average customers DORMANT since 2000 (every custkey has
     // lifetime orders in this testdata, so the dormancy cutoff plays
@@ -5623,6 +5661,25 @@ object SparkEntry {
         |JOIN region ON r_regionkey = n_regionkey
         |WHERE r_name = 'ASIA'
         |ORDER BY s_acctbal DESC, nation, s_name, p_partkey""".stripMargin,
+    // op 323: same one-pass pair aggregate; IN-subquery = the semi.
+    "rel_tpch_q20" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS BIGINT)) AS life_qty,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |             AND l_shipdate < TIMESTAMP '1998-01-01'
+        |        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q97
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'blue%'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM pairs
+        |                    WHERE life_qty > 2 * q97)
+        |ORDER BY s_name, s_suppkey""".stripMargin,
     // op 301: same 1-row average; NOT EXISTS with the same date
     // cutoff = the anti join.
     "rel_tpch_q22" ->

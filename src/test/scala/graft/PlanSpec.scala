@@ -429,6 +429,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("TPC-H Q20 plans one pair-agg exchange and a broadcast semi-join") {
+    val p = plan("rel_tpch_q20")
+    assert(p.contains("LeftSemi"), "IN-subquery must plan as semi: " +
+      p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "cartesian in Q20")
+  }
+
   test("TPC-H Q2 min-cost join-back stays broadcast/keyed, no cartesian") {
     val p = plan("rel_tpch_q2")
     assert(p.contains("BroadcastHashJoin"), p.take(800))

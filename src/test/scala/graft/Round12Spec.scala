@@ -168,6 +168,27 @@ class Round12Spec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("rel_tpch_q20: excess-stock suppliers via correlated pair sums") {
+    val lo = usOf("1997-01-01"); val hi = usOf("1998-01-01")
+    val bluePk = part.filter(_._2.startsWith("blue")).map(_._1).toSet
+    val qualSk = li.filter(l => bluePk(l._3))
+      .groupBy(l => (l._3, l._2))
+      .filter { case (_, ls) =>
+        val life = ls.map(_._4.toLong).sum
+        val q97 = ls.filter(l => l._7 >= lo && l._7 < hi)
+          .map(_._4.toLong).sum
+        life > 2 * q97
+      }.keySet.map(_._2)
+    val eurRk = region.filter(_._2 == "EUROPE").map(_._1).toSet
+    val eurNk = nation.filter(n => eurRk(n._3)).map(_._1).toSet
+    val want = sup.filter(s => eurNk(s._3) && qualSk(s._1))
+      .map(s => (s._1, s._2)).toSet
+    val got = SparkEntry.queries("rel_tpch_q20")(spark, dir)
+      .select($"s_suppkey", $"s_name").as[(Long, String)].collect()
+    assert(got.toSet == want && got.nonEmpty,
+      s"got ${got.size} want ${want.size}")
+  }
+
   test("eod_factor_ols: closed-form 2-factor OLS matches a local solve") {
     val ev = graft.sources.Tables.load(spark, dir, "events")
       .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
