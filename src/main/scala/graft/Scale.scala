@@ -103,6 +103,7 @@ object Scale {
     val nSup = math.max(nLi / 600, 25L)
     spark.range(5).select(col("id").as("r_regionkey"),
         when(col("id") === 2, lit("ASIA"))
+          .when(col("id") === 3, lit("EUROPE"))
           .otherwise(concat(lit("REGION_"), col("id"))).as("r_name"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
     spark.range(25).select(col("id").as("n_nationkey"),
@@ -110,20 +111,29 @@ object Scale {
         (col("id") % 5).as("n_regionkey"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
     spark.range(nSup).select(col("id").as("s_suppkey"),
+        concat(lit("SUP_"), col("id")).as("s_name"),
         (conv(substring(md5(concat_ws("_", lit("sn"), col("id"))), 1, 8),
-          16, 10).cast("long") % 25).as("s_nationkey"))
+          16, 10).cast("long") % 25).as("s_nationkey"),
+        (u(col("id"), "sb") * 10000.0).as("s_acctbal"))
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
     spark.range(nCust).select(col("id").as("c_custkey"),
         (conv(substring(md5(concat_ws("_", lit("cn"), col("id"))), 1, 8),
           16, 10).cast("long") % 25).as("c_nationkey"))
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     spark.range(nPart).select(col("id").as("p_partkey"),
+        // every 9th part "blue …" so Q20's name prefix keeps ~1/9
+        // selectivity at any scale
+        when(col("id") % 9 === 0, concat(lit("blue part"), col("id")))
+          .otherwise(concat(lit("part"), col("id"))).as("p_name"),
         when(col("id") % 5 === 0, lit("PROMO"))
           .otherwise(concat(lit("TYPE_"), col("id") % 7)).as("p_type"))
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
     spark.range(nOrd).select(col("id").as("o_orderkey"),
         (conv(substring(md5(concat_ws("_", lit("oc"), col("id"))), 1, 8),
           16, 10).cast("long") % nCust).as("o_custkey"),
+        // ~half the orders finished so Q21's status filter bites
+        when(col("id") % 2 === 0, lit("F")).otherwise(lit("O"))
+          .as("o_orderstatus"),
         timestamp_seconds(lit(789000000L) + (col("id") % 1460) * 86400L)
           .as("o_orderdate"))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
@@ -133,8 +143,13 @@ object Scale {
           16, 10).cast("long") % nPart).as("l_partkey"),
         (conv(substring(md5(concat_ws("_", lit("ls"), col("id"))), 1, 8),
           16, 10).cast("long") % nSup).as("l_suppkey"),
+        (col("id") % 50 + 1).cast("double").as("l_quantity"),
         (lit(900.0) + u(col("id"), "ep") * 100000.0).as("l_extendedprice"),
-        ((col("id") % 11).cast("double") / 100.0).as("l_discount"))
+        ((col("id") % 11).cast("double") / 100.0).as("l_discount"),
+        // ship 0-120 days after a 1995-2001-spread anchor so Q20's
+        // 1997 window and Q21's 60-day lateness both select real rows
+        timestamp_seconds(lit(789000000L) + (col("id") % 1460) * 86400L +
+          (col("id") % 120) * 86400L).as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
 
@@ -712,6 +727,66 @@ object Scale {
         // semi-join shrinks orders before the big exchange.
         timed("rel_tpch_q8", m, 600000L * m) {
           sink(SparkEntry.queries("rel_tpch_q8")(spark, qDir))
+        }
+      }
+
+      // ---- r12-wave probes: the round-12 heavyweights (kNN-graph
+      // PageRank, directed containment, 2-factor OLS, PSI, ES
+      // backtest, and the two hardest TPC-H completions) run the REAL
+      // query functions against self-generated tables at 1×/10×/50×.
+      if (Seq("embed_pagerank", "dedup_containment", "eod_factor_ols",
+          "stats_psi", "eod_es_backtest", "rel_tpch_q20", "rel_tpch_q21")
+          .exists(wanted)) {
+        val nEv = 100000L * m
+        genEvents(spark, nEv).write.mode("overwrite")
+          .parquet(s"$root/$m/events.parquet")
+        genTpch(spark, s"$root/$m", 600000L * m)
+        genDocs(spark, nDocs).write.mode("overwrite")
+          .parquet(s"$root/$m/documents.parquet")
+        genEmbeddings(spark, nEmb, dim).write.mode("overwrite")
+          .parquet(s"$root/$m/embeddings.parquet")
+        val qDir = s"$root/$m"
+        // 3 in-plan iterations over the kNN edge list; per-iteration
+        // cost is one shuffle on dst — linear in edges (k·n). The
+        // graph build sizes its LSH planes off the corpus count via
+        // the graft.ann.planes session conf (the production knob —
+        // with the driver-scale default of 4 planes, 100k vectors mean
+        // ~6k-occupancy buckets and a ~quadratic pair join: measured
+        // 8.3→49 s across 1×→10×, executor death at 50×).
+        spark.conf.set("graft.ann.planes",
+          Similarity.planesForN(nEmb).toString)
+        timed("embed_pagerank", m, nEmb) {
+          sink(SparkEntry.queries("embed_pagerank")(spark, qDir))
+        }
+        spark.conf.unset("graft.ann.planes")
+        // Same single-postings-shuffle shape as ngram_jaccard; the
+        // asymmetric denominator adds no extra exchange.
+        timed("dedup_containment", m, nDocs) {
+          sink(SparkEntry.queries("dedup_containment")(spark, qDir))
+        }
+        // Closed 2×2 normal equations: ONE keyed agg over rn-aligned
+        // factors; no matrix library, no driver loop.
+        timed("eod_factor_ols", m, nEv) {
+          sink(SparkEntry.queries("eod_factor_ols")(spark, qDir))
+        }
+        // Fixed 1e-3 bins: two keyed aggs + a broadcast of the
+        // benchmark histogram (≤ 20k bins regardless of row count).
+        timed("stats_psi", m, nEv) {
+          sink(SparkEntry.queries("stats_psi")(spark, qDir))
+        }
+        // Half-split train/test with exact quantized tail sums; cost
+        // is the rn window + two keyed aggs.
+        timed("eod_es_backtest", m, nEv) {
+          sink(SparkEntry.queries("eod_es_backtest")(spark, qDir))
+        }
+        // One (part,supp) pair-agg exchange + broadcast semi.
+        timed("rel_tpch_q20", m, 600000L * m) {
+          sink(SparkEntry.queries("rel_tpch_q20")(spark, qDir))
+        }
+        // Three orderkey-keyed legs (base, semi, anti) off one
+        // localCheckpointed self-relation.
+        timed("rel_tpch_q21", m, 600000L * m) {
+          sink(SparkEntry.queries("rel_tpch_q21")(spark, qDir))
         }
       }
 

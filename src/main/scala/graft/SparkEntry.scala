@@ -128,6 +128,21 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
 
+  /** LSH plane count for the kNN-graph family (ann_knn_graph,
+    * embed_pagerank, ann_hubness). The driver validates at sf ≤ 0.1
+    * where 4 planes (16 buckets/table) keep recall near-exhaustive and
+    * the oracle replays the same hard-coded constants; at production
+    * scale set the session conf `graft.ann.planes` to
+    * [[graft.operators.Similarity.planesForN]](corpus size) so bucket
+    * occupancy — and with it the Σ bucket² candidate-join cost — stays
+    * flat as the corpus grows. The Scale probes run exactly that path:
+    * with planes fixed at 4, a 100k-vector corpus puts ~6k vectors in
+    * every bucket and the pair join explodes ~quadratically (measured:
+    * 8.3 s → 49 s for 1×→10× before this knob).
+    */
+  private def annPlanes(s: SparkSession): Int =
+    s.conf.getOption("graft.ann.planes").map(_.toInt).getOrElse(4)
+
   /** Per-asset ordered window: the one shuffle all series ops share. */
   private val wT = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
   private val ordCols = Seq(col("ts"), col("event_id"))
@@ -6444,7 +6459,7 @@ object SparkEntry {
     // with Similarity.planesForN at real corpus scale.
     "ann_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          3, EmbDim, planes = 4)
+          3, EmbDim, planes = annPlanes(s))
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
@@ -6889,6 +6904,77 @@ object SparkEntry {
             .as("var_share"))
         .orderBy(col("event_type"))
     }),
+    // Tangency (max-Sharpe) portfolio (op 325; Markowitz 1952 /
+    // Tobin 1958): w ∝ Σ⁻¹μ, the third member of the allocation
+    // ladder (op 216 inverse-vol ignores covariance, op 306 risk
+    // parity ignores μ, tangency uses both). The k×k solve is SIX
+    // exact Jacobi sweeps w_i ← (μ_i·SW − Σ_{j≠i} C_ij w_j)/C_ii on
+    // the SAME integer-grid covariance as eod_risk_parity: every
+    // matrix-vector product is an exact decimal sum over quantized
+    // longs, every new iterate re-floors onto the SW=1e9 weight grid,
+    // so 6 rounds replay bit-for-bit on any engine/partitioning (the
+    // oracle unrolls them). The synthetic event series are near-
+    // uncorrelated, so the covariance is diagonally dominant and
+    // Jacobi contracts; the spec asserts the residual ‖Σw−μ‖ shrinks
+    // on the real testdata rather than trusting that. Weights are
+    // L1-normalized (tangency is scale-free; Σ|w| is a stable
+    // denominator where Σw can cross zero under shorting); per-period
+    // portfolio Sharpe μᵀw/√(wᵀΣw) from the exact integer sums.
+    "eod_tangency" -> ((s, dir) => {
+      val mm = quantizedPairMoments(s, dir)
+      val nDec = col("n").cast("decimal(19,0)")
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val num = nDec * col("sab") - dec(col("sa")) * dec(col("sb"))
+      val d38 = (v: Long) => lit(v).cast("decimal(38,0)")
+      val cmat = mm.select(col("ta"), col("tb"),
+          floor(num.cast("double") /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0))
+            + 0.5).cast("decimal(38,0)").as("cq"))
+        .localCheckpoint()
+      // μ on the 1e6-refined q grid; diagonal clamps at +1 raw unit
+      // (a zero-variance series would make Jacobi divide by zero).
+      val mu = mm.where(col("ta") === col("tb"))
+        .select(col("ta"), floor(col("sa").cast("double") * 1e6 /
+          col("n").cast("double") + 0.5).cast("decimal(38,0)").as("muq"))
+      val diag = cmat.where(col("ta") === col("tb"))
+        .select(col("ta"), greatest(col("cq"), d38(1L)).as("dq"))
+      val off = cmat.where(col("ta") =!= col("tb"))
+      val base = mu.join(diag, "ta").localCheckpoint()
+      val w0 = base.select(col("ta").as("event_type"),
+        floor((col("muq") * d38(1000000000L)).cast("double") /
+          col("dq").cast("double") + 0.5).cast("decimal(38,0)").as("wq"))
+      def step(w: DataFrame): DataFrame = {
+        val o = off.join(w.withColumnRenamed("event_type", "tb"), "tb")
+          .groupBy(col("ta")).agg(sum(col("cq") * col("wq")).as("oq"))
+        base.join(o, Seq("ta"), "left")
+          .select(col("ta").as("event_type"),
+            floor((col("muq") * d38(1000000000L) -
+              coalesce(col("oq"), d38(0L))).cast("double") /
+              col("dq").cast("double") + 0.5)
+              .cast("decimal(38,0)").as("wq"))
+      }
+      val wF = (1 to 6).foldLeft(w0) { (w, _) =>
+        val next = step(w).localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(w)
+        next
+      }
+      val cw = cmat.join(wF.withColumnRenamed("event_type", "tb"), "tb")
+        .groupBy(col("ta")).agg(sum(col("cq") * col("wq")).as("cwq"))
+      val fin = wF.withColumnRenamed("event_type", "ta")
+        .join(mu, "ta").join(cw, "ta")
+      val tots = fin.agg(sum(abs(col("wq"))).as("l1"),
+        sum(col("muq") * col("wq")).as("pr"),
+        sum(col("wq") * col("cwq")).as("pv"))
+      // scales: pr = 1e21·μᵀw, pv = 1e30·wᵀΣw → Sharpe = pr/√pv/1e6.
+      fin.crossJoin(broadcast(tots))
+        .select(col("ta").as("event_type"),
+          (round(col("wq").cast("double") / col("l1").cast("double"), 6)
+            + lit(0.0)).as("weight"),
+          (round(col("pr").cast("double") /
+            sqrt(greatest(col("pv"), d38(1L)).cast("double")) / 1e6, 6)
+            + lit(0.0)).as("port_sharpe"))
+        .orderBy(col("event_type"))
+    }),
     // Equal-risk-contribution weights (op 306; "risk parity", Maillard/
     // Roncalli/Teïletche 2010): weights where each series contributes
     // the same share of portfolio variance — the allocation ffn users
@@ -7023,7 +7109,7 @@ object SparkEntry {
     "embed_pagerank" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val edges = Similarity.knnGraph(emb, "vec_id", "embedding", 3,
-          EmbDim, planes = 4)
+          EmbDim, planes = annPlanes(s))
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
       val edgesOd = edges.join(
           edges.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
@@ -7413,6 +7499,40 @@ object SparkEntry {
         .select(col("n_cells"),
           ((col("n_sources") - 1) * (col("n_langs") - 1)).as("dof"),
           round(col("chi2r"), 6).as("chi2"))
+    }),
+    // Cramér's V effect size (op 324): the chi² family's missing
+    // MAGNITUDE — independence tests reject everything at corpus n,
+    // so mixture-drift alarms need V = sqrt(χ²/(n·min(r−1,c−1))) to
+    // say whether the source×lang association MATTERS. Same 1e-9-
+    // quantized cell statistic as op 241 (χ² is an exact long on both
+    // engines), then one sqrt on identical integers; thresholds at
+    // the conventional 0.1/0.3/0.5 grades.
+    "stats_cramers_v" -> ((s, dir) => {
+      val o = tbl(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val rowT = o.groupBy(col("source")).agg(sum(col("o")).as("rt"))
+      val colT = o.groupBy(col("lang")).agg(sum(col("o")).as("ct"))
+      val tot = o.agg(sum(col("o")).as("n"))
+      val cells = o.join(broadcast(rowT), "source")
+        .join(broadcast(colT), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", (col("rt") * col("ct")).cast("double") /
+          col("n").cast("double"))
+        .withColumn("t", floor((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e") * 1e9 + 0.5)
+          .cast("long"))
+      val v = sqrt(col("chi2r") / (col("n").cast("double") *
+        (least(col("r"), col("c")) - lit(1)).cast("double")))
+      cells.agg(sum(col("t")).as("chi2q"), max(col("n")).as("n"),
+          countDistinct(col("source")).as("r"),
+          countDistinct(col("lang")).as("c"))
+        .withColumn("chi2r", col("chi2q").cast("double") / 1e9)
+        .select(col("n"), ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(col("chi2r"), 6).as("chi2"),
+          round(v, 6).as("cramers_v"),
+          when(v < 0.1, "negligible").when(v < 0.3, "weak")
+            .when(v < 0.5, "moderate").otherwise("strong")
+            .as("association"))
     }),
     // Kyle's lambda price impact (op 117).
     "tick_kyle_lambda" -> ((s, dir) =>
@@ -9178,13 +9298,13 @@ object SparkEntry {
       val ixPath =
         java.nio.file.Files.createTempDirectory("graft-sknn-ix").toString
       Similarity.knnIndexRelation(tbl(s, dir, "embeddings"), "vec_id",
-          "embedding", EmbDim, planes = 4)
+          "embedding", EmbDim, planes = annPlanes(s))
         .write.mode("overwrite").parquet(ixPath)
       setupStats("streaming_knn_graph") = (System.nanoTime() - t0) / 1e9
       val ix = s.read.parquet(ixPath)
       val sunk = streamReplay(s, dir, "embeddings", "sknn") { src =>
         Similarity.knnProbe(src, ix, "vec_id", "embedding", EmbDim,
-          planes = 4)
+          planes = annPlanes(s))
       }
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -9267,7 +9387,7 @@ object SparkEntry {
     // in-degree-0 nodes; two keyed integer aggs.
     "ann_hubness" -> ((s, dir) => {
       val g = Similarity.knnGraph(tbl(s, dir, "embeddings"), "vec_id",
-        "embedding", 3, EmbDim, planes = 4)
+        "embedding", 3, EmbDim, planes = annPlanes(s))
       val deg = tbl(s, dir, "embeddings").select(col("vec_id"))
         .join(g.groupBy(col("neighbor_id")).agg(count(lit(1)).as("d")),
           col("vec_id") === col("neighbor_id"), "left")
@@ -10724,6 +10844,72 @@ object SparkEntry {
       // op 306: same exact pair moments → integer covariance grid,
       // 4 fixed-point rounds unrolled as generated CTE quintuples,
       // identical max-pivot quantization and +1-unit (Cw) floor.
+      // op 325: same pair-moment covariance CTE; 6 unrolled Jacobi
+      // sweeps (MATERIALIZED per the risk-parity lesson), identical
+      // floor/divide placement, L1 normalization + Sharpe at 1e-6.
+      "eod_tangency" -> {
+        val steps = (1 to 6).map { i =>
+          s"""o$i AS MATERIALIZED (
+             |  SELECT c.ta, sum(cq * wq) AS oq
+             |  FROM c JOIN w${i - 1} ON c.tb = w${i - 1}.event_type
+             |  WHERE c.ta <> c.tb GROUP BY c.ta
+             |), w$i AS MATERIALIZED (
+             |  SELECT b.ta AS event_type,
+             |    CAST(floor(CAST(muq * 1000000000 - coalesce(oq, 0)
+             |      AS DOUBLE) / CAST(dq AS DOUBLE) + 0.5) AS HUGEINT) AS wq
+             |  FROM b LEFT JOIN o$i ON b.ta = o$i.ta
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""$R_CTE, x AS (
+          |  SELECT event_type,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY ts, event_id) AS rn,
+          |    CASE WHEN ret IS NOT NULL
+          |      THEN CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) END AS q
+          |  FROM r
+          |), pm AS (
+          |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n,
+          |    CAST(sum(a.q) AS BIGINT) AS sa, CAST(sum(b.q) AS BIGINT) AS sb,
+          |    sum(CAST(a.q AS HUGEINT) * b.q) AS sab
+          |  FROM x a JOIN x b ON a.rn = b.rn
+          |  WHERE a.q IS NOT NULL AND b.q IS NOT NULL
+          |  GROUP BY 1, 2
+          |), c AS MATERIALIZED (
+          |  SELECT ta, tb,
+          |    CAST(floor(CAST(n * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+          |      / (CAST(n AS DOUBLE) * (n - 1.0)) + 0.5) AS HUGEINT) AS cq
+          |  FROM pm
+          |), b AS MATERIALIZED (
+          |  SELECT pm.ta,
+          |    CAST(floor(CAST(sa AS DOUBLE) * 1e6 / CAST(n AS DOUBLE) + 0.5)
+          |      AS HUGEINT) AS muq,
+          |    greatest(c.cq, 1) AS dq
+          |  FROM pm JOIN c ON pm.ta = c.ta AND pm.tb = c.tb
+          |  WHERE pm.ta = pm.tb
+          |), w0 AS MATERIALIZED (
+          |  SELECT ta AS event_type,
+          |    CAST(floor(CAST(muq * 1000000000 AS DOUBLE)
+          |      / CAST(dq AS DOUBLE) + 0.5) AS HUGEINT) AS wq
+          |  FROM b
+          |), $steps, cw AS (
+          |  SELECT c.ta, sum(cq * wq) AS cwq
+          |  FROM c JOIN w6 ON c.tb = w6.event_type GROUP BY c.ta
+          |), f AS (
+          |  SELECT b.ta, wq, muq, cwq
+          |  FROM b JOIN w6 ON b.ta = w6.event_type
+          |  JOIN cw ON b.ta = cw.ta
+          |), tot AS (
+          |  SELECT sum(abs(wq)) AS l1, sum(muq * wq) AS pr,
+          |    sum(wq * cwq) AS pv
+          |  FROM f
+          |)
+          |SELECT ta AS event_type,
+          |  round(CAST(wq AS DOUBLE) / CAST(l1 AS DOUBLE), 6) + 0.0
+          |    AS weight,
+          |  round(CAST(pr AS DOUBLE) / sqrt(CAST(greatest(pv, 1) AS DOUBLE))
+          |    / 1e6, 6) + 0.0 AS port_sharpe
+          |FROM f CROSS JOIN tot ORDER BY event_type""".stripMargin
+      },
       "eod_risk_parity" -> {
         val steps = (1 to 4).map { i =>
           // every step CTE MATERIALIZED: each level references the
@@ -11057,6 +11243,36 @@ object SparkEntry {
           |  CAST(((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
           |  round(CAST(sum(t) AS DOUBLE) / 1e9, 6) AS chi2
           |FROM t""".stripMargin,
+      // op 324: same quantized χ² long, V and its grade from
+      // identical integers.
+      "stats_cramers_v" ->
+        """WITH o AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+          |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+          |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+          |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+          |cells AS (
+          |  SELECT o.o, CAST(rt.rt * ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+          |  FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN nn
+          |), agg AS (
+          |  SELECT CAST(sum(CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+          |      * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS chi2r,
+          |    (SELECT n FROM nn) AS n,
+          |    (SELECT count(*) FROM rt) AS r,
+          |    (SELECT count(*) FROM ct) AS c
+          |  FROM cells
+          |)
+          |SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+          |  round(chi2r, 6) AS chi2,
+          |  round(sqrt(chi2r / (CAST(n AS DOUBLE) *
+          |    CAST(least(r, c) - 1 AS DOUBLE))), 6) AS cramers_v,
+          |  CASE WHEN sqrt(chi2r / (CAST(n AS DOUBLE) *
+          |      CAST(least(r, c) - 1 AS DOUBLE))) < 0.1 THEN 'negligible'
+          |    WHEN sqrt(chi2r / (CAST(n AS DOUBLE) *
+          |      CAST(least(r, c) - 1 AS DOUBLE))) < 0.3 THEN 'weak'
+          |    WHEN sqrt(chi2r / (CAST(n AS DOUBLE) *
+          |      CAST(least(r, c) - 1 AS DOUBLE))) < 0.5 THEN 'moderate'
+          |    ELSE 'strong' END AS association
+          |FROM agg""".stripMargin,
       // op 242: integer volume sums, exact share ratios.
       "tick_volume_profile" ->
         s"""WITH h AS (

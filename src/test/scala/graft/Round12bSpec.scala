@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 second wave: Cramér's V effect size and the tangency
+  * (max-Sharpe) portfolio. The V test recomputes the contingency
+  * algebra from raw parquet; the tangency test re-derives the six
+  * integer Jacobi sweeps step-for-step AND cross-checks the converged
+  * direction against an independent dense Gaussian-elimination solve
+  * of the real-valued system (different algorithm, same answer up to
+  * quantization), so both the exact replay and the convergence claim
+  * are pinned.
+  */
+class Round12bSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stats_cramers_v: effect size from a local contingency table") {
+    val rows = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"source", $"lang").as[(String, String)].collect()
+    val o = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rt = o.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val ct = o.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val n = o.values.sum
+    val chi2q = o.map { case ((s, l), obs) =>
+      val e = (rt(s) * ct(l)).toDouble / n.toDouble
+      math.floor((obs - e) * (obs - e) / e * 1e9 + 0.5).toLong
+    }.sum
+    val chi2r = chi2q.toDouble / 1e9
+    val v = math.sqrt(chi2r / (n.toDouble * (math.min(rt.size, ct.size) - 1)))
+    val grade = if (v < 0.1) "negligible" else if (v < 0.3) "weak"
+      else if (v < 0.5) "moderate" else "strong"
+    val got = SparkEntry.queries("stats_cramers_v")(spark, dir)
+      .select($"n", $"dof", $"chi2", $"cramers_v", $"association")
+      .as[(Long, Long, Double, Double, String)].collect()
+    assert(got.length == 1)
+    val g = got.head
+    assert(g._1 == n && g._2 == (rt.size - 1).toLong * (ct.size - 1))
+    assert(math.abs(g._3 - chi2r) < 6e-7 + 1e-9 * chi2r, s"chi2 ${g._3}")
+    assert(math.abs(g._4 - v) < 6e-7, s"V ${g._4} vs $v")
+    assert(g._5 == grade, s"grade ${g._5} vs $grade")
+  }
+
+  /** Shared with Round11eSpec's convention: per-type quantized returns
+    * aligned by index.
+    */
+  private def quantizedSeries(): Map[String, Array[Long]] =
+    graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        val p = rs.sortBy(r => (r._2, r._3)).map(_._4)
+        k -> p.sliding(2).map { case Array(a, b) =>
+          math.floor((b / a - 1) * 1e6 + 0.5).toLong
+        }.toArray
+      }
+
+  test("eod_tangency: 6 Jacobi sweeps re-derived; direction matches a dense solve") {
+    val qs = quantizedSeries()
+    val types = qs.keys.toArray.sorted
+    val k = types.length
+    def mom(a: String, b: String): (Long, BigInt, BigInt, BigInt) = {
+      val z = qs(a).zip(qs(b))
+      (z.length.toLong, BigInt(z.map(_._1).sum), BigInt(z.map(_._2).sum),
+        z.map { case (x, y) => BigInt(x) * y }.sum)
+    }
+    val cq = Array.tabulate(k, k) { (i, j) =>
+      val (n, sa, sb, sab) = mom(types(i), types(j))
+      BigInt(math.floor((BigInt(n) * sab - sa * sb).toDouble /
+        (n.toDouble * (n - 1.0)) + 0.5).toLong)
+    }
+    val muq = types.map { t =>
+      val (n, sa, _, _) = mom(t, t)
+      BigInt(math.floor(sa.toDouble * 1e6 / n.toDouble + 0.5).toLong)
+    }
+    val dq = Array.tabulate(k)(i => cq(i)(i).max(BigInt(1)))
+    val SW = BigInt(1000000000L)
+    var wq = Array.tabulate(k)(i =>
+      BigInt(math.floor((muq(i) * SW).toDouble / dq(i).toDouble + 0.5).toLong))
+    for (_ <- 1 to 6) {
+      wq = Array.tabulate(k) { i =>
+        val oq = (0 until k).filter(_ != i).map(j => cq(i)(j) * wq(j)).sum
+        BigInt(math.floor((muq(i) * SW - oq).toDouble / dq(i).toDouble + 0.5)
+          .toLong)
+      }
+    }
+    val l1 = wq.map(_.abs).sum
+    val cw = Array.tabulate(k)(i => (0 until k).map(j => cq(i)(j) * wq(j)).sum)
+    val pr = (0 until k).map(i => muq(i) * wq(i)).sum
+    val pv = (0 until k).map(i => wq(i) * cw(i)).sum
+    val sharpe = pr.toDouble / math.sqrt(pv.max(BigInt(1)).toDouble) / 1e6
+
+    val got = SparkEntry.queries("eod_tangency")(spark, dir)
+      .select($"event_type", $"weight", $"port_sharpe")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == types.toSet)
+    for ((t, i) <- types.zipWithIndex) {
+      val (gw, gs) = got(t)
+      assert(math.abs(gw - wq(i).toDouble / l1.toDouble) < 6e-7,
+        s"$t weight $gw vs ${wq(i).toDouble / l1.toDouble}")
+      assert(math.abs(gs - sharpe) < 6e-7, s"$t sharpe $gs vs $sharpe")
+    }
+
+    // Independent check: dense Gaussian elimination on the REAL-valued
+    // system Σw = μ (doubles straight from the integer moments). The
+    // Jacobi direction must agree up to quantization + truncation —
+    // cosine > 0.999 is far tighter than any wrong-matrix answer gets.
+    val a = Array.tabulate(k, k)((i, j) => cq(i)(j).toDouble)
+    val bvec = Array.tabulate(k)(i => muq(i).toDouble * SW.toDouble)
+    for (p <- 0 until k) {
+      val piv = (p until k).maxBy(r => math.abs(a(r)(p)))
+      val (tr, tb) = (a(piv), bvec(piv))
+      a(piv) = a(p); bvec(piv) = bvec(p); a(p) = tr; bvec(p) = tb
+      for (r <- p + 1 until k) {
+        val f = a(r)(p) / a(p)(p)
+        for (cc <- p until k) a(r)(cc) -= f * a(p)(cc)
+        bvec(r) -= f * bvec(p)
+      }
+    }
+    val sol = new Array[Double](k)
+    for (p <- k - 1 to 0 by -1) {
+      var s = bvec(p)
+      for (cc <- p + 1 until k) s -= a(p)(cc) * sol(cc)
+      sol(p) = s / a(p)(p)
+    }
+    val wD = wq.map(_.toDouble)
+    val dot = (0 until k).map(i => sol(i) * wD(i)).sum
+    val cos = dot / math.sqrt(sol.map(x => x * x).sum) /
+      math.sqrt(wD.map(x => x * x).sum)
+    assert(cos > 0.999, s"Jacobi direction vs dense solve: cos=$cos")
+  }
+}
