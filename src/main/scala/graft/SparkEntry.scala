@@ -6055,6 +6055,55 @@ object SparkEntry {
         .orderBy(col("pmi").desc, col("bigram"))
         .limit(20)
     }),
+    // TextRank keywords (op 326; Mihalcea/Tarau 2004 — the op-317
+    // integer-PageRank idiom on the WORD graph): corpus-level keyword
+    // extraction for tagging/topic routing. Nodes are tokens, edges
+    // the undirected adjacent-token co-occurrences (self-loops
+    // dropped), contributions weighted by edge count over node
+    // strength — all on the 1e-9 integer rank grid with floor
+    // division, so the 3 iterations replay bit-for-bit on any
+    // engine/partitioning (the oracle unrolls them). Every stage is a
+    // keyed agg on the token key; the graph is vocabulary-sized, not
+    // corpus-sized, so at 100 TB this costs one token-bigram pass +
+    // iterations over a relation ~|vocab|.
+    "text_textrank" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val d = tbl(s, dir, "documents")
+      val bi = d.select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .where(col("x") =!= col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      val edges = bi.select(col("x").as("src"), col("y").as("dst"), col("c"))
+        .unionAll(bi.select(col("y").as("src"), col("x").as("dst"), col("c")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("wt"))
+      val strength = edges.groupBy(col("src")).agg(sum(col("wt")).as("st"))
+      val edgesSt = edges.join(strength, "src").localCheckpoint()
+      val nodes = strength.select(col("src").as("w"))
+        .crossJoin(broadcast(strength.agg(count(lit(1)).as("nw"))))
+        .localCheckpoint()
+      val r0 = nodes.select(col("w"), col("nw"),
+        expr("1000000000 div nw").as("rq"))
+      val rF = (1 to 3).foldLeft(r0) { (rank, _) =>
+        val inflow = edgesSt
+          .join(rank.select(col("w").as("src"), col("rq")), "src")
+          .withColumn("cc", expr("(rq * wt) div st"))
+          .groupBy(col("dst")).agg(sum(col("cc")).as("inflow"))
+        val next = nodes
+          .join(inflow, col("w") === col("dst"), "left")
+          .select(col("w"), col("nw"),
+            (expr("150000000 div nw") +
+              expr("(17 * coalesce(inflow, 0L)) div 20")).as("rq"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(rank)
+        next
+      }
+      rF.orderBy(col("rq").desc, col("w")).limit(20)
+        .select(col("w").as("word"),
+          (col("rq").cast("double") / 1e9).as("textrank"))
+    }),
     // Curriculum schedule (op 189): the corpus bucketed into quality
     // bins, highest first — the "easy/clean data early" training
     // order, emitted as a phase table a data loader consumes. Binning
@@ -10099,6 +10148,48 @@ object SparkEntry {
           |)
           |SELECT bigram, b_count, pmi FROM sc
           |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
+      // op 326: the op-317 integer-PageRank replay on the word graph —
+      // same // floor division, 3 unrolled MATERIALIZED rounds.
+      "text_textrank" -> {
+        val iters = (1 to 3).map { i =>
+          s"""i$i AS MATERIALIZED (
+             |  SELECT dst, sum((rq * wt) // st) AS inflow
+             |  FROM es JOIN r${i - 1} ON es.src = r${i - 1}.w
+             |  GROUP BY dst
+             |), r$i AS MATERIALIZED (
+             |  SELECT w, 150000000 // nw
+             |    + (17 * coalesce(inflow, 0)) // 20 AS rq
+             |  FROM nodes CROSS JOIN nn LEFT JOIN i$i ON w = dst
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH t AS (
+          |  SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+          |  FROM documents
+          |), bi0 AS (
+          |  SELECT unnest(list_transform(range(1, len(toks)),
+          |    i -> struct_pack(x := toks[i], y := toks[i + 1]))) AS p
+          |  FROM t
+          |), bip AS (
+          |  SELECT p.x AS x, p.y AS y, count(*) AS c
+          |  FROM bi0 WHERE p.x <> p.y GROUP BY 1, 2
+          |), e AS MATERIALIZED (
+          |  SELECT src, dst, CAST(sum(c) AS BIGINT) AS wt FROM (
+          |    SELECT x AS src, y AS dst, c FROM bip
+          |    UNION ALL
+          |    SELECT y AS src, x AS dst, c FROM bip
+          |  ) GROUP BY 1, 2
+          |), st AS MATERIALIZED (
+          |  SELECT src, CAST(sum(wt) AS BIGINT) AS st FROM e GROUP BY 1
+          |), es AS MATERIALIZED (
+          |  SELECT e.src, e.dst, e.wt, st.st FROM e JOIN st USING (src)
+          |), nodes AS MATERIALIZED (SELECT src AS w FROM st),
+          |nn AS (SELECT count(*) AS nw FROM nodes),
+          |r0 AS MATERIALIZED (
+          |  SELECT w, 1000000000 // nw AS rq FROM nodes CROSS JOIN nn
+          |), $iters
+          |SELECT w AS word, CAST(rq AS DOUBLE) / 1e9 AS textrank
+          |FROM r3 ORDER BY rq DESC, w LIMIT 20""".stripMargin
+      },
       // op 189: same quality kernel, integer binning on the quantized
       // score, floor-mean; BIGINT casts pin the hugeint sums.
       "corpus_curriculum" ->

@@ -42,6 +42,40 @@ class Round12bSpec extends SparkSpec {
     assert(g._5 == grade, s"grade ${g._5} vs $grade")
   }
 
+  test("text_textrank: 3 integer PageRank rounds on a locally built word graph") {
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"text").as[String].collect()
+    val bip = collection.mutable.Map.empty[(String, String), Long]
+    for (t <- texts) {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      for (Array(a, b) <- toks.sliding(2).map(_.toArray) if toks.length > 1
+           if a != b)
+        bip((a, b)) = bip.getOrElse((a, b), 0L) + 1
+    }
+    val e = collection.mutable.Map.empty[(String, String), Long]
+    for (((x, y), c) <- bip) {
+      e((x, y)) = e.getOrElse((x, y), 0L) + c
+      e((y, x)) = e.getOrElse((y, x), 0L) + c
+    }
+    val st = e.groupBy(_._1._1).map { case (w, es) => w -> es.values.sum }
+    val words = st.keys.toArray.sorted
+    val nw = words.length.toLong
+    var rq = words.map(_ => 1000000000L / nw).toArray
+    val idx = words.zipWithIndex.toMap
+    for (_ <- 1 to 3) {
+      val inflow = Array.fill(words.length)(0L)
+      for (((src, dst), wt) <- e)
+        inflow(idx(dst)) += rq(idx(src)) * wt / st(src)
+      rq = inflow.map(f => 150000000L / nw + 17 * f / 20)
+    }
+    val want = words.zip(rq).sortBy { case (w, r) => (-r, w) }.take(20)
+      .map { case (w, r) => w -> r.toDouble / 1e9 }
+    val got = SparkEntry.queries("text_textrank")(spark, dir)
+      .select($"word", $"textrank").as[(String, Double)].collect()
+    assert(got.toSeq == want.toSeq,
+      s"got ${got.take(3).mkString(",")} want ${want.take(3).mkString(",")}")
+  }
+
   /** Shared with Round11eSpec's convention: per-type quantized returns
     * aligned by index.
     */
