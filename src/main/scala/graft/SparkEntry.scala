@@ -5935,6 +5935,68 @@ object SparkEntry {
       |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus
       |)""".stripMargin
 
+  /** Centered 1e-4-quantized embedding rows and the top principal
+    * direction after 5 quantized power iterations + one final
+    * multiply — the shared engine of embed_power_iter (op 198) and
+    * embed_whitening (op 327). Returns (means(pos, mu, n, sxx, sx),
+    * rows(id, xqa), wLast(pos, nrm, vq)); see op 198's scaladoc for
+    * the exactness/headroom argument (every iteration an integer
+    * fold, norms through DECIMAL(19,0)², bit-for-bit on any engine).
+    */
+  private def embTopPc(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ex = tbl(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      .withColumn("xq0", floor(col("x") * 1e4 + 0.5).cast("long"))
+    // localCheckpoint (the Lloyd/Dedup.clusters idiom): without it
+    // the declarative 6-iteration chain re-derives the explode +
+    // centering + array assembly ~12× inside one plan — measured
+    // 11.2 s at sf0.1; checkpointing the shared relations and each
+    // superseded iterate cuts it to one derivation per input
+    val means = ex.groupBy(col("pos"))
+      .agg((sum(col("xq0")).cast("double") / count(lit(1)) / 1e4).as("mu"),
+        count(lit(1)).as("n"),
+        sum(col("xq0") * col("xq0")).as("sxx"), sum(col("xq0")).as("sx"))
+      .localCheckpoint()
+    val rows = ex.join(broadcast(means.select(col("pos"), col("mu"))), "pos")
+      .withColumn("xq", floor((col("x") - col("mu")) * 1e4 + 0.5)
+        .cast("long"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("xq")))), e => e.getField("xq")).as("xqa"))
+      .localCheckpoint()
+    def vArr(vdf: DataFrame): DataFrame = vdf
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        col("vq")))), e => e.getField("vq")).as("va"))
+    def multiply(vdf: DataFrame): DataFrame =
+      rows.crossJoin(broadcast(vArr(vdf)))
+        .withColumn("st", aggregate(
+          zip_with(col("xqa"), col("va"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("ssc", floor(col("st") / 1e4).cast("long"))
+        .select(posexplode(col("xqa")).as(Seq("pos", "xqe")), col("ssc"))
+        .groupBy(col("pos")).agg(sum(col("xqe") * col("ssc")).as("w"))
+    def normed(wdf: DataFrame): DataFrame = {
+      val nrm = wdf.agg(sqrt(sum(col("w").cast("decimal(19,0)")
+        * col("w").cast("decimal(19,0)")).cast("double")).as("nrm"))
+      wdf.crossJoin(broadcast(nrm))
+        .select(col("pos"), col("nrm"),
+          floor(col("w").cast("double") / col("nrm") * 1e4 + 0.5)
+            .cast("long").as("vq"))
+    }
+    val v0 = means.select(col("pos"),
+      lit(math.floor(1.0 / 8.0 * 1e4 + 0.5).toLong).as("vq"))
+    val vFinal = (1 to 5).foldLeft(v0) { (v, _) =>
+      val next = normed(multiply(v)).select(col("pos"), col("vq"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(v)
+      next
+    }
+    (means, rows, normed(multiply(vFinal)))
+  }
+
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis (ops 53-56)
     "text_token_count" -> ((s, dir) =>
@@ -8826,57 +8888,7 @@ object SparkEntry {
     // Integer headroom: |Σ xq·ssc| ≤ N·dim·(1.2e4)²·8 ≈ N·1e10 — exact
     // to N ≈ 1e8 rows; beyond that, coarsen the grid one decade.
     "embed_power_iter" -> ((s, dir) => {
-      val dim = 64
-      val ex = tbl(s, dir, "embeddings")
-        .select(col("vec_id").as("id"),
-          posexplode(col("embedding").cast("array<double>"))
-            .as(Seq("pos", "x")))
-        .withColumn("xq0", floor(col("x") * 1e4 + 0.5).cast("long"))
-      // localCheckpoint (the Lloyd/Dedup.clusters idiom): without it
-      // the declarative 6-iteration chain re-derives the explode +
-      // centering + array assembly ~12× inside one plan — measured
-      // 11.2 s at sf0.1; checkpointing the shared relations and each
-      // superseded iterate cuts it to one derivation per input
-      val means = ex.groupBy(col("pos"))
-        .agg((sum(col("xq0")).cast("double") / count(lit(1)) / 1e4).as("mu"),
-          count(lit(1)).as("n"),
-          sum(col("xq0") * col("xq0")).as("sxx"), sum(col("xq0")).as("sx"))
-        .localCheckpoint()
-      val rows = ex.join(broadcast(means.select(col("pos"), col("mu"))), "pos")
-        .withColumn("xq", floor((col("x") - col("mu")) * 1e4 + 0.5)
-          .cast("long"))
-        .groupBy(col("id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"),
-            col("xq")))), e => e.getField("xq")).as("xqa"))
-        .localCheckpoint()
-      def vArr(vdf: DataFrame): DataFrame = vdf
-        .agg(transform(array_sort(collect_list(struct(col("pos"),
-          col("vq")))), e => e.getField("vq")).as("va"))
-      def multiply(vdf: DataFrame): DataFrame =
-        rows.crossJoin(broadcast(vArr(vdf)))
-          .withColumn("st", aggregate(
-            zip_with(col("xqa"), col("va"), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x))
-          .withColumn("ssc", floor(col("st") / 1e4).cast("long"))
-          .select(posexplode(col("xqa")).as(Seq("pos", "xqe")), col("ssc"))
-          .groupBy(col("pos")).agg(sum(col("xqe") * col("ssc")).as("w"))
-      def normed(wdf: DataFrame): DataFrame = {
-        val nrm = wdf.agg(sqrt(sum(col("w").cast("decimal(19,0)")
-          * col("w").cast("decimal(19,0)")).cast("double")).as("nrm"))
-        wdf.crossJoin(broadcast(nrm))
-          .select(col("pos"), col("nrm"),
-            floor(col("w").cast("double") / col("nrm") * 1e4 + 0.5)
-              .cast("long").as("vq"))
-      }
-      val v0 = means.select(col("pos"),
-        lit(math.floor(1.0 / 8.0 * 1e4 + 0.5).toLong).as("vq"))
-      val vFinal = (1 to 5).foldLeft(v0) { (v, _) =>
-        val next = normed(multiply(v)).select(col("pos"), col("vq"))
-          .localCheckpoint()
-        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(v)
-        next
-      }
-      val wLast = normed(multiply(vFinal))
+      val (means, _, wLast) = embTopPc(s, dir)
       val scalars = means
         .withColumn("varp", ((col("sxx").cast("double")
           - col("sx").cast("double") * col("sx") / col("n")) / col("n")
@@ -8890,6 +8902,33 @@ object SparkEntry {
           (round(col("nrm") / 1e8 / col("nn") / col("totvar"), 4)
             + lit(0.0)).as("var_share"))
         .orderBy(col("pos"))
+    }),
+    // All-but-the-top whitening (op 327; Mu/Viswanath 2018): the
+    // standard embedding post-process for retrieval — center, then
+    // project out the top principal direction, which in real
+    // embedding stores soaks up a large common component and washes
+    // out cosine contrast. Reuses the op-198 quantized power-iter
+    // engine (embTopPc) verbatim: per-vector coefficient d = Σ xq·vq
+    // is an exact long fold, the removed component (d·vq)/1e8 floors
+    // on identical doubles (d ≲ 6e13 ≪ 2^53), so the corrected
+    // components replay bit-for-bit. Long output format (vec_id, pos,
+    // xw) — the op-90 embed_rp convention. At 100 TB: the PC fit is
+    // the op-198 cost, the projection a map-only second pass.
+    "embed_whitening" -> ((s, dir) => {
+      val (_, rows, wLast) = embTopPc(s, dir)
+      val vA = wLast.agg(transform(array_sort(collect_list(struct(
+        col("pos"), col("vq")))), e => e.getField("vq")).as("va"))
+      rows.crossJoin(broadcast(vA))
+        .withColumn("d", aggregate(
+          zip_with(col("xqa"), col("va"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+        .select(col("id").as("vec_id"), col("d"),
+          posexplode(col("xqa")).as(Seq("pos", "xq")))
+        .join(broadcast(wLast.select(col("pos"), col("vq"))), "pos")
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          ((col("xq") - floor(col("d").cast("double") * col("vq") / 1e8
+            + 0.5).cast("long")).cast("double") / 1e4).as("xw"))
+        .orderBy(col("vec_id"), col("pos"))
     }),
     // Class-scatter report (op 193, the Fisher-criterion diagnostic —
     // is the embedding space separable by label?): per label, the
@@ -12763,6 +12802,48 @@ object SparkEntry {
           |  round(nrm / 1e8 / nn, 6) + 0.0 AS eigval,
           |  round(nrm / 1e8 / nn / totvar, 4) + 0.0 AS var_share
           |FROM v6, n6, tv ORDER BY pos""".stripMargin
+      },
+      // op 327: the op-198 CTE chain through v6, then the exact-long
+      // per-vector coefficient and the same floored projection.
+      "embed_whitening" -> {
+        val iterCtes = (1 to 6).map { t =>
+          s"""s$t AS (
+            |  SELECT id, CAST(floor(CAST(sum(xq * vq) AS BIGINT) / 1e4) AS BIGINT) AS ssc
+            |  FROM e JOIN v${t - 1} USING (pos) GROUP BY id
+            |), w$t AS (
+            |  SELECT pos, CAST(sum(xq * ssc) AS BIGINT) AS w
+            |  FROM e JOIN s$t USING (id) GROUP BY pos
+            |), n$t AS (
+            |  SELECT sqrt(CAST(sum(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))) AS DOUBLE)) AS nrm FROM w$t
+            |), v$t AS (
+            |  SELECT pos, CAST(floor(CAST(w AS DOUBLE) / nrm * 1e4 + 0.5) AS BIGINT) AS vq
+            |  FROM w$t, n$t
+            |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH x0 AS (
+          |  SELECT vec_id AS id, unnest(range(0, 64)) AS pos,
+          |    unnest(embedding::DOUBLE[]) AS x
+          |  FROM embeddings
+          |), q0 AS (
+          |  SELECT id, pos, x, CAST(floor(x * 1e4 + 0.5) AS BIGINT) AS xq0
+          |  FROM x0
+          |), m AS (
+          |  SELECT pos, CAST(sum(xq0) AS DOUBLE) / count(*) / 1e4 AS mu
+          |  FROM q0 GROUP BY pos
+          |), e AS (
+          |  SELECT id, q0.pos, CAST(floor((x - mu) * 1e4 + 0.5) AS BIGINT) AS xq
+          |  FROM q0 JOIN m ON q0.pos = m.pos
+          |), v0 AS (SELECT pos, 1250::BIGINT AS vq FROM m),
+          |$iterCtes,
+          |d AS (
+          |  SELECT id, CAST(sum(xq * vq) AS BIGINT) AS d
+          |  FROM e JOIN v6 USING (pos) GROUP BY id
+          |)
+          |SELECT id AS vec_id, pos,
+          |  (xq - CAST(floor(CAST(d AS DOUBLE) * vq / 1e8 + 0.5) AS BIGINT))
+          |    / 1e4 AS xw
+          |FROM e JOIN v6 USING (pos) JOIN d USING (id)
+          |ORDER BY vec_id, pos""".stripMargin
       },
       // op 193: same integer (label, dim) sums, same exact centroid
       // ratios, DECIMAL-cast per-dim term sums; pos is 1-based here

@@ -90,6 +90,41 @@ class Round12bSpec extends SparkSpec {
         }.toArray
       }
 
+  test("embed_whitening: output is the centered vector minus its top-PC component") {
+    // Cross-op consistency: op 198 publishes the unit top-PC loadings
+    // (vq/1e4 exactly, round-to-4 is lossless on the 1e-4 grid); the
+    // whitened rows must equal center(x) − (x_c·v)v up to the output
+    // grid, and be orthogonal to v up to quantization.
+    val v = SparkEntry.queries("embed_power_iter")(spark, dir)
+      .select($"pos", $"loading").as[(Int, Double)].collect()
+      .sortBy(_._1).map(_._2)
+    val raw = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val dim = v.length
+    val n = raw.length
+    val mu = Array.tabulate(dim)(p =>
+      raw.map(r => math.floor(r._2(p) * 1e4 + 0.5)).sum / n / 1e4)
+    val got = SparkEntry.queries("embed_whitening")(spark, dir)
+      .select($"vec_id", $"pos", $"xw").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(_._2).map(_._3)
+      }
+    assert(got.size == n)
+    var maxDot = 0.0
+    for ((id, x) <- raw) {
+      val xc = Array.tabulate(dim)(p => x(p) - mu(p))
+      val d = (0 until dim).map(p => xc(p) * v(p)).sum
+      val want = Array.tabulate(dim)(p => xc(p) - d * v(p))
+      val w = got(id)
+      for (p <- 0 until dim)
+        assert(math.abs(w(p) - want(p)) < 5e-4,
+          s"id=$id pos=$p ${w(p)} vs ${want(p)}")
+      maxDot = maxDot.max(math.abs((0 until dim).map(p => w(p) * v(p)).sum))
+    }
+    assert(maxDot < 5e-3, s"residual top-PC component $maxDot")
+  }
+
   test("eod_tangency: 6 Jacobi sweeps re-derived; direction matches a dense solve") {
     val qs = quantizedSeries()
     val types = qs.keys.toArray.sorted
