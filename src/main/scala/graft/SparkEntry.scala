@@ -7611,6 +7611,62 @@ object SparkEntry {
           ((col("n_sources") - 1) * (col("n_langs") - 1)).as("dof"),
           round(col("chi2r"), 6).as("chi2"))
     }),
+    // Permutation test (op 328; Fisher 1935 exact-randomization
+    // logic): difference of mean click-vs-view returns under the
+    // label-exchangeability null — the assumption-free member the
+    // parametric (Welch) and rank (Mann-Whitney) tests bracket. The
+    // B = 100 relabelings use the md5 coin (op-77 convention:
+    // partition-layout-independent, oracle-replayable), and the
+    // "replicate at least as extreme" compare is INTEGER-EXACT via
+    // cross-multiplication — |sa·nb − sb·na|·(na0·nb0) ≥
+    // |sa0·nb0 − sb0·na0|·(na·nb) in decimal(38,0)/HUGEINT — so no
+    // float knife-edge can split engines. Shape: one ×B explode +
+    // ONE map-side-combinable agg on b (B partial rows); at 100 TB
+    // run it on a sampled slice or shrink B — cost is B·n scan work,
+    // no extra shuffle.
+    "stats_permutation" -> ((s, dir) => {
+      val nB = 100
+      val r = withRet(s, dir)
+        .where(col("ret").isNotNull &&
+          col("event_type").isin("click", "view"))
+        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+        .select(col("event_type"), col("event_id"), col("q"))
+        .localCheckpoint()
+      val obs = r.agg(
+        sum(when(col("event_type") === "click", col("q"))).as("sa0"),
+        count(when(col("event_type") === "click", lit(1))).as("na0"),
+        sum(when(col("event_type") === "view", col("q"))).as("sb0"),
+        count(when(col("event_type") === "view", lit(1))).as("nb0"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val reps = r.select(col("event_id"), col("q"),
+          explode(sequence(lit(1), lit(nB))).as("b"))
+        .withColumn("side", Corpus.md5Uniform(concat_ws("_",
+          lit("perm"), col("b"), col("event_id"))) < 0.5)
+        .groupBy(col("b")).agg(
+          sum(when(col("side"), col("q"))).as("sa"),
+          count(when(col("side"), lit(1))).as("na"),
+          sum(when(!col("side"), col("q"))).as("sb"),
+          count(when(!col("side"), lit(1))).as("nb"))
+      val ext = reps.crossJoin(broadcast(obs))
+        .where(col("na") > 0 && col("nb") > 0)
+        .withColumn("lhs",
+          abs(dec(col("sa")) * col("nb") - dec(col("sb")) * col("na")) *
+            (dec(col("na0")) * dec(col("nb0"))))
+        .withColumn("rhs",
+          abs(dec(col("sa0")) * col("nb0") - dec(col("sb0")) * col("na0")) *
+            (dec(col("na")) * dec(col("nb"))))
+        .agg(count(lit(1)).as("n_reps"),
+          sum(when(col("lhs") >= col("rhs"), 1L).otherwise(0L))
+            .as("n_extreme"))
+      ext.crossJoin(broadcast(obs))
+        .select(col("na0").as("n_a"), col("nb0").as("n_b"),
+          (round((col("sa0").cast("double") / col("na0")
+            - col("sb0").cast("double") / col("nb0")) / 1e6, 9)
+            + lit(0.0)).as("obs_diff"),
+          col("n_reps"), col("n_extreme"),
+          (round((col("n_extreme") + 1).cast("double")
+            / (col("n_reps") + 1), 6) + lit(0.0)).as("p_value"))
+    }),
     // Cramér's V effect size (op 324): the chi² family's missing
     // MAGNITUDE — independence tests reject everything at corpus n,
     // so mixture-drift alarms need V = sqrt(χ²/(n·min(r−1,c−1))) to
@@ -11373,6 +11429,50 @@ object SparkEntry {
           |  CAST(((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
           |  round(CAST(sum(t) AS DOUBLE) / 1e9, 6) AS chi2
           |FROM t""".stripMargin,
+      // op 328: same md5 coin per (b, event_id); the extremeness
+      // compare replays the exact cross-multiplied HUGEINT form.
+      "stats_permutation" ->
+        s"""$R_CTE, x AS (
+          |  SELECT event_type, event_id,
+          |    CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS q
+          |  FROM r
+          |  WHERE ret IS NOT NULL AND event_type IN ('click', 'view')
+          |), o AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN event_type = 'click' THEN q END) AS BIGINT) AS sa0,
+          |    count(CASE WHEN event_type = 'click' THEN 1 END) AS na0,
+          |    CAST(sum(CASE WHEN event_type = 'view' THEN q END) AS BIGINT) AS sb0,
+          |    count(CASE WHEN event_type = 'view' THEN 1 END) AS nb0
+          |  FROM x
+          |), flips AS (
+          |  SELECT x.q, rr.range AS b,
+          |    ${md5Word8Sql("'perm_' || rr.range::VARCHAR || '_' || event_id::VARCHAR")}
+          |      / 4294967296.0 < 0.5 AS side
+          |  FROM x CROSS JOIN range(1, 101) rr
+          |), reps AS (
+          |  SELECT b,
+          |    CAST(sum(CASE WHEN side THEN q END) AS BIGINT) AS sa,
+          |    count(CASE WHEN side THEN 1 END) AS na,
+          |    CAST(sum(CASE WHEN NOT side THEN q END) AS BIGINT) AS sb,
+          |    count(CASE WHEN NOT side THEN 1 END) AS nb
+          |  FROM flips GROUP BY b
+          |), e AS (
+          |  SELECT count(*) AS n_reps,
+          |    CAST(sum(CASE WHEN
+          |      abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+          |        * (CAST(na0 AS HUGEINT) * nb0) >=
+          |      abs(CAST(sa0 AS HUGEINT) * nb0 - CAST(sb0 AS HUGEINT) * na0)
+          |        * (CAST(na AS HUGEINT) * nb)
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+          |  FROM reps CROSS JOIN o WHERE na > 0 AND nb > 0
+          |)
+          |SELECT na0 AS n_a, nb0 AS n_b,
+          |  round((CAST(sa0 AS DOUBLE) / na0 - CAST(sb0 AS DOUBLE) / nb0)
+          |    / 1e6, 9) + 0.0 AS obs_diff,
+          |  n_reps, n_extreme,
+          |  round(CAST(n_extreme + 1 AS DOUBLE) / (n_reps + 1), 6) + 0.0
+          |    AS p_value
+          |FROM e CROSS JOIN o""".stripMargin,
       // op 324: same quantized χ² long, V and its grade from
       // identical integers.
       "stats_cramers_v" ->

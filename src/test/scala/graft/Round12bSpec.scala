@@ -90,6 +90,51 @@ class Round12bSpec extends SparkSpec {
         }.toArray
       }
 
+  test("stats_permutation: 100 md5-coin relabelings recomputed locally") {
+    def md5word(sIn: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(8), 16)
+    }
+    val rows = graft.sources.Tables.load(spark, dir, "events")
+      .where($"event_type".isin("click", "view"))
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).flatMap { case (k, rs) =>
+        val ss = rs.sortBy(r => (r._2, r._3))
+        ss.sliding(2).collect { case Array(a, b) =>
+          (k, b._3, math.floor((b._4 / a._4 - 1) * 1e6 + 0.5).toLong)
+        }
+      }.toArray
+    val (ca, cb) = rows.partition(_._1 == "click")
+    val (sa0, na0) = (ca.map(_._3).sum, ca.length.toLong)
+    val (sb0, nb0) = (cb.map(_._3).sum, cb.length.toLong)
+    var nExtreme = 0L
+    val rhsBase = BigInt(sa0 * nb0 - sb0 * na0).abs
+    for (b <- 1 to 100) {
+      var sa = 0L; var na = 0L; var sb = 0L; var nb = 0L
+      for ((_, id, q) <- rows) {
+        if (md5word(s"perm_${b}_$id").toDouble / 4294967296.0 < 0.5) {
+          sa += q; na += 1
+        } else { sb += q; nb += 1 }
+      }
+      val lhs = (BigInt(sa) * nb - BigInt(sb) * na).abs *
+        (BigInt(na0) * nb0)
+      if (na > 0 && nb > 0 && lhs >= rhsBase * (BigInt(na) * nb))
+        nExtreme += 1
+    }
+    val got = SparkEntry.queries("stats_permutation")(spark, dir)
+      .select($"n_a", $"n_b", $"n_reps", $"n_extreme", $"p_value")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val g = got.head
+    assert(g._1 == na0 && g._2 == nb0 && g._3 == 100L,
+      s"sizes ${g._1}/${g._2}/${g._3} vs $na0/$nb0/100")
+    assert(g._4 == nExtreme, s"n_extreme ${g._4} vs $nExtreme")
+    assert(math.abs(g._5 - (nExtreme + 1).toDouble / 101.0) < 1e-5,
+      s"p ${g._5}")
+  }
+
   test("embed_whitening: output is the centered vector minus its top-PC component") {
     // Cross-op consistency: op 198 publishes the unit top-PC loadings
     // (vq/1e4 exactly, round-to-4 is lossless on the 1e-4 grid); the
