@@ -7611,6 +7611,39 @@ object SparkEntry {
           ((col("n_sources") - 1) * (col("n_langs") - 1)).as("dof"),
           round(col("chi2r"), 6).as("chi2"))
     }),
+    // Benjamini-Hochberg FDR (op 329; Benjamini/Hochberg 1995): the
+    // multiple-testing control the whole inference family (ops
+    // 225/240/241/271/289/290/297/302/328) needs once it runs per
+    // series — at corpus scale you test thousands of series and
+    // α-per-test drowns you in false discoveries. Family here: the
+    // op-271 Jarque-Bera tests, whose χ²(2) null gives the CLOSED
+    // p-value exp(−jb/2) (no CDF machinery). BH runs WINDOWLESS on
+    // the m-row family relation (m = #series, never #rows): rank =
+    // broadcast theta-self-join count (ties broken by series key),
+    // adjusted p = suffix-min of m·p/rank via a second m²-broadcast
+    // join — both trivially small at any data scale, and no
+    // unpartitioned Window anywhere (the WindowGuard rule).
+    "stats_bh_fdr" -> ((s, dir) => {
+      val jb = SparkEntry.queries("eod_jarque_bera")(s, dir)
+        .select(col("event_type"), col("jb"))
+        .withColumn("p", round(exp(-col("jb") / 2.0), 9))
+        .localCheckpoint()
+      val other = jb.select(col("event_type").as("tb"), col("p").as("pb"))
+      val ranked = jb.join(broadcast(other),
+          col("pb") < col("p") ||
+            (col("pb") === col("p") && col("tb") <= col("event_type")))
+        .groupBy(col("event_type"), col("p")).agg(count(lit(1)).as("rnk"))
+      val mrel = jb.agg(count(lit(1)).as("m"))
+      ranked.crossJoin(broadcast(mrel))
+        .join(broadcast(ranked.select(col("p").as("pj"),
+          col("rnk").as("rj"))), col("rj") >= col("rnk"))
+        .groupBy(col("event_type"), col("p"), col("rnk"))
+        .agg(min(least(lit(1.0),
+          round(col("m") * col("pj") / col("rj"), 9))).as("p_adj"))
+        .select(col("event_type"), col("p").as("p_value"), col("rnk"),
+          col("p_adj"), (col("p_adj") <= 0.10).as("reject"))
+        .orderBy(col("rnk"))
+    }),
     // Permutation test (op 328; Fisher 1935 exact-randomization
     // logic): difference of mean click-vs-view returns under the
     // label-exchangeability null — the assumption-free member the
@@ -11429,6 +11462,34 @@ object SparkEntry {
           |  CAST(((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
           |  round(CAST(sum(t) AS DOUBLE) / 1e9, 6) AS chi2
           |FROM t""".stripMargin,
+      // op 329: the op-271 moment CTEs, the closed χ²(2) p, and the
+      // same windowless rank/suffix-min self-join algebra.
+      "stats_bh_fdr" ->
+        s"""$R_CTE, d AS (
+          |  SELECT event_type,
+          |    ret - avg(ret) OVER (PARTITION BY event_type) AS d
+          |  FROM r WHERE ret IS NOT NULL
+          |), mo AS (
+          |  SELECT event_type, count(*) AS n,
+          |    round(avg(pow(d, 3)) / pow(avg(pow(d, 2)), 1.5), 6) + 0.0 AS sk,
+          |    round(avg(pow(d, 4)) / pow(avg(pow(d, 2)), 2) - 3, 6) + 0.0 AS ku
+          |  FROM d GROUP BY event_type
+          |), pp AS (
+          |  SELECT event_type,
+          |    round(exp(-round(n / 6.0 * (sk * sk + ku * ku / 4.0), 6) / 2.0),
+          |      9) + 0.0 AS p
+          |  FROM mo
+          |), rk AS (
+          |  SELECT a.event_type, a.p, count(*) AS rnk
+          |  FROM pp a JOIN pp b ON b.p < a.p
+          |    OR (b.p = a.p AND b.event_type <= a.event_type)
+          |  GROUP BY 1, 2
+          |), mm AS (SELECT count(*) AS m FROM pp)
+          |SELECT rk.event_type, rk.p AS p_value, rk.rnk,
+          |  min(least(1.0, round(mm.m * r2.p / r2.rnk, 9))) AS p_adj,
+          |  min(least(1.0, round(mm.m * r2.p / r2.rnk, 9))) <= 0.10 AS reject
+          |FROM rk CROSS JOIN mm JOIN rk r2 ON r2.rnk >= rk.rnk
+          |GROUP BY 1, 2, 3 ORDER BY rk.rnk""".stripMargin,
       // op 328: same md5 coin per (b, event_id); the extremeness
       // compare replays the exact cross-multiplied HUGEINT form.
       "stats_permutation" ->

@@ -135,6 +135,33 @@ class Round12bSpec extends SparkSpec {
       s"p ${g._5}")
   }
 
+  test("stats_bh_fdr: BH step-up recomputed from the published JB statistics") {
+    val jb = SparkEntry.queries("eod_jarque_bera")(spark, dir)
+      .select($"event_type", $"jb").as[(String, Double)].collect()
+    val ps = jb.map { case (t, j) =>
+      t -> math.floor(math.exp(-j / 2.0) * 1e9 + 0.5) / 1e9
+    }.sortBy { case (t, p) => (p, t) }
+    val m = ps.length
+    val padj = Array.tabulate(m) { k =>
+      (k until m).map(j =>
+        math.min(1.0, math.floor(m * ps(j)._2 / (j + 1) * 1e9 + 0.5) / 1e9))
+        .min
+    }
+    val got = SparkEntry.queries("stats_bh_fdr")(spark, dir)
+      .select($"event_type", $"p_value", $"rnk", $"p_adj", $"reject")
+      .as[(String, Double, Long, Double, Boolean)].collect().sortBy(_._3)
+    assert(got.length == m)
+    for (k <- 0 until m) {
+      val g = got(k)
+      assert(g._1 == ps(k)._1 && g._3 == k + 1, s"rank order at $k: $g")
+      assert(math.abs(g._2 - ps(k)._2) < 1e-9, s"p at $k")
+      assert(math.abs(g._4 - padj(k)) < 1e-9, s"p_adj at $k: ${g._4} vs ${padj(k)}")
+      assert(g._5 == (padj(k) <= 0.10), s"reject at $k")
+    }
+    // step-up monotonicity: adjusted p's are nondecreasing in rank
+    for (k <- 1 until m) assert(got(k)._4 >= got(k - 1)._4, "monotone")
+  }
+
   test("embed_whitening: output is the centered vector minus its top-PC component") {
     // Cross-op consistency: op 198 publishes the unit top-PC loadings
     // (vq/1e4 exactly, round-to-4 is lossless on the 1e-4 grid); the
