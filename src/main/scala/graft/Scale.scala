@@ -83,9 +83,14 @@ object Scale {
   def genEvents(spark: SparkSession, n: Long): DataFrame = {
     val types = array(lit("click"), lit("view"), lit("purchase"),
       lit("signup"), lit("error"))
+    // users scale WITH the corpus (~100 events/user at any m) — the
+    // realistic 100 TB shape: more users, not longer per-user histories
+    val nUsers = math.max(n / 100, 100L)
     spark.range(n).select(
       col("id").as("event_id"),
       timestamp_micros(lit(1712928600000000L) + col("id") * 1000L).as("ts"),
+      (conv(substring(md5(concat_ws("_", lit("eu"), col("id"))), 1, 8),
+        16, 10).cast("long") % nUsers).as("user_id"),
       element_at(types, (col("id") % 5 + 1).cast("int")).as("event_type"),
       (lit(50.0) + u(col("id"), "p") * 100.0).as("value"))
   }
@@ -787,6 +792,37 @@ object Scale {
         // localCheckpointed self-relation.
         timed("rel_tpch_q21", m, 600000L * m) {
           sink(SparkEntry.queries("rel_tpch_q21")(spark, qDir))
+        }
+      }
+
+      // ---- r12 third-wave probes: the events product-analytics family
+      // (funnel / lifecycle / SCD2 / attribution) runs the REAL query
+      // functions on self-generated events whose user count scales with
+      // the corpus (~100 events/user at every m — the realistic shape).
+      // Every op is one hash(user_id) exchange + keyed windows, so the
+      // claim is wall-time ~linear in rows.
+      if (Seq("events_funnel", "events_lifecycle", "events_scd2",
+          "events_attribution").exists(wanted)) {
+        val nEv = 100000L * m
+        genEvents(spark, nEv).write.mode("overwrite")
+          .parquet(s"$root/$m/events.parquet")
+        val qDir = s"$root/$m"
+        // k running-min windows over the one user exchange.
+        timed("events_funnel", m, nEv) {
+          sink(SparkEntry.queries("events_funnel")(spark, qDir))
+        }
+        // distinct (user, week) → lag/lead window → week-keyed counts.
+        timed("events_lifecycle", m, nEv) {
+          sink(SparkEntry.queries("events_lifecycle")(spark, qDir))
+        }
+        // two windows (run-compression lag + interval lead), full
+        // dimension output — the largest result of the family.
+        timed("events_scd2", m, nEv) {
+          sink(SparkEntry.queries("events_scd2")(spark, qDir))
+        }
+        // running first/last IGNORE NULLS windows + two small aggs.
+        timed("events_attribution", m, nEv) {
+          sink(SparkEntry.queries("events_attribution")(spark, qDir))
         }
       }
 

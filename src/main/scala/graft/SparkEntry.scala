@@ -375,6 +375,14 @@ object SparkEntry {
       // batch op's (integer prefix + order-pinned last price), so the
       // sink-side toxicity report replays the batch VPIN oracle.
       ("streaming_vpin" -> p("tick_vpin")) +
+      // op 337: reach flags are monotone and keyed by the EARLIEST
+      // qualifying step times, so the max-merged sink equals the batch
+      // funnel exactly — the stream replays the batch op-330 oracle.
+      ("streaming_funnel" -> p("events_funnel")) +
+      // op 339: closed intervals + per-batch open-row re-emissions,
+      // min(valid_to)-merged in the sink, equal the batch SCD2 table —
+      // the stream replays the batch op-332 oracle.
+      ("streaming_scd2" -> p("events_scd2")) +
       // op 142: counts only grow, so the max-merged Update sink equals
       // the batch bin table and the report replays the batch oracle.
       ("streaming_quantiles" -> p("sketch_quantiles")) +
@@ -7939,6 +7947,162 @@ object SparkEntry {
             .as("avg_duration_s"))
         .orderBy(col("user_id"))),
 
+    // ---- product/event analytics (ops 330-332): the funnel /
+    // cohort-retention / SCD2 trio every clickstream lake runs.
+    // Kernels in operators/Events.scala; everything integer-exact
+    // (flags, counts, epoch-µs interval bounds), so the DuckDB replay
+    // hash-matches with no float convention needed.
+    "events_funnel" -> ((s, dir) =>
+      graft.operators.Events
+        .funnelFlags(events(s, dir), "signup", "click", "purchase")
+        .orderBy(col("user_id"))),
+
+    "events_retention" -> ((s, dir) =>
+      graft.operators.Events.retention(events(s, dir), "signup")
+        .select(col("cohort_us"), col("week_offset"), col("n_active"),
+          col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6)
+            .as("retained_pct"))
+        .orderBy(col("cohort_us"), col("week_offset"))),
+
+    "events_scd2" -> ((s, dir) =>
+      graft.operators.Events.scd2(events(s, dir))
+        .withColumn("is_current", col("is_current").cast("int"))
+        .orderBy(col("user_id"), col("valid_from_us"))),
+
+    "events_lifecycle" -> ((s, dir) =>
+      graft.operators.Events.lifecycle(events(s, dir))
+        .orderBy(col("week_us"))),
+
+    // ---- streaming funnel, REPLAYED to batch (op 337): the op-330
+    // reach flags maintained per user at ingest (flatMapGroupsWithState,
+    // two longs + a boolean of state per user); the oracle is the batch
+    // events_funnel SQL verbatim — batch/stream parity for funnels.
+    "streaming_funnel" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "events", "sfun") { src =>
+        val stepNo = when(col("event_type") === "signup", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3).otherwise(0)
+        val evs = graft.sources.Tables.normalizeEventTs(src)
+          .select(col("user_id").as("userId"), col("ts"),
+            col("event_id").as("eventId"), stepNo.as("step"))
+          .as[graft.streaming.Stateful.FunnelIn]
+        graft.streaming.Stateful.funnelStream(evs).toDF
+      }
+        // flags are monotone per user: the max over per-batch emissions
+        // is the final reach
+        .groupBy(col("user_id"))
+        .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"),
+          max(col("s3")).as("s3"))
+        .orderBy(col("user_id")) }
+    }),
+
+    "events_attribution" -> ((s, dir) =>
+      graft.operators.Events
+        .attribution(events(s, dir), "purchase", 604800000000L)
+        .orderBy(col("channel"))),
+
+    "events_rfm" -> ((s, dir) =>
+      graft.operators.Events.rfm(events(s, dir), "purchase")
+        .orderBy(col("user_id"))),
+
+    "events_transitions" -> ((s, dir) =>
+      graft.operators.Events.transitions(events(s, dir))
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // ---- streaming SCD2, REPLAYED to batch (op 339): the op-332
+    // dimension maintained per user at ingest; closed intervals emit on
+    // state change, the open row re-emits per batch, and the sink
+    // groupBy keeps min(valid_to) — equals the batch SCD2 table, so the
+    // oracle is the batch events_scd2 SQL verbatim.
+    "streaming_scd2" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "events", "sscd") { src =>
+        val evs = graft.sources.Tables.normalizeEventTs(src)
+          .select(col("user_id").as("userId"), col("ts"),
+            col("event_id").as("eventId"), col("event_type").as("state"))
+          .as[graft.streaming.Stateful.Scd2In]
+        graft.streaming.Stateful.scd2Stream(evs).toDF
+      }
+        .groupBy(col("user_id"), col("valid_from_us"), col("state"))
+        .agg(min(col("valid_to_us")).as("valid_to_us"))
+        .select(col("user_id"), col("state"), col("valid_from_us"),
+          col("valid_to_us"),
+          (col("valid_to_us") === graft.operators.Events.OpenUs)
+            .cast("int").as("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us")) }
+    }),
+
+    // ---- streaming sessionization, REPLAYED to batch (op 333): the
+    // SAME session_window expression as the batch `sessionize` query,
+    // run as a real Append-mode stream with watermark-bounded state and
+    // flushed by the two-phase sentinel (see streaming_window_agg).
+    // The oracle is the batch sessionize SQL verbatim — the strongest
+    // possible batch/stream parity check for gap sessions.
+    "streaming_sessionize" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val tS0 = System.nanoTime()
+      val path = s"$dir/events.parquet"
+      val out = java.nio.file.Files.createTempDirectory("graft-sses-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sses-ck").toString
+      val in = java.nio.file.Files.createTempDirectory("graft-sses-in")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("events.parquet"))
+      val raw = s.read.parquet(path)
+      val stageSec = (System.nanoTime() - tS0) / 1e9
+      var wallSec = 0.0
+      var addBatchSec = 0.0
+      def runOnce(): Unit = {
+        val tR0 = System.nanoTime()
+        val evs = graft.sources.Tables.normalizeEventTs(
+          s.readStream.schema(raw.schema).parquet(in.toString))
+        val q = graft.streaming.EventStream
+          .sessionize(evs, "30 minutes", Some("0 seconds"))
+          .select(col("user_id"), col("n_events"),
+            unix_micros(col("first_ts")).as("first_us"),
+            unix_micros(col("last_ts")).as("last_us"))
+          .writeStream
+          // sentinel excluded in the SINK (a pre-agg filter would be
+          // pushed below EventTimeWatermark and never flush — the
+          // streaming_window_agg lesson)
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            batch.where(col("user_id") =!= -999L)
+              .write.mode("append").parquet(out))
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        wallSec += (System.nanoTime() - tR0) / 1e9
+        addBatchSec += q.recentProgress.iterator.flatMap(p =>
+          Option(p.durationMs.get("addBatch")).map(_.toDouble / 1e3)).sum
+      }
+      runOnce()
+      val sentinelTs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          lit(7258118400000000000L) // ns
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          expr("timestamp_ntz'2200-01-01 00:00:00'")
+        case _ => expr("timestamp'2200-01-01 00:00:00'")
+      }
+      raw.limit(1)
+        .withColumn("ts", sentinelTs)
+        .withColumn("user_id", lit(-999L))
+        .write.mode("append").parquet(in.toString)
+      runOnce()
+      replayStats("sses") = (stageSec, wallSec, addBatchSec)
+      // post-replay per-user rollup — identical algebra to batch
+      // `sessionize`, so the two queries share one oracle shape
+      s.read.parquet(out)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
+            .as("avg_events"),
+          (floor(sum(col("last_us") - col("first_us"))
+              .cast("double") / count(lit(1)) + lit(0.5)).cast("long") / 1e6)
+            .as("avg_duration_s"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- streaming exact dedup, REPLAYED to batch for the oracle
     // (op 80): a real Structured Streaming run — file source →
     // dropDuplicatesWithinWatermark → foreachBatch parquet sink — whose
@@ -11805,6 +11969,202 @@ object SparkEntry {
           |  round(CASE WHEN dsd <> 0 THEN mean / dsd END * sqrt(252.0), 4) + 0.0 AS roll_sortino
           |FROM m""".stripMargin,
       "sessionize" ->
+        """WITH x AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), s AS (
+          |  SELECT user_id, ts, sum(new_s) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM x
+          |), g AS (
+          |  SELECT user_id, sid, count(*) AS n_events,
+          |    max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+          |  FROM s GROUP BY user_id, sid
+          |)
+          |SELECT user_id, count(*) AS n_sessions,
+          |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+          |  CAST(floor(CAST(sum(dur_us) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS avg_duration_s
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "events_funnel" ->
+        """WITH a AS (
+          |  SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us,
+          |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+          |      OVER w AS t1
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |), b AS (
+          |  SELECT *, (event_type = 'click' AND t1 IS NOT NULL AND us > t1)
+          |    AS q2 FROM a
+          |), c AS (
+          |  SELECT *, min(CASE WHEN q2 THEN us END) OVER w AS t2
+          |  FROM b
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |), d AS (
+          |  SELECT *, (event_type = 'purchase' AND t2 IS NOT NULL AND us > t2)
+          |    AS q3 FROM c
+          |)
+          |SELECT user_id,
+          |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s1,
+          |  max(CASE WHEN q2 THEN 1 ELSE 0 END) AS s2,
+          |  max(CASE WHEN q3 THEN 1 ELSE 0 END) AS s3
+          |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "events_retention" ->
+        """WITH firsts AS (
+          |  SELECT user_id,
+          |    epoch_us(date_trunc('week', min(ts))) AS cohort_us
+          |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+          |), weekly AS (
+          |  SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS week_us
+          |  FROM events
+          |), cohorts AS (
+          |  SELECT cohort_us, count(*) AS n_cohort FROM firsts GROUP BY cohort_us
+          |), act AS (
+          |  SELECT f.cohort_us,
+          |    CAST((w.week_us - f.cohort_us) / 604800000000 AS BIGINT)
+          |      AS week_offset,
+          |    count(*) AS n_active
+          |  FROM weekly w JOIN firsts f USING (user_id)
+          |  WHERE w.week_us >= f.cohort_us
+          |  GROUP BY 1, 2
+          |)
+          |SELECT a.cohort_us, a.week_offset, a.n_active, c.n_cohort,
+          |  round(CAST(a.n_active AS DOUBLE) / c.n_cohort, 6) AS retained_pct
+          |FROM act a JOIN cohorts c USING (cohort_us)
+          |ORDER BY cohort_us, week_offset""".stripMargin,
+      "events_scd2" ->
+        """WITH e AS (
+          |  SELECT user_id, event_type AS state, epoch_us(ts) AS vf, ts,
+          |    event_id,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS prev
+          |  FROM events
+          |), k AS (
+          |  SELECT user_id, state, vf, event_id FROM e
+          |  WHERE prev IS NULL OR prev <> state
+          |)
+          |SELECT user_id, state, vf AS valid_from_us,
+          |  COALESCE(lead(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id),
+          |    32503680000000000) AS valid_to_us,
+          |  CAST(COALESCE(lead(vf) OVER (PARTITION BY user_id
+          |      ORDER BY vf, event_id), 32503680000000000)
+          |    = 32503680000000000 AS INT) AS is_current
+          |FROM k ORDER BY user_id, valid_from_us""".stripMargin,
+      "events_transitions" ->
+        """WITH pairs AS (
+          |  SELECT lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS from_type,
+          |    event_type AS to_type
+          |  FROM events
+          |), c AS (
+          |  SELECT from_type, to_type, count(*) AS n
+          |  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+          |), t AS (
+          |  SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+          |  FROM c GROUP BY from_type
+          |)
+          |SELECT c.from_type, c.to_type, c.n,
+          |  floor(CAST(c.n AS DOUBLE) / t.total * 1e6 + 0.5) / 1e6 AS p
+          |FROM c JOIN t USING (from_type)
+          |ORDER BY from_type, to_type""".stripMargin,
+      "events_lifecycle" ->
+        """WITH weekly AS (
+          |  SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS week_us
+          |  FROM events
+          |), m AS (
+          |  SELECT user_id, week_us,
+          |    lag(week_us) OVER w AS prev, lead(week_us) OVER w AS nxt
+          |  FROM weekly WINDOW w AS (PARTITION BY user_id ORDER BY week_us)
+          |), states AS (
+          |  SELECT week_us,
+          |    CASE WHEN prev IS NULL THEN 'new'
+          |         WHEN prev = week_us - 604800000000 THEN 'retained'
+          |         ELSE 'resurrected' END AS state
+          |  FROM m
+          |  UNION ALL
+          |  SELECT week_us + 604800000000 AS week_us, 'churned' AS state
+          |  FROM m
+          |  WHERE (nxt IS NULL OR nxt > week_us + 604800000000)
+          |    AND week_us + 604800000000 <= (SELECT max(week_us) FROM weekly)
+          |)
+          |SELECT week_us,
+          |  CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_new,
+          |  CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_retained,
+          |  CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_resurrected,
+          |  CAST(sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_churned
+          |FROM states GROUP BY week_us ORDER BY week_us""".stripMargin,
+      "events_attribution" ->
+        """WITH e AS (
+          |  SELECT *,
+          |    last_value(CASE WHEN event_type <> 'purchase'
+          |        THEN event_type END IGNORE NULLS) OVER w AS last_ch,
+          |    last_value(CASE WHEN event_type <> 'purchase'
+          |        THEN epoch_us(ts) END IGNORE NULLS) OVER w AS last_us,
+          |    first_value(CASE WHEN event_type <> 'purchase'
+          |        THEN event_type END IGNORE NULLS) OVER w AS first_ch
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |), conv AS (
+          |  SELECT
+          |    CASE WHEN last_ch IS NOT NULL
+          |           AND epoch_us(ts) - last_us <= 604800000000
+          |         THEN last_ch ELSE 'direct' END AS last_touch,
+          |    COALESCE(first_ch, 'direct') AS first_touch,
+          |    CAST(value AS DECIMAL(30,10)) AS rev
+          |  FROM e WHERE event_type = 'purchase'
+          |), bl AS (
+          |  SELECT last_touch AS channel, count(*) AS n_last_touch,
+          |    sum(rev) AS rev_last FROM conv GROUP BY 1
+          |), bf AS (
+          |  SELECT first_touch AS channel, count(*) AS n_first_touch
+          |  FROM conv GROUP BY 1
+          |)
+          |SELECT COALESCE(bl.channel, bf.channel) AS channel,
+          |  COALESCE(n_last_touch, 0) AS n_last_touch,
+          |  round(CAST(COALESCE(rev_last, 0) AS DOUBLE), 6) AS rev_last_touch,
+          |  COALESCE(n_first_touch, 0) AS n_first_touch
+          |FROM bl FULL OUTER JOIN bf ON bl.channel = bf.channel
+          |ORDER BY 1""".stripMargin,
+      "events_rfm" ->
+        """WITH mx AS (
+          |  SELECT max(epoch_us(ts)) AS max_us FROM events
+          |), u AS (
+          |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+          |    count(*) AS frequency,
+          |    sum(CAST(value AS DECIMAL(30,10))) AS mon
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+          |), s AS (
+          |  SELECT user_id,
+          |    CAST((max_us - last_us) // 86400000000 AS BIGINT) AS recency_days,
+          |    frequency, mon
+          |  FROM u, mx
+          |)
+          |SELECT user_id, recency_days, frequency,
+          |  round(CAST(mon AS DOUBLE), 6) AS monetary,
+          |  CASE WHEN recency_days <= 7 THEN 3
+          |       WHEN recency_days <= 14 THEN 2 ELSE 1 END AS r_score,
+          |  CASE WHEN frequency >= 10 THEN 3
+          |       WHEN frequency >= 5 THEN 2 ELSE 1 END AS f_score,
+          |  CASE WHEN mon >= 500 THEN 3
+          |       WHEN mon >= 100 THEN 2 ELSE 1 END AS m_score,
+          |  CAST(CASE WHEN recency_days <= 7 THEN 3
+          |       WHEN recency_days <= 14 THEN 2 ELSE 1 END AS VARCHAR) ||
+          |  CAST(CASE WHEN frequency >= 10 THEN 3
+          |       WHEN frequency >= 5 THEN 2 ELSE 1 END AS VARCHAR) ||
+          |  CAST(CASE WHEN mon >= 500 THEN 3
+          |       WHEN mon >= 100 THEN 2 ELSE 1 END AS VARCHAR) AS segment
+          |FROM s ORDER BY user_id""".stripMargin,
+      "streaming_sessionize" ->
         """WITH x AS (
           |  SELECT user_id, ts, event_id,
           |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

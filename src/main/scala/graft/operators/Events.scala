@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product/event analytics over an append-only event log — the
+  * funnel / cohort-retention / SCD2-compaction trio every
+  * clickstream lake runs at 100 TB (SURVEY §2 ops 330-332). No
+  * reference twin (the reference is a returns library); these extend
+  * the `events` table the same way the corpus_* family extends
+  * `documents`.
+  *
+  * Scale notes (the whole family is one-key territory):
+  *   - every window partitions by `user_id`, so the single shuffle is
+  *     hash(user_id); the per-user aggregations that follow reuse that
+  *     partitioning (no second exchange — Catalyst sees the child
+  *     distribution satisfies the groupBy requirement);
+  *   - nothing here collects, crosses, or re-sorts globally; the only
+  *     driver-sized relations are the final reports (steps, cohorts).
+  */
+object Events {
+
+  private def us(c: Column): Column = unix_micros(c)
+
+  /** Strictly-ordered funnel reach per user: a step-k event counts
+    * only if it is STRICTLY LATER (in event time) than the earliest
+    * qualifying step-(k-1) event. One pass: a running
+    * min-of-qualifying-time window per step over the same
+    * (user_id, ts, event_id) order — k windows, one shuffle.
+    * Returns one row per user with reach flags (step1/step2/step3).
+    */
+  def funnelFlags(events: DataFrame, step1: String, step2: String,
+                  step3: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = col("event_type")
+    val e1 = events
+      .withColumn("_us", us(col("ts")))
+      .withColumn("_t1", min(when(t === step1, col("_us"))).over(w))
+    val e2 = e1.withColumn("_q2",
+        t === step2 && col("_t1").isNotNull && col("_us") > col("_t1"))
+      .withColumn("_t2", min(when(col("_q2"), col("_us"))).over(w))
+    val e3 = e2.withColumn("_q3",
+      t === step3 && col("_t2").isNotNull && col("_us") > col("_t2"))
+    e3.groupBy(col("user_id"))
+      .agg(max(when(t === step1, 1).otherwise(0)).as("s1"),
+        max(when(col("_q2"), 1).otherwise(0)).as("s2"),
+        max(when(col("_q3"), 1).otherwise(0)).as("s3"))
+  }
+
+  /** Weekly cohort retention: cohort = Monday-truncated week of the
+    * user's FIRST `anchorType` event; a user is retained in week
+    * offset k if they have ANY event in cohort_week + k. Offsets are
+    * exact integer µs arithmetic (UTC session, no DST — a week is
+    * always 604800000000 µs). Returns (cohort_us, week_offset,
+    * n_active, n_cohort).
+    */
+  def retention(events: DataFrame, anchorType: String): DataFrame = {
+    val firsts = events.where(col("event_type") === anchorType)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        us(date_trunc("week", col("first_ts"))).as("cohort_us"))
+    val weekly = events
+      .select(col("user_id"), us(date_trunc("week", col("ts"))).as("week_us"))
+      .distinct()
+    val cohorts = firsts.groupBy(col("cohort_us"))
+      .agg(count(lit(1)).as("n_cohort"))
+    // firsts and weekly both hash-partition on user_id; cohorts is
+    // driver-sized (a handful of Mondays) → broadcast.
+    weekly.join(firsts, "user_id")
+      .withColumn("week_offset",
+        ((col("week_us") - col("cohort_us")) / lit(604800000000L)).cast("long"))
+      .where(col("week_offset") >= 0)
+      .groupBy(col("cohort_us"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohorts), "cohort_us")
+  }
+
+  private val WeekUs = 604800000000L
+
+  /** Weekly growth accounting (Social-Capital convention): per week,
+    * users split into new (first-ever active week), retained (active
+    * the immediately-preceding week), resurrected (active some earlier
+    * week but not the preceding one); churned(w) = users active in
+    * w−1 but not in w, attributed to w. The last corpus week emits no
+    * churn (nothing after it to be absent from). One distinct
+    * (user, week) pass, one lag/lead window over hash(user_id), and a
+    * week-keyed count — all integer-exact.
+    */
+  def lifecycle(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("user_id"), us(date_trunc("week", col("ts"))).as("week_us"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("week_us"))
+    val marked = weekly
+      .withColumn("_prev", lag(col("week_us"), 1).over(w))
+      .withColumn("_next", lead(col("week_us"), 1).over(w))
+    val maxWeek = weekly.groupBy()
+      .agg(max(col("week_us")).as("max_week_us"))
+    val states = marked.select(col("week_us"),
+      when(col("_prev").isNull, lit("new"))
+        .when(col("_prev") === col("week_us") - WeekUs, lit("retained"))
+        .otherwise(lit("resurrected")).as("state"))
+    // churn events: active week w with no activity at w+1 → churned
+    // at w+1 (capped at the last observed corpus week)
+    val churn = marked
+      .where(col("_next").isNull || col("_next") > col("week_us") + WeekUs)
+      .select((col("week_us") + WeekUs).as("week_us"),
+        lit("churned").as("state"))
+      .join(broadcast(maxWeek), col("week_us") <= col("max_week_us"))
+      .select(col("week_us"), col("state"))
+    states.unionByName(churn)
+      .groupBy(col("week_us"))
+      .agg(
+        sum(when(col("state") === "new", 1).otherwise(0)).as("n_new"),
+        sum(when(col("state") === "retained", 1).otherwise(0)).as("n_retained"),
+        sum(when(col("state") === "resurrected", 1).otherwise(0))
+          .as("n_resurrected"),
+        sum(when(col("state") === "churned", 1).otherwise(0)).as("n_churned"))
+  }
+
+  /** Marketing attribution of conversions: per conversion event, the
+    * last-touch channel = event_type of the most recent non-conversion
+    * event STRICTLY before it (same user, within `lookbackUs`), and
+    * the first-touch channel = the user's earliest non-conversion
+    * event up to the conversion (no lookback — first touch is a
+    * lifetime notion); either absent → 'direct'. One hash(user_id)
+    * exchange; the per-channel report is driver-sized. Revenue rides
+    * as an exact decimal sum so the split replays hash-identically.
+    */
+  def attribution(events: DataFrame, conversionType: String,
+                  lookbackUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touchT = when(col("event_type") =!= conversionType, col("event_type"))
+    val touchUs = when(col("event_type") =!= conversionType, us(col("ts")))
+    val conv = events
+      .withColumn("_last_ch", last(touchT, ignoreNulls = true).over(w))
+      .withColumn("_last_us", last(touchUs, ignoreNulls = true).over(w))
+      .withColumn("_first_ch", first(touchT, ignoreNulls = true).over(w))
+      .where(col("event_type") === conversionType)
+      .select(
+        when(col("_last_ch").isNotNull &&
+            us(col("ts")) - col("_last_us") <= lookbackUs, col("_last_ch"))
+          .otherwise(lit("direct")).as("last_touch"),
+        coalesce(col("_first_ch"), lit("direct")).as("first_touch"),
+        col("value").cast("decimal(30,10)").as("_rev"))
+    val byLast = conv.groupBy(col("last_touch").as("channel"))
+      .agg(count(lit(1)).as("n_last_touch"),
+        sum(col("_rev")).as("_rev_last"))
+    val byFirst = conv.groupBy(col("first_touch").as("channel"))
+      .agg(count(lit(1)).as("n_first_touch"))
+    byLast.join(byFirst, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"),
+        round(coalesce(col("_rev_last"), lit(0).cast("decimal(30,10)"))
+          .cast("double"), 6).as("rev_last_touch"),
+        coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"))
+  }
+
+  /** RFM segmentation on conversion events: per user, recency = whole
+    * days between the user's last conversion and the corpus max event
+    * time (1-row broadcast), frequency = conversion count, monetary =
+    * exact decimal revenue. Scores are FIXED documented thresholds
+    * (not quantiles — threshold rules are scale-free, engine-exact,
+    * and what production RFM jobs actually pin): r ≤ 7d → 3, ≤ 14d →
+    * 2, else 1; f ≥ 10 → 3, ≥ 5 → 2, else 1; m ≥ 500 → 3, ≥ 100 → 2,
+    * else 1. Only users with ≥ 1 conversion appear.
+    */
+  def rfm(events: DataFrame, conversionType: String): DataFrame = {
+    val maxTs = events.groupBy().agg(max(us(col("ts"))).as("_max_us"))
+    val perUser = events.where(col("event_type") === conversionType)
+      .groupBy(col("user_id"))
+      .agg(max(us(col("ts"))).as("_last_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(30,10)")).as("_mon"))
+    perUser.join(broadcast(maxTs))
+      .select(col("user_id"),
+        ((col("_max_us") - col("_last_us")) / lit(86400000000L))
+          .cast("long").as("recency_days"),
+        col("frequency"),
+        round(col("_mon").cast("double"), 6).as("monetary"),
+        col("_mon"))
+      .withColumn("r_score",
+        when(col("recency_days") <= 7, 3)
+          .when(col("recency_days") <= 14, 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("frequency") >= 10, 3)
+          .when(col("frequency") >= 5, 2).otherwise(1))
+      .withColumn("m_score",
+        when(col("_mon") >= 500, 3)
+          .when(col("_mon") >= 100, 2).otherwise(1))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+  }
+
+  /** First-order Markov transition counts between consecutive event
+    * types per user (the product-flow / clickstream-path staple):
+    * count of each (from_type, to_type) adjacency in per-user
+    * (ts, event_id) order, with the row-conditional probability
+    * P(to|from). One lag window over hash(user_id), one keyed count;
+    * the per-from totals are a types²-sized relation → broadcast
+    * join-back. Probability = one division of identical integers on
+    * both engines (round-6), so the replay hash-matches.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("_from", lag(col("event_type"), 1).over(w))
+      .where(col("_from").isNotNull)
+      .groupBy(col("_from").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("_total"))
+    // floor(x·1e6+0.5)/1e6, not round(x,6): the same deterministic
+    // IEEE ops on the same double both engines (the q6 convention)
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (floor(col("n").cast("double") / col("_total") * 1e6 + lit(0.5))
+          / 1e6).as("p"))
+  }
+
+  /** Open-interval sentinel for the current SCD2 row (3000-01-01 in
+    * epoch µs) — a literal instead of NULL so the driver's hash
+    * compare never sees engine-specific NULL encodings. */
+  val OpenUs = 32503680000000000L
+
+  /** SCD2 compaction of a change log: treat each event as "user's
+    * state became `event_type` at ts", drop no-op repeats (state equal
+    * to the previous state), and emit validity intervals
+    * [valid_from_us, valid_to_us) with `is_current` on the open row.
+    * The CDC→dimension build every lakehouse runs: two windows over
+    * one hash(user_id) exchange — the run-compression lag() and, on
+    * the surviving rows only, the interval lead().
+    */
+  def scd2(events: DataFrame): DataFrame = {
+    // epoch-µs is monotone with ts, so ordering by valid_from_us is the
+    // same (ts, event_id) total order after the rename below
+    val wAll = Window.partitionBy("user_id")
+      .orderBy(col("valid_from_us"), col("event_id"))
+    val kept = events
+      .select(col("user_id"), col("event_type").as("state"),
+        us(col("ts")).as("valid_from_us"), col("event_id"))
+      .withColumn("_prev", lag(col("state"), 1).over(wAll))
+      .where(col("_prev").isNull || col("_prev") =!= col("state"))
+    val wKept = Window.partitionBy("user_id")
+      .orderBy(col("valid_from_us"), col("event_id"))
+    kept
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(wKept), lit(OpenUs)))
+      .withColumn("is_current", (col("valid_to_us") === OpenUs).cast("boolean"))
+      .select(col("user_id"), col("state"), col("valid_from_us"),
+        col("valid_to_us"), col("is_current"))
+  }
+}

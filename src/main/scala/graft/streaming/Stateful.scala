@@ -794,4 +794,98 @@ object Stateful {
           m.iterator.map { case (t, (c, err)) => SSOut(bucket, t, c, err) }
       }
   }
+
+  // ---------------------------------------------- streaming funnel
+
+  /** step: 1/2/3 for the funnel's ordered stages, 0 for any other
+    * event (still flows so zero-reach users appear in the output). */
+  case class FunnelIn(userId: Long, ts: Timestamp, eventId: Long, step: Int)
+  /** Earliest QUALIFYING step-1/step-2 event times in epoch µs
+    * (Long.MaxValue = not yet reached, so the strict `us > t`
+    * comparison is naturally false while unset). */
+  case class FunnelState(t1: Long, t2: Long, s3: Boolean)
+  case class FunnelOut(user_id: Long, s1: Int, s2: Int, s3: Int)
+
+  /** Per-user streaming funnel reach — the ingest-side twin of
+    * [[graft.operators.Events.funnelFlags]] (SURVEY §2 op 330): a
+    * step-k event counts only if STRICTLY later in event time than the
+    * earliest qualifying step-(k−1) event. State is two longs + one
+    * boolean per user — constant, no watermark needed (the op-146
+    * argument); because the qualifying times are the EARLIEST ones and
+    * flags only ever turn on, the fold is idempotent once reached and
+    * replays exactly in a batch engine (the batch op's oracle SQL
+    * verifies the stream verbatim). Emits the user's current reach
+    * after each micro-batch; a max per user over the sink reconstructs
+    * the final funnel. In-batch rows sort by full-precision event time
+    * (tsKey) then event_id; cross-batch continuity rides on the state.
+    */
+  // ---------------------------------------------- streaming SCD2
+
+  case class Scd2In(userId: Long, ts: Timestamp, eventId: Long,
+                    state: String)
+  case class Scd2St(state: String, validFromUs: Long)
+  case class Scd2Out(user_id: Long, state: String, valid_from_us: Long,
+                     valid_to_us: Long)
+
+  /** SCD2 dimension maintenance at ingest — the streaming twin of
+    * [[graft.operators.Events.scd2]] (SURVEY §2 op 332): per-user
+    * state carries the current (state, valid_from); a state CHANGE
+    * emits the closed interval [prev_from, new_from), and each batch
+    * re-emits the user's current OPEN row with the op-332 sentinel
+    * (3000-01-01 µs). A later change closes that open row under the
+    * SAME valid_from, so the sink assembly is a groupBy
+    * (user, valid_from, state) keeping min(valid_to) — closed beats
+    * open, duplicates collapse — and the result equals the batch SCD2
+    * table exactly (the batch oracle verifies the stream verbatim).
+    * State is one string + one long per user; no-op repeats never
+    * touch state (the batch op's run compression).
+    */
+  def scd2Stream(events: Dataset[Scd2In]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    val OpenUs = graft.operators.Events.OpenUs
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[Scd2St, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var st = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer[Scd2Out]()
+          it.toArray.sortBy(e => (tsKey(e.ts), e.eventId)).foreach { e =>
+            val us = tsMicros(e.ts)
+            if (st == null) st = Scd2St(e.state, us)
+            else if (e.state != st.state) {
+              closed += Scd2Out(uid, st.state, st.validFromUs, us)
+              st = Scd2St(e.state, us)
+            }
+          }
+          state.update(st)
+          (closed += Scd2Out(uid, st.state, st.validFromUs, OpenUs))
+            .iterator
+      }
+  }
+
+  def funnelStream(events: Dataset[FunnelIn]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var st = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Long.MaxValue, false))
+          it.toArray.sortBy(e => (tsKey(e.ts), e.eventId)).foreach { e =>
+            val us = tsMicros(e.ts)
+            e.step match {
+              case 1 => if (st.t1 == Long.MaxValue) st = st.copy(t1 = us)
+              case 2 => if (us > st.t1 && st.t2 == Long.MaxValue)
+                st = st.copy(t2 = us)
+              case 3 => if (us > st.t2) st = st.copy(s3 = true)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          Iterator.single(FunnelOut(uid,
+            if (st.t1 != Long.MaxValue) 1 else 0,
+            if (st.t2 != Long.MaxValue) 1 else 0,
+            if (st.s3) 1 else 0))
+      }
+  }
 }

@@ -500,4 +500,64 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(finalTokens.forall(last.contains))
     } finally q.stop()
   }
+
+  test("scd2Stream: closed intervals + min-merged open rows equal batch scd2") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, min}
+    import graft.streaming.Stateful.Scd2In
+    val input = MemoryStream[Scd2In]
+    val q = Stateful.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("sscd")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 free → free (no-op) → paid
+      input.addData(
+        Scd2In(1L, ts(0), 1L, "free"), Scd2In(1L, ts(1), 2L, "free"),
+        Scd2In(1L, ts(2), 3L, "paid"))
+      q.processAllAvailable()
+      // batch 2: back to free — must close the paid row opened in batch 1
+      input.addData(Scd2In(1L, ts(3), 4L, "free"))
+      q.processAllAvailable()
+      val rows = spark.table("sscd")
+        .groupBy(col("user_id"), col("valid_from_us"), col("state"))
+        .agg(min(col("valid_to_us")).as("valid_to_us"))
+        .orderBy(col("valid_from_us"))
+        .as[(Long, Long, String, Long)].collect()
+      val us0 = (t0 + 0) * 1000
+      def us(sec: Long) = (t0 + sec * 1000) * 1000
+      assert(rows.map(r => (r._3, r._2, r._4)).toSeq == Seq(
+        ("free", us0, us(2)), ("paid", us(2), us(3)),
+        ("free", us(3), graft.operators.Events.OpenUs)))
+    } finally q.stop()
+  }
+
+  test("funnelStream: strict ordering holds across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.max
+    import graft.streaming.Stateful.FunnelIn
+    val input = MemoryStream[FunnelIn]
+    val q = Stateful.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("sfun")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 reaches step 1; user 2 sees step 2 FIRST (must
+      // not count) then step 1
+      input.addData(
+        FunnelIn(1L, ts(0), 1L, 1),
+        FunnelIn(2L, ts(0), 2L, 2), FunnelIn(2L, ts(1), 3L, 1))
+      q.processAllAvailable()
+      // batch 2: user 1's step 2 and 3 arrive later (state must carry
+      // t1 across batches); user 2 gets an unrelated event only
+      input.addData(
+        FunnelIn(1L, ts(10), 4L, 2), FunnelIn(1L, ts(20), 5L, 3),
+        FunnelIn(2L, ts(10), 6L, 0))
+      q.processAllAvailable()
+      val flags = spark.table("sfun")
+        .groupBy($"user_id")
+        .agg(max($"s1").as("s1"), max($"s2").as("s2"), max($"s3").as("s3"))
+        .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+      assert(flags(1L) == ((1L, 1, 1, 1)))
+      assert(flags(2L) == ((2L, 1, 0, 0))) // step-2-before-step-1 never counts
+    } finally q.stop()
+  }
 }
