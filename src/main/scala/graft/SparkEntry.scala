@@ -7590,6 +7590,59 @@ object SparkEntry {
         round(cTie, 8).as("tie_correction"),
         round(h / cTie, 6).as("h_adj"))
     }),
+    // Friedman repeated-measures rank test (op 340; Friedman 1937,
+    // tie-corrected per Conover 1999): the BLOCKED member of the group
+    // family — op 297 asks "do the series differ" pooling all rows;
+    // Friedman blocks by the rn time cross-section, killing the common
+    // market factor, and ranks WITHIN each date. Midranks within a
+    // block are exact half-integers → stored doubled (d = 2·rank +
+    // ties − 1, ties via the RANGE-peers frame — same sort, same
+    // exchange), so ΣD_j² and Σd² are exact integers (decimal(38,0)
+    // against the n² growth) and Q = (k−1)(nΣD_j² − C)/(n(Σd² − C))·…
+    // — algebraically (k−1)(ΣD_j² − n²k(k+1)²)/(n·Σd² − n²k(k+1)²) —
+    // is identical double algebra on identical integers both engines.
+    // Blocks where any series is missing are dropped (complete-block
+    // design). One hash(rn) exchange for the ranks; everything after
+    // is k-row. Rejection vs χ²(4) 95% = 9.4877 (documented literal,
+    // k = 5 on this corpus).
+    "stats_friedman" -> ((s, dir) => {
+      val base = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("rq", floor(col("ret") * 1e6 + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(wT))
+        .select(col("event_type"), col("rn"), col("rq"))
+      val kRel = base.agg(countDistinct(col("event_type")).as("k"))
+      val wBlk = Window.partitionBy(col("rn"))
+      val wRank = Window.partitionBy(col("rn")).orderBy(col("rq"))
+      val wPeers = Window.partitionBy(col("rn")).orderBy(col("rq"))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      val ranked = base
+        .withColumn("bc", count(lit(1)).over(wBlk))
+        .crossJoin(broadcast(kRel))
+        .where(col("bc") === col("k"))
+        .withColumn("d",
+          lit(2) * rank().over(wRank) + count(lit(1)).over(wPeers) - 1)
+      val perSeries = ranked.groupBy(col("event_type"))
+        .agg(sum(col("d")).as("dj"))
+      val tot = ranked.agg(
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("sd2"),
+        (count(lit(1)) / first(col("k"))).cast("long").as("n"),
+        first(col("k")).as("k"))
+      val sdj2 = perSeries.agg(
+        sum(col("dj").cast("decimal(38,0)") * col("dj")).as("sdj2"))
+      val a = tot.crossJoin(broadcast(sdj2))
+      val nDec = col("n").cast("decimal(38,0)")
+      // doubled-rank units (d = 2r): Q = (k−1)(ΣD_j² − n²k(k+1)²)
+      //                                  / (Σd² − n·k(k+1)²)
+      // — reduces to the classic 12/(nk(k+1))ΣR² − 3n(k+1) when no
+      // ties (spec pins the k=3, n=2 perfect-concordance case, Q=4)
+      val cden = nDec * col("k") * (col("k") + 1) * (col("k") + 1)
+      val num = (col("sdj2") - cden * col("n")).cast("double")
+      val den = (col("sd2") - cden).cast("double")
+      val q = (col("k") - 1).cast("double") * num / den
+      a.select(col("k"), col("n"),
+        round(q, 6).as("q_stat"),
+        when(round(q, 6) > 9.4877, 1L).otherwise(0L).as("reject_95"))
+    }),
     // Chi-square independence test (op 241): source × lang
     // contingency on documents — "is language mix independent of
     // source" (the mixture-drift alarm). Expected counts are exact
@@ -11546,6 +11599,48 @@ object SparkEntry {
           |    (1.0 - CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)), 6)
           |    AS h_adj
           |FROM a CROSS JOIN tt""".stripMargin,
+      // op 340: identical midrank-doubling (d = 2·rank + peers − 1 via
+      // the RANGE-peers frame), exact decimal moments, identical Q
+      // algebra on identical integers.
+      "stats_friedman" ->
+        s"""$R_CTE, x AS (
+          |  SELECT event_type,
+          |    CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS rq,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY ts, event_id) AS rn
+          |  FROM r WHERE ret IS NOT NULL
+          |), kk AS (
+          |  SELECT count(DISTINCT event_type) AS k FROM x
+          |), b AS (
+          |  SELECT x.*, count(*) OVER (PARTITION BY rn) AS bc FROM x
+          |), c AS (
+          |  SELECT event_type, rn,
+          |    2 * rank() OVER (PARTITION BY rn ORDER BY rq)
+          |      + count(*) OVER (PARTITION BY rn ORDER BY rq
+          |          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS d
+          |  FROM b, kk WHERE bc = k
+          |), pj AS (
+          |  SELECT event_type, CAST(sum(d) AS BIGINT) AS dj FROM c GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0))
+          |      AS sd2,
+          |    CAST(count(*) // (SELECT k FROM kk) AS BIGINT) AS n
+          |  FROM c
+          |), sj AS (
+          |  SELECT CAST(sum(CAST(dj AS DECIMAL(38,0)) * dj) AS DECIMAL(38,0))
+          |    AS sdj2 FROM pj
+          |), a AS (
+          |  SELECT k, n, sd2, sdj2,
+          |    CAST(n AS DECIMAL(38,0)) * k * (k+1) * (k+1) AS cden
+          |  FROM tot, sj, kk
+          |)
+          |SELECT CAST(k AS BIGINT) AS k, n,
+          |  round((k - 1) * CAST(sdj2 - cden * n AS DOUBLE)
+          |    / CAST(sd2 - cden AS DOUBLE), 6) AS q_stat,
+          |  CAST(CASE WHEN round((k - 1) * CAST(sdj2 - cden * n AS DOUBLE)
+          |    / CAST(sd2 - cden AS DOUBLE), 6)
+          |    > 9.4877 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+          |FROM a""".stripMargin,
       "stats_quantiles" ->
         """SELECT event_type,
           |  round(quantile_cont(value, 0.5), 6) AS p50,

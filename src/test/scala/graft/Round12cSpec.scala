@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 third wave: Friedman blocked rank test. Checked against an
+  * independent in-test recomputation AND the textbook
+  * perfect-concordance case (k=3, n=2 → Q = 4, the classic formula's
+  * maximum).
+  */
+class Round12cSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stats_friedman: matches direct blocked-midrank recomputation") {
+    // independent recomputation: complete rn blocks, midranks on the
+    // 1e-6 grid, Q = (k-1)(ΣRj² − n²k(k+1)²/4)/(Σr² − nk(k+1)²/4)
+    val rows = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        val p = rs.sortBy(r => (r._2, r._3)).map(_._4)
+        k -> p.sliding(2).map { case Array(a, b) =>
+          math.floor((b / a - 1) * 1e6 + 0.5).toLong }.toArray
+      }
+    val k = rows.size
+    // complete blocks = rn positions where EVERY series has a return
+    val nBlocks = rows.values.map(_.length).min
+    var sumR2ByHand = 0.0
+    val rj = Array.fill(k)(0.0)
+    val names = rows.keys.toArray.sorted
+    for (b <- 0 until nBlocks) {
+      val vals = names.map(rows(_)(b))
+      val ranks = vals.map(v =>
+        vals.count(_ < v) + 1 + (vals.count(_ == v) - 1) / 2.0)
+      for (j <- 0 until k) rj(j) += ranks(j)
+      sumR2ByHand += ranks.map(r => r * r).sum
+    }
+    val n = nBlocks.toDouble
+    val num = rj.map(r => r * r).sum - n * n * k * (k + 1) * (k + 1) / 4.0
+    val den = sumR2ByHand - n * k * (k + 1) * (k + 1) / 4.0
+    val expQ = (k - 1) * num / den
+    val got = SparkEntry.queries("stats_friedman")(spark, dir)
+      .select($"k", $"n", $"q_stat")
+      .as[(Long, Long, Double)].collect().head
+    assert(got._1 == k && got._2 == nBlocks)
+    assert(math.abs(got._3 - expQ) < 1e-5, s"q ${got._3} vs $expQ")
+  }
+
+  test("stats_friedman: perfect concordance gives the classic maximum Q") {
+    // k=3 series, 2 complete return blocks, same order in every block
+    // → classic Q = 12/(nk(k+1))ΣR² − 3n(k+1) = 4
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fr").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "A", 100.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "A", 101.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), "A", 102.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "B", 100.0),
+      (5L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "B", 102.0),
+      (6L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), "B", 104.0),
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "C", 100.0),
+      (8L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "C", 103.0),
+      (9L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), "C", 106.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("stats_friedman")(spark, tmp)
+      .select($"k", $"n", $"q_stat", $"reject_95")
+      .as[(Long, Long, Double, Long)].collect().head
+    assert(got._1 == 3L && got._2 == 2L)
+    assert(got._3 == 4.0, s"q ${got._3}")
+    assert(got._4 == 0L) // 4 < 9.4877 (and df here is 2 anyway)
+  }
+}
