@@ -2301,6 +2301,28 @@ object SparkEntry {
         .select(col("event_type"), col("event_id"),
           round(col("psi"), 4).as("acd_psi"),
           round(col("x") / col("psi"), 6).as("dur_surprise"))),
+    // Hawkes self-exciting intensity (op 342; Hawkes 1971, the
+    // arrival-process capstone over ops 25-27/304): λ_i = μ + α·Σ_{j<i}
+    // B^Δsec over the trailing 60 arrivals — "how much current activity
+    // is echo of recent activity". Same k-truncated trailing-array fold
+    // as the EWMA/GARCH/ACD family, but each kernel term quantizes to a
+    // 1e-9 long BEFORE summing, so the sum is addition-ORDER-free and
+    // the oracle's unordered self-join replays it exactly (pow(B, int)
+    // is the one shared libm call, the eod_ewma_vol precedent). μ=0.05,
+    // α=0.3, B=0.995/sec documented literals; branching ratio per
+    // symbol = α·Σ B^j bounded < α/(1−B).
+    "tick_hawkes" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("sumq", aggregate(
+          collect_list(col("us")).over(wT.rowsBetween(-60, -1)),
+          lit(0L),
+          (acc, x) => acc + floor(
+            pow(lit(0.995), floor((col("us") - x) / 1000000.0)) * 1e9
+              + lit(0.5)).cast("long")))
+        .select(col("event_type"), col("event_id"),
+          round(lit(0.05) + lit(0.3) * (col("sumq").cast("double") / 1e9), 6)
+            .as("lambda"))),
     "tick_volume_rate" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(round(Tick.volumeRate(volume, col("ts"), "s"), 6).as("volume_rate"))
@@ -4278,6 +4300,23 @@ object SparkEntry {
         |    + 0.08 * sum(pow(0.9, a.rn - 1 - b.rn) * b.ret * b.ret)), 8)
         |    AS garch_vol
         |FROM x a JOIN x b
+        |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 60 AND a.rn - 1
+        |GROUP BY a.event_type, a.event_id""".stripMargin,
+    // op 342: O(60·n) pairwise replay of the truncated Hawkes kernel;
+    // each term an exact 1e-9 long, so the unordered sum replays the
+    // Spark fold bit-for-bit (LEFT JOIN keeps the empty first frame:
+    // λ = μ).
+    "tick_hawkes" ->
+      """WITH x AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT a.event_type, a.event_id,
+        |  round(0.05 + 0.3 * (CAST(coalesce(sum(CAST(floor(
+        |      pow(0.995, floor((a.us - b.us) / 1000000.0)) * 1e9 + 0.5)
+        |      AS BIGINT)), 0) AS DOUBLE) / 1e9), 6) AS lambda
+        |FROM x a LEFT JOIN x b
         |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 60 AND a.rn - 1
         |GROUP BY a.event_type, a.event_id""".stripMargin,
     "eod_rolling_corr" ->
@@ -6583,6 +6622,41 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))),
+    // Triangle counting + local clustering coefficient on the op-150
+    // kNN graph (op 341; the classic two-join distributed shape) —
+    // "how clique-y is each embedding's neighborhood", the community/
+    // redundancy diagnostic PageRank (op 317) can't see. Canonical
+    // a<b<c ordering counts each triangle once: und(a,b) ⋈ und(b,c)
+    // gives wedges (a<b<c by construction), the second join checks the
+    // closing edge (a,c). Edge list is n·k rows; both joins key on a
+    // single vertex — no all-pairs anywhere. und is localCheckpointed
+    // (used 4×: two wedge legs, the closer, degrees).
+    "ann_triangles" -> ((s, dir) => {
+      val g = Similarity.knnGraph(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", 3, EmbDim, planes = annPlanes(s))
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val und = g.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint()
+      val wedges = und.join(und.select(col("a").as("b"), col("b").as("c")),
+        "b")
+      val tris = wedges
+        .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .select(col("a"), col("b"), col("c"))
+      val perV = tris
+        .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_tri"))
+      val deg = und.select(explode(array(col("a"), col("b"))).as("vec_id"))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+      deg.join(perV, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+          when(col("degree") >= 2,
+            floor(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+              / (col("degree") * (col("degree") - 1)) * 1e6 + lit(0.5)) / 1e6)
+            .otherwise(lit(0.0)).as("clustering"))
+        .orderBy(col("vec_id"))
+    }),
     // Truncated-embedding recall (op 171, the Matryoshka question):
     // how much top-k fidelity survives keeping only the first half of
     // each vector — recallAtK with the truncated-space brute top-k as
@@ -10197,6 +10271,34 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product($v, ${planeLit(offset + j)}) >= 0 THEN ${1 << j} ELSE 0 END)"
     ).mkString(" + ")
     def lshBucketSql(v: String) = lshBucketSqlAt(v, 0, 4)
+    // Shared kNN-graph edge CTEs (ops 150/317/341): 2-table sign-LSH
+    // buckets, hot-bucket cap, per-query top-3 by cosine → directed
+    // edge list g(src, dst). Identical to the Spark Similarity.knnGraph
+    // constants the driver validates at.
+    val KNN_EDGE_CTES =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |t0 AS (
+        |  SELECT vec_id, v, 0 AS tbl, ${lshBucketSqlAt("v", 0, 4)} AS bucket FROM e
+        |  UNION ALL
+        |  SELECT vec_id, v, 4 AS tbl, ${lshBucketSqlAt("v", 4, 4)} AS bucket FROM e
+        |), t AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bc FROM t0
+        |  ) WHERE bc <= 10000
+        |), p AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    max(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) AS cosine
+        |  FROM t a JOIN t b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |  WHERE b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM p
+        |), g AS (
+        |  SELECT query_id AS src, neighbor_id AS dst FROM rk WHERE rnk <= 3
+        |)""".stripMargin
     // Per-key resample LCG seed as a literal: first md5 word of the key
     // (Resample.keySeed with a constant key, driver-computed).
     def keySeedLit(key: String): String = {
@@ -12896,29 +12998,7 @@ object SparkEntry {
              |  LEFT JOIN i$i ON i$i.dst = emb.vec_id
              |)""".stripMargin
         }.mkString(", ")
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          |t0 AS (
-          |  SELECT vec_id, v, 0 AS tbl, ${lshBucketSqlAt("v", 0, 4)} AS bucket FROM e
-          |  UNION ALL
-          |  SELECT vec_id, v, 4 AS tbl, ${lshBucketSqlAt("v", 4, 4)} AS bucket FROM e
-          |), t AS (
-          |  SELECT * FROM (
-          |    SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bc FROM t0
-          |  ) WHERE bc <= 10000
-          |), p AS (
-          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-          |    max(list_dot_product(a.v, b.v) /
-          |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) AS cosine
-          |  FROM t a JOIN t b ON a.tbl = b.tbl AND a.bucket = b.bucket
-          |  WHERE b.vec_id <> a.vec_id
-          |  GROUP BY 1, 2
-          |), rk AS (
-          |  SELECT query_id, neighbor_id,
-          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-          |  FROM p
-          |), g AS (
-          |  SELECT query_id AS src, neighbor_id AS dst FROM rk WHERE rnk <= 3
-          |), od AS (SELECT src, count(*) AS od FROM g GROUP BY src),
+        s"""WITH $KNN_EDGE_CTES, od AS (SELECT src, count(*) AS od FROM g GROUP BY src),
           |nn AS (SELECT count(*) AS nn FROM embeddings),
           |r0 AS (
           |  SELECT vec_id, 1000000000 // nn AS rq
@@ -12927,6 +13007,34 @@ object SparkEntry {
           |SELECT vec_id, CAST(rq AS DOUBLE) / 1e9 AS pagerank
           |FROM r3 ORDER BY vec_id""".stripMargin
       },
+      // op 341: same edge CTEs, canonical-order triangle joins, q6
+      // floor on the exact-integer coefficient division.
+      "ann_triangles" ->
+        s"""WITH $KNN_EDGE_CTES, und AS (
+          |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM g GROUP BY 1, 2
+          |), tri AS (
+          |  SELECT e1.a, e1.b, e2.c
+          |  FROM und e1
+          |  JOIN (SELECT a AS b, b AS c FROM und) e2 USING (b)
+          |  JOIN (SELECT a, b AS c FROM und) e3 USING (a, c)
+          |), pv AS (
+          |  SELECT v AS vec_id, count(*) AS n_tri FROM (
+          |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+          |    UNION ALL SELECT c FROM tri)
+          |  GROUP BY 1
+          |), dg AS (
+          |  SELECT v AS vec_id, count(*) AS degree FROM (
+          |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+          |  GROUP BY 1
+          |)
+          |SELECT dg.vec_id, degree,
+          |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles,
+          |  CASE WHEN degree >= 2
+          |    THEN floor(2.0 * coalesce(n_tri, 0) / (degree * (degree - 1))
+          |      * 1e6 + 0.5) / 1e6
+          |    ELSE 0.0 END AS clustering
+          |FROM dg LEFT JOIN pv USING (vec_id) ORDER BY vec_id""".stripMargin,
       "sim_quotes" ->
         s"""WITH $QUOTES_CTE
           |SELECT ticker, ts_us, bid, ask, bid_size, ask_size, exchange, day

@@ -47,6 +47,58 @@ class Round12cSpec extends SparkSpec {
     assert(math.abs(got._3 - expQ) < 1e-5, s"q ${got._3} vs $expQ")
   }
 
+  test("ann_triangles: matches a driver-side set recount of the same graph") {
+    val und = graft.operators.Similarity
+      .knnGraph(graft.sources.Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", 3, 64, planes = 4)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect()
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      .withDefaultValue(Set.empty[(Long, Long)].map(_._1))
+    val triPerV = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for ((a, bs) <- adj; b <- bs; c <- adj(b) if und((a, c))) {
+      triPerV(a) += 1; triPerV(b) += 1; triPerV(c) += 1
+    }
+    val deg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- und) { deg(a) += 1; deg(b) += 1 }
+    val got = SparkEntry.queries("ann_triangles")(spark, dir)
+      .select($"vec_id", $"degree", $"n_triangles")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    for ((v, d, t) <- got) {
+      assert(d == deg(v), s"deg($v): $d vs ${deg(v)}")
+      assert(t == triPerV(v), s"tri($v): $t vs ${triPerV(v)}")
+    }
+    // every triangle increments exactly 3 vertices
+    assert(got.map(_._3).sum % 3 == 0)
+  }
+
+  test("tick_hawkes: matches a direct trailing-kernel recomputation") {
+    val arrivals = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(r => (r._2, r._3)).map(r => (r._2, r._3))
+      }
+    val exp = arrivals.flatMap { case (_, us) =>
+      us.indices.map { i =>
+        val lo = math.max(0, i - 60)
+        val sumq = (lo until i).map { j =>
+          math.floor(math.pow(0.995,
+            math.floor((us(i)._1 - us(j)._1) / 1e6)) * 1e9 + 0.5).toLong
+        }.sum
+        us(i)._2 -> (math.rint((0.05 + 0.3 * (sumq / 1e9)) * 1e6) / 1e6)
+      }
+    }.toMap
+    val got = SparkEntry.queries("tick_hawkes")(spark, dir)
+      .select($"event_id", $"lambda").as[(Long, Double)].collect()
+    assert(got.length == exp.size)
+    for ((id, l) <- got)
+      assert(math.abs(l - exp(id)) < 1e-9, s"λ($id): $l vs ${exp(id)}")
+  }
+
   test("stats_friedman: perfect concordance gives the classic maximum Q") {
     // k=3 series, 2 complete return blocks, same order in every block
     // → classic Q = 12/(nk(k+1))ΣR² − 3n(k+1) = 4
