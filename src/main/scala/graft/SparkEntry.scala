@@ -1158,6 +1158,38 @@ object SparkEntry {
         .where(col("rn") >= 2) // the frame is built BEFORE this filter
         .select(col("event_type"), col("event_id"),
           round(col("garch"), 8).as("garch_vol"))),
+    // Holt linear-trend smoothing + 5-step forecast (op 343; Holt 1957
+    // — the forecasting primitive the smoothing family lacked): the
+    // coupled (level, trend) recursion has no geometric closed form, so
+    // it runs as a FIXED-WINDOW LINEAR FILTER — Eod.holtWeights runs
+    // the recursion on unit impulses ONCE driver-side and both engines
+    // dot the trailing 60 prices with the same round-trip weight
+    // literals. Each term quantizes to a 1e-9 long BEFORE summing
+    // (order-free; the op-342 convention), outputs on the q6/q8 floor
+    // grids. Full-window rows only (rn ≥ 60): truncating the spin-up
+    // keeps ONE weight vector instead of a triangular m×j table.
+    "eod_holt" -> ((s, dir) => {
+      val m = 60
+      val (wl, wb) = Eod.holtWeights(m, 0.3, 0.1)
+      def qsum(ws: Array[Double]) = aggregate(
+        zip_with(col("xs"), array(ws.map(lit): _*),
+          (x, w) => floor(x * w * 1e9 + lit(0.5)).cast("long")),
+        lit(0L), (acc, t) => acc + t)
+      def q(c: Column, g: Double) = floor(c * g + lit(0.5)) / g
+      val ld = col("lq").cast("double") / 1e9
+      val bd = col("bq").cast("double") / 1e9
+      events(s, dir)
+        .withColumn("xs",
+          collect_list(col("value")).over(wT.rowsBetween(-(m - 1), 0)))
+        .withColumn("rn", row_number().over(wT))
+        .where(col("rn") >= m) // the frame is built BEFORE this filter
+        .withColumn("lq", qsum(wl))
+        .withColumn("bq", qsum(wb))
+        .select(col("event_type"), col("event_id"),
+          q(ld, 1e6).as("level"),
+          q(bd, 1e8).as("trend"),
+          q(ld + lit(5.0) * bd, 1e6).as("forecast_5"))
+    }),
     // Rolling beta of each non-benchmark return series on the 'view'
     // benchmark series, rn-paired, trailing 60 pairs. The window is
     // partitioned by the pair key — four real pairs here, N pairs at
@@ -4302,6 +4334,37 @@ object SparkEntry {
         |FROM x a JOIN x b
         |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 60 AND a.rn - 1
         |GROUP BY a.event_type, a.event_id""".stripMargin,
+    // op 343: the SAME driver-computed Holt filter weights as 60-row
+    // VALUES literals (Double.toString round-trips = the Spark lits);
+    // identical per-term 1e-9 quantization, unordered exact sum.
+    "eod_holt" -> {
+      val (wl, wb) = Eod.holtWeights(60, 0.3, 0.1)
+      val rows = (0 until 60).map(j =>
+        s"(${j + 1}, ${java.lang.Double.toString(wl(j))}, " +
+          s"${java.lang.Double.toString(wb(j))})").mkString(", ")
+      s"""WITH x AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), w(j, wl, wb) AS (VALUES $rows),
+        |s AS (
+        |  SELECT a.event_type, a.event_id,
+        |    CAST(sum(CAST(floor(b.value * w.wl * 1e9 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1e9 AS ld,
+        |    CAST(sum(CAST(floor(b.value * w.wb * 1e9 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1e9 AS bd
+        |  FROM x a JOIN x b
+        |    ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
+        |  JOIN w ON w.j = b.rn - a.rn + 60
+        |  WHERE a.rn >= 60
+        |  GROUP BY a.event_type, a.event_id
+        |)
+        |SELECT event_type, event_id,
+        |  floor(ld * 1e6 + 0.5) / 1e6 AS level,
+        |  floor(bd * 1e8 + 0.5) / 1e8 AS trend,
+        |  floor((ld + 5.0 * bd) * 1e6 + 0.5) / 1e6 AS forecast_5
+        |FROM s""".stripMargin
+    },
     // op 342: O(60·n) pairwise replay of the truncated Hawkes kernel;
     // each term an exact 1e-9 long, so the unordered sum replays the
     // Spark fold bit-for-bit (LEFT JOIN keeps the empty first frame:
@@ -6457,6 +6520,28 @@ object SparkEntry {
     // [min, max] misses the predicate never opens. Dense doc_id
     // ranges + n_chars spans make the pruning effectiveness visible;
     // same one window pass + one keyed agg as the plan itself.
+    // Compaction planner (op 344): the OPTIMIZE bin-packer over the
+    // op-139 shard manifest — files under 3000 "bytes" pack into dense
+    // 10000-byte compaction bins (exclusive prefix div, pure function
+    // of the manifest), big files keep their layout. The planner scans
+    // METADATA (#files rows), the shape a 100 TB lake's OPTIMIZE runs
+    // nightly; report = per (source, action, bin) file counts + exact
+    // byte totals.
+    "layout_compaction" -> ((s, dir) => {
+      val files = graft.operators.Layout
+        .shardPlan(tbl(s, dir, "documents"), "source", "doc_id", "n_chars",
+          target = 2000L)
+        .groupBy(col("source"), col("shard_id"))
+        .agg(sum(col("n_chars").cast("long")).as("bytes"))
+      graft.operators.Layout
+        .compactionPlan(files, "source", "shard_id", "bytes",
+          small = 3000L, target = 10000L)
+        .groupBy(col("source"), col("action"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+          min(col("shard_id")).as("min_shard"),
+          max(col("shard_id")).as("max_shard"))
+        .orderBy(col("source"), col("action"), col("bin"))
+    }),
     "layout_manifest" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       graft.operators.Layout.shardPlan(d, "source", "doc_id", "n_chars",
@@ -10823,6 +10908,33 @@ object SparkEntry {
           |SELECT source, shard_id, count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS shard_chars
           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // op 344: same shard manifest, same exclusive small-size prefix
+      // div — all integers, hash-exact.
+      "layout_compaction" ->
+        """WITH p AS (
+          |  SELECT source, doc_id, n_chars,
+          |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+          |      AS BIGINT) AS shard_id
+          |  FROM documents
+          |), f AS (
+          |  SELECT source, shard_id, CAST(sum(n_chars) AS BIGINT) AS bytes
+          |  FROM p GROUP BY 1, 2
+          |), c AS (
+          |  SELECT source, shard_id, bytes,
+          |    CASE WHEN bytes < 3000 THEN 'compact' ELSE 'keep' END AS action,
+          |    CASE WHEN bytes < 3000 THEN
+          |      CAST(coalesce(sum(CASE WHEN bytes < 3000 THEN bytes ELSE 0 END)
+          |        OVER (PARTITION BY source ORDER BY shard_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |        // 10000 AS BIGINT)
+          |      ELSE -1 END AS bin
+          |  FROM f
+          |)
+          |SELECT source, action, bin, count(*) AS n_files,
+          |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+          |  min(shard_id) AS min_shard, max(shard_id) AS max_shard
+          |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       "layout_manifest" ->
         """WITH p AS (
           |  SELECT source, doc_id, n_chars, lang,

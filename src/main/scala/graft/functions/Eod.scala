@@ -354,6 +354,33 @@ object Eod {
     graft.expressions.GarchVol(
       collect_list(ret).over(w.rowsBetween(-n, -1)), omega, alpha, beta)
 
+  /** Holt linear-trend (double exponential) smoothing expressed as a
+    * FIXED-WINDOW LINEAR FILTER: the recursion l_t = αx_t +
+    * (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} with
+    * init (l₁ = x₁, b₁ = 0) is linear in the window's observations, so
+    * over a fixed m-row trailing window the level and trend are dot
+    * products with weight vectors computed ONCE here by running the
+    * recursion on unit impulses. The weights are deterministic driver
+    * doubles — inlined as round-trip literals into BOTH the Spark plan
+    * and the DuckDB oracle (the scalar-constant convention), which is
+    * what makes a coupled two-state recursion — with no geometric
+    * closed form — replay exactly on any engine. Returns (levelWeights,
+    * trendWeights), each of length m, oldest observation first.
+    */
+  def holtWeights(m: Int, alpha: Double, beta: Double)
+      : (Array[Double], Array[Double]) = {
+    var l = Array.tabulate(m)(j => if (j == 0) 1.0 else 0.0)
+    var b = Array.fill(m)(0.0)
+    for (t <- 2 to m) {
+      val nl = Array.tabulate(m) { j =>
+        alpha * (if (j == t - 1) 1.0 else 0.0) + (1 - alpha) * (l(j) + b(j))
+      }
+      val nb = Array.tabulate(m)(j => beta * (nl(j) - l(j)) + (1 - beta) * b(j))
+      l = nl; b = nb
+    }
+    (l, b)
+  }
+
   /** Rolling OLS beta of `ret` on `benchmark` over the trailing n rows:
     * covar_samp / var_samp on the frame. Null until the frame has ≥2
     * paired rows (sample moments undefined), null on a flat benchmark

@@ -43,6 +43,33 @@ object Layout {
         s"PRECEDING), 0L) div ${target}L"))
   }
 
+  /** Compaction (OPTIMIZE) planner over a file manifest — the
+    * small-file bin-packer every lakehouse runs after streaming
+    * ingest: files under `small` bytes are assigned to dense
+    * target-size compaction bins (EXCLUSIVE small-size prefix `div`
+    * target — the [[shardPlan]] rule, so bins overflow by at most one
+    * file and the plan is a pure function of the manifest); files ≥
+    * `small` keep their layout (action 'keep', bin −1). The manifest
+    * is metadata-sized (#files, not #rows), exactly what production
+    * compaction planners scan; one per-group window pass.
+    */
+  def compactionPlan(files: DataFrame, groupCol: String, orderCol: String,
+                     sizeCol: String, small: Long, target: Long): DataFrame = {
+    require(small > 0 && target > 0, s"small=$small target=$target")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sz = col(sizeCol).cast("long")
+    val smallSz = when(sz < small, sz).otherwise(lit(0L))
+    files
+      .withColumn("_pre", coalesce(sum(smallSz).over(w), lit(0L)))
+      .withColumn("action",
+        when(sz < small, lit("compact")).otherwise(lit("keep")))
+      .withColumn("bin",
+        when(sz < small, expr(s"_pre div ${target}L")).otherwise(lit(-1L)))
+      .drop("_pre")
+  }
+
   /** Morton z-value of pre-quantized dimensions: each `dims(i)` must be
     * a non-negative integer < 2^bits; bit b of dim i lands at output
     * bit `b * ndims + i`. Pure shift/mask/add algebra, unrolled at plan

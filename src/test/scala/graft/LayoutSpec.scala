@@ -51,4 +51,24 @@ class LayoutSpec extends SparkSpec {
     // robust to corpus edges, but far below the full ranges (150/720)
     assert(stats._1 <= 16L && stats._2 <= 64L, stats.toString)
   }
+
+  test("compactionPlan: small files pack into dense bounded bins, big files keep") {
+    val files = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 5000L), ("a", 3L, 1500L),
+      ("a", 4L, 2000L), ("a", 5L, 900L), ("b", 1L, 200L))
+      .toDF("src", "fid", "bytes")
+    val plan = Layout.compactionPlan(files, "src", "fid", "bytes",
+        small = 3000L, target = 3000L)
+      .select($"src", $"fid", $"action", $"bin")
+      .as[(String, Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // a: smalls are 1000,1500,2000,900 with exclusive prefixes
+    // 0,1000,2500,4500 -> bins 0,0,0,1; the 5000-byte file keeps
+    assert(plan(("a", 1L)) == (("compact", 0L)))
+    assert(plan(("a", 2L)) == (("keep", -1L)))
+    assert(plan(("a", 3L)) == (("compact", 0L)))
+    assert(plan(("a", 4L)) == (("compact", 0L)))
+    assert(plan(("a", 5L)) == (("compact", 1L)))
+    assert(plan(("b", 1L)) == (("compact", 0L))) // groups independent
+  }
 }

@@ -99,6 +99,41 @@ class Round12cSpec extends SparkSpec {
       assert(math.abs(l - exp(id)) < 1e-9, s"λ($id): $l vs ${exp(id)}")
   }
 
+  test("eod_holt: filter weights reproduce the actual Holt recursion") {
+    // independent recomputation: run the REAL coupled recursion
+    // (l₁=x₁, b₁=0; l_t = αx_t+(1−α)(l+b); b_t = β(l_t−l)+(1−β)b) over
+    // each trailing 60-window — the query's linear-filter weights must
+    // reproduce it to within the 1e-9 per-term quantization
+    val series = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(r => (r._2, r._3)).map(r => (r._3, r._4))
+      }
+    val exp = series.flatMap { case (_, xs) =>
+      (59 until xs.length).map { i =>
+        val win = xs.slice(i - 59, i + 1).map(_._2)
+        var l = win(0); var b = 0.0
+        for (t <- 1 until 60) {
+          val nl = 0.3 * win(t) + 0.7 * (l + b)
+          b = 0.1 * (nl - l) + 0.9 * b
+          l = nl
+        }
+        xs(i)._1 -> (l, b)
+      }
+    }.toMap
+    val got = SparkEntry.queries("eod_holt")(spark, dir)
+      .select($"event_id", $"level", $"trend", $"forecast_5")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got.length == exp.size)
+    for ((id, lv, tr, f5) <- got) {
+      val (l, b) = exp(id)
+      assert(math.abs(lv - l) < 1e-5, s"level($id): $lv vs $l")
+      assert(math.abs(tr - b) < 1e-6, s"trend($id): $tr vs $b")
+      assert(math.abs(f5 - (l + 5 * b)) < 1e-5, s"f5($id)")
+    }
+  }
+
   test("stats_friedman: perfect concordance gives the classic maximum Q") {
     // k=3 series, 2 complete return blocks, same order in every block
     // → classic Q = 12/(nk(k+1))ΣR² − 3n(k+1) = 4
