@@ -383,6 +383,14 @@ object SparkEntry {
       // min(valid_to)-merged in the sink, equal the batch SCD2 table —
       // the stream replays the batch op-332 oracle.
       ("streaming_scd2" -> p("events_scd2")) +
+      // op 345: the emitted (from, to) pair multiset equals the batch
+      // lag pairs (one-string state), so the rollup replays the batch
+      // op-338 oracle.
+      ("streaming_transitions" -> p("events_transitions")) +
+      // op 346: per-arrival kernel sums over the pre-append ≤60-arrival
+      // state equal the batch rowsBetween(−60,−1) frame — the stream
+      // replays the batch op-342 oracle.
+      ("streaming_hawkes" -> p("tick_hawkes")) +
       // op 142: counts only grow, so the max-merged Update sink equals
       // the batch bin table and the report replays the batch oracle.
       ("streaming_quantiles" -> p("sketch_quantiles")) +
@@ -2355,6 +2363,24 @@ object SparkEntry {
         .select(col("event_type"), col("event_id"),
           round(lit(0.05) + lit(0.3) * (col("sumq").cast("double") / 1e9), 6)
             .as("lambda"))),
+    // Streaming Hawkes, REPLAYED to batch (op 346): ≤60 arrival-µs of
+    // state per symbol; each arrival's quantized kernel sum over the
+    // pre-append state equals the batch rowsBetween(−60,−1) frame, so
+    // the batch op-342 oracle replays the stream verbatim.
+    "streaming_hawkes" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "events", "shaw") { src =>
+        val evs = graft.sources.Tables.normalizeEventTs(src)
+          .select(col("event_type").as("symbol"), col("ts"),
+            col("event_id").as("eventId"))
+          .as[graft.streaming.Stateful.HawkesIn]
+        graft.streaming.Stateful.hawkesStream(evs).toDF
+      }
+        .select(col("symbol").as("event_type"), col("event_id"),
+          round(lit(0.05) + lit(0.3) * (col("sumq").cast("double") / 1e9), 6)
+            .as("lambda"))
+        .orderBy(col("event_type"), col("event_id")) }
+    }),
     "tick_volume_rate" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(round(Tick.volumeRate(volume, col("ts"), "s"), 6).as("volume_rate"))
@@ -7802,6 +7828,44 @@ object SparkEntry {
         round(q, 6).as("q_stat"),
         when(round(q, 6) > 9.4877, 1L).otherwise(0L).as("reject_95"))
     }),
+    // Cochran's Q (op 347; Cochran 1950) — op 340's BINARY sibling:
+    // success = positive quantized return per (series, date block);
+    // the identity k(k−1)Σ(C_j − N/k)² = (k−1)(kΣC_j² − N²) keeps Q
+    // all-integer until one final division — Q = (k−1)(kΣC_j² − N²) /
+    // (kN − ΣR_b²), decimals against the n² growth; complete blocks
+    // only (the op-340 gate), χ²(4) 95% literal.
+    "stats_cochran_q" -> ((s, dir) => {
+      val base = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("x",
+          (floor(col("ret") * 1e6 + 0.5).cast("long") > 0).cast("long"))
+        .withColumn("rn", row_number().over(wT))
+        .select(col("event_type"), col("rn"), col("x"))
+      val kRel = base.agg(countDistinct(col("event_type")).as("k"))
+      val wBlk = Window.partitionBy(col("rn"))
+      val marked = base
+        .withColumn("bc", count(lit(1)).over(wBlk))
+        .crossJoin(broadcast(kRel))
+        .where(col("bc") === col("k"))
+      val rows = marked.groupBy(col("rn"))
+        .agg(sum(col("x")).as("rb"), first(col("k")).as("k"))
+      val cols_ = marked.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("cj"))
+      val rAgg = rows.agg(count(lit(1)).as("n"),
+        sum(col("rb").cast("decimal(38,0)")).as("nn"),
+        sum(col("rb").cast("decimal(38,0)") * col("rb")).as("srb2"),
+        first(col("k")).as("k"))
+      val cAgg = cols_.agg(
+        sum(col("cj").cast("decimal(38,0)") * col("cj")).as("scj2"))
+      val a = rAgg.crossJoin(broadcast(cAgg))
+      val kD = col("k").cast("decimal(38,0)")
+      val num = ((col("k") - 1) * (kD * col("scj2") - col("nn") * col("nn")))
+        .cast("double")
+      val den = (kD * col("nn") - col("srb2")).cast("double")
+      val q = when(den =!= 0.0, num / den)
+      a.select(col("k"), col("n"),
+        round(q, 6).as("q_stat"),
+        when(round(q, 6) > 9.4877, 1L).otherwise(0L).as("reject_95"))
+    }),
     // Chi-square independence test (op 241): source × lang
     // contingency on documents — "is language mix independent of
     // source" (the mixture-drift alarm). Expected counts are exact
@@ -8222,6 +8286,32 @@ object SparkEntry {
     "events_transitions" -> ((s, dir) =>
       graft.operators.Events.transitions(events(s, dir))
         .orderBy(col("from_type"), col("to_type"))),
+
+    // ---- streaming Markov transitions, REPLAYED to batch (op 345):
+    // one-string-per-user state; the emitted pair multiset equals the
+    // batch lag pairs, so the count/probability rollup replays the
+    // batch op-338 oracle verbatim.
+    "streaming_transitions" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "events", "stra") { src =>
+        val evs = graft.sources.Tables.normalizeEventTs(src)
+          .select(col("user_id").as("userId"), col("ts"),
+            col("event_id").as("eventId"), col("event_type").as("eventType"))
+          .as[graft.streaming.Stateful.TransIn]
+        graft.streaming.Stateful.transitionStream(evs).toDF
+      }
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n")) }
+        .transform { pairs =>
+          val totals = pairs.groupBy(col("from_type"))
+            .agg(sum(col("n")).as("_total"))
+          pairs.join(broadcast(totals), "from_type")
+            .select(col("from_type"), col("to_type"), col("n"),
+              (floor(col("n").cast("double") / col("_total") * 1e6
+                + lit(0.5)) / 1e6).as("p"))
+            .orderBy(col("from_type"), col("to_type"))
+        }
+    }),
 
     // ---- streaming SCD2, REPLAYED to batch (op 339): the op-332
     // dimension maintained per user at ingest; closed intervals emit on
@@ -11853,6 +11943,47 @@ object SparkEntry {
           |    / CAST(sd2 - cden AS DOUBLE), 6) AS q_stat,
           |  CAST(CASE WHEN round((k - 1) * CAST(sdj2 - cden * n AS DOUBLE)
           |    / CAST(sd2 - cden AS DOUBLE), 6)
+          |    > 9.4877 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+          |FROM a""".stripMargin,
+      // op 347: identical all-integer Q identity, decimal moments.
+      "stats_cochran_q" ->
+        s"""$R_CTE, x AS (
+          |  SELECT event_type,
+          |    CASE WHEN CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) > 0
+          |         THEN 1 ELSE 0 END AS x,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY ts, event_id) AS rn
+          |  FROM r WHERE ret IS NOT NULL
+          |), kk AS (
+          |  SELECT count(DISTINCT event_type) AS k FROM x
+          |), b AS (
+          |  SELECT x.*, count(*) OVER (PARTITION BY rn) AS bc FROM x
+          |), c AS (
+          |  SELECT event_type, rn, x FROM b, kk WHERE bc = k
+          |), rws AS (
+          |  SELECT rn, CAST(sum(x) AS BIGINT) AS rb FROM c GROUP BY rn
+          |), cls AS (
+          |  SELECT event_type, CAST(sum(x) AS BIGINT) AS cj
+          |  FROM c GROUP BY event_type
+          |), ra AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CAST(rb AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS nn,
+          |    CAST(sum(CAST(rb AS DECIMAL(38,0)) * rb) AS DECIMAL(38,0))
+          |      AS srb2
+          |  FROM rws
+          |), ca AS (
+          |  SELECT CAST(sum(CAST(cj AS DECIMAL(38,0)) * cj) AS DECIMAL(38,0))
+          |    AS scj2 FROM cls
+          |), a AS (
+          |  SELECT k, n, nn, srb2, scj2,
+          |    CAST((k - 1) * (CAST(k AS DECIMAL(38,0)) * scj2 - nn * nn)
+          |      AS DOUBLE) AS num,
+          |    CAST(CAST(k AS DECIMAL(38,0)) * nn - srb2 AS DOUBLE) AS den
+          |  FROM ra, ca, kk
+          |)
+          |SELECT CAST(k AS BIGINT) AS k, n,
+          |  round(CASE WHEN den <> 0 THEN num / den END, 6) AS q_stat,
+          |  CAST(CASE WHEN round(CASE WHEN den <> 0 THEN num / den END, 6)
           |    > 9.4877 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
           |FROM a""".stripMargin,
       "stats_quantiles" ->

@@ -795,6 +795,78 @@ object Stateful {
       }
   }
 
+  // ------------------------------------- streaming Markov transitions
+
+  case class TransIn(userId: Long, ts: Timestamp, eventId: Long,
+                     eventType: String)
+  case class TransSt(last: String)
+  case class TransOut(from_type: String, to_type: String)
+
+  /** Per-user event-type adjacency emission at ingest — the streaming
+    * twin of [[graft.operators.Events.transitions]] (SURVEY §2 op
+    * 338): state is ONE string per user (the last event type); each
+    * arrival emits its (from, to) pair and becomes the new state. The
+    * emitted pair multiset equals the batch lag-window pairs exactly
+    * (in-batch tsKey sort + cross-batch last-state carry), so a
+    * count/probability rollup over the sink replays the batch oracle
+    * verbatim.
+    */
+  def transitionStream(events: Dataset[TransIn]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[TransSt, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          var last = state.getOption.map(_.last).orNull
+          val out = it.toArray.sortBy(e => (tsKey(e.ts), e.eventId))
+            .flatMap { e =>
+              val r = if (last != null) Some(TransOut(last, e.eventType))
+                      else None
+              last = e.eventType
+              r
+            }
+          state.update(TransSt(last))
+          out.iterator
+      }
+  }
+
+  // ---------------------------------------------- streaming Hawkes
+
+  case class HawkesIn(symbol: String, ts: Timestamp, eventId: Long)
+  case class HawkesSt(arrUs: Array[Long])
+  case class HawkesOut(symbol: String, event_id: Long, sumq: Long)
+
+  /** Per-symbol Hawkes intensity at ingest — the live twin of the
+    * batch `tick_hawkes` trailing-kernel fold (SURVEY §2 op 342):
+    * state is the last ≤ 60 arrival times in epoch µs (constant-size,
+    * no watermark); each arrival emits the quantized kernel sum
+    * Σ floor(B^Δsec·1e9 + 0.5) over the state BEFORE being appended —
+    * exactly the batch op's rowsBetween(−60, −1) frame, so the batch
+    * oracle replays the stream verbatim. Same pow(B, int) shared-libm
+    * caveat as the batch op (the op-106 precedent).
+    */
+  def hawkesStream(arrivals: Dataset[HawkesIn]): Dataset[HawkesOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals.groupByKey(_.symbol)
+      .flatMapGroupsWithState[HawkesSt, HawkesOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym, it, state) =>
+          var arr = state.getOption.map(_.arrUs).getOrElse(Array.empty[Long])
+          val out = it.toArray.sortBy(e => (tsKey(e.ts), e.eventId))
+            .map { e =>
+              val us = tsMicros(e.ts)
+              val sumq = arr.iterator.map { a =>
+                math.floor(math.pow(0.995,
+                  math.floor((us - a) / 1e6)) * 1e9 + 0.5).toLong
+              }.sum
+              arr = (arr :+ us).takeRight(60)
+              HawkesOut(sym, e.eventId, sumq)
+            }
+          state.update(HawkesSt(arr))
+          out.iterator
+      }
+  }
+
   // ---------------------------------------------- streaming funnel
 
   /** step: 1/2/3 for the funnel's ordered stages, 0 for any other

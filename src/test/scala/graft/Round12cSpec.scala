@@ -134,6 +134,32 @@ class Round12cSpec extends SparkSpec {
     }
   }
 
+  test("stats_cochran_q: matches the textbook Σ(Cj−N/k)² form directly") {
+    val rows = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        val p = rs.sortBy(r => (r._2, r._3)).map(_._4)
+        k -> p.sliding(2).map { case Array(a, b) =>
+          if (math.floor((b / a - 1) * 1e6 + 0.5) > 0) 1L else 0L
+        }.toArray
+      }
+    val k = rows.size
+    val nB = rows.values.map(_.length).min
+    val names = rows.keys.toArray.sorted
+    val cj = names.map(s => rows(s).take(nB).sum)
+    val rb = (0 until nB).map(b => names.map(s => rows(s)(b)).sum)
+    val nTot = cj.sum.toDouble
+    // textbook form: Q = k(k−1)Σ(Cj − N/k)² / (kN − ΣRb²)
+    val num = k * (k - 1) * cj.map(c => math.pow(c - nTot / k, 2)).sum
+    val den = k * nTot - rb.map(r => r.toDouble * r).sum
+    val expQ = num / den
+    val got = SparkEntry.queries("stats_cochran_q")(spark, dir)
+      .select($"k", $"n", $"q_stat").as[(Long, Long, Double)].collect().head
+    assert(got._1 == k && got._2 == nB)
+    assert(math.abs(got._3 - expQ) < 1e-5, s"q ${got._3} vs $expQ")
+  }
+
   test("stats_friedman: perfect concordance gives the classic maximum Q") {
     // k=3 series, 2 complete return blocks, same order in every block
     // → classic Q = 12/(nk(k+1))ΣR² − 3n(k+1) = 4

@@ -531,6 +531,47 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionStream: last state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Stateful.TransIn
+    val input = MemoryStream[TransIn]
+    val q = Stateful.transitionStream(input.toDS())
+      .writeStream.format("memory").queryName("stra")
+      .outputMode("append").start()
+    try {
+      input.addData(TransIn(1L, ts(0), 1L, "view"),
+        TransIn(1L, ts(1), 2L, "click"))
+      q.processAllAvailable()
+      // batch 2: the click→purchase adjacency spans the batch boundary
+      input.addData(TransIn(1L, ts(2), 3L, "purchase"))
+      q.processAllAvailable()
+      val pairs = spark.table("stra").as[(String, String)].collect().toSeq
+      assert(pairs.sorted == Seq(("click", "purchase"), ("view", "click")))
+    } finally q.stop()
+  }
+
+  test("hawkesStream: kernel sums over pre-append state, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Stateful.HawkesIn
+    val input = MemoryStream[HawkesIn]
+    val q = Stateful.hawkesStream(input.toDS())
+      .writeStream.format("memory").queryName("shaw")
+      .outputMode("append").start()
+    try {
+      input.addData(HawkesIn("A", ts(0), 1L), HawkesIn("A", ts(10), 2L))
+      q.processAllAvailable()
+      input.addData(HawkesIn("A", ts(20), 3L)) // state carries 2 arrivals
+      q.processAllAvailable()
+      val got = spark.table("shaw").as[(String, Long, Long)].collect()
+        .map(r => r._2 -> r._3).toMap
+      def term(dSec: Long) =
+        math.floor(math.pow(0.995, dSec.toDouble) * 1e9 + 0.5).toLong
+      assert(got(1L) == 0L)
+      assert(got(2L) == term(10))
+      assert(got(3L) == term(20) + term(10))
+    } finally q.stop()
+  }
+
   test("funnelStream: strict ordering holds across batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.max
