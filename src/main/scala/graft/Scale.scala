@@ -826,6 +826,39 @@ object Scale {
         }
       }
 
+      // ---- r12 fourth-wave probes: Hawkes kernel fold, Holt linear
+      // filter, triangle joins, blocked Friedman — the round's new
+      // window/join heavyweights as their REAL SparkEntry plans.
+      if (Seq("tick_hawkes", "eod_holt", "stats_friedman", "ann_triangles")
+          .exists(wanted)) {
+        val nEv = 100000L * m
+        genEvents(spark, nEv).write.mode("overwrite")
+          .parquet(s"$root/$m/events.parquet")
+        genEmbeddings(spark, nEmb, dim).write.mode("overwrite")
+          .parquet(s"$root/$m/embeddings.parquet")
+        val qDir = s"$root/$m"
+        // O(60n) trailing-array fold over one keyed window.
+        timed("tick_hawkes", m, nEv) {
+          sink(SparkEntry.queries("tick_hawkes")(spark, qDir))
+        }
+        // Same frame, two quantized dot products per row.
+        timed("eod_holt", m, nEv) {
+          sink(SparkEntry.queries("eod_holt")(spark, qDir))
+        }
+        // One hash(rn) exchange; millions of 5-row blocks.
+        timed("stats_friedman", m, nEv) {
+          sink(SparkEntry.queries("stats_friedman")(spark, qDir))
+        }
+        // Wedge + closing-edge joins on the n·k edge list; planes
+        // sized off the corpus (the op-317 knob).
+        spark.conf.set("graft.ann.planes",
+          Similarity.planesForN(nEmb).toString)
+        timed("ann_triangles", m, nEmb) {
+          sink(SparkEntry.queries("ann_triangles")(spark, qDir))
+        }
+        spark.conf.unset("graft.ann.planes")
+      }
+
       // Skewed shuffle join + agg under AQE; broadcast disabled so the
       // skew-join path (not a broadcast) is what's being measured.
       if (wanted("skew_join_agg")) {

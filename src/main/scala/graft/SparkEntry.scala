@@ -1176,6 +1176,37 @@ object SparkEntry {
     // (order-free; the op-342 convention), outputs on the q6/q8 floor
     // grids. Full-window rows only (rn ≥ 60): truncating the spin-up
     // keeps ONE weight vector instead of a triangular m×j table.
+    // Holt–Winters additive-seasonal smoothing + season-aligned 5-step
+    // forecast (op 348; Winters 1960 — op 343 plus a period-5 seasonal
+    // state): the same driver-computed linear-filter contract with a
+    // THIRD weight vector (the final seasonal slot, which a horizon-s
+    // forecast uses directly: ŷ = l + 5b + s_final). Same per-term
+    // 1e-9 quantization, q6/q8 floor grids, full-window rows only.
+    "eod_holt_winters" -> ((s, dir) => {
+      val m = 60
+      val (wl, wb, ws) = Eod.holtWintersWeights(m, 5, 0.3, 0.1, 0.2)
+      def qsum(wsv: Array[Double]) = aggregate(
+        zip_with(col("xs"), array(wsv.map(lit): _*),
+          (x, w) => floor(x * w * 1e9 + lit(0.5)).cast("long")),
+        lit(0L), (acc, t) => acc + t)
+      def q(c: Column, g: Double) = floor(c * g + lit(0.5)) / g
+      val ld = col("lq").cast("double") / 1e9
+      val bd = col("bq").cast("double") / 1e9
+      val sd_ = col("sq").cast("double") / 1e9
+      events(s, dir)
+        .withColumn("xs",
+          collect_list(col("value")).over(wT.rowsBetween(-(m - 1), 0)))
+        .withColumn("rn", row_number().over(wT))
+        .where(col("rn") >= m) // the frame is built BEFORE this filter
+        .withColumn("lq", qsum(wl))
+        .withColumn("bq", qsum(wb))
+        .withColumn("sq", qsum(ws))
+        .select(col("event_type"), col("event_id"),
+          q(ld, 1e6).as("level"),
+          q(bd, 1e8).as("trend"),
+          q(sd_, 1e6).as("seasonal"),
+          q(ld + lit(5.0) * bd + sd_, 1e6).as("forecast_5"))
+    }),
     "eod_holt" -> ((s, dir) => {
       val m = 60
       val (wl, wb) = Eod.holtWeights(m, 0.3, 0.1)
@@ -4360,6 +4391,40 @@ object SparkEntry {
         |FROM x a JOIN x b
         |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 60 AND a.rn - 1
         |GROUP BY a.event_type, a.event_id""".stripMargin,
+    // op 348: the op-343 recipe with the third (seasonal) weight
+    // column in the VALUES rows.
+    "eod_holt_winters" -> {
+      val (wl, wb, ws) = Eod.holtWintersWeights(60, 5, 0.3, 0.1, 0.2)
+      val rows = (0 until 60).map(j =>
+        s"(${j + 1}, ${java.lang.Double.toString(wl(j))}, " +
+          s"${java.lang.Double.toString(wb(j))}, " +
+          s"${java.lang.Double.toString(ws(j))})").mkString(", ")
+      s"""WITH x AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), w(j, wl, wb, ws) AS (VALUES $rows),
+        |s AS (
+        |  SELECT a.event_type, a.event_id,
+        |    CAST(sum(CAST(floor(b.value * w.wl * 1e9 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1e9 AS ld,
+        |    CAST(sum(CAST(floor(b.value * w.wb * 1e9 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1e9 AS bd,
+        |    CAST(sum(CAST(floor(b.value * w.ws * 1e9 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1e9 AS sd
+        |  FROM x a JOIN x b
+        |    ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
+        |  JOIN w ON w.j = b.rn - a.rn + 60
+        |  WHERE a.rn >= 60
+        |  GROUP BY a.event_type, a.event_id
+        |)
+        |SELECT event_type, event_id,
+        |  floor(ld * 1e6 + 0.5) / 1e6 AS level,
+        |  floor(bd * 1e8 + 0.5) / 1e8 AS trend,
+        |  floor(sd * 1e6 + 0.5) / 1e6 AS seasonal,
+        |  floor((ld + 5.0 * bd + sd) * 1e6 + 0.5) / 1e6 AS forecast_5
+        |FROM s""".stripMargin
+    },
     // op 343: the SAME driver-computed Holt filter weights as 60-row
     // VALUES literals (Double.toString round-trips = the Spark lits);
     // identical per-term 1e-9 quantization, unordered exact sum.

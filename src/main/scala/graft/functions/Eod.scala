@@ -381,6 +381,37 @@ object Eod {
     (l, b)
   }
 
+  /** Holt–Winters ADDITIVE-SEASONAL weights — [[holtWeights]] extended
+    * with a period-s seasonal state: l_t = α(x_t − s_{slot}) +
+    * (1−α)(l+b); b_t = β(l_t−l_{t−1}) + (1−β)b; s_slot = γ(x_t−l_t) +
+    * (1−γ)s_slot, slot(t) = (t−1) mod s, seasonal states init 0,
+    * (l₁ = x₁, b₁ = 0). Returns (level, trend, seasonal-at-final-slot)
+    * weight vectors; a horizon that is a multiple of s forecasts with
+    * exactly that final slot (ŷ_{m+s} = l + s·b + s_final). Same
+    * round-trip-literal / linear-filter contract as [[holtWeights]].
+    */
+  def holtWintersWeights(m: Int, s: Int, alpha: Double, beta: Double,
+                         gamma: Double)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    def e(j: Int) = Array.tabulate(m)(i => if (i == j) 1.0 else 0.0)
+    var l = e(0)
+    var b = Array.fill(m)(0.0)
+    val sea = Array.fill(s)(Array.fill(m)(0.0))
+    for (t <- 2 to m) {
+      val slot = (t - 1) % s
+      val sOld = sea(slot)
+      val prevL = l
+      val nl = Array.tabulate(m)(j =>
+        alpha * (e(t - 1)(j) - sOld(j)) + (1 - alpha) * (l(j) + b(j)))
+      val nb = Array.tabulate(m)(j =>
+        beta * (nl(j) - prevL(j)) + (1 - beta) * b(j))
+      sea(slot) = Array.tabulate(m)(j =>
+        gamma * (e(t - 1)(j) - nl(j)) + (1 - gamma) * sOld(j))
+      l = nl; b = nb
+    }
+    (l, b, sea((m - 1) % s))
+  }
+
   /** Rolling OLS beta of `ret` on `benchmark` over the trailing n rows:
     * covar_samp / var_samp on the frame. Null until the frame has ≥2
     * paired rows (sample moments undefined), null on a flat benchmark

@@ -160,6 +160,42 @@ class Round12cSpec extends SparkSpec {
     assert(math.abs(got._3 - expQ) < 1e-5, s"q ${got._3} vs $expQ")
   }
 
+  test("eod_holt_winters: filter weights reproduce the seasonal recursion") {
+    val series = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(r => (r._2, r._3)).map(r => (r._3, r._4))
+      }
+    val exp = series.flatMap { case (_, xs) =>
+      (59 until xs.length).map { i =>
+        val win = xs.slice(i - 59, i + 1).map(_._2)
+        var l = win(0); var b = 0.0
+        val sea = Array.fill(5)(0.0)
+        for (t <- 1 until 60) {
+          val slot = t % 5
+          val sOld = sea(slot)
+          val nl = 0.3 * (win(t) - sOld) + 0.7 * (l + b)
+          b = 0.1 * (nl - l) + 0.9 * b
+          sea(slot) = 0.2 * (win(t) - nl) + 0.8 * sOld
+          l = nl
+        }
+        xs(i)._1 -> (l, b, sea(59 % 5))
+      }
+    }.toMap
+    val got = SparkEntry.queries("eod_holt_winters")(spark, dir)
+      .select($"event_id", $"level", $"trend", $"seasonal", $"forecast_5")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(got.length == exp.size)
+    for ((id, lv, tr, se, f5) <- got) {
+      val (l, b, sn) = exp(id)
+      assert(math.abs(lv - l) < 1e-5, s"level($id): $lv vs $l")
+      assert(math.abs(tr - b) < 1e-6, s"trend($id): $tr vs $b")
+      assert(math.abs(se - sn) < 1e-5, s"seasonal($id): $se vs $sn")
+      assert(math.abs(f5 - (l + 5 * b + sn)) < 1e-5, s"f5($id)")
+    }
+  }
+
   test("stats_friedman: perfect concordance gives the classic maximum Q") {
     // k=3 series, 2 complete return blocks, same order in every block
     // → classic Q = 12/(nk(k+1))ΣR² − 3n(k+1) = 4
