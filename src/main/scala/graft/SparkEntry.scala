@@ -8298,6 +8298,22 @@ object SparkEntry {
         .funnelFlags(events(s, dir), "signup", "click", "purchase")
         .orderBy(col("user_id"))),
 
+    // op 349: the conversion-WINDOW variant — a step counts only
+    // within 3 days of the qualifying previous step (the "did they
+    // convert promptly" funnel every growth team also runs).
+    "events_funnel_windowed" -> ((s, dir) =>
+      graft.operators.Events
+        .funnelFlags(events(s, dir), "signup", "click", "purchase",
+          maxGapUs = Some(259200000000L))
+        .orderBy(col("user_id"))),
+
+    // op 350: md5-coin A/B split + pooled two-proportion z on exact
+    // integers — the experimentation staple, engine-replayable
+    // randomization (op-77 convention).
+    "events_ab_test" -> ((s, dir) =>
+      graft.operators.Events.abTest(events(s, dir), "purchase",
+        minValue = 150.0)),
+
     "events_retention" -> ((s, dir) =>
       graft.operators.Events.retention(events(s, dir), "signup")
         .select(col("cohort_us"), col("week_offset"), col("n_active"),
@@ -12519,6 +12535,70 @@ object SparkEntry {
           |  max(CASE WHEN q2 THEN 1 ELSE 0 END) AS s2,
           |  max(CASE WHEN q3 THEN 1 ELSE 0 END) AS s3
           |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+      // op 349: the op-330 SQL with the 3-day conversion-window bound
+      // on both qualifying conditions.
+      "events_funnel_windowed" ->
+        """WITH a AS (
+          |  SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us,
+          |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+          |      OVER w AS t1
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |), b AS (
+          |  SELECT *, (event_type = 'click' AND t1 IS NOT NULL AND us > t1
+          |    AND us - t1 <= 259200000000) AS q2 FROM a
+          |), c AS (
+          |  SELECT *, min(CASE WHEN q2 THEN us END) OVER w AS t2
+          |  FROM b
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |), d AS (
+          |  SELECT *, (event_type = 'purchase' AND t2 IS NOT NULL AND us > t2
+          |    AND us - t2 <= 259200000000) AS q3 FROM c
+          |)
+          |SELECT user_id,
+          |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s1,
+          |  max(CASE WHEN q2 THEN 1 ELSE 0 END) AS s2,
+          |  max(CASE WHEN q3 THEN 1 ELSE 0 END) AS s3
+          |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+      // op 350: the w8 md5-word coin, pooled z on exact integers.
+      "events_ab_test" ->
+        s"""WITH u AS (
+          |  SELECT user_id,
+          |    max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+          |        THEN 1 ELSE 0 END) AS conv
+          |  FROM events GROUP BY user_id
+          |), h AS (
+          |  SELECT conv, md5('ab_' || CAST(user_id AS VARCHAR)) AS hx FROM u
+          |), v AS (
+          |  SELECT conv,
+          |    CASE WHEN ${w8("hx")} % 2 = 0 THEN 1 ELSE 0 END AS va
+          |  FROM h
+          |), a AS (
+          |  SELECT CAST(sum(va) AS BIGINT) AS n_a,
+          |    CAST(sum(va * conv) AS BIGINT) AS conv_a,
+          |    CAST(sum(1 - va) AS BIGINT) AS n_b,
+          |    CAST(sum((1 - va) * conv) AS BIGINT) AS conv_b
+          |  FROM v
+          |), z AS (
+          |  SELECT *, conv_a / CAST(n_a AS DOUBLE) AS pa,
+          |    conv_b / CAST(n_b AS DOUBLE) AS pb,
+          |    (conv_a + conv_b) / (CAST(n_a AS DOUBLE) + n_b) AS pool
+          |  FROM a
+          |)
+          |SELECT n_a, conv_a, n_b, conv_b,
+          |  round(CASE WHEN n_a > 0 THEN pa END, 6) AS rate_a,
+          |  round(CASE WHEN n_b > 0 THEN pb END, 6) AS rate_b,
+          |  round(CASE WHEN n_a > 0 AND n_b > 0 AND pool > 0 AND pool < 1
+          |    THEN (pa - pb) / sqrt(pool * (1.0 - pool)
+          |      * (1.0 / n_a + 1.0 / n_b)) END, 6) AS z_stat,
+          |  CAST(CASE WHEN abs(round(CASE WHEN n_a > 0 AND n_b > 0
+          |      AND pool > 0 AND pool < 1
+          |    THEN (pa - pb) / sqrt(pool * (1.0 - pool)
+          |      * (1.0 / n_a + 1.0 / n_b)) END, 6)) > 1.96
+          |    THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+          |FROM z""".stripMargin,
       "events_retention" ->
         """WITH firsts AS (
           |  SELECT user_id,

@@ -31,22 +31,64 @@ object Events {
     * Returns one row per user with reach flags (step1/step2/step3).
     */
   def funnelFlags(events: DataFrame, step1: String, step2: String,
-                  step3: String): DataFrame = {
+                  step3: String, maxGapUs: Option[Long] = None): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val t = col("event_type")
+    // optional conversion window: a step-k event also has to land
+    // within maxGapUs of the qualifying step-(k−1) time
+    def inWin(prev: Column) =
+      maxGapUs.map(g => col("_us") - prev <= g).getOrElse(lit(true))
     val e1 = events
       .withColumn("_us", us(col("ts")))
       .withColumn("_t1", min(when(t === step1, col("_us"))).over(w))
     val e2 = e1.withColumn("_q2",
-        t === step2 && col("_t1").isNotNull && col("_us") > col("_t1"))
+        t === step2 && col("_t1").isNotNull && col("_us") > col("_t1") &&
+          inWin(col("_t1")))
       .withColumn("_t2", min(when(col("_q2"), col("_us"))).over(w))
     val e3 = e2.withColumn("_q3",
-      t === step3 && col("_t2").isNotNull && col("_us") > col("_t2"))
+      t === step3 && col("_t2").isNotNull && col("_us") > col("_t2") &&
+        inWin(col("_t2")))
     e3.groupBy(col("user_id"))
       .agg(max(when(t === step1, 1).otherwise(0)).as("s1"),
         max(when(col("_q2"), 1).otherwise(0)).as("s2"),
         max(when(col("_q3"), 1).otherwise(0)).as("s3"))
+  }
+
+  /** Two-proportion A/B conversion test: variant by md5 coin on the
+    * user id (the op-77 determinism convention — both engines replay
+    * the same assignment), conversion = any `conversionType` event;
+    * pooled two-proportion z from four exact integers. The product
+    * experimentation staple: one user-keyed agg + one 2-row agg.
+    */
+  def abTest(events: DataFrame, conversionType: String,
+             minValue: Double = 0.0): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max((col("event_type") === conversionType &&
+          col("value") >= minValue).cast("int"))
+        .as("conv"))
+    val word = conv(substring(md5(concat(lit("ab_"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val v = perUser.withColumn("va", (word % 2 === 0).cast("int"))
+    val a = v.agg(
+      sum(col("va")).as("n_a"),
+      sum(col("va") * col("conv")).as("conv_a"),
+      sum(lit(1) - col("va")).as("n_b"),
+      sum((lit(1) - col("va")) * col("conv")).as("conv_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("conv_a") / na; val pb = col("conv_b") / nb
+    val pool = (col("conv_a") + col("conv_b")) / (na + nb)
+    // degenerate splits (all/none converted, an empty arm) have no
+    // defined z — null, not a divide-by-zero under ANSI mode
+    val z = when(col("n_a") > 0 && col("n_b") > 0 &&
+        pool > 0.0 && pool < 1.0,
+      (pa - pb) /
+        sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb)))
+    a.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(when(col("n_a") > 0, pa), 6).as("rate_a"),
+      round(when(col("n_b") > 0, pb), 6).as("rate_b"),
+      round(z, 6).as("z_stat"),
+      when(abs(round(z, 6)) > 1.96, 1L).otherwise(0L).as("significant_95"))
   }
 
   /** Weekly cohort retention: cohort = Monday-truncated week of the

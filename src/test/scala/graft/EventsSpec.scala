@@ -117,6 +117,44 @@ class EventsSpec extends SparkSpec {
       ("view", 0L, 0.0, 1L)))
   }
 
+  test("funnel window: a step outside the gap doesn't count, within does") {
+    val df = ev(
+      // user 1: click 2 days after signup (inside 3d), purchase 1 day
+      // after click → full reach
+      (1L, t(1, 9), 1L, "signup"), (2L, t(3, 9), 1L, "click"),
+      (3L, t(4, 9), 1L, "purchase"),
+      // user 2: click 5 days after signup (outside 3d) → stops at s1
+      (4L, t(1, 9), 2L, "signup"), (5L, t(6, 9), 2L, "click"))
+    val r = Events.funnelFlags(df, "signup", "click", "purchase",
+        maxGapUs = Some(259200000000L))
+      .orderBy($"user_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+    assert(r.toSeq == Seq((1L, 1, 1, 1), (2L, 1, 0, 0)))
+  }
+
+  test("abTest: deterministic md5 split, exact counts, pooled z") {
+    val df = Seq(
+      (1L, t(1, 9), 1L, "purchase", 200.0),
+      (2L, t(1, 9), 2L, "purchase", 10.0), // below minValue → no conv
+      (3L, t(1, 9), 3L, "view", 200.0),
+      (4L, t(1, 9), 4L, "purchase", 180.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.abTest(df, "purchase", minValue = 150.0).collect().head
+    // split + counts are a pure function of md5(user_id)
+    assert(r.getLong(0) + r.getLong(2) == 4L)       // all users assigned
+    assert(r.getLong(1) + r.getLong(3) == 2L)       // users 1 and 4 convert
+    // pooled z recomputed directly from the four integers
+    val (na, ca, nb, cb) =
+      (r.getLong(0).toDouble, r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble)
+    val pool = (ca + cb) / (na + nb)
+    if (na > 0 && nb > 0 && pool > 0 && pool < 1) {
+      val z = (ca / na - cb / nb) /
+        math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+      assert(math.abs(r.getDouble(6) - math.rint(z * 1e6) / 1e6) < 1e-9)
+    } else assert(r.isNullAt(6))
+  }
+
   test("transitions: per-user adjacencies with conditional probability") {
     val df = ev(
       (1L, t(1, 9), 1L, "view"), (2L, t(1, 10), 1L, "click"),

@@ -44,6 +44,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Union"), "rollup must not fall back to a union")
   }
 
+  test("events funnel runs on ONE user exchange; no cartesian anywhere") {
+    val p = plan("events_funnel")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"funnel should reuse the user partitioning: $exchanges exchanges\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("triangle joins never plan a cartesian product") {
+    val p = plan("ann_triangles")
+    assert(!p.contains("CartesianProduct"),
+      "triangle counting must join on vertices: " + p.take(1200))
+  }
+
   test("series analytics run inside whole-stage codegen") {
     // codegen stages print as "*(n)" in executedPlan.toString
     val p = plan("eod_returns")
