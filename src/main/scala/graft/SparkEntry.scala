@@ -1185,10 +1185,8 @@ object SparkEntry {
     "eod_holt_winters" -> ((s, dir) => {
       val m = 60
       val (wl, wb, ws) = Eod.holtWintersWeights(m, 5, 0.3, 0.1, 0.2)
-      def qsum(wsv: Array[Double]) = aggregate(
-        zip_with(col("xs"), array(wsv.map(lit): _*),
-          (x, w) => floor(x * w * 1e9 + lit(0.5)).cast("long")),
-        lit(0L), (acc, t) => acc + t)
+      def qsum(wsv: Array[Double]) =
+        graft.expressions.QuantizedDot(col("xs"), wsv, grid = 1e9)
       def q(c: Column, g: Double) = floor(c * g + lit(0.5)) / g
       val ld = col("lq").cast("double") / 1e9
       val bd = col("bq").cast("double") / 1e9
@@ -1210,10 +1208,8 @@ object SparkEntry {
     "eod_holt" -> ((s, dir) => {
       val m = 60
       val (wl, wb) = Eod.holtWeights(m, 0.3, 0.1)
-      def qsum(ws: Array[Double]) = aggregate(
-        zip_with(col("xs"), array(ws.map(lit): _*),
-          (x, w) => floor(x * w * 1e9 + lit(0.5)).cast("long")),
-        lit(0L), (acc, t) => acc + t)
+      def qsum(ws: Array[Double]) =
+        graft.expressions.QuantizedDot(col("xs"), ws, grid = 1e9)
       def q(c: Column, g: Double) = floor(c * g + lit(0.5)) / g
       val ld = col("lq").cast("double") / 1e9
       val bd = col("bq").cast("double") / 1e9
@@ -2385,12 +2381,9 @@ object SparkEntry {
     "tick_hawkes" -> ((s, dir) =>
       events(s, dir)
         .withColumn("us", unix_micros(col("ts")))
-        .withColumn("sumq", aggregate(
+        .withColumn("sumq", graft.expressions.HawkesKernelSum(
           collect_list(col("us")).over(wT.rowsBetween(-60, -1)),
-          lit(0L),
-          (acc, x) => acc + floor(
-            pow(lit(0.995), floor((col("us") - x) / 1000000.0)) * 1e9
-              + lit(0.5)).cast("long")))
+          col("us"), base = 0.995))
         .select(col("event_type"), col("event_id"),
           round(lit(0.05) + lit(0.3) * (col("sumq").cast("double") / 1e9), 6)
             .as("lambda"))),

@@ -63,6 +63,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), p.take(800))
   }
 
+  test("Hawkes kernel folds natively (graft_hawkes_kernel), no HOF lambdas") {
+    val p = plan("tick_hawkes")
+    assert(p.contains("graft_hawkes_kernel"), "native Hawkes fold missing")
+    assert(!p.contains("lambdafunction"), "interpreted HOF leaked into op 342")
+  }
+
+  test("Holt filters fold natively (graft_quantized_dot), no zip_with") {
+    val p = plan("eod_holt")
+    assert(p.contains("graft_quantized_dot"), "native filter dot missing")
+    assert(!p.contains("zip_with"), "interpreted HOF leaked into op 343")
+    val p2 = plan("eod_holt_winters")
+    assert(p2.contains("graft_quantized_dot"), "native filter dot missing (HW)")
+  }
+
   test("EWMA vol folds natively (graft_ewma_vol), no interpreted HOFs") {
     val p = plan("eod_ewma_vol")
     assert(p.contains("graft_ewma_vol"), "native EWMA fold missing from the plan")

@@ -196,6 +196,32 @@ class Round12cSpec extends SparkSpec {
     }
   }
 
+  test("QuantizedDot/HawkesKernelSum: native folds match direct arithmetic") {
+    import graft.expressions.{HawkesKernelSum, QuantizedDot}
+    val w = Array(0.5, -0.25, 2.0)
+    val df = Seq(
+      (1L, Seq(2.0, 4.0, 1.0)),
+      (2L, Seq(2.0, 4.0)),          // wrong length → null
+      (3L, Seq[Double]())           // wrong length → null
+    ).toDF("id", "xs")
+    val got = df.select($"id", QuantizedDot($"xs", w, 1e9).as("q"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val exp1 = Seq(2.0 * 0.5, 4.0 * -0.25, 1.0 * 2.0)
+      .map(t => math.floor(t * 1e9 + 0.5).toLong).sum
+    assert(got(1L).contains(exp1) && got(2L).isEmpty && got(3L).isEmpty)
+
+    val hdf = Seq((Seq(1000000L, 3000000L), 4000000L),
+        (Seq[Long](), 5000000L))
+      .toDF("arr", "now")
+    val hot = hdf.select(HawkesKernelSum($"arr", $"now", 0.995).as("s"))
+      .as[Long].collect()
+    def term(dUs: Long) = math.floor(math.pow(0.995,
+      math.floor(dUs / 1e6)) * 1e9 + 0.5).toLong
+    assert(hot(0) == term(3000000L) + term(1000000L))
+    assert(hot(1) == 0L) // empty frame → λ = μ
+  }
+
   test("stats_friedman: perfect concordance gives the classic maximum Q") {
     // k=3 series, 2 complete return blocks, same order in every block
     // → classic Q = 12/(nk(k+1))ΣR² − 3n(k+1) = 4
