@@ -1225,6 +1225,46 @@ object SparkEntry {
           q(bd, 1e8).as("trend"),
           q(ld + lit(5.0) * bd, 1e6).as("forecast_5"))
     }),
+    // Forecast backtest (op 352; the op-343 eval harness — what
+    // ann_recall is to the ANN index, this is to the smoother): pair
+    // each q6-floored 5-step Holt forecast with the REALIZED price 5
+    // rows ahead (lead over the same window), quantize each error to
+    // a 1e-6 long so MAE/RMSE/bias accumulate exactly (squares in
+    // decimal(38,0) against the e²·n growth), one keyed agg per
+    // series. "Is the smoother worth shipping" as a driver-checked
+    // number.
+    "eod_forecast_eval" -> ((s, dir) => {
+      val m = 60
+      val (wl, wb) = Eod.holtWeights(m, 0.3, 0.1)
+      def qsum(ws: Array[Double]) =
+        graft.expressions.QuantizedDot(col("xs"), ws, grid = 1e9)
+      val ld = col("lq").cast("double") / 1e9
+      val bd = col("bq").cast("double") / 1e9
+      val f5 = floor((ld + lit(5.0) * bd) * 1e6 + lit(0.5)) / 1e6
+      val base = events(s, dir)
+        .withColumn("xs",
+          collect_list(col("value")).over(wT.rowsBetween(-(m - 1), 0)))
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("realized", lead(col("value"), 5).over(wT))
+        .where(col("rn") >= m && col("realized").isNotNull)
+        .withColumn("lq", qsum(wl))
+        .withColumn("bq", qsum(wb))
+        .withColumn("eq",
+          floor((col("realized") - f5) * 1e6 + lit(0.5)).cast("long"))
+      base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(abs(col("eq"))).as("_sae"),
+          sum((col("eq").cast("decimal(38,0)") * col("eq"))).as("_sse"),
+          sum(col("eq")).as("_se"))
+        .select(col("event_type"), col("n"),
+          (floor(col("_sae").cast("double") / 1e6 / col("n") * 1e6
+            + lit(0.5)) / 1e6).as("mae"),
+          (floor(sqrt(col("_sse").cast("double") / 1e12 / col("n")) * 1e6
+            + lit(0.5)) / 1e6).as("rmse"),
+          (floor(col("_se").cast("double") / 1e6 / col("n") * 1e6
+            + lit(0.5)) / 1e6).as("bias"))
+        .orderBy(col("event_type"))
+    }),
     // Rolling beta of each non-benchmark return series on the 'view'
     // benchmark series, rn-paired, trailing 60 pairs. The window is
     // partitioned by the pair key — four real pairs here, N pairs at
@@ -4417,6 +4457,50 @@ object SparkEntry {
         |  floor(sd * 1e6 + 0.5) / 1e6 AS seasonal,
         |  floor((ld + 5.0 * bd + sd) * 1e6 + 0.5) / 1e6 AS forecast_5
         |FROM s""".stripMargin
+    },
+    // op 352: the op-343 VALUES recipe + lead(value, 5), identical
+    // quantized error aggregation.
+    "eod_forecast_eval" -> {
+      val (wl, wb) = Eod.holtWeights(60, 0.3, 0.1)
+      val rows = (0 until 60).map(j =>
+        s"(${j + 1}, ${java.lang.Double.toString(wl(j))}, " +
+          s"${java.lang.Double.toString(wb(j))})").mkString(", ")
+      s"""WITH x AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER w AS rn,
+        |    lead(value, 5) OVER w AS realized
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), w(j, wl, wb) AS (VALUES $rows),
+        |s AS (
+        |  SELECT a.event_type, a.event_id, min(a.realized) AS realized,
+        |    CAST(sum(CAST(floor(b.value * w.wl * 1e9 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1e9 AS ld,
+        |    CAST(sum(CAST(floor(b.value * w.wb * 1e9 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1e9 AS bd
+        |  FROM x a JOIN x b
+        |    ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
+        |  JOIN w ON w.j = b.rn - a.rn + 60
+        |  WHERE a.rn >= 60 AND a.realized IS NOT NULL
+        |  GROUP BY a.event_type, a.event_id
+        |), e AS (
+        |  SELECT event_type,
+        |    CAST(floor((realized - floor((ld + 5.0 * bd) * 1e6 + 0.5) / 1e6)
+        |      * 1e6 + 0.5) AS BIGINT) AS eq
+        |  FROM s
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(abs(eq)) AS DECIMAL(38,0)) AS sae,
+        |    CAST(sum(CAST(eq AS DECIMAL(38,0)) * eq) AS DECIMAL(38,0)) AS sse,
+        |    CAST(sum(eq) AS DECIMAL(38,0)) AS se
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |  floor(CAST(sae AS DOUBLE) / 1e6 / n * 1e6 + 0.5) / 1e6 AS mae,
+        |  floor(sqrt(CAST(sse AS DOUBLE) / 1e12 / n) * 1e6 + 0.5) / 1e6
+        |    AS rmse,
+        |  floor(CAST(se AS DOUBLE) / 1e6 / n * 1e6 + 0.5) / 1e6 AS bias
+        |FROM a ORDER BY event_type""".stripMargin
     },
     // op 343: the SAME driver-computed Holt filter weights as 60-row
     // VALUES literals (Double.toString round-trips = the Spark lits);
@@ -8356,6 +8440,13 @@ object SparkEntry {
     "events_rfm" -> ((s, dir) =>
       graft.operators.Events.rfm(events(s, dir), "purchase")
         .orderBy(col("user_id"))),
+
+    // op 351: cohort LTV curves — the revenue companion of op 331;
+    // exact decimal weekly revenue, cumulative per-member LTV on the
+    // q6 floor grid, cumulative window over the driver-sized report.
+    "events_cohort_ltv" -> ((s, dir) =>
+      graft.operators.Events.cohortLtv(events(s, dir), "signup", "purchase")
+        .orderBy(col("cohort_us"), col("week_offset"))),
 
     "events_transitions" -> ((s, dir) =>
       graft.operators.Events.transitions(events(s, dir))
@@ -12633,6 +12724,37 @@ object SparkEntry {
           |      ORDER BY vf, event_id), 32503680000000000)
           |    = 32503680000000000 AS INT) AS is_current
           |FROM k ORDER BY user_id, valid_from_us""".stripMargin,
+      // op 351: same cohort/week algebra as op 331, decimal revenue,
+      // cumulative window over the report relation, q6 floors.
+      "events_cohort_ltv" ->
+        """WITH firsts AS (
+          |  SELECT user_id,
+          |    epoch_us(date_trunc('week', min(ts))) AS cohort_us
+          |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+          |), cohorts AS (
+          |  SELECT cohort_us, count(*) AS n_cohort FROM firsts GROUP BY 1
+          |), rev AS (
+          |  SELECT f.cohort_us,
+          |    CAST((epoch_us(date_trunc('week', e.ts)) - f.cohort_us)
+          |      / 604800000000 AS BIGINT) AS week_offset,
+          |    sum(CAST(e.value AS DECIMAL(30,10))) AS wrev
+          |  FROM events e JOIN firsts f USING (user_id)
+          |  WHERE e.event_type = 'purchase'
+          |    AND epoch_us(date_trunc('week', e.ts)) >= f.cohort_us
+          |  GROUP BY 1, 2
+          |), c AS (
+          |  SELECT cohort_us, week_offset, wrev,
+          |    sum(wrev) OVER (PARTITION BY cohort_us ORDER BY week_offset
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM rev
+          |)
+          |SELECT c.cohort_us, c.week_offset,
+          |  floor(CAST(wrev AS DOUBLE) * 1e6 + 0.5) / 1e6 AS period_rev,
+          |  floor(CAST(cum AS DOUBLE) / n_cohort * 1e6 + 0.5) / 1e6
+          |    AS ltv_per_user,
+          |  n_cohort
+          |FROM c JOIN cohorts USING (cohort_us)
+          |ORDER BY cohort_us, week_offset""".stripMargin,
       "events_transitions" ->
         """WITH pairs AS (
           |  SELECT lag(event_type) OVER (PARTITION BY user_id

@@ -242,6 +242,44 @@ object Events {
         col("segment"))
   }
 
+  /** Cohort lifetime-value curves — the REVENUE companion of
+    * [[retention]]: per (cohort week, week offset), the cohort's
+    * conversion revenue that week (exact decimal) and the running
+    * cumulative LTV per cohort member. Same user-keyed join shape as
+    * retention; the cumulative window runs over the driver-sized
+    * (cohort × offset) report relation, not the event log.
+    */
+  def cohortLtv(events: DataFrame, anchorType: String,
+                revenueType: String): DataFrame = {
+    val firsts = events.where(col("event_type") === anchorType)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        us(date_trunc("week", col("first_ts"))).as("cohort_us"))
+    val cohorts = firsts.groupBy(col("cohort_us"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val rev = events.where(col("event_type") === revenueType)
+      .select(col("user_id"), us(date_trunc("week", col("ts"))).as("week_us"),
+        col("value").cast("decimal(30,10)").as("_rev"))
+      .join(firsts, "user_id")
+      .withColumn("week_offset",
+        ((col("week_us") - col("cohort_us")) / lit(WeekUs)).cast("long"))
+      .where(col("week_offset") >= 0)
+      .groupBy(col("cohort_us"), col("week_offset"))
+      .agg(sum(col("_rev")).as("_wrev"))
+    val wCum = Window.partitionBy("cohort_us").orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("_cum", sum(col("_wrev")).over(wCum))
+      .join(broadcast(cohorts), "cohort_us")
+      .select(col("cohort_us"), col("week_offset"),
+        (floor(col("_wrev").cast("double") * 1e6 + lit(0.5)) / 1e6)
+          .as("period_rev"),
+        (floor(col("_cum").cast("double") / col("n_cohort") * 1e6
+          + lit(0.5)) / 1e6).as("ltv_per_user"),
+        col("n_cohort"))
+  }
+
   /** First-order Markov transition counts between consecutive event
     * types per user (the product-flow / clickstream-path staple):
     * count of each (from_type, to_type) adjacency in per-user

@@ -155,6 +155,23 @@ class EventsSpec extends SparkSpec {
     } else assert(r.isNullAt(6))
   }
 
+  test("cohortLtv: weekly revenue and running per-member LTV") {
+    val df = Seq(
+      // 2024-01-01 is Monday. Both users sign up week 0.
+      (1L, t(2, 9), 1L, "signup", 0.0),
+      (2L, t(3, 9), 2L, "signup", 0.0),
+      // week 0: user 1 buys 10; week 2: both buy (20 + 30)
+      (3L, t(4, 9), 1L, "purchase", 10.0),
+      (4L, t(16, 9), 1L, "purchase", 20.0),
+      (5L, t(17, 9), 2L, "purchase", 30.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.cohortLtv(df, "signup", "purchase")
+      .orderBy($"week_offset").collect()
+      .map(x => (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4)))
+    // (offset, period_rev, ltv_per_user, n_cohort)
+    assert(r.toSeq == Seq((0L, 10.0, 5.0, 2L), (2L, 50.0, 30.0, 2L)))
+  }
+
   test("transitions: per-user adjacencies with conditional probability") {
     val df = ev(
       (1L, t(1, 9), 1L, "view"), (2L, t(1, 10), 1L, "click"),
