@@ -244,6 +244,53 @@ object SparkEntry {
   private def withRet(s: SparkSession, dir: String): DataFrame =
     events(s, dir).withColumn("ret", Eod.toReturns(col("value"), wT))
 
+  /** Shared by ops 297/353: per-series rank sums over EXACT global
+    * midranks of the 1e-6-quantized returns, via the two-level
+    * distributed prefix sum (per-bucket cumulative window + broadcast
+    * super-bucket offsets — no single-partition window). Returns
+    * (per-series Σmidrank/count, tie relation Σ(c³−c)). Midranks are
+    * half-integers, so every double term is exactly representable and
+    * the sums are addition-order-free.
+    */
+  private def kruskalRankSums(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val gq = withRet(s, dir).where(col("ret").isNotNull)
+      .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(count(lit(1)).as("cg"))
+      .localCheckpoint()
+    val qc = gq.groupBy(col("q")).agg(sum(col("cg")).as("c"))
+      .withColumn("b", floor(col("q") / lit(500.0)).cast("long"))
+    val bt = qc.groupBy(col("b")).agg(sum(col("c")).as("tb"))
+      .withColumn("sb", floor(col("b").cast("double") / 4096.0).cast("long"))
+    val sbt = bt.groupBy(col("sb")).agg(sum(col("tb")).as("stb"))
+    val sbOffs = sbt.select(col("sb"))
+      .join(broadcast(sbt.select(col("sb").as("sb2"), col("stb"))),
+        col("sb2") < col("sb"), "left")
+      .groupBy(col("sb"))
+      .agg(coalesce(sum(col("stb")), lit(0L)).as("soff"))
+    val wSb = Window.partitionBy(col("sb")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = bt.join(broadcast(sbOffs), "sb")
+      .withColumn("off",
+        col("soff") + sum(col("tb")).over(wSb) - col("tb"))
+      .select(col("b"), col("off"))
+    val wB = Window.partitionBy(col("b")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mid = qc.join(broadcast(offs), "b")
+      .withColumn("cum", col("off") + sum(col("c")).over(wB))
+      .withColumn("mid",
+        ((col("cum") - col("c") + 1) + col("cum")).cast("double") / 2.0)
+      .select(col("q"), col("c"), col("mid"))
+    val rg = gq.join(mid, "q")
+      .groupBy(col("event_type"))
+      .agg(sum(col("cg") * col("mid")).as("rgsum"),
+        sum(col("cg")).as("ng"))
+    val ties = mid.agg(
+      sum(col("c") * col("c") * col("c") - col("c")).as("t"))
+    (rg, ties)
+  }
+
   /** Exact pair moments of the rn-aligned return cross-section on the
     * 1e-6 grid: per (ta, tb) — n and the long/decimal sums Σqa, Σqb,
     * Σqaqb, Σqa², Σqb² (products through decimal(38,0): a near-zero
@@ -7616,6 +7663,30 @@ object SparkEntry {
         .orderBy(col("lang"), col("rnk"))
     }),
 
+    // Daily event-volume anomaly monitor (op 354; the ops staple —
+    // "did ingest break yesterday"): per-day counts, robust center via
+    // the op-116 R-7 median/MAD machinery (1-row broadcasts), modified
+    // z = (n − med)/(1.4826·MAD), flag at |z| > 3. Day counts are
+    // exact integers; med/MAD are R-7 on integers (half-integers at
+    // worst) — identical doubles both engines.
+    "events_anomaly_days" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.agg(
+        graft.functions.Stats.quantile(col("n"), 0.5).as("med"))
+      val dev = daily.crossJoin(broadcast(med))
+      val mad = dev.agg(graft.functions.Stats
+        .quantile(abs(col("n") - col("med")), 0.5).as("mad"))
+      val z = when(col("mad") > 0,
+        (col("n") - col("med")) / (lit(1.4826) * col("mad")))
+      dev.crossJoin(broadcast(mad))
+        .select(col("day_us"), col("n"),
+          round(z, 6).as("z_mod"),
+          when(abs(round(z, 6)) > 3.0, 1L).otherwise(0L).as("is_anomaly"))
+        .orderBy(col("day_us"))
+    }),
+
     // ---- distribution stats
     "stats_quantiles" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
@@ -7871,40 +7942,7 @@ object SparkEntry {
     // the return-window subtree runs exactly once instead of ~7×.
     // Tie-corrected H = H / (1 − Σ(t³−t)/(N³−N)).
     "stats_kruskal" -> ((s, dir) => {
-      val gq = withRet(s, dir).where(col("ret").isNotNull)
-        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
-        .groupBy(col("event_type"), col("q"))
-        .agg(count(lit(1)).as("cg"))
-        .localCheckpoint()
-      val qc = gq.groupBy(col("q")).agg(sum(col("cg")).as("c"))
-        .withColumn("b", floor(col("q") / lit(500.0)).cast("long"))
-      val bt = qc.groupBy(col("b")).agg(sum(col("c")).as("tb"))
-        .withColumn("sb", floor(col("b").cast("double") / 4096.0).cast("long"))
-      val sbt = bt.groupBy(col("sb")).agg(sum(col("tb")).as("stb"))
-      val sbOffs = sbt.select(col("sb"))
-        .join(broadcast(sbt.select(col("sb").as("sb2"), col("stb"))),
-          col("sb2") < col("sb"), "left")
-        .groupBy(col("sb"))
-        .agg(coalesce(sum(col("stb")), lit(0L)).as("soff"))
-      val wSb = Window.partitionBy(col("sb")).orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val offs = bt.join(broadcast(sbOffs), "sb")
-        .withColumn("off",
-          col("soff") + sum(col("tb")).over(wSb) - col("tb"))
-        .select(col("b"), col("off"))
-      val wB = Window.partitionBy(col("b")).orderBy(col("q"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val mid = qc.join(broadcast(offs), "b")
-        .withColumn("cum", col("off") + sum(col("c")).over(wB))
-        .withColumn("mid",
-          ((col("cum") - col("c") + 1) + col("cum")).cast("double") / 2.0)
-        .select(col("q"), col("c"), col("mid"))
-      val rg = gq.join(mid, "q")
-        .groupBy(col("event_type"))
-        .agg(sum(col("cg") * col("mid")).as("rgsum"),
-          sum(col("cg")).as("ng"))
-      val ties = mid.agg(
-        sum(col("c") * col("c") * col("c") - col("c")).as("t"))
+      val (rg, ties) = kruskalRankSums(s, dir)
       val a = rg.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
           sum(col("rgsum") * col("rgsum") / col("ng").cast("double"))
             .as("s"))
@@ -7916,6 +7954,36 @@ object SparkEntry {
         round(h, 6).as("h_stat"),
         round(cTie, 8).as("tie_correction"),
         round(h / cTie, 6).as("h_adj"))
+    }),
+    // Dunn post-hoc pairwise comparisons (op 353; Dunn 1964) — the
+    // "WHICH pairs differ" follow-up the op-297 omnibus can't answer:
+    // z_ij = (R̄_i − R̄_j)/√(S²(1/n_i + 1/n_j)), S² = N(N+1)/12 −
+    // T/(12(N−1)) with the shared tie term. Reuses the op-297 exact
+    // midrank machinery verbatim (kruskalRankSums — half-integer rank
+    // sums are addition-order-free doubles); the k² pair join runs on
+    // the k-row per-series relation. Bonferroni-at-m-pairs critical
+    // 2.807 = Φ⁻¹(1 − 0.025/10) documented literal (k = 5 → 10 pairs
+    // on this corpus; p-values need Φ — out of replayable-SQL scope,
+    // the op-241 convention).
+    "stats_dunn" -> ((s, dir) => {
+      val (rg, ties) = kruskalRankSums(s, dir)
+      val tot = rg.agg(sum(col("ng")).as("nn")).crossJoin(broadcast(ties))
+      val a = rg.select(col("event_type").as("g1"),
+        col("rgsum").as("r1"), col("ng").as("n1"))
+      val b = rg.select(col("event_type").as("g2"),
+        col("rgsum").as("r2"), col("ng").as("n2"))
+      val nD = col("nn").cast("double")
+      val s2 = nD * (nD + 1.0) / 12.0 -
+        col("t").cast("double") / (lit(12.0) * (nD - 1.0))
+      val z = (col("r1") / col("n1") - col("r2") / col("n2")) /
+        sqrt(s2 * (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+      a.join(b, col("g1") < col("g2"))
+        .crossJoin(broadcast(tot))
+        .select(col("g1"), col("g2"),
+          round(z, 6).as("z_stat"),
+          when(abs(round(z, 6)) > 2.807, 1L).otherwise(0L)
+            .as("reject_bonf_95"))
+        .orderBy(col("g1"), col("g2"))
     }),
     // Friedman repeated-measures rank test (op 340; Friedman 1937,
     // tie-corrected per Conover 1999): the BLOCKED member of the group
@@ -12110,6 +12178,60 @@ object SparkEntry {
           |    / CAST(sd2 - cden AS DOUBLE), 6)
           |    > 9.4877 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
           |FROM a""".stripMargin,
+      // op 353: the op-297 global-midrank CTEs + the k² pair join,
+      // identical S² and z algebra.
+      "stats_dunn" ->
+        s"""$R_CTE, qq AS (
+          |  SELECT event_type,
+          |    CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS q
+          |  FROM r WHERE ret IS NOT NULL
+          |), qc AS (
+          |  SELECT q, count(*) AS c FROM qq GROUP BY q
+          |), mr AS (
+          |  SELECT q, c, sum(c) OVER (ORDER BY q
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM qc
+          |), mid AS (
+          |  SELECT q, c, CAST(cum - c + 1 + cum AS DOUBLE) / 2.0 AS mid
+          |  FROM mr
+          |), gq AS (
+          |  SELECT event_type, q, count(*) AS cg FROM qq GROUP BY 1, 2
+          |), rg AS (
+          |  SELECT event_type, sum(cg * mid) AS rgsum,
+          |    CAST(sum(cg) AS BIGINT) AS ng
+          |  FROM gq JOIN mid USING (q) GROUP BY 1
+          |), tt AS (
+          |  SELECT CAST(sum(c * c * c - c) AS BIGINT) AS t FROM qc
+          |), tot AS (
+          |  SELECT CAST(sum(ng) AS BIGINT) AS nn FROM rg
+          |), z AS (
+          |  SELECT a.event_type AS g1, b.event_type AS g2,
+          |    (a.rgsum / a.ng - b.rgsum / b.ng) /
+          |      sqrt((nn * (nn + 1.0) / 12.0 - t / (12.0 * (nn - 1.0)))
+          |        * (1.0 / a.ng + 1.0 / b.ng)) AS zz
+          |  FROM rg a JOIN rg b ON a.event_type < b.event_type, tt, tot
+          |)
+          |SELECT g1, g2, round(zz, 6) AS z_stat,
+          |  CAST(CASE WHEN abs(round(zz, 6)) > 2.807 THEN 1 ELSE 0 END
+          |    AS BIGINT) AS reject_bonf_95
+          |FROM z ORDER BY g1, g2""".stripMargin,
+      // op 354: same daily counts, same R-7 med/MAD, identical z.
+      "events_anomaly_days" ->
+        """WITH d AS (
+          |  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+          |    count(*) AS n
+          |  FROM events GROUP BY 1
+          |), m AS (SELECT quantile_cont(n, 0.5) AS med FROM d),
+          |md AS (
+          |  SELECT quantile_cont(abs(n - med), 0.5) AS mad FROM d, m
+          |)
+          |SELECT day_us, n,
+          |  round(CASE WHEN mad > 0
+          |    THEN (n - med) / (1.4826 * mad) END, 6) AS z_mod,
+          |  CAST(CASE WHEN abs(round(CASE WHEN mad > 0
+          |    THEN (n - med) / (1.4826 * mad) END, 6)) > 3.0
+          |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+          |FROM d, m, md ORDER BY day_us""".stripMargin,
       // op 347: identical all-integer Q identity, decimal moments.
       "stats_cochran_q" ->
         s"""$R_CTE, x AS (

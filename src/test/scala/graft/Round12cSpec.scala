@@ -222,6 +222,38 @@ class Round12cSpec extends SparkSpec {
     assert(hot(1) == 0L) // empty frame → λ = μ
   }
 
+  test("stats_dunn: matches a direct global-midrank pairwise recomputation") {
+    val rets = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        val p = rs.sortBy(r => (r._2, r._3)).map(_._4)
+        k -> p.sliding(2).map { case Array(a, b) =>
+          math.floor((b / a - 1) * 1e6 + 0.5).toLong }.toArray
+      }
+    val all = rets.toSeq.flatMap { case (g, qs) => qs.map(g -> _) }
+    val sorted = all.map(_._2).sorted
+    val firstIdx = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2).min + 1) }
+    val cnt = sorted.groupBy(identity).map { case (v, xs) => v -> xs.size }
+    def midrank(v: Long) = firstIdx(v) + (cnt(v) - 1) / 2.0
+    val rbar = rets.map { case (g, qs) =>
+      g -> (qs.map(midrank).sum / qs.length, qs.length.toLong)
+    }
+    val nn = all.size.toDouble
+    val t = cnt.values.map(c => c.toDouble * c * c - c).sum
+    val s2 = nn * (nn + 1.0) / 12.0 - t / (12.0 * (nn - 1.0))
+    val got = SparkEntry.queries("stats_dunn")(spark, dir)
+      .select($"g1", $"g2", $"z_stat")
+      .as[(String, String, Double)].collect()
+    assert(got.length == rbar.size * (rbar.size - 1) / 2)
+    for ((g1, g2, z) <- got) {
+      val ((m1, n1), (m2, n2)) = (rbar(g1), rbar(g2))
+      val expZ = (m1 - m2) / math.sqrt(s2 * (1.0 / n1 + 1.0 / n2))
+      assert(math.abs(z - expZ) < 1e-5, s"z($g1,$g2): $z vs $expZ")
+    }
+  }
+
   test("stats_friedman: perfect concordance gives the classic maximum Q") {
     // k=3 series, 2 complete return blocks, same order in every block
     // → classic Q = 12/(nk(k+1))ΣR² − 3n(k+1) = 4
