@@ -2834,6 +2834,34 @@ object SparkEntry {
         .agg(round(sum((col("l_extendedprice") * col("l_discount"))
           .cast("decimal(30,8)")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_items"))),
+    // TPC-DS Q88 shape (op 355; the multi-band one-scan report): eight
+    // quantity-band counts + exact-decimal revenue bands from ONE
+    // lineitem scan via conditional aggregation — the shape naive SQL
+    // writes as 8 self-joined subqueries (8 scans); at 100 TB the
+    // single-pass rewrite IS the optimization. PlanSpec pins exactly
+    // one lineitem scan in the plan.
+    "rel_multi_band_scan" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      def band(i: Int) = {
+        val lo = i * 6.0 + 1.0 // bands [1,7), [7,13), ..., [43,49)
+        when(col("l_quantity") >= lo && col("l_quantity") < lo + 6.0, 1L)
+          .otherwise(0L)
+      }
+      def rev(i: Int) = {
+        val lo = i * 6.0 + 1.0
+        sum(when(col("l_quantity") >= lo && col("l_quantity") < lo + 6.0,
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(30,8)"))
+          .otherwise(lit(0).cast("decimal(30,8)")))
+      }
+      li.agg(
+        sum(band(0)).as("n_b1"), sum(band(1)).as("n_b2"),
+        sum(band(2)).as("n_b3"), sum(band(3)).as("n_b4"),
+        sum(band(4)).as("n_b5"), sum(band(5)).as("n_b6"),
+        sum(band(6)).as("n_b7"), sum(band(7)).as("n_b8"),
+        round(rev(0).cast("double"), 2).as("rev_b1"),
+        round(rev(7).cast("double"), 2).as("rev_b8"))
+    }),
     // TPC-H Q17 shape (op 292, small-quantity-order revenue): average
     // yearly revenue lost if small orders (< 20% of the part's mean
     // quantity) stopped shipping, for one brand. The correlated
@@ -5822,8 +5850,32 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
     // op 234: the same three pushed predicates, exact DECIMAL.
+    // op 355: the identical 8 conditional sums from one scan; exact
+    // decimal revenue bands.
+    "rel_multi_band_scan" -> {
+      def b(i: Int) = {
+        val lo = i * 6.0 + 1.0
+        s"l_quantity >= $lo AND l_quantity < ${lo + 6.0}"
+      }
+      s"""SELECT
+        |  CAST(sum(CASE WHEN ${b(0)} THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
+        |  CAST(sum(CASE WHEN ${b(1)} THEN 1 ELSE 0 END) AS BIGINT) AS n_b2,
+        |  CAST(sum(CASE WHEN ${b(2)} THEN 1 ELSE 0 END) AS BIGINT) AS n_b3,
+        |  CAST(sum(CASE WHEN ${b(3)} THEN 1 ELSE 0 END) AS BIGINT) AS n_b4,
+        |  CAST(sum(CASE WHEN ${b(4)} THEN 1 ELSE 0 END) AS BIGINT) AS n_b5,
+        |  CAST(sum(CASE WHEN ${b(5)} THEN 1 ELSE 0 END) AS BIGINT) AS n_b6,
+        |  CAST(sum(CASE WHEN ${b(6)} THEN 1 ELSE 0 END) AS BIGINT) AS n_b7,
+        |  CAST(sum(CASE WHEN ${b(7)} THEN 1 ELSE 0 END) AS BIGINT) AS n_b8,
+        |  round(CAST(sum(CASE WHEN ${b(0)}
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))
+        |    ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE), 2) AS rev_b1,
+        |  round(CAST(sum(CASE WHEN ${b(7)}
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))
+        |    ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE), 2) AS rev_b8
+        |FROM lineitem""".stripMargin
+    },
     "rel_tpch_q6" ->
-      """SELECT
+"""SELECT
         |  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
@@ -8519,6 +8571,22 @@ object SparkEntry {
     "events_transitions" -> ((s, dir) =>
       graft.operators.Events.transitions(events(s, dir))
         .orderBy(col("from_type"), col("to_type"))),
+
+    // op 356: top user journeys — the 3-event path counts behind every
+    // "common flows" product report: two lags over the ONE
+    // hash(user_id) exchange, keyed count, global top-10 as
+    // TakeOrderedAndProject (driver-sized k, no unpartitioned window).
+    "events_journeys" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("e2", lag(col("event_type"), 1).over(w))
+        .withColumn("e1", lag(col("event_type"), 2).over(w))
+        .where(col("e1").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(10)
+    }),
 
     // ---- streaming Markov transitions, REPLAYED to batch (op 345):
     // one-string-per-user state; the emitted pair multiset equals the
@@ -12877,6 +12945,20 @@ object SparkEntry {
           |  n_cohort
           |FROM c JOIN cohorts USING (cohort_us)
           |ORDER BY cohort_us, week_offset""".stripMargin,
+      // op 356: same two-lag path counts, same deterministic top-10.
+      "events_journeys" ->
+        """WITH p AS (
+          |  SELECT
+          |    lag(event_type, 2) OVER w AS e1,
+          |    lag(event_type, 1) OVER w AS e2,
+          |    event_type AS e3
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |)
+          |SELECT e1, e2, e3, count(*) AS n
+          |FROM p WHERE e1 IS NOT NULL
+          |GROUP BY 1, 2, 3
+          |ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
       "events_transitions" ->
         """WITH pairs AS (
           |  SELECT lag(event_type) OVER (PARTITION BY user_id

@@ -51,6 +51,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("multi-band report reads lineitem exactly ONCE") {
+    // count only the FINAL adaptive plan — executedPlan.toString echoes
+    // the initial plan below it, which would double-count the scan
+    val p = plan("rel_multi_band_scan").split("== Initial Plan ==")(0)
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"expected one lineitem scan, saw $scans:\n" + p.take(1200))
+  }
+
   test("triangle joins never plan a cartesian product") {
     val p = plan("ann_triangles")
     assert(!p.contains("CartesianProduct"),
