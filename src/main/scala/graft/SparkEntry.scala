@@ -434,6 +434,9 @@ object SparkEntry {
       // lag pairs (one-string state), so the rollup replays the batch
       // op-338 oracle.
       ("streaming_transitions" -> p("events_transitions")) +
+      // op 358: the emitted 3-path multiset equals the batch two-lag
+      // paths (two-string state) — replays the batch op-356 oracle.
+      ("streaming_journeys" -> p("events_journeys")) +
       // op 346: per-arrival kernel sums over the pre-append ≤60-arrival
       // state equal the batch rowsBetween(−60,−1) frame — the stream
       // replays the batch op-342 oracle.
@@ -8561,6 +8564,13 @@ object SparkEntry {
       graft.operators.Events.rfm(events(s, dir), "purchase")
         .orderBy(col("user_id"))),
 
+    // op 357: DAU/WAU/MAU + stickiness — the canonical engagement
+    // report; three (grain, user)-keyed distinct aggs, driver-sized
+    // joins, exact-integer ratio on the q6 grid.
+    "events_dau_mau" -> ((s, dir) =>
+      graft.operators.Events.dauMau(events(s, dir))
+        .orderBy(col("day_us"))),
+
     // op 351: cohort LTV curves — the revenue companion of op 331;
     // exact decimal weekly revenue, cumulative per-member LTV on the
     // q6 floor grid, cumulative window over the driver-sized report.
@@ -8586,6 +8596,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
         .limit(10)
+    }),
+
+    // op 358: streaming 3-event paths — two-string state per user; the
+    // path multiset equals the batch two-lag pairs, so the top-10
+    // rollup replays the batch op-356 oracle verbatim.
+    "streaming_journeys" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "events", "sjou") { src =>
+        val evs = graft.sources.Tables.normalizeEventTs(src)
+          .select(col("user_id").as("userId"), col("ts"),
+            col("event_id").as("eventId"), col("event_type").as("eventType"))
+          .as[graft.streaming.Stateful.TransIn]
+        graft.streaming.Stateful.journeyStream(evs).toDF
+      }
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(10) }
     }),
 
     // ---- streaming Markov transitions, REPLAYED to batch (op 345):
@@ -12914,6 +12942,29 @@ object SparkEntry {
           |      ORDER BY vf, event_id), 32503680000000000)
           |    = 32503680000000000 AS INT) AS is_current
           |FROM k ORDER BY user_id, valid_from_us""".stripMargin,
+      // op 357: same grain truncations, distinct-user counts, q6 ratio.
+      "events_dau_mau" ->
+        """WITH d AS (
+          |  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+          |    count(DISTINCT user_id) AS dau
+          |  FROM events GROUP BY 1
+          |), w AS (
+          |  SELECT epoch_us(date_trunc('week', ts)) AS week_us,
+          |    count(DISTINCT user_id) AS wau
+          |  FROM events GROUP BY 1
+          |), m AS (
+          |  SELECT epoch_us(date_trunc('month', ts)) AS month_us,
+          |    count(DISTINCT user_id) AS mau
+          |  FROM events GROUP BY 1
+          |)
+          |SELECT day_us, dau, wau, mau,
+          |  floor(CAST(dau AS DOUBLE) / mau * 1e6 + 0.5) / 1e6 AS stickiness
+          |FROM d
+          |JOIN w ON epoch_us(date_trunc('week', make_timestamp(day_us)))
+          |  = week_us
+          |JOIN m ON epoch_us(date_trunc('month', make_timestamp(day_us)))
+          |  = month_us
+          |ORDER BY day_us""".stripMargin,
       // op 351: same cohort/week algebra as op 331, decimal revenue,
       // cumulative window over the report relation, q6 floors.
       "events_cohort_ltv" ->

@@ -242,6 +242,34 @@ object Events {
         col("segment"))
   }
 
+  /** DAU/WAU/MAU engagement + stickiness — the canonical product
+    * health metrics: distinct active users per day, per Monday week,
+    * and per calendar month, plus per-day stickiness DAU/MAU (how much
+    * of the monthly audience shows up daily). Three keyed
+    * count-distinct aggs (each one exchange over (grain, user)) and
+    * driver-sized report joins; the ratio is one division of exact
+    * integers on the q6 floor grid.
+    */
+  def dauMau(events: DataFrame): DataFrame = {
+    def active(grain: String, outCol: String) = events
+      .select(us(date_trunc(grain, col("ts"))).as("_g"), col("user_id"))
+      .distinct()
+      .groupBy(col("_g")).agg(count(lit(1)).as(outCol))
+    val dau = active("day", "dau").withColumnRenamed("_g", "day_us")
+    val wau = active("week", "wau").withColumnRenamed("_g", "week_us")
+    val mau = active("month", "mau").withColumnRenamed("_g", "month_us")
+    dau
+      .withColumn("week_us",
+        us(date_trunc("week", timestamp_micros(col("day_us")))))
+      .withColumn("month_us",
+        us(date_trunc("month", timestamp_micros(col("day_us")))))
+      .join(broadcast(wau), "week_us")
+      .join(broadcast(mau), "month_us")
+      .select(col("day_us"), col("dau"), col("wau"), col("mau"),
+        (floor(col("dau").cast("double") / col("mau") * 1e6 + lit(0.5))
+          / 1e6).as("stickiness"))
+  }
+
   /** Cohort lifetime-value curves — the REVENUE companion of
     * [[retention]]: per (cohort week, week offset), the cohort's
     * conversion revenue that week (exact decimal) and the running

@@ -830,6 +830,37 @@ object Stateful {
       }
   }
 
+  // ----------------------------------------- streaming 3-event paths
+
+  case class J3St(e1: String, e2: String)
+  case class J3Out(e1: String, e2: String, e3: String)
+
+  /** Per-user 3-event path emission at ingest — the streaming twin of
+    * the `events_journeys` two-lag window (SURVEY §2 op 356): state is
+    * the user's last TWO event types; each arrival emits (two-back,
+    * one-back, current) once the history is deep enough, then shifts.
+    * The emitted path multiset equals the batch lag pairs exactly, so
+    * the top-10 rollup replays the batch oracle verbatim.
+    */
+  def journeyStream(events: Dataset[TransIn]): Dataset[J3Out] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[J3St, J3Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          var st = state.getOption.getOrElse(J3St(null, null))
+          val out = it.toArray.sortBy(e => (tsKey(e.ts), e.eventId))
+            .flatMap { e =>
+              val r = if (st.e1 != null) Some(J3Out(st.e1, st.e2, e.eventType))
+                      else None
+              st = J3St(st.e2, e.eventType)
+              r
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---------------------------------------------- streaming Hawkes
 
   case class HawkesIn(symbol: String, ts: Timestamp, eventId: Long)

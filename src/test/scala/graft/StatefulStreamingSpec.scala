@@ -550,6 +550,28 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("journeyStream: two-back history carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Stateful.TransIn
+    val input = MemoryStream[TransIn]
+    val q = Stateful.journeyStream(input.toDS())
+      .writeStream.format("memory").queryName("sjou")
+      .outputMode("append").start()
+    try {
+      input.addData(TransIn(1L, ts(0), 1L, "view"),
+        TransIn(1L, ts(1), 2L, "click"))
+      q.processAllAvailable()
+      // the (view, click, purchase) path spans the batch boundary
+      input.addData(TransIn(1L, ts(2), 3L, "purchase"),
+        TransIn(1L, ts(3), 4L, "view"))
+      q.processAllAvailable()
+      val paths = spark.table("sjou").as[(String, String, String)]
+        .collect().toSeq.sorted
+      assert(paths == Seq(("click", "purchase", "view"),
+        ("view", "click", "purchase")))
+    } finally q.stop()
+  }
+
   test("hawkesStream: kernel sums over pre-append state, across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Stateful.HawkesIn
