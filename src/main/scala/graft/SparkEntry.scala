@@ -244,6 +244,29 @@ object SparkEntry {
   private def withRet(s: SparkSession, dir: String): DataFrame =
     events(s, dir).withColumn("ret", Eod.toReturns(col("value"), wT))
 
+  /** Shared by ops 340/359: complete rn blocks with DOUBLED
+    * within-block midranks (d = 2·rank + RANGE-peers − 1) of the
+    * 1e-6-quantized returns, plus the block count `k` column — one
+    * hash(rn) exchange, both window functions on the same sort.
+    */
+  private def friedmanRanked(s: SparkSession, dir: String): DataFrame = {
+    val base = withRet(s, dir).where(col("ret").isNotNull)
+      .withColumn("rq", floor(col("ret") * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(wT))
+      .select(col("event_type"), col("rn"), col("rq"))
+    val kRel = base.agg(countDistinct(col("event_type")).as("k"))
+    val wBlk = Window.partitionBy(col("rn"))
+    val wRank = Window.partitionBy(col("rn")).orderBy(col("rq"))
+    val wPeers = Window.partitionBy(col("rn")).orderBy(col("rq"))
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    base
+      .withColumn("bc", count(lit(1)).over(wBlk))
+      .crossJoin(broadcast(kRel))
+      .where(col("bc") === col("k"))
+      .withColumn("d",
+        lit(2) * rank().over(wRank) + count(lit(1)).over(wPeers) - 1)
+  }
+
   /** Shared by ops 297/353: per-series rank sums over EXACT global
     * midranks of the 1e-6-quantized returns, via the two-level
     * distributed prefix sum (per-bucket cumulative window + broadcast
@@ -6977,6 +7000,36 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))),
+    // Leave-one-out kNN label accuracy (op 360; the probe-accuracy
+    // representation metric — "do nearest neighbors share labels", the
+    // supervised complement of recall/NDCG): predicted label = majority
+    // vote of the op-150 graph's 3 neighbors (ties → smallest label,
+    // deterministic), accuracy per class from exact counts. Reuses the
+    // kNN edge list; votes/majority are keyed windows over ≤3-row
+    // groups.
+    "ann_knn_classifier" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val g = Similarity.knnGraph(emb, "vec_id", "embedding", 3, EmbDim,
+          planes = annPlanes(s))
+        .select(col("query_id"), col("neighbor_id"))
+      val votes = g.join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlabel")), "neighbor_id")
+        .groupBy(col("query_id"), col("nlabel")).agg(count(lit(1)).as("v"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("v").desc, col("nlabel"))
+      val pred = votes.withColumn("r", row_number().over(wv))
+        .where(col("r") === 1)
+        .select(col("query_id").as("vec_id"), col("nlabel").as("pred"))
+      pred.join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("pred") === col("label")).cast("long")).as("n_correct"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          col("n_correct"),
+          (floor(col("n_correct").cast("double") / col("n") * 1e6
+            + lit(0.5)) / 1e6).as("accuracy"))
+        .orderBy(col("label"))
+    }),
     // Triangle counting + local clustering coefficient on the op-150
     // kNN graph (op 341; the classic two-join distributed shape) —
     // "how clique-y is each embedding's neighborhood", the community/
@@ -8056,21 +8109,7 @@ object SparkEntry {
     // is k-row. Rejection vs χ²(4) 95% = 9.4877 (documented literal,
     // k = 5 on this corpus).
     "stats_friedman" -> ((s, dir) => {
-      val base = withRet(s, dir).where(col("ret").isNotNull)
-        .withColumn("rq", floor(col("ret") * 1e6 + 0.5).cast("long"))
-        .withColumn("rn", row_number().over(wT))
-        .select(col("event_type"), col("rn"), col("rq"))
-      val kRel = base.agg(countDistinct(col("event_type")).as("k"))
-      val wBlk = Window.partitionBy(col("rn"))
-      val wRank = Window.partitionBy(col("rn")).orderBy(col("rq"))
-      val wPeers = Window.partitionBy(col("rn")).orderBy(col("rq"))
-        .rangeBetween(Window.currentRow, Window.currentRow)
-      val ranked = base
-        .withColumn("bc", count(lit(1)).over(wBlk))
-        .crossJoin(broadcast(kRel))
-        .where(col("bc") === col("k"))
-        .withColumn("d",
-          lit(2) * rank().over(wRank) + count(lit(1)).over(wPeers) - 1)
+      val ranked = friedmanRanked(s, dir)
       val perSeries = ranked.groupBy(col("event_type"))
         .agg(sum(col("d")).as("dj"))
       val tot = ranked.agg(
@@ -8092,6 +8131,41 @@ object SparkEntry {
       a.select(col("k"), col("n"),
         round(q, 6).as("q_stat"),
         when(round(q, 6) > 9.4877, 1L).otherwise(0L).as("reject_95"))
+    }),
+    // Page trend test (op 359; Page 1963) — op 340's ORDERED
+    // alternative: is there a monotone trend across the treatments in
+    // their documented (alphabetical) order, which the omnibus can't
+    // distinguish from any other departure. L = Σ_j c_j·R̄-sums on the
+    // shared doubled midranks (L2 = Σ c_j·D_j exact integer, L =
+    // L2/2); tie-naive normal approximation (classical Page): μ_L =
+    // n·k(k+1)²/4, σ²_L = n·k²(k+1)²(k−1)/144, two-sided 1.96.
+    "stats_page_trend" -> ((s, dir) => {
+      val ranked = friedmanRanked(s, dir)
+      val ps = ranked.groupBy(col("event_type"))
+        .agg(sum(col("d")).as("dj"), first(col("k")).as("k"),
+          (count(lit(1))).as("nblk"))
+      // alphabetical treatment position WINDOWLESS via the broadcast
+      // theta-self-join on the k-row relation (the op-329 idiom — no
+      // unpartitioned window anywhere in the suite)
+      val cjRel = ps.select(col("event_type"))
+        .join(broadcast(ps.select(col("event_type").as("et2"))),
+          col("et2") < col("event_type"), "left")
+        .groupBy(col("event_type"))
+        .agg((count(col("et2")) + 1).as("cj"))
+      val perSeries = ps.join(broadcast(cjRel), "event_type")
+      val a = perSeries.agg(
+        sum(col("cj") * col("dj")).as("l2"),
+        first(col("k")).as("k"), first(col("nblk")).as("n"))
+      val kD = col("k").cast("double"); val nD = col("n").cast("double")
+      val lStat = col("l2").cast("double") / 2.0
+      val muL = nD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+      val sigL = sqrt(nD * kD * kD * (kD + 1.0) * (kD + 1.0) * (kD - 1.0)
+        / 144.0)
+      val z = (lStat - muL) / sigL
+      a.select(col("k"), col("n"),
+        round(lStat, 1).as("l_stat"),
+        round(z, 6).as("z_stat"),
+        when(abs(round(z, 6)) > 1.96, 1L).otherwise(0L).as("reject_95"))
     }),
     // Cochran's Q (op 347; Cochran 1950) — op 340's BINARY sibling:
     // success = positive quantized return per (series, date block);
@@ -12328,6 +12402,52 @@ object SparkEntry {
           |    THEN (n - med) / (1.4826 * mad) END, 6)) > 3.0
           |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
           |FROM d, m, md ORDER BY day_us""".stripMargin,
+      // op 359: the op-340 block-midrank CTEs + the alphabetical-
+      // position self-join, identical L/μ/σ algebra.
+      "stats_page_trend" ->
+        s"""$R_CTE, x AS (
+          |  SELECT event_type,
+          |    CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS rq,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY ts, event_id) AS rn
+          |  FROM r WHERE ret IS NOT NULL
+          |), kk AS (
+          |  SELECT count(DISTINCT event_type) AS k FROM x
+          |), b AS (
+          |  SELECT x.*, count(*) OVER (PARTITION BY rn) AS bc FROM x
+          |), c AS (
+          |  SELECT event_type, rn,
+          |    2 * rank() OVER (PARTITION BY rn ORDER BY rq)
+          |      + count(*) OVER (PARTITION BY rn ORDER BY rq
+          |          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS d
+          |  FROM b, kk WHERE bc = k
+          |), pj AS (
+          |  SELECT event_type, CAST(sum(d) AS BIGINT) AS dj,
+          |    CAST(count(*) AS BIGINT) AS nblk
+          |  FROM c GROUP BY 1
+          |), cj AS (
+          |  SELECT a.event_type, CAST(count(b.event_type) + 1 AS BIGINT)
+          |    AS cj
+          |  FROM pj a LEFT JOIN pj b ON b.event_type < a.event_type
+          |  GROUP BY 1
+          |), a AS (
+          |  SELECT CAST(sum(cj.cj * pj.dj) AS BIGINT) AS l2,
+          |    (SELECT k FROM kk) AS k,
+          |    CAST(min(nblk) AS BIGINT) AS n
+          |  FROM pj JOIN cj USING (event_type)
+          |), z AS (
+          |  SELECT k, n, CAST(l2 AS DOUBLE) / 2.0 AS l,
+          |    (CAST(l2 AS DOUBLE) / 2.0
+          |      - n * k * (k + 1.0) * (k + 1.0) / 4.0)
+          |    / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1.0) * (k + 1.0)
+          |        * (k - 1.0) / 144.0) AS zz
+          |  FROM a
+          |)
+          |SELECT CAST(k AS BIGINT) AS k, n,
+          |  round(l, 1) AS l_stat, round(zz, 6) AS z_stat,
+          |  CAST(CASE WHEN abs(round(zz, 6)) > 1.96 THEN 1 ELSE 0 END
+          |    AS BIGINT) AS reject_95
+          |FROM z""".stripMargin,
       // op 347: identical all-integer Q identity, decimal moments.
       "stats_cochran_q" ->
         s"""$R_CTE, x AS (
@@ -13765,6 +13885,29 @@ object SparkEntry {
           |SELECT vec_id, CAST(rq AS DOUBLE) / 1e9 AS pagerank
           |FROM r3 ORDER BY vec_id""".stripMargin
       },
+      // op 360: same edge CTEs, same majority vote (count desc, label
+      // asc), exact-count accuracy on the q6 grid.
+      "ann_knn_classifier" ->
+        s"""WITH $KNN_EDGE_CTES, votes AS (
+          |  SELECT g.src AS query_id, e2.label AS nlabel, count(*) AS v
+          |  FROM g JOIN embeddings e2 ON e2.vec_id = g.dst
+          |  GROUP BY 1, 2
+          |), pred AS (
+          |  SELECT query_id AS vec_id, nlabel AS pred
+          |  FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id
+          |      ORDER BY v DESC, nlabel) AS r
+          |    FROM votes
+          |  ) WHERE r = 1
+          |)
+          |SELECT CAST(e.label AS BIGINT) AS label,
+          |  count(*) AS n,
+          |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_correct,
+          |  floor(CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS accuracy
+          |FROM pred p JOIN embeddings e USING (vec_id)
+          |GROUP BY e.label ORDER BY label""".stripMargin,
       // op 341: same edge CTEs, canonical-order triangle joins, q6
       // floor on the exact-integer coefficient division.
       "ann_triangles" ->

@@ -254,6 +254,63 @@ class Round12cSpec extends SparkSpec {
     }
   }
 
+  test("stats_page_trend: matches a direct blocked L recomputation") {
+    val rows = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        val p = rs.sortBy(r => (r._2, r._3)).map(_._4)
+        k -> p.sliding(2).map { case Array(a, b) =>
+          math.floor((b / a - 1) * 1e6 + 0.5).toLong }.toArray
+      }
+    val k = rows.size
+    val nB = rows.values.map(_.length).min
+    val names = rows.keys.toArray.sorted
+    var l = 0.0
+    for (b <- 0 until nB) {
+      val vals = names.map(rows(_)(b))
+      val ranks = vals.map(v =>
+        vals.count(_ < v) + 1 + (vals.count(_ == v) - 1) / 2.0)
+      for (j <- 0 until k) l += (j + 1) * ranks(j)
+    }
+    val mu = nB.toDouble * k * (k + 1) * (k + 1) / 4.0
+    val sig = math.sqrt(nB.toDouble * k * k * (k + 1) * (k + 1) * (k - 1)
+      / 144.0)
+    val expZ = (l - mu) / sig
+    val got = SparkEntry.queries("stats_page_trend")(spark, dir)
+      .select($"k", $"n", $"l_stat", $"z_stat")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 == k && got._2 == nB)
+    assert(math.abs(got._3 - l) < 0.51, s"L ${got._3} vs $l")
+    assert(math.abs(got._4 - expZ) < 1e-5, s"z ${got._4} vs $expZ")
+  }
+
+  test("ann_knn_classifier: matches a driver-side majority-vote recount") {
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val labels = emb.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    val edges = graft.operators.Similarity
+      .knnGraph(emb, "vec_id", "embedding", 3, 64, planes = 4)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect()
+    val pred = edges.groupBy(_._1).map { case (q, es) =>
+      val votes = es.map(e => labels(e._2))
+        .groupBy(identity).map { case (l, xs) => l -> xs.size }
+      q -> votes.toSeq.sortBy { case (l, v) => (-v, l) }.head._1
+    }
+    val perClass = pred.toSeq
+      .map { case (q, p) => labels(q) -> (p == labels(q)) }
+      .groupBy(_._1)
+      .map { case (c, xs) => c -> (xs.size.toLong, xs.count(_._2).toLong) }
+    val got = SparkEntry.queries("ann_knn_classifier")(spark, dir)
+      .select($"label", $"n", $"n_correct")
+      .as[(Long, Long, Long)].collect()
+    for ((c, n, nc) <- got) {
+      val (en, enc) = perClass(c.toInt)
+      assert(n == en && nc == enc, s"class $c: ($n,$nc) vs ($en,$enc)")
+    }
+  }
+
   test("stats_friedman: perfect concordance gives the classic maximum Q") {
     // k=3 series, 2 complete return blocks, same order in every block
     // → classic Q = 12/(nk(k+1))ΣR² − 3n(k+1) = 4
