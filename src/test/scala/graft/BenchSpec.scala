@@ -11,6 +11,16 @@ class BenchSpec extends AnyFunSuite {
     assert(out == Map("q1" -> 1.5))
   }
 
+  test("every query has a DuckDB oracle and every oracle has a query") {
+    // the driver's hash gate only runs where BOTH exist — a missing
+    // oracle silently downgrades a query to rows-only, a dangling
+    // oracle is dead text; neither should survive a refactor
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
+  }
+
   test("collapse omits a query whose every rep failed") {
     val out = Bench.collapse(Map("ok" -> Seq(0.7), "dead" -> Seq.empty))
     assert(out == Map("ok" -> 0.7))
