@@ -802,7 +802,8 @@ object Scale {
       // Every op is one hash(user_id) exchange + keyed windows, so the
       // claim is wall-time ~linear in rows.
       if (Seq("events_funnel", "events_lifecycle", "events_scd2",
-          "events_attribution").exists(wanted)) {
+          "events_attribution", "events_journeys", "events_dau_mau",
+          "events_cohort_ltv").exists(wanted)) {
         val nEv = 100000L * m
         genEvents(spark, nEv).write.mode("overwrite")
           .parquet(s"$root/$m/events.parquet")
@@ -823,6 +824,18 @@ object Scale {
         // running first/last IGNORE NULLS windows + two small aggs.
         timed("events_attribution", m, nEv) {
           sink(SparkEntry.queries("events_attribution")(spark, qDir))
+        }
+        // two lags + keyed count + driver-sized top-10.
+        timed("events_journeys", m, nEv) {
+          sink(SparkEntry.queries("events_journeys")(spark, qDir))
+        }
+        // three (grain, user) distinct aggs + report joins.
+        timed("events_dau_mau", m, nEv) {
+          sink(SparkEntry.queries("events_dau_mau")(spark, qDir))
+        }
+        // user-keyed revenue join + driver-sized cumulative report.
+        timed("events_cohort_ltv", m, nEv) {
+          sink(SparkEntry.queries("events_cohort_ltv")(spark, qDir))
         }
       }
 
