@@ -460,6 +460,9 @@ object SparkEntry {
       // op 358: the emitted 3-path multiset equals the batch two-lag
       // paths (two-string state) — replays the batch op-356 oracle.
       ("streaming_journeys" -> p("events_journeys")) +
+      // op 361: each conversion's emitted (last, first, rev) equals
+      // the batch running-window row — replays the batch op-335 oracle.
+      ("streaming_attribution" -> p("events_attribution")) +
       // op 346: per-arrival kernel sums over the pre-append ≤60-arrival
       // state equal the batch rowsBetween(−60,−1) frame — the stream
       // replays the batch op-342 oracle.
@@ -8670,6 +8673,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
         .limit(10)
+    }),
+
+    // op 361: streaming attribution — per-user (last touch, first
+    // touch) state; each conversion's emitted row equals the batch
+    // running-window row, so the channel rollup replays the batch
+    // op-335 oracle verbatim.
+    "streaming_attribution" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "events", "satt") { src =>
+        val evs = graft.sources.Tables.normalizeEventTs(src)
+          .select(col("user_id").as("userId"), col("ts"),
+            col("event_id").as("eventId"), col("event_type").as("eventType"),
+            col("value").cast("double").as("value"))
+          .as[graft.streaming.Stateful.AttrIn]
+        graft.streaming.Stateful
+          .attributionStream(evs, "purchase", 604800000000L).toDF
+      }
+        .transform { conv =>
+          val byLast = conv.groupBy(col("last_touch").as("channel"))
+            .agg(count(lit(1)).as("n_last_touch"),
+              sum(col("rev").cast("decimal(30,10)")).as("_rev_last"))
+          val byFirst = conv.groupBy(col("first_touch").as("channel"))
+            .agg(count(lit(1)).as("n_first_touch"))
+          byLast.join(byFirst, Seq("channel"), "full_outer")
+            .select(col("channel"),
+              coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"),
+              round(coalesce(col("_rev_last"),
+                lit(0).cast("decimal(30,10)")).cast("double"), 6)
+                .as("rev_last_touch"),
+              coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"))
+            .orderBy(col("channel"))
+        } }
     }),
 
     // op 358: streaming 3-event paths — two-string state per user; the

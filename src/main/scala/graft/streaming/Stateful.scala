@@ -830,6 +830,52 @@ object Stateful {
       }
   }
 
+  // ------------------------------------- streaming attribution
+
+  /** value rides along so conversions can carry revenue. */
+  case class AttrIn(userId: Long, ts: Timestamp, eventId: Long,
+                    eventType: String, value: Double)
+  case class AttrSt(lastCh: String, lastUs: Long, firstCh: String)
+  case class AttrOut(last_touch: String, first_touch: String, rev: Double)
+
+  /** Per-user conversion attribution at ingest — the streaming twin of
+    * [[graft.operators.Events.attribution]] (SURVEY §2 op 335): state
+    * carries the most recent non-conversion touch (type + µs) and the
+    * lifetime first touch; each conversion emits its (last-touch
+    * within the lookback else 'direct', first-touch else 'direct',
+    * revenue) row. The emitted multiset equals the batch running
+    * first/last window rows, so the channel rollup replays the batch
+    * oracle verbatim. State is two strings + one long per user.
+    */
+  def attributionStream(events: Dataset[AttrIn], conversionType: String,
+                        lookbackUs: Long): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[AttrSt, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          var st = state.getOption.getOrElse(AttrSt(null, 0L, null))
+          val out = it.toArray.sortBy(e => (tsKey(e.ts), e.eventId))
+            .flatMap { e =>
+              if (e.eventType == conversionType) {
+                val us = tsMicros(e.ts)
+                val last =
+                  if (st.lastCh != null && us - st.lastUs <= lookbackUs)
+                    st.lastCh
+                  else "direct"
+                val first = if (st.firstCh != null) st.firstCh else "direct"
+                Some(AttrOut(last, first, e.value))
+              } else {
+                st = AttrSt(e.eventType, tsMicros(e.ts),
+                  if (st.firstCh == null) e.eventType else st.firstCh)
+                None
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ----------------------------------------- streaming 3-event paths
 
   case class J3St(e1: String, e2: String)

@@ -572,6 +572,29 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStream: touch state carries across batches, lookback binds") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Stateful.AttrIn
+    val week = 604800L
+    val input = MemoryStream[AttrIn]
+    val q = Stateful.attributionStream(input.toDS(), "purchase", 604800000000L)
+      .writeStream.format("memory").queryName("satt")
+      .outputMode("append").start()
+    try {
+      input.addData(AttrIn(1L, ts(0), 1L, "click", 0.0))
+      q.processAllAvailable()
+      // conversion in a LATER batch still sees the click (state carry);
+      // a second conversion after the lookback falls back to direct,
+      // but first touch stays the lifetime click
+      input.addData(AttrIn(1L, ts(10), 2L, "purchase", 50.0),
+        AttrIn(1L, ts(10 + 2 * week), 3L, "purchase", 25.0))
+      q.processAllAvailable()
+      val rows = spark.table("satt").as[(String, String, Double)]
+        .collect().toSeq.sortBy(_._3)
+      assert(rows == Seq(("direct", "click", 25.0), ("click", "click", 50.0)))
+    } finally q.stop()
+  }
+
   test("hawkesStream: kernel sums over pre-append state, across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Stateful.HawkesIn
