@@ -1301,6 +1301,34 @@ object SparkEntry {
           q(bd, 1e8).as("trend"),
           q(ld + lit(5.0) * bd, 1e6).as("forecast_5"))
     }),
+    // Local-level Kalman filter (op 362; Kalman 1960 — the state-space
+    // member of the op-343 linear-filter family): the gain sequence is
+    // a deterministic Riccati recursion in t alone, so the filtered
+    // level over the trailing 60 prices is a QuantizedDot with
+    // driver-computed weights (q = 0.01, r = 1.0 literals); a second
+    // dot with the (m−1)-step weights gives the one-step innovation
+    // x_t − l_{t−1} — the live "surprise" the filter exists to
+    // extract. Same per-term 1e-9 quantization / VALUES parity; spec
+    // replays the ACTUAL Riccati recursion per window.
+    "eod_kalman" -> ((s, dir) => {
+      val m = 60
+      val (wl, wp) = Eod.kalmanWeights(m, 0.01, 1.0)
+      def qsum(ws: Array[Double]) =
+        graft.expressions.QuantizedDot(col("xs"), ws, grid = 1e9)
+      def q(c: Column, g: Double) = floor(c * g + lit(0.5)) / g
+      val ld = col("lq").cast("double") / 1e9
+      val pd = col("pq").cast("double") / 1e9
+      events(s, dir)
+        .withColumn("xs",
+          collect_list(col("value")).over(wT.rowsBetween(-(m - 1), 0)))
+        .withColumn("rn", row_number().over(wT))
+        .where(col("rn") >= m) // the frame is built BEFORE this filter
+        .withColumn("lq", qsum(wl))
+        .withColumn("pq", qsum(wp))
+        .select(col("event_type"), col("event_id"),
+          q(ld, 1e6).as("kalman_level"),
+          q(col("value") - pd, 1e6).as("innovation"))
+    }),
     // Forecast backtest (op 352; the op-343 eval harness — what
     // ann_recall is to the ANN index, this is to the smoother): pair
     // each q6-floored 5-step Holt forecast with the REALIZED price 5
@@ -4560,6 +4588,35 @@ object SparkEntry {
         |  floor(bd * 1e8 + 0.5) / 1e8 AS trend,
         |  floor(sd * 1e6 + 0.5) / 1e6 AS seasonal,
         |  floor((ld + 5.0 * bd + sd) * 1e6 + 0.5) / 1e6 AS forecast_5
+        |FROM s""".stripMargin
+    },
+    // op 362: the op-343 VALUES recipe with the (level, prev-level)
+    // weight pair; innovation = raw value − prev-level dot.
+    "eod_kalman" -> {
+      val (wl, wp) = Eod.kalmanWeights(60, 0.01, 1.0)
+      val rows = (0 until 60).map(j =>
+        s"(${j + 1}, ${java.lang.Double.toString(wl(j))}, " +
+          s"${java.lang.Double.toString(wp(j))})").mkString(", ")
+      s"""WITH x AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), w(j, wl, wp) AS (VALUES $rows),
+        |s AS (
+        |  SELECT a.event_type, a.event_id, min(a.value) AS value,
+        |    CAST(sum(CAST(floor(b.value * w.wl * 1e9 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1e9 AS ld,
+        |    CAST(sum(CAST(floor(b.value * w.wp * 1e9 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1e9 AS pd
+        |  FROM x a JOIN x b
+        |    ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
+        |  JOIN w ON w.j = b.rn - a.rn + 60
+        |  WHERE a.rn >= 60
+        |  GROUP BY a.event_type, a.event_id
+        |)
+        |SELECT event_type, event_id,
+        |  floor(ld * 1e6 + 0.5) / 1e6 AS kalman_level,
+        |  floor((value - pd) * 1e6 + 0.5) / 1e6 AS innovation
         |FROM s""".stripMargin
     },
     // op 352: the op-343 VALUES recipe + lead(value, 5), identical

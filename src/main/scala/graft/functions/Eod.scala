@@ -412,6 +412,34 @@ object Eod {
     (l, b, sea((m - 1) % s))
   }
 
+  /** Local-level Kalman filter weights — the state-space member of the
+    * [[holtWeights]] linear-filter family: for the random-walk +
+    * noise model (state var q, measurement var r; init l₁ = x₁,
+    * p₁ = r), the gain sequence K_t follows the deterministic Riccati
+    * recursion p⁻ = p + q, K = p⁻/(p⁻ + r), p = (1−K)p⁻ — it depends
+    * only on t, so the filtered level over a fixed m-window is a dot
+    * product with weights w_j = K_j·Π_{i>j}(1−K_i) computed ONCE here.
+    * Returns (levelWeights, prevLevelWeights) — the latter is the
+    * (m−1)-step level padded with a zero last slot, so the one-step
+    * innovation x_m − l_{m−1} is a second dot over the same array.
+    */
+  def kalmanWeights(m: Int, q: Double, r: Double)
+      : (Array[Double], Array[Double]) = {
+    def step(upto: Int): Array[Double] = {
+      var l = Array.tabulate(m)(j => if (j == 0) 1.0 else 0.0)
+      var p = r
+      for (t <- 2 to upto) {
+        val pPrior = p + q
+        val k = pPrior / (pPrior + r)
+        l = Array.tabulate(m)(j =>
+          l(j) * (1.0 - k) + (if (j == t - 1) k else 0.0))
+        p = (1.0 - k) * pPrior
+      }
+      l
+    }
+    (step(m), step(m - 1))
+  }
+
   /** Rolling OLS beta of `ret` on `benchmark` over the trailing n rows:
     * covar_samp / var_samp on the frame. Null until the frame has ≥2
     * paired rows (sample moments undefined), null on a flat benchmark

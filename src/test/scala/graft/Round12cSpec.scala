@@ -311,6 +311,40 @@ class Round12cSpec extends SparkSpec {
     }
   }
 
+  test("eod_kalman: filter weights reproduce the Riccati recursion") {
+    val series = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(r => (r._2, r._3)).map(r => (r._3, r._4))
+      }
+    def kalman(win: Array[Double], upto: Int): Double = {
+      var l = win(0); var p = 1.0
+      for (t <- 1 until upto) {
+        val pPrior = p + 0.01
+        val k = pPrior / (pPrior + 1.0)
+        l = l + k * (win(t) - l)
+        p = (1.0 - k) * pPrior
+      }
+      l
+    }
+    val exp = series.flatMap { case (_, xs) =>
+      (59 until xs.length).map { i =>
+        val win = xs.slice(i - 59, i + 1).map(_._2)
+        xs(i)._1 -> (kalman(win, 60), win(59) - kalman(win, 59))
+      }
+    }.toMap
+    val got = SparkEntry.queries("eod_kalman")(spark, dir)
+      .select($"event_id", $"kalman_level", $"innovation")
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == exp.size)
+    for ((id, lv, in) <- got) {
+      val (l, e) = exp(id)
+      assert(math.abs(lv - l) < 1e-5, s"level($id): $lv vs $l")
+      assert(math.abs(in - e) < 1e-5, s"innovation($id): $in vs $e")
+    }
+  }
+
   test("stats_friedman: perfect concordance gives the classic maximum Q") {
     // k=3 series, 2 complete return blocks, same order in every block
     // → classic Q = 12/(nk(k+1))ΣR² − 3n(k+1) = 4
