@@ -8227,6 +8227,56 @@ object SparkEntry {
         round(z, 6).as("z_stat"),
         when(abs(round(z, 6)) > 1.96, 1L).otherwise(0L).as("reject_95"))
     }),
+    // Jonckheere–Terpstra trend test (op 363; Jonckheere 1954) —
+    // completing the 2×2 rank-test matrix: pooled×omnibus = Kruskal
+    // (297), pooled×ordered = THIS, blocked×omnibus = Friedman (340),
+    // blocked×ordered = Page (359). J = Σ_{i<j} U_ij over the
+    // documented (alphabetical) group order; each U from per-group
+    // cumulative counts on the 1e-6 value grid — the probe-grid trick:
+    // every group gets a row at EVERY distinct value (k·|q| rows, a
+    // broadcast of the k-row group list), one per-group prefix window,
+    // then the pair join on q. 2U = Σ cg_j·(2·cumlt_i + cg_i) keeps
+    // everything exact integers; tie-naive classical normal
+    // approximation (the op-359 convention).
+    "stats_jonckheere" -> ((s, dir) => {
+      val gq = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+        .groupBy(col("event_type"), col("q"))
+        .agg(count(lit(1)).as("cg"))
+        .localCheckpoint()
+      val groups = gq.select(col("event_type")).distinct()
+      val grid = gq.select(col("q")).distinct()
+        .crossJoin(broadcast(groups))
+      val full = grid.join(gq, Seq("event_type", "q"), "left")
+        .withColumn("cg", coalesce(col("cg"), lit(0L)))
+      val wG = Window.partitionBy(col("event_type")).orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = full
+        .withColumn("cumle", sum(col("cg")).over(wG))
+        .withColumn("cumlt", col("cumle") - col("cg"))
+      val a = cum.select(col("event_type").as("gi"), col("q"),
+        col("cumlt").as("ci"), col("cg").as("cgi"))
+      val b = gq.select(col("event_type").as("gj"), col("q"),
+        col("cg").as("cgj"))
+      val j2 = a.join(b, Seq("q")).where(col("gi") < col("gj"))
+        .agg(sum(col("cgj") * (lit(2) * col("ci") + col("cgi"))).as("j2"))
+      val ns = gq.groupBy(col("event_type")).agg(sum(col("cg")).as("n"))
+        .agg(sum(col("n")).as("nn"),
+          sum(col("n") * col("n")).as("sn2"),
+          sum(col("n") * col("n") * (lit(2) * col("n") + 3)).as("snn"),
+          count(lit(1)).as("k"))
+      val z0 = j2.crossJoin(broadcast(ns))
+      val nD = col("nn").cast("double")
+      val jStat = col("j2").cast("double") / 2.0
+      val muJ = (nD * nD - col("sn2").cast("double")) / 4.0
+      val varJ = (nD * nD * (lit(2.0) * nD + 3.0)
+        - col("snn").cast("double")) / 72.0
+      val z = (jStat - muJ) / sqrt(varJ)
+      z0.select(col("k"), col("nn").as("n"),
+        round(jStat, 1).as("j_stat"),
+        round(z, 6).as("z_stat"),
+        when(abs(round(z, 6)) > 1.96, 1L).otherwise(0L).as("reject_95"))
+    }),
     // Cochran's Q (op 347; Cochran 1950) — op 340's BINARY sibling:
     // success = positive quantized return per (series, date block);
     // the identity k(k−1)Σ(C_j − N/k)² = (k−1)(kΣC_j² − N²) keeps Q
@@ -12537,6 +12587,52 @@ object SparkEntry {
           |)
           |SELECT CAST(k AS BIGINT) AS k, n,
           |  round(l, 1) AS l_stat, round(zz, 6) AS z_stat,
+          |  CAST(CASE WHEN abs(round(zz, 6)) > 1.96 THEN 1 ELSE 0 END
+          |    AS BIGINT) AS reject_95
+          |FROM z""".stripMargin,
+      // op 363: same probe grid, per-group cumulative, pair join, and
+      // tie-naive normal algebra.
+      "stats_jonckheere" ->
+        s"""$R_CTE, qq AS (
+          |  SELECT event_type,
+          |    CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS q
+          |  FROM r WHERE ret IS NOT NULL
+          |), gq AS (
+          |  SELECT event_type, q, CAST(count(*) AS BIGINT) AS cg
+          |  FROM qq GROUP BY 1, 2
+          |), grid AS (
+          |  SELECT g.event_type, v.q
+          |  FROM (SELECT DISTINCT q FROM qq) v
+          |  CROSS JOIN (SELECT DISTINCT event_type FROM qq) g
+          |), f AS (
+          |  SELECT grid.event_type, grid.q, coalesce(gq.cg, 0) AS cg
+          |  FROM grid LEFT JOIN gq USING (event_type, q)
+          |), cum AS (
+          |  SELECT event_type, q, cg,
+          |    sum(cg) OVER (PARTITION BY event_type ORDER BY q
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cg
+          |      AS cumlt
+          |  FROM f
+          |), j AS (
+          |  SELECT CAST(sum(b.cg * (2 * a.cumlt + a.cg)) AS BIGINT) AS j2
+          |  FROM cum a JOIN gq b ON a.q = b.q AND a.event_type < b.event_type
+          |), ns AS (
+          |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+          |    CAST(sum(n * n) AS BIGINT) AS sn2,
+          |    CAST(sum(n * n * (2 * n + 3)) AS BIGINT) AS snn,
+          |    CAST(count(*) AS BIGINT) AS k
+          |  FROM (SELECT event_type, CAST(sum(cg) AS BIGINT) AS n
+          |        FROM gq GROUP BY 1)
+          |), z AS (
+          |  SELECT k, nn, CAST(j2 AS DOUBLE) / 2.0 AS jd,
+          |    (CAST(j2 AS DOUBLE) / 2.0
+          |      - (CAST(nn AS DOUBLE) * nn - sn2) / 4.0)
+          |    / sqrt((CAST(nn AS DOUBLE) * nn * (2.0 * nn + 3.0) - snn)
+          |        / 72.0) AS zz
+          |  FROM j, ns
+          |)
+          |SELECT k, nn AS n, round(jd, 1) AS j_stat,
+          |  round(zz, 6) AS z_stat,
           |  CAST(CASE WHEN abs(round(zz, 6)) > 1.96 THEN 1 ELSE 0 END
           |    AS BIGINT) AS reject_95
           |FROM z""".stripMargin,

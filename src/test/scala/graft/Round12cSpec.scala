@@ -345,6 +345,27 @@ class Round12cSpec extends SparkSpec {
     }
   }
 
+  test("stats_jonckheere: matches a direct pairwise U recount") {
+    val rows = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        val p = rs.sortBy(r => (r._2, r._3)).map(_._4)
+        k -> p.sliding(2).map { case Array(a, b) =>
+          math.floor((b / a - 1) * 1e6 + 0.5).toLong }.toArray
+      }
+    val names = rows.keys.toArray.sorted
+    var j = 0.0
+    for (i <- names.indices; jj <- (i + 1) until names.length;
+         x <- rows(names(i)); y <- rows(names(jj))) {
+      if (x < y) j += 1.0 else if (x == y) j += 0.5
+    }
+    val got = SparkEntry.queries("stats_jonckheere")(spark, dir)
+      .select($"j_stat", $"n").as[(Double, Long)].collect().head
+    assert(got._2 == rows.values.map(_.length).sum)
+    assert(math.abs(got._1 - j) < 0.51, s"J ${got._1} vs $j")
+  }
+
   test("stats_friedman: perfect concordance gives the classic maximum Q") {
     // k=3 series, 2 complete return blocks, same order in every block
     // → classic Q = 12/(nk(k+1))ΣR² − 3n(k+1) = 4
