@@ -7060,6 +7060,82 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))),
+    // MMR diversity rerank (op 365; Carbonell/Goldstein 1998): pick 3
+    // of each query's top-10 brute candidates greedily by λ·rel −
+    // (1−λ)·max-sim-to-selected — the dedupe-aware retrieval the raw
+    // top-k can't do (near-identical neighbors crowd out coverage).
+    // λ = 0.7 as INTEGER algebra: relevance and pair cosines quantize
+    // to 1e-9 longs, score = 7·relq − 3·simq (exact ×10), ties →
+    // smallest id — the greedy unrolls to 3 in-plan steps (the op-317
+    // idiom) and replays bit-for-bit. At 100 TB the candidate set
+    // comes from the ANN index; the rerank touches k² pairs per query.
+    "embed_mmr_rerank" -> ((s, dir) => {
+      import graft.expressions.DotProduct
+      def cos(a: Column, b: Column) = DotProduct(a, b) /
+        (sqrt(DotProduct(a, a)) * sqrt(DotProduct(b, b)))
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val c = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val top = c.crossJoin(broadcast(q))
+        .withColumn("cosine", cos(col("qv"), col("cv")))
+        .withColumn("rnk", row_number().over(wq)).where(col("rnk") <= 10)
+        .withColumn("relq", floor(col("cosine") * 1e9 + lit(0.5))
+          .cast("long"))
+        .select(col("query_id"), col("neighbor_id"), col("cv"),
+          col("relq"), col("cosine"))
+        .localCheckpoint()
+      val pair = top.select(col("query_id"), col("neighbor_id").as("ni"),
+          col("cv").as("vi"))
+        .join(top.select(col("query_id"), col("neighbor_id").as("nj"),
+          col("cv").as("vj")), "query_id")
+        .where(col("ni") =!= col("nj"))
+        .withColumn("simq",
+          floor(cos(col("vi"), col("vj")) * 1e9 + lit(0.5)).cast("long"))
+        .select(col("query_id"), col("ni"), col("nj"), col("simq"))
+        .localCheckpoint()
+      def pick(scored: DataFrame) = {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))
+        scored.withColumn("_r", row_number().over(w)).where(col("_r") === 1)
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      val p1 = pick(top.withColumn("score", col("relq")))
+      val simTo = (sel: DataFrame, alias: String) =>
+        pair.join(sel.select(col("query_id"),
+            col("neighbor_id").as("nj")), Seq("query_id", "nj"))
+          .select(col("query_id"), col("ni").as("neighbor_id"),
+            col("simq").as(alias))
+      val r2 = top.join(p1.select(col("query_id"),
+          col("neighbor_id").as("s1")), "query_id")
+        .where(col("neighbor_id") =!= col("s1"))
+        .join(simTo(p1, "sim1"), Seq("query_id", "neighbor_id"))
+        .withColumn("score", lit(7) * col("relq") - lit(3) * col("sim1"))
+      val p2 = pick(r2)
+      val r3 = top.join(p1.select(col("query_id"),
+          col("neighbor_id").as("s1")), "query_id")
+        .join(p2.select(col("query_id"), col("neighbor_id").as("s2")),
+          "query_id")
+        .where(col("neighbor_id") =!= col("s1") &&
+          col("neighbor_id") =!= col("s2"))
+        .join(simTo(p1, "sim1"), Seq("query_id", "neighbor_id"))
+        .join(simTo(p2, "sim2"), Seq("query_id", "neighbor_id"))
+        .withColumn("score",
+          lit(7) * col("relq") - lit(3) * greatest(col("sim1"), col("sim2")))
+      val p3 = pick(r3)
+      val picks = p1.withColumn("pick", lit(1L))
+        .unionByName(p2.withColumn("pick", lit(2L)))
+        .unionByName(p3.withColumn("pick", lit(3L)))
+      picks.join(top.select(col("query_id"), col("neighbor_id"),
+          col("cosine")), Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("pick"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("pick"))
+    }),
     // Leave-one-out kNN label accuracy (op 360; the probe-accuracy
     // representation metric — "do nearest neighbors share labels", the
     // supervised complement of recall/NDCG): predicted label = majority
@@ -8747,6 +8823,36 @@ object SparkEntry {
     "events_rfm" -> ((s, dir) =>
       graft.operators.Events.rfm(events(s, dir), "purchase")
         .orderBy(col("user_id"))),
+
+    // op 364: time-to-convert — the funnel's latency dimension (ops
+    // 330/349 measure reach, this measures HOW LONG): per user, first
+    // signup → first strictly-later purchase, lag in exact floor-
+    // division seconds; R-7 median/p90 over integer lags + the exact
+    // conversion rate. Two user-keyed aggs + a driver-sized report.
+    "events_conversion_lag" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val t0 = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"))
+      val lag_ = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t1"))
+        .join(t0, "user_id")
+        .where(col("t1") > col("t0"))
+        .groupBy(col("user_id"))
+        .agg(min(col("t1")).as("t1"), min(col("t0")).as("t0"))
+        .select(floor((col("t1") - col("t0")) / 1e6).cast("long")
+          .as("lag_s"))
+      val nSign = t0.agg(count(lit(1)).as("n_signups"))
+      lag_.agg(count(lit(1)).as("n_converted"),
+          graft.functions.Stats.quantile(col("lag_s"), 0.5).as("_med"),
+          graft.functions.Stats.quantile(col("lag_s"), 0.9).as("_p90"))
+        .crossJoin(broadcast(nSign))
+        .select(col("n_signups"), col("n_converted"),
+          (floor(col("n_converted").cast("double") / col("n_signups")
+            * 1e6 + lit(0.5)) / 1e6).as("conversion_rate"),
+          round(col("_med"), 1).as("median_lag_s"),
+          round(col("_p90"), 1).as("p90_lag_s"))
+    }),
 
     // op 357: DAU/WAU/MAU + stickiness — the canonical engagement
     // report; three (grain, user)-keyed distinct aggs, driver-sized
@@ -13250,6 +13356,26 @@ object SparkEntry {
           |      ORDER BY vf, event_id), 32503680000000000)
           |    = 32503680000000000 AS INT) AS is_current
           |FROM k ORDER BY user_id, valid_from_us""".stripMargin,
+      // op 364: same first-signup/first-later-purchase lags, R-7
+      // quantiles on integer seconds, exact rate.
+      "events_conversion_lag" ->
+        """WITH t0 AS (
+          |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+          |  WHERE event_type = 'signup' GROUP BY user_id
+          |), lags AS (
+          |  SELECT e.user_id,
+          |    CAST(floor((min(epoch_us(e.ts)) - min(t0.t0)) / 1e6)
+          |      AS BIGINT) AS lag_s
+          |  FROM events e JOIN t0 USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t0.t0
+          |  GROUP BY e.user_id
+          |), ns AS (SELECT count(*) AS n_signups FROM t0)
+          |SELECT n_signups, count(*) AS n_converted,
+          |  floor(CAST(count(*) AS DOUBLE) / n_signups * 1e6 + 0.5) / 1e6
+          |    AS conversion_rate,
+          |  round(quantile_cont(lag_s, 0.5), 1) AS median_lag_s,
+          |  round(quantile_cont(lag_s, 0.9), 1) AS p90_lag_s
+          |FROM lags, ns GROUP BY n_signups""".stripMargin,
       // op 357: same grain truncations, distinct-user counts, q6 ratio.
       "events_dau_mau" ->
         """WITH d AS (
@@ -14073,6 +14199,76 @@ object SparkEntry {
           |SELECT vec_id, CAST(rq AS DOUBLE) / 1e9 AS pagerank
           |FROM r3 ORDER BY vec_id""".stripMargin
       },
+      // op 365: same brute top-10, same 1e-9 quantization, same
+      // 7·rel − 3·maxsim integer greedy unrolled 3 steps.
+      "embed_mmr_rerank" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= 5),
+          |sc AS (
+          |  SELECT query_id, neighbor_id, cv,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+          |      AS cosine
+          |  FROM c CROSS JOIN q
+          |), top AS (
+          |  SELECT query_id, neighbor_id, cv, cosine,
+          |    CAST(floor(cosine * 1e9 + 0.5) AS BIGINT) AS relq
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM sc)
+          |  WHERE rnk <= 10
+          |), pair AS (
+          |  SELECT a.query_id, a.neighbor_id AS ni, b.neighbor_id AS nj,
+          |    CAST(floor(list_dot_product(a.cv, b.cv) /
+          |      (sqrt(list_dot_product(a.cv, a.cv))
+          |       * sqrt(list_dot_product(b.cv, b.cv))) * 1e9 + 0.5)
+          |      AS BIGINT) AS simq
+          |  FROM top a JOIN top b
+          |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+          |), p1 AS (
+          |  SELECT query_id, neighbor_id AS s1 FROM (
+          |    SELECT query_id, neighbor_id, row_number() OVER (
+          |      PARTITION BY query_id ORDER BY relq DESC, neighbor_id) AS r
+          |    FROM top) WHERE r = 1
+          |), r2 AS (
+          |  SELECT t.query_id, t.neighbor_id,
+          |    7 * t.relq - 3 * p.simq AS score
+          |  FROM top t
+          |  JOIN p1 ON p1.query_id = t.query_id AND t.neighbor_id <> p1.s1
+          |  JOIN pair p ON p.query_id = t.query_id
+          |    AND p.ni = t.neighbor_id AND p.nj = p1.s1
+          |), p2 AS (
+          |  SELECT query_id, neighbor_id AS s2 FROM (
+          |    SELECT query_id, neighbor_id, row_number() OVER (
+          |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r
+          |    FROM r2) WHERE r = 1
+          |), r3 AS (
+          |  SELECT t.query_id, t.neighbor_id,
+          |    7 * t.relq - 3 * greatest(pa.simq, pb.simq) AS score
+          |  FROM top t
+          |  JOIN p1 ON p1.query_id = t.query_id AND t.neighbor_id <> p1.s1
+          |  JOIN p2 ON p2.query_id = t.query_id AND t.neighbor_id <> p2.s2
+          |  JOIN pair pa ON pa.query_id = t.query_id
+          |    AND pa.ni = t.neighbor_id AND pa.nj = p1.s1
+          |  JOIN pair pb ON pb.query_id = t.query_id
+          |    AND pb.ni = t.neighbor_id AND pb.nj = p2.s2
+          |), p3 AS (
+          |  SELECT query_id, neighbor_id AS s3 FROM (
+          |    SELECT query_id, neighbor_id, row_number() OVER (
+          |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r
+          |    FROM r3) WHERE r = 1
+          |), picks AS (
+          |  SELECT query_id, CAST(1 AS BIGINT) AS pick, s1 AS neighbor_id
+          |    FROM p1
+          |  UNION ALL SELECT query_id, 2, s2 FROM p2
+          |  UNION ALL SELECT query_id, 3, s3 FROM p3
+          |)
+          |SELECT picks.query_id, pick, picks.neighbor_id,
+          |  round(top.cosine, 6) AS cosine
+          |FROM picks JOIN top
+          |  ON top.query_id = picks.query_id
+          |  AND top.neighbor_id = picks.neighbor_id
+          |ORDER BY picks.query_id, pick""".stripMargin,
       // op 360: same edge CTEs, same majority vote (count desc, label
       // asc), exact-count accuracy on the q6 grid.
       "ann_knn_classifier" ->

@@ -366,6 +366,37 @@ class Round12cSpec extends SparkSpec {
     assert(math.abs(got._1 - j) < 0.51, s"J ${got._1} vs $j")
   }
 
+  test("embed_mmr_rerank: matches a direct integer greedy replay") {
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    val queries = emb.keys.filter(_ < 5)
+    val expected = queries.flatMap { qid =>
+      val top = emb.keys.filter(_ >= 5).toSeq
+        .map(n => n -> cos(emb(qid), emb(n)))
+        .sortBy { case (n, c) => (-c, n) }.take(10)
+      val relq = top.map { case (n, c) => n -> q9(c) }.toMap
+      val ids = top.map(_._1)
+      def sim(a: Long, b: Long) = q9(cos(emb(a), emb(b)))
+      val s1 = ids.maxBy(n => (relq(n), -n))
+      val s2 = ids.filter(_ != s1)
+        .maxBy(n => (7 * relq(n) - 3 * sim(n, s1), -n))
+      val s3 = ids.filter(n => n != s1 && n != s2)
+        .maxBy(n => (7 * relq(n) - 3 * math.max(sim(n, s1), sim(n, s2)), -n))
+      Seq((qid, 1L, s1), (qid, 2L, s2), (qid, 3L, s3))
+    }.toSet
+    val got = SparkEntry.queries("embed_mmr_rerank")(spark, dir)
+      .select($"query_id", $"pick", $"neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+  }
+
   test("stats_friedman: perfect concordance gives the classic maximum Q") {
     // k=3 series, 2 complete return blocks, same order in every block
     // → classic Q = 12/(nk(k+1))ΣR² − 3n(k+1) = 4
