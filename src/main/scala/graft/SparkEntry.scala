@@ -463,6 +463,9 @@ object SparkEntry {
       // op 361: each conversion's emitted (last, first, rev) equals
       // the batch running-window row — replays the batch op-335 oracle.
       ("streaming_attribution" -> p("events_attribution")) +
+      // op 366: signup markers + first-conversion lags equal the batch
+      // first/first-later aggs — replays the batch op-364 oracle.
+      ("streaming_conversion_lag" -> p("events_conversion_lag")) +
       // op 346: per-arrival kernel sums over the pre-append ≤60-arrival
       // state equal the batch rowsBetween(−60,−1) frame — the stream
       // replays the batch op-342 oracle.
@@ -8886,6 +8889,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
         .limit(10)
+    }),
+
+    // op 366: streaming time-to-convert — (first-signup µs, converted)
+    // state per user; signup markers + one exact lag per conversion
+    // equal the batch first/first-later aggs, so the rollup replays
+    // the batch op-364 oracle verbatim.
+    "streaming_conversion_lag" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) { streamReplay(s, dir, "events", "sclg") { src =>
+        val evs = graft.sources.Tables.normalizeEventTs(src)
+          .select(col("user_id").as("userId"), col("ts"),
+            col("event_id").as("eventId"), col("event_type").as("eventType"))
+          .as[graft.streaming.Stateful.TransIn]
+        graft.streaming.Stateful
+          .conversionLagStream(evs, "signup", "purchase").toDF
+      }
+        .transform { rows =>
+          val nSign = rows.where(col("kind") === "signup")
+            .agg(count(lit(1)).as("n_signups"))
+          rows.where(col("kind") === "conv")
+            .agg(count(lit(1)).as("n_converted"),
+              graft.functions.Stats.quantile(col("lag_s"), 0.5).as("_med"),
+              graft.functions.Stats.quantile(col("lag_s"), 0.9).as("_p90"))
+            .crossJoin(broadcast(nSign))
+            .select(col("n_signups"), col("n_converted"),
+              (floor(col("n_converted").cast("double") / col("n_signups")
+                * 1e6 + lit(0.5)) / 1e6).as("conversion_rate"),
+              round(col("_med"), 1).as("median_lag_s"),
+              round(col("_p90"), 1).as("p90_lag_s"))
+        } }
     }),
 
     // op 361: streaming attribution — per-user (last touch, first

@@ -830,6 +830,46 @@ object Stateful {
       }
   }
 
+  // ------------------------------------- streaming conversion lag
+
+  case class ConvSt(t0: Long, converted: Boolean)
+  case class ConvOut(user_id: Long, kind: String, lag_s: Long)
+
+  /** Per-user time-to-convert at ingest — the streaming twin of
+    * `events_conversion_lag` (SURVEY §2 op 364): state = (first
+    * signup µs, converted flag). The first signup emits a 'signup'
+    * marker; the first strictly-later conversion emits one 'conv' row
+    * with the exact floor-division lag in seconds. Marker + lag
+    * multisets equal the batch first/first-later aggs, so the
+    * quantile/rate rollup replays the batch oracle verbatim. State is
+    * one long + one boolean per user.
+    */
+  def conversionLagStream(events: Dataset[TransIn], anchorType: String,
+                          conversionType: String): Dataset[ConvOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[ConvSt, ConvOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var st = state.getOption.getOrElse(ConvSt(-1L, false))
+          val out = it.toArray.sortBy(e => (tsKey(e.ts), e.eventId))
+            .flatMap { e =>
+              val us = tsMicros(e.ts)
+              if (e.eventType == anchorType && st.t0 < 0) {
+                st = st.copy(t0 = us)
+                Some(ConvOut(uid, "signup", 0L))
+              } else if (e.eventType == conversionType && st.t0 >= 0 &&
+                  !st.converted && us > st.t0) {
+                st = st.copy(converted = true)
+                Some(ConvOut(uid, "conv",
+                  math.floor((us - st.t0).toDouble / 1e6).toLong))
+              } else None
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ------------------------------------- streaming attribution
 
   /** value rides along so conversions can carry revenue. */

@@ -572,6 +572,28 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversionLagStream: first-signup state carries, converts once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Stateful.TransIn
+    val input = MemoryStream[TransIn]
+    val q = Stateful.conversionLagStream(input.toDS(), "signup", "purchase")
+      .writeStream.format("memory").queryName("sclg")
+      .outputMode("append").start()
+    try {
+      input.addData(TransIn(1L, ts(0), 1L, "signup"),
+        TransIn(1L, ts(5), 2L, "signup")) // second signup ignored
+      q.processAllAvailable()
+      // conversion lands in a later batch; a second purchase never
+      // re-emits (converted flag)
+      input.addData(TransIn(1L, ts(90), 3L, "purchase"),
+        TransIn(1L, ts(120), 4L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("sclg").as[(Long, String, Long)]
+        .collect().toSeq.sortBy(_._2)
+      assert(rows == Seq((1L, "conv", 90L), (1L, "signup", 0L)))
+    } finally q.stop()
+  }
+
   test("attributionStream: touch state carries across batches, lookback binds") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Stateful.AttrIn
