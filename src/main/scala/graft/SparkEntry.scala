@@ -6876,6 +6876,34 @@ object SparkEntry {
     // [min, max] misses the predicate never opens. Dense doc_id
     // ranges + n_chars spans make the pruning effectiveness visible;
     // same one window pass + one keyed agg as the plan itself.
+    // Zone-map pruning report (op 367; the min/max-statistics payoff):
+    // for the range predicate doc_id BETWEEN 100 AND 500, a shard is
+    // prunable iff its [min_id, max_id] zone misses the range — the
+    // report every lakehouse table-format (Iceberg/Delta) derives from
+    // file statistics, here computed over the op-139/179 manifest. Per
+    // source: shard/byte counts scanned vs pruned + the prune rate —
+    // the number that justifies sort-order/z-order choices at 100 TB.
+    "layout_prune_report" -> ((s, dir) => {
+      val man = graft.operators.Layout
+        .shardPlan(tbl(s, dir, "documents"), "source", "doc_id", "n_chars",
+          target = 2000L)
+        .groupBy(col("source"), col("shard_id"))
+        .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("n_chars").cast("long")).as("bytes"))
+      val prunable = col("max_id") < 100L || col("min_id") > 500L
+      man.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(prunable.cast("long")).as("n_pruned"),
+          sum((!prunable).cast("long")).as("n_scanned"),
+          sum(when(!prunable, col("bytes")).otherwise(0L))
+            .as("bytes_scanned"))
+        .select(col("source"), col("n_shards"), col("n_pruned"),
+          col("n_scanned"), col("bytes_scanned"),
+          (floor(col("n_pruned").cast("double") / col("n_shards") * 1e6
+            + lit(0.5)) / 1e6).as("prune_rate"))
+        .orderBy(col("source"))
+    }),
+
     // Compaction planner (op 344): the OPTIMIZE bin-packer over the
     // op-139 shard manifest — files under 3000 "bytes" pack into dense
     // 10000-byte compaction bins (exclusive prefix div, pure function
@@ -11682,6 +11710,31 @@ object SparkEntry {
           |SELECT source, shard_id, count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS shard_chars
           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // op 367: same manifest, same zone-miss rule, exact counts.
+      "layout_prune_report" ->
+        """WITH p AS (
+          |  SELECT source, doc_id, n_chars,
+          |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+          |      AS BIGINT) AS shard_id
+          |  FROM documents
+          |), man AS (
+          |  SELECT source, shard_id, min(doc_id) AS min_id,
+          |    max(doc_id) AS max_id, CAST(sum(n_chars) AS BIGINT) AS bytes
+          |  FROM p GROUP BY 1, 2
+          |), f AS (
+          |  SELECT *, (max_id < 100 OR min_id > 500) AS prunable FROM man
+          |)
+          |SELECT source, count(*) AS n_shards,
+          |  CAST(sum(CASE WHEN prunable THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_pruned,
+          |  CAST(sum(CASE WHEN prunable THEN 0 ELSE 1 END) AS BIGINT)
+          |    AS n_scanned,
+          |  CAST(sum(CASE WHEN prunable THEN 0 ELSE bytes END) AS BIGINT)
+          |    AS bytes_scanned,
+          |  floor(CAST(sum(CASE WHEN prunable THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / count(*) * 1e6 + 0.5) / 1e6 AS prune_rate
+          |FROM f GROUP BY source ORDER BY source""".stripMargin,
       // op 344: same shard manifest, same exclusive small-size prefix
       // div — all integers, hash-exact.
       "layout_compaction" ->
