@@ -6681,6 +6681,40 @@ object SparkEntry {
     "corpus_gopher" -> ((s, dir) =>
       Corpus.gopherQualityRules(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // Ensemble quality vote (op 369; the production curation pattern —
+    // single gates over/under-filter, so ship a MAJORITY of
+    // independent signals): keep ⟺ ≥2 of {gopher rules pass, Flesch ≥
+    // 10, unigram-LM xent < 3.41} — thresholds documented against this
+    // corpus's measured distributions; per-source pass counts for each
+    // gate + the ensemble keep rate, all exact integers over the three
+    // gates' own hash-green values.
+    "corpus_quality_vote" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val g = Corpus.gopherQualityRules(d, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("int").as("g1"))
+      val r = readabilityScores(d)
+        .select(col("doc_id"), (col("flesch") >= 10.0).cast("int").as("g2"))
+      val l = Corpus.lmScore(d, "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          (col("lm_xent") < 3.41).cast("int").as("g3"))
+      d.select(col("doc_id"), col("source"))
+        .join(g, Seq("doc_id"), "left")
+        .join(r, Seq("doc_id"), "left")
+        .join(l, Seq("doc_id"), "left")
+        .na.fill(0, Seq("g1", "g2", "g3"))
+        .withColumn("keep",
+          (col("g1") + col("g2") + col("g3") >= 2).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("g1")).as("pass_gopher"),
+          sum(col("g2")).as("pass_readability"),
+          sum(col("g3")).as("pass_lm"),
+          sum(col("keep")).as("n_kept"))
+        .withColumn("keep_rate",
+          floor(col("n_kept").cast("double") / col("n_docs") * 1e6
+            + lit(0.5)) / 1e6)
+        .orderBy(col("source"))
+    }),
     // Sliding-window token chunking (op 111).
     "corpus_chunk_tokens" -> ((s, dir) =>
       Corpus.tokenChunks(tbl(s, dir, "documents"), "doc_id", "text")
@@ -8804,6 +8838,13 @@ object SparkEntry {
     "events_ab_test" -> ((s, dir) =>
       graft.operators.Events.abTest(events(s, dir), "purchase",
         minValue = 150.0)),
+
+    // op 368: TOST equivalence on the same split — the "no harm"
+    // launch gate (failing to reject ≠ equivalent); δ = 0.05 margin,
+    // unpooled SE, equivalent ⟺ min(z_lo, z_hi) > 1.645.
+    "events_ab_equivalence" -> ((s, dir) =>
+      graft.operators.Events.abEquivalence(events(s, dir), "purchase",
+        minValue = 150.0, delta = 0.05)),
 
     "events_retention" -> ((s, dir) =>
       graft.operators.Events.retention(events(s, dir), "signup")
@@ -11580,6 +11621,66 @@ object SparkEntry {
           |  (n BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
           |    AND alpha_frac >= 0.8 AND n_stop >= 2 AND symbol_ratio <= 0.1 AS keep
           |FROM m ORDER BY doc_id""".stripMargin,
+      // op 369: the three gates' own CTEs, coalesced left joins,
+      // exact-integer vote.
+      "corpus_quality_vote" ->
+        s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+          |m AS (
+          |  SELECT doc_id, len(toks) AS n,
+          |    round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6) AS mean_word_len,
+          |    round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(toks), 6) AS alpha_frac,
+          |    len(list_filter(toks, x -> ${Corpus.GopherStopwords.map(w => s"x = '$w'").mkString(" OR ")}))::BIGINT AS n_stop,
+          |    round(((length(text) - length(replace(text, '#', ''))) +
+          |           (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE / len(toks), 6) AS symbol_ratio
+          |  FROM t
+          |), gg AS (
+          |  SELECT doc_id,
+          |    CASE WHEN (n BETWEEN 50 AND 100000)
+          |      AND (mean_word_len BETWEEN 3.0 AND 10.0)
+          |      AND alpha_frac >= 0.8 AND n_stop >= 2 AND symbol_ratio <= 0.1
+          |    THEN 1 ELSE 0 END AS g1
+          |  FROM m
+          |), rr AS (
+          |  SELECT doc_id,
+          |    CASE WHEN round(206.835
+          |      - 1.015 * (len(regexp_extract_all(text, '[A-Za-z]+'))::DOUBLE
+          |        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+          |      - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+          |        / len(regexp_extract_all(text, '[A-Za-z]+'))), 4) + 0.0
+          |      >= 10.0 THEN 1 ELSE 0 END AS g2
+          |  FROM documents WHERE len(regexp_extract_all(text, '[A-Za-z]+')) > 0
+          |), tk AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          |  FROM documents
+          |), f AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+          |tot AS (SELECT sum(c)::DOUBLE AS n FROM f),
+          |qq AS (
+          |  SELECT doc_id,
+          |    CAST(floor((ln(n) - ln(c::DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q
+          |  FROM tk JOIN f USING (tok) CROSS JOIN tot
+          |), ll AS (
+          |  SELECT doc_id,
+          |    CASE WHEN floor(sum(q)::DOUBLE / count(*) + 0.5) / 1e6 < 3.41
+          |    THEN 1 ELSE 0 END AS g3
+          |  FROM qq GROUP BY doc_id
+          |), v AS (
+          |  SELECT d.doc_id, d.source,
+          |    coalesce(g1, 0) AS g1, coalesce(g2, 0) AS g2,
+          |    coalesce(g3, 0) AS g3
+          |  FROM documents d
+          |  LEFT JOIN gg USING (doc_id)
+          |  LEFT JOIN rr USING (doc_id)
+          |  LEFT JOIN ll USING (doc_id)
+          |)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(g1) AS BIGINT) AS pass_gopher,
+          |  CAST(sum(g2) AS BIGINT) AS pass_readability,
+          |  CAST(sum(g3) AS BIGINT) AS pass_lm,
+          |  CAST(sum(CASE WHEN g1 + g2 + g3 >= 2 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_kept,
+          |  floor(CAST(sum(CASE WHEN g1 + g2 + g3 >= 2 THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS keep_rate
+          |FROM v GROUP BY source ORDER BY source""".stripMargin,
       "corpus_bpe_pairs" ->
         """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           |w AS (SELECT unnest(toks) AS w FROM t),
@@ -13485,6 +13586,47 @@ object SparkEntry {
           |JOIN m ON epoch_us(date_trunc('month', make_timestamp(day_us)))
           |  = month_us
           |ORDER BY day_us""".stripMargin,
+      // op 368: same split/counts, unpooled TOST SE, identical z's.
+      "events_ab_equivalence" ->
+        s"""WITH u AS (
+          |  SELECT user_id,
+          |    max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+          |        THEN 1 ELSE 0 END) AS conv
+          |  FROM events GROUP BY user_id
+          |), h AS (
+          |  SELECT conv, md5('ab_' || CAST(user_id AS VARCHAR)) AS hx FROM u
+          |), v AS (
+          |  SELECT conv,
+          |    CASE WHEN ${w8("hx")} % 2 = 0 THEN 1 ELSE 0 END AS va
+          |  FROM h
+          |), a AS (
+          |  SELECT CAST(sum(va) AS BIGINT) AS n_a,
+          |    CAST(sum(va * conv) AS BIGINT) AS conv_a,
+          |    CAST(sum(1 - va) AS BIGINT) AS n_b,
+          |    CAST(sum((1 - va) * conv) AS BIGINT) AS conv_b
+          |  FROM v
+          |), z AS (
+          |  SELECT *, conv_a / CAST(n_a AS DOUBLE) AS pa,
+          |    conv_b / CAST(n_b AS DOUBLE) AS pb,
+          |    sqrt(conv_a / CAST(n_a AS DOUBLE)
+          |        * (1.0 - conv_a / CAST(n_a AS DOUBLE)) / n_a
+          |      + conv_b / CAST(n_b AS DOUBLE)
+          |        * (1.0 - conv_b / CAST(n_b AS DOUBLE)) / n_b) AS se
+          |  FROM a
+          |), t AS (
+          |  SELECT n_a, conv_a, n_b, conv_b, pa - pb AS diff,
+          |    CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+          |      THEN (pa - pb + 0.05) / se END AS zlo,
+          |    CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+          |      THEN (0.05 - (pa - pb)) / se END AS zhi
+          |  FROM z
+          |)
+          |SELECT n_a, conv_a, n_b, conv_b,
+          |  round(diff, 6) AS rate_diff,
+          |  round(zlo, 6) AS z_lower, round(zhi, 6) AS z_upper,
+          |  CAST(CASE WHEN least(round(zlo, 6), round(zhi, 6)) > 1.645
+          |    THEN 1 ELSE 0 END AS BIGINT) AS equivalent_95
+          |FROM t""".stripMargin,
       // op 351: same cohort/week algebra as op 331, decimal revenue,
       // cumulative window over the report relation, q6 floors.
       "events_cohort_ltv" ->

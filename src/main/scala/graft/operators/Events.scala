@@ -91,6 +91,42 @@ object Events {
       when(abs(round(z, 6)) > 1.96, 1L).otherwise(0L).as("significant_95"))
   }
 
+  /** TOST equivalence gate on the [[abTest]] split — the "no harm"
+    * launch question the difference test can't answer (failing to
+    * reject ≠ equivalent): two one-sided z's against the margin ±δ on
+    * the conversion-rate difference, unpooled SE (the TOST
+    * convention); equivalent at 95% ⟺ min(z_lo, z_hi) > 1.645. Same
+    * md5 split, same four exact integers.
+    */
+  def abEquivalence(events: DataFrame, conversionType: String,
+                    minValue: Double, delta: Double): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max((col("event_type") === conversionType &&
+          col("value") >= minValue).cast("int"))
+        .as("conv"))
+    val word = conv(substring(md5(concat(lit("ab_"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val v = perUser.withColumn("va", (word % 2 === 0).cast("int"))
+    val a = v.agg(
+      sum(col("va")).as("n_a"),
+      sum(col("va") * col("conv")).as("conv_a"),
+      sum(lit(1) - col("va")).as("n_b"),
+      sum((lit(1) - col("va")) * col("conv")).as("conv_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("conv_a") / na; val pb = col("conv_b") / nb
+    val se = sqrt(pa * (lit(1.0) - pa) / na + pb * (lit(1.0) - pb) / nb)
+    val ok = col("n_a") > 0 && col("n_b") > 0 && se > 0.0
+    val diff = pa - pb
+    val zLo = when(ok, (diff + delta) / se)
+    val zHi = when(ok, (lit(delta) - diff) / se)
+    a.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(diff, 6).as("rate_diff"),
+      round(zLo, 6).as("z_lower"),
+      round(zHi, 6).as("z_upper"),
+      when(least(round(zLo, 6), round(zHi, 6)) > 1.645, 1L).otherwise(0L)
+        .as("equivalent_95"))
+  }
+
   /** Weekly cohort retention: cohort = Monday-truncated week of the
     * user's FIRST `anchorType` event; a user is retained in week
     * offset k if they have ANY event in cohort_week + k. Offsets are
