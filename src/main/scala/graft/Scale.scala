@@ -872,6 +872,83 @@ object Scale {
         spark.conf.unset("graft.ann.planes")
       }
 
+      // ---- r13 fifth-wave probes (r12 verdict #4): the post-§16
+      // additions as their REAL SparkEntry plans at 1×/10×/50× —
+      // Kalman linear filter, the Jonckheere probe grid (the one
+      // structure in the suite whose row count is k·|distinct q|, so
+      // a wide-value corpus is exactly what must be measured), MMR
+      // rerank, time-to-convert, the zone-map prune report, and the
+      // four newest streaming twins.
+      if (Seq("eod_kalman", "stats_jonckheere", "embed_mmr_rerank",
+          "events_conversion_lag", "layout_prune_report",
+          "streaming_hawkes", "streaming_journeys",
+          "streaming_attribution", "streaming_conversion_lag")
+          .exists(wanted)) {
+        val nEv = 100000L * m
+        genEvents(spark, nEv).write.mode("overwrite")
+          .parquet(s"$root/$m/events.parquet")
+        // layout ops read the driver documents schema (source/n_chars)
+        genDocs(spark, nDocs)
+          .withColumn("lang", lit("en"))
+          .withColumn("source", concat(lit("src"), col("doc_id") % 4))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.mode("overwrite").parquet(s"$root/$m/documents.parquet")
+        genEmbeddings(spark, nEmb, dim).write.mode("overwrite")
+          .parquet(s"$root/$m/embeddings.parquet")
+        val qDir = s"$root/$m"
+        // Two QuantizedDot folds over the trailing-60 keyed frame —
+        // the op-343 linear-filter contract with Riccati weights.
+        timed("eod_kalman", m, nEv) {
+          sink(SparkEntry.queries("eod_kalman")(spark, qDir))
+        }
+        // Grid size logged FIRST: genEvents draws value from a
+        // continuous md5-uniform, so quantized returns are almost
+        // all distinct — the adversarial |q| ≈ n case. The grid is
+        // k·|q| rows, one per-group prefix window over it; the claim
+        // is wall-time linear in n with the small k factor, never
+        // the k·n² a naive pairwise U-statistic would cost.
+        timed("stats_jonckheere_grid_rows", m, nEv) {
+          val ev = spark.read.parquet(s"$qDir/events.parquet")
+          val w = Window.partitionBy(col("event_type"))
+            .orderBy(col("ts"), col("event_id"))
+          val nq = ev
+            .withColumn("ret", col("value") / lag(col("value"), 1).over(w) - 1)
+            .where(col("ret").isNotNull)
+            .select(floor(col("ret") * 1e6 + 0.5).cast("long").as("q"))
+            .distinct().count()
+          val k = ev.select(col("event_type")).distinct().count()
+          println(s"""{"op":"stats_jonckheere_grid","scale":$m,"distinct_q":$nq,"k":$k,"grid_rows":${k * nq}}""")
+        }
+        timed("stats_jonckheere", m, nEv) {
+          sink(SparkEntry.queries("stats_jonckheere")(spark, qDir))
+        }
+        // Brute candidate top-10 (5 queries × n cosines, linear) + 3
+        // unrolled greedy picks on the k²-pair driver-sized top set.
+        timed("embed_mmr_rerank", m, nEmb) {
+          sink(SparkEntry.queries("embed_mmr_rerank")(spark, qDir))
+        }
+        // Two user-keyed aggs + a driver-sized quantile report.
+        timed("events_conversion_lag", m, nEv) {
+          sink(SparkEntry.queries("events_conversion_lag")(spark, qDir))
+        }
+        // Manifest build (one source-keyed prefix window over the doc
+        // metadata) + a #shards-row zone-map report.
+        timed("layout_prune_report", m, nDocs) {
+          sink(SparkEntry.queries("layout_prune_report")(spark, qDir))
+        }
+        // The four newest streaming twins: constant per-key state
+        // (≤60 µs-longs; two strings; two strings + long; long +
+        // boolean) — wall-time here is dominated by the fixed replay
+        // harness, so the scaling signal is the EXEC slope staying
+        // linear while state stays user/symbol-sized.
+        for (q <- Seq("streaming_hawkes", "streaming_journeys",
+            "streaming_attribution", "streaming_conversion_lag")) {
+          timed(q, m, nEv) {
+            sink(SparkEntry.queries(q)(spark, qDir))
+          }
+        }
+      }
+
       // Skewed shuffle join + agg under AQE; broadcast disabled so the
       // skew-join path (not a broadcast) is what's being measured.
       if (wanted("skew_join_agg")) {

@@ -501,7 +501,12 @@ object SparkEntry {
       ("streaming_chi2" -> p("stats_chi2_independence"))
   }
 
-  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] =
+    // ListMap: DECLARATION-order iteration (r12 verdict #5) — a plain
+    // Map hashes, so adding one query reshuffled every round's
+    // execution/emission order and made BENCH_LOCAL diffs positionally
+    // incomparable. Bench additionally sorts by name for emission.
+    scala.collection.immutable.ListMap(
     // ---- EOD series (SURVEY §2 ops 1,2,7,8,12,6,20,21)
     "eod_returns" -> ((s, dir) =>
       events(s, dir).select(col("event_type"), col("event_id"),
@@ -654,6 +659,16 @@ object SparkEntry {
       val varT = train.groupBy(col("event_type"))
         .agg(Eod.valueAtRisk(col("ret"), 0.05).as("var5"))
       val qr = floor(col("ret") * 1e6 + 0.5).cast("long")
+      // INTENTIONAL <=/< asymmetry at the VaR grid point: the train
+      // tail-ES includes returns AT var5 (`<=`, the inclusive
+      // lower-tail expectation E[r | r <= VaR] — the ES definition),
+      // while test BREACHES are strict (`<`, a breach means the loss
+      // EXCEEDED the prediction — the backtest convention, same as
+      // eod_var_backtest/Kupiec below). A return sitting exactly on
+      // the quantized var5 therefore counts toward the ES estimate
+      // but not as a breach; both oracles mirror both comparisons,
+      // so parity is exact — this comment pins the convention so the
+      // asymmetry reads as a choice, not a slip.
       val trainEs = train.join(broadcast(varT), "event_type")
         .groupBy(col("event_type"))
         .agg(max(col("var5")).as("var5"),
@@ -6315,6 +6330,28 @@ object SparkEntry {
         .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
   }
 
+  /** Shared dedup-index evaluation report (ops 169/370/371): the
+    * candidate-pair set of a near-dup family graded against an exact
+    * ground-truth pair set — one row of (n_truth, n_found, n_hit,
+    * precision, recall). Both inputs are the already-bucketed linear
+    * operators; the intersect is a pair-key join, and the three
+    * 1-row aggregates cross-join for free.
+    */
+  private def dedupEvalReport(truthPairs: DataFrame,
+                              foundPairs: DataFrame): DataFrame = {
+    val truth = truthPairs.select(col("id_a"), col("id_b"))
+    val found = foundPairs.select(col("id_a"), col("id_b"))
+    val hit = found.intersect(truth)
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_found"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_found"), 6)
+          .as("precision"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6)
+          .as("recall"))
+  }
+
   /** Shared by text_readability and its streaming gate twin: exact
     * integer word/sentence/syllable counts (character-class regexes
     * only, so Java regex and RE2 agree), then the two classic scores
@@ -6463,7 +6500,8 @@ object SparkEntry {
     (means, rows, normed(multiply(vFinal)))
   }
 
-  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap( // declaration order — see coreQueries
     // ---- text analysis (ops 53-56)
     "text_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -6819,20 +6857,33 @@ object SparkEntry {
     // pair-key join.
     "dedup_eval" -> ((s, dir) => {
       val c = docCorpus(s, dir)
-      val truth = Dedup.ngramJaccardPairs(c, "doc_id", "text",
-          threshold = 0.5)
-        .select(col("id_a"), col("id_b"))
-      val found = Dedup.minhashLshPairs(c, "doc_id", "text")
-        .select(col("id_a"), col("id_b"))
-      val hit = found.intersect(truth)
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(found.agg(count(lit(1)).as("n_found")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_truth"), col("n_found"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_found"), 6)
-            .as("precision"),
-          round(col("n_hit").cast("double") / col("n_truth"), 6)
-            .as("recall"))
+      dedupEvalReport(
+        Dedup.ngramJaccardPairs(c, "doc_id", "text", threshold = 0.5),
+        Dedup.minhashLshPairs(c, "doc_id", "text"))
+    }),
+    // Op-169 harness extended to the OTHER two near-dup families
+    // (r12 verdict ask #7): SimHash banding and directed containment
+    // graded against the SAME exact n-gram-Jaccard ≥ 0.5 ground
+    // truth, so every family's knob (k/bands, maxHamming, radius)
+    // has a measured recall/precision basis, not a chosen one.
+    // SimHash's hamming≤3 gate is a DIFFERENT similarity geometry
+    // (angular, frequency-weighted) than set-Jaccard — the report
+    // quantifies exactly how far the two disagree on this corpus.
+    "dedup_eval_simhash" -> ((s, dir) => {
+      val c = docCorpus(s, dir)
+      dedupEvalReport(
+        Dedup.ngramJaccardPairs(c, "doc_id", "text", threshold = 0.5),
+        Dedup.simhashPairs(c, "doc_id", "text", maxHamming = 3))
+    }),
+    // Containment is ASYMMETRIC by design (short-inside-long), so
+    // graded against symmetric Jaccard truth its "false positives"
+    // are mostly the quote/subset pairs Jaccard cannot see — the
+    // precision number here is the measured size of that gap.
+    "dedup_eval_containment" -> ((s, dir) => {
+      val c = docCorpus(s, dir)
+      dedupEvalReport(
+        Dedup.ngramJaccardPairs(c, "doc_id", "text", threshold = 0.5),
+        Dedup.containmentPairs(c, "doc_id", "text", threshold = 0.5))
     }),
 
     // ---- corpus curation (ops 76-79): repetition quality, stratified
@@ -9937,6 +9988,29 @@ object SparkEntry {
         .agg(sum(col("in_event").cast("long")).as("n_event_ticks"),
           count(lit(1)).as("n_ticks"))
         .orderBy(col("day"))),
+    // Quote-to-trade ratio (op 372; /root/reference/README.md:44's
+    // microstructure roadmap): quote updates per executed trade per
+    // (ticker, day) — the venue-activity staple (a high ratio flags
+    // quote-stuffing / fleeting liquidity). Two keyed counts over the
+    // already-green sim tables + one broadcast join on the tiny
+    // (ticker, day) key space; ratio quantized on the shared 1e-6
+    // grid from two identical integers, so parity is exact.
+    "tick_quote_trade_ratio" -> ((s, dir) => {
+      val quotes = MarketSim.simulateQuotes(s, "SIM", days = 2,
+        ticksPerDay = 5000)
+      val trades = MarketSim.simulateTrades(quotes,
+        targetVolumePerDay = 1000000L)
+      val nq = quotes.groupBy(col("ticker"), col("day"))
+        .agg(count(lit(1)).as("n_quotes"))
+      val nt = trades.groupBy(col("ticker"), col("day"))
+        .agg(count(lit(1)).as("n_trades"))
+      nq.join(broadcast(nt), Seq("ticker", "day"))
+        .select(col("ticker"), col("day"), col("n_quotes"), col("n_trades"),
+          (floor(col("n_quotes").cast("double")
+            / col("n_trades").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("quote_trade_ratio"))
+        .orderBy(col("ticker"), col("day"))
+    }),
 
     // ---- composite pipeline: quality-filter → exact-dedup → per-lang
     // token accounting — the operators composing end-to-end (op 75)
@@ -11956,9 +12030,14 @@ object SparkEntry {
           |    i -> array_to_string(toks[i:i+2], ' ')))) AS jg
           |  FROM t
           |), sizes AS (SELECT id, count(*) AS sz FROM jsh GROUP BY id),
+          |-- same 10000 stop-shingle cap as the Spark-side truth
+          |jcap AS (
+          |  SELECT id, jg FROM jsh
+          |  QUALIFY count(*) OVER (PARTITION BY jg) BETWEEN 2 AND 10000
+          |),
           |common AS (
           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-          |  FROM jsh a JOIN jsh b ON a.jg = b.jg AND a.id < b.id
+          |  FROM jcap a JOIN jcap b ON a.jg = b.jg AND a.id < b.id
           |  GROUP BY a.id, b.id
           |), truth AS (
           |  SELECT id_a, id_b FROM common
@@ -11970,6 +12049,95 @@ object SparkEntry {
           |  FROM bands a JOIN bands b
           |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
           |), hit AS (SELECT * FROM found INTERSECT SELECT * FROM truth)
+          |SELECT
+          |  (SELECT count(*) FROM truth) AS n_truth,
+          |  (SELECT count(*) FROM found) AS n_found,
+          |  (SELECT count(*) FROM hit) AS n_hit,
+          |  round((SELECT count(*) FROM hit)::DOUBLE /
+          |        (SELECT count(*) FROM found), 6) AS precision,
+          |  round((SELECT count(*) FROM hit)::DOUBLE /
+          |        (SELECT count(*) FROM truth), 6) AS recall""".stripMargin,
+      // op 370: the op-169 report with SimHash banding as the
+      // candidate generator — same exact-Jaccard truth chain.
+      "dedup_eval_simhash" ->
+        s"""$TOKS_CTE, tok AS (
+          |  SELECT doc_id, unnest(toks) AS _w FROM t
+          |), h AS (SELECT doc_id, CAST($hexpr AS BIGINT) AS hv FROM tok),
+          |bits AS (
+          |  SELECT doc_id, r.range AS b,
+          |    CASE WHEN (hv >> CAST(r.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+          |  FROM h CROSS JOIN range(0, 32) r
+          |), sums AS (SELECT doc_id, b, sum(sgn) AS sc FROM bits GROUP BY doc_id, b),
+          |fp AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CASE WHEN sc > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+          |  FROM sums GROUP BY doc_id
+          |), sbands AS (
+          |  SELECT doc_id, simhash, r.range AS band,
+          |    (simhash >> CAST(8 * r.range AS INT)) & 255 AS bucket
+          |  FROM fp CROSS JOIN range(0, 4) r
+          |), found AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sbands a JOIN sbands b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          |), jsh AS (
+          |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(toks)-2, 1) + 1),
+          |    i -> array_to_string(toks[i:i+2], ' ')))) AS jg
+          |  FROM t
+          |), sizes AS (SELECT id, count(*) AS sz FROM jsh GROUP BY id),
+          |jcap AS (
+          |  SELECT id, jg FROM jsh
+          |  QUALIFY count(*) OVER (PARTITION BY jg) BETWEEN 2 AND 10000
+          |),
+          |common AS (
+          |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          |  FROM jcap a JOIN jcap b ON a.jg = b.jg AND a.id < b.id
+          |  GROUP BY a.id, b.id
+          |), truth AS (
+          |  SELECT id_a, id_b FROM common
+          |  JOIN sizes sa ON sa.id = id_a
+          |  JOIN sizes sb ON sb.id = id_b
+          |  WHERE common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE >= 0.5
+          |), hit AS (SELECT * FROM found INTERSECT SELECT * FROM truth)
+          |SELECT
+          |  (SELECT count(*) FROM truth) AS n_truth,
+          |  (SELECT count(*) FROM found) AS n_found,
+          |  (SELECT count(*) FROM hit) AS n_hit,
+          |  round((SELECT count(*) FROM hit)::DOUBLE /
+          |        (SELECT count(*) FROM found), 6) AS precision,
+          |  round((SELECT count(*) FROM hit)::DOUBLE /
+          |        (SELECT count(*) FROM truth), 6) AS recall""".stripMargin,
+      // op 371: the op-169 report with directed containment as the
+      // candidate generator — truth and found share ONE capped
+      // postings chain (both are views over the same `common` CTE).
+      "dedup_eval_containment" ->
+        s"""$TOKS_CTE, jsh AS (
+          |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(toks)-2, 1) + 1),
+          |    i -> array_to_string(toks[i:i+2], ' ')))) AS jg
+          |  FROM t
+          |), sizes AS (SELECT id, count(*) AS sz FROM jsh GROUP BY id),
+          |jcap AS (
+          |  SELECT id, jg FROM jsh
+          |  QUALIFY count(*) OVER (PARTITION BY jg) BETWEEN 2 AND 10000
+          |),
+          |common AS (
+          |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          |  FROM jcap a JOIN jcap b ON a.jg = b.jg AND a.id < b.id
+          |  GROUP BY a.id, b.id
+          |), j AS (
+          |  SELECT id_a, id_b,
+          |    common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE AS jac,
+          |    common::DOUBLE / sa.sz::DOUBLE AS ca,
+          |    common::DOUBLE / sb.sz::DOUBLE AS cb
+          |  FROM common
+          |  JOIN sizes sa ON sa.id = id_a
+          |  JOIN sizes sb ON sb.id = id_b
+          |), truth AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+          |found AS (SELECT id_a, id_b FROM j WHERE greatest(ca, cb) >= 0.5),
+          |hit AS (SELECT * FROM found INTERSECT SELECT * FROM truth)
           |SELECT
           |  (SELECT count(*) FROM truth) AS n_truth,
           |  (SELECT count(*) FROM found) AS n_found,
@@ -12089,9 +12257,17 @@ object SparkEntry {
           |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh
           |  FROM t
           |), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          |-- stop-shingle cap: postings lists over DefaultMaxBucket
+          |-- (10000) are dropped on the Spark side before pairing, so
+          |-- the oracle must drop them too or the hash match is latent
+          |-- on no shingle ever exceeding the cap.
+          |capped AS (
+          |  SELECT id, sh FROM sh
+          |  QUALIFY count(*) OVER (PARTITION BY sh) BETWEEN 2 AND 10000
+          |),
           |common AS (
           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+          |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.id < b.id
           |  GROUP BY a.id, b.id
           |), j AS (
           |  SELECT id_a, id_b,
@@ -12110,9 +12286,15 @@ object SparkEntry {
           |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh
           |  FROM t
           |), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          |-- same stop-shingle cap parity as dedup_ngram_jaccard: the
+          |-- Spark side drops postings lists over 10000 before pairing.
+          |capped AS (
+          |  SELECT id, sh FROM sh
+          |  QUALIFY count(*) OVER (PARTITION BY sh) BETWEEN 2 AND 10000
+          |),
           |common AS (
           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+          |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.id < b.id
           |  GROUP BY a.id, b.id
           |), j AS (
           |  SELECT id_a, id_b,
@@ -14605,6 +14787,24 @@ object SparkEntry {
           |  CAST(floor(u_trfid * 3) AS BIGINT) AS trf_id,
           |  ts_us * 1000 + 10000 + CAST(floor(u_ttrf * 390000) AS BIGINT) AS trf_timestamp
           |FROM tn ORDER BY day, ts_us""".stripMargin,
+      // op 372: quote count / trade count per (ticker, day), trades
+      // replayed by the same md5 take-coin as the sim_trades oracle.
+      "tick_quote_trade_ratio" ->
+        s"""WITH $QUOTES_CTE, th AS (
+          |  SELECT *, md5('42_' || ticker || '_' || ts_us || '_take') AS h_take
+          |  FROM quotes
+          |), tf AS (
+          |  SELECT * FROM th WHERE ${w8("h_take")} / 4294967296.0 < 0.1
+          |), nq AS (
+          |  SELECT ticker, day, count(*) AS n_quotes FROM quotes GROUP BY 1, 2
+          |), nt AS (
+          |  SELECT ticker, day, count(*) AS n_trades FROM tf GROUP BY 1, 2
+          |)
+          |SELECT ticker, day, n_quotes, n_trades,
+          |  floor(n_quotes::DOUBLE / n_trades::DOUBLE * 1e6 + 0.5) / 1e6
+          |    AS quote_trade_ratio
+          |FROM nq JOIN nt USING (ticker, day)
+          |ORDER BY ticker, day""".stripMargin,
       "sim_trades" ->
         s"""WITH $QUOTES_CTE, th AS (
           |  SELECT *, md5('42_' || ticker || '_' || ts_us || '_take') AS h_take,

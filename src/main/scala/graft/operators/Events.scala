@@ -55,6 +55,31 @@ object Events {
         max(when(col("_q3"), 1).otherwise(0)).as("s3"))
   }
 
+  /** The 4-integer experiment relation BOTH A/B tests build on —
+    * (n_a, conv_a, n_b, conv_b) as a 1-row DataFrame. Variant by md5
+    * coin on the user id (the op-77 determinism convention — both
+    * engines replay the same assignment); conversion = any
+    * `conversionType` event with value >= minValue. Shared so the
+    * difference test ([[abTest]]) and the TOST gate
+    * ([[abEquivalence]]) cannot drift off "the same split". One
+    * user-keyed agg + one 1-row agg.
+    */
+  private def perUserSplit(events: DataFrame, conversionType: String,
+                           minValue: Double): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max((col("event_type") === conversionType &&
+          col("value") >= minValue).cast("int"))
+        .as("conv"))
+    val word = conv(substring(md5(concat(lit("ab_"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val v = perUser.withColumn("va", (word % 2 === 0).cast("int"))
+    v.agg(
+      sum(col("va")).as("n_a"),
+      sum(col("va") * col("conv")).as("conv_a"),
+      sum(lit(1) - col("va")).as("n_b"),
+      sum((lit(1) - col("va")) * col("conv")).as("conv_b"))
+  }
+
   /** Two-proportion A/B conversion test: variant by md5 coin on the
     * user id (the op-77 determinism convention — both engines replay
     * the same assignment), conversion = any `conversionType` event;
@@ -63,18 +88,7 @@ object Events {
     */
   def abTest(events: DataFrame, conversionType: String,
              minValue: Double = 0.0): DataFrame = {
-    val perUser = events.groupBy(col("user_id"))
-      .agg(max((col("event_type") === conversionType &&
-          col("value") >= minValue).cast("int"))
-        .as("conv"))
-    val word = conv(substring(md5(concat(lit("ab_"),
-      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
-    val v = perUser.withColumn("va", (word % 2 === 0).cast("int"))
-    val a = v.agg(
-      sum(col("va")).as("n_a"),
-      sum(col("va") * col("conv")).as("conv_a"),
-      sum(lit(1) - col("va")).as("n_b"),
-      sum((lit(1) - col("va")) * col("conv")).as("conv_b"))
+    val a = perUserSplit(events, conversionType, minValue)
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val pa = col("conv_a") / na; val pb = col("conv_b") / nb
     val pool = (col("conv_a") + col("conv_b")) / (na + nb)
@@ -100,18 +114,7 @@ object Events {
     */
   def abEquivalence(events: DataFrame, conversionType: String,
                     minValue: Double, delta: Double): DataFrame = {
-    val perUser = events.groupBy(col("user_id"))
-      .agg(max((col("event_type") === conversionType &&
-          col("value") >= minValue).cast("int"))
-        .as("conv"))
-    val word = conv(substring(md5(concat(lit("ab_"),
-      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
-    val v = perUser.withColumn("va", (word % 2 === 0).cast("int"))
-    val a = v.agg(
-      sum(col("va")).as("n_a"),
-      sum(col("va") * col("conv")).as("conv_a"),
-      sum(lit(1) - col("va")).as("n_b"),
-      sum((lit(1) - col("va")) * col("conv")).as("conv_b"))
+    val a = perUserSplit(events, conversionType, minValue)
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val pa = col("conv_a") / na; val pb = col("conv_b") / nb
     val se = sqrt(pa * (lit(1.0) - pa) / na + pb * (lit(1.0) - pb) / nb)

@@ -906,8 +906,18 @@ object Stateful {
                 val first = if (st.firstCh != null) st.firstCh else "direct"
                 Some(AttrOut(last, first, e.value))
               } else {
-                st = AttrSt(e.eventType, tsMicros(e.ts),
-                  if (st.firstCh == null) e.eventType else st.firstCh)
+                // µs-grain guard (mirrors asOfEnrich's QuoteState): a
+                // cross-batch late-arriving OLDER touch must not roll
+                // the prevailing last-touch backward — only an
+                // event-time >= advance replaces it. First-touch is
+                // set-once, so late older touches can't corrupt it
+                // either (they were simply never first-seen).
+                val us = tsMicros(e.ts)
+                if (st.lastCh == null || us >= st.lastUs)
+                  st = AttrSt(e.eventType, us,
+                    if (st.firstCh == null) e.eventType else st.firstCh)
+                else if (st.firstCh == null)
+                  st = st.copy(firstCh = e.eventType)
                 None
               }
             }
@@ -1007,6 +1017,12 @@ object Stateful {
     * after each micro-batch; a max per user over the sink reconstructs
     * the final funnel. In-batch rows sort by full-precision event time
     * (tsKey) then event_id; cross-batch continuity rides on the state.
+    * Cross-batch reordering: qualifying times are folded with min(),
+    * so a late-arriving OLDER step event correctly lowers t1/t2;
+    * EXACT batch parity additionally assumes a step-k event is not
+    * delivered before the step-(k−1) event that would qualify it —
+    * an event rejected against a then-too-late threshold is not
+    * revisited (revisiting would need unbounded step-time history).
     */
   // ---------------------------------------------- streaming SCD2
 
@@ -1062,10 +1078,20 @@ object Stateful {
             FunnelState(Long.MaxValue, Long.MaxValue, false))
           it.toArray.sortBy(e => (tsKey(e.ts), e.eventId)).foreach { e =>
             val us = tsMicros(e.ts)
+            // min(), not first-seen: a cross-batch late-arriving
+            // OLDER step event re-derives the EARLIEST qualifying
+            // time instead of freezing the first one seen (under
+            // event-time-ordered arrival the two are identical, so
+            // batch parity is unchanged; under reordering this is
+            // strictly closer to the batch fold). Residual
+            // assumption, documented in the scaladoc: a step-k event
+            // REJECTED before an older step-(k−1) later lowers the
+            // threshold is not revisited — exactness there would
+            // need unbounded per-user step-time history.
             e.step match {
-              case 1 => if (st.t1 == Long.MaxValue) st = st.copy(t1 = us)
-              case 2 => if (us > st.t1 && st.t2 == Long.MaxValue)
-                st = st.copy(t2 = us)
+              case 1 => st = st.copy(t1 = math.min(st.t1, us))
+              case 2 => if (us > st.t1)
+                st = st.copy(t2 = math.min(st.t2, us))
               case 3 => if (us > st.t2) st = st.copy(s3 = true)
               case _ => ()
             }

@@ -21,6 +21,17 @@ class BenchSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
   }
 
+  test("parseQueries reads only the queries object, not nested splits") {
+    val line = """{"metric":"total","value":9.0,"harness_sec":1.2,""" +
+      """"streaming":{"s1":{"setup":0.4,"exec":0.2}},""" +
+      """"setup_split":{"b1":{"setup":2.1,"main":0.9}},""" +
+      """"queries":{"q1":1.25,"q2":0.5},"errors":{},"total_sec":9.0}"""
+    assert(Bench.parseQueries(line) == Map("q1" -> 1.25, "q2" -> 0.5))
+    // the nested setup/exec numbers must NOT leak in as phantom queries
+    assert(!Bench.parseQueries(line).contains("setup"))
+    assert(Bench.parseQueries("no queries here") == Map.empty)
+  }
+
   test("collapse omits a query whose every rep failed") {
     val out = Bench.collapse(Map("ok" -> Seq(0.7), "dead" -> Seq.empty))
     assert(out == Map("ok" -> 0.7))
