@@ -1598,6 +1598,94 @@ object SparkEntry {
           (round(when(det =!= 0.0, detG / det), 6) + lit(0.0)).as("gamma"))
         .orderBy(col("pair_id"))
     }),
+    // Treynor–Mazuy market-timing regression (op 377; Treynor &
+    // Mazuy 1966) — the QUADRATIC timing test beside op 249's
+    // Henriksson–Merton option-payoff form: r_p = α + β·r_m +
+    // γ·r_m², γ > 0 meaning exposure rises with the benchmark (the
+    // convexity a timer's book shows). Same exact 3×3 Cramer
+    // machinery as op 249, with x₂ = ⌊r_m²·1e6 + ½⌋ — the SQUARE
+    // quantized directly (squaring the quantized x₁ would put 4th
+    // powers of this corpus's 1e10-grid returns past DECIMAL(38));
+    // r_m·r_m is one IEEE multiply, identical on both engines. In
+    // these units ŷ/x̂₂ is already γ (both carry the same 1e6), so
+    // no rescale. ONE keyed moment agg after the rn-pair window.
+    "eod_treynor_mazuy" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val p = pairedReturnsVsView(s, dir)
+        .where(col("ra").isNotNull && col("rb").isNotNull)
+        .withColumn("ya", floor(col("ra") * 1e6 + 0.5).cast("long"))
+        .withColumn("x1", floor(col("rb") * 1e6 + 0.5).cast("long"))
+        .withColumn("x2",
+          floor(col("rb") * col("rb") * 1e6 + 0.5).cast("long"))
+      val a = p.groupBy(col("pair_id")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(dec(col("x2"))).as("s2"),
+        sum(col("ya")).as("sy"),
+        sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+        sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+        sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+        sum(dec(col("x1")) * dec(col("ya"))).as("s1y"),
+        sum(dec(col("x2")) * dec(col("ya"))).as("s2y"))
+      def d(c: String) = col(c).cast("double")
+      val nD = d("n")
+      val det = nD * (d("s11") * d("s22") - d("s12") * d("s12")) -
+        d("s1") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+        d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+      val detA = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+        d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
+        d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+      val detB = nD * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+        d("sy") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+        d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+      val detG = nD * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+        d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+        d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+      a.select(col("pair_id"), col("n"),
+          (round(when(det =!= 0.0, detA / det / 1e6), 9) + lit(0.0)).as("alpha"),
+          (round(when(det =!= 0.0, detB / det), 6) + lit(0.0)).as("beta"),
+          (round(when(det =!= 0.0, detG / det), 6) + lit(0.0))
+            .as("gamma"))
+        .orderBy(col("pair_id"))
+    }),
+    // Bias ratio (op 376; Abdulali 2006) — the return-smoothing
+    // forensic: count of returns in [0, +σ] over 1 + count in
+    // [−σ, 0); honest market returns sit near 1, smoothed/marked
+    // books pile just above zero and score ≫ 1. σ comes from the
+    // EXACT integer moments (n·Σq² − (Σq)² over n(n−1) as DECIMAL,
+    // one IEEE sqrt on the same rational → identical double both
+    // engines), then quantizes onto the 1e-6 grid so the band
+    // membership tests are pure integer compares. Two keyed aggs +
+    // one broadcast join of the k-row σ relation.
+    "eod_bias_ratio" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val q = withRet(s, dir).where(col("ret").isNotNull)
+        .select(col("event_type"),
+          floor(col("ret") * 1e6 + 0.5).cast("long").as("qr"))
+      val sig = q.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("qr")).as("sq"),
+          sum(dec(col("qr")) * dec(col("qr"))).as("sq2"))
+        .select(col("event_type"), col("n"),
+          floor(sqrt(greatest(
+            (col("n").cast("double") * col("sq2").cast("double")
+              - col("sq").cast("double") * col("sq").cast("double"))
+              / (col("n").cast("double") * (col("n") - 1).cast("double")),
+            lit(0.0))) + 0.5).cast("long").as("qsig"))
+      q.join(broadcast(sig), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(col("qsig")).as("_qs"),
+          sum(when(col("qr") >= 0L && col("qr") <= col("qsig"), 1L)
+            .otherwise(0L)).as("n_up_band"),
+          sum(when(col("qr") >= -col("qsig") && col("qr") < 0L, 1L)
+            .otherwise(0L)).as("n_dn_band"))
+        .select(col("event_type"), col("n"),
+          (col("_qs").cast("double") / 1e6).as("sigma"),
+          col("n_up_band"), col("n_dn_band"),
+          (floor(col("n_up_band").cast("double")
+            / (lit(1.0) + col("n_dn_band").cast("double")) * 1e6 + 0.5)
+            / 1e6).as("bias_ratio"))
+        .orderBy(col("event_type"))
+    }),
     // Calendar extremes (op 210 — ffn's best_day/worst_day family):
     // best/worst single-tick return plus best/worst calendar-DAY
     // compound return (day eop via max_by(ts), the op-135 kernel;
@@ -4897,6 +4985,120 @@ object SparkEntry {
         |  round(CASE WHEN det0 <> 0.0 THEN detb / det0 END, 6) + 0.0 AS beta,
         |  round(CASE WHEN det0 <> 0.0 THEN detg / det0 END, 6) + 0.0 AS gamma
         |FROM det ORDER BY pair_id""".stripMargin,
+    // op 377: the op-249 Cramer chain with x2 = floor(rb²·1e6 + ½)
+    // (the square quantized directly — see the Spark-side comment).
+    "eod_treynor_mazuy" ->
+      s"""$PAIRED_CTE, qd AS (
+        |  SELECT pair_id,
+        |    CAST(floor(ra * 1e6 + 0.5) AS BIGINT) AS ya,
+        |    CAST(floor(rb * 1e6 + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(rb * rb * 1e6 + 0.5) AS BIGINT) AS x2
+        |  FROM p WHERE ra IS NOT NULL AND rb IS NOT NULL
+        |), a AS (
+        |  SELECT pair_id, count(*) AS n,
+        |    sum(x1) AS s1, sum(CAST(x2 AS DECIMAL(19,0))) AS s2, sum(ya) AS sy,
+        |    sum(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0))) AS s11,
+        |    sum(CAST(x1 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS s12,
+        |    sum(CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS s22,
+        |    sum(CAST(x1 AS DECIMAL(19,0)) * CAST(ya AS DECIMAL(19,0))) AS s1y,
+        |    sum(CAST(x2 AS DECIMAL(19,0)) * CAST(ya AS DECIMAL(19,0))) AS s2y
+        |  FROM qd GROUP BY pair_id
+        |), dd AS (
+        |  SELECT pair_id, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+        |    CAST(s2 AS DOUBLE) AS s2d, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(s11 AS DOUBLE) AS s11d, CAST(s12 AS DOUBLE) AS s12d,
+        |    CAST(s22 AS DOUBLE) AS s22d, CAST(s1y AS DOUBLE) AS s1yd,
+        |    CAST(s2y AS DOUBLE) AS s2yd
+        |  FROM a
+        |), det AS (
+        |  SELECT pair_id, n,
+        |    nd * (s11d * s22d - s12d * s12d) -
+        |      s1d * (s1d * s22d - s12d * s2d) +
+        |      s2d * (s1d * s12d - s11d * s2d) AS det0,
+        |    syd * (s11d * s22d - s12d * s12d) -
+        |      s1d * (s1yd * s22d - s12d * s2yd) +
+        |      s2d * (s1yd * s12d - s11d * s2yd) AS deta,
+        |    nd * (s1yd * s22d - s12d * s2yd) -
+        |      syd * (s1d * s22d - s12d * s2d) +
+        |      s2d * (s1d * s2yd - s1yd * s2d) AS detb,
+        |    nd * (s11d * s2yd - s1yd * s12d) -
+        |      s1d * (s1d * s2yd - s1yd * s2d) +
+        |      syd * (s1d * s12d - s11d * s2d) AS detg
+        |  FROM dd
+        |)
+        |SELECT pair_id, n,
+        |  round(CASE WHEN det0 <> 0.0 THEN deta / det0 / 1e6 END, 9) + 0.0 AS alpha,
+        |  round(CASE WHEN det0 <> 0.0 THEN detb / det0 END, 6) + 0.0 AS beta,
+        |  round(CASE WHEN det0 <> 0.0 THEN detg / det0 END, 6) + 0.0 AS gamma
+        |FROM det ORDER BY pair_id""".stripMargin,
+    // op 376: exact-moment σ quantized onto the grid, then pure
+    // integer band counts — the same algebra as the Spark side.
+    "eod_bias_ratio" ->
+      s"""$R_CTE, q AS (
+        |  SELECT event_type, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS qr
+        |  FROM r WHERE ret IS NOT NULL
+        |), m AS (
+        |  SELECT event_type, count(*) AS n, sum(qr) AS sq,
+        |    sum(CAST(qr AS DECIMAL(38,0)) * CAST(qr AS DECIMAL(38,0))) AS sq2
+        |  FROM q GROUP BY event_type
+        |), sig AS (
+        |  SELECT event_type, n,
+        |    CAST(floor(sqrt(greatest(
+        |      (CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+        |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)),
+        |      0.0)) + 0.5) AS BIGINT) AS qsig
+        |  FROM m
+        |)
+        |SELECT q.event_type, max(sig.n) AS n,
+        |  max(qsig)::DOUBLE / 1e6 AS sigma,
+        |  CAST(sum(CASE WHEN qr >= 0 AND qr <= qsig THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_up_band,
+        |  CAST(sum(CASE WHEN qr >= -qsig AND qr < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dn_band,
+        |  floor(sum(CASE WHEN qr >= 0 AND qr <= qsig THEN 1 ELSE 0 END)::DOUBLE
+        |    / (1.0 + sum(CASE WHEN qr >= -qsig AND qr < 0 THEN 1 ELSE 0 END)::DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS bias_ratio
+        |FROM q JOIN sig USING (event_type)
+        |GROUP BY q.event_type ORDER BY q.event_type""".stripMargin,
+    // op 386: the op-284 replay order (event_id, value>0), sign
+    // islands via the standard double-row_number trick, running
+    // maxima over the island-position prefix.
+    "streaming_streaks" ->
+      """WITH r AS (
+        |  SELECT event_type AS symbol, event_id,
+        |    value / lag(value) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      - 1 AS ret
+        |  FROM events WHERE value > 0
+        |), q AS (
+        |  SELECT symbol, event_id,
+        |    CASE WHEN floor(ret * 1000000.0 + 0.5) > 0 THEN 1
+        |         WHEN floor(ret * 1000000.0 + 0.5) < 0 THEN -1
+        |         ELSE 0 END AS sgn
+        |  FROM r WHERE ret IS NOT NULL
+        |), i AS (
+        |  SELECT symbol, event_id, sgn,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY event_id)
+        |      - row_number() OVER (PARTITION BY symbol, sgn ORDER BY event_id)
+        |      AS grp
+        |  FROM q
+        |), l AS (
+        |  SELECT symbol, event_id, sgn,
+        |    CAST(row_number() OVER (PARTITION BY symbol, sgn, grp
+        |                            ORDER BY event_id) AS BIGINT) AS len
+        |  FROM i
+        |)
+        |SELECT symbol,
+        |  CAST(1712928600000000 + event_id * 1000 AS BIGINT) AS ts_us,
+        |  CAST(sgn AS BIGINT) AS sgn, len,
+        |  CAST(coalesce(max(CASE WHEN sgn = 1 THEN len END) OVER w, 0)
+        |    AS BIGINT) AS max_win_streak,
+        |  CAST(coalesce(max(CASE WHEN sgn = -1 THEN len END) OVER w, 0)
+        |    AS BIGINT) AS max_loss_streak
+        |FROM l WINDOW w AS (PARTITION BY symbol ORDER BY event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY symbol, ts_us""".stripMargin,
     // op 210: min/max only; the day leg replays the op-135 arg_max
     // day-eop kernel.
     "eod_extremes" ->
@@ -7157,6 +7359,16 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // Range search (op 384): ALL bucket-mates with cosine ≥ 0.25 —
+    // the "everything this similar" API next to top-k, same LSH
+    // candidate generator (and oracle chain) as ann_topk_lsh.
+    "ann_range_search" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.lshRangeSearch(
+          e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+          "vec_id", "embedding", 0.25, EmbDim)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
     // kNN graph over the whole corpus (op 150): the SemDeDup /
     // SSL-prototype / hard-negative precursor — every vector's top-3
     // cosine neighbors among candidates sharing ANY of its 2 LSH
@@ -7995,6 +8207,33 @@ object SparkEntry {
     // text ≈ −1; templated/spam corpora flatten or steepen). One token
     // explode + one (source, tok) agg + a per-source window rank +
     // regr_slope: every stage keyed, nothing single-partition.
+    // Term burstiness (op 382; Church & Gale 1995): contagious terms
+    // (names, topics) concentrate in few docs — variance-to-mean
+    // ratio of per-doc counts WITH zeros ≫ 1 — while function words
+    // sit Poisson-flat near 1. VMR over all N docs from exact
+    // integers only: (N·Σc² − (Σc)²)/(N·Σc); the containing-doc mean
+    // Σc/df likewise. Token explode → two keyed aggs (both map-side
+    // combinable) + a 1-row broadcast; the report is
+    // TakeOrderedAndProject's top-50 by burden (no global sort at
+    // scale).
+    "text_term_burstiness" -> ((s, dir) => {
+      val tc = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val per = tc.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+          sum(col("c") * col("c")).as("c2"))
+      val nd = tbl(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      per.where(col("df") >= 5).crossJoin(broadcast(nd))
+        .select(col("term"), col("df"), col("total"),
+          (floor(col("total").cast("double") / col("df").cast("double")
+            * 1e6 + 0.5) / 1e6).as("mean_per_doc"),
+          (floor((col("nd").cast("double") * col("c2").cast("double")
+            - col("total").cast("double") * col("total").cast("double"))
+            / (col("nd").cast("double") * col("total").cast("double"))
+            * 1e6 + 0.5) / 1e6).as("vmr"))
+        .orderBy(col("total").desc, col("term")).limit(50)
+    }),
     "text_zipf" -> ((s, dir) => {
       val freq = tbl(s, dir, "documents")
         .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
@@ -8282,6 +8521,162 @@ object SparkEntry {
       val f = (ssb / (kD - 1.0)) / (ssw / (nD - kD))
       a.select(col("k"), col("n"), round(f, 6).as("f_stat"),
         when(round(f, 6) > 2.3719, 1L).otherwise(0L).as("reject_95"))
+    }),
+    // Bartlett's variance-homogeneity test (op 380; Bartlett 1937) —
+    // the parametric sibling of op 310's Levene/Brown–Forsythe: k
+    // group variances from EXACT integer moments on the 1e-6 grid
+    // (n·Σq² − (Σq)² over n(n−1), DECIMAL-exact rationals → one
+    // identical double per group), then χ² = ((N−k)·ln s_p² −
+    // Σ(nᵢ−1)·ln sᵢ²)/C. The common 1e-12 grid scale cancels inside
+    // the ln difference, so the statistic is scale-free. One keyed
+    // agg + one k-row agg; ln on identically-derived doubles (the
+    // op-155/op-83 log-parity precedent).
+    "stats_bartlett" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val g = withRet(s, dir).where(col("ret").isNotNull)
+        .select(col("event_type"),
+          floor(col("ret") * 1e6 + 0.5).cast("long").as("qr"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("qr")).as("sq"),
+          sum(dec(col("qr")) * dec(col("qr"))).as("sq2"))
+        .select(col("n"),
+          ((col("n").cast("double") * col("sq2").cast("double")
+            - col("sq").cast("double") * col("sq").cast("double"))
+            / (col("n").cast("double") * (col("n") - 1).cast("double")))
+            .as("s2"))
+      val a = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum((col("n") - 1).cast("double") * col("s2")).as("pool_num"),
+        sum((col("n") - 1).cast("double") * log(col("s2"))).as("sum_ln"),
+        sum(lit(1.0) / (col("n") - 1).cast("double")).as("sum_inv"))
+      val kD = col("k").cast("double"); val nmk =
+        col("n_total").cast("double") - kD
+      val sp2 = col("pool_num") / nmk
+      val c = lit(1.0) + (col("sum_inv") - lit(1.0) / nmk) /
+        (lit(3.0) * (kD - 1.0))
+      val chi2 = (nmk * log(sp2) - col("sum_ln")) / c
+      // 9.487729 = χ²₀.₉₅(4) — this corpus's five series ⇒ df=4.
+      a.select(col("k"), col("n_total"), (col("k") - 1).as("df"),
+        round(chi2, 6).as("chi2"),
+        when(round(chi2, 6) > 9.487729, 1L).otherwise(0L).as("reject_95"))
+    }),
+    // Grubbs' max-studentized-deviate outlier test (op 378; Grubbs
+    // 1950) per series: G = max|x−x̄|/s from EXACT integer algebra —
+    // the per-row deviation |n·q − Σq| is an exact integer, its max
+    // an exact integer, and G = maxDev/(n·σ) divides two
+    // identically-derived doubles. The equivalent t-statistic τ =
+    // √(n(n−2)G²/((n−1)²−nG²)) (the textbook monotone map to a
+    // t_{n−2} tail; the CDF evaluation itself stays native-kernel +
+    // spec territory, the op-19 convention). Two keyed aggs + one
+    // broadcast join.
+    "stats_grubbs" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val q = withRet(s, dir).where(col("ret").isNotNull)
+        .select(col("event_type"),
+          floor(col("ret") * 1e6 + 0.5).cast("long").as("qr"))
+      val m = q.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("qr")).as("sq"),
+          sum(dec(col("qr")) * dec(col("qr"))).as("sq2"))
+        .select(col("event_type"), col("n"), col("sq"),
+          sqrt(greatest(
+            (col("n").cast("double") * col("sq2").cast("double")
+              - col("sq").cast("double") * col("sq").cast("double"))
+              / (col("n").cast("double") * (col("n") - 1).cast("double")),
+            lit(0.0))).as("sigq"))
+      val dev = abs(col("n") * col("qr") - col("sq"))
+      val g = q.join(broadcast(m), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("sigq")).as("_sig"),
+          max(dev).as("_maxdev"))
+        .select(col("event_type"), col("n"),
+          (col("_maxdev").cast("double")
+            / (col("n").cast("double") * col("_sig"))).as("g0"),
+          (col("n") - 2).cast("long").as("df"))
+      val n2 = col("n").cast("double")
+      val gg = col("g0") * col("g0")
+      val denom = (n2 - 1.0) * (n2 - 1.0) - n2 * gg
+      val tau = when(denom > 0.0,
+        sqrt(n2 * (n2 - 2.0) * gg / denom))
+      g.select(col("event_type"), col("n"), col("df"),
+          round(col("g0"), 6).as("g_stat"),
+          round(tau, 6).as("tau"))
+        .orderBy(col("event_type"))
+    }),
+    // Theil–Sen robust trend (op 379; Theil 1950 / Sen 1968) — the
+    // slope ESTIMATOR companion of op 260's Mann-Kendall direction
+    // test: median of all pairwise slopes of the per-day mean value
+    // by series. The pairwise expansion runs on the (series × day)
+    // GRID (driver-sized — this corpus's 30 days ⇒ ≤435 pairs per
+    // series), never on raw events: one keyed agg to daily means,
+    // one grid self-join, one exact-percentile agg. Daily means are
+    // exact-rational doubles (Σq/ n), slopes identical IEEE algebra,
+    // and percentile interpolates VALUES (order-free) so the median
+    // is engine-exact.
+    "stats_theil_sen" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          // floor of a double quotient, NOT an integral cast: double
+          // division + floor is the identical IEEE op pair on both
+          // engines (a long cast truncates in Spark, floors in //).
+          floor(unix_micros(col("ts")).cast("double") / 86400000000.0)
+            .cast("long").as("d"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+        .groupBy(col("event_type"), col("d"))
+        .agg((sum(col("qv")).cast("double") / count(lit(1)) / 1e6).as("m"))
+      val a = daily.select(col("event_type"), col("d").as("di"),
+        col("m").as("mi"))
+      val b = daily.select(col("event_type"), col("d").as("dj"),
+        col("m").as("mj"))
+      a.join(b, Seq("event_type")).where(col("di") < col("dj"))
+        .select(col("event_type"),
+          ((col("mj") - col("mi"))
+            / (col("dj") - col("di")).cast("double")).as("slope"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(graft.functions.Stats.quantile(col("slope"), 0.5), 6)
+            .as("ts_slope"))
+        .orderBy(col("event_type"))
+    }),
+    // Mood's median test (op 387; Mood 1950) — the coarsest, most
+    // outlier-proof k-sample location test (sits under op 297's
+    // Kruskal in power, above it in robustness): counts above vs ≤
+    // the GRAND median per series, 2×k chi-square on exact integer
+    // counts against row/column-proportional expecteds. The grand
+    // median interpolates the pooled quantized grid (value-based —
+    // order-free); one global 1-row agg broadcast + one keyed agg +
+    // one k-row agg.
+    "stats_mood_median" -> ((s, dir) => {
+      val q = withRet(s, dir).where(col("ret").isNotNull)
+        .select(col("event_type"),
+          floor(col("ret") * 1e6 + 0.5).cast("long").as("qr"))
+      val med = q.agg(
+        graft.functions.Stats.quantile(col("qr"), 0.5).as("gm"))
+      val per = q.crossJoin(broadcast(med))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("qr").cast("double") > col("gm"), 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("qr").cast("double") <= col("gm"), 1L)
+            .otherwise(0L)).as("b"),
+          max(col("gm")).as("gm"))
+      val t = per.agg(count(lit(1)).as("k"),
+        sum(col("a") + col("b")).as("n"),
+        sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+        max(col("gm")).as("gm"),
+        sum(
+          (col("a").cast("double") * col("a").cast("double"))
+            / (col("a") + col("b")).cast("double")).as("saa"),
+        sum(
+          (col("b").cast("double") * col("b").cast("double"))
+            / (col("a") + col("b")).cast("double")).as("sbb"))
+      // χ² for an I×J table via the Σ O²/E − N identity: N·(Σa²/nᵢ)/A
+      // + N·(Σb²/nᵢ)/B − N — one pass, no per-cell expected join.
+      val nD = col("n").cast("double")
+      val chi2 = nD * col("saa") / col("ta").cast("double") +
+        nD * col("sbb") / col("tb").cast("double") - nD
+      // 9.487729 = χ²₀.₉₅(4) — five series ⇒ df=4 on this corpus.
+      t.select(col("k"), col("n"), (col("k") - 1).as("df"),
+        round(col("gm") / 1e6, 6).as("grand_median"),
+        round(chi2, 6).as("chi2"),
+        when(round(chi2, 6) > 9.487729, 1L).otherwise(0L).as("reject_95"))
     }),
     // Kruskal–Wallis rank ANOVA (op 297; Kruskal/Wallis 1952): the
     // rank-based sibling of op 290 — does ANY series' return
@@ -8897,6 +9292,23 @@ object SparkEntry {
       graft.operators.Events.abEquivalence(events(s, dir), "purchase",
         minValue = 150.0, delta = 0.05)),
 
+    // op 373: the SRM gate on the SAME md5 split both A/B readouts
+    // use — the assignment-integrity check that runs before either.
+    "events_srm" -> ((s, dir) =>
+      graft.operators.Events.srmCheck(events(s, dir), "purchase",
+        minValue = 150.0)),
+
+    // op 374: CUPED variance-reduced readout — pre-period per-user
+    // value as the covariate, split at the global time midpoint.
+    "events_cuped" -> ((s, dir) =>
+      graft.operators.Events.cuped(events(s, dir))),
+
+    // op 375: L28-style activity histogram with casual/core/power
+    // tiers.
+    "events_power_users" -> ((s, dir) =>
+      graft.operators.Events.powerUsers(events(s, dir))
+        .orderBy(col("active_days"))),
+
     "events_retention" -> ((s, dir) =>
       graft.operators.Events.retention(events(s, dir), "signup")
         .select(col("cohort_us"), col("week_offset"), col("n_active"),
@@ -9384,6 +9796,28 @@ object SparkEntry {
               col("cusumNeg").as("cusum_neg"),
               when(col("cusumPos") > 20000L || col("cusumNeg") > 20000L, 1L)
                 .otherwise(0L).as("breach"))
+        }.orderBy(col("symbol"), col("ts_us"))
+      }
+    }),
+    // Streaming win/loss streaks (op 386, the op-212 live twin):
+    // per-symbol current-streak state on the same value>0-guarded
+    // quantized-return replay as streaming_cusum; sign recursion is
+    // transcendental-free so the batch oracle replays it with the
+    // standard island prefix windows.
+    "streaming_streaks" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) {
+        streamReplay(s, dir, "events", "sstreaks") { src =>
+          val ticks = src.where(col("value") > 0)
+            .select(col("event_type").as("symbol"),
+              replayTs(col("event_id")).as("ts"),
+              col("value").cast("double").as("price"))
+            .as[graft.streaming.Stateful.RiskTick]
+          graft.streaming.Stateful.streaksStream(ticks).toDF
+            .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
+              col("sgn").cast("long").as("sgn"), col("len"),
+              col("maxWin").as("max_win_streak"),
+              col("maxLoss").as("max_loss_streak"))
         }.orderBy(col("symbol"), col("ts_us"))
       }
     }),
@@ -10042,6 +10476,40 @@ object SparkEntry {
           "doc_id", "image")
         .select(col("doc_id"), col("width"), col("height"),
           round(col("mean_px"), 6).as("mean_px"))),
+    // Perceptual-hash near-dup over the media column (op 385): dHash
+    // fingerprints (Krawetz's 8×8 gradient hash) from the REAL
+    // decoded rasters, then the dedup family's band-blocked pairing —
+    // 4×16-bit bands, a pair is a candidate if ANY band matches,
+    // kept if total Hamming ≤ 10. The image twin of dedup_simhash:
+    // candidates shuffle on (band, value), never all-pairs; identical
+    // payloads (the planted exact dups) meet in every band at
+    // Hamming 0. The decode is the mapPartitions media kernel; all
+    // hashing/pairing is integer Column algebra.
+    "mm_phash_dedup" -> ((s, dir) => {
+      val hb = Multimodal.dHashBands(
+        Multimodal.withSyntheticPng(docCorpus(s, dir), "doc_id", "text"),
+        "doc_id", "image")
+      val bandCols = array(col("h0"), col("h1"), col("h2"), col("h3"))
+      val keyed = hb.select(col("doc_id"), posexplode(bandCols)
+        .as(Seq("band", "bv")))
+      val cand = keyed.as("a").join(keyed.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val ha = hb.select(col("doc_id").as("id_a"), col("h0").as("a0"),
+        col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"))
+      val hbb = hb.select(col("doc_id").as("id_b"), col("h0").as("b0"),
+        col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3"))
+      val ham = bit_count(col("a0").bitwiseXOR(col("b0"))) +
+        bit_count(col("a1").bitwiseXOR(col("b1"))) +
+        bit_count(col("a2").bitwiseXOR(col("b2"))) +
+        bit_count(col("a3").bitwiseXOR(col("b3")))
+      cand.join(ha, "id_a").join(hbb, "id_b")
+        .select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
+        .where(col("hamming") <= 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
       Multimodal.resizeBilinear(
@@ -10106,6 +10574,30 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("lm_xent"),
           col("n_tokens").cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))),
+    // CCNet-style perplexity buckets (op 383; Wenzek et al. 2020):
+    // per-language head/middle/tail TERCILES of the op-83 unigram
+    // cross-entropy — the quality-stratified split CCNet feeds
+    // downstream (head = cleanest third). ntile(3) over the
+    // (quantized xent, doc_id) order is engine-exact; per-bucket
+    // token mass is what the mixture planner actually budgets on.
+    "corpus_ppl_buckets" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val lm = Corpus.lmScore(d, "doc_id", "text")
+      val wB = Window.partitionBy(col("lang"))
+        .orderBy(col("lm_xent"), col("id"))
+      lm.join(d.select(col("doc_id").as("id"), col("lang")), "id")
+        .withColumn("b", ntile(3).over(wB))
+        .groupBy(col("lang"), col("b"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          (floor(sum(floor(col("lm_xent") * 1e6 + 0.5)).cast("double")
+            / count(lit(1)) + 0.5) / 1e6).as("mean_xent"))
+        .select(col("lang"),
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          col("n_docs"), col("n_tokens"), col("mean_xent"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
     "dedup_chunks" -> ((s, dir) =>
       Corpus.chunkDedup(tbl(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_chunks"),
@@ -11014,6 +11506,40 @@ object SparkEntry {
           (col("mn").cast("double") / 1e6).as("min_norm"),
           (col("mx").cast("double") / 1e6).as("max_norm"))
         .orderBy(col("label"))
+    }),
+    // Isotropy diagnostics (op 381; Mu & Viswanath 2018's
+    // "all-but-the-top" premise): how far the embedding cloud leans
+    // on a common direction. mean pairwise cosine over ALL n(n−1)
+    // ordered pairs computed WITHOUT any pair join via the sum-vector
+    // identity Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σv̂‖² − Σ‖v̂‖²: components
+    // quantize to 1e-6 longs, per-dimension sums and their squares
+    // are DECIMAL-exact, so the statistic is an exact rational. One
+    // posexplode + one dim-keyed agg + two 1-row aggs — linear in
+    // n·dim at any corpus size (the 100 TB shape: no pair
+    // materialization ever).
+    "embed_isotropy" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val e = tbl(s, dir, "embeddings")
+        .select(col("embedding").cast("array<double>").as("v"))
+        .withColumn("nm", Similarity.normNative(col("v")))
+        .where(col("nm") > 0)
+      val comps = e.select(col("nm"), posexplode(col("v")).as(Seq("pos", "c")))
+        .select(col("pos"),
+          floor(col("c") / col("nm") * 1e6 + 0.5).cast("long").as("qc"))
+      val byPos = comps.groupBy(col("pos"))
+        .agg(sum(col("qc")).as("sq"),
+          sum(dec(col("qc")) * dec(col("qc"))).as("sq2"))
+      val tot = byPos.agg(count(lit(1)).as("dim"),
+        sum(dec(col("sq")) * dec(col("sq"))).as("s2"),
+        sum(col("sq2")).as("selfsq"))
+      val nRel = e.agg(count(lit(1)).as("n"))
+      val nD = col("n").cast("double")
+      tot.crossJoin(broadcast(nRel))
+        .select(col("n"), col("dim"),
+          round((col("s2").cast("double") - col("selfsq").cast("double"))
+            / 1e12 / (nD * (nD - 1.0)), 6).as("mean_pairwise_cosine"),
+          round(sqrt(col("s2").cast("double")) / 1e6 / nD, 6)
+            .as("mean_vector_norm"))
     }),
     "embed_pair_sim" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -12805,6 +13331,29 @@ object SparkEntry {
           |  round(corr(ln(cnt), ln(rnk)), 6) + 0.0 AS zipf_r,
           |  count(*) AS n_types
           |FROM r WHERE rnk <= 30 GROUP BY source ORDER BY source""".stripMargin,
+      // op 382: identical integer VMR algebra, the same top-50 by
+      // (total desc, term) cut.
+      "text_term_burstiness" ->
+        """WITH tk AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          |  FROM documents
+          |), tc AS (
+          |  SELECT doc_id, term, count(*) AS c FROM tk GROUP BY doc_id, term
+          |), per AS (
+          |  SELECT term, count(*) AS df, CAST(sum(c) AS BIGINT) AS total,
+          |    CAST(sum(c * c) AS BIGINT) AS c2
+          |  FROM tc GROUP BY term
+          |), nd AS (SELECT count(*) AS nd FROM documents)
+          |SELECT term, df, total,
+          |  floor(CAST(total AS DOUBLE) / CAST(df AS DOUBLE) * 1e6 + 0.5)
+          |    / 1e6 AS mean_per_doc,
+          |  floor((CAST(nd AS DOUBLE) * CAST(c2 AS DOUBLE)
+          |    - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+          |    / (CAST(nd AS DOUBLE) * CAST(total AS DOUBLE)) * 1e6 + 0.5)
+          |    / 1e6 AS vmr
+          |FROM per CROSS JOIN nd
+          |WHERE df >= 5
+          |ORDER BY total DESC, term LIMIT 50""".stripMargin,
       "text_top_ngrams" ->
         """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           |g AS (
@@ -12885,6 +13434,129 @@ object SparkEntry {
           |        ((tq - sb) / (CAST(n AS DOUBLE) - k)), 6) > 2.3719
           |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
           |FROM a""".stripMargin,
+      // op 380: identical exact-moment group variances, the same ln
+      // composition and Bartlett C correction.
+      "stats_bartlett" ->
+        s"""$R_CTE, q AS (
+          |  SELECT event_type, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS qr
+          |  FROM r WHERE ret IS NOT NULL
+          |), g AS (
+          |  SELECT count(*) AS n,
+          |    (CAST(count(*) AS DOUBLE) *
+          |       CAST(sum(CAST(qr AS DECIMAL(38,0)) * CAST(qr AS DECIMAL(38,0))) AS DOUBLE)
+          |     - CAST(sum(qr) AS DOUBLE) * CAST(sum(qr) AS DOUBLE))
+          |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)) AS s2
+          |  FROM q GROUP BY event_type
+          |), a AS (
+          |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+          |    sum(CAST(n - 1 AS DOUBLE) * s2) AS pool_num,
+          |    sum(CAST(n - 1 AS DOUBLE) * ln(s2)) AS sum_ln,
+          |    sum(1.0 / CAST(n - 1 AS DOUBLE)) AS sum_inv
+          |  FROM g
+          |), t AS (
+          |  SELECT k, n_total,
+          |    ((CAST(n_total AS DOUBLE) - k) * ln(pool_num / (CAST(n_total AS DOUBLE) - k))
+          |      - sum_ln)
+          |    / (1.0 + (sum_inv - 1.0 / (CAST(n_total AS DOUBLE) - k))
+          |              / (3.0 * (CAST(k AS DOUBLE) - 1.0))) AS chi2
+          |  FROM a
+          |)
+          |SELECT k, n_total, CAST(k - 1 AS BIGINT) AS df,
+          |  round(chi2, 6) AS chi2,
+          |  CAST(CASE WHEN round(chi2, 6) > 9.487729 THEN 1 ELSE 0 END
+          |    AS BIGINT) AS reject_95
+          |FROM t""".stripMargin,
+      // op 378: the same integer max-deviation and exact-moment σ,
+      // the same monotone G→τ map.
+      "stats_grubbs" ->
+        s"""$R_CTE, q AS (
+          |  SELECT event_type, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS qr
+          |  FROM r WHERE ret IS NOT NULL
+          |), m AS (
+          |  SELECT event_type, count(*) AS n, CAST(sum(qr) AS BIGINT) AS sq,
+          |    sqrt(greatest(
+          |      (CAST(count(*) AS DOUBLE) *
+          |         CAST(sum(CAST(qr AS DECIMAL(38,0)) * CAST(qr AS DECIMAL(38,0))) AS DOUBLE)
+          |       - CAST(sum(qr) AS DOUBLE) * CAST(sum(qr) AS DOUBLE))
+          |      / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)),
+          |      0.0)) AS sigq
+          |  FROM q GROUP BY event_type
+          |), g AS (
+          |  SELECT q.event_type, max(m.n) AS n, max(m.sigq) AS sig,
+          |    max(abs(m.n * qr - sq)) AS maxdev
+          |  FROM q JOIN m ON q.event_type = m.event_type
+          |  GROUP BY q.event_type
+          |), t AS (
+          |  SELECT event_type, n, CAST(n - 2 AS BIGINT) AS df,
+          |    CAST(maxdev AS DOUBLE) / (CAST(n AS DOUBLE) * sig) AS g0
+          |  FROM g
+          |)
+          |SELECT event_type, n, df,
+          |  round(g0, 6) AS g_stat,
+          |  round(CASE WHEN (CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 1.0)
+          |      - CAST(n AS DOUBLE) * g0 * g0 > 0
+          |    THEN sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 2.0) * g0 * g0
+          |      / ((CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 1.0)
+          |         - CAST(n AS DOUBLE) * g0 * g0)) END, 6) AS tau
+          |FROM t ORDER BY event_type""".stripMargin,
+      // op 379: the same daily-mean grid, pairwise slopes, exact
+      // interpolating median (values, not order).
+      "stats_theil_sen" ->
+        """WITH daily AS (
+          |  SELECT event_type,
+          |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          |      AS BIGINT) AS d,
+          |    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+          |      / count(*) / 1e6 AS m
+          |  FROM events
+          |  GROUP BY event_type,
+          |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT)
+          |), s AS (
+          |  SELECT a.event_type,
+          |    (b.m - a.m) / CAST(b.d - a.d AS DOUBLE) AS slope
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type AND a.d < b.d
+          |)
+          |SELECT event_type, count(*) AS n_pairs,
+          |  round(quantile_cont(slope, 0.5), 6) AS ts_slope
+          |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // op 387: grand interpolated median, 2×k counts, the Σ O²/E − N
+      // identity.
+      "stats_mood_median" ->
+        s"""$R_CTE, q AS (
+          |  SELECT event_type, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS qr
+          |  FROM r WHERE ret IS NOT NULL
+          |), med AS (SELECT quantile_cont(qr, 0.5) AS gm FROM q),
+          |per AS (
+          |  SELECT event_type,
+          |    CAST(sum(CASE WHEN CAST(qr AS DOUBLE) > gm THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS a,
+          |    CAST(sum(CASE WHEN CAST(qr AS DOUBLE) <= gm THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS b,
+          |    max(gm) AS gm
+          |  FROM q CROSS JOIN med GROUP BY event_type
+          |), t AS (
+          |  SELECT count(*) AS k, CAST(sum(a + b) AS BIGINT) AS n,
+          |    CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+          |    max(gm) AS gm,
+          |    sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+          |        / CAST(a + b AS DOUBLE)) AS saa,
+          |    sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+          |        / CAST(a + b AS DOUBLE)) AS sbb
+          |  FROM per
+          |), f AS (
+          |  SELECT k, n, gm,
+          |    CAST(n AS DOUBLE) * saa / CAST(ta AS DOUBLE)
+          |      + CAST(n AS DOUBLE) * sbb / CAST(tb AS DOUBLE)
+          |      - CAST(n AS DOUBLE) AS chi2
+          |  FROM t
+          |)
+          |SELECT k, n, CAST(k - 1 AS BIGINT) AS df,
+          |  round(gm / 1e6, 6) AS grand_median,
+          |  round(chi2, 6) AS chi2,
+          |  CAST(CASE WHEN round(chi2, 6) > 9.487729 THEN 1 ELSE 0 END
+          |    AS BIGINT) AS reject_95
+          |FROM f""".stripMargin,
       // op 297: global-window midranks on the same integer grid (the
       // oracle may rank globally; the Spark side two-levels it), the
       // identical H and tie-correction algebra.
@@ -13809,6 +14481,107 @@ object SparkEntry {
           |  CAST(CASE WHEN least(round(zlo, 6), round(zhi, 6)) > 1.645
           |    THEN 1 ELSE 0 END AS BIGINT) AS equivalent_95
           |FROM t""".stripMargin,
+      // op 373: the same md5 split; χ² via the (na−nb)²/(na+nb)
+      // closed form for equal expecteds.
+      "events_srm" ->
+        s"""WITH u AS (
+          |  SELECT user_id,
+          |    max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+          |        THEN 1 ELSE 0 END) AS conv
+          |  FROM events GROUP BY user_id
+          |), h AS (
+          |  SELECT conv, md5('ab_' || CAST(user_id AS VARCHAR)) AS hx FROM u
+          |), v AS (
+          |  SELECT CASE WHEN ${w8("hx")} % 2 = 0 THEN 1 ELSE 0 END AS va
+          |  FROM h
+          |), a AS (
+          |  SELECT CAST(sum(va) AS BIGINT) AS n_a,
+          |    CAST(sum(1 - va) AS BIGINT) AS n_b
+          |  FROM v
+          |)
+          |SELECT n_a, n_b,
+          |  round((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+          |    * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+          |    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)), 6) AS chi2,
+          |  CAST(CASE WHEN round((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+          |    * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+          |    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)), 6) > 3.841459
+          |    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+          |FROM a""".stripMargin,
+      // op 374: identical quantized pre/post sums, DECIMAL moments,
+      // the same double algebra for θ and the adjusted means.
+      "events_cuped" ->
+        s"""WITH b AS (
+          |  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0)
+          |    AS BIGINT) AS mid_us
+          |  FROM events
+          |), u AS (
+          |  SELECT user_id,
+          |    sum(CASE WHEN epoch_us(ts) < mid_us
+          |      THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+          |    sum(CASE WHEN epoch_us(ts) >= mid_us
+          |      THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS y
+          |  FROM events CROSS JOIN b GROUP BY user_id
+          |), v AS (
+          |  SELECT x, y,
+          |    CASE WHEN ${w8("md5('ab_' || CAST(user_id AS VARCHAR))")} % 2 = 0
+          |      THEN 1 ELSE 0 END AS va
+          |  FROM u
+          |), m AS (
+          |  SELECT count(*) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+          |    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+          |    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
+          |    CAST(sum(va) AS BIGINT) AS n_a,
+          |    CAST(sum(CASE WHEN va = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+          |    CAST(sum(CASE WHEN va = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+          |    CAST(sum(1 - va) AS BIGINT) AS n_b,
+          |    CAST(sum(CASE WHEN va = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+          |    CAST(sum(CASE WHEN va = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+          |  FROM v
+          |), d AS (
+          |  SELECT n, n_a, n_b,
+          |    CAST(n AS DOUBLE) AS nd,
+          |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covnum,
+          |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxnum,
+          |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varynum,
+          |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS xbar,
+          |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e6 AS ya,
+          |    CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e6 AS yb,
+          |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e6 AS xa,
+          |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e6 AS xb
+          |  FROM m
+          |), t AS (
+          |  SELECT *,
+          |    CASE WHEN varxnum > 0 THEN covnum / varxnum END AS theta,
+          |    CASE WHEN varxnum > 0 AND varynum > 0
+          |      THEN covnum * covnum / (varxnum * varynum) END AS rho2
+          |  FROM d
+          |)
+          |SELECT n, n_a, n_b,
+          |  round(theta, 6) AS theta,
+          |  round(ya - yb, 6) AS diff_raw,
+          |  round((ya - theta * (xa - xbar)) - (yb - theta * (xb - xbar)), 6)
+          |    + 0.0 AS diff_cuped,
+          |  round(rho2, 6) AS var_reduction
+          |FROM t""".stripMargin,
+      // op 375: distinct active days per user, histogram + tier.
+      "events_power_users" ->
+        """WITH d AS (
+          |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+          |), u AS (
+          |  SELECT user_id, count(*) AS active_days FROM d GROUP BY user_id
+          |)
+          |SELECT active_days,
+          |  CASE WHEN active_days >= 20 THEN 'power'
+          |       WHEN active_days >= 8 THEN 'core'
+          |       ELSE 'casual' END AS tier,
+          |  count(*) AS n_users
+          |FROM u GROUP BY active_days ORDER BY active_days""".stripMargin,
       // op 351: same cohort/week algebra as op 331, decimal revenue,
       // cumulative window over the report relation, q6 floors.
       "events_cohort_ltv" ->
@@ -14370,6 +15143,61 @@ object SparkEntry {
           |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
           |  round(sum(p)::DOUBLE / (w * h), 6) AS mean_px
           |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+      // op 385: the mm_decode pixel replay (the PNG is the md5 grid)
+      // → 9×8 nearest-sample dHash bits → 4×16-bit bands → the same
+      // band-blocked candidate join and Hamming ≤ 10 cut.
+      "mm_phash_dedup" ->
+        s"""WITH $CORPUS_CTE, bh AS (
+          |  SELECT doc_id, md5(text) AS hx FROM corpus
+          |), d AS (
+          |  SELECT doc_id, list_transform(range(0, 16), i ->
+          |    (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
+          |    + strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1) AS bytes
+          |  FROM bh
+          |), dim AS (
+          |  SELECT doc_id, 1 + bytes[1] % 64 AS w, 1 + bytes[2] % 64 AS h, bytes
+          |  FROM d
+          |), g AS (
+          |  SELECT doc_id, i.range AS i, j.range AS j,
+          |    bytes[(((i.range * w) // 9 + (j.range * h) // 8) % 16) + 1] AS p
+          |  FROM dim CROSS JOIN range(0, 9) i CROSS JOIN range(0, 8) j
+          |), bits AS (
+          |  SELECT a.doc_id, a.j * 8 + a.i AS k
+          |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.j = a.j
+          |    AND n.i = a.i + 1
+          |  WHERE a.i < 8 AND n.p > a.p
+          |), bitvals AS (
+          |  SELECT doc_id, k // 16 AS band,
+          |    CAST(pow(2, k % 16) AS BIGINT) AS v
+          |  FROM bits
+          |), bands0 AS (
+          |  SELECT dim.doc_id, r.range AS band FROM dim CROSS JOIN range(0, 4) r
+          |), bands AS (
+          |  SELECT bands0.doc_id, bands0.band,
+          |    COALESCE(CAST(sum(v) AS BIGINT), 0) AS bv
+          |  FROM bands0 LEFT JOIN bitvals
+          |    ON bitvals.doc_id = bands0.doc_id AND bitvals.band = bands0.band
+          |  GROUP BY bands0.doc_id, bands0.band
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+          |), hv AS (
+          |  SELECT doc_id,
+          |    max(CASE WHEN band = 0 THEN bv END) AS h0,
+          |    max(CASE WHEN band = 1 THEN bv END) AS h1,
+          |    max(CASE WHEN band = 2 THEN bv END) AS h2,
+          |    max(CASE WHEN band = 3 THEN bv END) AS h3
+          |  FROM bands GROUP BY doc_id
+          |), ham AS (
+          |  SELECT id_a, id_b,
+          |    CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+          |      + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+          |      AS BIGINT) AS hamming
+          |  FROM cand JOIN hv a ON a.doc_id = id_a JOIN hv b ON b.doc_id = id_b
+          |)
+          |SELECT id_a, id_b, hamming FROM ham
+          |WHERE hamming <= 10 ORDER BY id_a, id_b""".stripMargin,
       "ann_topk_lsh" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
@@ -14387,6 +15215,23 @@ object SparkEntry {
           |)
           |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine
           |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      // op 384: the ann_topk_lsh candidate chain with the range
+      // predicate on the RAW cosine (both engines compute the
+      // identical double, so the ≥ 0.25 cut is engine-exact).
+      "ann_range_search" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+          |qb AS (SELECT query_id, qv, ${lshBucketSql("qv")} AS bucket FROM q),
+          |cb AS (SELECT neighbor_id, cv, ${lshBucketSql("cv")} AS bucket FROM c),
+          |s AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM cb JOIN qb USING (bucket)
+          |)
+          |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+          |FROM s WHERE cosine >= 0.25
+          |ORDER BY query_id, neighbor_id""".stripMargin,
       // Same two-chain recall shape, approx side on qv[1:32]/cv[1:32]
       // (DuckDB list slices are 1-based inclusive = first 32 dims).
       "ann_recall_truncated" ->
@@ -14898,6 +15743,37 @@ object SparkEntry {
           |  floor(sum(q)::DOUBLE / count(*) + 0.5) / 1e6 AS lm_xent,
           |  count(*) AS n_tokens
           |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // op 383: the op-83 xent chain, ntile(3) on the identical
+      // (quantized xent, doc_id) order, the same floor-mean.
+      "corpus_ppl_buckets" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          |  FROM documents
+          |), f AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+          |tot AS (SELECT sum(c)::DOUBLE AS n FROM f),
+          |q AS (
+          |  SELECT doc_id,
+          |    CAST(floor((ln(n) - ln(c::DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q
+          |  FROM t JOIN f USING (tok) CROSS JOIN tot
+          |), lm AS (
+          |  SELECT doc_id,
+          |    floor(sum(q)::DOUBLE / count(*) + 0.5) / 1e6 AS lm_xent,
+          |    count(*) AS n_tokens
+          |  FROM q GROUP BY doc_id
+          |), b AS (
+          |  SELECT lang, n_tokens, lm_xent,
+          |    ntile(3) OVER (PARTITION BY lang
+          |                   ORDER BY lm_xent, lm.doc_id) AS b
+          |  FROM lm JOIN documents USING (doc_id)
+          |)
+          |SELECT lang,
+          |  CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle'
+          |       ELSE 'tail' END AS bucket,
+          |  count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |  floor(sum(CAST(floor(lm_xent * 1e6 + 0.5) AS BIGINT))::DOUBLE
+          |    / count(*) + 0.5) / 1e6 AS mean_xent
+          |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
       "dedup_chunks" ->
         """WITH t AS (
           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -15799,6 +16675,36 @@ object SparkEntry {
           |  CAST(mn AS DOUBLE) / 1e6 AS min_norm,
           |  CAST(mx AS DOUBLE) / 1e6 AS max_norm
           |FROM m ORDER BY label""".stripMargin,
+      // op 381: identical quantized normalized components; the
+      // ‖Σv̂‖² − Σ‖v̂‖² identity on DECIMAL-exact sums.
+      "embed_isotropy" ->
+        s"""WITH e AS (
+          |  SELECT vec_id, embedding::DOUBLE[] AS v,
+          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+          |  FROM embeddings
+          |), ok AS (SELECT * FROM e WHERE nm > 0),
+          |comps AS (
+          |  SELECT r.range AS pos,
+          |    CAST(floor(v[CAST(r.range AS INT) + 1] / nm * 1e6 + 0.5)
+          |      AS BIGINT) AS qc
+          |  FROM ok CROSS JOIN range(0, $EmbDim) r
+          |), bypos AS (
+          |  SELECT pos, CAST(sum(qc) AS BIGINT) AS sq,
+          |    sum(CAST(qc AS DECIMAL(38,0)) * CAST(qc AS DECIMAL(38,0))) AS sq2
+          |  FROM comps GROUP BY pos
+          |), tot AS (
+          |  SELECT count(*) AS dim,
+          |    sum(CAST(sq AS DECIMAL(38,0)) * CAST(sq AS DECIMAL(38,0))) AS s2,
+          |    CAST(sum(sq2) AS DECIMAL(38,0)) AS selfsq
+          |  FROM bypos
+          |), n0 AS (SELECT count(*) AS n FROM ok)
+          |SELECT n, dim,
+          |  round((CAST(s2 AS DOUBLE) - CAST(selfsq AS DOUBLE)) / 1e12
+          |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+          |    AS mean_pairwise_cosine,
+          |  round(sqrt(CAST(s2 AS DOUBLE)) / 1e6 / CAST(n AS DOUBLE), 6)
+          |    AS mean_vector_norm
+          |FROM tot CROSS JOIN n0""".stripMargin,
       // op 277: same adjacent-id pairing, identical cosine
       // parenthesization, same 1e-6 quantization and 0.1 bins.
       "embed_pair_sim" ->

@@ -130,6 +130,108 @@ object Events {
         .as("equivalent_95"))
   }
 
+  /** Sample-ratio-mismatch gate (op 373) — the data-quality check
+    * every experiment readout runs BEFORE trusting its A/B numbers:
+    * the md5 coin targets a 50/50 split, so the observed (n_a, n_b)
+    * is tested by a 1-df chi-square goodness-of-fit against equal
+    * expected counts. A triggered gate means assignment or logging is
+    * broken and the treatment comparison is void (Fabijan et al.
+    * 2019's diagnostics hierarchy). Built on the SAME
+    * [[perUserSplit]] relation as the two A/B tests, so the gate
+    * guards exactly the split they read. Integer counts → the
+    * statistic is one exact-rational division; 3.841459 is
+    * χ²₀.₉₅(1).
+    */
+  def srmCheck(events: DataFrame, conversionType: String,
+               minValue: Double = 0.0): DataFrame = {
+    val a = perUserSplit(events, conversionType, minValue)
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    // chi2 = (na-E)²/E + (nb-E)²/E with E=(na+nb)/2 ⇒ (na-nb)²/(na+nb)
+    val chi2 = (na - nb) * (na - nb) / (na + nb)
+    a.select(col("n_a"), col("n_b"),
+      round(chi2, 6).as("chi2"),
+      when(round(chi2, 6) > 3.841459, 1L).otherwise(0L).as("srm_flag"))
+  }
+
+  /** CUPED variance-reduced A/B readout (op 374; Deng, Xu, Kohavi &
+    * Walker 2013): per-user pre-period metric X and post-period
+    * metric Y (1e-6-quantized value sums split at the global time
+    * midpoint — both halves of ONE user-keyed agg), θ = cov(X,Y)/
+    * var(X) pooled over all users, adjusted metric
+    * Ycv = Y − θ·(X − X̄). Reported: raw and CUPED treatment-effect
+    * estimates on the same md5 split, plus the variance-reduction
+    * factor ρ² (the fraction of metric variance the pre-period
+    * covariate removes). Every moment is a DECIMAL sum of exact
+    * integers, so θ and the means are identical rationals on both
+    * engines; one user-keyed agg + one 1-row agg.
+    */
+  def cuped(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val eUs = events.withColumn("_us", us(col("ts")))
+      .withColumn("_qv", floor(col("value") * 1e6 + 0.5).cast("long"))
+    // Global midpoint as exact integer µs: the long sum is < 2^53 so
+    // the double add/halve/floor chain is exact and engine-identical
+    // (a raw long cast would TRUNCATE in Spark but ROUND in DuckDB).
+    val mid = eUs.agg(floor((min(col("_us")) + max(col("_us"))) / lit(2.0))
+      .cast("long").as("mid_us"))
+    val perUser = eUs.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("_us") < col("mid_us"), col("_qv")).otherwise(0L))
+          .as("x"),
+        sum(when(col("_us") >= col("mid_us"), col("_qv")).otherwise(0L))
+          .as("y"))
+    val word = conv(substring(md5(concat(lit("ab_"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val v = perUser.withColumn("va", (word % 2 === 0).cast("int"))
+    val m = v.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"),
+      sum(col("va")).as("n_a"),
+      sum(when(col("va") === 1, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("va") === 1, col("y")).otherwise(0L)).as("sy_a"),
+      sum(lit(1) - col("va")).as("n_b"),
+      sum(when(col("va") === 0, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("va") === 0, col("y")).otherwise(0L)).as("sy_b"))
+    def d(c: String) = col(c).cast("double")
+    val nD = d("n")
+    val covNum = nD * d("sxy") - d("sx") * d("sy")
+    val varXNum = nD * d("sxx") - d("sx") * d("sx")
+    val varYNum = nD * d("syy") - d("sy") * d("sy")
+    val theta = when(varXNum > 0.0, covNum / varXNum)
+    val rho2 = when(varXNum > 0.0 && varYNum > 0.0,
+      covNum * covNum / (varXNum * varYNum))
+    val xBar = d("sx") / nD / 1e6
+    val yA = d("sy_a") / d("n_a") / 1e6; val yB = d("sy_b") / d("n_b") / 1e6
+    val xA = d("sx_a") / d("n_a") / 1e6; val xB = d("sx_b") / d("n_b") / 1e6
+    m.select(col("n"), col("n_a"), col("n_b"),
+      round(theta, 6).as("theta"),
+      round(yA - yB, 6).as("diff_raw"),
+      (round((yA - theta * (xA - xBar)) - (yB - theta * (xB - xBar)), 6)
+        + lit(0.0)).as("diff_cuped"),
+      round(rho2, 6).as("var_reduction"))
+  }
+
+  /** Power-user distribution (op 375) — the L28-style engagement
+    * histogram growth teams read weekly: per user the count of
+    * DISTINCT active calendar days, then the user count per
+    * activity-day level with the standard casual (1–7) / core (8–19)
+    * / power (20+) tier label. Two keyed count-distinct aggs;
+    * all-integer output.
+    */
+  def powerUsers(events: DataFrame): DataFrame =
+    events.select(col("user_id"), us(date_trunc("day", col("ts"))).as("_d"))
+      .distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+      .groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
+      .select(col("active_days"),
+        when(col("active_days") >= 20, "power")
+          .when(col("active_days") >= 8, "core")
+          .otherwise("casual").as("tier"),
+        col("n_users"))
+
   /** Weekly cohort retention: cohort = Monday-truncated week of the
     * user's FIRST `anchorType` event; a user is retained in week
     * offset k if they have ANY event in cohort_week + k. Offsets are

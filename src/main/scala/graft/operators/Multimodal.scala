@@ -132,6 +132,55 @@ object Multimodal {
     (w, h, s)
   }
 
+  case class DHashBands(doc_id: Long, h0: Int, h1: Int, h2: Int, h3: Int)
+
+  /** Perceptual difference-hash (dHash; Krawetz's classic 8×8
+    * gradient fingerprint) of a decoded image, emitted as FOUR 16-bit
+    * band integers rather than one packed int64 — band-blocked
+    * near-dup joins group directly on a band column and a 64-bit
+    * pack would overflow signed BIGINT algebra in SQL engines.
+    *
+    * Sampling is NEAREST (gx = ⌊i·w/9⌋, gy = ⌊j·h/8⌋ over a 9×8
+    * grid) — integer-exact, so the hash is bit-reproducible from the
+    * raster alone (no float resample in the fingerprint path). Bit
+    * k = j·8+i of the hash is 1 iff p(i+1,j) > p(i,j); band b holds
+    * bits [16b, 16b+16) (j = 2b, 2b+1).
+    */
+  def dHashBands(df: DataFrame, idCol: String, binCol: String,
+                 batchSize: Int = DefaultBatchSize): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (w, h, s) = grayRaster(id, bytes)
+            def px(i: Int, j: Int): Int = {
+              val gx = i * w / 9
+              val gy = j * h / 8
+              s(gy * w + gx)
+            }
+            val bands = new Array[Int](4)
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                if (px(i + 1, j) > px(i, j)) {
+                  val k = j * 8 + i
+                  bands(k / 16) |= 1 << (k % 16)
+                }
+                i += 1
+              }
+              j += 1
+            }
+            DHashBands(id, bands(0), bands(1), bands(2), bands(3))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** REAL resize: decode every image and bilinear-resample its raster to
     * (w × h) — binary-in/binary-out, fixed-size output buffers, batched
     * per-partition. Standard half-pixel-center sampling (source coord

@@ -275,6 +275,35 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** LSH-bucketed RANGE search (op 384) — the other first-class
+    * vector-search API next to top-k: ALL corpus vectors whose cosine
+    * with a query is ≥ `minCosine`, candidates restricted to the
+    * query's sign-LSH bucket (the [[lshTopK]] candidate generator, so
+    * recall characteristics and the oracle replay are shared). Range
+    * queries are what dedup-style "everything this similar" retrieval
+    * runs where top-k's fixed k under- or over-fetches. Same scale
+    * shape as lshTopK: one bucket equi-join, no all-pairs; result
+    * size is data-dependent by design.
+    */
+  def lshRangeSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, minCosine: Double, dim: Int,
+                     planes: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes, dim))
+      .withColumn("qn", normNative(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dim))
+      .withColumn("cn", normNative(col("cv")))
+    c.join(q, "bucket")
+      .withColumn("cosine",
+        dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .where(col("cosine") >= minCosine)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Plane count sized to the corpus for the kNN-graph build:
     * `max(4, floor(log2 n) - 4)` targets ~16 vectors per sign bucket,
     * so Σ bucket² stays near-linear in n (the Scale probe's rule).

@@ -552,6 +552,55 @@ object Stateful {
       }
   }
 
+  // ----------------------------------------- streaming win/loss streaks
+
+  case class StreakState(lastPrice: Double, sgn: Int, len: Long,
+                         maxWin: Long, maxLoss: Long)
+  case class StreakRow(symbol: String, ts: Timestamp, sgn: Int, len: Long,
+                       maxWin: Long, maxLoss: Long)
+
+  /** Per-symbol running win/loss streak tracker — the live twin of the
+    * batch op-212 gaps-and-islands report: each tick folds the SIGN of
+    * the 1e-6-quantized simple return into (current sign, current
+    * streak length, max win streak, max loss streak) and emits the
+    * running state. Zero returns (flat on the quantized grid) are
+    * their own sign class and break both streak kinds, exactly like
+    * the batch operator's sgn=0 islands.
+    *
+    * Exactness: the quantized return is one double division + floor
+    * (no transcendental — the [[cusumStream]] argument), so the
+    * integer recursion replays bit-exactly in a batch engine via the
+    * standard island prefix windows. State is one double + one int +
+    * three longs per symbol — constant, no watermark needed.
+    */
+  def streaksStream(ticks: Dataset[RiskTick]): Dataset[StreakRow] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[StreakState, StreakRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym, it, state) =>
+          var st = state.getOption.getOrElse(
+            StreakState(Double.NaN, 0, 0L, 0L, 0L))
+          val out = it.toArray.sortBy(t => (tsKey(t.ts), t.price)).flatMap { t =>
+            if (!st.lastPrice.isNaN) {
+              val q = math.floor((t.price / st.lastPrice - 1.0) * 1e6 + 0.5)
+                .toLong
+              val sgn = java.lang.Long.signum(q)
+              val len = if (sgn == st.sgn) st.len + 1 else 1L
+              st = StreakState(t.price, sgn, len,
+                if (sgn == 1) math.max(st.maxWin, len) else st.maxWin,
+                if (sgn == -1) math.max(st.maxLoss, len) else st.maxLoss)
+              Some(StreakRow(sym, t.ts, sgn, len, st.maxWin, st.maxLoss))
+            } else {
+              st = st.copy(lastPrice = t.price)
+              None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ------------------------------------------- streaming CUSUM drift
 
   case class CusumState(lastPrice: Double, n: Long, sPos: Long, sNeg: Long)
