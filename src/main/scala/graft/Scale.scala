@@ -949,6 +949,66 @@ object Scale {
         }
       }
 
+      // ---- r13 sixth-wave probes: the round's OWN additions at
+      // 1×/10×/50× — perceptual-hash dedup (decode + band join),
+      // the no-pair-join isotropy identity, term burstiness,
+      // perplexity terciles, LSH range search, CUPED, Theil–Sen on a
+      // WIDE day grid (the d² pair expansion is its real scale knob;
+      // genEvents spans one day, so a 60 s-spaced twin drives the
+      // grid to thousands of days at 50×), and the streaks twin.
+      if (Seq("mm_phash_dedup", "embed_isotropy", "text_term_burstiness",
+          "corpus_ppl_buckets", "ann_range_search", "events_cuped",
+          "stats_theil_sen_wide", "streaming_streaks").exists(wanted)) {
+        val nEv = 100000L * m
+        genEvents(spark, nEv).write.mode("overwrite")
+          .parquet(s"$root/$m/events.parquet")
+        genDocs(spark, nDocs)
+          .withColumn("lang", lit("en"))
+          .withColumn("source", concat(lit("src"), col("doc_id") % 4))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.mode("overwrite").parquet(s"$root/$m/documents.parquet")
+        genEmbeddings(spark, nEmb, dim).write.mode("overwrite")
+          .parquet(s"$root/$m/embeddings.parquet")
+        val qDir = s"$root/$m"
+        // Decode is the mapPartitions media kernel; pairing is the
+        // band join — both linear in docs (planted dups every 25th).
+        timed("mm_phash_dedup", m, nDocs) {
+          sink(SparkEntry.queries("mm_phash_dedup")(spark, qDir))
+        }
+        // n·dim explode + dim-keyed agg — NO pair join at any n.
+        timed("embed_isotropy", m, nEmb) {
+          sink(SparkEntry.queries("embed_isotropy")(spark, qDir))
+        }
+        timed("text_term_burstiness", m, nDocs) {
+          sink(SparkEntry.queries("text_term_burstiness")(spark, qDir))
+        }
+        timed("corpus_ppl_buckets", m, nDocs) {
+          sink(SparkEntry.queries("corpus_ppl_buckets")(spark, qDir))
+        }
+        timed("ann_range_search", m, nEmb) {
+          sink(SparkEntry.queries("ann_range_search")(spark, qDir))
+        }
+        timed("events_cuped", m, nEv) {
+          sink(SparkEntry.queries("events_cuped")(spark, qDir))
+        }
+        timed("streaming_streaks", m, nEv) {
+          sink(SparkEntry.queries("streaming_streaks")(spark, qDir))
+        }
+        // Wide-day twin: 60 s event spacing ⇒ ~70·m days, so the
+        // per-type d(d−1)/2 slope grid grows quadratically in m while
+        // the event scan stays linear — the probe verifies the grid
+        // join (driver-sized at driver data) doesn't dominate until
+        // d is in the thousands, and the claim is in rows: grid pairs
+        // are logged, the scan is the wall-clock.
+        timed("stats_theil_sen_wide", m, nEv) {
+          val wide = genEvents(spark, nEv)
+            .withColumn("ts", timestamp_micros(
+              lit(1712928600000000L) + col("event_id") * 60000000L))
+          wide.write.mode("overwrite").parquet(s"$root/$m/wide/events.parquet")
+          sink(SparkEntry.queries("stats_theil_sen")(spark, s"$root/$m/wide"))
+        }
+      }
+
       // Skewed shuffle join + agg under AQE; broadcast disabled so the
       // skew-join path (not a broadcast) is what's being measured.
       if (wanted("skew_join_agg")) {

@@ -96,8 +96,23 @@ object SparkEntry {
     val out = java.nio.file.Files.createTempDirectory(s"graft-$tag-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$tag-ck").toString
     val in = java.nio.file.Files.createTempDirectory(s"graft-$tag-in")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      in.resolve(s"$table.parquet"))
+    // Stage single-file AND directory-shaped parquet sources: the
+    // driver testdata is one file per table, but any real table (and
+    // the Scale probe's generated inputs) is a directory of part
+    // files — copy each split into the landing dir (a dir copied as
+    // one entry arrives EMPTY and the replay silently processes zero
+    // batches).
+    val srcPath = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(srcPath)) {
+      val it = java.nio.file.Files.list(srcPath).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(f, in.resolve(f.getFileName))
+      }
+    } else {
+      java.nio.file.Files.copy(srcPath, in.resolve(s"$table.parquet"))
+    }
     val src = s.readStream.schema(s.read.parquet(path).schema)
       .parquet(in.toString)
     val t1 = System.nanoTime()
@@ -7388,6 +7403,23 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))),
+    // kNN symmetry (op 390): the fraction of op-150 graph edges that
+    // are MUTUAL (a→b and b→a) — the standard index-quality
+    // diagnostic beside op 218's hubness (asymmetry = hubs crowding
+    // out reciprocal structure). One self-intersect of the edge list.
+    "ann_mutual_knn" -> ((s, dir) => {
+      val g = Similarity.knnGraph(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", 3, EmbDim, planes = annPlanes(s))
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val mutual = g.intersect(
+        g.select(col("dst").as("src"), col("src").as("dst")))
+      g.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(mutual.agg(count(lit(1)).as("n_mutual")))
+        .select(col("n_edges"), col("n_mutual"),
+          (floor(col("n_mutual").cast("double")
+            / col("n_edges").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("mutual_frac"))
+    }),
     // MMR diversity rerank (op 365; Carbonell/Goldstein 1998): pick 3
     // of each query's top-10 brute candidates greedily by λ·rel −
     // (1−λ)·max-sim-to-selected — the dedupe-aware retrieval the raw
@@ -8261,6 +8293,28 @@ object SparkEntry {
         .select(col("lang"), col("rnk"), col("ng"), col("n"))
         .orderBy(col("lang"), col("rnk"))
     }),
+    // Bigram concentration (op 392): what fraction of each language's
+    // bigram MASS the top-100 bigrams carry — the boilerplate /
+    // template-saturation gauge (a high top-100 share means the
+    // corpus repeats itself; the WIMBD-style "what's in my data"
+    // count). Same keyed count + per-lang rank window as op 71, one
+    // extra conditional sum; all-integer until the final ratio.
+    "corpus_ngram_coverage" -> ((s, dir) => {
+      val g = tbl(s, dir, "documents")
+        .select(col("lang"), explode(Text.ngrams(col("text"), 2)).as("ng"))
+        .groupBy(col("lang"), col("ng")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("ng"))
+      g.withColumn("rnk", row_number().over(w))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("total_bigrams"),
+          count(lit(1)).as("distinct_bigrams"),
+          sum(when(col("rnk") <= 100, col("n")).otherwise(0L)).as("_top"))
+        .select(col("lang"), col("total_bigrams"), col("distinct_bigrams"),
+          (floor(col("_top").cast("double")
+            / col("total_bigrams").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("top100_coverage"))
+        .orderBy(col("lang"))
+    }),
 
     // Daily event-volume anomaly monitor (op 354; the ops staple —
     // "did ingest break yesterday"): per-day counts, robust center via
@@ -8846,11 +8900,17 @@ object SparkEntry {
       val b = gq.select(col("event_type").as("gj"), col("q"),
         col("cg").as("cgj"))
       val j2 = a.join(b, Seq("q")).where(col("gi") < col("gj"))
-        .agg(sum(col("cgj") * (lit(2) * col("ci") + col("cgi"))).as("j2"))
+        .agg(sum(col("cgj").cast("decimal(38,0)")
+          * (lit(2) * col("ci") + col("cgi"))).as("j2"))
+      // DECIMAL moments: n²(2n+3) overflows int64 once a group holds
+      // ~1M returns (the 50× probe caught exactly this) — the sums
+      // are value-identical in DECIMAL(38) and convert to the same
+      // doubles below.
+      val decN = (c: Column) => c.cast("decimal(38,0)")
       val ns = gq.groupBy(col("event_type")).agg(sum(col("cg")).as("n"))
         .agg(sum(col("n")).as("nn"),
-          sum(col("n") * col("n")).as("sn2"),
-          sum(col("n") * col("n") * (lit(2) * col("n") + 3)).as("snn"),
+          sum(decN(col("n")) * col("n")).as("sn2"),
+          sum(decN(col("n")) * col("n") * (lit(2) * col("n") + 3)).as("snn"),
           count(lit(1)).as("k"))
       val z0 = j2.crossJoin(broadcast(ns))
       val nD = col("nn").cast("double")
@@ -9308,6 +9368,14 @@ object SparkEntry {
     "events_power_users" -> ((s, dir) =>
       graft.operators.Events.powerUsers(events(s, dir))
         .orderBy(col("active_days"))),
+
+    // op 388: data-driven Markov removal-effect attribution — the
+    // chain-model alternative to op 335's positional rules; 24
+    // fixed-point sweeps on the 1e-9 integer grid (op-317
+    // convention), every chain relation driver-sized.
+    "events_markov_attribution" -> ((s, dir) =>
+      graft.operators.Events.markovAttribution(events(s, dir), "purchase")
+        .orderBy(col("channel"))),
 
     "events_retention" -> ((s, dir) =>
       graft.operators.Events.retention(events(s, dir), "signup")
@@ -10429,6 +10497,27 @@ object SparkEntry {
     // already-green sim tables + one broadcast join on the tiny
     // (ticker, day) key space; ratio quantized on the shared 1e-6
     // grid from two identical integers, so parity is exact.
+    // Depth imbalance (op 391; the size-side companion of op 60's
+    // price-side microprice): per (ticker, day) the mean signed book
+    // imbalance (bid_size − ask_size)/(bid_size + ask_size) and the
+    // bid-heavy tick fraction — the resting-liquidity pressure gauge.
+    // Sizes are exact integers; per-tick imbalance quantizes to a
+    // 1e-6 long (one double divide + floor, identical both engines),
+    // sums exact. One keyed agg over the replayable sim quotes.
+    "tick_depth_imbalance" -> ((s, dir) => {
+      val q = MarketSim.simulateQuotes(s, "SIM", days = 2, ticksPerDay = 5000)
+        .withColumn("imb_q",
+          floor((col("bid_size") - col("ask_size")).cast("double") * 1e6
+            / (col("bid_size") + col("ask_size")).cast("double")).cast("long"))
+      q.groupBy(col("ticker"), col("day"))
+        .agg(count(lit(1)).as("n_quotes"),
+          (floor(sum(col("imb_q")).cast("double") / count(lit(1)) + 0.5)
+            / 1e6).as("mean_imbalance"),
+          (floor(sum(when(col("bid_size") > col("ask_size"), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)) * 1e6 + 0.5)
+            / 1e6).as("bid_heavy_frac"))
+        .orderBy(col("ticker"), col("day"))
+    }),
     "tick_quote_trade_ratio" -> ((s, dir) => {
       val quotes = MarketSim.simulateQuotes(s, "SIM", days = 2,
         ticksPerDay = 5000)
@@ -10478,22 +10567,32 @@ object SparkEntry {
           round(col("mean_px"), 6).as("mean_px"))),
     // Perceptual-hash near-dup over the media column (op 385): dHash
     // fingerprints (Krawetz's 8×8 gradient hash) from the REAL
-    // decoded rasters, then the dedup family's band-blocked pairing —
-    // 4×16-bit bands, a pair is a candidate if ANY band matches,
-    // kept if total Hamming ≤ 10. The image twin of dedup_simhash:
-    // candidates shuffle on (band, value), never all-pairs; identical
-    // payloads (the planted exact dups) meet in every band at
-    // Hamming 0. The decode is the mapPartitions media kernel; all
-    // hashing/pairing is integer Column algebra.
+    // decoded rasters, then band-blocked pairing with the standard
+    // LSH AND-composition: a candidate must share a PAIR of 16-bit
+    // bands (any of the C(4,2)=6 combos — a 32-bit blocking key).
+    // Single-band blocking is n²/2¹⁶ in random collisions (the 50×
+    // probe measured the quadratic creep: 14 s at 50k docs → 145 s
+    // at 250k); the AND pair drops that to n²/2³² while still
+    // catching every pair with ≥2 clean bands — Hamming ≤ 2
+    // guaranteed by pigeonhole, and the exact/near dups this detects
+    // in practice (identical payloads) match on ALL bands. Kept if
+    // total Hamming ≤ 10. The decode is the mapPartitions media
+    // kernel; all hashing/pairing is integer Column algebra.
     "mm_phash_dedup" -> ((s, dir) => {
       val hb = Multimodal.dHashBands(
         Multimodal.withSyntheticPng(docCorpus(s, dir), "doc_id", "text"),
         "doc_id", "image")
-      val bandCols = array(col("h0"), col("h1"), col("h2"), col("h3"))
-      val keyed = hb.select(col("doc_id"), posexplode(bandCols)
-        .as(Seq("band", "bv")))
+      val comboIdx = Seq((0, "h0", "h1"), (1, "h0", "h2"), (2, "h0", "h3"),
+        (3, "h1", "h2"), (4, "h1", "h3"), (5, "h2", "h3"))
+      val combos = array(comboIdx.map { case (i, ca, cb) =>
+        struct(lit(i).as("c"), col(ca).as("v1"), col(cb).as("v2"))
+      }: _*)
+      val keyed = hb.select(col("doc_id"), explode(combos).as("kk"))
+        .select(col("doc_id"), col("kk.c").as("c"),
+          col("kk.v1").as("v1"), col("kk.v2").as("v2"))
       val cand = keyed.as("a").join(keyed.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.c") === col("b.c") && col("a.v1") === col("b.v1") &&
+            col("a.v2") === col("b.v2") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
@@ -10723,6 +10822,45 @@ object SparkEntry {
           k = 8, iters = 2)
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy(col("vec_id"))),
+    // Cluster quality vs ground truth (op 389): purity and NMI of
+    // the op-85 k-means assignment against the embeddings' labels —
+    // the representation-eval report run after every re-embed. The
+    // contingency table is (k × labels)-sized; purity is an exact
+    // rational, NMI's ln terms are identical doubles from exact
+    // integer counts (the op-155 log-parity precedent).
+    "embed_cluster_purity" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val ct = Cluster.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
+        .join(e.select(col("vec_id").as("id"), col("label")), "id")
+        .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))
+      val rowT = ct.groupBy(col("cluster")).agg(sum(col("n")).as("nc"))
+      val colT = ct.groupBy(col("label")).agg(sum(col("n")).as("nl"))
+      val nT = ct.agg(sum(col("n")).as("nn"))
+      val nD = col("nn").cast("double")
+      val pur = ct.groupBy(col("cluster")).agg(max(col("n")).as("mx"))
+        .agg(sum(col("mx")).as("pur_num"))
+      val hC = rowT.crossJoin(broadcast(nT))
+        .agg(sum(-(col("nc").cast("double") / nD)
+          * log(col("nc").cast("double") / nD)).as("h_c"))
+      val hL = colT.crossJoin(broadcast(nT))
+        .agg(sum(-(col("nl").cast("double") / nD)
+          * log(col("nl").cast("double") / nD)).as("h_l"))
+      val mi = ct.join(broadcast(rowT), "cluster")
+        .join(broadcast(colT), "label").crossJoin(broadcast(nT))
+        .agg(sum((col("n").cast("double") / nD)
+          * log(nD * col("n").cast("double")
+            / (col("nc").cast("double") * col("nl").cast("double"))))
+          .as("mi"))
+      val nClus = rowT.agg(count(lit(1)).as("n_clusters"))
+      pur.crossJoin(hC).crossJoin(hL).crossJoin(mi)
+        .crossJoin(nT).crossJoin(nClus)
+        .select(col("nn").as("n"), col("n_clusters"),
+          (floor(col("pur_num").cast("double") / nD * 1e6 + 0.5) / 1e6)
+            .as("purity"),
+          (round(when(col("h_c") > 0 && col("h_l") > 0,
+            col("mi") / sqrt(col("h_c") * col("h_l"))), 6) + lit(0.0))
+            .as("nmi"))
+    }),
     "dedup_semantic" -> ((s, dir) =>
       Cluster.semanticDedupPairs(embCorpus(s, dir), "vec_id", "embedding",
           0.99, k = 8, iters = 2)
@@ -10894,6 +11032,10 @@ object SparkEntry {
           col("n_bloom_hits"), col("flagged"))
         .orderBy(col("doc_id"))
     }),
+    // op 393: the op-93 filter's measured-vs-theoretical FPR — every
+    // probe gram is a false positive by length-disjoint construction.
+    "sketch_bloom_fpr" -> ((s, dir) =>
+      Corpus.bloomFpr(tbl(s, dir, "documents"), "text")),
     // HLL distinct-token sketch per source + the max-merged __ALL__ row
     // (SURVEY §2 op 118) — the mergeability demo: the global row comes
     // from the per-source register tables, NOT from rescanning tokens.
@@ -11787,6 +11929,11 @@ object SparkEntry {
     // md5Word for the k-slice Bloom positions.
     def md5IntAt(c: String, startExpr: String) = (0 to 7).map(j =>
       s"(strpos('0123456789abcdef', substr(md5($c), ($startExpr) + $j, 1)) - 1) * ${math.pow(16, 7 - j).toLong}"
+    ).mkString("(", " + ", ")")
+    // Same 8-hex-digit slice over a column that is ALREADY a digest
+    // (md5IntAt would double-hash it).
+    def hexIntAt(c: String, startExpr: String) = (0 to 7).map(j =>
+      s"(strpos('0123456789abcdef', substr($c, ($startExpr) + $j, 1)) - 1) * ${math.pow(16, 7 - j).toLong}"
     ).mkString("(", " + ", ")")
     val sigMins = (0 until 8).map(i =>
       s"min((a + $i * b) % 4294967296) AS sig_$i").mkString(", ")
@@ -13354,6 +13501,25 @@ object SparkEntry {
           |FROM per CROSS JOIN nd
           |WHERE df >= 5
           |ORDER BY total DESC, term LIMIT 50""".stripMargin,
+      // op 392: the op-71 bigram chain re-aggregated to top-100 mass
+      // share per language.
+      "corpus_ngram_coverage" ->
+        """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |g0 AS (
+          |  SELECT lang, unnest(list_transform(range(1, greatest(len(toks)-1, 1) + 1),
+          |    i -> array_to_string(toks[i:i+1], ' '))) AS ng
+          |  FROM t
+          |), c AS (SELECT lang, ng, count(*) AS n FROM g0 GROUP BY lang, ng),
+          |r AS (
+          |  SELECT lang, n,
+          |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, ng) AS rnk
+          |  FROM c
+          |)
+          |SELECT lang, CAST(sum(n) AS BIGINT) AS total_bigrams,
+          |  count(*) AS distinct_bigrams,
+          |  floor(sum(CASE WHEN rnk <= 100 THEN n ELSE 0 END)::DOUBLE
+          |    / sum(n)::DOUBLE * 1e6 + 0.5) / 1e6 AS top100_coverage
+          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
       "text_top_ngrams" ->
         """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           |g AS (
@@ -14582,6 +14748,94 @@ object SparkEntry {
           |       ELSE 'casual' END AS tier,
           |  count(*) AS n_users
           |FROM u GROUP BY active_days ORDER BY active_days""".stripMargin,
+      // op 388: the same journey cut / tail-close / transition
+      // counts, 24 unrolled floor-division sweeps on the 1e-9 grid.
+      "events_markov_attribution" -> {
+        val iterCtes = (1 to 24).map { i =>
+          s"""c$i AS (
+            |  SELECT vt.removed, vt.f AS state,
+            |    CAST(sum(vt.n * (CASE WHEN vt.t = 'conv' THEN 1000000000
+            |      ELSE coalesce(x${i - 1}.xq, 0) END)) // max(vt.ntot)
+            |      AS BIGINT) AS xq
+            |  FROM vt LEFT JOIN x${i - 1}
+            |    ON x${i - 1}.removed = vt.removed AND x${i - 1}.state = vt.t
+            |  GROUP BY vt.removed, vt.f
+            |), x$i AS (
+            |  SELECT grid.removed, grid.state, coalesce(c$i.xq, 0) AS xq
+            |  FROM grid LEFT JOIN c$i
+            |    ON c$i.removed = grid.removed AND c$i.state = grid.state
+            |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH cutc AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+          |  FROM events
+          |), kept AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN event_type = 'purchase' THEN 'conv'
+          |         ELSE event_type END AS state
+          |  FROM cutc
+          |  WHERE (event_type <> 'purchase' AND cc = 0)
+          |     OR (event_type = 'purchase' AND cc = 1)
+          |), steps AS (
+          |  SELECT coalesce(lag(state) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id), 'start') AS f,
+          |    state AS t
+          |  FROM kept
+          |), tailk AS (
+          |  SELECT state,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn,
+          |    max(CASE WHEN state = 'conv' THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id) AS didconv
+          |  FROM kept
+          |), alltrans AS (
+          |  SELECT f, t FROM steps
+          |  UNION ALL
+          |  SELECT state AS f, 'null' AS t FROM tailk
+          |  WHERE rn = 1 AND didconv = 0
+          |), trans AS (SELECT f, t, count(*) AS n FROM alltrans GROUP BY f, t),
+          |totals AS (SELECT f, CAST(sum(n) AS BIGINT) AS ntot FROM trans GROUP BY f),
+          |channels AS (
+          |  SELECT DISTINCT ch FROM (
+          |    SELECT f AS ch FROM trans UNION ALL SELECT t AS ch FROM trans
+          |  ) WHERE ch NOT IN ('start', 'conv', 'null')
+          |), variants AS (
+          |  SELECT ch AS removed FROM channels
+          |  UNION ALL SELECT '__none__' AS removed
+          |), states AS (
+          |  SELECT ch AS state FROM channels
+          |  UNION ALL SELECT 'start' AS state
+          |), vt AS (
+          |  SELECT v.removed, tr.f, tr.t, tr.n, tt.ntot
+          |  FROM variants v CROSS JOIN trans tr
+          |  JOIN totals tt ON tt.f = tr.f
+          |  WHERE tr.f <> v.removed AND tr.t <> v.removed
+          |), grid AS (SELECT removed, state FROM variants CROSS JOIN states),
+          |x0 AS (SELECT removed, state, CAST(0 AS BIGINT) AS xq FROM grid),
+          |$iterCtes,
+          |p AS (SELECT removed, xq AS pq FROM x24 WHERE state = 'start'),
+          |pf AS (SELECT pq AS pq_full FROM p WHERE removed = '__none__'),
+          |re AS (
+          |  SELECT removed AS channel, pq, pq_full,
+          |    CASE WHEN pq_full > 0
+          |      THEN floor((1.0 - pq::DOUBLE / pq_full::DOUBLE) * 1e6 + 0.5) / 1e6
+          |      ELSE 0.0 END AS removal_effect
+          |  FROM p CROSS JOIN pf WHERE removed <> '__none__'
+          |), retot AS (SELECT sum(removal_effect) AS re_sum FROM re)
+          |SELECT channel, pq_full::DOUBLE / 1e9 AS p_full,
+          |  pq::DOUBLE / 1e9 AS p_removed, removal_effect,
+          |  CASE WHEN re_sum > 0
+          |    THEN floor(removal_effect / re_sum * 1e6 + 0.5) / 1e6
+          |  END AS attribution
+          |FROM re CROSS JOIN retot ORDER BY channel""".stripMargin
+          // MATERIALIZED, not inlined: DuckDB's default CTE inlining
+          // re-expands the journey chain under each of the 24 sweep
+          // CTEs — >4 min; materialized the whole query is 0.6 s.
+          .replace(" AS (", " AS MATERIALIZED (")
+      },
       // op 351: same cohort/week algebra as op 331, decimal revenue,
       // cumulative window over the report relation, q6 floors.
       "events_cohort_ltv" ->
@@ -15178,10 +15432,17 @@ object SparkEntry {
           |  FROM bands0 LEFT JOIN bitvals
           |    ON bitvals.doc_id = bands0.doc_id AND bitvals.band = bands0.band
           |  GROUP BY bands0.doc_id, bands0.band
-          |), cand AS (
-          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |), k2 AS (
+          |  -- AND-composed blocking key: every unordered PAIR of bands
+          |  -- (the Spark side's 6 explicit combos)
+          |  SELECT a.doc_id, a.band AS b1, b.band AS b2, a.bv AS v1, b.bv AS v2
           |  FROM bands a JOIN bands b
-          |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+          |    ON b.doc_id = a.doc_id AND a.band < b.band
+          |), cand AS (
+          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          |  FROM k2 x JOIN k2 y
+          |    ON x.b1 = y.b1 AND x.b2 = y.b2 AND x.v1 = y.v1
+          |    AND x.v2 = y.v2 AND x.doc_id < y.doc_id
           |), hv AS (
           |  SELECT doc_id,
           |    max(CASE WHEN band = 0 THEN bv END) AS h0,
@@ -15632,6 +15893,20 @@ object SparkEntry {
           |  CAST(floor(u_trfid * 3) AS BIGINT) AS trf_id,
           |  ts_us * 1000 + 10000 + CAST(floor(u_ttrf * 390000) AS BIGINT) AS trf_timestamp
           |FROM tn ORDER BY day, ts_us""".stripMargin,
+      // op 391: the same integer sizes, the same quantized per-tick
+      // imbalance and floor-mean.
+      "tick_depth_imbalance" ->
+        s"""WITH $QUOTES_CTE, qi AS (
+          |  SELECT ticker, day, bid_size, ask_size,
+          |    CAST(floor((bid_size - ask_size)::DOUBLE * 1e6
+          |      / (bid_size + ask_size)::DOUBLE) AS BIGINT) AS imb_q
+          |  FROM quotes
+          |)
+          |SELECT ticker, day, count(*) AS n_quotes,
+          |  floor(sum(imb_q)::DOUBLE / count(*) + 0.5) / 1e6 AS mean_imbalance,
+          |  floor(sum(CASE WHEN bid_size > ask_size THEN 1 ELSE 0 END)::DOUBLE
+          |    / count(*) * 1e6 + 0.5) / 1e6 AS bid_heavy_frac
+          |FROM qi GROUP BY ticker, day ORDER BY ticker, day""".stripMargin,
       // op 372: quote count / trade count per (ticker, day), trades
       // replayed by the same md5 take-coin as the sim_trades oracle.
       "tick_quote_trade_ratio" ->
@@ -15960,6 +16235,37 @@ object SparkEntry {
       "embed_kmeans" ->
         (s"WITH ${kmeansCtes("SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings", 8, 2)} " +
           "SELECT id AS vec_id, cid AS cluster FROM akm ORDER BY vec_id"),
+      // op 389: the op-85 assignment replay joined to labels — exact
+      // integer contingency, the same ln composition (round 6).
+      "embed_cluster_purity" ->
+        (s"WITH ${kmeansCtes("SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings", 8, 2)}, " +
+          """ct AS (
+            |  SELECT akm.cid AS cluster, e.label, count(*) AS n
+            |  FROM akm JOIN embeddings e ON e.vec_id = akm.id
+            |  GROUP BY akm.cid, e.label
+            |), rowt AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS nc FROM ct GROUP BY cluster),
+            |colt AS (SELECT label, CAST(sum(n) AS BIGINT) AS nl FROM ct GROUP BY label),
+            |nt AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM ct),
+            |pur AS (
+            |  SELECT CAST(sum(mx) AS BIGINT) AS pur_num
+            |  FROM (SELECT cluster, max(n) AS mx FROM ct GROUP BY cluster)
+            |), hc AS (
+            |  SELECT sum(-(nc::DOUBLE / nn) * ln(nc::DOUBLE / nn)) AS h_c
+            |  FROM rowt CROSS JOIN nt
+            |), hl AS (
+            |  SELECT sum(-(nl::DOUBLE / nn) * ln(nl::DOUBLE / nn)) AS h_l
+            |  FROM colt CROSS JOIN nt
+            |), mi AS (
+            |  SELECT sum((n::DOUBLE / nn) * ln(nn::DOUBLE * n / (nc::DOUBLE * nl))) AS mi
+            |  FROM ct JOIN rowt USING (cluster) JOIN colt USING (label)
+            |  CROSS JOIN nt
+            |), nclus AS (SELECT count(*) AS n_clusters FROM rowt)
+            |SELECT nn AS n, n_clusters,
+            |  floor(pur_num::DOUBLE / nn * 1e6 + 0.5) / 1e6 AS purity,
+            |  round(CASE WHEN h_c > 0 AND h_l > 0
+            |    THEN mi / sqrt(h_c * h_l) END, 6) + 0.0 AS nmi
+            |FROM nt CROSS JOIN nclus CROSS JOIN pur
+            |CROSS JOIN hc CROSS JOIN hl CROSS JOIN mi""".stripMargin),
       "embed_pq_codes" ->
         (s"WITH $PQ_CTES SELECT id AS vec_id, sub, code FROM enc " +
           "ORDER BY vec_id, sub"),
@@ -16286,6 +16592,32 @@ object SparkEntry {
           "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits, " +
           "sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS flagged " +
           "FROM hb GROUP BY doc_id ORDER BY doc_id"),
+      // op 393: the op-93 bit construction over the PLAIN documents
+      // table, probed by the same 'nq_'-prefixed synthetic grams.
+      "sketch_bloom_fpr" ->
+        ("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT md5(unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(toks)-7, 1) + 1),
+          |    i -> array_to_string(toks[i:i+7], ' '))))) AS h
+          |  FROM t
+          |),
+          |""".stripMargin +
+          s"bp AS (SELECT DISTINCT ${hexIntAt("h", "j.range * 8 + 1")} % 65536 AS p " +
+          "FROM sh CROSS JOIN range(0, 3) j), " +
+          "qs AS (SELECT md5('nq_' || md5(CAST(r.range AS VARCHAR))) AS h FROM range(0, 20000) r), " +
+          s"qp AS (SELECT h, ${hexIntAt("h", "j.range * 8 + 1")} % 65536 AS p " +
+          "FROM qs CROSS JOIN range(0, 3) j), " +
+          "hb AS (SELECT qp.h, (count(bp.p) = 3) AS hit " +
+          "FROM qp LEFT JOIN bp ON qp.p = bp.p GROUP BY qp.h), " +
+          "agg AS (SELECT count(*) AS n_queries, " +
+          "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_hits FROM hb), " +
+          "ni AS (SELECT count(*) AS n_inserted FROM sh), " +
+          "nb AS (SELECT count(*) AS n_set_bits FROM bp) " +
+          "SELECT n_inserted, n_set_bits, n_queries, n_false_hits, " +
+          "floor(n_false_hits::DOUBLE / n_queries::DOUBLE * 1e6 + 0.5) / 1e6 AS fpr_measured, " +
+          "round(pow(1.0 - exp(n_inserted::DOUBLE * (-3.0) / 65536.0), 3), 6) AS fpr_theory " +
+          "FROM agg CROSS JOIN ni CROSS JOIN nb"),
       // HLL registers replayed exactly: reg = first md5 word mod 256,
       // rank = 1 + leading zeros of the second word (via bin length);
       // the __ALL__ row max-merges the per-source register tables.
@@ -16530,6 +16862,19 @@ object SparkEntry {
           |  CAST(len AS BIGINT) AS canonical_len,
           |  cs AS cluster_size, cs - 1 AS n_removed
           |FROM j WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+      // op 390: the op-150 edge CTE self-joined on reversed pairs —
+      // each mutual ORDERED pair counts once, matching the Spark
+      // intersect of the edge list with its swap.
+      "ann_mutual_knn" ->
+        s"""WITH $KNN_EDGE_CTES, m AS (
+          |  SELECT a.src, a.dst FROM g a
+          |  JOIN g b ON b.src = a.dst AND b.dst = a.src
+          |)
+          |SELECT (SELECT count(*) FROM g) AS n_edges,
+          |  (SELECT count(*) FROM m) AS n_mutual,
+          |  floor((SELECT count(*) FROM m)::DOUBLE /
+          |        (SELECT count(*) FROM g)::DOUBLE * 1e6 + 0.5) / 1e6
+          |    AS mutual_frac""".stripMargin,
       // op 218: the op-150 graph re-aggregated to in-degrees, with a
       // left join keeping in-degree-0 nodes.
       "ann_hubness" ->

@@ -646,6 +646,51 @@ object Corpus {
       .withColumn("flagged", col("n_bloom_hits") > 0)
   }
 
+  /** Measured vs theoretical Bloom false-positive rate (op 393) — the
+    * eval harness for the op-93 filter's (bits, hashes) sizing, the
+    * dedup_eval analog for the membership-sketch family. The filter
+    * is built EXACTLY as [[bloomContamination]] builds it (same md5
+    * slice positions); the probe set is `nQueries` synthetic grams
+    * `nq_<md5(i)>` — 35-char strings, disjoint from every width-8
+    * corpus shingle BY LENGTH, so every hit is a false positive by
+    * construction, no exact-membership subtraction needed. Reported
+    * against the standard (1 − e^{−kn/m})^k estimate with n = distinct
+    * inserted grams. One distinct-agg per side + a broadcast bit join.
+    */
+  def bloomFpr(corpus: DataFrame, textCol: String, nQueries: Long = 20000L,
+               width: Int = 8, bits: Int = 65536,
+               hashes: Int = 3): DataFrame = {
+    require(hashes >= 1 && hashes <= 4, "hashes are 8-hex md5 slices")
+    def positions(hex: Column): Column =
+      array((0 until hashes).map(j =>
+        conv(substring(hex, j * 8 + 1, 8), 16, 10).cast("long") % bits): _*)
+    val grams = corpus
+      .select(explode(Dedup.shingles(col(textCol), width)).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+    val setBits = grams
+      .select(explode(positions(col("h"))).as("p")).distinct()
+      .withColumn("_one", lit(1L))
+    val nIns = grams.agg(count(lit(1)).as("n_inserted"))
+    val nBits = setBits.agg(count(lit(1)).as("n_set_bits"))
+    val hits = corpus.sparkSession.range(nQueries)
+      .select(md5(concat(lit("nq_"), md5(col("id").cast("string")))).as("h"))
+      .select(col("h"), explode(positions(col("h"))).as("p"))
+      .join(broadcast(setBits), Seq("p"), "left")
+      .groupBy(col("h"))
+      .agg((sum(coalesce(col("_one"), lit(0L))) === hashes).as("hit"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_false_hits"))
+    hits.crossJoin(broadcast(nIns)).crossJoin(broadcast(nBits))
+      .select(col("n_inserted"), col("n_set_bits"), col("n_queries"),
+        col("n_false_hits"),
+        (floor(col("n_false_hits").cast("double")
+          / col("n_queries").cast("double") * 1e6 + 0.5) / 1e6)
+          .as("fpr_measured"),
+        round(pow(lit(1.0) - exp(col("n_inserted").cast("double")
+          * lit(-hashes.toDouble) / lit(bits.toDouble)), hashes), 6)
+          .as("fpr_theory"))
+  }
+
   /** Chunk-level corpus dedup (the C4 "line dedup" shape, Raffel et
     * al. 2020 §2.2 — C4 drops any three-sentence span occurring more
     * than once in the corpus; here a chunk is a fixed window of

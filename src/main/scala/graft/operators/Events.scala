@@ -508,4 +508,105 @@ object Events {
       .select(col("user_id"), col("state"), col("valid_from_us"),
         col("valid_to_us"), col("is_current"))
   }
+
+  /** Markov removal-effect attribution (op 388; Anderl, Becker,
+    * von Wangenheim & Schumann 2014) — the data-driven alternative to
+    * the op-335 heuristic rules: model journeys as a first-order
+    * chain (start → touches → conv | null), compute the chain's
+    * conversion-absorption probability, then for each channel the
+    * probability with that channel REMOVED (its in-edges become lost
+    * mass — the standard convention, so removal is monotone
+    * decreasing); a channel's credit is its removal effect
+    * 1 − P₋c/P, normalized over channels. 24 sweeps bound the
+    * truncation error by ρ²⁴ ≤ (4/5)²⁴ ≈ 0.005 on a 5-channel chain
+    * (ρ = the transient-stay probability) — Round13bSpec pins the
+    * result against an exact Gaussian solve at that tolerance.
+    *
+    * Journeys cut at the FIRST conversion; non-converters close with
+    * last-touch → null. Absorption solves by `iters` unrolled
+    * fixed-point sweeps x ← (n_conv·1e9 + Σ n_ij·x_j) ÷ n_i on the
+    * 1e-9 integer grid with floor division (the op-317 PageRank
+    * convention — both engines drop identical remainders, and the
+    * sweep count is part of the operator contract). All chain
+    * relations are (channels+2)²-row — driver-sized at ANY event
+    * volume; the only full-data passes are the two journey windows
+    * and one transition count, all on the hash(user_id) exchange.
+    */
+  def markovAttribution(events: DataFrame, conversionType: String,
+                        iters: Int = 24): DataFrame = {
+    val spark = events.sparkSession
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val isConv = col("event_type") === conversionType
+    val kept = events
+      .withColumn("_cc", sum(when(isConv, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where((!isConv && col("_cc") === 0) || (isConv && col("_cc") === 1))
+      .withColumn("state",
+        when(isConv, lit("conv")).otherwise(col("event_type")))
+    val steps = kept
+      .withColumn("f", coalesce(lag(col("state"), 1).over(w), lit("start")))
+      .select(col("f"), col("state").as("t"))
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val tails = kept
+      .withColumn("rn", row_number().over(wDesc))
+      .withColumn("didconv",
+        max(when(col("state") === "conv", 1).otherwise(0))
+          .over(Window.partitionBy("user_id")))
+      .where(col("rn") === 1 && col("didconv") === 0)
+      .select(col("state").as("f"), lit("null").as("t"))
+    val trans = steps.unionByName(tails)
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("f")).agg(sum(col("n")).as("ntot"))
+    val channels = trans.select(col("f").as("ch"))
+      .unionByName(trans.select(col("t").as("ch")))
+      .where(!col("ch").isin("start", "conv", "null")).distinct()
+    val variants = channels.select(col("ch").as("removed"))
+      .unionByName(spark.range(1).select(lit("__none__").as("removed")))
+    val states = channels.select(col("ch").as("state"))
+      .unionByName(spark.range(1).select(lit("start").as("state")))
+    // per-variant chain: edges touching the removed channel drop;
+    // denominators stay the ORIGINAL totals (lost mass = null).
+    val vt = variants.crossJoin(trans.join(broadcast(totals), "f"))
+      .where(col("f") =!= col("removed") && col("t") =!= col("removed"))
+    val grid = variants.crossJoin(states)
+    var x = grid.withColumn("xq", lit(0L))
+    for (_ <- 1 to iters) {
+      val contrib = vt
+        .join(x.select(col("removed"), col("state").as("t"),
+          col("xq").as("_xj")), Seq("removed", "t"), "left")
+        .withColumn("xin", when(col("t") === "conv", lit(1000000000L))
+          .otherwise(coalesce(col("_xj"), lit(0L))))
+        .groupBy(col("removed"), col("f"))
+        .agg(sum(col("n") * col("xin")).as("num"), max(col("ntot")).as("den"))
+        // exact floor division of nonnegative longs: num − (num mod
+        // den) is exactly divisible, and the double quotient of two
+        // exactly-divisible ints < 2^53 is exact (DuckDB's //).
+        .select(col("removed"), col("f").as("state"),
+          ((col("num") - pmod(col("num"), col("den"))) / col("den"))
+            .cast("long").as("xq"))
+      x = grid.join(contrib, Seq("removed", "state"), "left")
+        .withColumn("xq", coalesce(col("xq"), lit(0L)))
+    }
+    val p = x.where(col("state") === "start")
+      .select(col("removed"), col("xq").as("pq"))
+    val pFull = p.where(col("removed") === "__none__")
+      .select(col("pq").as("pq_full"))
+    val re = p.where(col("removed") =!= "__none__")
+      .crossJoin(broadcast(pFull))
+      .select(col("removed").as("channel"), col("pq"), col("pq_full"),
+        when(col("pq_full") > 0,
+          floor((lit(1.0) - col("pq").cast("double")
+            / col("pq_full").cast("double")) * 1e6 + 0.5) / 1e6)
+          .otherwise(0.0).as("removal_effect"))
+    val tot = re.agg(sum(col("removal_effect")).as("re_sum"))
+    re.crossJoin(broadcast(tot))
+      .select(col("channel"),
+        (col("pq_full").cast("double") / 1e9).as("p_full"),
+        (col("pq").cast("double") / 1e9).as("p_removed"),
+        col("removal_effect"),
+        when(col("re_sum") > 0,
+          floor(col("removal_effect") / col("re_sum") * 1e6 + 0.5) / 1e6)
+          .as("attribution"))
+  }
 }
