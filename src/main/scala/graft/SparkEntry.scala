@@ -1260,6 +1260,43 @@ object SparkEntry {
       withRet(s, dir).where(col("ret").isNotNull)
         .select(col("event_type"), col("event_id"),
           round(Eod.ewmaVolatility(col("ret"), wT, 60), 6).as("ewma_vol"))),
+    // Volatility-targeted position sizing (op 397; the risk-parity /
+    // managed-vol overlay every systematic book runs): weight_t =
+    // min(2, σ_target/σ̂_{t−1}) from the op-106 EWMA vol (the t−1 lag
+    // keeps it tradable — no look-ahead), scaled return w·r. Weights
+    // quantize to q6 longs off the ROUNDED vol (the op-106 output
+    // grid, identical on both engines), the scaled series lives on
+    // the exact 1e-12 integer grid, and the realized-vol reduction
+    // comes from exact moments. One extra lag over the op-106 window.
+    "eod_vol_targeting" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("vol_q", round(Eod.ewmaVolatility(col("ret"), wT, 60), 6))
+        .withColumn("qr", floor(col("ret") * 1e6 + 0.5).cast("long"))
+        .withColumn("vol_lag", lag(col("vol_q"), 1).over(wT))
+        .where(col("vol_lag").isNotNull && col("vol_lag") > 0)
+        .withColumn("wq",
+          floor(least(lit(2.0), lit(0.01) / col("vol_lag")) * 1e6 + 0.5)
+            .cast("long"))
+        .withColumn("qs", col("wq") * col("qr"))
+      val nD = count(lit(1)).cast("double")
+      r.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("wq")).cast("double") / nD + 0.5) / 1e6)
+            .as("avg_weight"),
+          (floor(sum(dec(col("qs"))).cast("double") / nD / 1e6 + 0.5) / 1e6)
+            .as("mean_scaled_ret"),
+          sum(dec(col("qs"))).as("_sq"),
+          sum(dec(col("qs")) * dec(col("qs"))).as("_sq2"))
+        .select(col("event_type"), col("n"), col("avg_weight"),
+          col("mean_scaled_ret"),
+          (round(sqrt(greatest(
+            (col("n").cast("double") * col("_sq2").cast("double")
+              - col("_sq").cast("double") * col("_sq").cast("double"))
+              / (col("n").cast("double") * (col("n") - 1).cast("double")),
+            lit(0.0))) / 1e12, 6) + lit(0.0)).as("scaled_vol"))
+        .orderBy(col("event_type"))
+    }),
     // GARCH(1,1) filtered conditional vol (op 295; Bollerslev 1986):
     // the k-truncated closed form over the trailing 60 returns ending
     // at t−1, pinned (ω, α, β) = (2e-8, 0.08, 0.90) — ω scaled so the
@@ -4660,6 +4697,45 @@ object SparkEntry {
         |FROM x a JOIN x b
         |  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
         |GROUP BY a.event_type, a.event_id""".stripMargin,
+    // op 397: the op-106 pairwise EWMA replay rounded to the SAME q6
+    // grid, then identical lag/weight/scaled-moment algebra.
+    "eod_vol_targeting" ->
+      s"""$R_CTE, x AS (
+        |  SELECT event_type, event_id, ts, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM r WHERE ret IS NOT NULL
+        |), ew AS (
+        |  SELECT a.event_type, a.rn, max(a.ret) AS ret,
+        |    round(sqrt(sum(pow(0.94, a.rn - b.rn) * b.ret * b.ret)
+        |      * (1 - 0.94) / (1 - pow(0.94, count(*)))), 6) AS vol_q
+        |  FROM x a JOIN x b
+        |    ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 59 AND a.rn
+        |  GROUP BY a.event_type, a.rn
+        |), lagv AS (
+        |  SELECT event_type, ret,
+        |    CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS qr,
+        |    lag(vol_q) OVER (PARTITION BY event_type ORDER BY rn) AS vol_lag
+        |  FROM ew
+        |), wts AS (
+        |  SELECT event_type, qr,
+        |    CAST(floor(least(2.0, 0.01 / vol_lag) * 1e6 + 0.5) AS BIGINT) AS wq
+        |  FROM lagv WHERE vol_lag IS NOT NULL AND vol_lag > 0
+        |), sc AS (
+        |  SELECT event_type, wq, wq * qr AS qs FROM wts
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  floor(sum(wq)::DOUBLE / CAST(count(*) AS DOUBLE) + 0.5) / 1e6
+        |    AS avg_weight,
+        |  floor(CAST(sum(CAST(qs AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e6 + 0.5) / 1e6 AS mean_scaled_ret,
+        |  round(sqrt(greatest(
+        |    (CAST(count(*) AS DOUBLE)
+        |       * CAST(sum(CAST(qs AS DECIMAL(38,0)) * CAST(qs AS DECIMAL(38,0))) AS DOUBLE)
+        |     - CAST(sum(CAST(qs AS DECIMAL(38,0))) AS DOUBLE)
+        |       * CAST(sum(CAST(qs AS DECIMAL(38,0))) AS DOUBLE))
+        |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)),
+        |    0.0)) / 1e12, 6) + 0.0 AS scaled_vol
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
     // op 295: O(60·n) pairwise replay of the truncated GARCH kernel —
     // an oracle formulation; the Spark side folds a bounded trailing
     // array. The inner join's empty frame at rn=1 mirrors the Spark
@@ -8239,6 +8315,33 @@ object SparkEntry {
     // text ≈ −1; templated/spam corpora flatten or steepen). One token
     // explode + one (source, tok) agg + a per-source window rank +
     // regr_slope: every stage keyed, nothing single-partition.
+    // Code-vs-prose detection (op 396; the The-Stack/StarCoder
+    // curation gate): per doc the code-symbol character ratio
+    // ({}();=<>[]#), digit ratio and programming-keyword token hits,
+    // flagged is_code when the QUANTIZED symbol ratio clears 5% or
+    // keywords ≥ 3 — deterministic integer counts + character-class
+    // regexes (Java and RE2 agree), map-only, whole-stage codegen.
+    "text_code_detection" -> ((s, dir) => {
+      val t = col("text")
+      val nChars = length(t)
+      val sym = nChars - length(regexp_replace(t, "[{}();=<>\\[\\]#]", ""))
+      val digits = nChars - length(regexp_replace(t, "[0-9]", ""))
+      val kws = Seq("def", "class", "return", "import", "if", "else",
+        "for", "while", "function", "var", "int", "void")
+      val kw = size(filter(Text.tokens(t),
+        tok => kws.map(k => tok === k).reduce(_ || _)))
+      val symQ = floor(sym.cast("double") / nChars.cast("double") * 1e6
+        + 0.5) / 1e6
+      tbl(s, dir, "documents")
+        .where(nChars > 0)
+        .select(col("doc_id"), nChars.cast("long").as("n_chars"),
+          symQ.as("sym_ratio"),
+          (floor(digits.cast("double") / nChars.cast("double") * 1e6 + 0.5)
+            / 1e6).as("digit_ratio"),
+          kw.cast("long").as("kw_hits"),
+          when(symQ > 0.05 || kw >= 3, 1L).otherwise(0L).as("is_code"))
+        .orderBy(col("doc_id"))
+    }),
     // Term burstiness (op 382; Church & Gale 1995): contagious terms
     // (names, topics) concentrate in few docs — variance-to-mean
     // ratio of per-doc counts WITH zeros ≫ 1 — while function words
@@ -8688,6 +8791,103 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           round(graft.functions.Stats.quantile(col("slope"), 0.5), 6)
             .as("ts_slope"))
+        .orderBy(col("event_type"))
+    }),
+    // CUSUM changepoint locator (op 394; Page 1954 / the Brownian-
+    // bridge sup test): per series the row that maximizes
+    // |P_t − (t/n)·S_n| over the (ts, event_id) order — computed as
+    // the exact integer |n·P_t − t·S_n| so the argmax (first row on
+    // ties) is engine-exact — plus the normalized sup statistic
+    // D/(σ̂√n) against the 1.358 bridge 95% line. One prefix window,
+    // one keyed moment agg, one rank window — all on the hash(type)
+    // exchange.
+    "stats_changepoint" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val q = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("qr", floor(col("ret") * 1e6 + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("p", sum(col("qr")).over(
+          wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = q.groupBy(col("event_type"))
+        .agg(max(col("rn")).as("n"), sum(col("qr")).as("sn"),
+          sum(dec(col("qr")) * dec(col("qr"))).as("s2"))
+      val j = q.join(broadcast(tot), "event_type")
+        .withColumn("d", abs(dec(col("p")) * col("n")
+          - dec(col("sn")) * col("rn")))
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(col("d").desc, col("rn"))
+      val top = j.withColumn("rk", row_number().over(wRank))
+        .where(col("rk") === 1)
+      val nD = col("n").cast("double")
+      val sig = sqrt(greatest(
+        (nD * col("s2").cast("double")
+          - col("sn").cast("double") * col("sn").cast("double"))
+          / (nD * (col("n") - 1).cast("double")), lit(0.0)))
+      val stat = col("d").cast("double") / nD / sig / sqrt(nD)
+      top.select(col("event_type"), col("n"), col("rn").as("cp_rn"),
+          round(stat, 6).as("cusum_stat"),
+          when(round(stat, 6) > 1.358, 1L).otherwise(0L).as("breach_95"))
+        .orderBy(col("event_type"))
+    }),
+    // Two-sample Anderson–Darling (op 395; Pettitt 1976 / Scholz &
+    // Stephens 1987's tie-adjusted A²akN at k=2): each series vs the
+    // view benchmark — the TAIL-sensitive companion of op 225's KS
+    // (KS reacts to the biggest CDF gap, AD weights the tails by
+    // 1/(F(1−F))). Evaluated on the pooled distinct-value grid in
+    // DOUBLED half-integer units so every numerator/denominator is
+    // an exact integer (the midrank convention); same dense-grid
+    // cumulative machinery as op 225.
+    "stats_ad_2sample" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+      val cnt = r.groupBy(col("event_type"), col("q"))
+        .agg(count(lit(1)).as("c"))
+      val grid = cnt.select(col("q")).distinct()
+      val types = cnt.select(col("event_type")).distinct()
+      val dense = grid.crossJoin(broadcast(types))
+        .join(cnt, Seq("event_type", "q"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wq = Window.partitionBy(col("event_type")).orderBy(col("q"))
+      val cum = dense.withColumn("cc", sum(col("c")).over(wq))
+      val tot = r.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+      val cumT = cum.join(broadcast(tot), "event_type")
+      val aSide = cumT.where(col("event_type") =!= "view")
+        .select(col("event_type"), col("q"), col("c").as("ha"),
+          col("cc").as("ca"), col("nt").as("na"))
+      val bSide = cumT.where(col("event_type") === "view")
+        .select(col("q"), col("c").as("hb"), col("cc").as("cb"),
+          col("nt").as("nb"))
+      val m = aSide.join(bSide, "q")
+        .where(col("ha") + col("hb") > 0)
+        .withColumn("nn", col("na") + col("nb"))
+        .withColumn("h", col("ha") + col("hb"))
+        // doubled units keep the midrank half-integers integral
+        .withColumn("b2", lit(2) * (col("ca") + col("cb")) - col("h"))
+        .withColumn("ma2", lit(2) * col("ca") - col("ha"))
+        .withColumn("mb2", lit(2) * col("cb") - col("hb"))
+        .withColumn("den", dec(col("b2")) * (lit(2) * col("nn") - col("b2"))
+          - dec(col("nn")) * col("h"))
+      def num(m2: String, n1: String) =
+        dec(col("nn")) * col(m2) - dec(col(n1)) * col("b2")
+      val termA = when(col("den") > 0,
+        col("h").cast("double") * (num("ma2", "na") * num("ma2", "na"))
+          .cast("double")
+          / (col("nn").cast("double") * col("den").cast("double")))
+        .otherwise(0.0)
+      val termB = when(col("den") > 0,
+        col("h").cast("double") * (num("mb2", "nb") * num("mb2", "nb"))
+          .cast("double")
+          / (col("nn").cast("double") * col("den").cast("double")))
+        .otherwise(0.0)
+      m.groupBy(col("event_type"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(termA).as("sa"), sum(termB).as("sb"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round((col("n_a") + col("n_b") - 1).cast("double")
+            / (col("n_a") + col("n_b")).cast("double")
+            * (col("sa") / col("n_a").cast("double")
+              + col("sb") / col("n_b").cast("double")), 6).as("ad_stat"))
         .orderBy(col("event_type"))
     }),
     // Mood's median test (op 387; Mood 1950) — the coarsest, most
@@ -9368,6 +9568,13 @@ object SparkEntry {
     "events_power_users" -> ((s, dir) =>
       graft.operators.Events.powerUsers(events(s, dir))
         .orderBy(col("active_days"))),
+
+    // op 398: heterogeneous treatment effect — the op-350 test per
+    // props-k quartile of each user's first event.
+    "events_lift_by_segment" -> ((s, dir) =>
+      graft.operators.Events.abTestBySegment(events(s, dir), "purchase",
+          minValue = 150.0)
+        .orderBy(col("segment"))),
 
     // op 388: data-driven Markov removal-effect attribution — the
     // chain-model alternative to op 335's positional rules; 24
@@ -13478,6 +13685,25 @@ object SparkEntry {
           |  round(corr(ln(cnt), ln(rnk)), 6) + 0.0 AS zipf_r,
           |  count(*) AS n_types
           |FROM r WHERE rnk <= 30 GROUP BY source ORDER BY source""".stripMargin,
+      // op 396: same character-class strips ('g' flag — DuckDB
+      // replaces first match by default), same token keyword list.
+      "text_code_detection" ->
+        """WITH t AS (
+          |  SELECT doc_id, text, length(text) AS n_chars,
+          |    length(text) - length(regexp_replace(text, '[{}();=<>\[\]#]', '', 'g')) AS sym,
+          |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+          |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |      x -> x IN ('def','class','return','import','if','else',
+          |                 'for','while','function','var','int','void'))) AS kw
+          |  FROM documents WHERE length(text) > 0
+          |)
+          |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+          |  floor(sym::DOUBLE / n_chars::DOUBLE * 1e6 + 0.5) / 1e6 AS sym_ratio,
+          |  floor(digits::DOUBLE / n_chars::DOUBLE * 1e6 + 0.5) / 1e6 AS digit_ratio,
+          |  CAST(kw AS BIGINT) AS kw_hits,
+          |  CAST(CASE WHEN floor(sym::DOUBLE / n_chars::DOUBLE * 1e6 + 0.5) / 1e6 > 0.05
+          |    OR kw >= 3 THEN 1 ELSE 0 END AS BIGINT) AS is_code
+          |FROM t ORDER BY doc_id""".stripMargin,
       // op 382: identical integer VMR algebra, the same top-50 by
       // (total desc, term) cut.
       "text_term_burstiness" ->
@@ -13723,6 +13949,102 @@ object SparkEntry {
           |  CAST(CASE WHEN round(chi2, 6) > 9.487729 THEN 1 ELSE 0 END
           |    AS BIGINT) AS reject_95
           |FROM f""".stripMargin,
+      // op 394: the same integer |n·P_t − t·S_n| deviation, argmax by
+      // (d DESC, rn) — engine-exact; exact-moment σ, identical stat.
+      "stats_changepoint" ->
+        s"""$R_CTE, q AS (
+          |  SELECT event_type,
+          |    CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS qr,
+          |    row_number() OVER w AS rn,
+          |    sum(CAST(floor(ret * 1e6 + 0.5) AS BIGINT)) OVER (
+          |      PARTITION BY event_type ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+          |  FROM r WHERE ret IS NOT NULL
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+          |), tot AS (
+          |  SELECT event_type, max(rn) AS n, CAST(sum(qr) AS BIGINT) AS sn,
+          |    sum(CAST(qr AS DECIMAL(38,0)) * CAST(qr AS DECIMAL(38,0))) AS s2
+          |  FROM q GROUP BY event_type
+          |), j AS (
+          |  SELECT q.event_type, q.rn, tot.n, tot.sn, tot.s2,
+          |    abs(CAST(q.p AS DECIMAL(38,0)) * tot.n
+          |      - CAST(tot.sn AS DECIMAL(38,0)) * q.rn) AS d,
+          |    row_number() OVER (PARTITION BY q.event_type
+          |      ORDER BY abs(CAST(q.p AS DECIMAL(38,0)) * tot.n
+          |        - CAST(tot.sn AS DECIMAL(38,0)) * q.rn) DESC, q.rn) AS rk
+          |  FROM q JOIN tot ON tot.event_type = q.event_type
+          |), t AS (
+          |  SELECT event_type, n, rn AS cp_rn,
+          |    CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+          |      / sqrt(greatest((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+          |          - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+          |          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 0.0))
+          |      / sqrt(CAST(n AS DOUBLE)) AS stat
+          |  FROM j WHERE rk = 1
+          |)
+          |SELECT event_type, n, CAST(cp_rn AS BIGINT) AS cp_rn,
+          |  round(stat, 6) AS cusum_stat,
+          |  CAST(CASE WHEN round(stat, 6) > 1.358 THEN 1 ELSE 0 END
+          |    AS BIGINT) AS breach_95
+          |FROM t ORDER BY event_type""".stripMargin,
+      // op 395: the op-225 dense-grid cumulatives in doubled units,
+      // the same exact-integer A²akN terms.
+      "stats_ad_2sample" ->
+        s"""$R_CTE, q0 AS (
+          |  SELECT event_type, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS q
+          |  FROM r WHERE ret IS NOT NULL
+          |), cnt AS (SELECT event_type, q, count(*) AS c FROM q0 GROUP BY 1, 2),
+          |grid AS (SELECT DISTINCT q FROM cnt),
+          |types AS (SELECT DISTINCT event_type FROM cnt),
+          |dense AS (
+          |  SELECT t.event_type, g.q, COALESCE(c.c, 0) AS c
+          |  FROM grid g CROSS JOIN types t
+          |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.q = g.q
+          |), cum AS (
+          |  SELECT event_type, q, c,
+          |    sum(c) OVER (PARTITION BY event_type ORDER BY q
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+          |  FROM dense
+          |), tot AS (SELECT event_type, count(*) AS nt FROM q0 GROUP BY 1),
+          |sa AS (SELECT c.event_type, c.q, c.c AS ha, c.cc AS ca, t.nt AS na
+          |       FROM cum c JOIN tot t USING (event_type) WHERE c.event_type <> 'view'),
+          |sb AS (SELECT c.q, c.c AS hb, c.cc AS cb, t.nt AS nb
+          |       FROM cum c JOIN tot t USING (event_type) WHERE c.event_type = 'view'),
+          |m AS (
+          |  SELECT sa.event_type, sa.na, sb.nb,
+          |    sa.na + sb.nb AS nn, sa.ha + sb.hb AS h,
+          |    2 * (sa.ca + sb.cb) - (sa.ha + sb.hb) AS b2,
+          |    2 * sa.ca - sa.ha AS ma2, 2 * sb.cb - sb.hb AS mb2
+          |  FROM sa JOIN sb USING (q)
+          |  WHERE sa.ha + sb.hb > 0
+          |), terms AS (
+          |  SELECT event_type, na, nb,
+          |    CASE WHEN CAST(b2 AS DECIMAL(38,0)) * (2 * nn - b2)
+          |        - CAST(nn AS DECIMAL(38,0)) * h > 0
+          |      THEN CAST(h AS DOUBLE) * CAST(
+          |        (CAST(nn AS DECIMAL(38,0)) * ma2 - CAST(na AS DECIMAL(38,0)) * b2) *
+          |        (CAST(nn AS DECIMAL(38,0)) * ma2 - CAST(na AS DECIMAL(38,0)) * b2)
+          |        AS DOUBLE)
+          |        / (CAST(nn AS DOUBLE) * CAST(CAST(b2 AS DECIMAL(38,0)) * (2 * nn - b2)
+          |            - CAST(nn AS DECIMAL(38,0)) * h AS DOUBLE))
+          |      ELSE 0.0 END AS ta,
+          |    CASE WHEN CAST(b2 AS DECIMAL(38,0)) * (2 * nn - b2)
+          |        - CAST(nn AS DECIMAL(38,0)) * h > 0
+          |      THEN CAST(h AS DOUBLE) * CAST(
+          |        (CAST(nn AS DECIMAL(38,0)) * mb2 - CAST(nb AS DECIMAL(38,0)) * b2) *
+          |        (CAST(nn AS DECIMAL(38,0)) * mb2 - CAST(nb AS DECIMAL(38,0)) * b2)
+          |        AS DOUBLE)
+          |        / (CAST(nn AS DOUBLE) * CAST(CAST(b2 AS DECIMAL(38,0)) * (2 * nn - b2)
+          |            - CAST(nn AS DECIMAL(38,0)) * h AS DOUBLE))
+          |      ELSE 0.0 END AS tb
+          |  FROM m
+          |)
+          |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+          |  round(CAST(max(na) + max(nb) - 1 AS DOUBLE)
+          |    / CAST(max(na) + max(nb) AS DOUBLE)
+          |    * (sum(ta) / CAST(max(na) AS DOUBLE)
+          |      + sum(tb) / CAST(max(nb) AS DOUBLE)), 6) AS ad_stat
+          |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
       // op 297: global-window midranks on the same integer grid (the
       // oracle may rank globally; the Spark side two-levels it), the
       // identical H and tie-correction algebra.
@@ -14674,6 +14996,48 @@ object SparkEntry {
           |    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)), 6) > 3.841459
           |    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
           |FROM a""".stripMargin,
+      // op 398: first-event props-k quartile per user, then the
+      // op-350 pooled-z algebra per segment.
+      "events_lift_by_segment" ->
+        s"""WITH f AS (
+          |  SELECT user_id, props,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          |  FROM events
+          |), seg AS (
+          |  SELECT user_id,
+          |    CAST(floor(CAST(regexp_extract(props, '[0-9]+') AS INT) / 25.0)
+          |      AS BIGINT) AS segment
+          |  FROM f WHERE rn = 1
+          |), u AS (
+          |  SELECT user_id,
+          |    max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+          |        THEN 1 ELSE 0 END) AS conv
+          |  FROM events GROUP BY user_id
+          |), v AS (
+          |  SELECT seg.segment, u.conv,
+          |    CASE WHEN ${w8("md5('ab_' || CAST(u.user_id AS VARCHAR))")} % 2 = 0
+          |      THEN 1 ELSE 0 END AS va
+          |  FROM u JOIN seg ON seg.user_id = u.user_id
+          |), a AS (
+          |  SELECT segment,
+          |    CAST(sum(va) AS BIGINT) AS n_a,
+          |    CAST(sum(va * conv) AS BIGINT) AS conv_a,
+          |    CAST(sum(1 - va) AS BIGINT) AS n_b,
+          |    CAST(sum((1 - va) * conv) AS BIGINT) AS conv_b
+          |  FROM v GROUP BY segment
+          |), z AS (
+          |  SELECT *, conv_a / CAST(n_a AS DOUBLE) AS pa,
+          |    conv_b / CAST(n_b AS DOUBLE) AS pb,
+          |    (conv_a + conv_b) / (CAST(n_a AS DOUBLE) + n_b) AS pool
+          |  FROM a
+          |)
+          |SELECT segment, n_a, conv_a, n_b, conv_b,
+          |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN pa - pb END, 6)
+          |    AS rate_diff,
+          |  round(CASE WHEN n_a > 0 AND n_b > 0 AND pool > 0 AND pool < 1
+          |    THEN (pa - pb) / sqrt(pool * (1.0 - pool)
+          |      * (1.0 / n_a + 1.0 / n_b)) END, 6) AS z_stat
+          |FROM z ORDER BY segment""".stripMargin,
       // op 374: identical quantized pre/post sums, DECIMAL moments,
       // the same double algebra for θ and the adjusted means.
       "events_cuped" ->

@@ -509,6 +509,50 @@ object Events {
         col("valid_to_us"), col("is_current"))
   }
 
+  /** Per-segment A/B lift (op 398) — the heterogeneous-treatment-
+    * effect readout after the op-350 global test: the SAME md5 split
+    * and conversion definition, broken out by a user segment (their
+    * FIRST event's props `k` quartile — a stable pre-treatment
+    * covariate, so segmenting doesn't bias the split). One pooled z
+    * per segment from four exact integers, exactly op 350's algebra
+    * on the segment-keyed relation.
+    */
+  def abTestBySegment(events: DataFrame, conversionType: String,
+                      minValue: Double): DataFrame = {
+    val wFirst = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val seg = events
+      .withColumn("_rn", row_number().over(wFirst))
+      .where(col("_rn") === 1)
+      .select(col("user_id"),
+        floor(regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+          / lit(25.0)).cast("long").as("segment"))
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max((col("event_type") === conversionType &&
+          col("value") >= minValue).cast("int")).as("conv"))
+    val word = conv(substring(md5(concat(lit("ab_"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val v = perUser.withColumn("va", (word % 2 === 0).cast("int"))
+      .join(seg, "user_id")
+    val a = v.groupBy(col("segment")).agg(
+      sum(col("va")).as("n_a"),
+      sum(col("va") * col("conv")).as("conv_a"),
+      sum(lit(1) - col("va")).as("n_b"),
+      sum((lit(1) - col("va")) * col("conv")).as("conv_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("conv_a") / na; val pb = col("conv_b") / nb
+    val pool = (col("conv_a") + col("conv_b")) / (na + nb)
+    val z = when(col("n_a") > 0 && col("n_b") > 0 &&
+        pool > 0.0 && pool < 1.0,
+      (pa - pb) /
+        sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb)))
+    a.select(col("segment"), col("n_a"), col("conv_a"), col("n_b"),
+      col("conv_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0, pa - pb), 6)
+        .as("rate_diff"),
+      round(z, 6).as("z_stat"))
+  }
+
   /** Markov removal-effect attribution (op 388; Anderl, Becker,
     * von Wangenheim & Schumann 2014) — the data-driven alternative to
     * the op-335 heuristic rules: model journeys as a first-order
