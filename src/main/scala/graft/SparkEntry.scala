@@ -2309,6 +2309,48 @@ object SparkEntry {
     // long q²), and the block return is the exact-integer-ratio MEAN
     // period return (compounding overflows any fixed grid here; see
     // op 151's log-space note).
+    // Active share (op 400; Cremers & Petajisto 2009): how far the
+    // op-237 inverse-vol book sits from the equal-weight benchmark —
+    // ½Σ|w_i − 1/k| per complete rebalance block, plus the
+    // max/min weight spread. Weights are exact-integer ratios
+    // (iq/Σiq), so the statistic is identical doubles on both
+    // engines; same block chain as op 237, one extra k-row agg.
+    "eod_active_share" -> ((s, dir) => {
+      val r = withRet(s, dir).where(col("ret").isNotNull)
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("block", floor((col("rn") - 1) / 21).cast("long"))
+        .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
+      val blk = r.groupBy(col("event_type"), col("block"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+          sum(col("q").cast("decimal(19,0)") * col("q").cast("decimal(19,0)"))
+            .as("sq2"))
+        .where(col("n") === 21)
+        .withColumn("vol", sqrt((col("sq2").cast("double") / 1e12 -
+          (col("sq").cast("double") / 1e6) * (col("sq").cast("double") / 1e6)
+            / lit(21.0)) / lit(20.0)))
+        .where(col("vol") > 0)
+        .withColumn("iq", floor(lit(1.0) / col("vol") * 1e9 + 0.5).cast("long"))
+      val tot = blk.groupBy(col("block"))
+        .agg(sum(col("iq")).as("siq"), count(lit(1)).as("nw"))
+        .where(col("nw") === 5)
+      blk.join(broadcast(tot), "block")
+        // |w − 1/5| = |5·iq − Σiq| / (5·Σiq): the deviation sum stays
+        // an exact integer, so the statistic never rides a
+        // partial-agg float-order boundary.
+        .withColumn("dev", abs(lit(5) * col("iq") - col("siq")))
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n_assets"),
+          (floor(sum(col("dev")).cast("double")
+            / (lit(10.0) * max(col("siq")).cast("double")) * 1e6 + 0.5)
+            / 1e6).as("active_share"),
+          (floor(max(col("iq")).cast("double")
+            / max(col("siq")).cast("double") * 1e6 + 0.5) / 1e6)
+            .as("max_weight"),
+          (floor(min(col("iq")).cast("double")
+            / max(col("siq")).cast("double") * 1e6 + 0.5) / 1e6)
+            .as("min_weight"))
+        .orderBy(col("block"))
+    }),
     "eod_inverse_vol" -> ((s, dir) => {
       val r = withRet(s, dir).where(col("ret").isNotNull)
         .withColumn("rn", row_number().over(wT))
@@ -5617,6 +5659,45 @@ object SparkEntry {
     // exact iq/Σiq weight ratios and 1e-9-quantized contribution
     // sums — every double either derives from identical integers or
     // is an exact integer ratio.
+    // op 400: the op-237 weight chain (same DECIMAL moments, same
+    // q9 inverse-vol quantization), the exact-integer deviation sum.
+    "eod_active_share" ->
+      s"""$R_CTE, x AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM r WHERE ret IS NOT NULL
+        |), b0 AS (
+        |  SELECT event_type, CAST(floor((rn - 1) / 21) AS BIGINT) AS block,
+        |    CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS q
+        |  FROM x
+        |), blk AS (
+        |  SELECT event_type, block, count(*) AS n, sum(q) AS sq,
+        |    sum(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS sq2
+        |  FROM b0 GROUP BY 1, 2
+        |), v AS (
+        |  SELECT event_type, block,
+        |    sqrt((CAST(sq2 AS DOUBLE) / 1e12 -
+        |      (CAST(sq AS DOUBLE) / 1e6) * (CAST(sq AS DOUBLE) / 1e6) / 21.0) / 20.0) AS vol
+        |  FROM blk WHERE n = 21
+        |), iv AS (
+        |  SELECT event_type, block,
+        |    CAST(floor(1.0 / vol * 1e9 + 0.5) AS BIGINT) AS iq
+        |  FROM v WHERE vol > 0
+        |), tot AS (
+        |  SELECT block, CAST(sum(iq) AS BIGINT) AS siq
+        |  FROM iv GROUP BY block HAVING count(*) = 5
+        |), d AS (
+        |  SELECT iv.block, iv.iq, t.siq, abs(5 * iv.iq - t.siq) AS dev
+        |  FROM iv JOIN tot t ON iv.block = t.block
+        |)
+        |SELECT block, count(*) AS n_assets,
+        |  floor(CAST(sum(dev) AS DOUBLE) / (10.0 * CAST(max(siq) AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS active_share,
+        |  floor(CAST(max(iq) AS DOUBLE) / CAST(max(siq) AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS max_weight,
+        |  floor(CAST(min(iq) AS DOUBLE) / CAST(max(siq) AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS min_weight
+        |FROM d GROUP BY block ORDER BY block""".stripMargin,
     "eod_inverse_vol" ->
       s"""$R_CTE, x AS (
         |  SELECT event_type, ret,
@@ -7055,6 +7136,18 @@ object SparkEntry {
       Corpus.bpePairStats(tbl(s, dir, "documents"), "doc_id", "text")),
     // Per-source adaptive length trim (op 113): documents carries
     // n_chars and source natively.
+    // Token-length distribution per language (op 402): the subword-
+    // readiness histogram (long-tail token lengths predict BPE
+    // fragmentation); lengths capped at 30 into one overflow bin.
+    // One explode + one keyed count — map-side combinable.
+    "corpus_token_histogram" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("lang"),
+          least(length(col("tok")), lit(30)).cast("long").as("tok_len"))
+        .groupBy(col("lang"), col("tok_len"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("tok_len"))),
     "corpus_length_filter" -> ((s, dir) =>
       Corpus.adaptiveLengthFilter(tbl(s, dir, "documents"), "source", "n_chars")
         .select(col("doc_id"), col("source"), col("n_chars"),
@@ -7303,6 +7396,32 @@ object SparkEntry {
           min(col("shard_id")).as("min_shard"),
           max(col("shard_id")).as("max_shard"))
         .orderBy(col("source"), col("action"), col("bin"))
+    }),
+    // Hash-layout balance report (op 401): rows and byte mass per
+    // doc_id-modulo bucket for a 32-bucket plan, summarized to the
+    // max/mean skew factors — the pre-flight check before committing
+    // a bucketed-table layout (op 65's join locality is only worth
+    // it if the buckets balance). All-integer; one keyed agg + one
+    // 32-row agg.
+    "layout_bucket_balance" -> ((s, dir) => {
+      val b = tbl(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(32)).cast("long").as("bucket"),
+          col("n_chars"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      b.agg(count(lit(1)).as("n_buckets"),
+          sum(col("n_docs")).as("total_docs"),
+          min(col("n_docs")).as("min_docs"), max(col("n_docs")).as("max_docs"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(col("n_buckets"), col("total_docs"), col("min_docs"),
+          col("max_docs"),
+          (floor(col("max_docs").cast("double") * col("n_buckets")
+            / col("total_docs").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("row_skew"),
+          (floor(col("max_chars").cast("double") * col("n_buckets")
+            / col("total_chars").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("byte_skew"))
     }),
     "layout_manifest" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
@@ -10074,6 +10193,40 @@ object SparkEntry {
         }.orderBy(col("symbol"), col("ts_us"))
       }
     }),
+    // Streaming A/B assignment gate (op 399, op 373's live twin at
+    // EVENT grain): per-variant running counters (one long of state
+    // per arm, arms scale independently), final counts joined
+    // post-replay into the 1-df chi-square — the "is assignment
+    // broken RIGHT NOW" monitor that fires before a nightly batch
+    // SRM would.
+    "streaming_ab_gate" -> ((s, dir) => {
+      import s.implicits._
+      withShufflePartitions(s, 8) {
+        val sunk = streamReplay(s, dir, "events", "sabgate") { src =>
+          val word = conv(substring(md5(concat(lit("ab_"),
+            col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          src.select(
+              when(word % 2 === 0, 0).otherwise(1).as("variant"),
+              replayTs(col("event_id")).as("ts"),
+              col("event_id").as("eventId"))
+            .as[graft.streaming.Stateful.GateEvent]
+            .transform(e => graft.streaming.Stateful.abGateStream(e).toDF
+              .select(col("variant"), col("n")))
+        }
+        val finals = sunk.groupBy(col("variant"))
+          .agg(max(col("n")).as("cnt"))
+        val a = finals.agg(
+          sum(when(col("variant") === 0, col("cnt")).otherwise(0L))
+            .as("n_a"),
+          sum(when(col("variant") === 1, col("cnt")).otherwise(0L))
+            .as("n_b"))
+        val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+        val chi2 = (na - nb) * (na - nb) / (na + nb)
+        a.select(col("n_a"), col("n_b"),
+          round(chi2, 6).as("chi2"),
+          when(round(chi2, 6) > 3.841459, 1L).otherwise(0L).as("srm_flag"))
+      }
+    }),
     // Streaming win/loss streaks (op 386, the op-212 live twin):
     // per-symbol current-streak state on the same value>0-guarded
     // quantized-return replay as streaming_cusum; sign recursion is
@@ -12644,6 +12797,31 @@ object SparkEntry {
           |)
           |SELECT pair, count(*) AS n FROM p
           |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+      // op 402: same whitespace tokens, same 30-cap overflow bin.
+      "corpus_token_histogram" ->
+        """WITH tk AS (
+          |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          |  FROM documents
+          |)
+          |SELECT lang, CAST(least(length(tok), 30) AS BIGINT) AS tok_len,
+          |  count(*) AS n
+          |FROM tk GROUP BY lang, least(length(tok), 30)
+          |ORDER BY lang, tok_len""".stripMargin,
+      // op 401: same modulo buckets, exact integer skew inputs.
+      "layout_bucket_balance" ->
+        """WITH b AS (
+          |  SELECT doc_id % 32 AS bucket, count(*) AS n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+          |  FROM documents GROUP BY doc_id % 32
+          |)
+          |SELECT count(*) AS n_buckets,
+          |  CAST(sum(n_docs) AS BIGINT) AS total_docs,
+          |  min(n_docs) AS min_docs, max(n_docs) AS max_docs,
+          |  floor(CAST(max(n_docs) AS DOUBLE) * count(*)
+          |    / CAST(sum(n_docs) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS row_skew,
+          |  floor(CAST(max(n_chars) AS DOUBLE) * count(*)
+          |    / CAST(sum(n_chars) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS byte_skew
+          |FROM b""".stripMargin,
       "corpus_length_filter" ->
         """WITH b AS (
           |  SELECT source, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
@@ -15038,6 +15216,27 @@ object SparkEntry {
           |    THEN (pa - pb) / sqrt(pool * (1.0 - pool)
           |      * (1.0 / n_a + 1.0 / n_b)) END, 6) AS z_stat
           |FROM z ORDER BY segment""".stripMargin,
+      // op 399: event-grain variant counts (the live gate's grain),
+      // the op-373 chi-square closed form.
+      "streaming_ab_gate" ->
+        s"""WITH v AS (
+          |  SELECT CASE WHEN ${w8("md5('ab_' || CAST(user_id AS VARCHAR))")} % 2 = 0
+          |    THEN 0 ELSE 1 END AS variant
+          |  FROM events
+          |), a AS (
+          |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          |  FROM v
+          |)
+          |SELECT n_a, n_b,
+          |  round((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+          |    * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+          |    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)), 6) AS chi2,
+          |  CAST(CASE WHEN round((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+          |    * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+          |    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)), 6) > 3.841459
+          |    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+          |FROM a""".stripMargin,
       // op 374: identical quantized pre/post sums, DECIMAL moments,
       // the same double algebra for θ and the adjusted means.
       "events_cuped" ->

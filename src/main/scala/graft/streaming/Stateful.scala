@@ -552,6 +552,35 @@ object Stateful {
       }
   }
 
+  // --------------------------------------------- streaming A/B gate
+
+  case class GateEvent(variant: Int, ts: Timestamp, eventId: Long)
+  case class GateRow(variant: Int, ts: Timestamp, n: Long)
+
+  /** Per-variant running event counter — the live assignment monitor
+    * under the op-373 SRM gate: each arm's event stream keeps ONE
+    * long of state and emits its running count; the chi-square
+    * readout joins the two final counts post-replay (driver-sized).
+    * Keyed by variant, so each arm scales independently — no global
+    * single-key bottleneck; the cross-arm statistic is never stream
+    * state.
+    */
+  def abGateStream(events: Dataset[GateEvent]): Dataset[GateRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.variant)
+      .flatMapGroupsWithState[Long, GateRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (variant, it, state) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = it.toArray.sortBy(e => (tsKey(e.ts), e.eventId)).map { e =>
+            n += 1
+            GateRow(variant, e.ts, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   // ----------------------------------------- streaming win/loss streaks
 
   case class StreakState(lastPrice: Double, sgn: Int, len: Long,
