@@ -599,8 +599,13 @@ object Events {
           .over(Window.partitionBy("user_id")))
       .where(col("rn") === 1 && col("didconv") === 0)
       .select(col("state").as("f"), lit("null").as("t"))
+    // localCheckpoint (op-317 convention): trans is (channels+2)²
+    // rows — cutting the journey-window lineage HERE means the event
+    // scan runs once, not once per sweep (the unchecked 24-sweep
+    // chain re-derived it quadratically: 130 s at sf0.1 vs ~2 s).
     val trans = steps.unionByName(tails)
       .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val totals = trans.groupBy(col("f")).agg(sum(col("n")).as("ntot"))
     val channels = trans.select(col("f").as("ch"))
       .unionByName(trans.select(col("t").as("ch")))
@@ -613,10 +618,17 @@ object Events {
     // denominators stay the ORIGINAL totals (lost mass = null).
     val vt = variants.crossJoin(trans.join(broadcast(totals), "f"))
       .where(col("f") =!= col("removed") && col("t") =!= col("removed"))
-    val grid = variants.crossJoin(states)
-    var x = grid.withColumn("xq", lit(0L))
-    for (_ <- 1 to iters) {
-      val contrib = vt
+    // grid/vt are ≤(k+1)(k+2)²-row constants of the sweep — pin them
+    // once so every iteration's plan is the SAME three tiny joins
+    // instead of a linearly deepening tree over re-derived journeys.
+    // coalesce(1): the sweep relations are ≤42 rows — one partition
+    // keeps every sweep join a broadcast and every checkpoint a
+    // single-task job instead of 32 empty shuffle tasks per stage.
+    val gridC = variants.crossJoin(states).coalesce(1).localCheckpoint()
+    val vtC = vt.coalesce(1).localCheckpoint()
+    var x = gridC.withColumn("xq", lit(0L))
+    for (it <- 1 to iters) {
+      val contrib = vtC
         .join(x.select(col("removed"), col("state").as("t"),
           col("xq").as("_xj")), Seq("removed", "t"), "left")
         .withColumn("xin", when(col("t") === "conv", lit(1000000000L))
@@ -629,8 +641,12 @@ object Events {
         .select(col("removed"), col("f").as("state"),
           ((col("num") - pmod(col("num"), col("den"))) / col("den"))
             .cast("long").as("xq"))
-      x = grid.join(contrib, Seq("removed", "state"), "left")
+      // re-pin the ≤(k+1)²-row state every few sweeps (op-317
+      // convention) — per-sweep pinning pays a whole Spark job per
+      // iteration; depth-6 trees of broadcast joins plan in no time.
+      x = gridC.join(contrib, Seq("removed", "state"), "left")
         .withColumn("xq", coalesce(col("xq"), lit(0L)))
+      if (it % 6 == 0 && it < iters) x = x.localCheckpoint()
     }
     val p = x.where(col("state") === "start")
       .select(col("removed"), col("xq").as("pq"))
