@@ -512,4 +512,28 @@ class PlanSpec extends SparkSpec {
     val p = plan("stats_kruskal")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("phash dedup pairs via the band-key join, never a cross product") {
+    val p = plan("mm_phash_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "all-pairs plan in mm_phash_dedup: " + p.take(800))
+  }
+
+  test("isotropy identity is join-free: no pair relation anywhere") {
+    // ‖Σv̂‖² − Σ‖v̂‖² needs only a posexplode + two aggregates; a
+    // join would mean someone reintroduced the n² pair expansion
+    // (the 1-row count relation rides a broadcast NLJ, which is fine
+    // — it is the pair JOIN shapes that must stay out).
+    val p = plan("embed_isotropy")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "pair join in embed_isotropy: " + p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "cartesian in embed_isotropy: " + p.take(800))
+  }
+
+  test("range search keys the LSH bucket join, never a cross product") {
+    val p = plan("ann_range_search")
+    assert(!p.contains("CartesianProduct"),
+      "all-pairs plan in ann_range_search: " + p.take(800))
+  }
 }
