@@ -23,21 +23,39 @@ object Bench {
     }
   }
 
-  /** Tightest committed per-query record across prior rounds: min over
-    * every BENCH_LOCAL_r*.json in cwd except the current round's own
-    * mirror. Min-merging across rounds keeps one polluted round (r12's
-    * end-of-round run recorded 3-30× isolated cost on six queries)
-    * from poisoning the reference the outlier detector compares to. */
+  /** Per-query min3 isolation controls from a BENCHONE_r*.json line
+    * (format: {"queries":{"name":{"min3":X,"suite":Y},…}}). */
+  def parseBenchOne(json: String): Map[String, Double] =
+    """"([a-z0-9_]+)":\{"min3":([0-9.]+)""".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Tightest committed per-query reference across prior rounds: min
+    * over every BENCH_LOCAL_r*.json in cwd except the current round's
+    * own mirror, min-merged with every BENCHONE_r*.json isolation
+    * control (r13 verdict #2: suite records alone leave a blind spot
+    * for 2-3× host pressure — the BENCHONE min3 is the honest
+    * isolated cost and usually the tighter bound). Min-merging across
+    * rounds keeps one polluted round (r12's end-of-round run recorded
+    * 3-30× isolated cost on six queries) from poisoning the
+    * reference the outlier detector compares to. */
   def priorRecords(excludeRound: String): Map[String, Double] = {
     val dir = new java.io.File(".")
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    val all = Option(dir.listFiles()).getOrElse(Array.empty)
+    def slurp(f: java.io.File): String =
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val suite = all
       .filter(f => f.getName.matches("BENCH_LOCAL_r\\d+\\.json") &&
         f.getName != s"BENCH_LOCAL_$excludeRound.json")
-    files.flatMap { f =>
-      try parseQueries(new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).toSeq
-      catch { case _: Throwable => Nil }
-    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      .flatMap { f =>
+        try parseQueries(slurp(f)).toSeq catch { case _: Throwable => Nil }
+      }
+    val isolated = all
+      .filter(_.getName.matches("BENCHONE_r\\d+\\.json"))
+      .flatMap { f =>
+        try parseBenchOne(slurp(f)).toSeq catch { case _: Throwable => Nil }
+      }
+    (suite ++ isolated).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).min }
   }
 
   private def gcMillis(): Long = {
@@ -154,25 +172,38 @@ object Bench {
       record(name, times).foreach(results(name) = _)
     }
 
-    // Outlier re-run (r12 verdict #1b): any query whose recorded min
-    // exceeds 3× the tightest committed prior-round record gets a
-    // fresh min-of-2 appended after the sweep — if the first pass hit
-    // transient host pressure (the r12 failure mode: six queries at
-    // 3-30× isolated cost, BOTH reps inside the same pressure window),
-    // the later re-run catches the engine's real cost. Re-run deltas
-    // are recorded so the final line shows what was environmental.
-    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r13")
+    // Outlier re-run (r12 verdict #1b, widened per r13 verdict #2):
+    // any query whose recorded min exceeds 2× the tightest committed
+    // reference — min over prior-round suite records AND BENCHONE
+    // isolation controls — gets a fresh min-of-2 appended after the
+    // sweep. If the first pass hit transient host pressure (the r12
+    // failure mode: six queries at 3-30× isolated cost, BOTH reps
+    // inside the same pressure window; r13's residual: seven queries
+    // at 2-3×, under the old 3× line), the later re-run catches the
+    // engine's real cost. Re-run deltas are recorded so the final
+    // line shows what was environmental. Queries new this round have
+    // no reference yet and are not requeued — their honest record
+    // lands via the BENCHONE sweep the same round.
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r14")
     val prior = try priorRecords(round) catch { case _: Throwable => Map.empty[String, Double] }
     val requeued = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     results.keys.toSeq.foreach { name =>
       val dt = results(name)
       prior.get(name).foreach { p =>
-        if (dt > 3.0 * p && dt > 1.0) {
+        if (dt > 2.0 * p && dt > 1.0) {
           val fresh = (1 to 2).flatMap(_ =>
             runOnce(name, SparkEntry.queries(name)))
-          record(name, fresh).foreach { fd =>
-            if (fd < dt) { results(name) = fd; requeued(name) = (dt, fd) }
-            else requeued(name) = (dt, dt)
+          // Side-effects (gc/stream/setup splits) commit only when the
+          // re-run WINS — otherwise the emitted splits would describe
+          // a different execution than the recorded wall time — and
+          // the requeued map always carries the real re-run min so
+          // the JSON shows what the re-run measured.
+          collapse(Map(name -> fresh.map(_._1))).get(name).foreach { fd =>
+            if (fd < dt) {
+              record(name, fresh)
+              results(name) = fd
+            }
+            requeued(name) = (dt, fd)
           }
         }
       }

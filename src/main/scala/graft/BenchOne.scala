@@ -37,7 +37,7 @@ object BenchOne {
 
     if (args.headOption.contains("--sweep")) {
       val n = if (args.length > 1) args(1).toInt else 25
-      val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r13")
+      val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r14")
       val rec = Bench.parseQueries(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"BENCH_LOCAL_$round.json")), "UTF-8"))
       val slowest = rec.toSeq.sortBy(-_._2).take(n)

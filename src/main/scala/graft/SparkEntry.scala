@@ -6726,6 +6726,28 @@ object SparkEntry {
           .as("recall"))
   }
 
+  /** op-385's AND-composed 2-of-4 band candidate pairs over the
+    * dHash band relation — shared by mm_phash_dedup (which verifies
+    * candidates with the exact Hamming cut) and dedup_eval_phash
+    * (which grades the RAW candidate set, before verification,
+    * against exact ground truth). */
+  private def dHashCandPairs(hb: DataFrame): DataFrame = {
+    val comboIdx = Seq((0, "h0", "h1"), (1, "h0", "h2"), (2, "h0", "h3"),
+      (3, "h1", "h2"), (4, "h1", "h3"), (5, "h2", "h3"))
+    val combos = array(comboIdx.map { case (i, ca, cb) =>
+      struct(lit(i).as("c"), col(ca).as("v1"), col(cb).as("v2"))
+    }: _*)
+    val keyed = hb.select(col("doc_id"), explode(combos).as("kk"))
+      .select(col("doc_id"), col("kk.c").as("c"),
+        col("kk.v1").as("v1"), col("kk.v2").as("v2"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.c") === col("b.c") && col("a.v1") === col("b.v1") &&
+          col("a.v2") === col("b.v2") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
   /** Shared by text_readability and its streaming gate twin: exact
     * integer word/sentence/syllable counts (character-class regexes
     * only, so Java regex and RE2 agree), then the two classic scores
@@ -6756,6 +6778,62 @@ object SparkEntry {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 1000000, text || ' the' FROM documents WHERE doc_id % 50 = 0
       |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 97 = 0
+      |)""".stripMargin
+
+  /** The dHash chain shared by the mm_phash_dedup and
+    * dedup_eval_phash oracles: synthetic image bytes → 9×8 dHash
+    * bits → four 16-bit bands (`bands`/`hv`) → the 2-of-4
+    * AND-composed band candidate pairs (`cand`). */
+  private val PHASH_CTE =
+    """bh AS (
+      |  SELECT doc_id, md5(text) AS hx FROM corpus
+      |), d AS (
+      |  SELECT doc_id, list_transform(range(0, 16), i ->
+      |    (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1) AS bytes
+      |  FROM bh
+      |), dim AS (
+      |  SELECT doc_id, 1 + bytes[1] % 64 AS w, 1 + bytes[2] % 64 AS h, bytes
+      |  FROM d
+      |), g AS (
+      |  SELECT doc_id, i.range AS i, j.range AS j,
+      |    bytes[(((i.range * w) // 9 + (j.range * h) // 8) % 16) + 1] AS p
+      |  FROM dim CROSS JOIN range(0, 9) i CROSS JOIN range(0, 8) j
+      |), bits AS (
+      |  SELECT a.doc_id, a.j * 8 + a.i AS k
+      |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.j = a.j
+      |    AND n.i = a.i + 1
+      |  WHERE a.i < 8 AND n.p > a.p
+      |), bitvals AS (
+      |  SELECT doc_id, k // 16 AS band,
+      |    CAST(pow(2, k % 16) AS BIGINT) AS v
+      |  FROM bits
+      |), bands0 AS (
+      |  SELECT dim.doc_id, r.range AS band FROM dim CROSS JOIN range(0, 4) r
+      |), bands AS (
+      |  SELECT bands0.doc_id, bands0.band,
+      |    COALESCE(CAST(sum(v) AS BIGINT), 0) AS bv
+      |  FROM bands0 LEFT JOIN bitvals
+      |    ON bitvals.doc_id = bands0.doc_id AND bitvals.band = bands0.band
+      |  GROUP BY bands0.doc_id, bands0.band
+      |), k2 AS (
+      |  -- AND-composed blocking key: every unordered PAIR of bands
+      |  -- (the Spark side's 6 explicit combos)
+      |  SELECT a.doc_id, a.band AS b1, b.band AS b2, a.bv AS v1, b.bv AS v2
+      |  FROM bands a JOIN bands b
+      |    ON b.doc_id = a.doc_id AND a.band < b.band
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM k2 x JOIN k2 y
+      |    ON x.b1 = y.b1 AND x.b2 = y.b2 AND x.v1 = y.v1
+      |    AND x.v2 = y.v2 AND x.doc_id < y.doc_id
+      |), hv AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN band = 0 THEN bv END) AS h0,
+      |    max(CASE WHEN band = 1 THEN bv END) AS h1,
+      |    max(CASE WHEN band = 2 THEN bv END) AS h2,
+      |    max(CASE WHEN band = 3 THEN bv END) AS h3
+      |  FROM bands GROUP BY doc_id
       |)""".stripMargin
 
   /** Embedding dimensionality of the testdata embeddings table. */
@@ -8912,6 +8990,47 @@ object SparkEntry {
             .as("ts_slope"))
         .orderBy(col("event_type"))
     }),
+    // Windowed Theil–Sen (op 403) — the SCALE §17 guidance for op 379
+    // promoted to an operator: a trailing-14-day slope per (series,
+    // end day), so the pairwise grid is ≤W(W−1)/2 = 91 slopes per
+    // window BY CONSTRUCTION instead of d(d−1)/2 over all history
+    // (quadratic in days — 157.6 s at the 50× wide probe). Each
+    // daily-mean row explodes to the ≤W windows it belongs to
+    // (days×W rows, linear), pairs form on the (series, window)
+    // EQUI-join — a plain hash shuffle, no band/theta join — and the
+    // exact per-window percentile reduces ≤91 values. Emitted only
+    // for windows whose end day exists in the data (left-semi on the
+    // daily relation). Same exact-rational daily means and
+    // value-interpolating median as op 379 → engine-exact.
+    "stats_theil_sen_windowed" -> ((s, dir) => {
+      val W = 14
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          floor(unix_micros(col("ts")).cast("double") / 86400000000.0)
+            .cast("long").as("d"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+        .groupBy(col("event_type"), col("d"))
+        .agg((sum(col("qv")).cast("double") / count(lit(1)) / 1e6).as("m"))
+      val member = daily.withColumn("w",
+        explode(sequence(col("d"), col("d") + (W - 1))))
+      val a = member.select(col("event_type"), col("w"),
+        col("d").as("di"), col("m").as("mi"))
+      val b = member.select(col("event_type"), col("w"),
+        col("d").as("dj"), col("m").as("mj"))
+      a.join(b, Seq("event_type", "w")).where(col("di") < col("dj"))
+        .select(col("event_type"), col("w"),
+          ((col("mj") - col("mi"))
+            / (col("dj") - col("di")).cast("double")).as("slope"))
+        .groupBy(col("event_type"), col("w"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(graft.functions.Stats.quantile(col("slope"), 0.5), 6)
+            .as("ts_slope"))
+        .join(daily.select(col("event_type"), col("d").as("w")),
+          Seq("event_type", "w"), "left_semi")
+        .select(col("event_type"), col("w").as("end_day"),
+          col("n_pairs"), col("ts_slope"))
+        .orderBy(col("event_type"), col("end_day"))
+    }),
     // CUSUM changepoint locator (op 394; Page 1954 / the Brownian-
     // bridge sup test): per series the row that maximizes
     // |P_t − (t/n)·S_n| over the (ts, event_id) order — computed as
@@ -9696,9 +9815,10 @@ object SparkEntry {
         .orderBy(col("segment"))),
 
     // op 388: data-driven Markov removal-effect attribution — the
-    // chain-model alternative to op 335's positional rules; 24
-    // fixed-point sweeps on the 1e-9 integer grid (op-317
-    // convention), every chain relation driver-sized.
+    // chain-model alternative to op 335's positional rules; direct
+    // fixed-pivot-order Gaussian elimination on the absorption
+    // system (scalar IEEE ops → cross-engine bit-parity), every
+    // chain relation driver-sized.
     "events_markov_attribution" -> ((s, dir) =>
       graft.operators.Events.markovAttribution(events(s, dir), "purchase")
         .orderBy(col("channel"))),
@@ -10939,23 +11059,13 @@ object SparkEntry {
     // total Hamming ≤ 10. The decode is the mapPartitions media
     // kernel; all hashing/pairing is integer Column algebra.
     "mm_phash_dedup" -> ((s, dir) => {
+      // localCheckpoint: the band relation (4 longs per doc) is read
+      // three times below; pinning it pays the PNG encode+decode
+      // kernel once instead of three times.
       val hb = Multimodal.dHashBands(
         Multimodal.withSyntheticPng(docCorpus(s, dir), "doc_id", "text"),
-        "doc_id", "image")
-      val comboIdx = Seq((0, "h0", "h1"), (1, "h0", "h2"), (2, "h0", "h3"),
-        (3, "h1", "h2"), (4, "h1", "h3"), (5, "h2", "h3"))
-      val combos = array(comboIdx.map { case (i, ca, cb) =>
-        struct(lit(i).as("c"), col(ca).as("v1"), col(cb).as("v2"))
-      }: _*)
-      val keyed = hb.select(col("doc_id"), explode(combos).as("kk"))
-        .select(col("doc_id"), col("kk.c").as("c"),
-          col("kk.v1").as("v1"), col("kk.v2").as("v2"))
-      val cand = keyed.as("a").join(keyed.as("b"),
-          col("a.c") === col("b.c") && col("a.v1") === col("b.v1") &&
-            col("a.v2") === col("b.v2") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+        "doc_id", "image").localCheckpoint()
+      val cand = dHashCandPairs(hb)
       val ha = hb.select(col("doc_id").as("id_a"), col("h0").as("a0"),
         col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"))
       val hbb = hb.select(col("doc_id").as("id_b"), col("h0").as("b0"),
@@ -10968,6 +11078,36 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
         .where(col("hamming") <= 10)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // Op-169 harness on the pHash family (op 404, r13 verdict #4):
+    // the 2-of-4 band candidate set graded BEFORE the Hamming verify
+    // against exact Hamming≤10 ground truth. The banding does NOT
+    // pigeonhole-guarantee radius 10 (10 errors can touch 3 of 4
+    // 16-bit bands, killing every 2-band combo), so its recall is a
+    // MEASURED number, not an implied one; precision quantifies what
+    // the exact-verify step has to filter. Truth is the op-169
+    // eval-scoped brute baseline: an all-pairs broadcast
+    // nested-loop over the n-doc × 4-long band relation — quadratic
+    // BY DEFINITION of an exact-truth eval, sized to the eval
+    // corpus, never part of the production dedup path (that path is
+    // the banded op 385).
+    "dedup_eval_phash" -> ((s, dir) => {
+      val hb = Multimodal.dHashBands(
+        Multimodal.withSyntheticPng(docCorpus(s, dir), "doc_id", "text"),
+        "doc_id", "image").localCheckpoint()
+      val cand = dHashCandPairs(hb)
+      val ha = hb.select(col("doc_id").as("id_a"), col("h0").as("a0"),
+        col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"))
+      val hbb = hb.select(col("doc_id").as("id_b"), col("h0").as("b0"),
+        col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3"))
+      val ham = bit_count(col("a0").bitwiseXOR(col("b0"))) +
+        bit_count(col("a1").bitwiseXOR(col("b1"))) +
+        bit_count(col("a2").bitwiseXOR(col("b2"))) +
+        bit_count(col("a3").bitwiseXOR(col("b3")))
+      val truth = broadcast(ha).crossJoin(hbb)
+        .where(col("id_a") < col("id_b") && ham <= 10)
+        .select(col("id_a"), col("id_b"))
+      dedupEvalReport(truth, cand)
     }),
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
@@ -14090,6 +14230,37 @@ object SparkEntry {
           |SELECT event_type, count(*) AS n_pairs,
           |  round(quantile_cont(slope, 0.5), 6) AS ts_slope
           |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // op 403: same daily means, trailing-14-day window membership
+      // via generate_series, per-(series, end day) interpolated
+      // median; emitted only for end days present in the data.
+      "stats_theil_sen_windowed" ->
+        """WITH daily AS (
+          |  SELECT event_type,
+          |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          |      AS BIGINT) AS d,
+          |    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+          |      / count(*) / 1e6 AS m
+          |  FROM events
+          |  GROUP BY event_type,
+          |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT)
+          |), member AS (
+          |  SELECT event_type, d, m,
+          |    unnest(generate_series(d, d + 13)) AS w
+          |  FROM daily
+          |), s AS (
+          |  SELECT a.event_type, a.w,
+          |    (b.m - a.m) / CAST(b.d - a.d AS DOUBLE) AS slope
+          |  FROM member a JOIN member b
+          |    ON a.event_type = b.event_type AND a.w = b.w AND a.d < b.d
+          |), g AS (
+          |  SELECT event_type, w, count(*) AS n_pairs,
+          |    round(quantile_cont(slope, 0.5), 6) AS ts_slope
+          |  FROM s GROUP BY event_type, w
+          |)
+          |SELECT g.event_type, g.w AS end_day, g.n_pairs, g.ts_slope
+          |FROM g JOIN daily ON daily.event_type = g.event_type
+          |  AND daily.d = g.w
+          |ORDER BY g.event_type, end_day""".stripMargin,
       // op 387: grand interpolated median, 2×k counts, the Σ O²/E − N
       // identity.
       "stats_mood_median" ->
@@ -15183,7 +15354,10 @@ object SparkEntry {
           |  FROM events
           |), seg AS (
           |  SELECT user_id,
-          |    CAST(floor(CAST(regexp_extract(props, '[0-9]+') AS INT) / 25.0)
+          |    -- TRY_CAST mirrors Spark's NULL on a digit-less props
+          |    -- value (DuckDB regexp_extract returns '' on no match
+          |    -- and a plain CAST('' AS INT) would ERROR, not diverge)
+          |    CAST(floor(TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) / 25.0)
           |      AS BIGINT) AS segment
           |  FROM f WHERE rn = 1
           |), u AS (
@@ -15314,21 +15488,51 @@ object SparkEntry {
       // op 388: the same journey cut / tail-close / transition
       // counts, 24 unrolled floor-division sweeps on the 1e-9 grid.
       "events_markov_attribution" -> {
-        val iterCtes = (1 to 24).map { i =>
-          s"""c$i AS (
-            |  SELECT vt.removed, vt.f AS state,
-            |    CAST(sum(vt.n * (CASE WHEN vt.t = 'conv' THEN 1000000000
-            |      ELSE coalesce(x${i - 1}.xq, 0) END)) // max(vt.ntot)
-            |      AS BIGINT) AS xq
-            |  FROM vt LEFT JOIN x${i - 1}
-            |    ON x${i - 1}.removed = vt.removed AND x${i - 1}.state = vt.t
-            |  GROUP BY vt.removed, vt.f
-            |), x$i AS (
-            |  SELECT grid.removed, grid.state, coalesce(c$i.xq, 0) AS xq
-            |  FROM grid LEFT JOIN c$i
-            |    ON c$i.removed = grid.removed AND c$i.state = grid.state
-            |)""".stripMargin
+        // mirrors Events.markovAttribution: the whole chain pivots to
+        // ONE wide row (positions 1..7, conv = 8, null = 9), explodes
+        // 7 removal variants, and runs the fixed-pivot-order Gaussian
+        // elimination fully unrolled as scalar column algebra. Every
+        // arithmetic step is a scalar IEEE op in the same order as
+        // the Spark plan (a - b*c/d parses as a - ((b*c)/d) in both
+        // engines) and every cross-row aggregate is INTEGER, so the
+        // two engines agree bit-for-bit without a grid.
+        val smax = 7; val convj = smax + 1; val nullj = smax + 2
+        val rhs = convj
+        val nCols = (for { i <- 1 to smax; j <- 1 to nullj } yield
+          s"sum(CASE WHEN fi = $i AND tj = $j THEN n END) AS n_${i}_$j"
+        ) ++ (1 to smax).map(i =>
+          s"coalesce(sum(CASE WHEN fi = $i THEN n END), 0) AS tot_$i")
+        val nstExpr = (1 to smax).map(i =>
+          s"(CASE WHEN tot_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+        val cells = for { i <- 1 to smax; j <- (1 to smax) :+ rhs }
+          yield (i, j)
+        def qExpr(i: Int, j: Int): String = {
+          val gate = if (j <= smax) s"rv = $i OR rv = $j" else s"rv = $i"
+          s"""CASE WHEN $gate THEN 0.0
+             |      ELSE (CASE WHEN tot_$i > 0
+             |        THEN CAST(coalesce(n_${i}_$j, 0) AS DOUBLE)
+             |             / CAST(tot_$i AS DOUBLE)
+             |        ELSE 0.0 END) END""".stripMargin.replace("\n", " ")
+            .replaceAll("\\s+", " ")
+        }
+        val a0Cols = cells.map { case (i, j) =>
+          if (j == rhs) s"${qExpr(i, j)} AS a_${i}_$j"
+          else {
+            val ident = if (i == j) "1.0" else "0.0"
+            s"$ident - ${qExpr(i, j)} AS a_${i}_$j"
+          }
+        }.mkString(",\n    ")
+        val elimCtes = (1 until smax).map { k =>
+          val cols = cells.map { case (i, j) =>
+            if (i > k && (j > k || j == rhs))
+              s"a_${i}_$j - a_${i}_$k * a_${k}_$j / a_${k}_$k AS a_${i}_$j"
+            else s"a_${i}_$j"
+          }.mkString(",\n    ")
+          s"a$k AS (SELECT rv, nst,\n    $cols\n  FROM a${k - 1})"
         }.mkString(", ")
+        val xsCase = (1 to smax).map { n =>
+          s"WHEN nst = $n THEN a_${n}_$rhs / a_${n}_$n"
+        }.mkString(" ")
         s"""WITH cutc AS (
           |  SELECT user_id, ts, event_id, event_type,
           |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -15360,43 +15564,72 @@ object SparkEntry {
           |  SELECT state AS f, 'null' AS t FROM tailk
           |  WHERE rn = 1 AND didconv = 0
           |), trans AS (SELECT f, t, count(*) AS n FROM alltrans GROUP BY f, t),
-          |totals AS (SELECT f, CAST(sum(n) AS BIGINT) AS ntot FROM trans GROUP BY f),
           |channels AS (
           |  SELECT DISTINCT ch FROM (
           |    SELECT f AS ch FROM trans UNION ALL SELECT t AS ch FROM trans
           |  ) WHERE ch NOT IN ('start', 'conv', 'null')
-          |), variants AS (
-          |  SELECT ch AS removed FROM channels
-          |  UNION ALL SELECT '__none__' AS removed
-          |), states AS (
-          |  SELECT ch AS state FROM channels
-          |  UNION ALL SELECT 'start' AS state
-          |), vt AS (
-          |  SELECT v.removed, tr.f, tr.t, tr.n, tt.ntot
-          |  FROM variants v CROSS JOIN trans tr
-          |  JOIN totals tt ON tt.f = tr.f
-          |  WHERE tr.f <> v.removed AND tr.t <> v.removed
-          |), grid AS (SELECT removed, state FROM variants CROSS JOIN states),
-          |x0 AS (SELECT removed, state, CAST(0 AS BIGINT) AS xq FROM grid),
-          |$iterCtes,
-          |p AS (SELECT removed, xq AS pq FROM x24 WHERE state = 'start'),
-          |pf AS (SELECT pq AS pq_full FROM p WHERE removed = '__none__'),
-          |re AS (
-          |  SELECT removed AS channel, pq, pq_full,
+          |), statepos AS (
+          |  SELECT state, CAST(row_number() OVER
+          |      (ORDER BY state = 'start', state) AS INT) AS pos
+          |  FROM (SELECT ch AS state FROM channels
+          |        UNION ALL SELECT 'start' AS state)
+          |), tf AS (
+          |  SELECT sf.pos AS fi,
+          |    coalesce(st.pos,
+          |      CASE WHEN tr.t = 'conv' THEN $convj ELSE $nullj END) AS tj,
+          |    tr.n
+          |  FROM trans tr
+          |  JOIN statepos sf ON sf.state = tr.f
+          |  LEFT JOIN statepos st ON st.state = tr.t
+          |), wide AS (
+          |  SELECT
+          |    ${nCols.mkString(",\n    ")}
+          |  FROM tf
+          |), wide2 AS (
+          |  SELECT *, $nstExpr AS nst FROM wide
+          |), frame AS (
+          |  SELECT wide2.*, rvt.rv FROM wide2
+          |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) AS rvt(rv)
+          |), a0 AS (
+          |  SELECT rv, nst,
+          |    $a0Cols
+          |  FROM frame
+          |), $elimCtes,
+          |scored AS (
+          |  SELECT rv, nst,
+          |    CAST(floor((CASE $xsCase END) * 1e9 + 0.5) AS BIGINT) AS pq
+          |  FROM a${smax - 1}
+          |), re1 AS (
+          |  SELECT rv, nst, pq,
+          |    max(CASE WHEN rv = 0 THEN pq END) OVER () AS pq_full
+          |  FROM scored
+          |), re2 AS (
+          |  SELECT rv, nst, pq, pq_full,
           |    CASE WHEN pq_full > 0
-          |      THEN floor((1.0 - pq::DOUBLE / pq_full::DOUBLE) * 1e6 + 0.5) / 1e6
-          |      ELSE 0.0 END AS removal_effect
-          |  FROM p CROSS JOIN pf WHERE removed <> '__none__'
-          |), retot AS (SELECT sum(removal_effect) AS re_sum FROM re)
-          |SELECT channel, pq_full::DOUBLE / 1e9 AS p_full,
-          |  pq::DOUBLE / 1e9 AS p_removed, removal_effect,
+          |      THEN CAST(floor((1.0 - CAST(pq AS DOUBLE)
+          |        / CAST(pq_full AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+          |      ELSE 0 END AS rei
+          |  FROM re1
+          |), re3 AS (
+          |  SELECT rv, pq, pq_full, rei,
+          |    sum(CASE WHEN rv <> 0 AND rv <> nst THEN rei ELSE 0 END)
+          |      OVER () AS re_sum
+          |  FROM re2
+          |)
+          |SELECT sp.state AS channel,
+          |  CAST(pq_full AS DOUBLE) / 1e9 AS p_full,
+          |  CAST(pq AS DOUBLE) / 1e9 AS p_removed,
+          |  CAST(rei AS DOUBLE) / 1e6 AS removal_effect,
           |  CASE WHEN re_sum > 0
-          |    THEN floor(removal_effect / re_sum * 1e6 + 0.5) / 1e6
+          |    THEN floor(CAST(rei AS DOUBLE) / CAST(re_sum AS DOUBLE)
+          |      * 1e6 + 0.5) / 1e6
           |  END AS attribution
-          |FROM re CROSS JOIN retot ORDER BY channel""".stripMargin
+          |FROM re3 JOIN statepos sp ON re3.rv = sp.pos
+          |  AND sp.state <> 'start'
+          |WHERE re3.rv <> 0
+          |ORDER BY channel""".stripMargin
           // MATERIALIZED, not inlined: DuckDB's default CTE inlining
-          // re-expands the journey chain under each of the 24 sweep
-          // CTEs — >4 min; materialized the whole query is 0.6 s.
+          // re-expands the journey chain under each elimination CTE.
           .replace(" AS (", " AS MATERIALIZED (")
       },
       // op 351: same cohort/week algebra as op 331, decimal revenue,
@@ -15964,56 +16197,7 @@ object SparkEntry {
       // → 9×8 nearest-sample dHash bits → 4×16-bit bands → the same
       // band-blocked candidate join and Hamming ≤ 10 cut.
       "mm_phash_dedup" ->
-        s"""WITH $CORPUS_CTE, bh AS (
-          |  SELECT doc_id, md5(text) AS hx FROM corpus
-          |), d AS (
-          |  SELECT doc_id, list_transform(range(0, 16), i ->
-          |    (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
-          |    + strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1) AS bytes
-          |  FROM bh
-          |), dim AS (
-          |  SELECT doc_id, 1 + bytes[1] % 64 AS w, 1 + bytes[2] % 64 AS h, bytes
-          |  FROM d
-          |), g AS (
-          |  SELECT doc_id, i.range AS i, j.range AS j,
-          |    bytes[(((i.range * w) // 9 + (j.range * h) // 8) % 16) + 1] AS p
-          |  FROM dim CROSS JOIN range(0, 9) i CROSS JOIN range(0, 8) j
-          |), bits AS (
-          |  SELECT a.doc_id, a.j * 8 + a.i AS k
-          |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.j = a.j
-          |    AND n.i = a.i + 1
-          |  WHERE a.i < 8 AND n.p > a.p
-          |), bitvals AS (
-          |  SELECT doc_id, k // 16 AS band,
-          |    CAST(pow(2, k % 16) AS BIGINT) AS v
-          |  FROM bits
-          |), bands0 AS (
-          |  SELECT dim.doc_id, r.range AS band FROM dim CROSS JOIN range(0, 4) r
-          |), bands AS (
-          |  SELECT bands0.doc_id, bands0.band,
-          |    COALESCE(CAST(sum(v) AS BIGINT), 0) AS bv
-          |  FROM bands0 LEFT JOIN bitvals
-          |    ON bitvals.doc_id = bands0.doc_id AND bitvals.band = bands0.band
-          |  GROUP BY bands0.doc_id, bands0.band
-          |), k2 AS (
-          |  -- AND-composed blocking key: every unordered PAIR of bands
-          |  -- (the Spark side's 6 explicit combos)
-          |  SELECT a.doc_id, a.band AS b1, b.band AS b2, a.bv AS v1, b.bv AS v2
-          |  FROM bands a JOIN bands b
-          |    ON b.doc_id = a.doc_id AND a.band < b.band
-          |), cand AS (
-          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-          |  FROM k2 x JOIN k2 y
-          |    ON x.b1 = y.b1 AND x.b2 = y.b2 AND x.v1 = y.v1
-          |    AND x.v2 = y.v2 AND x.doc_id < y.doc_id
-          |), hv AS (
-          |  SELECT doc_id,
-          |    max(CASE WHEN band = 0 THEN bv END) AS h0,
-          |    max(CASE WHEN band = 1 THEN bv END) AS h1,
-          |    max(CASE WHEN band = 2 THEN bv END) AS h2,
-          |    max(CASE WHEN band = 3 THEN bv END) AS h3
-          |  FROM bands GROUP BY doc_id
-          |), ham AS (
+        s"""WITH $CORPUS_CTE, $PHASH_CTE, ham AS (
           |  SELECT id_a, id_b,
           |    CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
           |      + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
@@ -16022,6 +16206,24 @@ object SparkEntry {
           |)
           |SELECT id_a, id_b, hamming FROM ham
           |WHERE hamming <= 10 ORDER BY id_a, id_b""".stripMargin,
+      // op 404: the cand set graded raw against exact all-pairs
+      // Hamming≤10 truth (brute nested-loop over the n×4-long hv
+      // relation — eval-scoped, like every op-169 truth chain).
+      "dedup_eval_phash" ->
+        s"""WITH $CORPUS_CTE, $PHASH_CTE, truth AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+          |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 10
+          |), hit AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+          |SELECT
+          |  (SELECT count(*) FROM truth) AS n_truth,
+          |  (SELECT count(*) FROM cand) AS n_found,
+          |  (SELECT count(*) FROM hit) AS n_hit,
+          |  round((SELECT count(*) FROM hit)::DOUBLE /
+          |        (SELECT count(*) FROM cand), 6) AS precision,
+          |  round((SELECT count(*) FROM hit)::DOUBLE /
+          |        (SELECT count(*) FROM truth), 6) AS recall""".stripMargin,
       "ann_topk_lsh" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),

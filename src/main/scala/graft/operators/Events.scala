@@ -561,24 +561,38 @@ object Events {
     * probability with that channel REMOVED (its in-edges become lost
     * mass — the standard convention, so removal is monotone
     * decreasing); a channel's credit is its removal effect
-    * 1 − P₋c/P, normalized over channels. 24 sweeps bound the
-    * truncation error by ρ²⁴ ≤ (4/5)²⁴ ≈ 0.005 on a 5-channel chain
-    * (ρ = the transient-stay probability) — Round13bSpec pins the
-    * result against an exact Gaussian solve at that tolerance.
+    * 1 − P₋c/P, normalized over channels.
     *
     * Journeys cut at the FIRST conversion; non-converters close with
-    * last-touch → null. Absorption solves by `iters` unrolled
-    * fixed-point sweeps x ← (n_conv·1e9 + Σ n_ij·x_j) ÷ n_i on the
-    * 1e-9 integer grid with floor division (the op-317 PageRank
-    * convention — both engines drop identical remainders, and the
-    * sweep count is part of the operator contract). All chain
-    * relations are (channels+2)²-row — driver-sized at ANY event
-    * volume; the only full-data passes are the two journey windows
-    * and one transition count, all on the hash(user_id) exchange.
+    * last-touch → null. The absorption system (I − Q)x = b is solved
+    * DIRECTLY by Gaussian elimination in a fixed pivot order
+    * (channels sorted by name, 'start' last) — exact to IEEE-double
+    * precision (~1e−14) instead of the r13 24 quantized fixed-point
+    * sweeps (whose ρ²⁴ ≈ 0.005 truncation this removes). The
+    * augmented matrix is PIVOTED WIDE — one row per removal variant,
+    * one column per (i,j) cell on the static position grid 1..SMAX
+    * plus rhs — so the whole elimination unrolls to scalar column
+    * algebra inside a single codegen'd projection chain: zero joins,
+    * zero checkpoints, one job (the r13 sweep loop paid ~24 tiny
+    * jobs; the wide form pays none). Missing positions get inert
+    * identity rows (pivot 1.0), so eliminating past the real state
+    * count is a no-op and SMAX needs no data peek.
+    *
+    * Cross-engine bit-parity holds WITHOUT an integer grid because
+    * every arithmetic step is a SCALAR double expression in a fixed
+    * order — cast(int64→double), multiply, divide, subtract — with
+    * no multi-row floating sum anywhere (the one SUM in the
+    * pipeline, the transition count, is integer); IEEE 754 makes
+    * those deterministic on any engine, unlike aggregate-order-
+    * dependent double sums. No pivoting is needed: I − Q of an
+    * absorbing chain is a nonsingular M-matrix, so every leading
+    * principal minor — every pivot this order meets — is strictly
+    * positive. All chain relations are (channels+2)²-row —
+    * driver-sized at ANY event volume; the only full-data passes are
+    * the two journey windows and one transition count, all on the
+    * hash(user_id) exchange.
     */
-  def markovAttribution(events: DataFrame, conversionType: String,
-                        iters: Int = 24): DataFrame = {
-    val spark = events.sparkSession
+  def markovAttribution(events: DataFrame, conversionType: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val isConv = col("event_type") === conversionType
     val kept = events
@@ -587,86 +601,154 @@ object Events {
       .where((!isConv && col("_cc") === 0) || (isConv && col("_cc") === 1))
       .withColumn("state",
         when(isConv, lit("conv")).otherwise(col("event_type")))
-    val steps = kept
+    // ONE window pass emits both edge kinds per row — the lag edge
+    // (prev|start → state) always, plus (state → null) on a
+    // non-converter's last row — via a 2-element explode, so the
+    // event relation is scanned/sorted once (the r13 steps ∪ tails
+    // union executed the journey windows twice, with a second desc
+    // sort). lag/lead/didconv all ride the same hash(user_id)
+    // exchange and the one (ts, event_id) sort; didconv's unordered
+    // whole-partition window needs no sort of its own.
+    val e2 = kept
       .withColumn("f", coalesce(lag(col("state"), 1).over(w), lit("start")))
-      .select(col("f"), col("state").as("t"))
-    val wDesc = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val tails = kept
-      .withColumn("rn", row_number().over(wDesc))
+      .withColumn("nxt", lead(col("state"), 1).over(w))
       .withColumn("didconv",
         max(when(col("state") === "conv", 1).otherwise(0))
           .over(Window.partitionBy("user_id")))
-      .where(col("rn") === 1 && col("didconv") === 0)
-      .select(col("state").as("f"), lit("null").as("t"))
+    val edges = e2.select(explode(array(
+        struct(col("f"), col("state").as("t")),
+        struct(col("state").as("f"),
+          when(col("nxt").isNull && col("didconv") === 0, lit("null"))
+            .as("t")))).as("e"))
+      .select(col("e.f").as("f"), col("e.t").as("t"))
+      .where(col("t").isNotNull)
     // localCheckpoint (op-317 convention): trans is (channels+2)²
     // rows — cutting the journey-window lineage HERE means the event
-    // scan runs once, not once per sweep (the unchecked 24-sweep
-    // chain re-derived it quadratically: 130 s at sf0.1 vs ~2 s).
-    val trans = steps.unionByName(tails)
+    // scan runs once, not once per downstream read.
+    val trans = edges
       .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
-    val totals = trans.groupBy(col("f")).agg(sum(col("n")).as("ntot"))
     val channels = trans.select(col("f").as("ch"))
       .unionByName(trans.select(col("t").as("ch")))
       .where(!col("ch").isin("start", "conv", "null")).distinct()
-    val variants = channels.select(col("ch").as("removed"))
-      .unionByName(spark.range(1).select(lit("__none__").as("removed")))
-    val states = channels.select(col("ch").as("state"))
+    val spark = events.sparkSession
+    // fixed pivot order: channels by name, 'start' LAST — after
+    // forward elimination the start row alone yields x_start.
+    // The no-partition window is fine: statePos is (channels+1)-row.
+    // Checkpointed because it is read three times (two position
+    // attachments + the final name join) as a broadcast side.
+    val statePos = channels.select(col("ch").as("state"))
       .unionByName(spark.range(1).select(lit("start").as("state")))
-    // per-variant chain: edges touching the removed channel drop;
-    // denominators stay the ORIGINAL totals (lost mass = null).
-    val vt = variants.crossJoin(trans.join(broadcast(totals), "f"))
-      .where(col("f") =!= col("removed") && col("t") =!= col("removed"))
-    // grid/vt are ≤(k+1)(k+2)²-row constants of the sweep — pin them
-    // once so every iteration's plan is the SAME three tiny joins
-    // instead of a linearly deepening tree over re-derived journeys.
-    // coalesce(1): the sweep relations are ≤42 rows — one partition
-    // keeps every sweep join a broadcast and every checkpoint a
-    // single-task job instead of 32 empty shuffle tasks per stage.
-    val gridC = variants.crossJoin(states).coalesce(1).localCheckpoint()
-    val vtC = vt.coalesce(1).localCheckpoint()
-    var x = gridC.withColumn("xq", lit(0L))
-    for (it <- 1 to iters) {
-      val contrib = vtC
-        .join(x.select(col("removed"), col("state").as("t"),
-          col("xq").as("_xj")), Seq("removed", "t"), "left")
-        .withColumn("xin", when(col("t") === "conv", lit(1000000000L))
-          .otherwise(coalesce(col("_xj"), lit(0L))))
-        .groupBy(col("removed"), col("f"))
-        .agg(sum(col("n") * col("xin")).as("num"), max(col("ntot")).as("den"))
-        // exact floor division of nonnegative longs: num − (num mod
-        // den) is exactly divisible, and the double quotient of two
-        // exactly-divisible ints < 2^53 is exact (DuckDB's //).
-        .select(col("removed"), col("f").as("state"),
-          ((col("num") - pmod(col("num"), col("den"))) / col("den"))
-            .cast("long").as("xq"))
-      // re-pin the ≤(k+1)²-row state every few sweeps (op-317
-      // convention) — per-sweep pinning pays a whole Spark job per
-      // iteration; depth-6 trees of broadcast joins plan in no time.
-      x = gridC.join(contrib, Seq("removed", "state"), "left")
-        .withColumn("xq", coalesce(col("xq"), lit(0L)))
-      if (it % 6 == 0 && it < iters) x = x.localCheckpoint()
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("state") === "start", col("state"))))
+      .coalesce(1).localCheckpoint()
+    val SMAX = 7  // supported transient states (6 channels + start)
+    val CONVJ = SMAX + 1 // absorbing column ids, off the 1..SMAX grid
+    val NULLJ = SMAX + 2
+    // attach positions and pivot the WHOLE chain into ONE wide row:
+    // n_i_j transition counts plus per-row totals (exact integer
+    // sums — order-free on any engine/partitioning).
+    val tf = trans
+      .join(broadcast(statePos).withColumnRenamed("state", "f")
+        .withColumnRenamed("pos", "fi"), "f")
+      .join(broadcast(statePos).withColumnRenamed("state", "t")
+        .withColumnRenamed("pos", "tj0"), Seq("t"), "left")
+      .select(col("fi"),
+        coalesce(col("tj0"),
+          when(col("t") === "conv", lit(CONVJ)).otherwise(lit(NULLJ)))
+          .as("tj"),
+        col("n"))
+    val nCells = for { i <- 1 to SMAX; j <- 1 to NULLJ } yield (i, j)
+    val aggCols =
+      nCells.map { case (i, j) =>
+        sum(when(col("fi") === i && col("tj") === j, col("n")))
+          .as(s"n_${i}_$j") } ++
+      (1 to SMAX).map(i =>
+        coalesce(sum(when(col("fi") === i, col("n"))), lit(0L))
+          .as(s"tot_$i"))
+    val wide = tf.agg(aggCols.head, aggCols.tail: _*)
+      // states occupy positions 1..nst compactly ('start' is nst);
+      // every observed state has outgoing mass, so tot_i > 0 marks it
+      .withColumn("nst", (1 to SMAX).map(i =>
+        when(col(s"tot_$i") > 0, 1).otherwise(0)).reduce(_ + _))
+    // one row per removal variant: rv = 0 keeps the full chain,
+    // rv = r zeroes every edge touching position r (denominators stay
+    // the ORIGINAL totals — the removed mass is lost, the standard
+    // convention, so removal is monotone decreasing). The explode is
+    // in-partition: the whole frame stays (SMAX)-row, zero shuffles.
+    val frame = wide.withColumn("rv",
+      explode(array((0 to SMAX - 1).map(lit(_)): _*)))
+    // augmented matrix A = [I − Q | b]; q_ij = n/tot as an
+    // int64→double cast + one IEEE divide — deterministic on any
+    // engine. Absent positions (and the removed row/column) become
+    // inert identity rows with pivot 1.0, so eliminating past the
+    // real state count is an exact no-op (a_ik = a_kj = 0).
+    def qExpr(i: Int, j: Int): Column =
+      when(col("rv") === i || (if (j <= SMAX) col("rv") === j else lit(false)),
+        lit(0.0))
+        .otherwise(when(col(s"tot_$i") > 0,
+          coalesce(col(s"n_${i}_$j"), lit(0L)).cast("double") /
+            col(s"tot_$i").cast("double")).otherwise(lit(0.0)))
+    val RHS = CONVJ // the rhs/b column of the augmented matrix
+    val cells = for { i <- 1 to SMAX; j <- (1 to SMAX) :+ RHS } yield (i, j)
+    val carry = Seq(col("rv"), col("nst"))
+    var a: DataFrame = frame.select(carry ++ cells.map { case (i, j) =>
+      val base = if (j == RHS) qExpr(i, j)
+        else (if (i == j) lit(1.0) else lit(0.0)) - qExpr(i, j)
+      base.as(s"a_${i}_$j")
+    }: _*)
+    // forward elimination fully unrolled as scalar column algebra:
+    // step k rewrites cells (i>k, j>k) as a_ij − a_ik·a_kj/a_kk.
+    // Sub-pivot cells keep their stale values — never read again
+    // (later pivots have index > k). Every alias below is consumed
+    // more than once, which stops CollapseProject from inlining the
+    // chain, so the plan stays a flat stack of narrow projections
+    // inside one WholeStageCodegen — zero joins, zero extra jobs
+    // (the r13 sweep loop paid ~24 tiny jobs here).
+    for (k <- 1 until SMAX) {
+      val updated = cells.map { case (i, j) =>
+        if (i > k && (j > k || j == RHS))
+          (col(s"a_${i}_$j") -
+            col(s"a_${i}_$k") * col(s"a_${k}_$j") / col(s"a_${k}_$k"))
+            .as(s"a_${i}_$j")
+        else col(s"a_${i}_$j")
+      }
+      a = a.select(carry ++ updated: _*)
     }
-    val p = x.where(col("state") === "start")
-      .select(col("removed"), col("xq").as("pq"))
-    val pFull = p.where(col("removed") === "__none__")
-      .select(col("pq").as("pq_full"))
-    val re = p.where(col("removed") =!= "__none__")
-      .crossJoin(broadcast(pFull))
-      .select(col("removed").as("channel"), col("pq"), col("pq_full"),
+    // the start row (position nst, data-dependent) is fully reduced:
+    // a_nn·x_start = b_n. Land on the op-317 1e-9 grid
+    // (round-half-up); removal effects on the 1e-6 grid as exact
+    // integer micro-units, so the cross-row normalization sums are
+    // INTEGER — aggregation order can't perturb them (the one
+    // cross-engine hazard of a double sum).
+    val xs = (1 to SMAX).foldRight(lit(null).cast("double")) { (n, rest) =>
+      when(col("nst") === n,
+        col(s"a_${n}_$RHS") / col(s"a_${n}_$n")).otherwise(rest)
+    }
+    val scored = a.select(col("rv"), col("nst"),
+      floor(xs * 1e9 + 0.5).cast("long").as("pq"))
+    val wAll = Window.partitionBy()
+    val re = scored
+      .withColumn("pq_full", max(when(col("rv") === 0, col("pq"))).over(wAll))
+      .withColumn("rei",
         when(col("pq_full") > 0,
           floor((lit(1.0) - col("pq").cast("double")
-            / col("pq_full").cast("double")) * 1e6 + 0.5) / 1e6)
-          .otherwise(0.0).as("removal_effect"))
-    val tot = re.agg(sum(col("removal_effect")).as("re_sum"))
-    re.crossJoin(broadcast(tot))
-      .select(col("channel"),
+            / col("pq_full").cast("double")) * 1e6 + 0.5).cast("long"))
+          .otherwise(0L))
+      // rv = nst is the start row's own position — not a channel;
+      // rv > nst variants remove nothing (pq == pq_full → rei = 0)
+      .withColumn("re_sum", sum(
+        when(col("rv") =!= 0 && col("rv") =!= col("nst"), col("rei"))
+          .otherwise(0L)).over(wAll))
+      .where(col("rv") =!= 0)
+    re.join(broadcast(statePos.where(col("state") =!= "start")),
+        col("rv") === col("pos"))
+      .select(col("state").as("channel"),
         (col("pq_full").cast("double") / 1e9).as("p_full"),
         (col("pq").cast("double") / 1e9).as("p_removed"),
-        col("removal_effect"),
+        (col("rei").cast("double") / 1e6).as("removal_effect"),
         when(col("re_sum") > 0,
-          floor(col("removal_effect") / col("re_sum") * 1e6 + 0.5) / 1e6)
-          .as("attribution"))
+          floor(col("rei").cast("double") / col("re_sum").cast("double")
+            * 1e6 + 0.5) / 1e6).as("attribution"))
   }
 }

@@ -32,6 +32,17 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseQueries("no queries here") == Map.empty)
   }
 
+  test("parseBenchOne reads min3 isolation controls") {
+    val line = """{"round":"r13","reps":3,"n":2,"queries":""" +
+      """{"q_slow":{"min3":9.217,"suite":5.663},""" +
+      """"q_fast":{"min3":0.8,"suite":2.4}}}"""
+    assert(Bench.parseBenchOne(line) ==
+      Map("q_slow" -> 9.217, "q_fast" -> 0.8))
+    // the suite numbers must NOT leak in as the reference
+    assert(Bench.parseBenchOne(line)("q_fast") == 0.8)
+    assert(Bench.parseBenchOne("{}") == Map.empty)
+  }
+
   test("collapse omits a query whose every rep failed") {
     val out = Bench.collapse(Map("ok" -> Seq(0.7), "dead" -> Seq.empty))
     assert(out == Map("ok" -> 0.7))

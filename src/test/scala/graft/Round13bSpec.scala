@@ -76,10 +76,12 @@ class Round13bSpec extends SparkSpec {
       .as[(String, Double, Double, Double, Double)].collect()
     assert(out.nonEmpty)
     out.foreach { case (ch, pf, pr, re, _) =>
-      // 8 quantized sweeps converge geometrically from below
-      assert(math.abs(pf - pExact) < 0.02, s"p_full $pf vs exact $pExact")
+      // the operator now solves (I − Q)x = b directly (fixed-order
+      // double Gaussian elimination), so it must agree with this
+      // partial-pivoting solve to FP + the 1e-9 report grid
+      assert(math.abs(pf - pExact) < 1e-6, s"p_full $pf vs exact $pExact")
       val prExact = solve(Some(ch))
-      assert(math.abs(pr - prExact) < 0.02, s"$ch p_removed $pr vs $prExact")
+      assert(math.abs(pr - prExact) < 1e-6, s"$ch p_removed $pr vs $prExact")
       assert(pr <= pf + 1e-9, s"$ch removal increased P")
       assert(re >= 0.0)
     }
