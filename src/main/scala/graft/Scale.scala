@@ -1009,6 +1009,55 @@ object Scale {
         }
       }
 
+      // ---- r14 seventh-wave probes (r13 verdict #3): the wave-2-4
+      // ops not yet probed — the Markov journey windows, cluster
+      // purity's contingency agg, the changepoint prefix windows, the
+      // AD pooled-grid growth, Mood's grand-median counts, the vol-
+      // targeting window chain, the streaming A/B gate's keyed state,
+      // lift-by-segment's two user-keyed aggs — plus the new windowed
+      // Theil–Sen on the SAME wide-day twin that exposed op 379's
+      // quadratic grid (the bounded window must stay linear there).
+      if (Seq("events_markov_attribution", "embed_cluster_purity",
+          "stats_changepoint", "stats_ad_2sample", "stats_mood_median",
+          "eod_vol_targeting", "streaming_ab_gate",
+          "events_lift_by_segment", "stats_theil_sen_windowed_wide")
+          .exists(wanted)) {
+        val nEv = 100000L * m
+        val qDir = s"$root/$m/w7"
+        // the driver events schema incl. props (lift_by_segment's
+        // segment source: ~uniform 0-99 digits → 4 quartile buckets);
+        // embeddings carry the 10-class label purity grades against.
+        genEvents(spark, nEv)
+          .withColumn("props", concat(lit("seg="),
+            (u(col("event_id"), "pr") * 100).cast("long")))
+          .write.mode("overwrite").parquet(s"$qDir/events.parquet")
+        genEmbeddings(spark, nEmb, dim)
+          .withColumn("label", (col("vec_id") % 10).cast("int"))
+          .write.mode("overwrite").parquet(s"$qDir/embeddings.parquet")
+        for (q <- Seq("events_markov_attribution", "stats_changepoint",
+            "stats_ad_2sample", "stats_mood_median", "eod_vol_targeting",
+            "events_lift_by_segment", "streaming_ab_gate")) {
+          timed(q, m, nEv) {
+            sink(SparkEntry.queries(q)(spark, qDir))
+          }
+        }
+        timed("embed_cluster_purity", m, nEmb) {
+          sink(SparkEntry.queries("embed_cluster_purity")(spark, qDir))
+        }
+        // Wide-day twin (60 s spacing ⇒ ~70·m days): op 379's grid
+        // grew quadratically here (157.6 s at 50×); the trailing-14-
+        // day window bounds pairs at 91/window, so this must track
+        // the day count LINEARLY.
+        timed("stats_theil_sen_windowed_wide", m, nEv) {
+          genEvents(spark, nEv)
+            .withColumn("ts", timestamp_micros(
+              lit(1712928600000000L) + col("event_id") * 60000000L))
+            .write.mode("overwrite").parquet(s"$root/$m/w7wide/events.parquet")
+          sink(SparkEntry.queries("stats_theil_sen_windowed")(
+            spark, s"$root/$m/w7wide"))
+        }
+      }
+
       // Skewed shuffle join + agg under AQE; broadcast disabled so the
       // skew-join path (not a broadcast) is what's being measured.
       if (wanted("skew_join_agg")) {

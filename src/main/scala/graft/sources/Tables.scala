@@ -18,16 +18,31 @@ object Tables {
     normalizeTimestamps(if (name == "events") normalizeEventTs(df) else df)
   }
 
+  /** ns→µs ingest shim (reference README.md:40's nanosecond-support
+    * TODO): accept nanosecond-grain event time as int64 ns-since-epoch
+    * and land it on Spark's native µs TimestampType at the source
+    * boundary. THE TRUNCATION CONTRACT, pinned by SourcesSpec:
+    *   - sub-microsecond precision is DROPPED via `div 1000` — exact
+    *     int64 integral division (`div`, not `/`: ns magnitudes exceed
+    *     2^53, a double round-trip would corrupt low microseconds);
+    *   - `div` truncates TOWARD ZERO, so post-epoch instants truncate
+    *     earlier (1500 ns → 1 µs) and pre-epoch instants truncate
+    *     later (−1500 ns → −1 µs) — both toward the epoch; ns already
+    *     on a µs boundary are exact either side of the epoch.
+    * Downstream event-time logic (windows, watermarks, as-of joins)
+    * sees at most 999 ns of one-sided skew; ties created by the drop
+    * break on the secondary sort key (event_id) like every other tie.
+    */
+  def fromNanos(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+
   /** events.parquet historically carried TIMESTAMP(NANOS), which Spark's
     * reader rejects; with spark.sql.legacy.parquet.nanosAsLong the column
-    * arrives as Long ns. Rebuild a µs TimestampType via exact integer
-    * division (`div`, not `/` — ns magnitudes exceed 2^53, a double
-    * round-trip would corrupt low microseconds).
+    * arrives as Long ns — rebuild via the [[fromNanos]] contract.
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts").map(_.dataType) match {
-      case Some(LongType) =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(LongType) => fromNanos(df, "ts")
       case Some(TimestampNTZType) =>
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df

@@ -109,4 +109,25 @@ class SourcesSpec extends SparkSpec {
     val total = spark.read.parquet(out).count()
     assert(n > 0 && n < total)
   }
+
+  test("fromNanos pins the ns->us truncation contract (toward zero)") {
+    val df = Seq(
+      (1L, 1500L),          // post-epoch, sub-us remainder -> earlier
+      (2L, 999L),           // under one us -> 0
+      (3L, -1500L),         // pre-epoch -> truncates LATER (toward 0)
+      (4L, 1712928600000000000L), // exact us boundary -> exact
+      (5L, -1000L)          // negative exact boundary -> exact
+    ).toDF("event_id", "ts")
+    val out = Tables.fromNanos(df, "ts")
+    assert(out.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val us = out.select($"event_id",
+        org.apache.spark.sql.functions.unix_micros($"ts"))
+      .as[(Long, Long)].collect().toMap
+    assert(us(1L) == 1L)
+    assert(us(2L) == 0L)
+    assert(us(3L) == -1L)
+    assert(us(4L) == 1712928600000000L)
+    assert(us(5L) == -1L)
+  }
 }
