@@ -8296,48 +8296,91 @@ object SparkEntry {
       val dec = (c: Column) => c.cast("decimal(19,0)")
       val num = nDec * col("sab") - dec(col("sa")) * dec(col("sb"))
       val d38 = (v: Long) => lit(v).cast("decimal(38,0)")
-      val cmat = mm.select(col("ta"), col("tb"),
-          floor(num.cast("double") /
-            (col("n").cast("double") * (col("n").cast("double") - 1.0))
-            + 0.5).cast("decimal(38,0)").as("cq"))
-        .localCheckpoint()
+      // r14: the k×k sweep state pivots WIDE (one row, one decimal
+      // column per cell on the static 1..SMAX position grid) and the
+      // six Jacobi sweeps unroll as scalar column algebra — zero
+      // joins, zero per-sweep checkpoint jobs (the r13 relational
+      // loop paid six), one codegen'd projection chain (the op-388
+      // idiom). The INTEGER SWEEP CONTRACT IS UNCHANGED — every
+      // product/sum is exact decimal, so the relational oracle and
+      // the Round12bSpec BigInt re-derivation replay bit-for-bit;
+      // absent positions carry inert identity rows (muq = 0, cq = 0,
+      // dq clamps to 1 → wq = 0 forever).
+      val SMAX = 7
+      // rank WITHOUT a window (the suite bans un-partitioned
+      // Windows): types are unique, so i = |{u : u ≤ t}| over the
+      // k-row diagonal relation is row_number by name.
+      val ty = mm.where(col("ta") === col("tb")).select(col("ta").as("t"))
+      val pos = ty
+        .join(broadcast(ty.select(col("t").as("u"))), col("u") <= col("t"))
+        .groupBy(col("t")).agg(count(lit(1)).cast("int").as("i"))
+        .coalesce(1).localCheckpoint()
+      val cqE = floor(num.cast("double") /
+        (col("n").cast("double") * (col("n").cast("double") - 1.0))
+        + 0.5).cast("decimal(38,0)")
       // μ on the 1e6-refined q grid; diagonal clamps at +1 raw unit
       // (a zero-variance series would make Jacobi divide by zero).
-      val mu = mm.where(col("ta") === col("tb"))
-        .select(col("ta"), floor(col("sa").cast("double") * 1e6 /
-          col("n").cast("double") + 0.5).cast("decimal(38,0)").as("muq"))
-      val diag = cmat.where(col("ta") === col("tb"))
-        .select(col("ta"), greatest(col("cq"), d38(1L)).as("dq"))
-      val off = cmat.where(col("ta") =!= col("tb"))
-      val base = mu.join(diag, "ta").localCheckpoint()
-      val w0 = base.select(col("ta").as("event_type"),
-        floor((col("muq") * d38(1000000000L)).cast("double") /
-          col("dq").cast("double") + 0.5).cast("decimal(38,0)").as("wq"))
-      def step(w: DataFrame): DataFrame = {
-        val o = off.join(w.withColumnRenamed("event_type", "tb"), "tb")
-          .groupBy(col("ta")).agg(sum(col("cq") * col("wq")).as("oq"))
-        base.join(o, Seq("ta"), "left")
-          .select(col("ta").as("event_type"),
-            floor((col("muq") * d38(1000000000L) -
-              coalesce(col("oq"), d38(0L))).cast("double") /
-              col("dq").cast("double") + 0.5)
-              .cast("decimal(38,0)").as("wq"))
+      val muqE = floor(col("sa").cast("double") * 1e6 /
+        col("n").cast("double") + 0.5).cast("decimal(38,0)")
+      val keyed = mm
+        .join(broadcast(pos).withColumnRenamed("t", "ta")
+          .withColumnRenamed("i", "fi"), "ta")
+        .join(broadcast(pos).withColumnRenamed("t", "tb")
+          .withColumnRenamed("i", "fj"), "tb")
+        .select(col("fi"), col("fj"), cqE.as("cq"), muqE.as("muq"))
+      val cells = for { i <- 1 to SMAX; j <- 1 to SMAX } yield (i, j)
+      val aggs = cells.map { case (i, j) =>
+        coalesce(max(when(col("fi") === i && col("fj") === j, col("cq"))),
+          d38(0L)).as(s"cq_${i}_$j")
+      } ++ (1 to SMAX).map { i =>
+        coalesce(max(when(col("fi") === i && col("fj") === i, col("muq"))),
+          d38(0L)).as(s"muq_$i")
       }
-      val wF = (1 to 6).foldLeft(w0) { (w, _) =>
-        val next = step(w).localCheckpoint()
-        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(w)
-        next
+      val wide = keyed.agg(aggs.head, aggs.tail: _*)
+      val carry = cells.map { case (i, j) => col(s"cq_${i}_$j") } ++
+        (1 to SMAX).map(i => col(s"muq_$i")) ++
+        (1 to SMAX).map(i => greatest(col(s"cq_${i}_$i"), d38(1L))
+          .as(s"dq_$i"))
+      var a = wide.select(carry: _*)
+      val keep = cells.map { case (i, j) => col(s"cq_${i}_$j") } ++
+        (1 to SMAX).map(i => col(s"muq_$i")) ++
+        (1 to SMAX).map(i => col(s"dq_$i"))
+      // w0 then six sweeps: wq_i ← ⌊(μ_i·SW − Σ_{j≠i} C_ij·w_j)/C_ii⌉
+      a = a.select(keep ++ (1 to SMAX).map { i =>
+        floor((col(s"muq_$i") * d38(1000000000L)).cast("double") /
+          col(s"dq_$i").cast("double") + 0.5)
+          .cast("decimal(38,0)").as(s"wq_$i")
+      }: _*)
+      for (_ <- 1 to 6) {
+        a = a.select(keep ++ (1 to SMAX).map { i =>
+          val oq = (1 to SMAX).filter(_ != i)
+            .map(j => col(s"cq_${i}_$j") * col(s"wq_$j"))
+            .reduce(_ + _)
+          floor((col(s"muq_$i") * d38(1000000000L) - oq).cast("double") /
+            col(s"dq_$i").cast("double") + 0.5)
+            .cast("decimal(38,0)").as(s"wq_$i")
+        }: _*)
       }
-      val cw = cmat.join(wF.withColumnRenamed("event_type", "tb"), "tb")
-        .groupBy(col("ta")).agg(sum(col("cq") * col("wq")).as("cwq"))
-      val fin = wF.withColumnRenamed("event_type", "ta")
-        .join(mu, "ta").join(cw, "ta")
-      val tots = fin.agg(sum(abs(col("wq"))).as("l1"),
-        sum(col("muq") * col("wq")).as("pr"),
-        sum(col("wq") * col("cwq")).as("pv"))
-      // scales: pr = 1e21·μᵀw, pv = 1e30·wᵀΣw → Sharpe = pr/√pv/1e6.
-      fin.crossJoin(broadcast(tots))
-        .select(col("ta").as("event_type"),
+      // finals, all exact decimal scalars on the one row:
+      // cwq_i = (Σw)_i (full matrix, unclamped diagonal), l1 = Σ|w|,
+      // pr = 1e21·μᵀw, pv = 1e30·wᵀΣw → Sharpe = pr/√pv/1e6.
+      val fin = a.select(keep ++
+        (1 to SMAX).map(i => col(s"wq_$i")) ++
+        (1 to SMAX).map { i =>
+          (1 to SMAX).map(j => col(s"cq_${i}_$j") * col(s"wq_$j"))
+            .reduce(_ + _).as(s"cwq_$i")
+        }: _*)
+        .select(
+          (1 to SMAX).map(i => abs(col(s"wq_$i"))).reduce(_ + _).as("l1"),
+          (1 to SMAX).map(i => col(s"muq_$i") * col(s"wq_$i"))
+            .reduce(_ + _).as("pr"),
+          (1 to SMAX).map(i => col(s"wq_$i") * col(s"cwq_$i"))
+            .reduce(_ + _).as("pv"),
+          inline(array((1 to SMAX).map { i =>
+            struct(lit(i).as("i"), col(s"wq_$i").as("wq"))
+          }: _*)))
+      fin.join(broadcast(pos), "i")
+        .select(col("t").as("event_type"),
           (round(col("wq").cast("double") / col("l1").cast("double"), 6)
             + lit(0.0)).as("weight"),
           (round(col("pr").cast("double") /
@@ -15599,21 +15642,18 @@ object SparkEntry {
           |  SELECT rv, nst,
           |    CAST(floor((CASE $xsCase END) * 1e9 + 0.5) AS BIGINT) AS pq
           |  FROM a${smax - 1}
-          |), re1 AS (
-          |  SELECT rv, nst, pq,
-          |    max(CASE WHEN rv = 0 THEN pq END) OVER () AS pq_full
-          |  FROM scored
+          |), pf AS (
+          |  SELECT pq AS pq_full FROM scored WHERE rv = 0
           |), re2 AS (
           |  SELECT rv, nst, pq, pq_full,
           |    CASE WHEN pq_full > 0
           |      THEN CAST(floor((1.0 - CAST(pq AS DOUBLE)
           |        / CAST(pq_full AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
           |      ELSE 0 END AS rei
-          |  FROM re1
-          |), re3 AS (
-          |  SELECT rv, pq, pq_full, rei,
-          |    sum(CASE WHEN rv <> 0 AND rv <> nst THEN rei ELSE 0 END)
-          |      OVER () AS re_sum
+          |  FROM scored CROSS JOIN pf WHERE rv <> 0
+          |), rs AS (
+          |  SELECT sum(CASE WHEN rv <> nst THEN rei ELSE 0 END)
+          |    AS re_sum
           |  FROM re2
           |)
           |SELECT sp.state AS channel,
@@ -15624,9 +15664,8 @@ object SparkEntry {
           |    THEN floor(CAST(rei AS DOUBLE) / CAST(re_sum AS DOUBLE)
           |      * 1e6 + 0.5) / 1e6
           |  END AS attribution
-          |FROM re3 JOIN statepos sp ON re3.rv = sp.pos
+          |FROM re2 CROSS JOIN rs JOIN statepos sp ON re2.rv = sp.pos
           |  AND sp.state <> 'start'
-          |WHERE re3.rv <> 0
           |ORDER BY channel""".stripMargin
           // MATERIALIZED, not inlined: DuckDB's default CTE inlining
           // re-expands the journey chain under each elimination CTE.

@@ -634,13 +634,19 @@ object Events {
     val spark = events.sparkSession
     // fixed pivot order: channels by name, 'start' LAST — after
     // forward elimination the start row alone yields x_start.
-    // The no-partition window is fine: statePos is (channels+1)-row.
+    // Rank WITHOUT a window (the suite bans un-partitioned Windows;
+    // names are unique, so pos = |{y : key(y) ≤ key(x)}| over the
+    // (channels+1)-row relation is row_number on the same key).
     // Checkpointed because it is read three times (two position
     // attachments + the final name join) as a broadcast side.
-    val statePos = channels.select(col("ch").as("state"))
+    val st0 = channels.select(col("ch").as("state"))
       .unionByName(spark.range(1).select(lit("start").as("state")))
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("state") === "start", col("state"))))
+      .withColumn("ka", concat(
+        when(col("state") === "start", lit("1")).otherwise(lit("0")),
+        col("state")))
+    val statePos = st0
+      .join(broadcast(st0.select(col("ka").as("kb"))), col("kb") <= col("ka"))
+      .groupBy(col("state")).agg(count(lit(1)).cast("int").as("pos"))
       .coalesce(1).localCheckpoint()
     val SMAX = 7  // supported transient states (6 channels + start)
     val CONVJ = SMAX + 1 // absorbing column ids, off the 1..SMAX grid
@@ -725,22 +731,26 @@ object Events {
       when(col("nst") === n,
         col(s"a_${n}_$RHS") / col(s"a_${n}_$n")).otherwise(rest)
     }
+    // checkpointed: the ≤SMAX-row report relation is read three times
+    // (full-chain row, removal rows, normalization agg); 1-row
+    // aggregates + broadcasts instead of global windows (the suite
+    // bans un-partitioned Window operators).
     val scored = a.select(col("rv"), col("nst"),
-      floor(xs * 1e9 + 0.5).cast("long").as("pq"))
-    val wAll = Window.partitionBy()
-    val re = scored
-      .withColumn("pq_full", max(when(col("rv") === 0, col("pq"))).over(wAll))
+        floor(xs * 1e9 + 0.5).cast("long").as("pq"))
+      .coalesce(1).localCheckpoint()
+    val pf = scored.where(col("rv") === 0).select(col("pq").as("pq_full"))
+    val withRe = scored.where(col("rv") =!= 0).crossJoin(broadcast(pf))
       .withColumn("rei",
         when(col("pq_full") > 0,
           floor((lit(1.0) - col("pq").cast("double")
             / col("pq_full").cast("double")) * 1e6 + 0.5).cast("long"))
           .otherwise(0L))
-      // rv = nst is the start row's own position — not a channel;
-      // rv > nst variants remove nothing (pq == pq_full → rei = 0)
-      .withColumn("re_sum", sum(
-        when(col("rv") =!= 0 && col("rv") =!= col("nst"), col("rei"))
-          .otherwise(0L)).over(wAll))
-      .where(col("rv") =!= 0)
+    // rv = nst is the start row's own position — not a channel;
+    // rv > nst variants remove nothing (pq == pq_full → rei = 0)
+    val rs = withRe.agg(sum(
+      when(col("rv") =!= col("nst"), col("rei")).otherwise(0L))
+      .as("re_sum"))
+    val re = withRe.crossJoin(broadcast(rs))
     re.join(broadcast(statePos.where(col("state") =!= "start")),
         col("rv") === col("pos"))
       .select(col("state").as("channel"),
