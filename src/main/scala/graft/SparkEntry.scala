@@ -8240,34 +8240,65 @@ object SparkEntry {
       val rho = when(dxx > 0 && dyy > 0,
         num.cast("double") / sqrt(dxx.cast("double") * dyy.cast("double")))
         .otherwise(lit(0.0)) // flat series: no co-movement signal
-      val matrix = mm
-        .select(col("ta"), col("tb"),
+      // r14: the op-325 wide-unroll idiom — the k×k power-iteration
+      // state pivots to ONE row and the 5 iterations + final unroll
+      // as scalar column algebra (zero joins, zero per-iterate
+      // checkpoint jobs). Contract unchanged: the matrix-vector
+      // products are exact long sums, the norm an exact decimal
+      // sum-of-squares → identical doubles, so the oracle replays
+      // bit-for-bit. Absent positions stay 0 and drop at the name
+      // join.
+      val SMAX = 7
+      val ty = mm.where(col("ta") === col("tb")).select(col("ta").as("t"))
+      val pos = ty
+        .join(broadcast(ty.select(col("t").as("u"))), col("u") <= col("t"))
+        .groupBy(col("t")).agg(count(lit(1)).cast("int").as("i"))
+        .coalesce(1).localCheckpoint()
+      val keyed = mm
+        .join(broadcast(pos).withColumnRenamed("t", "ta")
+          .withColumnRenamed("i", "fi"), "ta")
+        .join(broadcast(pos).withColumnRenamed("t", "tb")
+          .withColumnRenamed("i", "fj"), "tb")
+        .select(col("fi"), col("fj"),
           floor(rho * 1e6 + 0.5).cast("long").as("rq"))
-        .localCheckpoint()
-      val scalarsK = matrix.where(col("ta") === col("tb"))
-        .agg(count(lit(1)).as("k"))
-      def mult(v: DataFrame): DataFrame = matrix
-        .join(v.withColumnRenamed("event_type", "tb"), "tb")
-        .groupBy(col("ta")).agg(sum(col("rq") * col("vq")).as("wv"))
-      def normed(wdf: DataFrame): DataFrame = {
-        val nrm = wdf.agg(sqrt(sum(dec(col("wv")) * dec(col("wv")))
-          .cast("double")).as("nrm"))
-        wdf.crossJoin(broadcast(nrm))
-          .select(col("ta").as("event_type"), col("nrm"),
-            floor(col("wv").cast("double") / col("nrm") * 1e6 + 0.5)
-              .cast("long").as("vq"))
+      val cells = for { i <- 1 to SMAX; j <- 1 to SMAX } yield (i, j)
+      val aggs = cells.map { case (i, j) =>
+        coalesce(max(when(col("fi") === i && col("fj") === j, col("rq"))),
+          lit(0L)).as(s"rq_${i}_$j")
+      } ++ (1 to SMAX).map { i =>
+        coalesce(max(when(col("fi") === i && col("fj") === i, lit(1))),
+          lit(0)).as(s"ex_$i")
       }
-      val v0 = matrix.where(col("ta") === col("tb"))
-        .select(col("ta").as("event_type"), lit(1000000L).as("vq"))
-      val vFinal = (1 to 5).foldLeft(v0) { (v, _) =>
-        val next = normed(mult(v)).select(col("event_type"), col("vq"))
-          .localCheckpoint()
-        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(v)
-        next
+      val wide = keyed.agg(aggs.head, aggs.tail: _*)
+        .withColumn("k", (1 to SMAX).map(i => col(s"ex_$i")).reduce(_ + _))
+      val keep = cells.map { case (i, j) => col(s"rq_${i}_$j") } ++
+        (1 to SMAX).map(i => col(s"ex_$i")) :+ col("k")
+      var a = wide.select(keep ++ (1 to SMAX).map { i =>
+        when(col(s"ex_$i") === 1, lit(1000000L)).otherwise(0L).as(s"vq_$i")
+      }: _*)
+      // v ← normalize(R·v), the norm on exact decimal sums; the final
+      // pass keeps nrm for the eigenvalue/variance-share report.
+      def multNorm(withNrm: Boolean): Unit = {
+        val wv = a.select(keep ++ (1 to SMAX).map { i =>
+          (1 to SMAX).map(j => col(s"rq_${i}_$j") * col(s"vq_$j"))
+            .reduce(_ + _).as(s"wv_$i")
+        }: _*)
+        val nrmd = wv.withColumn("nrm",
+          sqrt((1 to SMAX).map(i => dec(col(s"wv_$i")) * dec(col(s"wv_$i")))
+            .reduce(_ + _).cast("double")))
+        a = nrmd.select((keep ++ (1 to SMAX).map { i =>
+          floor(col(s"wv_$i").cast("double") / col("nrm") * 1e6 + 0.5)
+            .cast("long").as(s"vq_$i")
+        }) ++ (if (withNrm) Seq(col("nrm")) else Nil): _*)
       }
-      normed(mult(vFinal))
-        .crossJoin(broadcast(scalarsK))
-        .select(col("event_type"),
+      (1 to 5).foreach(_ => multNorm(withNrm = false))
+      multNorm(withNrm = true)
+      val fin = a.select(col("nrm"), col("k"),
+        inline(array((1 to SMAX).map { i =>
+          struct(lit(i).as("i"), col(s"vq_$i").as("vq"))
+        }: _*)))
+      fin.join(broadcast(pos), "i")
+        .select(col("t").as("event_type"),
           (round(col("vq") / 1e6, 4) + lit(0.0)).as("loading"),
           (round(col("nrm") / 1e12, 6) + lit(0.0)).as("eigval"),
           (round(col("nrm") / 1e12 / col("k"), 4) + lit(0.0))
@@ -8408,45 +8439,89 @@ object SparkEntry {
       val nDec = col("n").cast("decimal(19,0)")
       val dec = (c: Column) => c.cast("decimal(19,0)")
       val num = nDec * col("sab") - dec(col("sa")) * dec(col("sb"))
-      val cmat = mm.select(col("ta"), col("tb"),
-          floor(num.cast("double") /
-            (col("n").cast("double") * (col("n").cast("double") - 1.0))
-            + 0.5).cast("decimal(38,0)").as("cq"))
-        .localCheckpoint()
-      val kk = cmat.where(col("ta") === col("tb"))
-        .agg(count(lit(1)).as("k"))
-      val w0 = cmat.where(col("ta") === col("tb"))
-        .crossJoin(broadcast(kk))
-        .select(col("ta").as("event_type"),
-          floor(lit(1e8) / col("k") + 0.5).cast("long").as("wq"))
-      def cw(w: DataFrame): DataFrame = cmat
-        .join(w.withColumnRenamed("event_type", "tb"), "tb")
-        .groupBy(col("ta")).agg(sum(col("cq") * col("wq")).as("rc"))
-      def step(w: DataFrame): DataFrame = {
-        val t = cw(w)
-          .join(w.withColumnRenamed("event_type", "ta"), "ta")
-          .withColumn("rcp",
-            greatest(col("rc"), lit(1).cast("decimal(38,0)")))
-          .withColumn("u",
-            sqrt(col("wq").cast("double") / col("rcp").cast("double")))
-        val tq = t.crossJoin(broadcast(t.agg(max(col("u")).as("mx"))))
-          .withColumn("uq",
-            floor(col("u") / col("mx") * 1e12 + 0.5).cast("long"))
-        tq.crossJoin(broadcast(tq.agg(sum(col("uq")).as("su"))))
-          .select(col("ta").as("event_type"),
-            floor(col("uq").cast("double") / col("su").cast("double")
-              * 1e8 + 0.5).cast("long").as("wq"))
+      val d38 = (v: Long) => lit(v).cast("decimal(38,0)")
+      // r14: the op-325 wide-unroll idiom — the k×k fixed-point state
+      // pivots to ONE row (static positions 1..SMAX, rank via
+      // self-join) and the 4 multiplicative rounds unroll as scalar
+      // column algebra: zero joins, zero per-round checkpoint jobs.
+      // INTEGER/SCALAR CONTRACT UNCHANGED (exact decimal sums, max
+      // via greatest — order-free either way), so the relational
+      // oracle replays bit-for-bit. Absent positions carry ex = 0 →
+      // wq = 0 forever and drop at the final name join.
+      val SMAX = 7
+      val ty = mm.where(col("ta") === col("tb")).select(col("ta").as("t"))
+      val pos = ty
+        .join(broadcast(ty.select(col("t").as("u"))), col("u") <= col("t"))
+        .groupBy(col("t")).agg(count(lit(1)).cast("int").as("i"))
+        .coalesce(1).localCheckpoint()
+      val cqE = floor(num.cast("double") /
+        (col("n").cast("double") * (col("n").cast("double") - 1.0))
+        + 0.5).cast("decimal(38,0)")
+      val keyed = mm
+        .join(broadcast(pos).withColumnRenamed("t", "ta")
+          .withColumnRenamed("i", "fi"), "ta")
+        .join(broadcast(pos).withColumnRenamed("t", "tb")
+          .withColumnRenamed("i", "fj"), "tb")
+        .select(col("fi"), col("fj"), cqE.as("cq"))
+      val cells = for { i <- 1 to SMAX; j <- 1 to SMAX } yield (i, j)
+      val aggs = cells.map { case (i, j) =>
+        coalesce(max(when(col("fi") === i && col("fj") === j, col("cq"))),
+          d38(0L)).as(s"cq_${i}_$j")
+      } ++ (1 to SMAX).map { i =>
+        coalesce(max(when(col("fi") === i && col("fj") === i, lit(1))),
+          lit(0)).as(s"ex_$i")
       }
-      val wF = (1 to 4).foldLeft(w0) { (w, _) =>
-        val next = step(w).localCheckpoint()
-        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(w)
-        next
+      val wide = keyed.agg(aggs.head, aggs.tail: _*)
+        .withColumn("k", (1 to SMAX).map(i => col(s"ex_$i")).reduce(_ + _))
+      val keep = cells.map { case (i, j) => col(s"cq_${i}_$j") } ++
+        (1 to SMAX).map(i => col(s"ex_$i")) :+ col("k")
+      // w0 = equal weight on the 1e8 grid, then 4 unrolled rounds of
+      // w ← normalize(√(w/(Cw))) with the same greatest()-clamped
+      // denominator, max-of-u pivot, and floor grids as r13.
+      var a = wide.select(keep ++ (1 to SMAX).map { i =>
+        when(col(s"ex_$i") === 1,
+          floor(lit(1e8) / col("k") + 0.5).cast("long")).otherwise(0L)
+          .as(s"wq_$i")
+      }: _*)
+      for (_ <- 1 to 4) {
+        val withU = a.select(keep ++ (1 to SMAX).map(i => col(s"wq_$i")) ++
+          (1 to SMAX).map { i =>
+            val rc = (1 to SMAX)
+              .map(j => col(s"cq_${i}_$j") * col(s"wq_$j")).reduce(_ + _)
+            sqrt(col(s"wq_$i").cast("double") /
+              greatest(rc, d38(1L)).cast("double")).as(s"u_$i")
+          }: _*)
+        val withQ = withU
+          .withColumn("mx",
+            greatest((1 to SMAX).map(i => col(s"u_$i")): _*))
+          .select(keep ++ (1 to SMAX).map { i =>
+            floor(col(s"u_$i") / col("mx") * 1e12 + 0.5).cast("long")
+              .as(s"uq_$i")
+          }: _*)
+        a = withQ
+          .withColumn("su",
+            (1 to SMAX).map(i => col(s"uq_$i")).reduce(_ + _))
+          .select(keep ++ (1 to SMAX).map { i =>
+            floor(col(s"uq_$i").cast("double") / col("su").cast("double")
+              * 1e8 + 0.5).cast("long").as(s"wq_$i")
+          }: _*)
       }
-      val fin = cw(wF)
-        .join(wF.withColumnRenamed("event_type", "ta"), "ta")
-        .withColumn("wr", col("rc") * col("wq")) // w_i·(Cw)_i, exact decimal
-      fin.crossJoin(broadcast(fin.agg(sum(col("wr")).as("twr"))))
-        .select(col("ta").as("event_type"),
+      // finals: wr_i = w_i·(Cw)_i exact decimal; twr = Σ wr (absent
+      // rows contribute 0), then explode to rows and attach names.
+      val fin = a.select(
+        (1 to SMAX).map { i =>
+          val rc = (1 to SMAX)
+            .map(j => col(s"cq_${i}_$j") * col(s"wq_$j")).reduce(_ + _)
+          (rc * col(s"wq_$i")).as(s"wr_$i")
+        } ++ (1 to SMAX).map(i => col(s"wq_$i")): _*)
+        .select(
+          (1 to SMAX).map(i => col(s"wr_$i")).reduce(_ + _).as("twr"),
+          inline(array((1 to SMAX).map { i =>
+            struct(lit(i).as("i"), col(s"wq_$i").as("wq"),
+              col(s"wr_$i").as("wr"))
+          }: _*)))
+      fin.join(broadcast(pos), "i")
+        .select(col("t").as("event_type"),
           (round(col("wq") / 1e8, 6) + lit(0.0)).as("weight"),
           (round(col("wr").cast("double") / col("twr").cast("double"), 4)
             + lit(0.0)).as("risk_share"),
