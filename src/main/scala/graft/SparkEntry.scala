@@ -320,10 +320,14 @@ object SparkEntry {
       .withColumn("mid",
         ((col("cum") - col("c") + 1) + col("cum")).cast("double") / 2.0)
       .select(col("q"), col("c"), col("mid"))
+    // r14: rg feeds 2-3 consumers in stats_kruskal/stats_dunn (margins
+    // + the pairwise self-join) — pin the k-row rank-sum relation so
+    // the midrank chain above runs once per query, not per consumer.
     val rg = gq.join(mid, "q")
       .groupBy(col("event_type"))
       .agg(sum(col("cg") * col("mid")).as("rgsum"),
         sum(col("cg")).as("ng"))
+      .localCheckpoint()
     val ties = mid.agg(
       sum(col("c") * col("c") * col("c") - col("c")).as("t"))
     (rg, ties)
@@ -435,7 +439,6 @@ object SparkEntry {
         round(avg(col("l_quantity").cast("decimal(30,8)")).cast("double"), 6).as("avg_qty"),
         round(avg(col("l_discount").cast("decimal(30,8)")).cast("double"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   // ------------------------------------------------------------ queries
@@ -553,40 +556,32 @@ object SparkEntry {
     // ---- EOD aggregates (ops 3,4,5,9,10,11,13,14,15,16,17,18,22,23,24)
     "eod_total_return" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
-        .agg(round(Eod.totalReturn(col("value"), col("ts")), 6).as("total_return"))
-        .orderBy(col("event_type"))),
+        .agg(round(Eod.totalReturn(col("value"), col("ts")), 6).as("total_return"))),
     "eod_cagr" -> ((s, dir) =>
       events(s, dir).withColumn("p", stablePrice).groupBy(col("event_type"))
-        .agg(round(Eod.cagr(col("p"), col("ts")), 6).as("cagr"))
-        .orderBy(col("event_type"))),
+        .agg(round(Eod.cagr(col("p"), col("ts")), 6).as("cagr"))),
     "eod_year_frac" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
-        .agg(round(Eod.yearFrac(col("ts")), 6).as("year_frac"))
-        .orderBy(col("event_type"))),
+        .agg(round(Eod.yearFrac(col("ts")), 6).as("year_frac"))),
     "eod_mtd" -> ((s, dir) =>
       events(s, dir)
         .withColumn("max_ts", max(col("ts")).over(Window.partitionBy(col("event_type"))))
         .groupBy(col("event_type"))
-        .agg(round(Eod.mtd(col("value"), col("ts"), col("max_ts")), 6).as("mtd"))
-        .orderBy(col("event_type"))),
+        .agg(round(Eod.mtd(col("value"), col("ts"), col("max_ts")), 6).as("mtd"))),
     "eod_ytd" -> ((s, dir) =>
       events(s, dir)
         .withColumn("max_ts", max(col("ts")).over(Window.partitionBy(col("event_type"))))
         .groupBy(col("event_type"))
-        .agg(round(Eod.ytd(col("value"), col("ts"), col("max_ts")), 6).as("ytd"))
-        .orderBy(col("event_type"))),
+        .agg(round(Eod.ytd(col("value"), col("ts"), col("max_ts")), 6).as("ytd"))),
     "eod_sharpe" -> ((s, dir) =>
       withRet(s, dir).groupBy(col("event_type"))
-        .agg(round(Eod.sharpe(col("ret"), RF, NP), 6).as("sharpe"))
-        .orderBy(col("event_type"))),
+        .agg(round(Eod.sharpe(col("ret"), RF, NP), 6).as("sharpe"))),
     "eod_risk_return" -> ((s, dir) =>
       withRet(s, dir).groupBy(col("event_type"))
-        .agg(round(Eod.riskReturnRatio(col("ret")), 6).as("risk_return_ratio"))
-        .orderBy(col("event_type"))),
+        .agg(round(Eod.riskReturnRatio(col("ret")), 6).as("risk_return_ratio"))),
     "eod_sortino" -> ((s, dir) =>
       withRet(s, dir).groupBy(col("event_type"))
-        .agg(round(Eod.sortino(col("ret"), RF, NP), 6).as("sortino"))
-        .orderBy(col("event_type"))),
+        .agg(round(Eod.sortino(col("ret"), RF, NP), 6).as("sortino"))),
     "eod_information_ratio" -> ((s, dir) =>
       // One window pass + rn-pivot (see eod_prob_mom): unpaired rows
       // null out and avg/stddev drop them, matching the inner join.
@@ -594,17 +589,14 @@ object SparkEntry {
         .agg(round(Eod.informationRatio(col("ra"), col("rb")), 6).as("ir"))),
     "eod_max_drawdown" -> ((s, dir) =>
       withDd(s, dir).groupBy(col("event_type"))
-        .agg(round(Eod.maxDrawdownFromDrawdown(col("dd")), 6).as("max_drawdown"))
-        .orderBy(col("event_type"))),
+        .agg(round(Eod.maxDrawdownFromDrawdown(col("dd")), 6).as("max_drawdown"))),
     "eod_ulcer_index" -> ((s, dir) =>
       withDd(s, dir).groupBy(col("event_type"))
-        .agg(round(Eod.ulcerIndexFromDrawdown(col("dd")), 6).as("ulcer_index"))
-        .orderBy(col("event_type"))),
+        .agg(round(Eod.ulcerIndexFromDrawdown(col("dd")), 6).as("ulcer_index"))),
     "eod_upi" -> ((s, dir) =>
       withDd(s, dir).withColumn("ret", Eod.toReturns(col("value"), wT))
         .groupBy(col("event_type"))
-        .agg(round(Eod.ulcerPerformanceIndex(col("ret"), col("dd")), 6).as("upi"))
-        .orderBy(col("event_type"))),
+        .agg(round(Eod.ulcerPerformanceIndex(col("ret"), col("dd")), 6).as("upi"))),
     // Pain index + pain ratio (op 195, the L1 sibling of the ulcer
     // family): pain = mean depth of the drawdown series (ulcer is the
     // L2 form), pain ratio = CAGR over pain — the Calmar shape with
@@ -618,27 +610,23 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg((round(avg(-col("dd")), 6) + lit(0.0)).as("pain_index"),
           (round(safeDiv(Eod.cagr(col("p"), col("ts")), avg(-col("ddp"))), 6)
-            + lit(0.0)).as("pain_ratio"))
-        .orderBy(col("event_type"))),
+            + lit(0.0)).as("pain_ratio"))),
     "eod_calmar" -> ((s, dir) => {
       val e = events(s, dir).withColumn("p", stablePrice)
         .withColumn("dd", Eod.toDrawdownSeries(col("p"), wT))
       e.groupBy(col("event_type"))
         .agg(round(Eod.calmar(col("p"), col("ts"), col("dd")), 6).as("calmar"))
-        .orderBy(col("event_type"))
     }),
     "eod_infer_nperiods" -> ((s, dir) =>
       events(s, dir)
         .withColumn("delta_sec", Tick.tsDeltaNs(col("ts"), wT) / 1e9)
         .groupBy(col("event_type"))
-        .agg(Eod.inferNperiods(col("delta_sec")).as("nperiods"))
-        .orderBy(col("event_type"))),
+        .agg(Eod.inferNperiods(col("delta_sec")).as("nperiods"))),
     "eod_infer_freq" -> ((s, dir) =>
       events(s, dir)
         .withColumn("delta_days", Tick.tsDeltaNs(col("ts"), wT) / lit(86400.0 * 1e9))
         .groupBy(col("event_type"))
-        .agg(Eod.inferFreq(col("delta_days")).as("freq"))
-        .orderBy(col("event_type"))),
+        .agg(Eod.inferFreq(col("delta_days")).as("freq"))),
 
     // ---- EOD risk extensions beyond the reference surface (ops 103-107)
     // Historical VaR + CVaR: the 5% quantile as a per-asset window
@@ -651,7 +639,6 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(min(col("var5")), 6).as("var_5"),
           round(Eod.cvarGivenVar(col("ret"), col("var5")), 6).as("cvar_5"))
-        .orderBy(col("event_type"))
     }),
     // Acerbi–Székely direct ES backtest (op 321; Acerbi/Székely 2014
     // Z₂): completes the VaR validation family — Kupiec tests breach
@@ -709,7 +696,6 @@ object SparkEntry {
           (round(when(col("es") < 0, z2), 6) + lit(0.0)).as("z2"),
           when(col("es") < 0, round(when(col("es") < 0, z2), 6) < 0.0)
             .as("es_underestimates_tail"))
-        .orderBy(col("event_type"))
     }),
     // Kupiec proportion-of-failures VaR backtest (op 248; Kupiec
     // 1995): does the 5% VaR actually fail 5% of the time — the
@@ -737,7 +723,6 @@ object SparkEntry {
           round(xD / nD, 6).as("breach_rate"),
           (round(col("lr"), 6) + lit(0.0)).as("lr_pof"),
           (col("lr") > crit).as("reject"))
-        .orderBy(col("event_type"))
     }),
     // Christoffersen independence test (op 250; Christoffersen 1998
     // — the op-248 companion): do VaR breaches CLUSTER — transition
@@ -775,7 +760,6 @@ object SparkEntry {
         .select(col("event_type"), col("n00"), col("n01"), col("n10"),
           col("n11"), (round(col("lr"), 6) + lit(0.0)).as("lr_ind"),
           (col("lr") > crit).as("reject"))
-        .orderBy(col("event_type"))
     }),
     // Wald–Wolfowitz runs test on tick directions (op 249): is the
     // order flow's sign sequence random — R runs of nonzero tick
@@ -803,7 +787,6 @@ object SparkEntry {
       a.select(col("event_type"), col("n_pos"), col("n_neg"), col("n_runs"),
           (round((col("n_runs").cast("double") - e) / sqrt(v), 6) + lit(0.0))
             .as("z_stat"))
-        .orderBy(col("event_type"))
     }),
     // Hill tail-index estimator (op 247; Hill 1975): ξ = mean of
     // ln(x_(i)/x_(k+1)) over the k = 50 largest losses — the
@@ -833,7 +816,6 @@ object SparkEntry {
         .select(col("event_type"), col("k"),
           round(col("xi"), 6).as("hill_xi"),
           (round(lit(1.0) / col("xi"), 6) + lit(0.0)).as("tail_alpha"))
-        .orderBy(col("event_type"))
     }),
     // Rachev ratio (op 228, the op-103 kernel on BOTH tails): mean
     // of the top-5% gain tail over |mean of the bottom-5% loss
@@ -843,8 +825,12 @@ object SparkEntry {
     "eod_rachev" -> ((s, dir) => {
       val wSym = Window.partitionBy(col("event_type"))
       withRet(s, dir).where(col("ret").isNotNull)
-        .withColumn("var5", Eod.valueAtRisk(col("ret"), 0.05).over(wSym))
-        .withColumn("g95", Eod.valueAtRisk(col("ret"), 0.95).over(wSym))
+        // r14: both tail cuts from ONE percentile buffer per partition
+        // (identical R-7 values, one sort not two).
+        .withColumn("_v2", percentile(col("ret"),
+          array(lit(0.05), lit(0.95))).over(wSym))
+        .withColumn("var5", element_at(col("_v2"), 1))
+        .withColumn("g95", element_at(col("_v2"), 2))
         .groupBy(col("event_type"))
         .agg(round(avg(when(col("ret") >= col("g95"), col("ret"))), 6)
             .as("gain_tail"),
@@ -853,7 +839,6 @@ object SparkEntry {
           (round(avg(when(col("ret") >= col("g95"), col("ret"))) /
             (-avg(when(col("ret") <= col("var5"), col("ret")))), 6)
             + lit(0.0)).as("rachev"))
-        .orderBy(col("event_type"))
     }),
     // Conditional drawdown at risk (op 148): the VaR/CVaR pattern
     // applied to the DRAWDOWN distribution (Chekhlov/Uryasev/Zabarankin
@@ -867,14 +852,12 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(min(col("dar5")), 6).as("dar_5"),
           round(Eod.cvarGivenVar(col("dd"), col("dar5")), 6).as("cdar_5"))
-        .orderBy(col("event_type"))
     }),
     "eod_omega" -> ((s, dir) =>
       withRet(s, dir).where(col("ret").isNotNull)
         .groupBy(col("event_type"))
         .agg((round(Eod.omegaRatio(col("ret"), rfPeriodic), 6) + lit(0.0))
-          .as("omega"))
-        .orderBy(col("event_type"))),
+          .as("omega"))),
     // Kelly criterion (op 180, Thorp's continuous approximation):
     // f* = μ/σ² of periodic returns — the growth-optimal leverage —
     // plus the half-Kelly practitioners actually run. One agg.
@@ -884,8 +867,7 @@ object SparkEntry {
         .agg((round(avg(col("ret")) / var_samp(col("ret")), 6) + lit(0.0))
           .as("kelly"),
           (round(avg(col("ret")) / var_samp(col("ret")) / 2.0, 6) + lit(0.0))
-            .as("half_kelly"))
-        .orderBy(col("event_type"))),
+            .as("half_kelly"))),
     // Tail ratio + gain-to-pain (op 157): right/left tail magnitudes
     // via interpolated quantiles (sorting, not summing — engine-exact
     // on identical ret doubles) and Schwager's GPR on 1e-6-quantized
@@ -894,9 +876,14 @@ object SparkEntry {
       withRet(s, dir).where(col("ret").isNotNull)
         .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
         .groupBy(col("event_type"))
-        .agg(round(Eod.tailRatio(col("ret")), 6).as("tail_ratio"),
+        // r14: both tail quantiles from one percentile buffer (same
+        // R-7 values as Eod.tailRatio's two scalar calls).
+        .agg(percentile(col("ret"), array(lit(0.95), lit(0.05))).as("_t2"),
           round(Eod.gainToPain(col("q")), 6).as("gain_to_pain"))
-        .orderBy(col("event_type"))),
+        .select(col("event_type"),
+          round(safeDiv(abs(element_at(col("_t2"), 1)),
+            abs(element_at(col("_t2"), 2))), 6).as("tail_ratio"),
+          col("gain_to_pain"))),
     // Two-pass central moments: mean via per-asset window, deviations
     // aggregated — no raw-moment cancellation (see skewnessFromDev).
     "eod_skew_kurt" -> ((s, dir) => {
@@ -906,7 +893,6 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(Eod.skewnessFromDev(col("d")), 6).as("skew"),
           round(Eod.excessKurtosisFromDev(col("d")), 6).as("kurt_excess"))
-        .orderBy(col("event_type"))
     }),
     // Jarque–Bera normality test (op 271; Jarque/Bera 1980): are the
     // returns even Gaussian — JB = n/6·(S² + K²/4) on the op-105
@@ -934,7 +920,6 @@ object SparkEntry {
           col("sk").as("skew"), col("ku").as("kurt_excess"),
           round(col("jbs"), 6).as("jb"),
           (col("jbs") > crit).as("reject"))
-        .orderBy(col("event_type"))
     }),
     // Cornish–Fisher modified VaR (op 272; Cornish/Fisher 1938, the
     // "mVaR" of hedge-fund risk reports): the Gaussian 5% quantile
@@ -961,7 +946,6 @@ object SparkEntry {
           (round(col("zcf"), 6) + lit(0.0)).as("z_cf"),
           (round(col("mu") + col("zcf") * col("sd"), 6) + lit(0.0))
             .as("mvar_5"))
-        .orderBy(col("event_type"))
     }),
     // Mann–Kendall trend test (op 273; Mann 1945/Kendall 1975) on the
     // DAILY CLOSE series: S = Σ_{i<j} sgn(x_j − x_i), no-tie variance
@@ -1001,7 +985,6 @@ object SparkEntry {
           (round(col("z"), 6) + lit(0.0)).as("z_stat"),
           when(col("z") > zcrit, "up").when(col("z") < -zcrit, "down")
             .otherwise("none").as("trend"))
-        .orderBy(col("event_type"))
     }),
     // CUSUM change-point statistics (op 284; Page 1954): has the mean
     // of the return process SHIFTED — the recursive
@@ -1038,7 +1021,6 @@ object SparkEntry {
           sum(when(col("cneg") > col("sdq"), 1L).otherwise(0L))
             .as("n_breach_neg"),
           round(min(col("sdq")) / 1e6, 6).as("threshold"))
-        .orderBy(col("event_type"))
     }),
     // Newey–West long-run variance (op 285; Newey/West 1987): the
     // autocorrelation-robust σ²_NW = γ₀ + 2Σ_{l≤5}(1−l/6)γ_l with
@@ -1068,7 +1050,6 @@ object SparkEntry {
           round(col("mu") / sqrt(g(0) / nD), 6).as("tstat_iid"),
           (round(when(s2 > 0, col("mu") / sqrt(s2 / nD)), 6) + lit(0.0))
             .as("tstat_nw"))
-        .orderBy(col("event_type"))
     }),
     // Circular-block-bootstrap Sharpe confidence interval (op 303;
     // Künsch 1989 / Politis–Romano): B = 60 replicates of each
@@ -1161,7 +1142,6 @@ object SparkEntry {
           round(col("sharpe"), 6).as("sharpe_ann"),
           round(col("lo"), 6).as("ci_lo"),
           round(col("hi"), 6).as("ci_hi"))
-        .orderBy(col("event_type"))
     }),
     // Dickey–Fuller unit-root test (op 287; Dickey/Fuller 1979): does
     // ln(price) mean-revert or random-walk — OLS of Δy on (1, y_{t−1})
@@ -1201,7 +1181,6 @@ object SparkEntry {
             .as("half_life"),
           when(round(t, 6) < -2.86, "stationary").otherwise("unit_root")
             .as("verdict"))
-        .orderBy(col("event_type"))
     }),
     // Engle–Granger cointegration vs the 'view' benchmark (op 288;
     // Engle/Granger 1987): stage 1 regresses ln p_a on ln p_b over the
@@ -1254,7 +1233,6 @@ object SparkEntry {
           round(rho, 6).as("rho_resid"),
           round(t, 6).as("eg_tstat"),
           when(round(t, 6) < -3.34, 1L).otherwise(0L).as("cointegrated"))
-        .orderBy(col("pair_id"))
     }),
     "eod_ewma_vol" -> ((s, dir) =>
       withRet(s, dir).where(col("ret").isNotNull)
@@ -1295,7 +1273,6 @@ object SparkEntry {
               - col("_sq").cast("double") * col("_sq").cast("double"))
               / (col("n").cast("double") * (col("n") - 1).cast("double")),
             lit(0.0))) / 1e12, 6) + lit(0.0)).as("scaled_vol"))
-        .orderBy(col("event_type"))
     }),
     // GARCH(1,1) filtered conditional vol (op 295; Bollerslev 1986):
     // the k-truncated closed form over the trailing 60 returns ending
@@ -1437,7 +1414,6 @@ object SparkEntry {
             + lit(0.5)) / 1e6).as("rmse"),
           (floor(col("_se").cast("double") / 1e6 / col("n") * 1e6
             + lit(0.5)) / 1e6).as("bias"))
-        .orderBy(col("event_type"))
     }),
     // Rolling beta of each non-benchmark return series on the 'view'
     // benchmark series, rn-paired, trailing 60 pairs. The window is
@@ -1486,8 +1462,7 @@ object SparkEntry {
             6) + lit(0.0)).as("alpha_ann"),
           (round(Eod.capmR2(col("ra"), col("rb")), 6) + lit(0.0)).as("r2"),
           (round(Eod.trackingError(col("ra"), col("rb")), 6) + lit(0.0))
-            .as("tracking_error"))
-        .orderBy(col("pair_id"))),
+            .as("tracking_error"))),
     // Up/down capture + win rate (op 134): arithmetic capture (mean-
     // based — exact under any agg order, unlike compounded capture),
     // same single paired hash agg shape as eod_capm.
@@ -1500,8 +1475,7 @@ object SparkEntry {
             .as("up_capture"),
           (round(Eod.downCapture(col("ra"), col("rb")), 6) + lit(0.0))
             .as("down_capture"),
-          (round(Eod.winRate(col("ra")), 6) + lit(0.0)).as("win_rate"))
-        .orderBy(col("pair_id"))),
+          (round(Eod.winRate(col("ra")), 6) + lit(0.0)).as("win_rate"))),
     // Treynor ratio + M² (op 181, the beta- and vol-adjusted pair
     // beside Sharpe/alpha): Treynor = annualized mean return over CAPM
     // beta (systematic-risk denominator); Modigliani M² = the asset's
@@ -1517,8 +1491,7 @@ object SparkEntry {
             .as("treynor_ann"),
           (round(avg(col("ra")) / stddev_samp(col("ra"))
             * stddev_samp(col("rb")) * Eod.TradingDaysPerYear, 6) + lit(0.0))
-            .as("m2_ann"))
-        .orderBy(col("pair_id"))),
+            .as("m2_ann"))),
     // Jobson–Korkie/Memmel Sharpe-difference test (op 204 — "is this
     // fund's Sharpe REALLY higher than the benchmark's?"): z =
     // (SRa − SRb)/√(θ/n), θ = 2(1−ρ) + ½(SRa² + SRb² − SRa·SRb(1+ρ²))
@@ -1541,8 +1514,7 @@ object SparkEntry {
                 + col("srb") * col("srb")
                 - col("sra") * col("srb")
                   * (lit(1.0) + col("rho") * col("rho"))))
-              / col("n")), 6) + lit(0.0)).as("z_stat"))
-        .orderBy(col("pair_id"))),
+              / col("n")), 6) + lit(0.0)).as("z_stat"))),
     // Lo (2002) autocorrelation-adjusted Sharpe (op 209): the iid
     // √252 annualizer overstates the Sharpe of autocorrelated
     // series; the correct factor is q/√(q + 2Σ_{k<q}(q−k)ρ_k),
@@ -1568,7 +1540,6 @@ object SparkEntry {
           (round(col("srp") * lit(252.0) /
             sqrt(lit(252.0) + lit(2.0) * col("rs")), 6) + lit(0.0))
             .as("sharpe_adj"))
-        .orderBy(col("event_type"))
     }),
     // Downside/upside beta (op 239; Bawa–Lindenberg): β conditioned
     // on the benchmark's sign — the asymmetry the single CAPM β
@@ -1601,7 +1572,6 @@ object SparkEntry {
           (round(beta("up"), 6) + lit(0.0)).as("beta_up"),
           (round(when(beta("up") =!= 0.0, beta("dn") / beta("up")), 6)
             + lit(0.0)).as("beta_ratio"))
-        .orderBy(col("pair_id"))
     }),
     // Henriksson–Merton market timing (op 226; HM 1981): r_a = α +
     // β·r_b + γ·max(r_b, 0) — γ > 0 is timing skill (the manager
@@ -1648,7 +1618,6 @@ object SparkEntry {
           (round(when(det =!= 0.0, detA / det / 1e6), 9) + lit(0.0)).as("alpha"),
           (round(when(det =!= 0.0, detB / det), 6) + lit(0.0)).as("beta"),
           (round(when(det =!= 0.0, detG / det), 6) + lit(0.0)).as("gamma"))
-        .orderBy(col("pair_id"))
     }),
     // Treynor–Mazuy market-timing regression (op 377; Treynor &
     // Mazuy 1966) — the QUADRATIC timing test beside op 249's
@@ -1697,7 +1666,6 @@ object SparkEntry {
           (round(when(det =!= 0.0, detB / det), 6) + lit(0.0)).as("beta"),
           (round(when(det =!= 0.0, detG / det), 6) + lit(0.0))
             .as("gamma"))
-        .orderBy(col("pair_id"))
     }),
     // Bias ratio (op 376; Abdulali 2006) — the return-smoothing
     // forensic: count of returns in [0, +σ] over 1 + count in
@@ -1736,7 +1704,6 @@ object SparkEntry {
           (floor(col("n_up_band").cast("double")
             / (lit(1.0) + col("n_dn_band").cast("double")) * 1e6 + 0.5)
             / 1e6).as("bias_ratio"))
-        .orderBy(col("event_type"))
     }),
     // Calendar extremes (op 210 — ffn's best_day/worst_day family):
     // best/worst single-tick return plus best/worst calendar-DAY
@@ -1762,7 +1729,7 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg((round(max(col("dret")), 6) + lit(0.0)).as("best_day"),
           (round(min(col("dret")), 6) + lit(0.0)).as("worst_day"))
-      tick.join(day, "event_type").orderBy(col("event_type"))
+      tick.join(day, "event_type")
     }),
     // Ljung–Box portmanteau test at lags 1..5 (op 182, the
     // significance companion to op 127's ACF): Q = n(n+2)·Σ ρ_k²/(n−k)
@@ -1780,7 +1747,6 @@ object SparkEntry {
       lagged.groupBy(col("event_type"))
         .agg(count(col("ret")).as("n_obs"),
           (round(nn * (nn + 2.0) * qSum, 6) + lit(0.0)).as("lb_q"))
-        .orderBy(col("event_type"))
     }),
     // Portfolio-level stats (op 151): the ffn end-use — CONSTRUCT a
     // portfolio from constituent series, then run the stats ON it.
@@ -1818,7 +1784,6 @@ object SparkEntry {
           (round(max_by(col("cl"), col("rn")), 6) + lit(0.0))
             .as("total_log_return"),
           (round(min(col("ddl")), 6) + lit(0.0)).as("max_drawdown_log"))
-        .orderBy(col("port_id"))
     }),
     // Weighted portfolio with a rebalance calendar (op 152, the real
     // ffn end-use: calc_stats on a weighted composite): a DECLARED
@@ -1884,7 +1849,6 @@ object SparkEntry {
           (round(max_by(col("cl"), col("i")), 6) + lit(0.0))
             .as("total_log_return"),
           (round(min(col("ddl")), 6) + lit(0.0)).as("max_drawdown_log"))
-        .orderBy(col("port_id"))
     }),
     // Rebalance turnover (op 199, the op-152 companion every weighted
     // mandate reports): at each 21-row block end, weights have DRIFTED
@@ -1946,7 +1910,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_assets"),
           (floor(sum(col("dq")).cast("double") / 2.0 + 0.5) / 1e6)
             .as("turnover"))
-        .orderBy(col("blk"))
     }),
     // Brinson allocation attribution (op 200; Brinson–Fachler 1985,
     // single-level with assets as classes): per 21-row block, the
@@ -1989,7 +1952,6 @@ object SparkEntry {
           q6((col("w") - 0.25)
             * (col("raq") / 1e6 - col("rbq").cast("double") / 4e6))
             .as("alloc_contrib"))
-        .orderBy(col("blk"), col("event_type"))
     }),
     // Multi-benchmark CAPM (op 143): every asset series regressed on
     // EVERY series in a declared benchmark set at once — the
@@ -2019,7 +1981,6 @@ object SparkEntry {
           (round(Eod.capmR2(col("ra"), col("rb")), 6) + lit(0.0)).as("r2"),
           (round(Eod.trackingError(col("ra"), col("rb")), 6) + lit(0.0))
             .as("tracking_error"))
-        .orderBy(col("pair_id"), col("bench_id"))
     }),
     // Rolling capture ratios (op 144): the windowed twin of
     // eod_capture — trailing-60-row up/down capture and win rate per
@@ -2073,7 +2034,6 @@ object SparkEntry {
       m.select(col("event_type"), col("yr"), col("mo"), col("dy"),
           (round(col("eop") / lag(col("eop"), 1).over(w) - 1, 6) + lit(0.0))
             .as("period_ret"))
-        .orderBy(col("event_type"), col("yr"), col("mo"), col("dy"))
     }),
     // Day-of-week seasonality (op 190, the return_table's calendar
     // sibling): mean return (floor-mean on 1e-6-quantized longs —
@@ -2089,8 +2049,7 @@ object SparkEntry {
           (floor(sum(col("q")).cast("double") / count(lit(1)) + 0.5) / 1e6)
             .as("mean_ret"),
           round(sum(when(col("ret") > 0, 1.0).otherwise(0.0))
-            / count(lit(1)), 6).as("hit_rate"))
-        .orderBy(col("event_type"), col("dow"))),
+            / count(lit(1)), 6).as("hit_rate"))),
     // Calendar resampling (op 153, ffn to_period lineage): weekly
     // grain here (the testdata spans ~a month → several buckets);
     // monthly/yearly are the same plan with a different date_trunc
@@ -2099,8 +2058,7 @@ object SparkEntry {
       Eod.resampleToPeriod(events(s, dir), "event_type", "ts", "value", "week")
         .select(col("event_type"), unix_micros(col("period")).as("period_us"),
           round(col("eop"), 6).as("eop"),
-          (round(col("period_ret"), 6) + lit(0.0)).as("period_ret"))
-        .orderBy(col("event_type"), col("period_us"))),
+          (round(col("period_ret"), 6) + lit(0.0)).as("period_ret"))),
     // Drawdown episode report (op 126, ffn's drawdown_details): the
     // query surfaces the event-id row identities (ns-timestamp
     // convention, header note); the operator also carries the real
@@ -2109,8 +2067,7 @@ object SparkEntry {
       Drawdown.details(events(s, dir), "event_type", "ts", "event_id", "value")
         .select(col("event_type"), col("episode"), col("start_id"),
           col("trough_id"), col("end_id"), col("n_obs"), col("depth"),
-          col("recovered"))
-        .orderBy(col("event_type"), col("episode"))),
+          col("recovered"))),
     // Lookback returns (op 177, ffn calc_stats' three_month/six_month/
     // one_year block at this corpus' one-month span): price now vs the
     // last price at-or-before end−Δ, per series — end anchored by a
@@ -2131,7 +2088,6 @@ object SparkEntry {
           round(max_by(col("value"), col("ts")) /
             max_by(col("value"), when(col("ts") <= col("cut14"), col("ts")))
             - 1, 6).as("ret_2w"))
-        .orderBy(col("event_type"))
     }),
     // Cross-sectional return rank (op 174): at each aligned index,
     // rank the assets by that period's return — the momentum /
@@ -2148,7 +2104,6 @@ object SparkEntry {
           count(lit(1)).over(Window.partitionBy(col("rn"))))
         .select(col("event_type"), col("rn"), round(col("ret"), 6).as("ret"),
           col("xrank"), col("n_assets"))
-        .orderBy(col("rn"), col("xrank"))
     }),
     // Long-short momentum backtest (op 175, the op-174 end-use): rank
     // on the PREVIOUS period's return (the signal must lag the
@@ -2202,7 +2157,6 @@ object SparkEntry {
             .as("n_win_streaks_5"),
           sum(when(col("sgn") === -1 && col("len") >= 5, 1L).otherwise(0L))
             .as("n_loss_streaks_5"))
-        .orderBy(col("event_type"))
     }),
     // Spearman correlation matrix (op 236, the robust sibling of op
     // 70): each series' returns ranked over TIME (event_id
@@ -2225,7 +2179,6 @@ object SparkEntry {
           col("b.event_type").as("type_b"))
         .agg((round(corr(col("a.srk"), col("b.srk")), 6) + lit(0.0))
           .as("spearman"))
-        .orderBy(col("type_a"), col("type_b"))
     }),
     // Cross-sectional information coefficient (op 214, the
     // signal-quality companion to op 175's backtest): per complete
@@ -2293,7 +2246,6 @@ object SparkEntry {
           round(seq / 1e9, 9).as("slope_se"),
           (round(bq / seq, 6) + lit(0.0)).as("t_stat"),
           (round(bq / seq / sqrt(nD), 6) + lit(0.0)).as("k_ratio"))
-        .orderBy(col("event_type"))
     }),
     // Inverse-volatility portfolio (op 216, risk parity's first-order
     // approximation — the op-151/152 family's third weighting
@@ -2349,7 +2301,6 @@ object SparkEntry {
           (floor(min(col("iq")).cast("double")
             / max(col("siq")).cast("double") * 1e6 + 0.5) / 1e6)
             .as("min_weight"))
-        .orderBy(col("block"))
     }),
     "eod_inverse_vol" -> ((s, dir) => {
       val r = withRet(s, dir).where(col("ret").isNotNull)
@@ -2393,7 +2344,6 @@ object SparkEntry {
           round(col("w"), 6).as("weight"),
           (round(col("br"), 6) + lit(0.0)).as("asset_ret"),
           (round(col("pr"), 6) + lit(0.0)).as("port_ret"))
-        .orderBy(col("block"), col("event_type"))
     }),
     // Drawdown episode summary (op 162, the calc_stats duration
     // block): aggregates the op-126 episode table per series —
@@ -2421,7 +2371,6 @@ object SparkEntry {
           col("avg_depth"), col("max_duration"), col("avg_duration"),
           round(col("n_underwater").cast("double") / col("n_series"), 6)
             .as("underwater_frac"))
-        .orderBy(col("event_type"))
     }),
     // Burke + Sterling ratios (op 168, the drawdown-denominated
     // performance family next to Calmar): numerator = annualized
@@ -2452,7 +2401,6 @@ object SparkEntry {
           round(col("ann_ret") /
             abs(col("top5_qd").cast("double") / col("n_top") / 1e6), 6)
             .as("sterling"))
-        .orderBy(col("event_type"))
     }),
     // Return autocorrelation at lags 1..5 (op 127): one window pass
     // builds all five lagged columns, one hash agg computes the five
@@ -2468,7 +2416,6 @@ object SparkEntry {
       lagged.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
         .selectExpr("event_type",
           "stack(5, 1, a1, 2, a2, 3, a3, 4, a4, 5, a5) AS (lag_k, acf)")
-        .orderBy(col("event_type"), col("lag_k"))
     }),
     // Order-flow sign autocorrelation (op 196): the eod_acf kernel on
     // tick-rule signs — the long-memory-of-order-flow diagnostic (LOB
@@ -2487,7 +2434,6 @@ object SparkEntry {
       lagged.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
         .selectExpr("event_type",
           "stack(5, 1, a1, 2, a2, 3, a3, 4, a4, 5, a5) AS (lag_k, sign_acf)")
-        .orderBy(col("event_type"), col("lag_k"))
     }),
     // Intraday volume profile (op 242, the U-shape diagnostic every
     // execution scheduler calibrates against): volume share per
@@ -2503,7 +2449,6 @@ object SparkEntry {
         .select(col("event_type"), col("hr"), col("n_trades"), col("vol"),
           round(col("vol").cast("double") / col("tv").cast("double"), 6)
             .as("vol_share"))
-        .orderBy(col("event_type"), col("hr"))
     }),
     // Bipower variation & jump share (op 211; Barndorff-Nielsen &
     // Shephard 2004): BV = (π/2)·Σ|r_i||r_{i−1}| is robust to jumps
@@ -2525,7 +2470,6 @@ object SparkEntry {
           (round(when(col("rvr") =!= 0.0,
             greatest(lit(0.0), lit(1.0) - col("bvr") / col("rvr"))), 6)
             + lit(0.0)).as("jump_share"))
-        .orderBy(col("event_type"))
     }),
     // Corwin–Schultz high–low spread estimator (op 215; Corwin &
     // Schultz 2012): bid-ask spread recovered from daily high/low
@@ -2563,7 +2507,6 @@ object SparkEntry {
           round(avg(col("s_pos")), 6).as("cs_spread"),
           round(avg(when(col("s_pos") > 0, 1.0).otherwise(0.0)), 6)
             .as("frac_pos"))
-        .orderBy(col("event_type"))
     }),
     // Lo–MacKinlay variance ratio (op 128): VR(q) = Var(q-period log
     // return)/(q·Var(1-period)) over non-overlapping complete blocks.
@@ -2588,7 +2531,6 @@ object SparkEntry {
         .join(denom, "event_type")
         .select(col("event_type"), col("q"),
           (round(col("vq") / (col("q") * col("v1")), 6) + lit(0.0)).as("vr"))
-        .orderBy(col("event_type"), col("q"))
     }),
     // Hurst exponent by rescaled-range analysis (op 191; Hurst 1951,
     // Mandelbrot–Wallis 1969 — the long-memory companion to op 128's
@@ -2641,7 +2583,6 @@ object SparkEntry {
           col("mrs_128"),
           (round((ln(col("mrs_128")) - ln(col("mrs_8"))) / FourLn2, 6)
             + lit(0.0)).as("hurst"))
-        .orderBy(col("event_type"))
     }),
     // ffn's calc_stats / GroupStats headline (op 131): the full
     // per-series performance summary as ONE composed plan — a single
@@ -2672,24 +2613,20 @@ object SparkEntry {
           round(Eod.excessKurtosisFromDev(col("dev")), 6).as("kurt_excess"),
           round(Eod.yearFrac(col("ts")), 6).as("year_frac"),
           count(lit(1)).as("n_obs"))
-        .orderBy(col("event_type"))
     }),
 
     // ---- Tick (ops 25-38)
     "tick_trade_rate" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
-        .agg(round(Tick.tradeRate(col("ts"), "ms"), 6).as("trade_rate"))
-        .orderBy(col("event_type"))),
+        .agg(round(Tick.tradeRate(col("ts"), "ms"), 6).as("trade_rate"))),
     "tick_inter_trade_time" -> ((s, dir) =>
       events(s, dir).withColumn("delta_ns", Tick.tsDeltaNs(col("ts"), wT))
         .groupBy(col("event_type"))
-        .agg(round(Tick.interTradeTime(col("delta_ns"), "s"), 6).as("inter_trade_time"))
-        .orderBy(col("event_type"))),
+        .agg(round(Tick.interTradeTime(col("delta_ns"), "s"), 6).as("inter_trade_time"))),
     "tick_burstiness" -> ((s, dir) =>
       events(s, dir).withColumn("delta_ns", Tick.tsDeltaNs(col("ts"), wT))
         .groupBy(col("event_type"))
-        .agg(round(Tick.burstiness(col("delta_ns")), 6).as("burstiness"))
-        .orderBy(col("event_type"))),
+        .agg(round(Tick.burstiness(col("delta_ns")), 6).as("burstiness"))),
     // ACD(1,1) expected-duration filter (op 304; Engle–Russell 1998):
     // the duration-process sibling of eod_garch_filter — ψ_t forecasts
     // the next inter-trade gap from the trailing gaps, and x/ψ is the
@@ -2746,30 +2683,25 @@ object SparkEntry {
       }
         .select(col("symbol").as("event_type"), col("event_id"),
           round(lit(0.05) + lit(0.3) * (col("sumq").cast("double") / 1e9), 6)
-            .as("lambda"))
-        .orderBy(col("event_type"), col("event_id")) }
+            .as("lambda")) }
     }),
     "tick_volume_rate" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
-        .agg(round(Tick.volumeRate(volume, col("ts"), "s"), 6).as("volume_rate"))
-        .orderBy(col("event_type"))),
+        .agg(round(Tick.volumeRate(volume, col("ts"), "s"), 6).as("volume_rate"))),
     "tick_ofi" -> ((s, dir) =>
       events(s, dir)
         .withColumn("sv", Tick.signVolumeByTickRule(volume, col("value"), wT))
         .groupBy(col("event_type"))
-        .agg(round(Tick.orderFlowImbalance(col("sv")), 6).as("ofi"))
-        .orderBy(col("event_type"))),
+        .agg(round(Tick.orderFlowImbalance(col("sv")), 6).as("ofi"))),
     "tick_traded_value" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(round(sum((col("value") * volume).cast("decimal(30,10)")).cast("double"), 2)
-          .as("traded_value"))
-        .orderBy(col("event_type"))),
+          .as("traded_value"))),
     "tick_vwap" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(round(
           sum((col("value") * volume).cast("decimal(30,10)")).cast("double") /
-            sum(volume.cast("decimal(30,10)")).cast("double"), 6).as("vwap"))
-        .orderBy(col("event_type"))),
+            sum(volume.cast("decimal(30,10)")).cast("double"), 6).as("vwap"))),
     "tick_rule" -> ((s, dir) =>
       events(s, dir).select(col("event_type"), col("event_id"),
         Tick.tickRule(col("value"), wT).cast("int").as("direction"))),
@@ -2780,24 +2712,20 @@ object SparkEntry {
       events(s, dir).withColumn("dir", Tick.tickRule(col("value"), wT))
         .groupBy(col("event_type"))
         .agg((round(Tick.tickImbalance(col("dir")), 6) + lit(0.0))
-          .as("tick_imbalance"))
-        .orderBy(col("event_type"))),
+          .as("tick_imbalance"))),
     "tick_micro_returns" -> ((s, dir) =>
       events(s, dir).select(col("event_type"), col("event_id"),
         round(Tick.microReturns(col("value"), wT), 6).as("micro_ret"))),
     "tick_pvr" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
-        .agg(round(Tick.priceVolatilityRatio(col("value")), 6).as("pvr"))
-        .orderBy(col("event_type"))),
+        .agg(round(Tick.priceVolatilityRatio(col("value")), 6).as("pvr"))),
     "tick_price_impact" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
-        .agg(round(Tick.priceImpact(col("value"), volume, col("ts")), 6).as("price_impact"))
-        .orderBy(col("event_type"))),
+        .agg(round(Tick.priceImpact(col("value"), volume, col("ts")), 6).as("price_impact"))),
     "tick_realized_vol" -> ((s, dir) =>
       events(s, dir).withColumn("lr", Tick.microReturns(col("value"), wT))
         .groupBy(col("event_type"))
-        .agg(round(Tick.realizedVolatility(col("lr")), 6).as("realized_vol"))
-        .orderBy(col("event_type"))),
+        .agg(round(Tick.realizedVolatility(col("lr")), 6).as("realized_vol"))),
     // Realized higher moments (op 291; Amaya/Christoffersen/Jacobs/
     // Vasquez 2015): intraday skew √n·Σr³/RV^{3/2} and kurtosis
     // n·Σr⁴/RV² from the same one-lag-pass log returns as op 38's RV —
@@ -2816,8 +2744,7 @@ object SparkEntry {
           round(sqrt(col("n").cast("double")) * col("s3") /
             (col("rv") * sqrt(col("rv"))), 6).as("realized_skew"),
           round(col("n").cast("double") * col("s4") /
-            (col("rv") * col("rv")), 6).as("realized_kurt"))
-        .orderBy(col("event_type"))),
+            (col("rv") * col("rv")), 6).as("realized_kurt"))),
 
     // ---- Relational core (ops 43-45)
     "rel_pricing_summary" -> ((s, dir) => relPricingSummary(s, dir)),
@@ -2834,7 +2761,6 @@ object SparkEntry {
         .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(30,8)")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy(col("r_name"), col("n_name"))
     }),
     "rel_topn_per_group" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
@@ -2844,7 +2770,6 @@ object SparkEntry {
         .where(col("rk") <= 3)
         .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("total_price"))
-        .orderBy(col("o_orderpriority"), col("rk"))
     }),
     // Op 66's driver row (op 307): this side is written with pow(l_quantity, 2.0);
     // SquareRewriteRule (installed by Graft.register in Verify AND
@@ -2860,8 +2785,7 @@ object SparkEntry {
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(pow(col("l_quantity"), 2.0)).as("sum_qty_sq"))
-        .orderBy(col("l_returnflag"))),
+          sum(pow(col("l_quantity"), 2.0)).as("sum_qty_sq"))),
 
     // Bucketed co-located join (op 65), oracle-backed: write both fact
     // tables bucketed+sorted on the join key, then join AND aggregate on
@@ -2890,7 +2814,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_quantity")), 6).as("sum_qty"),
           round(max(col("o_totalprice")), 6).as("total_price"))
-        .orderBy(col("o_orderkey"))
     }),
     // Semi/anti joins (op 164): EXISTS/NOT EXISTS as LeftSemi/LeftAnti
     // — the probe side streams, the build side reduces to keys only
@@ -2915,7 +2838,6 @@ object SparkEntry {
         .select(col("n_name"),
           coalesce(col("n_open_cust"), lit(0L)).as("n_open_cust"),
           coalesce(col("n_no_order_cust"), lit(0L)).as("n_no_order_cust"))
-        .orderBy(col("n_name"))
     }),
     // Rollup with subtotal rows (op 165): region × nation revenue with
     // per-region and grand-total rows, labels coalesced to 'ALL' so
@@ -2935,7 +2857,6 @@ object SparkEntry {
         .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
           coalesce(col("n_name"), lit("ALL")).as("n_name"),
           col("revenue"), col("n_items"))
-        .orderBy(col("r_name"), col("n_name"))
     }),
     // Pivot (op 166): revenue by order priority across order-status
     // columns — conditional aggregation under the hood (one hash agg,
@@ -2948,7 +2869,6 @@ object SparkEntry {
           .cast("double"), 2))
         .select(col("o_orderpriority"), col("F").as("rev_f"),
           col("O").as("rev_o"), col("P").as("rev_p"))
-        .orderBy(col("o_orderpriority"))
     }),
     // TPC-H Q3 shape (op 205, the shipping-priority report — the
     // canonical 3-way join + sort-limit every warehouse benchmarks):
@@ -2993,7 +2913,6 @@ object SparkEntry {
         .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("revenue"), col("n_orders"))
-        .orderBy(col("r_name"), col("priority"))
     }),
     // Ranking-function report (op 186): percent_rank / cume_dist /
     // ntile(10) per market segment, compacted to one row per (segment,
@@ -3013,7 +2932,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(min(col("pr")), 6).as("min_pr"),
           round(max(col("cd")), 6).as("max_cd"))
-        .orderBy(col("c_mktsegment"), col("decile"))
     }),
     // TPC-H Q5 shape (op 212, local-supplier revenue): the 6-way
     // join whose distinguishing constraint is c_nationkey =
@@ -3036,7 +2954,6 @@ object SparkEntry {
         .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(30,8)")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy(col("n_name"))
     }),
     // Decorrelated scalar subquery (op 213): "orders above their
     // customer's average order value" — the correlated-subquery
@@ -3055,7 +2972,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_above"),
           round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2)
             .as("sum_above"))
-        .orderBy(col("o_custkey"))
     }),
     // TPC-H Q18 shape (op 245, large-volume orders): orders whose
     // total line quantity exceeds a threshold — the GROUP BY +
@@ -3076,7 +2992,6 @@ object SparkEntry {
           unix_micros(col("o_orderdate")).as("o_orderdate_us"),
           round(col("o_totalprice"), 2).as("o_totalprice"),
           round(col("qty").cast("double"), 2).as("total_qty"))
-        .orderBy(col("o_orderkey"))
     }),
     // TPC-H Q6 shape (op 234, the forecast-revenue-change scan): a
     // pure filter-aggregate with NO join — the canonical predicate-
@@ -3168,7 +3083,6 @@ object SparkEntry {
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(round(sum(vol).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
     // TPC-H Q13 shape (op 300, customer order-count distribution):
     // how many customers placed k orders, INCLUDING the zero-order
@@ -3184,7 +3098,6 @@ object SparkEntry {
         .agg(count(col("o_orderkey")).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
     }),
     // TPC-H Q4 shape (op 308, order-priority checking): orders in one
     // quarter with at least one LATE line (shipped >90 days after the
@@ -3203,7 +3116,6 @@ object SparkEntry {
               expr("INTERVAL 90 DAYS"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
-        .orderBy(col("o_orderpriority"))
     }),
     // TPC-H Q12 shape (op 309, shipping-priority audit): one ship
     // year of lineitems split by returnflag (playing Q12's shipmode),
@@ -3222,7 +3134,6 @@ object SparkEntry {
             1L).otherwise(0L)).as("high_line_count"),
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
             0L).otherwise(1L)).as("low_line_count"))
-        .orderBy(col("l_returnflag"))
     }),
     // TPC-H Q9 shape (op 310, product-type profit): per supplier
     // nation × order year, profit on red-named parts. No partsupp
@@ -3252,7 +3163,6 @@ object SparkEntry {
         .groupBy(col("nation"), col("o_year"))
         .agg(round(sum(profit).cast("double"), 2).as("sum_profit"),
           count(lit(1)).as("n_items"))
-        .orderBy(col("nation"), col("o_year").desc)
     }),
     // TPC-H Q11 shape (op 311, important stock): per-part inventory
     // value from one nation's suppliers, kept when the part's value
@@ -3282,7 +3192,6 @@ object SparkEntry {
         .where(col("v") * col("np") > col("tot"))
         .select(col("l_partkey"),
           round(col("v").cast("double") / 100.0, 2).as("value"))
-        .orderBy(col("value").desc, col("l_partkey"))
     }),
     // TPC-H Q15 shape (op 312, top supplier): quarterly revenue per
     // supplier, reporting the one(s) equal to the max — the
@@ -3303,7 +3212,6 @@ object SparkEntry {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           round(col("total_rev").cast("double"), 2).as("total_revenue"))
-        .orderBy(col("s_suppkey"))
     }),
     // TPC-H Q16 shape (op 313, supplier-part relationships): distinct
     // suppliers per (brand, type, size) bucket for mid-size non-PROMO
@@ -3327,8 +3235,6 @@ object SparkEntry {
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
-          col("p_size"))
     }),
     // TPC-H Q21 shape (op 314, suppliers who kept orders waiting):
     // NATION_2 suppliers whose line in a finished (F) order shipped
@@ -3365,7 +3271,6 @@ object SparkEntry {
           col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_anti")
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
     }),
     // TPC-H Q2 shape (op 315, minimum-cost supplier): for SMALL-type
     // size-15 parts, the ASIA supplier(s) offering the part's minimum
@@ -3402,8 +3307,6 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_brand"), col("s_name"),
           col("nation"), round(col("s_acctbal"), 2).as("s_acctbal"),
           (col("unit_cents").cast("double") / 100.0).as("unit_price"))
-        .orderBy(col("s_acctbal").desc, col("nation"), col("s_name"),
-          col("p_partkey"))
     }),
     // TPC-H Q20 shape (op 323, potential part promotion): EUROPE
     // suppliers holding "excess stock" of blue parts — the
@@ -3441,7 +3344,6 @@ object SparkEntry {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"),
           round(col("s_acctbal"), 2).as("s_acctbal"))
-        .orderBy(col("s_name"), col("s_suppkey"))
     }),
     // TPC-H Q22 shape (op 301, global sales opportunity): richer-
     // than-average customers DORMANT since 2000 (every custkey has
@@ -3474,7 +3376,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("c_acctbal").cast("decimal(30,8)"))
             .cast("double"), 2).as("totacctbal"))
-        .orderBy(col("n_name"))
     }),
     // TPC-H Q8 shape (op 298, national market share): NATION_2's
     // share of ASIA-customer PROMO revenue by order year — the
@@ -3522,7 +3423,6 @@ object SparkEntry {
               .otherwise(lit(0.0).cast("decimal(30,8)"))).cast("double") /
             sum(vol).cast("double"), 6).as("mkt_share"),
           count(lit(1)).as("n_items"))
-        .orderBy(col("o_year"))
     }),
     // TPC-H Q10 shape (op 229, returned-item revenue): which
     // customers returned the most revenue last quarter — the
@@ -6713,8 +6613,13 @@ object SparkEntry {
     */
   private def dedupEvalReport(truthPairs: DataFrame,
                               foundPairs: DataFrame): DataFrame = {
-    val truth = truthPairs.select(col("id_a"), col("id_b"))
-    val found = foundPairs.select(col("id_a"), col("id_b"))
+    // r14: each pair set feeds BOTH the intersect and its own count —
+    // Catalyst re-plans a shared subtree per consumer, so without
+    // pinning the expensive exact-Jaccard truth op (and the candidate
+    // op) runs twice per report. The pinned relations are pair lists,
+    // tiny next to the shingle joins that produce them.
+    val truth = truthPairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val found = foundPairs.select(col("id_a"), col("id_b")).localCheckpoint()
     val hit = found.intersect(truth)
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -6933,7 +6838,13 @@ object SparkEntry {
         .withColumn("ssc", floor(col("st") / 1e4).cast("long"))
         .select(posexplode(col("xqa")).as(Seq("pos", "xqe")), col("ssc"))
         .groupBy(col("pos")).agg(sum(col("xqe") * col("ssc")).as("w"))
-    def normed(wdf: DataFrame): DataFrame = {
+    def normed(wdf0: DataFrame): DataFrame = {
+      // r14: wdf feeds BOTH the norm agg and the projection — pin the
+      // 64-row product so the data-sized multiply pass runs once per
+      // iteration, not once per consumer (and the returned wLast can
+      // be consumed twice downstream, e.g. embed_whitening, without
+      // re-running the multiply).
+      val wdf = wdf0.localCheckpoint()
       val nrm = wdf.agg(sqrt(sum(col("w").cast("decimal(19,0)")
         * col("w").cast("decimal(19,0)")).cast("double")).as("nrm"))
       wdf.crossJoin(broadcast(nrm))
@@ -6944,10 +6855,10 @@ object SparkEntry {
     val v0 = means.select(col("pos"),
       lit(math.floor(1.0 / 8.0 * 1e4 + 0.5).toLong).as("vq"))
     val vFinal = (1 to 5).foldLeft(v0) { (v, _) =>
-      val next = normed(multiply(v)).select(col("pos"), col("vq"))
-        .localCheckpoint()
-      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(v)
-      next
+      // r14: normed() pins the 64-row product itself now, so the
+      // per-iterate checkpoint job on this cheap projection is gone —
+      // each iteration materializes exactly one relation (the wdf pin).
+      normed(multiply(v)).select(col("pos"), col("vq"))
     }
     (means, rows, normed(multiply(vFinal)))
   }
@@ -6994,7 +6905,6 @@ object SparkEntry {
           round(col("coinc").cast("double") /
             (col("n_tokens").cast("double") *
               (col("n_tokens").cast("double") - 1.0)), 6).as("simpson_d"))
-        .orderBy(col("source"))
     }),
     // Doc-length Gini per source (op 279): corpus concentration —
     // are a few giant documents carrying a source's token mass (a
@@ -7017,7 +6927,6 @@ object SparkEntry {
             (col("n_docs") + 1).cast("double") * col("sx").cast("double")) /
             (col("n_docs").cast("double") * col("sx").cast("double")), 6)
             .as("gini"))
-        .orderBy(col("source"))
     }),
     // Character entropy (op 206, the compressibility proxy): Shannon
     // H = ln n − Σc·ln c / n over per-doc character counts — templated
@@ -7146,7 +7055,6 @@ object SparkEntry {
         .withColumn("phase", lit(9L) - col("bin"))
         .select(col("phase"), col("bin"), col("n_docs"), col("n_tokens"),
           col("mean_quality"))
-        .orderBy(col("phase"))
     }),
     "text_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -7169,8 +7077,7 @@ object SparkEntry {
     }),
     // Gopher/MassiveText quality rule verdicts (op 110).
     "corpus_gopher" -> ((s, dir) =>
-      Corpus.gopherQualityRules(tbl(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))),
+      Corpus.gopherQualityRules(tbl(s, dir, "documents"), "doc_id", "text")),
     // Ensemble quality vote (op 369; the production curation pattern —
     // single gates over/under-filter, so ship a MAJORITY of
     // independent signals): keep ⟺ ≥2 of {gopher rules pass, Flesch ≥
@@ -7203,12 +7110,10 @@ object SparkEntry {
         .withColumn("keep_rate",
           floor(col("n_kept").cast("double") / col("n_docs") * 1e6
             + lit(0.5)) / 1e6)
-        .orderBy(col("source"))
     }),
     // Sliding-window token chunking (op 111).
     "corpus_chunk_tokens" -> ((s, dir) =>
-      Corpus.tokenChunks(tbl(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"), col("chunk_idx"))),
+      Corpus.tokenChunks(tbl(s, dir, "documents"), "doc_id", "text")),
     // One BPE merge round's pair counts over the corpus (op 112).
     "corpus_bpe_pairs" -> ((s, dir) =>
       Corpus.bpePairStats(tbl(s, dir, "documents"), "doc_id", "text")),
@@ -7224,13 +7129,11 @@ object SparkEntry {
         .select(col("lang"),
           least(length(col("tok")), lit(30)).cast("long").as("tok_len"))
         .groupBy(col("lang"), col("tok_len"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("tok_len"))),
+        .agg(count(lit(1)).as("n"))),
     "corpus_length_filter" -> ((s, dir) =>
       Corpus.adaptiveLengthFilter(tbl(s, dir, "documents"), "source", "n_chars")
         .select(col("doc_id"), col("source"), col("n_chars"),
-          col("len_lo"), col("len_hi"))
-        .orderBy(col("doc_id"))),
+          col("len_lo"), col("len_hi"))),
     // Hard-negative mining over the labeled embeddings (op 114).
     "ann_hard_negatives" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -7241,7 +7144,6 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           col("neighbor_label").cast("long").as("neighbor_label"),
           col("cosine"))
-        .orderBy(col("query_id"), col("rnk"))
     }),
     // The IVF scale path of op 114: same mining through probed cells.
     "ann_hard_negatives_ivf" -> ((s, dir) => {
@@ -7253,7 +7155,6 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           col("neighbor_label").cast("long").as("neighbor_label"),
           col("cosine"))
-        .orderBy(col("query_id"), col("rnk"))
     }),
     // Incremental MinHash-LSH dedup (op 109): the planted copies are
     // the "new batch", the original documents the indexed corpus.
@@ -7262,21 +7163,17 @@ object SparkEntry {
       Dedup.minhashLshIncremental(
           corpus.where(col("doc_id") >= 1000000),
           corpus.where(col("doc_id") < 1000000), "doc_id", "text")
-        .orderBy(col("doc_id"))
     }),
 
     // ---- dedup (ops 46-50)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docCorpus(s, dir), "doc_id", "text")
-        .select(col("doc_id"), col("canonical_id"), col("is_dup"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), col("canonical_id"), col("is_dup"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(docCorpus(s, dir), "doc_id", "text")
-        .orderBy(col("id_a"), col("id_b"))),
+      Dedup.minhashLshPairs(docCorpus(s, dir), "doc_id", "text")),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minhashLshPairs(docCorpus(s, dir), "doc_id", "text"),
-          "id_a", "id_b")
-        .orderBy(col("id"))),
+          "id_a", "id_b")),
     // Duplicate-cluster size histogram (op 203, the dedup report's
     // shape diagnostic): how big are the near-dup families — a corpus
     // of pairs dedups cheaply, a power-law tail of giant clusters is
@@ -7289,29 +7186,24 @@ object SparkEntry {
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"),
-          ((col("cluster_size") - 1) * count(lit(1))).as("n_dup_docs"))
-        .orderBy(col("cluster_size"))),
+          ((col("cluster_size") - 1) * count(lit(1))).as("n_dup_docs"))),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(docCorpus(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+      Dedup.simhash(docCorpus(s, dir), "doc_id", "text")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docCorpus(s, dir), "doc_id", "text", maxHamming = 3)
-        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
-        .orderBy(col("id_a"), col("id_b"))),
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docCorpus(s, dir), "doc_id", "text")
-        .orderBy(col("id_a"), col("id_b"))),
+      Dedup.ngramJaccardPairs(docCorpus(s, dir), "doc_id", "text")),
     // Directed shingle containment (op 319; Broder 1997's second
     // resemblance measure): the asymmetric quote/subset signal —
     // a short doc pasted whole into a long one clears containment
     // while its Jaccard drowns in the long side's union.
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(docCorpus(s, dir), "doc_id", "text",
-          threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))),
+          threshold = 0.5)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embCorpus(s, dir), "vec_id", "embedding",
-          0.99, EmbDim)
-        .orderBy(col("id_a"), col("id_b"))),
+          0.99, EmbDim)),
     // Dedup-index evaluation (op 169, the ann_recall pattern on the
     // dedup family): precision/recall of the MinHash-LSH candidate
     // pairs against exact n-gram-Jaccard ≥ 0.5 ground truth on the
@@ -7354,15 +7246,13 @@ object SparkEntry {
     // sampling, contamination, packing — all md5-deterministic
     "text_repetition" -> ((s, dir) =>
       Corpus.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))),
+        .withColumnRenamed("id", "doc_id")),
     "corpus_sample" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
         .withColumn("lang", Text.langId(col("text")))
       Corpus.stratifiedSample(d, "doc_id", col("lang"),
           Map("en" -> 0.9, "unknown" -> 0.25), defaultRate = 0.5)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
-        .orderBy(col("lang"))
     }),
     // Train/val/test split manifest (op 197): the md5-coin assignment
     // (80/10/10) every training run needs to be REPRODUCIBLE — the
@@ -7384,7 +7274,6 @@ object SparkEntry {
         .withColumn("frac",
           round(col("n_docs").cast("double")
             / sum(col("n_docs")).over(wSrc), 6))
-        .orderBy(col("source"), col("split"))
     }),
     // Benchmark set = the original %97 docs; the corpus' planted
     // +2000000 copies of exactly those docs are the contamination to
@@ -7395,7 +7284,6 @@ object SparkEntry {
       Corpus.contamination(c.where(!isBench), c.where(isBench),
           "doc_id", "text", width = 8)
         .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
     }),
     "corpus_pack" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
@@ -7404,7 +7292,6 @@ object SparkEntry {
           targetTokens = 2048, ordCol = "doc_id")
         .groupBy(col("stratum"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
-        .orderBy(col("stratum"), col("bin"))
     }),
 
     // ---- write-side layout planning (ops 139-140)
@@ -7417,7 +7304,6 @@ object SparkEntry {
         .groupBy(col("source"), col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("shard_chars"))
-        .orderBy(col("source"), col("shard_id"))
     }),
     // Skipping manifest (op 179, the Iceberg/Delta file-stats story):
     // per shard of the op-139 plan, the min/max/count/null-count
@@ -7450,7 +7336,6 @@ object SparkEntry {
           col("n_scanned"), col("bytes_scanned"),
           (floor(col("n_pruned").cast("double") / col("n_shards") * 1e6
             + lit(0.5)) / 1e6).as("prune_rate"))
-        .orderBy(col("source"))
     }),
 
     // Compaction planner (op 344): the OPTIMIZE bin-packer over the
@@ -7473,7 +7358,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
           min(col("shard_id")).as("min_shard"),
           max(col("shard_id")).as("max_shard"))
-        .orderBy(col("source"), col("action"), col("bin"))
     }),
     // Hash-layout balance report (op 401): rows and byte mass per
     // doc_id-modulo bucket for a 32-bucket plan, summarized to the
@@ -7511,7 +7395,6 @@ object SparkEntry {
           min(col("n_chars")).cast("long").as("min_chars"),
           max(col("n_chars")).cast("long").as("max_chars"),
           sum(col("lang").isNull.cast("long")).as("null_lang"))
-        .orderBy(col("source"), col("shard_id"))
     }),
     // Scan-amplification audit of the op-179 manifest (op 202 — the
     // metric behind "did the layout actually enable skipping?"): 10
@@ -7545,7 +7428,6 @@ object SparkEntry {
           round(sum(col("tt")).cast("double") / 10.0, 4).as("avg_touched"),
           round(lit(1.0) - sum(col("tt")).cast("double") / 10.0
             / max(col("n_shards")), 4).as("skip_frac"))
-        .orderBy(col("source"))
     }),
     // op 140: z-order layout audit — interleave (user, hour-of-corpus)
     // to 8 bits each, bucket the 16-bit z-key into 256 files, report
@@ -7565,7 +7447,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           (max(col("user_id")) - min(col("user_id"))).as("user_span"),
           (max(col("h")) - min(col("h"))).as("hour_span"))
-        .orderBy(col("file_id"))
     }),
 
     // ---- similarity search (ops 51-52)
@@ -7576,7 +7457,6 @@ object SparkEntry {
           "vec_id", "embedding", 3)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
-        .orderBy(col("query_id"), col("rnk"))
     }),
     // SQ8-reconstructed top-k (op 286): search over the op-89 int8
     // codec — both sides encode against the CORPUS-trained per-dim
@@ -7590,8 +7470,7 @@ object SparkEntry {
     "ann_topk_sq8" -> ((s, dir) =>
       sq8TopK(s, dir)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
-        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
-        .orderBy(col("query_id"), col("rnk"))),
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))),
     // SQ8 retrieval-quality audit (op 296): recall@3 of the op-286
     // reconstructed-space search against the full-precision brute
     // ground truth — the measured basis for shipping the 8×-smaller
@@ -7604,7 +7483,6 @@ object SparkEntry {
             e.where(col("vec_id") >= 5), "vec_id", "embedding", 3), 3)
         .select(col("query_id"), col("n_hits"),
           round(col("recall"), 6).as("recall"))
-        .orderBy(col("query_id"))
     }),
     // MIPS top-k (op 208): maximum INNER PRODUCT — the retrieval
     // objective when magnitudes carry signal (recommender scores,
@@ -7634,7 +7512,6 @@ object SparkEntry {
         .where(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("ip_q") / 1e8, 6).as("inner_product"))
-        .orderBy(col("query_id"), col("rank"))
     }),
     // Approximate by design but fully deterministic (md5-derived planes
     // / lowest-id centroids), so DuckDB replays the exact same buckets.
@@ -7645,7 +7522,6 @@ object SparkEntry {
           "vec_id", "embedding", 3, EmbDim)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
-        .orderBy(col("query_id"), col("rnk"))
     }),
     // Range search (op 384): ALL bucket-mates with cosine ≥ 0.25 —
     // the "everything this similar" API next to top-k, same LSH
@@ -7655,7 +7531,6 @@ object SparkEntry {
       Similarity.lshRangeSearch(
           e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
           "vec_id", "embedding", 0.25, EmbDim)
-        .orderBy(col("query_id"), col("neighbor_id"))
     }),
     // kNN graph over the whole corpus (op 150): the SemDeDup /
     // SSL-prototype / hard-negative precursor — every vector's top-3
@@ -7674,8 +7549,7 @@ object SparkEntry {
           3, EmbDim, planes = annPlanes(s))
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("query_id"), col("rnk"))),
+          round(col("cosine"), 6).as("cosine"))),
     // kNN symmetry (op 390): the fraction of op-150 graph edges that
     // are MUTUAL (a→b and b→a) — the standard index-quality
     // diagnostic beside op 218's hubness (asymmetry = hubs crowding
@@ -7767,7 +7641,6 @@ object SparkEntry {
           col("cosine")), Seq("query_id", "neighbor_id"))
         .select(col("query_id"), col("pick"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("query_id"), col("pick"))
     }),
     // Leave-one-out kNN label accuracy (op 360; the probe-accuracy
     // representation metric — "do nearest neighbors share labels", the
@@ -7797,7 +7670,6 @@ object SparkEntry {
           col("n_correct"),
           (floor(col("n_correct").cast("double") / col("n") * 1e6
             + lit(0.5)) / 1e6).as("accuracy"))
-        .orderBy(col("label"))
     }),
     // Triangle counting + local clustering coefficient on the op-150
     // kNN graph (op 341; the classic two-join distributed shape) —
@@ -7832,7 +7704,6 @@ object SparkEntry {
             floor(lit(2.0) * coalesce(col("n_tri"), lit(0L))
               / (col("degree") * (col("degree") - 1)) * 1e6 + lit(0.5)) / 1e6)
             .otherwise(lit(0.0)).as("clustering"))
-        .orderBy(col("vec_id"))
     }),
     // Truncated-embedding recall (op 171, the Matryoshka question):
     // how much top-k fidelity survives keeping only the first half of
@@ -7851,7 +7722,6 @@ object SparkEntry {
           Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3), 3)
         .select(col("query_id"), col("n_hits"),
           round(col("recall"), 6).as("recall"))
-        .orderBy(col("query_id"))
     }),
     // Recall@3 of the LSH index vs brute-force ground truth (op 158):
     // the tuning feedback loop — left join from the exact side keeps
@@ -7865,7 +7735,6 @@ object SparkEntry {
           Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3), 3)
         .select(col("query_id"), col("n_hits"),
           round(col("recall"), 6).as("recall"))
-        .orderBy(col("query_id"))
     }),
     // NDCG@3 of the LSH ranking vs brute truth (op 318; the
     // POSITION-aware companion to op 158's recall — recall can't see
@@ -7896,7 +7765,6 @@ object SparkEntry {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           round(coalesce(col("dcg"), lit(0L)).cast("double")
             / 2130929754.0, 6).as("ndcg"))
-        .orderBy(col("query_id"))
     }),
     // IVF tuning curve (op 237, the op-168 recall evaluation swept
     // over nProbe): recall@3 vs exact ground truth at nProbe ∈
@@ -7908,17 +7776,30 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 5)
       val c = e.where(col("vec_id") >= 5)
+      // r14: the IVF index (centroids + cell-assigned corpus) is
+      // IDENTICAL across the three probe settings — build it ONCE and
+      // pin it (the ivfCorpusIndex "materialize the index relations"
+      // convention) instead of re-running the N·√n assignment pass per
+      // probe point; pin the exact baseline too (Catalyst re-plans a
+      // shared DataFrame subtree per consumer). Same deterministic
+      // index → identical recall rows.
+      val (cent0, cells0) =
+        Similarity.ivfCorpusIndex(c, "vec_id", "embedding", nCells = 16)
+      val cent = cent0.localCheckpoint()
+      val cells = cells0.localCheckpoint()
       val exact = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3)
+        .localCheckpoint()
       Seq(1, 2, 4).map { p =>
         Similarity.recallAtK(
-            Similarity.ivfTopK(q, c, "vec_id", "embedding", 3, nProbe = p),
+            Similarity.ivfSearchIndexed(q, "vec_id", "embedding", 3,
+              nProbe = p, cent, cells),
             exact, 3)
           .agg(count(lit(1)).as("n_queries"),
             sum(col("n_hits")).as("total_hits"))
           .select(lit(p).as("n_probe"), col("n_queries"), col("total_hits"),
             round(col("total_hits").cast("double") /
               (col("n_queries") * 3).cast("double"), 6).as("recall"))
-      }.reduce(_.unionByName(_)).orderBy(col("n_probe"))
+      }.reduce(_.unionByName(_))
     }),
     "ann_topk_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -7927,7 +7808,6 @@ object SparkEntry {
           "vec_id", "embedding", 3)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
-        .orderBy(col("query_id"), col("rnk"))
     }),
     // ---- product quantization (op 87): codes + ADC search
     "embed_pq_codes" -> ((s, dir) =>
@@ -7935,8 +7815,7 @@ object SparkEntry {
           tbl(s, dir, "embeddings").where(col("vec_id") >= 5),
           "vec_id", "embedding")
         .select(col("id").as("vec_id"), col("sub").cast("long").as("sub"),
-          col("code"))
-        .orderBy(col("vec_id"), col("sub"))),
+          col("code"))),
     "ann_topk_pq" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       graft.operators.Pq.adcTopK(
@@ -7944,15 +7823,13 @@ object SparkEntry {
           "vec_id", "embedding", 3)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_d2"))
-        .orderBy(col("query_id"), col("rnk"))
     }),
     "embed_pq_trained" -> ((s, dir) =>
       graft.operators.Pq.encode(
           tbl(s, dir, "embeddings").where(col("vec_id") >= 5),
           "vec_id", "embedding", iters = 2)
         .select(col("id").as("vec_id"), col("sub").cast("long").as("sub"),
-          col("code"))
-        .orderBy(col("vec_id"), col("sub"))),
+          col("code"))),
     "ann_topk_ivfpq" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       graft.operators.Pq.ivfAdcTopK(
@@ -7960,7 +7837,6 @@ object SparkEntry {
           "vec_id", "embedding", 3, nCells = 16, nProbe = 4)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_d2"))
-        .orderBy(col("query_id"), col("rnk"))
     }),
     // Batch twin of streaming/EventStream.windowedStats — tumbling
     // 1h windows; identical semantics run under readStream + watermark
@@ -7981,7 +7857,6 @@ object SparkEntry {
         .select(col("event_type"),
           round(col("sum_v").cast("double"), 4).as("sum_value"),
           col("distinct_bucket"))
-        .orderBy(col("event_type"))
     }),
 
     "window_agg" -> ((s, dir) =>
@@ -7991,8 +7866,7 @@ object SparkEntry {
           round(sum(col("value").cast("decimal(30,10)")).cast("double"), 4)
             .as("sum_value"))
         .select(unix_micros(col("w.start")).as("ws"), col("event_type"),
-          col("n"), col("sum_value"))
-        .orderBy(col("ws"), col("event_type"))),
+          col("n"), col("sum_value"))),
 
     // ---- resample / as-of / prob_mom (ops 39, 42, 19)
     "df_resample_returns" -> ((s, dir) =>
@@ -8043,7 +7917,6 @@ object SparkEntry {
           round(col("value"), 6).as("trade_value"),
           col("right_quote_id").as("quote_id"),
           round(col("right_quote_value"), 6).as("quote_value"))
-        .orderBy(col("event_id"))
     }),
     "asof_join_forward" -> ((s, dir) => {
       val e = events(s, dir)
@@ -8057,7 +7930,6 @@ object SparkEntry {
           round(col("value"), 6).as("trade_value"),
           col("right_quote_id").as("quote_id"),
           round(col("right_quote_value"), 6).as("quote_value"))
-        .orderBy(col("event_id"))
     }),
     // Upsample + forward-fill (op 232, the reference host API's
     // upsample/fill_forward lineage): a regular hourly grid per
@@ -8081,7 +7953,6 @@ object SparkEntry {
         .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
           col("right_event_id").as("src_event_id"),
           round(col("right_value"), 6).as("value"))
-        .orderBy(col("event_type"), col("ts_us"))
     }),
     // Rolling median + quartiles (op 233, polars rolling_quantile
     // lineage): R-7 interpolated quantiles over a 20-row sliding
@@ -8090,13 +7961,18 @@ object SparkEntry {
     // one rolling family member that must re-aggregate per row.
     "eod_rolling_median" -> ((s, dir) => {
       val wF = wT.rowsBetween(-19, Window.currentRow)
-      withRet(s, dir).select(col("event_type"), col("event_id"),
-        (round(percentile(col("ret"), lit(0.25)).over(wF), 6) + lit(0.0))
-          .as("roll_p25"),
-        (round(percentile(col("ret"), lit(0.5)).over(wF), 6) + lit(0.0))
-          .as("roll_median"),
-        (round(percentile(col("ret"), lit(0.75)).over(wF), 6) + lit(0.0))
-          .as("roll_p75"))
+      // r14: ONE array-percentile buffer per frame instead of three
+      // scalar ones — Percentile is imperative (re-accumulated per
+      // moving frame), so fusing the three quantiles into one call
+      // cuts the per-row frame work 3× with identical R-7 values.
+      val p3 = percentile(col("ret"),
+        array(lit(0.25), lit(0.5), lit(0.75))).over(wF)
+      withRet(s, dir)
+        .select(col("event_type"), col("event_id"), p3.as("_p3"))
+        .select(col("event_type"), col("event_id"),
+          (round(element_at(col("_p3"), 1), 6) + lit(0.0)).as("roll_p25"),
+          (round(element_at(col("_p3"), 2), 6) + lit(0.0)).as("roll_median"),
+          (round(element_at(col("_p3"), 3), 6) + lit(0.0)).as("roll_p75"))
     }),
     // Nearest as-of (op 231, polars strategy="nearest" — the third
     // join_asof strategy, completing ops 42/122): smallest absolute
@@ -8115,7 +7991,6 @@ object SparkEntry {
           col("right_quote_id").as("quote_id"),
           round(col("right_quote_value"), 6).as("quote_value"),
           col("right_dist_us").as("dist_us"))
-        .orderBy(col("event_id"))
     }),
     // Tolerance-bounded as-of (SURVEY §2 op 122): same trade↔quote
     // alignment, but a quote older than 1 day is no match — the
@@ -8135,7 +8010,6 @@ object SparkEntry {
           col("right_quote_id").as("quote_id"),
           round(col("right_quote_value"), 6).as("quote_value"),
           col("right_age_us").as("age_us"))
-        .orderBy(col("event_id"))
     }),
     // op 137: binned range join — every view inside a click's 10-minute
     // forward window, aggregated per window. Both the point and the
@@ -8165,7 +8039,6 @@ object SparkEntry {
         .select(col("interval_id"),
           coalesce(col("n_views"), lit(0L)).as("n_views"),
           (round(col("sv"), 6) + lit(0.0)).as("sum_value"))
-        .orderBy(col("interval_id"))
     }),
     "eod_prob_mom" -> ((s, dir) => { // native t_cdf; oracle replays the
       // SAME continued fraction in a recursive CTE (see coreOracles)
@@ -8213,7 +8086,6 @@ object SparkEntry {
         .where(col("a.event_type") < col("b.event_type"))
         .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
         .agg(round(corr(col("a.ret"), col("b.ret")), 6).as("corr"))
-        .orderBy(col("type_a"), col("type_b"))
     }),
     // PCA market factor (op 305): the first principal component of
     // the K×K return-correlation matrix — the cross-sectional "market
@@ -8303,7 +8175,6 @@ object SparkEntry {
           (round(col("nrm") / 1e12, 6) + lit(0.0)).as("eigval"),
           (round(col("nrm") / 1e12 / col("k"), 4) + lit(0.0))
             .as("var_share"))
-        .orderBy(col("event_type"))
     }),
     // Tangency (max-Sharpe) portfolio (op 325; Markowitz 1952 /
     // Tobin 1958): w ∝ Σ⁻¹μ, the third member of the allocation
@@ -8417,7 +8288,6 @@ object SparkEntry {
           (round(col("pr").cast("double") /
             sqrt(greatest(col("pv"), d38(1L)).cast("double")) / 1e6, 6)
             + lit(0.0)).as("port_sharpe"))
-        .orderBy(col("event_type"))
     }),
     // Equal-risk-contribution weights (op 306; "risk parity", Maillard/
     // Roncalli/Teïletche 2010): weights where each series contributes
@@ -8528,7 +8398,6 @@ object SparkEntry {
           // wᵀCw is PSD up to ±0.5/entry quantization — clamp the dip
           (round(sqrt(greatest(col("twr"), lit(0).cast("decimal(38,0)"))
             .cast("double")) / 1e8 / 1e6, 6) + lit(0.0)).as("port_vol"))
-        .orderBy(col("event_type"))
     }),
     // Two-factor OLS (op 316; the CAPM grid's multi-factor successor —
     // Fama/French-style attribution): each non-factor series regressed
@@ -8581,7 +8450,6 @@ object SparkEntry {
           (round(when(det > 0, b2), 6) + lit(0.0)).as("beta_view"),
           (round(when(det > 0, alpha), 6) + lit(0.0)).as("alpha"),
           (round(when(det > 0 && cyy > 0, r2), 6) + lit(0.0)).as("r2"))
-        .orderBy(col("event_type"))
     }),
     // PageRank over the op-150 kNN graph (op 317; corpus centrality —
     // the representative-document signal cluster-based curation ranks
@@ -8623,7 +8491,6 @@ object SparkEntry {
       }
       rF.select(col("vec_id"),
           (col("rq").cast("double") / 1e9).as("pagerank"))
-        .orderBy(col("vec_id"))
     }),
     // Zipf fit per source (op 149): OLS slope of ln(freq) on ln(rank)
     // over the top token ranks — the corpus-health diagnostic (natural
@@ -8655,7 +8522,6 @@ object SparkEntry {
             / 1e6).as("digit_ratio"),
           kw.cast("long").as("kw_hits"),
           when(symQ > 0.05 || kw >= 3, 1L).otherwise(0L).as("is_code"))
-        .orderBy(col("doc_id"))
     }),
     // Term burstiness (op 382; Church & Gale 1995): contagious terms
     // (names, topics) concentrate in few docs — variance-to-mean
@@ -8699,7 +8565,6 @@ object SparkEntry {
           (round(corr(log(col("cnt")), log(col("rnk"))), 6) + lit(0.0))
             .as("zipf_r"),
           count(lit(1)).as("n_types"))
-        .orderBy(col("source"))
     }),
     "text_top_ngrams" -> ((s, dir) => {
       val g = tbl(s, dir, "documents")
@@ -8709,7 +8574,6 @@ object SparkEntry {
       g.withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 5)
         .select(col("lang"), col("rnk"), col("ng"), col("n"))
-        .orderBy(col("lang"), col("rnk"))
     }),
     // Bigram concentration (op 392): what fraction of each language's
     // bigram MASS the top-100 bigrams carry — the boilerplate /
@@ -8731,7 +8595,6 @@ object SparkEntry {
           (floor(col("_top").cast("double")
             / col("total_bigrams").cast("double") * 1e6 + 0.5) / 1e6)
             .as("top100_coverage"))
-        .orderBy(col("lang"))
     }),
 
     // Daily event-volume anomaly monitor (op 354; the ops staple —
@@ -8755,36 +8618,41 @@ object SparkEntry {
         .select(col("day_us"), col("n"),
           round(z, 6).as("z_mod"),
           when(abs(round(z, 6)) > 3.0, 1L).otherwise(0L).as("is_anomaly"))
-        .orderBy(col("day_us"))
     }),
 
     // ---- distribution stats
     "stats_quantiles" -> ((s, dir) =>
+      // r14: one array-percentile buffer per group instead of three —
+      // identical R-7 values, one sort not three.
       events(s, dir).groupBy(col("event_type"))
-        .agg(round(graft.functions.Stats.quantile(col("value"), 0.5), 6).as("p50"),
-          round(graft.functions.Stats.quantile(col("value"), 0.95), 6).as("p95"),
-          round(graft.functions.Stats.quantile(col("value"), 0.99), 6).as("p99"))
-        .orderBy(col("event_type"))),
+        .agg(percentile(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99))).as("_q"))
+        .select(col("event_type"),
+          round(element_at(col("_q"), 1), 6).as("p50"),
+          round(element_at(col("_q"), 2), 6).as("p95"),
+          round(element_at(col("_q"), 3), 6).as("p99"))),
     "stats_histogram" -> ((s, dir) =>
       graft.functions.Stats.histogram(events(s, dir), Seq("event_type"), "value", 50.0)
         .select(col("event_type"), col("bucket"), round(col("bucket_lo"), 2).as("bucket_lo"),
-          col("n"))
-        .orderBy(col("event_type"), col("bucket"))),
+          col("n"))),
     // Robust per-group stats (op 116): median / MAD / winsorized mean —
     // quantile bands via per-group window, one agg pass over the same
     // partitioning.
     "stats_robust" -> ((s, dir) => {
       val wSym = Window.partitionBy(col("event_type"))
+      // r14: one array-percentile buffer per partition instead of
+      // three scalar ones — identical R-7 values, one sort not three.
       events(s, dir)
-        .withColumn("med", graft.functions.Stats.quantile(col("value"), 0.5).over(wSym))
-        .withColumn("lo", graft.functions.Stats.quantile(col("value"), 0.05).over(wSym))
-        .withColumn("hi", graft.functions.Stats.quantile(col("value"), 0.95).over(wSym))
+        .withColumn("_q3", percentile(col("value"),
+          array(lit(0.5), lit(0.05), lit(0.95))).over(wSym))
+        .withColumn("med", element_at(col("_q3"), 1))
+        .withColumn("lo", element_at(col("_q3"), 2))
+        .withColumn("hi", element_at(col("_q3"), 3))
         .groupBy(col("event_type"))
         .agg(round(min(col("med")), 6).as("median"),
           round(graft.functions.Stats.madFromMedian(col("value"), col("med")), 6).as("mad"),
           round(graft.functions.Stats.winsorizedMean(
             col("value"), col("lo"), col("hi")), 6).as("winsor_mean"))
-        .orderBy(col("event_type"))
     }),
     // Two-sample Kolmogorov–Smirnov test (op 225): each series'
     // return distribution vs the 'view' benchmark — the numeric
@@ -8829,7 +8697,6 @@ object SparkEntry {
         .withColumn("verdict",
           when(col("psi") < 0.1, "stable")
             .when(col("psi") < 0.25, "moderate").otherwise("shifted"))
-        .orderBy(col("event_type"))
     }),
     "stats_ks_test" -> ((s, dir) => {
       val r = withRet(s, dir).where(col("ret").isNotNull)
@@ -8866,7 +8733,6 @@ object SparkEntry {
           round(least(lit(1.0),
             lit(2.0) * exp(lit(-2.0) * col("lam") * col("lam"))), 6)
             .as("p_value"))
-        .orderBy(col("event_type"))
     }),
     // Mann–Whitney U rank-sum test (op 240, the op-225 KS's rank
     // sibling — sensitive to location shift where KS reacts to any
@@ -8906,7 +8772,6 @@ object SparkEntry {
       agg.select(col("pair_id"), col("na"), col("nb"),
           round(u, 6).as("u_stat"),
           (round(z, 6) + lit(0.0)).as("z_stat"))
-        .orderBy(col("pair_id"))
     }),
     // Welch's unequal-variance t-test (op 289; Welch 1947): does each
     // series' mean return differ from the 'view' benchmark's — the
@@ -8941,7 +8806,6 @@ object SparkEntry {
           round(dfW, 2).as("df_welch"),
           when(abs(round(t, 6)) > 1.959963984540054, 1L).otherwise(0L)
             .as("reject_95"))
-        .orderBy(col("event_type"))
     }),
     // One-way ANOVA across all series (op 290; Fisher): is there ANY
     // mean-return difference among the 5 series — between/within sum
@@ -9071,7 +8935,6 @@ object SparkEntry {
       g.select(col("event_type"), col("n"), col("df"),
           round(col("g0"), 6).as("g_stat"),
           round(tau, 6).as("tau"))
-        .orderBy(col("event_type"))
     }),
     // Theil–Sen robust trend (op 379; Theil 1950 / Sen 1968) — the
     // slope ESTIMATOR companion of op 260's Mann-Kendall direction
@@ -9094,6 +8957,9 @@ object SparkEntry {
           floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
         .groupBy(col("event_type"), col("d"))
         .agg((sum(col("qv")).cast("double") / count(lit(1)) / 1e6).as("m"))
+        // r14: pin the (type, day)-sized daily means — both self-join
+        // legs consume them, so the events scan + agg runs once.
+        .localCheckpoint()
       val a = daily.select(col("event_type"), col("d").as("di"),
         col("m").as("mi"))
       val b = daily.select(col("event_type"), col("d").as("dj"),
@@ -9106,7 +8972,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           round(graft.functions.Stats.quantile(col("slope"), 0.5), 6)
             .as("ts_slope"))
-        .orderBy(col("event_type"))
     }),
     // Windowed Theil–Sen (op 403) — the SCALE §17 guidance for op 379
     // promoted to an operator: a trailing-14-day slope per (series,
@@ -9129,6 +8994,9 @@ object SparkEntry {
           floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
         .groupBy(col("event_type"), col("d"))
         .agg((sum(col("qv")).cast("double") / count(lit(1)) / 1e6).as("m"))
+        // r14: same pin as op 379 — two join legs + the end-day semi
+        // filter all consume the daily means.
+        .localCheckpoint()
       val member = daily.withColumn("w",
         explode(sequence(col("d"), col("d") + (W - 1))))
       val a = member.select(col("event_type"), col("w"),
@@ -9147,7 +9015,6 @@ object SparkEntry {
           Seq("event_type", "w"), "left_semi")
         .select(col("event_type"), col("w").as("end_day"),
           col("n_pairs"), col("ts_slope"))
-        .orderBy(col("event_type"), col("end_day"))
     }),
     // CUSUM changepoint locator (op 394; Page 1954 / the Brownian-
     // bridge sup test): per series the row that maximizes
@@ -9183,7 +9050,6 @@ object SparkEntry {
       top.select(col("event_type"), col("n"), col("rn").as("cp_rn"),
           round(stat, 6).as("cusum_stat"),
           when(round(stat, 6) > 1.358, 1L).otherwise(0L).as("breach_95"))
-        .orderBy(col("event_type"))
     }),
     // Two-sample Anderson–Darling (op 395; Pettitt 1976 / Scholz &
     // Stephens 1987's tie-adjusted A²akN at k=2): each series vs the
@@ -9244,7 +9110,6 @@ object SparkEntry {
             / (col("n_a") + col("n_b")).cast("double")
             * (col("sa") / col("n_a").cast("double")
               + col("sb") / col("n_b").cast("double")), 6).as("ad_stat"))
-        .orderBy(col("event_type"))
     }),
     // Mood's median test (op 387; Mood 1950) — the coarsest, most
     // outlier-proof k-sample location test (sits under op 297's
@@ -9348,7 +9213,6 @@ object SparkEntry {
           round(z, 6).as("z_stat"),
           when(abs(round(z, 6)) > 2.807, 1L).otherwise(0L)
             .as("reject_bonf_95"))
-        .orderBy(col("g1"), col("g2"))
     }),
     // Friedman repeated-measures rank test (op 340; Friedman 1937,
     // tie-corrected per Conover 1999): the BLOCKED member of the group
@@ -9578,7 +9442,6 @@ object SparkEntry {
           round(col("m") * col("pj") / col("rj"), 9))).as("p_adj"))
         .select(col("event_type"), col("p").as("p_value"), col("rnk"),
           col("p_adj"), (col("p_adj") <= 0.10).as("reject"))
-        .orderBy(col("rnk"))
     }),
     // Permutation test (op 328; Fisher 1935 exact-randomization
     // logic): difference of mean click-vs-view returns under the
@@ -9677,8 +9540,7 @@ object SparkEntry {
         .withColumn("sv", Tick.signVolumeByTickRule(volume, col("value"), wT))
         .where(col("dp").isNotNull)
         .groupBy(col("event_type"))
-        .agg(round(Tick.kyleLambda(col("dp"), col("sv")), 6).as("kyle_lambda"))
-        .orderBy(col("event_type"))),
+        .agg(round(Tick.kyleLambda(col("dp"), col("sv")), 6).as("kyle_lambda"))),
     // TWAP (op 176): time-weighted average price — each tick's price
     // weighted by its holding time to the next tick (the last tick
     // has no interval and drops, the TWAP convention). Exactness:
@@ -9696,8 +9558,7 @@ object SparkEntry {
             .cast("double") /
           sum(col("dt_us").cast("decimal(30,8)")).cast("double"), 6)
           .as("twap"),
-          sum(col("dt_us")).as("span_us"))
-        .orderBy(col("event_type"))),
+          sum(col("dt_us")).as("span_us"))),
     // Roll implied spread (op 159): Δp and its lag from ONE ordered
     // window pass (lag(value,1/2)), covariance aggregated per symbol.
     "tick_roll_spread" -> ((s, dir) =>
@@ -9708,8 +9569,7 @@ object SparkEntry {
         .where(col("dp").isNotNull && col("dpl").isNotNull)
         .groupBy(col("event_type"))
         .agg((round(Tick.rollSpread(col("dp"), col("dpl")), 6) + lit(0.0))
-          .as("roll_spread"))
-        .orderBy(col("event_type"))),
+          .as("roll_spread"))),
     // Amihud illiquidity (op 160): mean |ret|/(p·v) ×1e6 per symbol —
     // the dollar-volume-normalized impact proxy on the same synthetic
     // volume convention as the rest of the tick family.
@@ -9717,8 +9577,7 @@ object SparkEntry {
       withRet(s, dir).where(col("ret").isNotNull)
         .groupBy(col("event_type"))
         .agg(round(Tick.amihudIlliquidity(col("ret"), col("value") * volume),
-          6).as("amihud"))
-        .orderBy(col("event_type"))),
+          6).as("amihud"))),
     // VPIN (op 183; Easley/López de Prado/O'Hara 2012): order-flow
     // toxicity over EQUAL-VOLUME buckets — tick-rule buy/sell volumes
     // per volume bar (the op-59 exclusive-prefix bar id, threshold
@@ -9743,7 +9602,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_buckets"),
           round(sum(abs(col("vb") - col("vs"))) / sum(col("v")), 6)
             .as("vpin"))
-        .orderBy(col("event_type"))
     }),
     // Parkinson + Garman–Klass range volatility (op 184): the
     // OHLC-based estimators over the op-59 hourly bars — Parkinson
@@ -9773,7 +9631,6 @@ object SparkEntry {
           (round(when(sum(col("g_term")) > 0,
             sqrt(sum(col("g_term")).cast("double") / count(lit(1)))), 6)
             + lit(0.0)).as("gk_vol"))
-        .orderBy(col("event_type"))
     }),
     // Yang–Zhang volatility (op 275; Yang/Zhang 2000): the
     // drift-independent OHLC estimator that handles overnight jumps —
@@ -9816,7 +9673,6 @@ object SparkEntry {
             col("vo") + k * col("vc") + (lit(1.0) - k) * col("vrs") >= 0,
             sqrt(col("vo") + k * col("vc") + (lit(1.0) - k) * col("vrs"))), 6)
             + lit(0.0)).as("yang_zhang_vol"))
-        .orderBy(col("event_type"))
     }),
 
     // ---- rolling metrics (north-star "rolling calculations")
@@ -9872,8 +9728,7 @@ object SparkEntry {
           // same IEEE ops on both engines.
           (floor(sum(unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
               .cast("double") / count(lit(1)) + lit(0.5)).cast("long") / 1e6)
-            .as("avg_duration_s"))
-        .orderBy(col("user_id"))),
+            .as("avg_duration_s"))),
 
     // ---- product/event analytics (ops 330-332): the funnel /
     // cohort-retention / SCD2 trio every clickstream lake runs.
@@ -9882,8 +9737,7 @@ object SparkEntry {
     // hash-matches with no float convention needed.
     "events_funnel" -> ((s, dir) =>
       graft.operators.Events
-        .funnelFlags(events(s, dir), "signup", "click", "purchase")
-        .orderBy(col("user_id"))),
+        .funnelFlags(events(s, dir), "signup", "click", "purchase")),
 
     // op 349: the conversion-WINDOW variant — a step counts only
     // within 3 days of the qualifying previous step (the "did they
@@ -9891,8 +9745,7 @@ object SparkEntry {
     "events_funnel_windowed" -> ((s, dir) =>
       graft.operators.Events
         .funnelFlags(events(s, dir), "signup", "click", "purchase",
-          maxGapUs = Some(259200000000L))
-        .orderBy(col("user_id"))),
+          maxGapUs = Some(259200000000L))),
 
     // op 350: md5-coin A/B split + pooled two-proportion z on exact
     // integers — the experimentation staple, engine-replayable
@@ -9922,15 +9775,13 @@ object SparkEntry {
     // op 375: L28-style activity histogram with casual/core/power
     // tiers.
     "events_power_users" -> ((s, dir) =>
-      graft.operators.Events.powerUsers(events(s, dir))
-        .orderBy(col("active_days"))),
+      graft.operators.Events.powerUsers(events(s, dir))),
 
     // op 398: heterogeneous treatment effect — the op-350 test per
     // props-k quartile of each user's first event.
     "events_lift_by_segment" -> ((s, dir) =>
       graft.operators.Events.abTestBySegment(events(s, dir), "purchase",
-          minValue = 150.0)
-        .orderBy(col("segment"))),
+          minValue = 150.0)),
 
     // op 388: data-driven Markov removal-effect attribution — the
     // chain-model alternative to op 335's positional rules; direct
@@ -9938,25 +9789,21 @@ object SparkEntry {
     // system (scalar IEEE ops → cross-engine bit-parity), every
     // chain relation driver-sized.
     "events_markov_attribution" -> ((s, dir) =>
-      graft.operators.Events.markovAttribution(events(s, dir), "purchase")
-        .orderBy(col("channel"))),
+      graft.operators.Events.markovAttribution(events(s, dir), "purchase")),
 
     "events_retention" -> ((s, dir) =>
       graft.operators.Events.retention(events(s, dir), "signup")
         .select(col("cohort_us"), col("week_offset"), col("n_active"),
           col("n_cohort"),
           round(col("n_active").cast("double") / col("n_cohort"), 6)
-            .as("retained_pct"))
-        .orderBy(col("cohort_us"), col("week_offset"))),
+            .as("retained_pct"))),
 
     "events_scd2" -> ((s, dir) =>
       graft.operators.Events.scd2(events(s, dir))
-        .withColumn("is_current", col("is_current").cast("int"))
-        .orderBy(col("user_id"), col("valid_from_us"))),
+        .withColumn("is_current", col("is_current").cast("int"))),
 
     "events_lifecycle" -> ((s, dir) =>
-      graft.operators.Events.lifecycle(events(s, dir))
-        .orderBy(col("week_us"))),
+      graft.operators.Events.lifecycle(events(s, dir))),
 
     // ---- streaming funnel, REPLAYED to batch (op 337): the op-330
     // reach flags maintained per user at ingest (flatMapGroupsWithState,
@@ -9978,18 +9825,15 @@ object SparkEntry {
         // is the final reach
         .groupBy(col("user_id"))
         .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"),
-          max(col("s3")).as("s3"))
-        .orderBy(col("user_id")) }
+          max(col("s3")).as("s3")) }
     }),
 
     "events_attribution" -> ((s, dir) =>
       graft.operators.Events
-        .attribution(events(s, dir), "purchase", 604800000000L)
-        .orderBy(col("channel"))),
+        .attribution(events(s, dir), "purchase", 604800000000L)),
 
     "events_rfm" -> ((s, dir) =>
-      graft.operators.Events.rfm(events(s, dir), "purchase")
-        .orderBy(col("user_id"))),
+      graft.operators.Events.rfm(events(s, dir), "purchase")),
 
     // op 364: time-to-convert — the funnel's latency dimension (ops
     // 330/349 measure reach, this measures HOW LONG): per user, first
@@ -10011,8 +9855,10 @@ object SparkEntry {
           .as("lag_s"))
       val nSign = t0.agg(count(lit(1)).as("n_signups"))
       lag_.agg(count(lit(1)).as("n_converted"),
-          graft.functions.Stats.quantile(col("lag_s"), 0.5).as("_med"),
-          graft.functions.Stats.quantile(col("lag_s"), 0.9).as("_p90"))
+          // r14: one percentile buffer for both cuts (same R-7 values)
+          percentile(col("lag_s"), array(lit(0.5), lit(0.9))).as("_q2"))
+        .withColumn("_med", element_at(col("_q2"), 1))
+        .withColumn("_p90", element_at(col("_q2"), 2))
         .crossJoin(broadcast(nSign))
         .select(col("n_signups"), col("n_converted"),
           (floor(col("n_converted").cast("double") / col("n_signups")
@@ -10025,19 +9871,16 @@ object SparkEntry {
     // report; three (grain, user)-keyed distinct aggs, driver-sized
     // joins, exact-integer ratio on the q6 grid.
     "events_dau_mau" -> ((s, dir) =>
-      graft.operators.Events.dauMau(events(s, dir))
-        .orderBy(col("day_us"))),
+      graft.operators.Events.dauMau(events(s, dir))),
 
     // op 351: cohort LTV curves — the revenue companion of op 331;
     // exact decimal weekly revenue, cumulative per-member LTV on the
     // q6 floor grid, cumulative window over the driver-sized report.
     "events_cohort_ltv" -> ((s, dir) =>
-      graft.operators.Events.cohortLtv(events(s, dir), "signup", "purchase")
-        .orderBy(col("cohort_us"), col("week_offset"))),
+      graft.operators.Events.cohortLtv(events(s, dir), "signup", "purchase")),
 
     "events_transitions" -> ((s, dir) =>
-      graft.operators.Events.transitions(events(s, dir))
-        .orderBy(col("from_type"), col("to_type"))),
+      graft.operators.Events.transitions(events(s, dir))),
 
     // op 356: top user journeys — the 3-event path counts behind every
     // "common flows" product report: two lags over the ONE
@@ -10113,7 +9956,6 @@ object SparkEntry {
                 lit(0).cast("decimal(30,10)")).cast("double"), 6)
                 .as("rev_last_touch"),
               coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"))
-            .orderBy(col("channel"))
         } }
     }),
 
@@ -10157,7 +9999,6 @@ object SparkEntry {
             .select(col("from_type"), col("to_type"), col("n"),
               (floor(col("n").cast("double") / col("_total") * 1e6
                 + lit(0.5)) / 1e6).as("p"))
-            .orderBy(col("from_type"), col("to_type"))
         }
     }),
 
@@ -10180,8 +10021,7 @@ object SparkEntry {
         .select(col("user_id"), col("state"), col("valid_from_us"),
           col("valid_to_us"),
           (col("valid_to_us") === graft.operators.Events.OpenUs)
-            .cast("int").as("is_current"))
-        .orderBy(col("user_id"), col("valid_from_us")) }
+            .cast("int").as("is_current")) }
     }),
 
     // ---- streaming sessionization, REPLAYED to batch (op 333): the
@@ -10250,7 +10090,6 @@ object SparkEntry {
           (floor(sum(col("last_us") - col("first_us"))
               .cast("double") / count(lit(1)) + lit(0.5)).cast("long") / 1e6)
             .as("avg_duration_s"))
-        .orderBy(col("user_id"))
     }),
 
     // ---- streaming exact dedup, REPLAYED to batch for the oracle
@@ -10270,7 +10109,7 @@ object SparkEntry {
           .dedupExactStream(docs, "doc_id", "text", "ts", "3650 days")
           .select(md5(col("text")).as("digest"),
             length(col("text")).cast("long").as("text_len"))
-      }.orderBy(col("digest")) }),
+      } }),
 
     // Streaming MinHash near-dup (op 102), REPLAYED to batch: the
     // planted-dup corpus rebuilt IN-STREAM (copies carry larger ids →
@@ -10291,7 +10130,6 @@ object SparkEntry {
         graft.streaming.Stateful
           .minhashDedupStream(corpus, "doc_id", "text", "ts").toDF
       }.groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
-        .orderBy(col("doc_id"))
       }
     }),
 
@@ -10324,7 +10162,6 @@ object SparkEntry {
         graft.streaming.Stateful.minhashIncrementalStreamIndexed(
           fresh, ix, "doc_id", "text")
       }.groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
-        .orderBy(col("doc_id"))
     }),
 
     // ---- stateful streaming running drawdown, REPLAYED to batch for
@@ -10346,7 +10183,7 @@ object SparkEntry {
             round(col("price"), 6).as("price"),
             round(col("high_water"), 6).as("high_water"),
             round(col("drawdown"), 6).as("drawdown"))
-      }.orderBy(col("symbol"), col("ts_us")) }
+      } }
     }),
 
     // Streaming running TWAP (op 178): the op-176 benchmark live —
@@ -10365,7 +10202,7 @@ object SparkEntry {
           .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
             round(col("price"), 6).as("price"),
             (floor(col("twap") * 1e6 + 0.5) / 1e6).as("twap"))
-      }.orderBy(col("symbol"), col("ts_us")) }
+      } }
     }),
     // Streaming running risk metrics (op 146): per-symbol running
     // log-return mean/vol/Sharpe from INTEGER state (1e-5-quantized
@@ -10403,7 +10240,7 @@ object SparkEntry {
           q6(mean).as("run_mean"),
           q6(vol).as("run_vol"),
           q6(sharpe).as("run_sharpe_ann"))
-      }.orderBy(col("symbol"), col("ts_us")) }
+      } }
     }),
     // Streaming CUSUM drift monitor (op 294, the op-284 live twin on
     // the op-146 integer-state pattern): per-symbol Page recursion
@@ -10428,7 +10265,7 @@ object SparkEntry {
               col("cusumNeg").as("cusum_neg"),
               when(col("cusumPos") > 20000L || col("cusumNeg") > 20000L, 1L)
                 .otherwise(0L).as("breach"))
-        }.orderBy(col("symbol"), col("ts_us"))
+        }
       }
     }),
     // Streaming A/B assignment gate (op 399, op 373's live twin at
@@ -10484,7 +10321,7 @@ object SparkEntry {
               col("sgn").cast("long").as("sgn"), col("len"),
               col("maxWin").as("max_win_streak"),
               col("maxLoss").as("max_loss_streak"))
-        }.orderBy(col("symbol"), col("ts_us"))
+        }
       }
     }),
     // Streaming PSI drift monitor (op 322, the op-320 live twin on
@@ -10531,7 +10368,6 @@ object SparkEntry {
           .withColumn("verdict",
             when(col("psi") < 0.1, "stable")
               .when(col("psi") < 0.25, "moderate").otherwise("shifted"))
-          .orderBy(col("event_type"))
       }
     }),
     // Streaming chi-square drift monitor (op 246, the op-241 live
@@ -10596,7 +10432,6 @@ object SparkEntry {
           max(col("sumBvQ")).as("sum_bv_q"),
           q6(rv0).as("rv"), q6(bv0).as("bv"),
           q6(greatest(lit(0.0), lit(1.0) - bv0 / rv0)).as("jump_share"))
-        .orderBy(col("symbol"))
     }),
     // Streaming z-score anomaly gate (op 188): each tick scored
     // against the PRIOR running state — z = (r − mean')/vol' with
@@ -10630,7 +10465,7 @@ object SparkEntry {
           col("retQ").as("ret_q"),
           q6(z).as("z"),
           (abs(q6(z)) > 3.0).as("is_anom"))
-      }.orderBy(col("symbol"), col("ts_us")) }
+      } }
     }),
 
     // ---- streaming windowed agg, REPLAYED to batch (op 58): the real
@@ -10697,7 +10532,7 @@ object SparkEntry {
         .write.mode("append").parquet(in.toString)
       runOnce()
       replayStats("swa") = (stageSec, wallSec, addBatchSec)
-      s.read.parquet(out).orderBy(col("ws"), col("event_type"))
+      s.read.parquet(out)
     }),
 
     // ---- streaming as-of quote enrichment, REPLAYED to batch (op 73):
@@ -10721,7 +10556,7 @@ object SparkEntry {
             round(col("price"), 6).as("price"), round(col("bid"), 6).as("bid"),
             round(col("ask"), 6).as("ask"), round(col("mid"), 6).as("mid"),
             col("latency_ms"))
-      }.orderBy(col("symbol"), col("ts_us")) }
+      } }
     }),
 
     // ---- streaming tick rule via transformWithState, REPLAYED to
@@ -10740,7 +10575,7 @@ object SparkEntry {
           graft.streaming.Stateful.tickRule(ticks)
             .select(col("symbol"), unix_micros(col("ts")).as("ts_us"),
               round(col("price"), 6).as("price"), col("direction"))
-        }.orderBy(col("symbol"), col("ts_us"))
+        }
       } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }),
 
@@ -10755,7 +10590,6 @@ object SparkEntry {
           round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
           round(col("volume"), 6).as("volume"),
           round(col("vwap"), 6).as("vwap"), col("n_ticks"))
-        .orderBy(col("event_type"), col("bs"))
     }),
     // Volume / dollar bars (op 59 extensions, López de Prado's
     // information-driven bars): equal-activity bars via exclusive
@@ -10771,7 +10605,6 @@ object SparkEntry {
           round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
           round(col("volume"), 6).as("volume"),
           round(col("vwap"), 6).as("vwap"), col("n_ticks"))
-        .orderBy(col("event_type"), col("bar"))
     }),
     // Streaming information-driven bars (op 136): the stream carries
     // ONE long of state per symbol (the exclusive unit prefix) and
@@ -10819,7 +10652,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_buckets"),
           round(sum(abs(col("vb") - col("vs"))) / sum(col("v")), 6)
             .as("vpin"))
-        .orderBy(col("event_type"))
     }),
     "streaming_dollar_bars" -> ((s, dir) => {
       import s.implicits._
@@ -10861,7 +10693,7 @@ object SparkEntry {
             round(col("trade_value"), 6).as("trade_value"),
             round(col("quote_value"), 6).as("quote_value"),
             (unix_micros(col("t_ts")) - unix_micros(col("q_ts"))).as("age_us"))
-      }.orderBy(col("trade_id"), col("quote_id"))
+      }
       }
     }),
     "tick_dollar_bars" -> ((s, dir) => {
@@ -10874,7 +10706,6 @@ object SparkEntry {
           round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
           round(col("volume"), 6).as("volume"),
           round(col("vwap"), 6).as("vwap"), col("n_ticks"))
-        .orderBy(col("event_type"), col("bar"))
     }),
 
     // ---- quote analytics + latency (reference quote/latency stubs)
@@ -10892,7 +10723,6 @@ object SparkEntry {
             .cast("decimal(30,10)")).cast("double") / count(lit(1)), 6).as("avg_rel_spread_bps"),
           round(sum(graft.functions.Quote.microprice(col("bid"), col("ask"), col("bs"), col("as"))
             .cast("decimal(30,10)")).cast("double") / count(lit(1)), 6).as("avg_microprice"))
-        .orderBy(col("event_type"))
     }),
     // Effective vs quoted spread (op 163): each trade as-of joins the
     // prevailing synthetic NBBO (bid/ask on the deterministic
@@ -10923,7 +10753,6 @@ object SparkEntry {
             .as("avg_eff_spread"),
           (floor(sum(col("qspr")).cast("double") / count(lit(1)) + 0.5) / 1e6)
             .as("avg_quoted_spread"))
-        .orderBy(col("user_id"))
     }),
     // Lee–Ready trade classification (op 192; Lee & Ready 1991): the
     // quote test first — above the prevailing mid = buy, below = sell
@@ -10962,7 +10791,6 @@ object SparkEntry {
           sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_unclassified"),
           round(sum(when(col("side") === 1, 1.0).otherwise(0.0))
             / count(lit(1)), 6).as("buy_frac"))
-        .orderBy(col("user_id"))
     }),
     // Realized-spread decomposition (op 173, Huang-Stoll lineage):
     // eff = realized + impact — realized = 2q·(p − mid_{t+5s})
@@ -11007,7 +10835,6 @@ object SparkEntry {
             .as("avg_realized_spread"),
           (floor(sum(col("qi")).cast("double") / count(lit(1)) + 0.5) / 1e6)
             .as("avg_price_impact"))
-        .orderBy(col("user_id"))
     }),
     "asof_latency" -> ((s, dir) => {
       val e = events(s, dir)
@@ -11027,7 +10854,6 @@ object SparkEntry {
             count(graft.functions.Quote.quoteLatencyUs(col("ts"), col("right_quote_ts")))
             + lit(0.5)).cast("long") / 1e6)
             .as("avg_latency_s"))
-        .orderBy(col("user_id"))
     }),
 
     // ---- simulator (ops 40-41; rows-only)
@@ -11086,8 +10912,7 @@ object SparkEntry {
             minDurUs = 600000000L, maxDurUs = 3600000000L))
         .groupBy(col("day"))
         .agg(sum(col("in_event").cast("long")).as("n_event_ticks"),
-          count(lit(1)).as("n_ticks"))
-        .orderBy(col("day"))),
+          count(lit(1)).as("n_ticks"))),
     // Quote-to-trade ratio (op 372; /root/reference/README.md:44's
     // microstructure roadmap): quote updates per executed trade per
     // (ticker, day) — the venue-activity staple (a high ratio flags
@@ -11114,7 +10939,6 @@ object SparkEntry {
           (floor(sum(when(col("bid_size") > col("ask_size"), 1L)
             .otherwise(0L)).cast("double") / count(lit(1)) * 1e6 + 0.5)
             / 1e6).as("bid_heavy_frac"))
-        .orderBy(col("ticker"), col("day"))
     }),
     "tick_quote_trade_ratio" -> ((s, dir) => {
       val quotes = MarketSim.simulateQuotes(s, "SIM", days = 2,
@@ -11130,7 +10954,6 @@ object SparkEntry {
           (floor(col("n_quotes").cast("double")
             / col("n_trades").cast("double") * 1e6 + 0.5) / 1e6)
             .as("quote_trade_ratio"))
-        .orderBy(col("ticker"), col("day"))
     }),
 
     // ---- composite pipeline: quality-filter → exact-dedup → per-lang
@@ -11147,7 +10970,6 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"))
-        .orderBy(col("lang"))
     }),
 
     // ---- multimodal kernels (op 57) — all oracle-backed and all REAL
@@ -11195,7 +11017,6 @@ object SparkEntry {
       cand.join(ha, "id_a").join(hbb, "id_b")
         .select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
         .where(col("hamming") <= 10)
-        .orderBy(col("id_a"), col("id_b"))
     }),
     // Op-169 harness on the pHash family (op 404, r13 verdict #4):
     // the 2-of-4 band candidate set graded BEFORE the Hamming verify
@@ -11250,7 +11071,6 @@ object SparkEntry {
             math.floor(px.map(_ & 0xff).sum.toDouble / px.length * 1e6 + 0.5) / 1e6)
         }
         .toDF("doc_id", "frame_idx", "width", "height", "mean_px")
-        .orderBy(col("doc_id"), col("frame_idx"))
     }),
     "mm_embed" -> ((s, dir) =>
       Multimodal.featureExtract(
@@ -11272,8 +11092,7 @@ object SparkEntry {
             "doc_id", "text"),
           "doc_id", "audio")
         .select(col("doc_id"), col("frame_id"), col("n_samples"),
-          round(col("rms"), 6).as("rms"), round(col("zcr"), 6).as("zcr"))
-        .orderBy(col("doc_id"), col("frame_id"))),
+          round(col("rms"), 6).as("rms"), round(col("zcr"), 6).as("zcr"))),
 
     // ---- PII detection/redaction (op 82) and unigram-LM quality
     // scoring (op 83)
@@ -11289,8 +11108,7 @@ object SparkEntry {
     "corpus_lm_score" -> ((s, dir) =>
       Corpus.lmScore(tbl(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("lm_xent"),
-          col("n_tokens").cast("long").as("n_tokens"))
-        .orderBy(col("doc_id"))),
+          col("n_tokens").cast("long").as("n_tokens"))),
     // CCNet-style perplexity buckets (op 383; Wenzek et al. 2020):
     // per-language head/middle/tail TERCILES of the op-83 unigram
     // cross-entropy — the quality-stratified split CCNet feeds
@@ -11313,13 +11131,11 @@ object SparkEntry {
           when(col("b") === 1, "head").when(col("b") === 2, "middle")
             .otherwise("tail").as("bucket"),
           col("n_docs"), col("n_tokens"), col("mean_xent"))
-        .orderBy(col("lang"), col("bucket"))
     }),
     "dedup_chunks" -> ((s, dir) =>
       Corpus.chunkDedup(tbl(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_chunks"),
-          col("n_dup_chunks"), col("clean_text"))
-        .orderBy(col("doc_id"))),
+          col("n_dup_chunks"), col("clean_text"))),
     // Composite curation v2 (op 100): corpus-LM quality filter ×
     // exact-substring dedup filter × per-language token accounting,
     // all ONE plan over the planted-dup corpus.
@@ -11336,7 +11152,6 @@ object SparkEntry {
         .where(col("lm_xent") < 3.43 && col("max_dup_run") <= 2)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-        .orderBy(col("lang"))
     }),
     // Fixed-size per-source sample (op 98) and temperature-scaled
     // mixture weights (op 99) over the documents source strata.
@@ -11344,14 +11159,12 @@ object SparkEntry {
       Corpus.stratifiedSampleN(
           tbl(s, dir, "documents").select(col("doc_id"), col("source")),
           "doc_id", col("source"), n = 5)
-        .select(col("stratum").as("source"), col("doc_id"))
-        .orderBy(col("source"), col("doc_id"))),
+        .select(col("stratum").as("source"), col("doc_id"))),
     "corpus_mixture" -> ((s, dir) =>
       Corpus.mixtureWeights(tbl(s, dir, "documents"), col("source"),
           "text", alpha = 0.5)
         .select(col("stratum").as("source"), col("n_docs"),
-          col("n_tokens"), col("share"), col("weight"))
-        .orderBy(col("source"))),
+          col("n_tokens"), col("share"), col("weight"))),
     // UniMax budget allocation (op 293; Chung et al. 2023): the
     // op-99 temperature rule's successor — as-uniform-as-possible
     // language budgets capped at each language's own size, at 60% of
@@ -11362,8 +11175,7 @@ object SparkEntry {
       Corpus.unimaxAllocation(tbl(s, dir, "documents"), col("lang"), 0.6)
         .select(col("stratum").as("lang"), col("n_docs"),
           round(col("alloc"), 4).as("alloc"),
-          round(col("alloc") / col("n_docs").cast("double"), 6).as("epochs"))
-        .orderBy(col("lang"))),
+          round(col("alloc") / col("n_docs").cast("double"), 6).as("epochs"))),
     // Per-source token-distribution diagnostics (op 155): unigram
     // entropy + KL from the pooled corpus distribution — the
     // mixture-health signal (templated sources: low H, high KL).
@@ -11371,8 +11183,7 @@ object SparkEntry {
     "corpus_kl" -> ((s, dir) =>
       Corpus.klDivergence(tbl(s, dir, "documents"), col("source"), "text")
         .select(col("stratum").as("source"), col("n_tokens"), col("vocab"),
-          col("entropy"), col("kl_from_corpus"))
-        .orderBy(col("source"))),
+          col("entropy"), col("kl_from_corpus"))),
     // Token-budget mixture plan (op 156): mixtureWeights → executable
     // per-source Bernoulli rates for a 100k-token budget; the rate
     // column feeds stratifiedSample directly.
@@ -11381,8 +11192,7 @@ object SparkEntry {
           "text", budgetTokens = 100000L, alpha = 0.5)
         .select(col("stratum").as("source"), col("n_docs"), col("n_tokens"),
           col("weight"), col("target_tokens"), col("rate"),
-          col("expected_tokens"))
-        .orderBy(col("source"))),
+          col("expected_tokens"))),
     // Dedup impact report (op 167): what the curation pipeline prints
     // after exact dedup — per source, how many docs and tokens the
     // digest-canonical pass removes (keep = min doc_id per md5
@@ -11407,7 +11217,6 @@ object SparkEntry {
           sum(col("removed") * col("ntok")).as("tokens_removed"),
           round(sum(col("removed")).cast("double") / count(lit(1)), 6)
             .as("removed_frac"))
-        .orderBy(col("source"))
     }),
     // Executed token budget (op 172): the op-156 plan applied — docs
     // join their stratum's broadcast rate, the md5 coin keeps ~rate of
@@ -11426,20 +11235,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
           sum(Text.tokenCount(col("text")).cast("long")).as("tokens_kept"),
           max(col("target_tokens")).as("target_tokens"))
-        .orderBy(col("source"))
     }),
     // Overlapping-window substring dedup (op 96) on the planted-dup
     // corpus: the +2000000 exact copies must show full-length runs.
     "dedup_windows" -> ((s, dir) =>
       Corpus.windowDedup(docCorpus(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_windows"),
-          col("n_dup_windows"), col("max_dup_run"))
-        .orderBy(col("doc_id"))),
+          col("n_dup_windows"), col("max_dup_run"))),
     "embed_kmeans" -> ((s, dir) =>
       Cluster.kmeans(tbl(s, dir, "embeddings"), "vec_id", "embedding",
           k = 8, iters = 2)
-        .select(col("id").as("vec_id"), col("cluster"))
-        .orderBy(col("vec_id"))),
+        .select(col("id").as("vec_id"), col("cluster"))),
     // Cluster quality vs ground truth (op 389): purity and NMI of
     // the op-85 k-means assignment against the embeddings' labels —
     // the representation-eval report run after every re-embed. The
@@ -11448,9 +11254,14 @@ object SparkEntry {
     // integer counts (the op-155 log-parity precedent).
     "embed_cluster_purity" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
+      // r14: the contingency table feeds FIVE consumers (row/col/total
+      // margins, purity, MI) — pin it so the iters+1-pass Lloyd chain
+      // upstream runs once, not once per consumer (op-317 convention;
+      // the pinned relation is ≤ k·|labels| rows).
       val ct = Cluster.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
         .join(e.select(col("vec_id").as("id"), col("label")), "id")
         .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val rowT = ct.groupBy(col("cluster")).agg(sum(col("n")).as("nc"))
       val colT = ct.groupBy(col("label")).agg(sum(col("n")).as("nl"))
       val nT = ct.agg(sum(col("n")).as("nn"))
@@ -11481,28 +11292,24 @@ object SparkEntry {
     }),
     "dedup_semantic" -> ((s, dir) =>
       Cluster.semanticDedupPairs(embCorpus(s, dir), "vec_id", "embedding",
-          0.99, k = 8, iters = 2)
-        .orderBy(col("id_a"), col("id_b"))),
+          0.99, k = 8, iters = 2)),
     "dedup_semantic_verdict" -> ((s, dir) =>
       Cluster.semanticDedupVerdict(embCorpus(s, dir), "vec_id", "embedding",
           0.99, k = 8, iters = 2)
         .select(col("id").as("vec_id"), col("component"), col("keep"),
-          col("canonical_id"))
-        .orderBy(col("vec_id"))),
+          col("canonical_id"))),
     // ---- embedding-store ops: cluster pruning (op 88), int8 scalar
     // quantization (op 89), JL random projection (op 90)
     "embed_prune" -> ((s, dir) =>
       Cluster.clusterPrune(tbl(s, dir, "embeddings"), "vec_id", "embedding",
           keepFrac = 0.5, k = 8, iters = 2)
         .select(col("id").as("vec_id"), col("cluster"), col("dist2"),
-          col("rnk"), col("keep"))
-        .orderBy(col("vec_id"))),
+          col("rnk"), col("keep"))),
     "embed_sq8" -> ((s, dir) =>
       graft.operators.Embed.scalarQuantizeInt8(
           tbl(s, dir, "embeddings"), "vec_id", "embedding")
         .select(col("id").as("vec_id"), col("code_digest"),
-          col("max_abs_err"), col("mean_abs_err"))
-        .orderBy(col("vec_id"))),
+          col("max_abs_err"), col("mean_abs_err"))),
     // Top principal component by IN-PLAN power iteration (op 198 —
     // the linear-algebra sibling of the in-plan Lloyd k-means, op 85):
     // v ← C·v / ||C·v|| iterated 5 times from the uniform start, then
@@ -11531,7 +11338,6 @@ object SparkEntry {
           (round(col("nrm") / 1e8 / col("nn"), 6) + lit(0.0)).as("eigval"),
           (round(col("nrm") / 1e8 / col("nn") / col("totvar"), 4)
             + lit(0.0)).as("var_share"))
-        .orderBy(col("pos"))
     }),
     // All-but-the-top whitening (op 327; Mu/Viswanath 2018): the
     // standard embedding post-process for retrieval — center, then
@@ -11558,7 +11364,6 @@ object SparkEntry {
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
           ((col("xq") - floor(col("d").cast("double") * col("vq") / 1e8
             + 0.5).cast("long")).cast("double") / 1e4).as("xw"))
-        .orderBy(col("vec_id"), col("pos"))
     }),
     // Class-scatter report (op 193, the Fisher-criterion diagnostic —
     // is the embedding space separable by label?): per label, the
@@ -11600,20 +11405,17 @@ object SparkEntry {
           round(sqrt(col("bsq")), 6).as("between_dist"),
           (round(when(col("wv") > 0, col("bsq") / col("wv")), 6) + lit(0.0))
             .as("fisher"))
-        .orderBy(col("label"))
     }),
     "embed_rp" -> ((s, dir) =>
       graft.operators.Embed.randomProject(
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
           outDim = 16, dim = 64)
-        .select(col("id").as("vec_id"), col("pos"), col("y"))
-        .orderBy(col("vec_id"), col("pos"))),
+        .select(col("id").as("vec_id"), col("pos"), col("y"))),
     // Sign quantization + Hamming search over packed codes (op 97)
     "embed_binary" -> ((s, dir) =>
       graft.operators.Embed.binarize(
           tbl(s, dir, "embeddings"), "vec_id", "embedding")
-        .select(col("id").as("vec_id"), col("w"), col("word"))
-        .orderBy(col("vec_id"), col("w"))),
+        .select(col("id").as("vec_id"), col("w"), col("word"))),
     "ann_topk_hamming" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       graft.operators.Embed.hammingTopK(
@@ -11622,7 +11424,6 @@ object SparkEntry {
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           col("hamming"))
-        .orderBy(col("query_id"), col("rnk"))
     }),
     // ---- TF-IDF keywords (op 91), DSIR importance weights (op 92),
     // Bloom-filter decontamination pre-filter (op 93)
@@ -11630,14 +11431,12 @@ object SparkEntry {
       Corpus.tfIdfTopTerms(tbl(s, dir, "documents"), "doc_id", "text",
           topK = 3)
         .select(col("id").as("doc_id"), col("rnk"), col("term"),
-          col("tfidf"))
-        .orderBy(col("doc_id"), col("rnk"))),
+          col("tfidf"))),
     "corpus_dsir" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       Corpus.dsirWeight(d, d.where(col("lang") === "en"), d,
           "doc_id", "text", buckets = 1024)
         .select(col("id").as("doc_id"), col("n_feats"), col("log_weight"))
-        .orderBy(col("doc_id"))
     }),
     // Same corpus and bench split as corpus_contamination: the bloom
     // pre-filter must flag (at least) every doc the exact op catches.
@@ -11648,7 +11447,6 @@ object SparkEntry {
           "doc_id", "text", width = 8, bits = 65536, hashes = 3)
         .select(col("id").as("doc_id"), col("n_grams"),
           col("n_bloom_hits"), col("flagged"))
-        .orderBy(col("doc_id"))
     }),
     // op 393: the op-93 filter's measured-vs-theoretical FPR — every
     // probe gram is a false positive by length-disjoint construction.
@@ -11680,7 +11478,7 @@ object SparkEntry {
     "streaming_quality_gate" -> ((s, dir) =>
       streamReplay(s, dir, "documents", "sgate") { src =>
         Corpus.gopherQualityRules(src, "doc_id", "text")
-      }.orderBy(col("doc_id"))),
+      }),
     // Streaming readability scoring (op 283, the op-170 stateless-gate
     // pattern on op 276): the regex counts and score algebra are pure
     // per-row maps, so the streaming plan IS the batch plan behind a
@@ -11688,8 +11486,7 @@ object SparkEntry {
     // sink equals the batch table row-for-row, oracle shared with
     // text_readability.
     "streaming_readability" -> ((s, dir) =>
-      streamReplay(s, dir, "documents", "sread")(readabilityScores)
-        .orderBy(col("doc_id"))),
+      streamReplay(s, dir, "documents", "sread")(readabilityScores)),
     // Streaming split assignment (op 201, the op-170 stateless-gate
     // pattern on op 197): the md5-coin split is a pure per-row map, so
     // the streaming plan IS the batch plan behind a file source — each
@@ -11709,7 +11506,6 @@ object SparkEntry {
         .withColumn("frac",
           round(col("n_docs").cast("double")
             / sum(col("n_docs")).over(Window.partitionBy(col("source"))), 6))
-        .orderBy(col("source"), col("split"))
     }),
     // Streaming mixture monitor (op 161): per-source doc/token counts
     // as a declarative Update-mode streaming aggregation — state is
@@ -11735,7 +11531,6 @@ object SparkEntry {
           alpha = 0.5)
         .select(col("stratum").as("source"), col("n_docs"),
           col("n_tokens"), col("share"), col("weight"))
-        .orderBy(col("source"))
     }),
     // Streaming intraday volume profile (op 244, the op-242 live
     // twin on the op-161 pattern): per-(symbol, hour) integer volume
@@ -11756,7 +11551,6 @@ object SparkEntry {
         .select(col("event_type"), col("hr"), col("n_trades"), col("vol"),
           round(col("vol").cast("double") / col("tv").cast("double"), 6)
             .as("vol_share"))
-        .orderBy(col("event_type"), col("hr"))
     }),
     "streaming_hll" -> ((s, dir) => {
       // State = sources×256 register rows — the small-state replay
@@ -11781,7 +11575,6 @@ object SparkEntry {
         .select(explode(Text.tokens(col("text"))).as("tok"))
       Sketch.cmsTopK(toks, "tok", depth = 4, width = 1024, topK = 20)
         .select(col("v").as("token"), col("est_cnt"), col("exact_cnt"))
-        .orderBy(col("est_cnt").desc, col("token"))
     }),
     // HLL set algebra (op 125): pairwise source-overlap estimates by
     // register algebra alone — |A∪B| from max-merged registers (no
@@ -11803,7 +11596,6 @@ object SparkEntry {
         .select(col("ga").as("source_a"), col("gb").as("source_b"),
           col("est_a"), col("est_b"), col("est_union"), col("est_intersect"),
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
-        .orderBy(col("source_a"), col("source_b"))
     }),
     // KMV bottom-k distinct sketch (op 129): per-source estimates
     // plus the lossless __ALL__ merge — the bottom-k of the union of
@@ -11826,8 +11618,11 @@ object SparkEntry {
     // 100 TB the cost is one keyed count agg + a key-sized fan-out.
     // The exact F₂ rides along as the oracle-visible ground truth.
     "sketch_f2" -> ((s, dir) => {
+      // r14: counts feeds both the AMS estimate and the exact F2 agg —
+      // pin the keyed count relation so the events scan runs once.
       val counts = events(s, dir).groupBy(col("user_id"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val sgn = when(
         conv(substring(md5(concat(lit("ams"), col("j").cast("string"),
           lit("_"), col("user_id").cast("string"))), 1, 1), 16, 10)
@@ -11920,7 +11715,6 @@ object SparkEntry {
           (round(coalesce(col("n_inter"), lit(0L)).cast("double") /
             (col("da") + col("db") - coalesce(col("n_inter"), lit(0L))), 6)
             + lit(0.0)).as("jaccard_exact"))
-        .orderBy(col("source_a"), col("source_b"))
     }),
     // Streaming Count-Min (op 124): the stream maintains the fixed
     // depth×width counter table (Update-mode agg, construction-bounded
@@ -11941,7 +11735,6 @@ object SparkEntry {
       Sketch.cmsProbeTopK(toks, "tok", counters, depth = 4, width = 1024,
           topK = 20)
         .select(col("v").as("token"), col("est_cnt"), col("exact_cnt"))
-        .orderBy(col("est_cnt").desc, col("token"))
     }),
     // Streaming space-saving top-k (op 145): heavy hitters with
     // CONSTANT state by construction — buckets×capacity counters, each
@@ -12001,7 +11794,6 @@ object SparkEntry {
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 5)
         .select(col("g").as("source"), col("id").as("doc_id"))
-        .orderBy(col("source"), col("doc_id"))
     }),
     // Streaming kNN-graph maintenance (op 152): the op-115 pattern on
     // op 150 — the capped (tbl, bucket) index is materialized ONCE
@@ -12036,7 +11828,6 @@ object SparkEntry {
         .where(col("rnk") <= 3)
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("query_id"), col("rnk"))
     }),
     // Efraimidis-Spirakis weighted sample: 20 docs per lang,
     // P(doc) ∝ n_chars, deterministic md5 draw (op 120).
@@ -12045,7 +11836,6 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
       Corpus.weightedSampleN(d, "doc_id", col("lang"), col("n_chars"), n = 20)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_key"))
-        .orderBy(col("lang"), col("doc_id"))
     }),
     // C4 line filters (op 121) over a deterministic multi-line corpus
     // derived from documents (the raw text is single-line word soup, so
@@ -12075,7 +11865,6 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_lines"), col("n_kept_lines"),
           col("n_words_kept"), col("has_lorem"), col("has_brace"),
           col("kept_digest"), col("keep_doc"))
-        .orderBy(col("doc_id"))
     }),
     // Canonical doc per duplicate cluster (op 217 — the keep-one
     // policy the op-81/203 reports motivate): within each connected
@@ -12099,7 +11888,6 @@ object SparkEntry {
         .select(col("cluster_id"), col("id").as("canonical_id"),
           col("len").cast("long").as("canonical_len"), col("cluster_size"),
           (col("cluster_size") - 1).as("n_removed"))
-        .orderBy(col("cluster_id"))
     }),
     // kNN-graph hubness (op 218): the in-degree distribution of the
     // op-150 directed top-k graph — hubs (points that appear in
@@ -12115,7 +11903,6 @@ object SparkEntry {
           col("vec_id") === col("neighbor_id"), "left")
         .select(coalesce(col("d"), lit(0L)).as("in_deg"))
       deg.groupBy(col("in_deg")).agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("in_deg"))
     }),
     // Tokenizer fertility per language (op 219): BPE-ish tokens per
     // whitespace word and per 100 chars, per declared language — the
@@ -12133,8 +11920,7 @@ object SparkEntry {
           round(sum(col("bpe")).cast("double") / sum(col("ws")), 6)
             .as("tokens_per_word"),
           round(sum(col("bpe")).cast("double") * 100.0 / sum(col("nc")), 6)
-            .as("tokens_per_100chars"))
-        .orderBy(col("lang"))),
+            .as("tokens_per_100chars"))),
     // Language-ID confusion matrix (op 223 — the op-53 classifier
     // EVALUATED against the declared label, the corpus-curation
     // QA report): count per (declared, predicted) cell. Pure
@@ -12143,8 +11929,7 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("lang"), Text.langId(col("text")).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("lang_pred"))),
+        .agg(count(lit(1)).as("n"))),
     // Centroid-distance outliers (op 220, the op-85/88 family's
     // per-point diagnostic): top-3 farthest vectors from their
     // label's centroid. Centroids are exact integer-sum ratios
@@ -12174,7 +11959,6 @@ object SparkEntry {
         .where(col("rnk") <= 3)
         .select(col("label"), col("rnk"), col("vec_id"),
           round(sqrt(col("s2").cast("double") / 1e12), 6).as("dist"))
-        .orderBy(col("label"), col("rnk"))
     }),
     // Simplified silhouette per label (op 227 — cluster-quality QA
     // for the op-85/86/88 family): s = (b − a)/max(a, b) with a =
@@ -12221,7 +12005,6 @@ object SparkEntry {
           (floor(sum(col("qs")).cast("double") / count(lit(1)) + 0.5) / 1e6)
             .as("mean_silhouette"),
           sum(when(col("qs") < 0, 1L).otherwise(0L)).as("n_misplaced"))
-        .orderBy(col("label"))
     }),
     // Per-dimension variance spectrum + participation ratio (op 230,
     // the cheap intrinsic-dimension probe the op-198 power iteration
@@ -12265,7 +12048,6 @@ object SparkEntry {
             .as("std_norm"),
           (col("mn").cast("double") / 1e6).as("min_norm"),
           (col("mx").cast("double") / 1e6).as("max_norm"))
-        .orderBy(col("label"))
     }),
     // Isotropy diagnostics (op 381; Mu & Viswanath 2018's
     // "all-but-the-top" premise): how far the embedding cloud leans
@@ -12317,7 +12099,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           round(sum(col("q")).cast("double") / 1e6 / count(lit(1)), 6)
             .as("avg_cos"))
-        .orderBy(col("bin"))
     }),
     "embed_dim_variance" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -12367,7 +12148,6 @@ object SparkEntry {
             col("n_bigrams").cast("double"), 6).as("h_cond"),
           round(exp((-(col("sq").cast("double") / 1e9)) /
             col("n_bigrams").cast("double")), 6).as("perplexity"))
-        .orderBy(col("source"))
     }),
     // Cross-doc boilerplate shingles (op 221 — template detection,
     // the cross-document sibling of op 76's within-doc repetition):
@@ -12395,7 +12175,6 @@ object SparkEntry {
           sum(coalesce(col("n_boiler"), lit(0L))).as("n_boiler"),
           round(sum(coalesce(col("n_boiler"), lit(0L))).cast("double") /
             sum(col("n_shingles")), 6).as("boiler_frac"))
-        .orderBy(col("source"))
     })
   )
 
@@ -12405,19 +12184,28 @@ object SparkEntry {
     */
   private def hllReport(s: SparkSession, dir: String,
                         regs: DataFrame): DataFrame = {
-    val perSource = Sketch.hllEstimate(regs, Seq("source"), m = 256)
+    // r14: regs feeds both the per-source estimate and the __ALL__
+    // merge — pin the ≤ m·|sources|-row register table so the token
+    // explode + register agg upstream runs once, not twice.
+    val regsP = regs.localCheckpoint()
+    val perSource = Sketch.hllEstimate(regsP, Seq("source"), m = 256)
     val global = Sketch.hllEstimate(
-      regs.groupBy(col("reg")).agg(max(col("max_rank")).as("max_rank"))
+      regsP.groupBy(col("reg")).agg(max(col("max_rank")).as("max_rank"))
         .withColumn("source", lit("__ALL__")),
       Seq("source"), m = 256)
-    val toks = tbl(s, dir, "documents")
+    // r14: ONE tokenize pass for both exact rows — the distinct
+    // (source, tok) pairs are the shared base (per-source distinct =
+    // pair count per source; global distinct = distinct tok over the
+    // pairs), replacing two full token explodes of the corpus.
+    val pairs = tbl(s, dir, "documents")
       .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
-    val exact = toks.groupBy(col("source"))
-      .agg(countDistinct(col("tok")).as("exact_distinct"))
-      .unionByName(toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+      .distinct().localCheckpoint()
+    val exact = pairs.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+      .unionByName(pairs.select(col("tok")).distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
         .withColumn("source", lit("__ALL__")))
     perSource.unionByName(global).join(exact, "source")
-      .orderBy(col("source"))
   }
 
   /** Shared tail of the streaming bar twins (op 136): the batch OHLCV
@@ -12449,7 +12237,10 @@ object SparkEntry {
     * (event_type, bin, cnt) histogram table — the merge sums BINS,
     * never rescanning the corpus.
     */
-  private def histQuantileReport(sk: DataFrame): DataFrame = {
+  private def histQuantileReport(sk0: DataFrame): DataFrame = {
+    // r14: the bin table feeds both the __ALL__ merge and the union —
+    // pin the ≤ |types|·nBins-row relation so its producer runs once.
+    val sk = sk0.localCheckpoint()
     val all = sk.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
       .withColumn("event_type", lit("__ALL__"))
     val merged = sk.select(col("event_type"), col("bin"), col("cnt"))
@@ -12457,7 +12248,6 @@ object SparkEntry {
     Sketch.histQuantiles(merged, Seq("event_type"),
         Seq(0.25, 0.5, 0.75, 0.95), lo = 0.0, hi = 512.0, nBins = 128)
       .select(col("event_type"), col("q"), col("est"), col("n"))
-      .orderBy(col("event_type"), col("q"))
   }
 
   /** Shared tail of the KMV queries (ops 129/132): per-source + merged
@@ -12466,12 +12256,17 @@ object SparkEntry {
     * the union of SKETCHES (KBs of input) — never a corpus rescan.
     */
   private def kmvReport(s: SparkSession, dir: String,
-                        sk: DataFrame): DataFrame = {
+                        sk0: DataFrame): DataFrame = {
+    // r14: both the sketch table (merged + union legs) and the exact
+    // distinct-pair base (per-source + __ALL__ legs) feed two
+    // consumers each — pin them so the sketch build and the tokenize
+    // pass run once, not twice.
+    val sk = sk0.localCheckpoint()
     val merged = sk.select(lit("__ALL__").as("source"), col("h")).distinct()
       .orderBy(col("h")).limit(64)
-    val toks = tbl(s, dir, "documents")
+    val dt = tbl(s, dir, "documents")
       .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
-    val dt = toks.distinct()
+      .distinct().localCheckpoint()
     val exact = dt.groupBy(col("source"))
       .agg(count(lit(1)).as("exact_distinct"))
       .unionByName(
@@ -12483,7 +12278,6 @@ object SparkEntry {
       .join(exact, "source")
       .select(col("source"), col("n_kept"), col("est_distinct"),
         col("exact_distinct"))
-      .orderBy(col("source"))
   }
 
   /** Deterministic PII-bearing contact cards derived from customer —

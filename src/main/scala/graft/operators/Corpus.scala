@@ -569,8 +569,11 @@ object Corpus {
     def counts(d: DataFrame, cName: String): DataFrame =
       grams(d).select(bucket(col("g")).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as(cName))
-    val tc = counts(target, "ct")
-    val rc = counts(raw, "cr")
+    // r14: tc/rc each feed BOTH the totals agg and the spine join —
+    // pin the ≤`buckets`-row count relations so each tokenize+md5 gram
+    // scan runs once, not twice (Catalyst re-plans shared subtrees).
+    val tc = counts(target, "ct").localCheckpoint()
+    val rc = counts(raw, "cr").localCheckpoint()
     val totals = tc.agg(sum(col("ct")).as("tt"))
       .crossJoin(rc.agg(sum(col("cr")).as("tr"))) // 1 row — broadcast
     // λ(b) = ln(ct+1) − ln(tt+B) − ln(cr+1) + ln(tr+B), 1e-6-quantized;
