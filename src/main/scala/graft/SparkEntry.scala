@@ -652,8 +652,13 @@ object SparkEntry {
     // prediction. All sums integer-exact; Z₂ is one double expression
     // on identical integers. Two keyed aggs + broadcast joins.
     "eod_es_backtest" -> ((s, dir) => {
+      // r14: r feeds the totals agg and (via rr) both the train and
+      // test halves — pin the rn-stamped returns so the withRet
+      // window runs once, not three times.
       val r = withRet(s, dir).where(col("ret").isNotNull)
         .withColumn("rn", row_number().over(wT))
+        .select(col("event_type"), col("rn"), col("ret"))
+        .localCheckpoint()
       val tot = r.groupBy(col("event_type")).agg(count(lit(1)).as("ntot"))
       val rr = r.join(broadcast(tot), "event_type")
         .withColumn("half", expr("ntot div 2"))
@@ -3184,9 +3189,12 @@ object SparkEntry {
         .select(col("s_suppkey"))
       val cents = floor(col("l_extendedprice") * col("l_quantity")
         * 100.0 + 0.5).cast("long")
+      // r14: perPart feeds its own total and the threshold filter —
+      // pin the partkey-sized values so the lineitem join runs once.
       val perPart = li.join(broadcast(supN),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey")).agg(sum(cents).as("v"))
+        .localCheckpoint()
       perPart.crossJoin(broadcast(perPart.agg(sum(col("v")).as("tot"),
           count(lit(1)).as("np"))))
         .where(col("v") * col("np") > col("tot"))
@@ -3206,6 +3214,9 @@ object SparkEntry {
         .groupBy(col("l_suppkey"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(30,8)")).as("total_rev"))
+        // r14: rev feeds its own max and the equality filter — pin the
+        // supplier-sized revenue so the lineitem scan runs once.
+        .localCheckpoint()
       rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("mx"))))
         .where(col("total_rev") === col("mx"))
         .join(broadcast(sup.select(col("s_suppkey"), col("s_name"))),
@@ -3508,8 +3519,7 @@ object SparkEntry {
         |  count(*) AS n_orders
         |FROM gs_orders JOIN gs_customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
-        |                        (c_mktsegment), (o_orderpriority))
-        |ORDER BY seg, pri""".stripMargin)
+        |                        (c_mktsegment), (o_orderpriority))""".stripMargin)
     })
   )
 
@@ -7003,10 +7013,16 @@ object SparkEntry {
         .select(col("p.x").as("x"), col("p.y").as("y"))
         .where(col("x") =!= col("y"))
         .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+        // r14: both unionAll legs of the undirected edge build consume
+        // bi — pin it so the bigram tokenize pass runs once.
+        .localCheckpoint()
       val edges = bi.select(col("x").as("src"), col("y").as("dst"), col("c"))
         .unionAll(bi.select(col("y").as("src"), col("x").as("dst"), col("c")))
         .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("wt"))
+      // r14: strength feeds the edge join, the node list, and the
+      // node count — pin the vocab-sized relation.
       val strength = edges.groupBy(col("src")).agg(sum(col("wt")).as("st"))
+        .localCheckpoint()
       val edgesSt = edges.join(strength, "src").localCheckpoint()
       val nodes = strength.select(col("src").as("w"))
         .crossJoin(broadcast(strength.agg(count(lit(1)).as("nw"))))
@@ -11976,6 +11992,9 @@ object SparkEntry {
           posexplode(col("embedding").cast("array<double>"))
             .as(Seq("pos", "x")))
         .withColumn("xq", floor(col("x") * 1e6 + 0.5).cast("long"))
+        // r14: e feeds the centroid agg AND the distance join — pin
+        // the exploded components so the embeddings scan runs once.
+        .localCheckpoint()
       val cen = e.groupBy(col("label"), col("pos"))
         .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
         .select(col("label").as("clabel"), col("pos"),
@@ -11986,6 +12005,9 @@ object SparkEntry {
           floor(col("diff") * col("diff") * 1e12 + 0.5).cast("long"))
         .groupBy(col("vec_id"), col("label"), col("clabel"))
         .agg(sum(col("t")).as("s2"))
+        // r14: terms feeds both the own-cluster and min-other legs —
+        // pin the (vec, label)-sized distance table.
+        .localCheckpoint()
       val own = terms.where(col("label") === col("clabel"))
         .select(col("vec_id"), col("label"),
           sqrt(col("s2").cast("double") / 1e12).as("a"))
@@ -12135,6 +12157,9 @@ object SparkEntry {
         .select(col("source"), explode(Text.ngrams(col("text"), 2)).as("bg"))
         .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("cnt"))
         .withColumn("w1", substring_index(col("bg"), " ", 1))
+        // r14: bg feeds the conditional totals AND the entropy join —
+        // pin the bigram-vocab counts so the ngram explode runs once.
+        .localCheckpoint()
       val ca = bg.groupBy(col("source"), col("w1"))
         .agg(sum(col("cnt")).as("ca"))
       bg.join(ca, Seq("source", "w1"))
@@ -12230,7 +12255,6 @@ object SparkEntry {
         round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
         round(col("volume"), 6).as("volume"),
         round(col("vwap"), 6).as("vwap"), col("n_ticks"))
-      .orderBy(col("event_type"), col("bar"))
 
   /** Shared tail of the quantile-sketch queries (ops 141/142): the
     * per-type + `__ALL__`-merged quantile report over a

@@ -106,7 +106,6 @@ object Resample {
       .withColumn("q", round(col("v") * 1e6).cast("long"))
       .groupBy((keyCols.map(col) :+ col("trial")): _*)
       .agg(round(sum(col("q")).cast("double") / (count(lit(1)) * 1e6), 6).as("stat"))
-      .orderBy((keyCols.map(col) :+ col("trial")): _*)
 
   /** Multi-stat form — the reference's resample_returns applies an
     * arbitrary stat fn returning a ROW of named stats per trial
@@ -122,7 +121,6 @@ object Resample {
     drawsAndRows(df, valueCol, keyCols, ordCols, numTrials)
       .groupBy((keyCols.map(col) :+ col("trial")): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy((keyCols.map(col) :+ col("trial")): _*)
   }
 
   /** Single-stat convenience (any aggregate Column over the resampled
