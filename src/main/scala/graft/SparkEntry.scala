@@ -12016,7 +12016,9 @@ object SparkEntry {
         .agg(min(col("s2")).as("bmin"))
         .select(col("vec_id"), col("label"),
           sqrt(col("bmin").cast("double") / 1e12).as("b"))
-      own.join(oth, Seq("vec_id", "label"))
+      // broadcast hint: the pinned inputs carry no size estimate, so
+      // without it the n-row a/b join planwise falls back to SMJ.
+      own.join(broadcast(oth), Seq("vec_id", "label"))
         // a = b = 0 (a point sitting on two centroids) must drop,
         // not ANSI-abort on 0/0.
         .where(greatest(col("a"), col("b")) > 0)

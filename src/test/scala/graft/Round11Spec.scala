@@ -200,8 +200,11 @@ class Round11Spec extends SparkSpec {
       assert(mq >= bin * 0.1 - 1e-6 && mq <= (bin + 1) * 0.1 + 1e-6,
         s"bin $bin mean $mq")
     }
-    // curriculum order: phases ascend = quality bins descend
-    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted)
+    // curriculum order is the phase VALUE (phase == 9 − bin, asserted
+    // per-row above), not the emission order: r14 dropped the final
+    // presentation sort (the driver's compare canonicalizes rows).
+    // One schedule row per phase is the remaining shape invariant.
+    assert(out.map(_._1).distinct.length == out.length)
   }
 
   test("eod_seasonality: weekday counts partition each series' returns") {

@@ -424,8 +424,9 @@ class Round11dSpec extends SparkSpec {
     val q13 = SparkEntry.queries("rel_tpch_q13")(spark, dir)
       .select($"c_count", $"custdist").as[(Long, Long)].collect()
     assert(q13.toMap == q13w && q13.nonEmpty)
-    // pinned ordering: custdist desc, c_count desc
-    assert(q13.sameElements(q13.sortBy(t => (-t._2, -t._1))))
+    // r14: the final presentation sort is gone (the driver's compare
+    // canonicalizes rows), so the VALUE map equality above is the
+    // whole contract — no emission-order pin.
 
     // Q22: above-positive-average balances with no orders, by nation
     val pos = cust.filter(_._3 > 0.0)
