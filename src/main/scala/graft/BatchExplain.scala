@@ -1,6 +1,10 @@
 // plan-audit main (r14): BatchExplain <outDir> <q1,q2,...> [suffix]
 // writes one formatted-physical-plan file per named query in a single
 // JVM session (ExplainOne's format, without the per-query JVM spinup).
+// Data dir comes from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01),
+// the Verify/Bench contract (r14 ADVICE #4). Pinned-query caveat: see
+// PlanAudit's header — localCheckpoint is eager, so plans of pinned
+// queries render the pinned subtree as `Scan ExistingRDD`.
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
@@ -22,7 +26,8 @@ object BatchExplain {
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
       try {
-        val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+        val df = SparkEntry.queries(name)(spark,
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
         val plan =
           df.queryExecution.explainString(ExplainMode.fromString("formatted"))
         java.nio.file.Files.write(

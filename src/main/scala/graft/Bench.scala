@@ -249,16 +249,27 @@ object Bench {
     // line to a committed file as the belt-and-suspenders record.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"BENCH_LOCAL_$round.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // read-only cwd must not kill the print
+    // r15 (r14 verdict #2): the mirror filename encodes the core count —
+    // the driver re-runs the bench at a lower cpu count and the second
+    // run used to OVERWRITE the matched-core mirror, destroying the only
+    // full per-query record of the graded 32-core run. The plain name is
+    // kept (as a copy) for the default 32-cpu run only, so the
+    // prior-round reference scan (priorRecords) still sees exactly the
+    // matched-core records.
+    def writeMirror(name: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(name), (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // read-only cwd must not kill the print
+    writeMirror(s"BENCH_LOCAL_${round}_c$cpus.json")
+    if (cpus == "32") writeMirror(s"BENCH_LOCAL_$round.json")
     println(line)
-    // The archiver keeps only a ~2000-char tail of stdout; the full line
-    // above is ~8 KB, so its head (and the opening brace) never survives.
-    // This second, <200-char, totals-only object IS the last stdout line —
-    // it always fits whole inside any tail window and parses standalone.
-    // Per-query detail lives in the full line and the BENCH_LOCAL mirror.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"mirror":"BENCH_LOCAL_$round.json"}""")
+    // The LAST stdout line is what the driver parses. r15 (r14 verdict
+    // #2): it now carries the per-query map too — the driver's PERF
+    // per-query channel came back empty two rounds running because the
+    // final line held only totals. Field order keeps the headline total
+    // first (spec position) AND duplicated at the very end (total_sec),
+    // with the per-query map in between; diagnostics (requeues, gc,
+    // splits, errors) stay in the full line above and the mirror files.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"queries":$qs,"mirror":"BENCH_LOCAL_${round}_c$cpus.json","total_sec":$total}""")
   }
 }

@@ -7,6 +7,16 @@
 //
 //   PlanAudit <out.tsv>                 — shape manifest for all queries
 //   PlanAudit <out.tsv> q1,q2,...       — manifest restricted to names
+//
+// Data dir comes from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01),
+// the Verify/Bench contract (r14 ADVICE #4).
+//
+// Caveat for pinned queries (r14 ADVICE #2): localCheckpoint() is EAGER,
+// so building a pinned query's DataFrame executes the pinned subtree, and
+// the dumped plan renders it as `Scan ExistingRDD` — the manifest's
+// operator counts EXCLUDE the checkpoint-producer operators that still
+// run once at build time. Compare pinned queries by wall-clock (which
+// charges those jobs), not by scan counts alone.
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
@@ -25,7 +35,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.Graft.register(spark)
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     def count(plan: String, token: String): Int =
       token.r.findAllMatchIn(plan).size
     val sb = new StringBuilder
@@ -51,7 +61,10 @@ object PlanAudit {
             count(head, "Scan parquet")).mkString("\t") + "\n")
         } catch {
           case e: Throwable =>
-            sb.append(s"$name\tERR ${e.getClass.getSimpleName}\n")
+            // ERR rows padded to the header's column count so a partial
+            // audit can't silently mis-parse downstream (r14 ADVICE #4)
+            sb.append((Seq(name, s"ERR ${e.getClass.getSimpleName}") ++
+              Seq.fill(9)("ERR")).mkString("\t") + "\n")
         }
       }
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -1058,6 +1058,83 @@ object Scale {
         }
       }
 
+      // ---- r15 eighth-wave probes (r14 verdict #5, SCALE §19): the
+      // five biggest localCheckpoint-pinned queries at 1×/10×/50×. The
+      // claim being proven: a pin's materialization cost tracks the
+      // pinned AGGREGATE (bounded or sublinear by construction), never
+      // the corpus — so query wall-time must grow at most linearly
+      // (the producer chain), and the `<q>_pin_rows` lines record the
+      // pinned relation's actual row count per scale (flat/sublinear
+      // is the pass condition). At cluster scale each pin site's
+      // scaladoc documents the localCheckpoint → checkpoint swap.
+      if (Seq("embed_cluster_purity_pin", "stats_dunn_pin",
+          "text_textrank_pin", "dedup_eval_containment_pin",
+          "embed_power_iter_pin").exists(wanted)) {
+        val nEv = 100000L * m
+        val qDir = s"$root/$m/w8"
+        genEvents(spark, nEv)
+          .write.mode("overwrite").parquet(s"$qDir/events.parquet")
+        genDocs(spark, nDocs)
+          .withColumn("source", concat(lit("s"), col("doc_id") % 7))
+          .write.mode("overwrite").parquet(s"$qDir/documents.parquet")
+        genEmbeddings(spark, nEmb, dim)
+          .withColumn("label", (col("vec_id") % 10).cast("int"))
+          .write.mode("overwrite").parquet(s"$qDir/embeddings.parquet")
+        for ((q, tag, rows) <- Seq(
+            ("embed_cluster_purity", "embed_cluster_purity_pin", nEmb),
+            ("stats_dunn", "stats_dunn_pin", nEv),
+            ("text_textrank", "text_textrank_pin", nDocs),
+            ("dedup_eval_containment", "dedup_eval_containment_pin", nDocs),
+            ("embed_power_iter", "embed_power_iter_pin", nEmb)))
+          timed(tag, m, rows) { sink(SparkEntry.queries(q)(spark, qDir)) }
+        // Pinned-relation sizes, re-derived with the same public
+        // expressions (outside any timing): what actually gets
+        // materialized by each pin.
+        def pinRows(tag: String, n: => Long): Unit = if (wanted(tag))
+          try println(s"""{"op":"$tag","scale":$m,"pin_rows":$n}""")
+          catch { case scala.util.control.NonFatal(e) =>
+            println(s"""{"op":"$tag","scale":$m,"err":"${e.toString.take(120)}"}""") }
+        val evQ = spark.read.parquet(s"$qDir/events.parquet")
+        val docsQ = spark.read.parquet(s"$qDir/documents.parquet")
+        // stats_dunn pins (event_type, quantized-return) counts — the
+        // distinct quantized-return grid, not the row count, bounds it.
+        pinRows("stats_dunn_pin_rows", {
+          val wTp = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+          evQ.withColumn("ret",
+              graft.functions.Eod.toReturns(col("value"), wTp))
+            .where(col("ret").isNotNull)
+            .select(col("event_type"),
+              floor(col("ret") * 1e6 + 0.5).cast("long").as("q"))
+            .distinct().count()
+        })
+        // text_textrank pins bigram counts — vocabulary (Heaps-law
+        // sublinear; this generator draws from a 5000-token pool, so
+        // the bigram space saturates).
+        pinRows("text_textrank_pin_rows", {
+          val toks = graft.functions.Text.tokens(col("text"))
+          docsQ.select(explode(zip_with(
+              slice(toks, lit(1), size(toks) - 1),
+              slice(toks, lit(2), size(toks) - 1),
+              (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+            .select(col("p.x"), col("p.y")).distinct().count()
+        })
+        // dedup_eval_containment pins the truth/candidate PAIR sets —
+        // the planted-dup fraction of the corpus (n/10 near + n/25
+        // exact), linear in dups but ~100× below the shingle joins
+        // that produce them.
+        pinRows("dedup_eval_containment_pin_rows",
+          graft.operators.Dedup.ngramJaccardPairs(
+            docsQ.select(col("doc_id"), col("text")),
+            "doc_id", "text", threshold = 0.5).count())
+        // embed_cluster_purity pins the k×labels contingency table
+        // (≤ 8×10 rows at any corpus size); embed_power_iter pins the
+        // dim-row (64) product per iteration — both constants by
+        // construction, recorded for completeness.
+        pinRows("embed_cluster_purity_pin_rows", 8L * 10L)
+        pinRows("embed_power_iter_pin_rows", dim.toLong)
+      }
+
       // Skewed shuffle join + agg under AQE; broadcast disabled so the
       // skew-join path (not a broadcast) is what's being measured.
       if (wanted("skew_join_agg")) {

@@ -88,6 +88,46 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  /** Process-lifetime landing-dir cache for [[streamReplay]] (r15,
+    * r14 verdict #1): each source table is staged into a read-only
+    * watched dir ONCE per bench/verify process and shared by every
+    * replay of that table. Staging is input preparation — a production
+    * ingest's landing dir already exists before the stream starts —
+    * so re-copying the same immutable source file per query (and per
+    * bench rep) only measured the harness. Nothing stateful is shared:
+    * checkpoint and sink dirs stay per-invocation, so every replay
+    * still starts from a fresh offset log and processes every file.
+    * The two-phase sentinel replays (streaming_sessionize /
+    * streaming_window_agg) APPEND to their landing dir mid-query and
+    * therefore keep staging private dirs — only the immutable-source
+    * path goes through this cache.
+    */
+  private val stagedSources = scala.collection.concurrent.TrieMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** Stage `path` (single parquet file OR a directory of part files —
+    * a dir copied as one entry arrives EMPTY and the replay silently
+    * processes zero batches) into a fresh landing dir, once per
+    * process; returns (landing dir, source schema).
+    */
+  private def stageSource(s: SparkSession, path: String,
+                          table: String): (String, org.apache.spark.sql.types.StructType) =
+    stagedSources.getOrElseUpdate(path, {
+      val in = java.nio.file.Files.createTempDirectory(s"graft-src-$table")
+      val srcPath = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isDirectory(srcPath)) {
+        val it = java.nio.file.Files.list(srcPath).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, in.resolve(f.getFileName))
+        }
+      } else {
+        java.nio.file.Files.copy(srcPath, in.resolve(s"$table.parquet"))
+      }
+      (in.toString, s.read.parquet(path).schema)
+    })
+
   private def streamReplay(s: SparkSession, dir: String, table: String,
                            tag: String, mode: String = "append")
                           (build: DataFrame => DataFrame): DataFrame = {
@@ -95,26 +135,8 @@ object SparkEntry {
     val path = s"$dir/$table.parquet"
     val out = java.nio.file.Files.createTempDirectory(s"graft-$tag-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$tag-ck").toString
-    val in = java.nio.file.Files.createTempDirectory(s"graft-$tag-in")
-    // Stage single-file AND directory-shaped parquet sources: the
-    // driver testdata is one file per table, but any real table (and
-    // the Scale probe's generated inputs) is a directory of part
-    // files — copy each split into the landing dir (a dir copied as
-    // one entry arrives EMPTY and the replay silently processes zero
-    // batches).
-    val srcPath = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.isDirectory(srcPath)) {
-      val it = java.nio.file.Files.list(srcPath).iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getFileName.toString.endsWith(".parquet"))
-          java.nio.file.Files.copy(f, in.resolve(f.getFileName))
-      }
-    } else {
-      java.nio.file.Files.copy(srcPath, in.resolve(s"$table.parquet"))
-    }
-    val src = s.readStream.schema(s.read.parquet(path).schema)
-      .parquet(in.toString)
+    val (in, schema) = stageSource(s, path, table)
+    val src = s.readStream.schema(schema).parquet(in)
     val t1 = System.nanoTime()
     val q = build(src).writeStream
       .outputMode(mode)
@@ -323,6 +345,9 @@ object SparkEntry {
     // r14: rg feeds 2-3 consumers in stats_kruskal/stats_dunn (margins
     // + the pairwise self-join) — pin the k-row rank-sum relation so
     // the midrank chain above runs once per query, not per consumer.
+    // At cluster scale swap localCheckpoint for `checkpoint` (the
+    // SemDeDup convention, Cluster.semanticDedupVerdict); pinned size
+    // is the k-row rank-sum table — flat in corpus (SCALE §19).
     val rg = gq.join(mid, "q")
       .groupBy(col("event_type"))
       .agg(sum(col("cg") * col("mid")).as("rgsum"),
@@ -6627,7 +6652,9 @@ object SparkEntry {
     // Catalyst re-plans a shared subtree per consumer, so without
     // pinning the expensive exact-Jaccard truth op (and the candidate
     // op) runs twice per report. The pinned relations are pair lists,
-    // tiny next to the shingle joins that produce them.
+    // tiny next to the shingle joins that produce them (planted-dup-
+    // linear, SCALE §19). At cluster scale swap for `checkpoint` (the
+    // SemDeDup convention, Cluster.semanticDedupVerdict).
     val truth = truthPairs.select(col("id_a"), col("id_b")).localCheckpoint()
     val found = foundPairs.select(col("id_a"), col("id_b")).localCheckpoint()
     val hit = found.intersect(truth)
@@ -6824,7 +6851,11 @@ object SparkEntry {
     // the declarative 6-iteration chain re-derives the explode +
     // centering + array assembly ~12× inside one plan — measured
     // 11.2 s at sf0.1; checkpointing the shared relations and each
-    // superseded iterate cuts it to one derivation per input
+    // superseded iterate cuts it to one derivation per input. At
+    // cluster scale swap for `checkpoint` (the SemDeDup convention,
+    // Cluster.semanticDedupVerdict); the per-iterate pins are dim-row
+    // (64) products — flat in corpus (SCALE §19); `rows` is the one
+    // corpus-sized pin and is the natural restart point.
     val means = ex.groupBy(col("pos"))
       .agg((sum(col("xq0")).cast("double") / count(lit(1)) / 1e4).as("mu"),
         count(lit(1)).as("n"),
@@ -6854,6 +6885,21 @@ object SparkEntry {
       // iteration, not once per consumer (and the returned wLast can
       // be consumed twice downstream, e.g. embed_whitening, without
       // re-running the multiply).
+      //
+      // Pin lifetime (r14 ADVICE): per-iterate pins here (and the
+      // other single-consumer-chain pins in this file) are NOT
+      // explicitly unpersisted — their blocks are released by
+      // ContextCleaner when the superseded DataFrame becomes
+      // unreachable after the query's action completes. That is the
+      // deliberate trade: an eager unpersist is only safe after the
+      // LAST consumer ran, which a query-builder function cannot see
+      // (consumers execute at the caller's action). The loop-carried
+      // pins that ARE provably superseded mid-build (Dedup.clusters
+      // rounds, pagerank iterates) do unpersist eagerly via
+      // GraftSqlBridge. Pinned relations here are KB-scale (64-row
+      // products, aggregates), so the transient footprint between
+      // action end and GC is bounded; LEAKCHECK watches block-manager
+      // growth for regressions.
       val wdf = wdf0.localCheckpoint()
       val nrm = wdf.agg(sqrt(sum(col("w").cast("decimal(19,0)")
         * col("w").cast("decimal(19,0)")).cast("double")).as("nrm"))
@@ -7014,7 +7060,10 @@ object SparkEntry {
         .where(col("x") =!= col("y"))
         .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
         // r14: both unionAll legs of the undirected edge build consume
-        // bi — pin it so the bigram tokenize pass runs once.
+        // bi — pin it so the bigram tokenize pass runs once. At
+        // cluster scale swap for `checkpoint` (the SemDeDup
+        // convention, Cluster.semanticDedupVerdict); every pin here
+        // is vocabulary-sized — Heaps-law sublinear (SCALE §19).
         .localCheckpoint()
       val edges = bi.select(col("x").as("src"), col("y").as("dst"), col("c"))
         .unionAll(bi.select(col("y").as("src"), col("x").as("dst"), col("c")))
@@ -8141,6 +8190,14 @@ object SparkEntry {
       val pos = ty
         .join(broadcast(ty.select(col("t").as("u"))), col("u") <= col("t"))
         .groupBy(col("t")).agg(count(lit(1)).cast("int").as("i"))
+        // r15 (r14 verdict #3): a series count beyond the static grid
+        // would silently fall off the 1..SMAX pivot aggregations and
+        // return a WRONG result — fail loudly instead. The guard rides
+        // the k-row position relation (evaluated eagerly by the pin).
+        .select(col("t"), when(col("i") > SMAX, raise_error(concat(
+            lit(s"eod_pca_factor: series count exceeds the SMAX=$SMAX " +
+              "wide-unroll grid (raise SMAX) at event_type "), col("t"))))
+          .otherwise(col("i")).as("i"))
         .coalesce(1).localCheckpoint()
       val keyed = mm
         .join(broadcast(pos).withColumnRenamed("t", "ta")
@@ -8232,6 +8289,13 @@ object SparkEntry {
       val pos = ty
         .join(broadcast(ty.select(col("t").as("u"))), col("u") <= col("t"))
         .groupBy(col("t")).agg(count(lit(1)).cast("int").as("i"))
+        // r15 (r14 verdict #3): fail loudly past the static grid —
+        // positions > SMAX would silently drop from the pivot and
+        // corrupt the solve. Evaluated eagerly by the pin below.
+        .select(col("t"), when(col("i") > SMAX, raise_error(concat(
+            lit(s"eod_tangency: series count exceeds the SMAX=$SMAX " +
+              "wide-unroll grid (raise SMAX) at event_type "), col("t"))))
+          .otherwise(col("i")).as("i"))
         .coalesce(1).localCheckpoint()
       val cqE = floor(num.cast("double") /
         (col("n").cast("double") * (col("n").cast("double") - 1.0))
@@ -8339,6 +8403,13 @@ object SparkEntry {
       val pos = ty
         .join(broadcast(ty.select(col("t").as("u"))), col("u") <= col("t"))
         .groupBy(col("t")).agg(count(lit(1)).cast("int").as("i"))
+        // r15 (r14 verdict #3): fail loudly past the static grid —
+        // positions > SMAX would silently drop from the pivot and
+        // corrupt the fixed point. Evaluated eagerly by the pin below.
+        .select(col("t"), when(col("i") > SMAX, raise_error(concat(
+            lit(s"eod_risk_parity: series count exceeds the SMAX=$SMAX " +
+              "wide-unroll grid (raise SMAX) at event_type "), col("t"))))
+          .otherwise(col("i")).as("i"))
         .coalesce(1).localCheckpoint()
       val cqE = floor(num.cast("double") /
         (col("n").cast("double") * (col("n").cast("double") - 1.0))
@@ -11273,7 +11344,9 @@ object SparkEntry {
       // r14: the contingency table feeds FIVE consumers (row/col/total
       // margins, purity, MI) — pin it so the iters+1-pass Lloyd chain
       // upstream runs once, not once per consumer (op-317 convention;
-      // the pinned relation is ≤ k·|labels| rows).
+      // the pinned relation is ≤ k·|labels| rows — flat in corpus,
+      // SCALE §19). At cluster scale swap for `checkpoint` (the
+      // SemDeDup convention, Cluster.semanticDedupVerdict).
       val ct = Cluster.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
         .join(e.select(col("vec_id").as("id"), col("label")), "id")
         .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))

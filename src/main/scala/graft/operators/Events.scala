@@ -644,11 +644,21 @@ object Events {
       .withColumn("ka", concat(
         when(col("state") === "start", lit("1")).otherwise(lit("0")),
         col("state")))
+    val SMAX = 7  // supported transient states (6 channels + start)
     val statePos = st0
       .join(broadcast(st0.select(col("ka").as("kb"))), col("kb") <= col("ka"))
       .groupBy(col("state")).agg(count(lit(1)).cast("int").as("pos"))
+      // r15 (r14 verdict #3): a channel count beyond the static grid
+      // would silently fall off the 1..SMAX pivot aggregations and
+      // return a WRONG attribution — fail loudly instead. The guard
+      // rides the (channels+1)-row position relation, which the pin
+      // below evaluates eagerly at build time.
+      .select(col("state"), when(col("pos") > SMAX, raise_error(concat(
+          lit(s"markovAttribution: transient state count exceeds the " +
+            s"SMAX=$SMAX wide-unroll grid (raise SMAX) at state "),
+          col("state"))))
+        .otherwise(col("pos")).as("pos"))
       .coalesce(1).localCheckpoint()
-    val SMAX = 7  // supported transient states (6 channels + start)
     val CONVJ = SMAX + 1 // absorbing column ids, off the 1..SMAX grid
     val NULLJ = SMAX + 2
     // attach positions and pivot the WHOLE chain into ONE wide row:

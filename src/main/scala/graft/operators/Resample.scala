@@ -99,6 +99,14 @@ object Resample {
     * returns (keyCols..., trial, stat) where stat = mean of the sampled
     * values, computed exactly via 1e-6-quantized integer sums
     * (engine-order-independent).
+    *
+    * ROW ORDER IS UNSPECIFIED (r14, Spark convention — like any
+    * DataFrame transformation result): the relation's VALUES are
+    * deterministic, but callers that need a presentation order must
+    * sort. Before r14 these helpers carried a trailing orderBy, which
+    * paid a range-partitioning exchange of the whole result purely for
+    * presentation (the reference's resample returns ordered output;
+    * this library follows Spark's unordered-relation contract instead).
     */
   def resampleMean(df: DataFrame, valueCol: String, keyCols: Seq[String],
                    ordCols: Seq[String], numTrials: Int): DataFrame =
