@@ -342,6 +342,11 @@ object SparkEntry {
       .withColumn("mid",
         ((col("cum") - col("c") + 1) + col("cum")).cast("double") / 2.0)
       .select(col("q"), col("c"), col("mid"))
+      // r15: mid feeds BOTH the rank-sum join and the tie aggregate —
+      // pin the grid-bounded midrank relation so the two-level prefix
+      // sum above runs once per query, not twice. At cluster scale
+      // swap for `checkpoint` (the SemDeDup convention).
+      .localCheckpoint()
     // r14: rg feeds 2-3 consumers in stats_kruskal/stats_dunn (margins
     // + the pairwise self-join) — pin the k-row rank-sum relation so
     // the midrank chain above runs once per query, not per consumer.
@@ -383,6 +388,14 @@ object SparkEntry {
         sum(dec(col("a.q")) * dec(col("b.q"))).as("sab"),
         sum(dec(col("a.q")) * dec(col("a.q"))).as("saa"),
         sum(dec(col("b.q")) * dec(col("b.q"))).as("sbb"))
+      // r15: every caller (the K×K matrix ops) consumes this relation
+      // at least twice — the diagonal for the position grid and the
+      // full matrix for the pivot — so without a pin the returns
+      // window + cross-section explode² chain runs twice per query.
+      // The pinned relation is k×k rows (r14 pin rule: heavy producer,
+      // bounded output). At cluster scale swap for `checkpoint` (the
+      // SemDeDup convention).
+      .localCheckpoint()
   }
 
   /** The click/view return series rn-paired into (rn, ra, rb) — one
@@ -1848,6 +1861,13 @@ object SparkEntry {
       val idx = full.select(col("event_type"), col("ret"),
         row_number().over(
           Window.partitionBy(col("event_type")).orderBy(col("rn"))).as("i"))
+        // r15: both union legs below (rebal21 + buyhold) consume idx —
+        // without a pin the events scan + 4-window alignment chain
+        // runs twice. The pinned relation is the aligned k-series
+        // return panel (data-sized like embTopPc's rows pin — at
+        // cluster scale swap for `checkpoint`, the natural restart
+        // point for portfolio backtests).
+        .localCheckpoint()
       def variant(id: String, blk: Column) = idx
         .withColumn("port_id", lit(id)).withColumn("blk", blk)
       val v = variant("rebal21",
@@ -2350,6 +2370,13 @@ object SparkEntry {
         // the count-5 completeness gates then drop the whole block.
         .where(col("vol") > 0)
         .withColumn("iq", floor(lit(1.0) / col("vol") * 1e9 + 0.5).cast("long"))
+        // r15: blk feeds THREE consumers (weights, completeness gate,
+        // the returns leg of the final join) — Catalyst re-plans the
+        // events scan + returns window + block agg per consumer, so
+        // pin the (type × block)-sized aggregate (r14 pin rule: heavy
+        // producer, bounded relation). At cluster scale swap for
+        // `checkpoint` (the SemDeDup convention).
+        .localCheckpoint()
       val wts = blk.select(col("event_type"), (col("block") + 1).as("block"),
         col("iq"))
       val tot = wts.groupBy(col("block"))
@@ -7620,9 +7647,16 @@ object SparkEntry {
     // diagnostic beside op 218's hubness (asymmetry = hubs crowding
     // out reciprocal structure). One self-intersect of the edge list.
     "ann_mutual_knn" -> ((s, dir) => {
+      // r15: g feeds THREE consumers (both intersect legs + the edge
+      // count) — without a pin the LSH-banded kNN-graph build (the
+      // Σ bucket² candidate join + top-k window) runs three times.
+      // The pinned relation is the n×k edge list (r14 pin rule: heavy
+      // producer, bounded output). At cluster scale swap for
+      // `checkpoint` (the SemDeDup convention).
       val g = Similarity.knnGraph(tbl(s, dir, "embeddings"), "vec_id",
           "embedding", 3, EmbDim, planes = annPlanes(s))
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        .localCheckpoint()
       val mutual = g.intersect(
         g.select(col("dst").as("src"), col("src").as("dst")))
       g.agg(count(lit(1)).as("n_edges"))
@@ -8551,6 +8585,13 @@ object SparkEntry {
     // one data-sized stage (same capped-bucket shape as op 150).
     "embed_pagerank" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
+      // r15 note: pinning `edges` itself before this join was tried
+      // and measured FLAT (interleaved min-of-3, 2.72 → 2.83 s) — the
+      // two edge legs sit inside ONE plan here, where ReuseExchange
+      // can share the identical pairs-aggregation subtree, unlike the
+      // cross-action re-derivations the r14/r15 pins target. Reverted
+      // per the r14 rule: keep only pins that pay for their
+      // materialization.
       val edges = Similarity.knnGraph(emb, "vec_id", "embedding", 3,
           EmbDim, planes = annPlanes(s))
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
