@@ -311,14 +311,19 @@ object SparkEntry {
     * (per-series Σmidrank/count, tie relation Σ(c³−c)). Midranks are
     * half-integers, so every double term is exactly representable and
     * the sums are addition-order-free.
+    *
+    * `pin = false` (tests only) skips the localCheckpoint pins so
+    * PlanSpec can assert the two-level shape on the full producer plan
+    * — the pins hide it behind `Scan ExistingRDD` in production.
     */
-  private def kruskalRankSums(s: SparkSession, dir: String)
+  private[graft] def kruskalRankSums(s: SparkSession, dir: String,
+                                     pin: Boolean = true)
       : (DataFrame, DataFrame) = {
-    val gq = withRet(s, dir).where(col("ret").isNotNull)
+    def pinned(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    val gq = pinned(withRet(s, dir).where(col("ret").isNotNull)
       .withColumn("q", floor(col("ret") * 1e6 + 0.5).cast("long"))
       .groupBy(col("event_type"), col("q"))
-      .agg(count(lit(1)).as("cg"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("cg")))
     val qc = gq.groupBy(col("q")).agg(sum(col("cg")).as("c"))
       .withColumn("b", floor(col("q") / lit(500.0)).cast("long"))
     val bt = qc.groupBy(col("b")).agg(sum(col("c")).as("tb"))
@@ -337,27 +342,25 @@ object SparkEntry {
       .select(col("b"), col("off"))
     val wB = Window.partitionBy(col("b")).orderBy(col("q"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val mid = qc.join(broadcast(offs), "b")
+    // r15: mid feeds BOTH the rank-sum join and the tie aggregate —
+    // pin the grid-bounded midrank relation so the two-level prefix
+    // sum above runs once per query, not twice. At cluster scale
+    // swap for `checkpoint` (the SemDeDup convention).
+    val mid = pinned(qc.join(broadcast(offs), "b")
       .withColumn("cum", col("off") + sum(col("c")).over(wB))
       .withColumn("mid",
         ((col("cum") - col("c") + 1) + col("cum")).cast("double") / 2.0)
-      .select(col("q"), col("c"), col("mid"))
-      // r15: mid feeds BOTH the rank-sum join and the tie aggregate —
-      // pin the grid-bounded midrank relation so the two-level prefix
-      // sum above runs once per query, not twice. At cluster scale
-      // swap for `checkpoint` (the SemDeDup convention).
-      .localCheckpoint()
+      .select(col("q"), col("c"), col("mid")))
     // r14: rg feeds 2-3 consumers in stats_kruskal/stats_dunn (margins
     // + the pairwise self-join) — pin the k-row rank-sum relation so
     // the midrank chain above runs once per query, not per consumer.
     // At cluster scale swap localCheckpoint for `checkpoint` (the
     // SemDeDup convention, Cluster.semanticDedupVerdict); pinned size
     // is the k-row rank-sum table — flat in corpus (SCALE §19).
-    val rg = gq.join(mid, "q")
+    val rg = pinned(gq.join(mid, "q")
       .groupBy(col("event_type"))
       .agg(sum(col("cg") * col("mid")).as("rgsum"),
-        sum(col("cg")).as("ng"))
-      .localCheckpoint()
+        sum(col("cg")).as("ng")))
     val ties = mid.agg(
       sum(col("c") * col("c") * col("c") - col("c")).as("t"))
     (rg, ties)

@@ -508,8 +508,12 @@ class PlanSpec extends SparkSpec {
   test("Kruskal midranks never use a single-partition global window") {
     // structural guard is WindowGuardSpec; here pin the two-level shape:
     // the bucket-offset side joins broadcast (tiny totals), and the
-    // only windows are bucket-partitioned.
-    val p = plan("stats_kruskal")
+    // only windows are bucket-partitioned. The r15 localCheckpoint pins
+    // hide the producer behind `Scan ExistingRDD` in the query's visible
+    // plan, so assert on the UNPINNED producer (pin = false).
+    val (rg, _) = SparkEntry.kruskalRankSums(spark, dir, pin = false)
+    graft.util.Guardrails.requirePartitionedWindows(rg)
+    val p = rg.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
